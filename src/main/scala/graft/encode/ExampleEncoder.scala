@@ -1,0 +1,73 @@
+package graft.encode
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Row → payload-bytes contract — the Spark shape of the reference's
+  * `_Converter` ABC (`feast_component/converters.py:8-35`): one concrete
+  * implementation per payload format, executed inside `mapPartitions`
+  * (opaque bytes gain nothing from Catalyst columns).
+  */
+trait ExampleEncoder extends Serializable {
+  def encode(schema: StructType, row: Row): Array[Byte]
+}
+
+/** Row → serialized `tf.train.Example`, with the reference's type
+  * mapping (`converters.py:50-53` via tfx `row_to_example`; table in
+  * SURVEY.md §1.2):
+  *
+  *   - integer/boolean       → int64_list (bool as 0/1)
+  *   - float/double          → float_list (lossy float32, like the reference)
+  *   - string                → bytes_list (UTF-8)
+  *   - binary                → bytes_list
+  *   - timestamp             → bytes_list of ISO-8601 UTC (documented choice)
+  *   - date                  → bytes_list of yyyy-MM-dd
+  *   - array<primitive>      → flattened into the same Feature's value list
+  *   - NULL                  → feature present but empty (key kept)
+  *   - struct/map/decimal…   → rejected (unsupported in the reference path too)
+  */
+object TfExampleEncoder extends ExampleEncoder {
+  import TfExample._
+
+  private val TsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").withZone(ZoneOffset.UTC)
+
+  def encode(schema: StructType, row: Row): Array[Byte] = {
+    val features = schema.fields.zipWithIndex.map { case (field, i) =>
+      val value: FeatureValue =
+        if (row.isNullAt(i)) Empty
+        else field.dataType match {
+          case ArrayType(elem, _) =>
+            encodeSeq(elem, row.getSeq[Any](i).filter(_ != null), field.name)
+          case dt => encodeSeq(dt, Seq(row.get(i)), field.name)
+        }
+      field.name -> value
+    }.toMap
+    TfExample.encode(features)
+  }
+
+  private def encodeSeq(dt: DataType, vs: Seq[Any], name: String): FeatureValue = dt match {
+    case LongType    => Int64s(vs.map(_.asInstanceOf[Long]))
+    case IntegerType => Int64s(vs.map(_.asInstanceOf[Int].toLong))
+    case ShortType   => Int64s(vs.map(_.asInstanceOf[Short].toLong))
+    case ByteType    => Int64s(vs.map(_.asInstanceOf[Byte].toLong))
+    case BooleanType => Int64s(vs.map(v => if (v.asInstanceOf[Boolean]) 1L else 0L))
+    case DoubleType  => Floats(vs.map(_.asInstanceOf[Double].toFloat))
+    case FloatType   => Floats(vs.map(_.asInstanceOf[Float]))
+    case StringType  => Bytes(vs.map(_.asInstanceOf[String].getBytes(UTF_8)))
+    case BinaryType  => Bytes(vs.map(_.asInstanceOf[Array[Byte]]))
+    case TimestampType =>
+      Bytes(vs.map(v => TsFmt.format(v.asInstanceOf[java.sql.Timestamp].toInstant).getBytes(UTF_8)))
+    case DateType =>
+      Bytes(vs.map(v => v.asInstanceOf[java.sql.Date].toString.getBytes(UTF_8)))
+    case other =>
+      throw new IllegalArgumentException(
+        s"column '$name': type $other is not representable as tf.train.Feature " +
+          "(supported: int/long/bool -> int64_list, float/double -> float_list, " +
+          "string/binary/timestamp/date -> bytes_list, plus arrays thereof)")
+  }
+}

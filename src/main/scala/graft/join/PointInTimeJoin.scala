@@ -1,0 +1,175 @@
+package graft.join
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** A feature view resolved to a concrete DataFrame, ready to join.
+  *
+  * Semantics follow the point-in-time-correct retrieval contract the
+  * reference delegates to Feast's `get_historical_features`
+  * (invoked at `feast_component/executor.py:87`, compiled to SQL at
+  * `executor.py:128-129`): for each entity row `(keys, ts)` pick the
+  * feature row with the greatest `event_timestamp <= ts`, admitted only
+  * when `event_timestamp >= ts - ttl` (both bounds inclusive); ties on
+  * `event_timestamp` break on greatest `createdTs`; entities with no
+  * admissible feature row keep NULL features (LEFT join).
+  *
+  * @param joinKeys  pairs of (entity column, view column) equi-join keys
+  * @param tsCol     the view's event-timestamp column
+  * @param createdTs optional created-timestamp tie-break column
+  * @param features  feature columns to project out of the view
+  * @param ttlSeconds feature freshness window; None/0 = unbounded
+  * @param outputPrefix when Some(p), features emit as `p__name`
+  *                  (Feast's `full_feature_names=True` shape)
+  */
+final case class ResolvedView(
+    name: String,
+    source: DataFrame,
+    joinKeys: Seq[(String, String)],
+    tsCol: String,
+    createdTs: Option[String] = None,
+    features: Seq[String] = Nil,
+    ttlSeconds: Option[Long] = None,
+    outputPrefix: Option[String] = None) {
+  def outName(f: String): String = outputPrefix.fold(f)(p => s"${p}__$f")
+}
+
+/** Point-in-time (as-of) left join of an entity spine against N feature
+  * views — the engine's core operator (SURVEY.md §2.3 J1).
+  *
+  * Spark-first design, scale notes (100 TB posture):
+  *   - The entity spine gets a unique row id; each view is reduced to
+  *     one row per spine id INDEPENDENTLY, then stitched back with left
+  *     joins on the id. N views never multiply each other's fan-out.
+  *   - TTL scan pruning: the entity's [min(ts), max(ts)] is computed
+  *     once (a 2-value aggregate — the only driver-side collect in the
+  *     engine) and every view scan is pre-filtered to
+  *     [min - ttl, max]. Catalyst pushes that range into the parquet
+  *     row-group filter, the single most important physical
+  *     optimization here (mirrors the bounded scan CTE Feast generates;
+  *     see SURVEY.md §4).
+  *   - Dedup-to-latest runs as `max_by`-style `max(struct(...))`
+  *     aggregation by default: it gets map-side partial aggregation
+  *     (one shuffle of pre-combined rows) where a window would shuffle
+  *     and sort every candidate row. `WindowRowNumber` is kept for
+  *     features whose types are not orderable inside a struct.
+  *   - Spine ids are unique, so the dedup shuffle cannot skew; join-key
+  *     skew on hot entities is left to AQE skew-join handling.
+  */
+object PointInTimeJoin {
+
+  sealed trait DedupStrategy
+  /** groupBy(rowId).agg(max(struct(ts, createdTs, features…))) — partial-agg friendly. */
+  case object MaxByAgg extends DedupStrategy
+  /** row_number() over (partition by rowId order by ts desc, createdTs desc) == 1. */
+  case object WindowRowNumber extends DedupStrategy
+
+  private val RowId = "__graft_row_id"
+  private val Ets = "__graft_entity_ts"
+  private val Vts = "__graft_view_ts"
+  private val Vcts = "__graft_view_created_ts"
+
+  /** As-of join `entity` against `views`.
+    *
+    * @param entity   entity spine; must contain `entityTs` and every
+    *                 entity-side join key of every view
+    * @param entityTs the spine's event-timestamp column
+    * @param rowIdCol a column of `entity` that is already unique per row
+    *                 (used as the stitch key and kept in the output);
+    *                 when None a synthetic id is generated and dropped
+    */
+  def join(
+      entity: DataFrame,
+      entityTs: String,
+      views: Seq[ResolvedView],
+      strategy: DedupStrategy = MaxByAgg,
+      rowIdCol: Option[String] = None): DataFrame = {
+    require(views.nonEmpty, "at least one feature view required")
+
+    val spine = rowIdCol match {
+      case Some(c) => entity.withColumn(RowId, col(c))
+      case None    => entity.withColumn(RowId, monotonically_increasing_id())
+    }
+    // Bounded-scan pruning: one tiny job, two values on the driver.
+    val bounds = entity.agg(min(col(entityTs)), max(col(entityTs))).head()
+    val empty = bounds.isNullAt(0)
+
+    val withFeatures = views.foldLeft(spine) { (acc, v) =>
+      val reduced =
+        if (empty) emptyViewResult(spine, v)
+        else reduceView(spine, entityTs, v, strategy,
+          bounds.getTimestamp(0), bounds.getTimestamp(1))
+      acc.join(reduced, Seq(RowId), "left")
+    }
+    withFeatures.drop(RowId)
+  }
+
+  /** One row per spine id carrying this view's latest admissible features. */
+  private def reduceView(
+      spine: DataFrame,
+      entityTs: String,
+      v: ResolvedView,
+      strategy: DedupStrategy,
+      loTs: java.sql.Timestamp,
+      hiTs: java.sql.Timestamp): DataFrame = {
+    val keyAliases = v.joinKeys.zipWithIndex.map { case (_, i) => s"__graft_k_$i" }
+
+    // Pruned, projected view scan: range filter + needed columns only,
+    // so Catalyst pushes both into the source scan.
+    val tsCol0 = col(v.tsCol)
+    val rangeFilter = v.ttlSeconds.filter(_ > 0) match {
+      case Some(ttl) =>
+        tsCol0 <= lit(hiTs) && tsCol0 >= (lit(loTs) - expr(s"INTERVAL $ttl SECONDS"))
+      case None => tsCol0 <= lit(hiTs)
+    }
+    val viewCols =
+      v.joinKeys.map(_._2).zip(keyAliases).map { case (c, a) => col(c).as(a) } ++
+        Seq(tsCol0.as(Vts)) ++
+        v.createdTs.map(c => col(c).as(Vcts)).toSeq ++
+        v.features.map(f => col(f).as(v.outName(f)))
+    val pruned = v.source.filter(rangeFilter).select(viewCols: _*)
+
+    val left = spine.select(
+      col(RowId) +: col(entityTs).as(Ets) +: v.joinKeys.map(k => col(k._1)): _*)
+
+    val keyCond = v.joinKeys.zip(keyAliases)
+      .map { case ((e, _), a) => left(e) === pruned(a) }
+      .reduce(_ && _)
+    val asOfCond = pruned(Vts) <= left(Ets)
+    val ttlCond = v.ttlSeconds.filter(_ > 0) match {
+      case Some(ttl) => pruned(Vts) >= (left(Ets) - expr(s"INTERVAL $ttl SECONDS"))
+      case None      => lit(true)
+    }
+    val joined = left.join(pruned, keyCond && asOfCond && ttlCond, "inner")
+
+    val outCols = v.features.map(v.outName)
+    strategy match {
+      case MaxByAgg =>
+        // Lexicographic argmax over (ts, createdTs, features…): identical
+        // winner to the window on (ts desc, createdTs desc) whenever
+        // (ts, createdTs) is unique per key; deterministic always.
+        val ordered = struct(
+          (col(Vts) +: v.createdTs.map(_ => col(Vcts)).toSeq) ++
+            outCols.map(col): _*)
+        joined.groupBy(col(RowId)).agg(max(ordered).as("__graft_best"))
+          .select(col(RowId) +: outCols.map(f => col(s"__graft_best.$f").as(f)): _*)
+      case WindowRowNumber =>
+        val order = desc(Vts) +: v.createdTs.map(_ => desc(Vcts)).toSeq
+        val w = Window.partitionBy(col(RowId)).orderBy(order: _*)
+        joined.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .select(col(RowId) +: outCols.map(col): _*)
+    }
+  }
+
+  /** Empty entity spine: emit the right schema with zero rows. */
+  private def emptyViewResult(spine: DataFrame, v: ResolvedView): DataFrame = {
+    val fields = v.features.map { f =>
+      val dt = v.source.schema(f).dataType
+      lit(null).cast(dt).as(v.outName(f))
+    }
+    spine.select(col(RowId) +: fields: _*).limit(0)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+
+import graft.registry.YamlRegistry
+
+/** CLI entry: run a FeastExampleGen-shaped job end-to-end.
+  *
+  * {{{
+  * runMain graft.run.Main <registry.yaml> <dataDir> <outDir> \
+  *   <service-or-refs> <entitySql> [beginTs endTs]
+  * }}}
+  *
+  * `service-or-refs`: a feature-service name, or comma-separated
+  * `view:feature` refs. Prints one JSON line per output split.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 5) {
+      System.err.println(
+        "usage: Main <registry.yaml> <dataDir> <outDir> <service-or-refs> <entitySql> [beginTs endTs]")
+      sys.exit(2)
+    }
+    val Array(registryPath, dataDir, outDir, featureArg, entitySql) = args.take(5)
+    val rangeParams = if (args.length >= 7)
+      Map("begin_timestamp" -> s"TIMESTAMP'${args(5)}'",
+          "end_timestamp" -> s"TIMESTAMP'${args(6)}'")
+    else Map.empty[String, String]
+
+    val features: Either[Seq[String], String] =
+      if (featureArg.contains(":")) Left(featureArg.split(",").toSeq)
+      else Right(featureArg)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val job = JobConfig(
+      registry = YamlRegistry.loadFile(registryPath),
+      dataDir = dataDir,
+      features = features,
+      entityQuery = entitySql,
+      rangeParams = rangeParams,
+      outputPath = outDir)
+    val results = Runner.run(spark, job)
+    results.foreach { r =>
+      println(s"""{"split":"${r.split}","records":${r.records},"path":"${r.path}"}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,147 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.encode.TfExampleEncoder
+import graft.io.TfRecordSink
+import graft.join.{PointInTimeJoin, ResolvedView}
+import graft.registry.{FeatureRef, Registry}
+
+/** Job configuration — the typed equivalent of the reference's
+  * component parameters (`feast_component/component.py:44-50`):
+  * registry + features (refs XOR service, `component.py:80-102`) +
+  * entity SQL + splits + range parameters.
+  *
+  * @param inputSplits   named split → entity SQL (each split is an
+  *                      independent query, reference §2.9 X1); when the
+  *                      same query should be hash-fanned instead, give
+  *                      one input split and several [[outputSplits]]
+  * @param outputSplits  named split → hash-bucket weight (X2)
+  * @param rangeParams   `@name` → literal substitutions applied to the
+  *                      entity SQL before execution (X3; the inherited
+  *                      TFX driver does this at
+  *                      `example/usage_prototype.py:46-48`)
+  */
+final case class JobConfig(
+    registry: Registry,
+    dataDir: String,
+    features: Either[Seq[String], String],
+    entityQuery: String,
+    entityTs: String = "event_timestamp",
+    inputSplits: Map[String, String] = Map.empty,
+    outputSplits: Seq[(String, Int)] = Seq("train" -> 2, "eval" -> 1),
+    rangeParams: Map[String, String] = Map.empty,
+    outputPath: String = "/tmp/graft-out",
+    fullFeatureNames: Boolean = false)
+
+final case class SplitResult(split: String, records: Long, path: String)
+
+/** End-to-end runner — the Spark shape of the reference's
+  * `Executor.Do` → per-split `_FeastToExampleTransform` loop
+  * (`executor.py:166-184`, `executor.py:103-118`):
+  * for each input split: substitute range params → run entity SQL →
+  * point-in-time join against the resolved feature views → encode rows
+  * as tf.train.Example → partition into output splits → TFRecord shards.
+  */
+object Runner {
+
+  /** Registry timestamp sentinel for static (dimension) feature views. */
+  val StaticTimestamp = "__static__"
+
+  /** Substitute `@param` placeholders (X3). */
+  def substitute(query: String, params: Map[String, String]): String =
+    params.foldLeft(query) { case (q, (k, v)) => q.replace(s"@$k", v) }
+
+  /** Register every parquet table in `dataDir` as a temp view so the
+    * entity SQL can reference them by name (the reference sends its SQL
+    * to BigQuery's catalog; ours is the session catalog). */
+  def registerTables(spark: SparkSession, dataDir: String): Unit =
+    graft.sources.ParquetTables.registerAll(spark, dataDir)
+
+  /** Resolve feature refs against the registry into concrete
+    * [[ResolvedView]]s, grouped per view in ref order. */
+  def resolveViews(spark: SparkSession, job: JobConfig): Seq[ResolvedView] = {
+    val refs = job.registry.resolve(job.features)
+    val byView = refs.groupBy(_.view)
+    refs.map(_.view).distinct.map { viewName =>
+      val v = job.registry.view(viewName)
+      val wanted = byView(viewName).map(_.feature)
+      val sourcePath =
+        if (v.source.startsWith("/")) v.source else s"${job.dataDir}/${v.source}"
+      val raw = graft.sources.ParquetTables.load(spark, sourcePath)
+      // Dimension/static feature tables carry no event time (FIXTURES.md
+      // customer_features): synthesize a constant epoch timestamp so the
+      // as-of predicate always admits them.
+      val source =
+        if (v.timestamp == StaticTimestamp)
+          raw.withColumn(StaticTimestamp, lit("1970-01-01 00:00:00").cast("timestamp"))
+        else raw
+      ResolvedView(
+        name = v.name,
+        source = source,
+        joinKeys = v.entities.map(e => e -> e),
+        tsCol = v.timestamp,
+        createdTs = v.createdTimestamp,
+        features = wanted,
+        ttlSeconds = v.ttlSeconds,
+        outputPrefix = if (job.fullFeatureNames) Some(v.name) else None)
+    }
+  }
+
+  /** The retrieval half: entity SQL → PIT join. Returns the joined
+    * DataFrame (entity columns + requested features). */
+  def retrieve(spark: SparkSession, job: JobConfig, entitySql: String): DataFrame = {
+    registerTables(spark, job.dataDir)
+    val entity = spark.sql(substitute(entitySql, job.rangeParams))
+    val views = resolveViews(spark, job)
+    // Entity-side join keys: by convention the entity SQL exposes
+    // columns named like the view's entity keys.
+    PointInTimeJoin.join(entity, job.entityTs, views)
+  }
+
+  /** Encode rows → serialized tf.Example payloads. */
+  def encode(df: DataFrame): Dataset[Array[Byte]] = {
+    val schema = df.schema
+    df.mapPartitions(rows => rows.map(TfExampleEncoder.encode(schema, _)))(
+      org.apache.spark.sql.Encoders.BINARY)
+  }
+
+  /** Deterministic output-split partition (X2): bucket by xxhash64 of
+    * the payload bytes modulo total weight; contiguous weight ranges map
+    * to splits (TFX hash-bucket contract shape, `executor.py:181`). */
+  def writeSplits(
+      payloads: Dataset[Array[Byte]],
+      splits: Seq[(String, Int)],
+      outputPath: String): Seq[SplitResult] = {
+    val total = splits.map(_._2).sum
+    require(total > 0, "output split weights must sum > 0")
+    val bucketed = payloads.toDF("payload")
+      .withColumn("bucket", pmod(xxhash64(col("payload")), lit(total)))
+    var lo = 0
+    splits.map { case (name, weight) =>
+      val hi = lo + weight
+      val slice = bucketed
+        .filter(col("bucket") >= lo && col("bucket") < hi)
+        .select("payload").as(org.apache.spark.sql.Encoders.BINARY)
+      lo = hi
+      val n = TfRecordSink.write(slice, outputPath, name)
+      SplitResult(name, n, s"$outputPath/$name")
+    }
+  }
+
+  /** Full job (§3.2 loop). Input splits each run their own query and
+    * write under `<out>/<inputSplit>/<outputSplit>/`; a single unnamed
+    * input writes under `<out>/<outputSplit>/` like the reference. */
+  def run(spark: SparkSession, job: JobConfig): Seq[SplitResult] = {
+    val inputs =
+      if (job.inputSplits.nonEmpty) job.inputSplits.toSeq.sortBy(_._1)
+      else Seq("" -> job.entityQuery)
+    inputs.flatMap { case (inName, sql) =>
+      val joined = retrieve(spark, job, sql)
+      val payloads = encode(joined)
+      val base = if (inName.isEmpty) job.outputPath else s"${job.outputPath}/$inName"
+      writeSplits(payloads, job.outputSplits, base)
+    }
+  }
+}

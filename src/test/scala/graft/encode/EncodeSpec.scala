@@ -1,0 +1,101 @@
+package graft.encode
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** tf.Example wire-format round-trips (encoder + decoder are both ours;
+  * SURVEY.md §7.5 item 2) plus the §1.2 type-mapping table. */
+class TfExampleCodecSpec extends AnyFunSuite {
+  import TfExample._
+
+  test("round-trip all feature kinds") {
+    val features = Map[String, FeatureValue](
+      "ints" -> Int64s(Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)),
+      "floats" -> Floats(Seq(0f, 1.5f, -3.25f, Float.MaxValue)),
+      "bytes" -> Bytes(Seq("hello".getBytes, Array[Byte](), Array[Byte](0, -1, 127))),
+      "empty" -> Empty)
+    val decoded = decode(encode(features))
+    assert(decoded("ints") == features("ints"))
+    assert(decoded("floats") == features("floats"))
+    assert(decoded("empty") == Empty)
+    val Bytes(bs) = decoded("bytes")
+    assert(bs.map(_.toSeq) == Seq("hello".getBytes.toSeq, Seq(), Seq[Byte](0, -1, 127)))
+  }
+
+  test("deterministic encoding: key order independent") {
+    val a = encode(Map("a" -> Int64s(Seq(1)), "b" -> Floats(Seq(2f))))
+    val b = encode(scala.collection.immutable.ListMap(
+      "b" -> Floats(Seq(2f)), "a" -> Int64s(Seq(1))))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("property: arbitrary feature maps round-trip") {
+    val genValue: Gen[FeatureValue] = Gen.oneOf(
+      Gen.listOf(Gen.long).map(Int64s(_)),
+      Gen.listOf(Gen.choose(-1e30f, 1e30f)).map(Floats(_)),
+      Gen.listOf(Gen.alphaNumStr.map(_.getBytes)).map(Bytes(_)),
+      Gen.const(Empty))
+    val genMap = Gen.mapOf(Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty), genValue))
+    (0 until 100).foreach { i =>
+      val m = genMap.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val decoded = decode(encode(m))
+      assert(decoded.keySet == m.keySet)
+      m.foreach {
+        case (k, Bytes(vs)) =>
+          val Bytes(got) = decoded(k)
+          assert(got.map(_.toSeq) == vs.map(_.toSeq))
+        case (k, v) => assert(decoded(k) == v)
+      }
+    }
+  }
+}
+
+/** Row → tf.Example mapping per SURVEY.md §1.2. */
+class TfExampleEncoderSpec extends SparkSpec {
+  import TfExample._
+
+  private val schema = StructType(Seq(
+    StructField("l", LongType), StructField("i", IntegerType),
+    StructField("b", BooleanType), StructField("d", DoubleType),
+    StructField("f", FloatType), StructField("s", StringType),
+    StructField("bin", BinaryType), StructField("t", TimestampType),
+    StructField("al", ArrayType(LongType)), StructField("as", ArrayType(StringType))))
+
+  test("full type coverage row") {
+    val row = Row(7L, 3, true, 1.5, 2.5f, "hi", Array[Byte](1, 2),
+      Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+      Seq(1L, 2L, 3L), Seq("x", "y"))
+    val m = decode(TfExampleEncoder.encode(schema, row))
+    assert(m("l") == Int64s(Seq(7L)))
+    assert(m("i") == Int64s(Seq(3L)))
+    assert(m("b") == Int64s(Seq(1L)))
+    assert(m("d") == Floats(Seq(1.5f)))
+    assert(m("f") == Floats(Seq(2.5f)))
+    val Bytes(s) = m("s"); assert(new String(s.head) == "hi")
+    val Bytes(t) = m("t"); assert(new String(t.head) == "2024-01-02T03:04:05.123456Z")
+    assert(m("al") == Int64s(Seq(1L, 2L, 3L)))
+    val Bytes(as) = m("as"); assert(as.map(new String(_)) == Seq("x", "y"))
+  }
+
+  test("nulls become empty features with key kept") {
+    val row = Row(null, null, null, null, null, null, null, null, null, null)
+    val m = decode(TfExampleEncoder.encode(schema, row))
+    assert(m.size == schema.size)
+    assert(m.values.forall(_ == Empty))
+  }
+
+  test("unsupported types rejected with clear error") {
+    val bad = StructType(Seq(StructField("m", MapType(StringType, LongType))))
+    val e = intercept[IllegalArgumentException] {
+      TfExampleEncoder.encode(bad, Row(Map("a" -> 1L)))
+    }
+    assert(e.getMessage.contains("not representable"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.run
+
+import graft.SparkSpec
+import graft.encode.TfExample
+import graft.io.TfRecordSink
+import graft.registry.YamlRegistry
+
+/** End-to-end smoke (SURVEY.md §7.3 slice): entity query over `events`,
+  * PIT join against feature views from `orders`/`customer`, tf.Example
+  * encode, hash splits, TFRecord write, decode and re-verify. */
+class RunnerSpec extends SparkSpec {
+
+  private val registryYaml =
+    """project: graft-test
+      |views:
+      |  - name: order_features
+      |    source: orders.parquet
+      |    entities: [o_custkey]
+      |    timestamp: o_orderdate
+      |    createdTimestamp: o_orderdate
+      |    features: [o_totalprice, o_orderstatus]
+      |  - name: customer_features
+      |    source: customer.parquet
+      |    entities: [c_custkey]
+      |    timestamp: __static__
+      |    features: [c_acctbal, c_mktsegment]
+      |services:
+      |  - name: training_service
+      |    features: ["order_features:o_totalprice", "order_features:o_orderstatus"]
+      |""".stripMargin
+
+  test("registry yaml parses") {
+    val reg = YamlRegistry.load(registryYaml)
+    assert(reg.views("order_features").features == Seq("o_totalprice", "o_orderstatus"))
+    assert(reg.service("training_service").features.map(_.feature) ==
+      Seq("o_totalprice", "o_orderstatus"))
+    assert(reg.resolve(Right("training_service")).head.view == "order_features")
+    assert(reg.resolve(Left(Seq("customer_features:c_acctbal"))).head.feature == "c_acctbal")
+  }
+
+  test("range substitution") {
+    val q = "SELECT * FROM t WHERE ts >= @begin_timestamp AND ts <= @end_timestamp"
+    val got = Runner.substitute(q,
+      Map("begin_timestamp" -> "'2024-01-01'", "end_timestamp" -> "'2024-02-01'"))
+    assert(got == "SELECT * FROM t WHERE ts >= '2024-01-01' AND ts <= '2024-02-01'")
+  }
+
+  test("full job end-to-end on sf0.001") {
+    val out = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val job = JobConfig(
+      registry = YamlRegistry.load(registryYaml),
+      dataDir = sf(),
+      features = Right("training_service"),
+      entityQuery =
+        """SELECT user_id AS o_custkey, ts AS event_timestamp, event_type
+          |FROM events WHERE ts >= @begin_timestamp""".stripMargin,
+      entityTs = "event_timestamp",
+      rangeParams = Map("begin_timestamp" -> "TIMESTAMP'2024-01-01 00:00:00'"),
+      outputSplits = Seq("train" -> 2, "eval" -> 1),
+      outputPath = out)
+
+    val results = Runner.run(spark, job)
+    assert(results.map(_.split).toSet == Set("train", "eval"))
+    val total = results.map(_.records).sum
+    val entityCount = spark.read.parquet(s"${sf()}/events.parquet").count()
+    assert(total == entityCount) // PIT left join: one example per entity row
+
+    // decode a shard and check feature keys + plausible split ratio
+    val train = TfRecordSink.readAll(spark, out, "train")
+    val eval = TfRecordSink.readAll(spark, out, "eval")
+    assert(train.size + eval.size == total)
+    val ratio = train.size.toDouble / total
+    assert(ratio > 0.5 && ratio < 0.8, s"train ratio $ratio should be ~2/3")
+
+    val m = TfExample.decode(train.head)
+    assert(m.keySet == Set("o_custkey", "event_timestamp", "event_type",
+      "o_totalprice", "o_orderstatus"))
+  }
+
+  test("static dimension view joins via synthesized timestamp") {
+    val job = JobConfig(
+      registry = YamlRegistry.load(registryYaml),
+      dataDir = sf(),
+      features = Left(Seq(
+        "order_features:o_totalprice", "customer_features:c_mktsegment")),
+      entityQuery =
+        "SELECT user_id AS o_custkey, user_id AS c_custkey, ts AS event_timestamp FROM events")
+    val df = Runner.retrieve(spark, job, job.entityQuery)
+    assert(df.columns.toSet == Set(
+      "o_custkey", "c_custkey", "event_timestamp", "o_totalprice", "c_mktsegment"))
+    // every user_id is a valid c_custkey at sf0.001 → no null segments
+    assert(df.filter(df("c_mktsegment").isNull).count() == 0)
+  }
+
+  test("multiple input splits run independent queries") {
+    val out = java.nio.file.Files.createTempDirectory("graft-splits").toString
+    val job = JobConfig(
+      registry = YamlRegistry.load(registryYaml),
+      dataDir = sf(),
+      features = Left(Seq("order_features:o_totalprice")),
+      entityQuery = "",
+      inputSplits = Map(
+        "a" -> "SELECT user_id AS o_custkey, ts AS event_timestamp FROM events WHERE event_id % 2 = 0",
+        "b" -> "SELECT user_id AS o_custkey, ts AS event_timestamp FROM events WHERE event_id % 2 = 1"),
+      outputSplits = Seq("all" -> 1),
+      outputPath = out)
+    val results = Runner.run(spark, job)
+    val entityCount = spark.read.parquet(s"${sf()}/events.parquet").count()
+    assert(results.map(_.records).sum == entityCount)
+    assert(new java.io.File(s"$out/a/all").exists && new java.io.File(s"$out/b/all").exists)
+  }
+}
