@@ -62,6 +62,9 @@ object TfExampleEncoder extends ExampleEncoder {
     case BinaryType  => Bytes(vs.map(_.asInstanceOf[Array[Byte]]))
     case TimestampType =>
       Bytes(vs.map(v => TsFmt.format(v.asInstanceOf[java.sql.Timestamp].toInstant).getBytes(UTF_8)))
+    case TimestampNTZType => // wall-clock without zone: rendered as-if UTC
+      Bytes(vs.map(v =>
+        TsFmt.format(v.asInstanceOf[java.time.LocalDateTime].toInstant(ZoneOffset.UTC)).getBytes(UTF_8)))
     case DateType =>
       Bytes(vs.map(v => v.asInstanceOf[java.sql.Date].toString.getBytes(UTF_8)))
     case other =>

@@ -99,8 +99,7 @@ object PointInTimeJoin {
     val withFeatures = views.foldLeft(spine) { (acc, v) =>
       val reduced =
         if (empty) emptyViewResult(spine, v)
-        else reduceView(spine, entityTs, v, strategy,
-          bounds.getTimestamp(0), bounds.getTimestamp(1))
+        else reduceView(spine, entityTs, v, strategy, bounds.get(0), bounds.get(1))
       acc.join(reduced, Seq(RowId), "left")
     }
     withFeatures.drop(RowId)
@@ -112,8 +111,8 @@ object PointInTimeJoin {
       entityTs: String,
       v: ResolvedView,
       strategy: DedupStrategy,
-      loTs: java.sql.Timestamp,
-      hiTs: java.sql.Timestamp): DataFrame = {
+      loTs: Any,
+      hiTs: Any): DataFrame = {
     val keyAliases = v.joinKeys.zipWithIndex.map { case (_, i) => s"__graft_k_$i" }
 
     // Pruned, projected view scan: range filter + needed columns only,

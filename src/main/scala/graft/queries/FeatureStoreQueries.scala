@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.encode.{TfExample, TfExampleEncoder}
+import graft.join.{PointInTimeJoin, ResolvedView}
+
+/** The reference's core capability re-expressed Spark-first: the
+  * point-in-time (as-of) join (SURVEY.md §2.3 J1), latest-value dedup
+  * (§2.4 A1), and the row→tf.Example→row round trip (§2.11 U1,
+  * oracle-checked by projecting decoded payloads back to columns).
+  */
+object FeatureStoreQueries {
+  import QueryDef.table
+
+  val all: Seq[QueryDef] = Seq(
+    // Entities = events(user_id, ts); features = latest order per customer
+    // as of the event time, unbounded TTL. Tie-break mirrors MaxByAgg's
+    // lexicographic struct order: (o_orderdate, o_totalprice, o_orderstatus).
+    QueryDef(
+      "pit_events_orders",
+      (s, dir) => {
+        val entity = table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val view = ResolvedView(
+          name = "order_features",
+          source = table(s, dir, "orders"),
+          joinKeys = Seq("user_id" -> "o_custkey"),
+          tsCol = "o_orderdate",
+          features = Seq("o_totalprice", "o_orderstatus"))
+        PointInTimeJoin.join(entity, "ts", Seq(view), rowIdCol = Some("event_id"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                 o.o_totalprice, o.o_orderstatus,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC, o.o_orderstatus DESC) AS rn
+          FROM events e
+          LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        )
+        SELECT event_id, user_id, ts, o_totalprice, o_orderstatus FROM c WHERE rn = 1""")),
+
+    // TTL-bounded as-of join: lineitems look up their order's features,
+    // admitted only within 60 days before shipment — exercises NULL-out
+    // on TTL expiry (P4) at real data scale.
+    QueryDef(
+      "pit_lineitem_orders_ttl",
+      (s, dir) => {
+        val entity = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+          .distinct()
+        val view = ResolvedView(
+          name = "order_features",
+          source = table(s, dir, "orders"),
+          joinKeys = Seq("l_orderkey" -> "o_orderkey"),
+          tsCol = "o_orderdate",
+          features = Seq("o_totalprice", "o_orderpriority"),
+          ttlSeconds = Some(60L * 86400))
+        PointInTimeJoin.join(entity, "l_shipdate", Seq(view))
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT l_orderkey, l_linenumber, l_shipdate FROM lineitem),
+        c AS (
+          SELECT e.l_orderkey, e.l_linenumber, e.l_shipdate,
+                 o.o_totalprice, o.o_orderpriority,
+                 ROW_NUMBER() OVER (PARTITION BY e.l_orderkey, e.l_linenumber, e.l_shipdate
+                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC, o.o_orderpriority DESC) AS rn
+          FROM e
+          LEFT JOIN orders o
+            ON o.o_orderkey = e.l_orderkey
+           AND o.o_orderdate <= e.l_shipdate
+           AND o.o_orderdate >= e.l_shipdate - INTERVAL 60 DAY
+        )
+        SELECT l_orderkey, l_linenumber, l_shipdate, o_totalprice, o_orderpriority
+        FROM c WHERE rn = 1""")),
+
+    // Two views stitched on the same spine: time-varying order features
+    // plus a static customer dimension view (synthesized epoch timestamp).
+    QueryDef(
+      "pit_multiview",
+      (s, dir) => {
+        val entity = table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val orders = ResolvedView(
+          name = "order_features",
+          source = table(s, dir, "orders"),
+          joinKeys = Seq("user_id" -> "o_custkey"),
+          tsCol = "o_orderdate",
+          features = Seq("o_totalprice"))
+        val customer = ResolvedView(
+          name = "customer_features",
+          source = table(s, dir, "customer")
+            .withColumn("static_ts", lit("1970-01-01 00:00:00").cast("timestamp")),
+          joinKeys = Seq("user_id" -> "c_custkey"),
+          tsCol = "static_ts",
+          features = Seq("c_acctbal", "c_mktsegment"))
+        PointInTimeJoin.join(entity, "ts", Seq(orders, customer), rowIdCol = Some("event_id"))
+      },
+      Some("""
+        WITH o1 AS (
+          SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, o.o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
+          FROM events e
+          LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        )
+        SELECT o1.event_id, o1.user_id, o1.ts, o1.o_totalprice,
+               c.c_acctbal, c.c_mktsegment
+        FROM o1 LEFT JOIN customer c ON c.c_custkey = o1.user_id
+        WHERE o1.rn = 1""")),
+
+    // Latest-value dedup standalone (A1): one row per order = the last
+    // shipped lineitem, argmax on (l_shipdate, l_linenumber).
+    QueryDef(
+      "latest_dedup",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        li.groupBy(col("l_orderkey"))
+          .agg(max(struct(col("l_shipdate"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"))).as("b"))
+          .select(col("l_orderkey"), col("b.l_shipdate").as("last_shipdate"),
+            col("b.l_linenumber").as("last_linenumber"),
+            col("b.l_quantity").as("last_quantity"),
+            col("b.l_returnflag").as("last_returnflag"))
+      },
+      Some("""
+        SELECT l_orderkey,
+               l_shipdate AS last_shipdate,
+               l_linenumber AS last_linenumber,
+               l_quantity AS last_quantity,
+               l_returnflag AS last_returnflag
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC, l_returnflag DESC) AS rn
+          FROM lineitem) WHERE rn = 1""")),
+
+    // Row → tf.Example bytes → decoded row (U1/P1): the oracle is a plain
+    // SELECT, so a hash match proves the encoder's type mapping
+    // (int64/float32/bytes/timestamp-ISO) end to end.
+    QueryDef(
+      "tfexample_roundtrip",
+      (s, dir) => {
+        val src = table(s, dir, "orders").filter(col("o_orderkey") <= 500)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+        val schema = src.schema
+        val out = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("price_f32", FloatType),
+          StructField("status", StringType),
+          StructField("odate_iso", StringType)))
+        val enc = org.apache.spark.sql.Encoders.row(out)
+        src.mapPartitions { rows =>
+          rows.map { r =>
+            val decoded = TfExample.decode(TfExampleEncoder.encode(schema, r))
+            val TfExample.Int64s(Seq(k)) = decoded("o_orderkey")
+            val TfExample.Floats(Seq(p)) = decoded("o_totalprice")
+            val TfExample.Bytes(Seq(st)) = decoded("o_orderstatus")
+            val TfExample.Bytes(Seq(dt)) = decoded("o_orderdate")
+            org.apache.spark.sql.Row(k, p, new String(st, "UTF-8"), new String(dt, "UTF-8"))
+          }
+        }(enc)
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(o_totalprice AS FLOAT) AS price_f32,
+               o_orderstatus AS status,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%fZ') AS odate_iso
+        FROM orders WHERE o_orderkey <= 500"""))
+  )
+}

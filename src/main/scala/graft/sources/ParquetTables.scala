@@ -50,8 +50,11 @@ object ParquetTables {
   }
 
   /** Read a parquet table, converting any nano-timestamp columns to
-    * microsecond `TimestampType`. */
+    * microsecond `TimestampType`. Timestamps always surface as
+    * `TimestampType` (session TZ is pinned UTC) — never NTZ — so every
+    * operator sees one timestamp semantic. */
   def load(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val nanoCols = nanoTimestampCols(path)
     if (nanoCols.isEmpty) spark.read.parquet(path)
     else {

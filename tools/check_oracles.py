@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: for each query
+result parquet dumped by `graft.Verify`, run the matching oracle SQL in
+DuckDB over the raw testdata tables and compare (columns sorted by
+name, rows sorted, exact values modulo float rounding).
+
+Usage: python3 tools/check_oracles.py <verifyOutDir> <sfDir>
+"""
+import json, math, sys
+import duckdb
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+with open(f"{out_dir}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0: v = 0.0
+            vals.append(str(v))
+        out.append("\x01".join(vals))
+    return sorted(out)
+
+failures = []
+for name, sql in sorted(oracles.items()):
+    try:
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        got_cols = [c.lower() for c in got_rel.columns]
+        got = canon(got_rel.fetchall(), got_cols)
+        exp_rel = con.sql(sql)
+        exp_cols = [c.lower() for c in exp_rel.columns]
+        exp = canon(exp_rel.fetchall(), exp_cols)
+    except Exception as e:
+        failures.append(name)
+        print(f"FAIL {name}: exception {type(e).__name__}: {e}")
+        continue
+    if sorted(got_cols) != sorted(exp_cols):
+        failures.append(name)
+        print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+    elif got != exp:
+        failures.append(name)
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+        gs, es = set(got), set(exp)
+        for x in list(gs - es)[:3]: print(f"  spark-only: {x!r}")
+        for x in list(es - gs)[:3]: print(f"  oracle-only: {x!r}")
+    else:
+        print(f"ok   {name} ({len(got)} rows)")
+
+print(f"\n{len(oracles) - len(failures)}/{len(oracles)} oracle-checked queries match")
+sys.exit(1 if failures else 0)
