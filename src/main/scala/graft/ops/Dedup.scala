@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * for the 100 TB shape of the problem:
+  *
+  *  - exact: one hash-aggregate shuffle on a 128-bit content hash —
+  *    never on the text itself (shuffle keys stay 16 bytes/row).
+  *  - MinHash-LSH: signature computation is a per-row projection
+  *    (no shuffle); candidate generation shuffles only
+  *    (band-hash, doc_id) pairs; verification joins only within
+  *    buckets. Cross-join never materializes.
+  *  - SimHash: 64-bit fingerprint per row; near-dup candidates via
+  *    banded bit-chunks, Hamming-verified.
+  *  - n-gram Jaccard: exact pairwise similarity, blocked on shared
+  *    shingles so only co-occurring pairs are scored.
+  *
+  * All pure column expressions / relational ops — no UDFs, no driver
+  * loops; every stage is AQE- and codegen-friendly.
+  */
+object Dedup {
+
+  /** Exact duplicates on whitespace/case-normalized text: one row per
+    * distinct content hash with the survivor (min id) and count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(TextOps.normalized(col(textCol))).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Deterministic MinHash signature family: sig_i = min over shingles
+    * of xxhash64(shingle, i) — one independent seeded hash per
+    * component, reproducible across runs (no fitted model state, no
+    * overflow under ANSI arithmetic). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash + LSH banding near-duplicate candidates.
+    *
+    * @param bands number of LSH bands; each band hashes `k/bands`
+    *              signature components; pairs colliding in >=1 band are
+    *              candidates (P ~ 1-(1-j^r)^bands)
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    *         fraction of matching signature components, filtered to
+    *         `threshold`
+    */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(TextOps.shingles(TextOps.tokens(TextOps.normalized(col(textCol))), shingleN), k)
+        .as("sig"))
+
+    // band rows: (band index, hash of that band's slice, id, sig)
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)), b.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Near-duplicate pairs by SimHash banding + Hamming distance. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val withSim = withSimhash(df, idCol, textCol)
+    // 4 bands of 16 bits: pairs within Hamming<=maxHamming must share
+    // >=1 exact band when maxHamming < 4 per the pigeonhole at 16-bit
+    // chunks; used as a candidate filter, then verified exactly.
+    val banded = withSim.select(
+      col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** (id, simhash) — 64-bit fingerprint per document. */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextOps.tokens(TextOps.normalized(col(textCol)))
+    val votes = aggregate(
+      ws,
+      array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          bIdx => when(call_function("shiftrightunsigned", xxhash64(w), bIdx).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))),
+        (x, y) => x + y))
+    val sim = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bIdx) => when(v > 0, call_function("shiftleft", lit(1L), bIdx.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    df.select(col(idCol).as("id"), sim.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for co-shingled pairs:
+    * J(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed by exploding distinct
+    * shingles and counting shared ones per pair (only pairs that share
+    * at least one shingle are ever materialized). */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(TextOps.normalized(col(textCol))), shingleN))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

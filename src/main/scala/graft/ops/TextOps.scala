@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language ID, document
+  * fingerprinting. All pure `org.apache.spark.sql.functions` column
+  * expressions (whole-stage-codegen friendly, no UDFs) — at 100 TB these
+  * run as embarrassingly-parallel per-row projections with zero shuffle.
+  */
+object TextOps {
+
+  /** Whitespace-normalized lowercase form used by exact dedup. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace word tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` (1-based element_at). */
+  def shingles(ws: Column, n: Int): Column = {
+    val sh = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+    when(size(ws) >= n, sh).otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document statistics (token counts, type-token ratio, stopword
+    * ratio, mean token length) — the quality-scoring building blocks. */
+  def textStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val ws = tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    df.withColumn("n_chars_txt", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("n_types", size(array_distinct(ws)).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(ws, w => array_contains(stopArr, w))).cast("long"))
+      .withColumn("type_token_ratio",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_token_len",
+        (col("n_chars_txt") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens").cast("double"))
+  }
+
+  /** Marker-word language ID: score = number of tokens in each
+    * language's marker list; argmax with deterministic tie order
+    * (list order), 'und' when all scores are zero. A real system uses
+    * char-n-gram models; the mechanism (pure column expressions,
+    * no shuffle) is the point here. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val ws = tokens(text)
+    val scored = markers.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      lang -> size(filter(ws, w => array_contains(arr, w)))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: lexicographic min of md5 over word n-gram
+    * shingles — a 1-permutation MinHash usable as a near-dup blocking
+    * key and content fingerprint. */
+  def fingerprint(text: Column, n: Int): Column =
+    array_min(transform(shingles(tokens(text), n), s => md5(s)))
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** North-star LLM-data-pipeline operators as verifiable queries over
+  * the `documents` and `embeddings` tables: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), similarity search (brute-force + LSH),
+  * text analysis (stats, language ID, fingerprints), multimodal
+  * metadata extraction, and a streaming-shaped event windowing.
+  *
+  * Oracle notes: operators built on xxhash64 (MinHash, SimHash, sign-LSH)
+  * have no DuckDB equivalent — those ship with rows-only checks; every
+  * other query carries an exact SQL oracle.
+  */
+object PipelineQueries {
+  import QueryDef.table
+
+  private val Stopwords = Seq("the", "a")
+  private val LangMarkers = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "de"),
+    "es" -> Seq("el", "la", "y", "de"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "dedup_exact",
+      (s, dir) => Dedup.exact(table(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+               MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY 1""")),
+
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccard(
+        table(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.08),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM w
+        ),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+        inter AS (
+          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.08""")),
+
+    // MinHash-LSH and SimHash: xxhash64-based, not SQL-expressible →
+    // rows-only checks.
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLsh(
+        table(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 16, bands = 8, threshold = 0.125),
+      None),
+
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(
+        table(s, dir, "documents"), "doc_id", "text", maxHamming = 14),
+      None),
+
+    QueryDef(
+      "text_stats",
+      (s, dir) => TextOps.textStats(
+          table(s, dir, "documents").select("doc_id", "text"), "text", Stopwords)
+        .drop("text"),
+      Some("""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars_txt,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+          CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio,
+          CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+        FROM documents""")),
+
+    QueryDef(
+      "text_langid",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text"), LangMarkers).as("lang_pred")),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+            len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of'))) AS s_en,
+            len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und'))) AS s_de,
+            len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','de'))) AS s_fr,
+            len(list_filter(string_split(text, ' '), w -> w IN ('el','la','y','de'))) AS s_es
+          FROM documents)
+        SELECT doc_id, lang,
+          CASE
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es'
+          END AS lang_pred
+        FROM scored""")),
+
+    QueryDef(
+      "doc_fingerprint",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.fingerprint(TextOps.normalized(col("text")), 4).as("fingerprint")),
+      Some("""
+        SELECT doc_id,
+               list_min(list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
+                 i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS fingerprint
+        FROM (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents) t""")),
+
+    QueryDef(
+      "sim_topk_bruteforce",
+      (s, dir) => Similarity.bruteForceTopK(
+        table(s, dir, "embeddings"), "vec_id", "embedding", k = 5),
+      Some("""
+        WITH p AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM p QUALIFY rank <= 5""")),
+
+    QueryDef(
+      "sim_topk_lsh",
+      (s, dir) => Similarity.lshTopK(
+        table(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        dim = 64, nPlanes = 4).drop("cos"),
+      None),
+
+    QueryDef(
+      "multimodal_decode",
+      (s, dir) => Multimodal.stubDecode(
+        Multimodal.asPayload(table(s, dir, "documents"), "doc_id", "text"),
+        "media_id", "payload"),
+      Some("""
+        SELECT doc_id AS media_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CASE WHEN length(text) = 0 THEN 'empty'
+                    WHEN (ascii(substr(text,1,1)) % 2) = 0 THEN 'img/fake-a'
+                    ELSE 'img/fake-b' END AS format,
+               CAST(16 + (length(text) % 64) AS INTEGER) AS width,
+               CAST(16 + ((length(text) // 64) % 64) AS INTEGER) AS height,
+               [CAST(CAST(ascii(substr(text, 1, 1)) AS FLOAT) / 255 AS FLOAT),
+                CAST(CAST(ascii(substr(text, 2, 1)) AS FLOAT) / 255 AS FLOAT),
+                CAST(CAST(ascii(substr(text, 3, 1)) AS FLOAT) / 255 AS FLOAT),
+                CAST(CAST(ascii(substr(text, 4, 1)) AS FLOAT) / 255 AS FLOAT)] AS feature
+        FROM documents""")),
+
+    // Streaming-shaped tumbling-window aggregation over the events
+    // table (batch here; StreamingSpec runs the same plan through
+    // Structured Streaming).
+    QueryDef(
+      "events_windowed",
+      (s, dir) => table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")),
+      Some("""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2"""))
+  )
+}
