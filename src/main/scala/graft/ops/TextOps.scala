@@ -64,7 +64,9 @@ object TextOps {
 
   /** Document fingerprint: lexicographic min of md5 over word n-gram
     * shingles — a 1-permutation MinHash usable as a near-dup blocking
-    * key and content fingerprint. */
-  def fingerprint(text: Column, n: Int): Column =
-    array_min(transform(shingles(tokens(text), n), s => md5(s)))
+    * key and content fingerprint. `ws` must be a materialized token
+    * array column (see [[tokens]]); passing the raw tokenize expression
+    * here would re-run it per element access. */
+  def fingerprint(ws: Column, n: Int): Column =
+    array_min(transform(shingles(ws, n), s => md5(s)))
 }

@@ -119,7 +119,8 @@ object PipelineQueries {
       "doc_fingerprint",
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"),
-          TextOps.fingerprint(TextOps.normalized(col("text")), 4).as("fingerprint")),
+          TextOps.tokens(TextOps.normalized(col("text"))).as("ws"))
+        .select(col("doc_id"), TextOps.fingerprint(col("ws"), 4).as("fingerprint")),
       Some("""
         SELECT doc_id,
                list_min(list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
