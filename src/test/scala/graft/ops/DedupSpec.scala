@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Unit + property coverage for the dedup operator family, checked
+  * against naive in-memory oracles. */
+class DedupSpec extends SparkSpec with Matchers {
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      docs.map { case (i, t) => Row(i, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("doc_id", T.LongType, nullable = false),
+        T.StructField("text", T.StringType, nullable = true))))
+  }
+
+  private def naiveShingles(text: String, n: Int): Set[String] = {
+    val ws = text.toLowerCase.trim.split("\\s+").toSeq
+    if (ws.size < n) Set.empty
+    else ws.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def naiveJaccard(a: String, b: String, n: Int): Double = {
+    val (sa, sb) = (naiveShingles(a, n), naiveShingles(b, n))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  test("exact dedup groups whitespace/case variants") {
+    val df = docsDf(Seq(
+      1L -> "Hello   World", 2L -> "hello world", 3L -> "different doc",
+      4L -> "HELLO\tWORLD"))
+    val out = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set((1L, 3L), (3L, 1L)) // (keep_id, dup_count) pairs
+  }
+
+  test("ngram jaccard matches a naive oracle exactly") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox leaps over the lazy dog",
+      3L -> "entirely unrelated text about spark engines here",
+      4L -> "the quick brown fox jumps over the lazy dog today")
+    val got = Dedup.ngramJaccard(docsDf(docs), "doc_id", "text", shingleN = 3, threshold = 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = naiveJaccard(ta, tb, 3)
+    } {
+      if (j >= 0.01) got((ia, ib)) shouldBe j +- 1e-12
+      else got.contains((ia, ib)) shouldBe false
+    }
+  }
+
+  test("minhash signature approximates jaccard and finds near-dups") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 7) "CHANGED" else s"token$i").mkString(" ")
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = docsDf(Seq(1L -> base, 2L -> near, 3L -> far))
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text", shingleN = 3, k = 16,
+      bands = 8, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("minhash signatures are deterministic across evaluations") {
+    val df = docsDf(Seq(1L -> "a b c d e f g h", 2L -> "a b c d e f g h"))
+    val sigs = df.select(TextOps.tokens(TextOps.normalized(col("text"))).as("ws"))
+      .select(TextOps.shingles(col("ws"), 2).as("sh"))
+      .select(Dedup.minhashSignature(col("sh"), 8).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    sigs(0) shouldBe sigs(1)
+    sigs(0).length shouldBe 8
+  }
+
+  test("simhash: identical docs collide, near docs within hamming budget, far docs beyond") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i % 29 == 0) s"swap$i" else s"tok$i").mkString(" ")
+    val far = (200 to 260).map(i => s"zzz$i").mkString(" ")
+    val df = docsDf(Seq(1L -> base, 2L -> base, 3L -> near, 4L -> far))
+    val sims = Dedup.withSimhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sims(1L) shouldBe sims(2L)
+    java.lang.Long.bitCount(sims(1L) ^ sims(3L)) should be < 20
+    java.lang.Long.bitCount(sims(1L) ^ sims(4L)) should be > 15
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+  }
+
+  test("ngram jaccard property: random doc pairs match naive oracle") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val docs = (1L to 12L).map { i =>
+      i -> Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = Dedup.ngramJaccard(docsDf(docs), "doc_id", "text", shingleN = 2, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for { (ia, ta) <- docs; (ib, tb) <- docs if ia < ib } {
+      val expected = naiveJaccard(ta, tb, 2)
+      if (expected > 0.0) got((ia, ib)) shouldBe expected +- 1e-12
+      else got.getOrElse((ia, ib), 0.0) shouldBe 0.0
+    }
+  }
+}
