@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Streaming operators checked for batch/stream result parity: the same
+  * DataFrame transform fed through a MemoryStream must produce the same
+  * final answer the batch engine gives on the same rows. */
+class StreamingSpec extends SparkSpec with Matchers {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(1L, t("2024-01-01 10:05:00"), "click", 1.0),
+    Ev(1L, t("2024-01-01 10:20:00"), "click", 2.0),
+    Ev(2L, t("2024-01-01 10:40:00"), "view", 3.0),
+    Ev(1L, t("2024-01-01 11:10:00"), "click", 4.0),
+    Ev(2L, t("2024-01-01 11:30:00"), "view", 5.0),
+    Ev(3L, t("2024-01-01 11:55:00"), "click", 6.0))
+
+  test("windowedAgg: streaming result equals batch result on same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = StreamingOps.windowedAgg(
+      stream.toDF(), "ts", "value", "event_type", "1 hour", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events.take(3))
+      q.processAllAvailable()
+      stream.addData(events.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("wagg")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+      val batch = StreamingOps.windowedAgg(
+        events.toDF(), "ts", "value", "event_type", "1 hour", "10 minutes")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      got shouldBe batch
+      got.map(x => (x._1.toString, x._2, x._3, x._4)) shouldBe Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 3.0),
+        ("2024-01-01 11:00:00.0", "click", 2L, 10.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("latestPerKey: state converges to the per-key event-time argmax") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = StreamingOps.latestPerKey(stream.toDF(), Seq("user_id"), "ts")
+    val q = out.writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    try {
+      stream.addData(events.take(4))
+      q.processAllAvailable()
+      stream.addData(events.drop(4))
+      q.processAllAvailable()
+      // last update emitted per key across all triggers = final state
+      val got = spark.table("latest")
+        .groupBy("user_id").agg(max(struct(col("ts"), col("value"))).as("b"))
+        .select(col("user_id"), col("b.value"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got shouldBe Map(1L -> 4.0, 2L -> 5.0, 3L -> 6.0)
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark: repeated ids within horizon are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = StreamingOps.dedupWithinWatermark(
+      stream.toDF(), Seq("user_id", "event_type"), "ts", "2 hours")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("dedup").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq
+      got.size shouldBe got.toSet.size // no (user, type) appears twice
+      got.toSet shouldBe Set((1L, "click"), (2L, "view"), (3L, "click"))
+    } finally q.stop()
+  }
+}
