@@ -94,6 +94,108 @@ object TfExample {
     def toByteArray: Array[Byte] = buf.toByteArray
   }
 
+  // ------------------------------------------------------- SequenceExample
+
+  /** Serialize a `tf.train.SequenceExample`
+    * (tensorflow/core/example/example.proto):
+    *
+    * {{{
+    * message SequenceExample { Features context = 1; FeatureLists feature_lists = 2; }
+    * message FeatureLists   { map<string, FeatureList> feature_list = 1; }
+    * message FeatureList    { repeated Feature feature = 1; }
+    * }}}
+    *
+    * The reference DECLARES this format but its converter always raises
+    * (`feast_component/converters.py:55-57`, dispatched at
+    * `executor.py:148-149`); we implement it for real: scalar columns →
+    * context features, sequence columns → one Feature per step. */
+  def encodeSequence(
+      context: collection.Map[String, FeatureValue],
+      featureLists: collection.Map[String, Seq[FeatureValue]]): Array[Byte] = {
+    val contextMsg = new ProtoOut
+    context.toSeq.sortBy(_._1).foreach { case (name, value) =>
+      val entry = new ProtoOut
+      entry.writeBytesField(1, name.getBytes(UTF_8))
+      entry.writeBytesField(2, encodeFeature(value))
+      contextMsg.writeBytesField(1, entry.toByteArray)
+    }
+    val listsMsg = new ProtoOut
+    featureLists.toSeq.sortBy(_._1).foreach { case (name, steps) =>
+      val listMsg = new ProtoOut
+      steps.foreach(step => listMsg.writeBytesField(1, encodeFeature(step)))
+      val entry = new ProtoOut
+      entry.writeBytesField(1, name.getBytes(UTF_8))
+      entry.writeBytesField(2, listMsg.toByteArray)
+      listsMsg.writeBytesField(1, entry.toByteArray)
+    }
+    val seqExample = new ProtoOut
+    seqExample.writeBytesField(1, contextMsg.toByteArray)
+    seqExample.writeBytesField(2, listsMsg.toByteArray)
+    seqExample.toByteArray
+  }
+
+  /** Parse serialized SequenceExample bytes (test oracle). */
+  def decodeSequence(
+      bytes: Array[Byte]): (Map[String, FeatureValue], Map[String, Seq[FeatureValue]]) = {
+    val in = new ProtoIn(bytes, 0, bytes.length)
+    var context = Map.empty[String, FeatureValue]
+    var lists = Map.empty[String, Seq[FeatureValue]]
+    while (in.hasRemaining) {
+      val (field, wire) = in.readTag()
+      (field, wire) match {
+        case (1, 2) => context = decodeFeatureMap(in.readLenDelimited())
+        case (2, 2) =>
+          val listsIn = in.readLenDelimited()
+          while (listsIn.hasRemaining) {
+            val (f2, w2) = listsIn.readTag()
+            if (f2 == 1 && w2 == 2) {
+              val entry = listsIn.readLenDelimited()
+              var key = ""; var steps = Seq.empty[FeatureValue]
+              while (entry.hasRemaining) {
+                val (f3, w3) = entry.readTag()
+                (f3, w3) match {
+                  case (1, 2) => key = new String(entry.readLenDelimited().slice(), UTF_8)
+                  case (2, 2) =>
+                    val listIn = entry.readLenDelimited()
+                    while (listIn.hasRemaining) {
+                      val (f4, w4) = listIn.readTag()
+                      if (f4 == 1 && w4 == 2) steps :+= decodeFeature(listIn.readLenDelimited())
+                      else listIn.skip(w4)
+                    }
+                  case _ => entry.skip(w3)
+                }
+              }
+              lists += key -> steps
+            } else listsIn.skip(w2)
+          }
+        case (_, w) => in.skip(w)
+      }
+    }
+    (context, lists)
+  }
+
+  /** Parse a `Features` message body into its feature map. */
+  private def decodeFeatureMap(features: ProtoIn): Map[String, FeatureValue] = {
+    var out = Map.empty[String, FeatureValue]
+    while (features.hasRemaining) {
+      val (f2, w2) = features.readTag()
+      if (f2 == 1 && w2 == 2) {
+        val entry = features.readLenDelimited()
+        var key = ""; var value: FeatureValue = Empty
+        while (entry.hasRemaining) {
+          val (f3, w3) = entry.readTag()
+          (f3, w3) match {
+            case (1, 2) => key = new String(entry.readLenDelimited().slice(), UTF_8)
+            case (2, 2) => value = decodeFeature(entry.readLenDelimited())
+            case _      => entry.skip(w3)
+          }
+        }
+        out += key -> value
+      } else features.skip(w2)
+    }
+    out
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Parse serialized Example bytes back to the feature map (test oracle). */
@@ -102,25 +204,8 @@ object TfExample {
     var out = Map.empty[String, FeatureValue]
     while (in.hasRemaining) {
       val (field, wire) = in.readTag()
-      if (field == 1 && wire == 2) {
-        val features = in.readLenDelimited()
-        while (features.hasRemaining) {
-          val (f2, w2) = features.readTag()
-          if (f2 == 1 && w2 == 2) {
-            val entry = features.readLenDelimited()
-            var key = ""; var value: FeatureValue = Empty
-            while (entry.hasRemaining) {
-              val (f3, w3) = entry.readTag()
-              (f3, w3) match {
-                case (1, 2) => key = new String(entry.readLenDelimited().slice(), UTF_8)
-                case (2, 2) => value = decodeFeature(entry.readLenDelimited())
-                case _      => entry.skip(w3)
-              }
-            }
-            out += key -> value
-          } else features.skip(w2)
-        }
-      } else in.skip(wire)
+      if (field == 1 && wire == 2) out ++= decodeFeatureMap(in.readLenDelimited())
+      else in.skip(wire)
     }
     out
   }

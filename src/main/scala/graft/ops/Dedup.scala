@@ -135,6 +135,25 @@ object Dedup {
       .select(col("id"), sim.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    * id_a < id_b and cosine >= threshold. Exact O(n²) with the
+    * codegen'd dot product — the verification baseline; at 100 TB the
+    * same verify step runs after [[graft.ops.Similarity.lshBucket]]
+    * blocking so only same-bucket pairs are scored. */
+  def embeddingCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.ops.Similarity
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Exact n-gram Jaccard similarity for co-shingled pairs:
     * J(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed by exploding distinct
     * shingles and counting shared ones per pair (only pairs that share

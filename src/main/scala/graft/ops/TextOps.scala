@@ -62,6 +62,15 @@ object TextOps {
     }
   }
 
+  /** Regex token count — the BPE-ish pre-tokenizer shape (letter runs,
+    * digit runs, single punctuation marks), the standard cheap proxy
+    * for LLM token budgeting when the real tokenizer isn't on the
+    * classpath. Pure codegen'd expression, no UDF. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCountRegex(text: Column, pattern: String = BpeishPattern): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Document fingerprint: lexicographic min of md5 over word n-gram
     * shingles — a 1-permutation MinHash usable as a near-dup blocking
     * key and content fingerprint. `ws` must be a materialized token

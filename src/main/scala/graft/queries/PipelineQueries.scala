@@ -77,6 +77,30 @@ object PipelineQueries {
       None),
 
     QueryDef(
+      "dedup_embedding_cosine",
+      (s, dir) => Dedup.embeddingCosinePairs(
+        table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.42),
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.42""")),
+
+    QueryDef(
+      "text_token_counts",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(TextOps.normalized(col("text")))).cast("long").as("n_tokens_ws"),
+          TextOps.tokenCountRegex(col("text")).cast("long").as("n_tokens_re")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_re
+        FROM documents""")),
+
+    QueryDef(
       "text_stats",
       (s, dir) => TextOps.textStats(
           table(s, dir, "documents").select("doc_id", "text"), "text", Stopwords)
@@ -170,6 +194,40 @@ object PipelineQueries {
                 CAST(CAST(ascii(substr(text, 3, 1)) AS FLOAT) / 255 AS FLOAT),
                 CAST(CAST(ascii(substr(text, 4, 1)) AS FLOAT) / 255 AS FLOAT)] AS feature
         FROM documents""")),
+
+    // SequenceExample wire-format round-trip: embeddings encoded with
+    // scalar context + per-element FeatureList steps, decoded back and
+    // re-projected (proves the format the reference declared but never
+    // implemented, converters.py:55-57).
+    QueryDef(
+      "tfsequence_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import graft.encode.{TfExample, TfSequenceExampleEncoder}
+        val src = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val schema = src.schema
+        val out = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("n_steps", LongType),
+          StructField("first_v", FloatType),
+          StructField("last_v", FloatType)))
+        val enc = org.apache.spark.sql.Encoders.row(out)
+        src.mapPartitions { rows =>
+          rows.map { r =>
+            val bytes = TfSequenceExampleEncoder.encode(schema, r)
+            val (ctx, lists) = TfExample.decodeSequence(bytes)
+            val TfExample.Int64s(Seq(id)) = ctx("vec_id")
+            val steps = lists("embedding")
+            val TfExample.Floats(Seq(first)) = steps.head
+            val TfExample.Floats(Seq(last)) = steps.last
+            org.apache.spark.sql.Row(id, steps.size.toLong, first, last)
+          }
+        }(enc)
+      },
+      Some("""
+        SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_steps,
+               embedding[1] AS first_v, embedding[len(embedding)] AS last_v
+        FROM embeddings""")),
 
     // Streaming-shaped tumbling-window aggregation over the events
     // table (batch here; StreamingSpec runs the same plan through

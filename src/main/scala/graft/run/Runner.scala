@@ -3,7 +3,7 @@ package graft.run
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.encode.TfExampleEncoder
+import graft.encode.{ExampleEncoder, TfExampleEncoder, TfSequenceExampleEncoder}
 import graft.io.TfRecordSink
 import graft.join.{PointInTimeJoin, ResolvedView}
 import graft.registry.{FeatureRef, Registry}
@@ -33,7 +33,14 @@ final case class JobConfig(
     outputSplits: Seq[(String, Int)] = Seq("train" -> 2, "eval" -> 1),
     rangeParams: Map[String, String] = Map.empty,
     outputPath: String = "/tmp/graft-out",
-    fullFeatureNames: Boolean = false)
+    fullFeatureNames: Boolean = false,
+    outputFormat: OutputFormat = TfExampleFormat)
+
+/** Payload-format dispatch — total, unlike the reference's C5 dispatch
+  * (`executor.py:141-153`) whose SequenceExample branch raised. */
+sealed trait OutputFormat { def encoder: ExampleEncoder }
+case object TfExampleFormat extends OutputFormat { def encoder: ExampleEncoder = TfExampleEncoder }
+case object TfSequenceExampleFormat extends OutputFormat { def encoder: ExampleEncoder = TfSequenceExampleEncoder }
 
 final case class SplitResult(split: String, records: Long, path: String)
 
@@ -100,10 +107,11 @@ object Runner {
     PointInTimeJoin.join(entity, job.entityTs, views)
   }
 
-  /** Encode rows → serialized tf.Example payloads. */
-  def encode(df: DataFrame): Dataset[Array[Byte]] = {
+  /** Encode rows → serialized payload bytes in the job's format. */
+  def encode(df: DataFrame, format: OutputFormat = TfExampleFormat): Dataset[Array[Byte]] = {
     val schema = df.schema
-    df.mapPartitions(rows => rows.map(TfExampleEncoder.encode(schema, _)))(
+    val enc = format.encoder
+    df.mapPartitions(rows => rows.map(enc.encode(schema, _)))(
       org.apache.spark.sql.Encoders.BINARY)
   }
 
@@ -139,7 +147,7 @@ object Runner {
       else Seq("" -> job.entityQuery)
     inputs.flatMap { case (inName, sql) =>
       val joined = retrieve(spark, job, sql)
-      val payloads = encode(joined)
+      val payloads = encode(joined, job.outputFormat)
       val base = if (inName.isEmpty) job.outputPath else s"${job.outputPath}/$inName"
       writeSplits(payloads, job.outputSplits, base)
     }
