@@ -53,12 +53,13 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
+    val src = OpsUtil.widen(df)
     // Stage token/shingle arrays as real columns: lambda element access
     // then touches a materialized array instead of re-running the whole
     // normalize→split chain per element (CollapseProject keeps these
     // projections separate because the aliases are non-cheap and
     // multiply-referenced). 100× on long documents.
-    val sigs = df
+    val sigs = src
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), TextOps.shingles(col("ws"), shingleN).as("sh"))
@@ -111,29 +112,15 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** (id, simhash) — 64-bit fingerprint per document. Token hashes are
-    * materialized once per token (a staged `hs` column) before the
-    * 64-lane vote fold, so xxhash64 runs once per token rather than
-    * once per (token, bit). */
-  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val votes = aggregate(
-      col("hs"),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          bIdx => when(call_function("shiftrightunsigned", h, bIdx).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))),
-        (x, y) => x + y))
-    val sim = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bIdx) => when(v > 0, call_function("shiftleft", lit(1L), bIdx.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    df.select(col(idCol).as("id"),
+  /** (id, simhash) — 64-bit fingerprint per document: xxhash64 per
+    * token (one pass), then the codegen'd 64-bit majority-vote fold
+    * ([[graft.functions.SimHash64]]). */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    OpsUtil.widen(df)
+      .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), transform(col("ws"), w => xxhash64(w)).as("hs"))
-      .select(col("id"), sim.as("simhash"))
-  }
+      .select(col("id"), graft.functions.HashFunctions.simhash64(col("hs")).as("simhash"))
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     * id_a < id_b and cosine >= threshold. Exact O(n²) with the
@@ -144,7 +131,8 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.ops.Similarity
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val v = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", Similarity.norm(col("v")))
     val a = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
@@ -161,7 +149,7 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df
+    val sh = OpsUtil.widen(df)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"),

@@ -39,9 +39,10 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank), rank 1..k by cosine desc,
     * ties broken by neighbor id. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = df.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val src = OpsUtil.widen(df)
+    val q = src.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val c = df.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = src.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
@@ -77,7 +78,8 @@ object Similarity {
     * with fewer planes (bigger buckets) or multiple tables. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, nPlanes: Int = 8): DataFrame = {
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val v = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
       .withColumn("n", norm(col("v")))
     val a = v.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
