@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension exposing the engine's custom Catalyst expressions
+  * to SQL users — `spark.sql("SELECT graft_dot(a, b)")` works the same
+  * as the typed Column API. Install at build time:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * or imperatively on an existing session with
+  * [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "math_funcs", "4.1.2", "", "built-in")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "_FUNC_(a, b) - codegen'd dot product of two array<double> columns.",
+        classOf[DotProduct]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "_FUNC_(hashes) - 64-bit SimHash majority vote over an array<bigint> of token hashes.",
+        classOf[SimHash64]),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash64 takes exactly 1 argument")
+        SimHash64(args.head)
+      }))
+
+  /** Register every graft function on an already-built session (the
+    * path for sessions the caller doesn't construct, e.g. a shared
+    * driver-provided session). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, inf, builder)
+    }
+}

