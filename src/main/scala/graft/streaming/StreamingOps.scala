@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout}
+
+import graft.join.{PointInTimeJoin, ResolvedView}
 
 /** Structured-Streaming operators mirroring the batch engine's
   * semantics on unbounded inputs. The reference pipeline is batch-only
@@ -41,6 +43,26 @@ object StreamingOps {
       df: DataFrame, idCols: Seq[String], tsCol: String, watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Streaming training-data generation: point-in-time enrich each
+    * micro-batch of entity events against (static) feature views using
+    * the batch engine's as-of join — identical semantics per batch,
+    * including TTL pruning and created-timestamp tie-breaks. The
+    * returned writer still needs `.start()`, so callers can set
+    * trigger/checkpoint options first.
+    *
+    * Correctness note: this is per-batch point-in-time against the
+    * feature views AS OF when the batch runs — exactly the online
+    * analogue of the reference's retrieval. Late-arriving FEATURE rows
+    * would require buffering both streams on event time
+    * (a stream-stream as-of join); feature views here are batch tables,
+    * matching the reference's offline-store model. */
+  def pitEnrichStream(
+      entities: DataFrame, entityTs: String, views: Seq[ResolvedView])(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    entities.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(PointInTimeJoin.join(batch, entityTs, views), batchId)
+    }
 
   /** Online-store materialization: maintain the latest row per entity
     * key by event time (created-timestamp tie-break order = arrival

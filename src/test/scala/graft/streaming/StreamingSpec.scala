@@ -74,6 +74,53 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("pitEnrichStream: per-batch as-of join matches the batch engine on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.join.ResolvedView
+
+    // static feature view: per-user score with an event timestamp
+    val features = Seq(
+      (1L, t("2024-01-01 09:00:00"), 10.0),
+      (1L, t("2024-01-01 11:00:00"), 11.0), // future for early events
+      (2L, t("2024-01-01 10:00:00"), 20.0),
+      (3L, t("2023-12-01 00:00:00"), 30.0)) // older than TTL for late events
+      .toDF("user_id", "f_ts", "score")
+    def view = ResolvedView(
+      name = "scores", source = features,
+      joinKeys = Seq("user_id" -> "user_id"),
+      tsCol = "f_ts", features = Seq("score"),
+      ttlSeconds = Some(14 * 24 * 3600L))
+
+    val stream = MemoryStream[Ev]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    val q = StreamingOps.pitEnrichStream(
+      stream.toDF().select("user_id", "ts"), "ts", Seq(view)) { (batch, _) =>
+      got.synchronized {
+        got ++= batch.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      }
+    }.start()
+    try {
+      stream.addData(events.take(3))
+      q.processAllAvailable()
+      stream.addData(events.drop(3))
+      q.processAllAvailable()
+
+      val batchResult = graft.join.PointInTimeJoin
+        .join(events.toDF().select("user_id", "ts"), "ts", Seq(view))
+        .collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+
+      got.sorted shouldBe batchResult.toSeq.sorted
+      // spot-check the as-of semantics across the two micro-batches:
+      // user 1 at 10:05/10:20 sees the 09:00 score; at 11:10 the 11:00 one
+      val byUser = got.groupBy(_._1)
+      byUser(1L).map(_._2).toSet shouldBe Set(Some(10.0), Some(11.0))
+      byUser(3L).map(_._2).toSet shouldBe Set(None) // beyond TTL
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: repeated ids within horizon are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
