@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Hash-based, not
+  * `rand()`: the sample is a pure function of the key, so it is
+  * reproducible across runs/engines, stable under retries and
+  * re-partitioning, and consistent between correlated tables sampled on
+  * the same key (sample `users` at 10% and every other table filtered
+  * by the same key predicate stays referentially intact). All plain
+  * column expressions — pushdown-friendly, zero shuffle for the
+  * unstratified form.
+  */
+object Sampling {
+
+  /** Multiplicative-hash position of a key in [0, buckets) — kept
+    * SQL-portable (same arithmetic runs in any engine) rather than
+    * xxhash64 so oracles and downstream systems can reproduce it. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    (key * lit(2654435761L) % lit(1000003L)) % buckets
+
+  /** Keep ~pct% of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < pct)
+
+  /** Exactly-N-per-stratum sample (class balancing): rank rows within
+    * each stratum by hash of the key (then key, for total order) and
+    * keep the first n. One shuffle on the strata columns. */
+  def stratifiedTopN(
+      df: DataFrame, strataCols: Seq[String], keyCol: String, n: Int): DataFrame = {
+    val order = hashBucket(col(keyCol), 1000003)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(order, col(keyCol))
+    df.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= n)
+      .drop("__graft_rk")
+  }
+}

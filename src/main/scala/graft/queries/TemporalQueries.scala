@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.join.IntervalJoin
+import graft.ops.{Sampling, Sessionize}
+
+/** Temporal-correlation and dataset-shaping operators over the events
+  * stream table: deterministic sampling (whole + stratified), keyed
+  * interval join, gap sessionization, pivot. All exact-oracle-checked.
+  */
+object TemporalQueries {
+  import QueryDef.table
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "sample_hash",
+      (s, dir) => Sampling.deterministicSample(
+        table(s, dir, "events"), "event_id", pct = 10)
+        .select("event_id", "user_id", "event_type"),
+      Some("""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE (event_id * 2654435761 % 1000003) % 100 < 10""")),
+
+    QueryDef(
+      "sample_stratified",
+      (s, dir) => Sampling.stratifiedTopN(
+        table(s, dir, "events").select("event_id", "event_type"),
+        Seq("event_type"), "event_id", n = 3),
+      Some("""
+        SELECT event_id, event_type FROM (
+          SELECT event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY (event_id * 2654435761 % 1000003) % 1000003, event_id) AS rk
+          FROM events) WHERE rk <= 3""")),
+
+    QueryDef(
+      "interval_join_pairs",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val a = e.select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+          col("user_id").as("a_user"))
+        val b = e.select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+          col("user_id").as("b_user"))
+        IntervalJoin.join(a, "a_ts", b, "b_ts",
+            Seq("a_user" -> "b_user"), lowerSec = 0L, upperSec = 1800L)
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      },
+      Some("""
+        SELECT a.event_id AS a_id, b.event_id AS b_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         AND a.event_id < b.event_id""")),
+
+    QueryDef(
+      "events_sessionize",
+      (s, dir) => Sessionize.sessionStats(
+        table(s, dir, "events"), "user_id", "ts", "event_id", gapSec = 1800L),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered GROUP BY 1, 2""")),
+
+    QueryDef(
+      "events_pivot",
+      (s, dir) => table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, EventTypes),
+      Some("""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id""")),
+
+    QueryDef(
+      "events_json_props",
+      (s, dir) => table(s, dir, "events")
+        .filter(col("event_id") <= 5000)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_id <= 5000"""))
+  )
+}
