@@ -142,6 +142,45 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Connected components over near-duplicate pairs — the step that
+    * turns pairwise matches into "keep one document per cluster".
+    * Iterative min-label propagation: every node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint.
+    * Output: (id, cluster) where cluster = min id reachable (only for
+    * ids that appear in at least one pair).
+    *
+    * Scale: converges in O(component diameter) rounds and near-dup
+    * clusters are shallow (pairs come from blocking, so components are
+    * small cliques); each round is one join + one aggregate, with
+    * `localCheckpoint` truncating the growing plan lineage. For graphs
+    * with long chains, switch to the alternating large-star/small-star
+    * formulation — same per-round shuffle structure, O(log n) rounds.
+    */
+  def clusters(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val viaNeighbor = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min(col("cluster")).as("ncluster"))
+      val updated = labels.join(viaNeighbor, labels("id") === viaNeighbor("nid"), "left")
+        .select(labels("id"),
+          least(labels("cluster"), coalesce(col("ncluster"), labels("cluster"))).as("cluster"),
+          labels("cluster").as("__graft_old"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("cluster") =!= col("__graft_old")).count()
+      labels = updated.select("id", "cluster")
+      it += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for co-shingled pairs:
     * J(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed by exploding distinct
     * shingles and counting shared ones per pair (only pairs that share

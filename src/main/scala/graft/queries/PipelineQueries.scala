@@ -61,6 +61,35 @@ object PipelineQueries {
         JOIN sizes sb ON sb.id = i.id_b
         WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.08""")),
 
+    QueryDef(
+      "dedup_clusters",
+      (s, dir) => Dedup.clusters(
+        Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.08)),
+      Some("""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM w),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+        inter AS (
+          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter i
+          JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+          WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.08),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a""")),
+
     // MinHash-LSH and SimHash: xxhash64-based, not SQL-expressible →
     // rows-only checks.
     QueryDef(

@@ -95,6 +95,38 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs should contain((1L, 2L))
   }
 
+  test("clusters: connected components match a naive union-find on random graphs") {
+    import org.apache.spark.sql.{Row, types => T}
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val pairs = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // naive union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      val expected = touched.map(id => id -> {
+        // min member of the component
+        (0 until n).filter(j => find(j) == find(id.toInt)).min.toLong
+      }).toMap
+
+      val pairsDf = spark.createDataFrame(
+        pairs.map { case (a, b) => Row(a, b) }.asJava,
+        T.StructType(Seq(
+          T.StructField("id_a", T.LongType, nullable = false),
+          T.StructField("id_b", T.LongType, nullable = false))))
+      val got = Dedup.clusters(pairsDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial: ") { got shouldBe expected }
+    }
+  }
+
   test("ngram jaccard property: random doc pairs match naive oracle") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 30).map(i => s"w$i")
