@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowed Rabin-Karp fingerprint: the minimum 64-bit polynomial
+  * rolling hash over all `window`-byte windows of the UTF-8 text —
+  * the classic content-defined document fingerprint (one selected
+  * hash per document; equal byte runs of `window` length collide, so
+  * near-identical documents tend to share fingerprints).
+  *
+  * Base 257, arithmetic mod 2^64 (natural long overflow — identical in
+  * Java and generated code). Texts shorter than the window hash their
+  * full content as a single window; empty text fingerprints to 0.
+  * Total function, deterministic, codegen'd single pass.
+  */
+case class RollingMinHash(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 2 && window <= 1024, "window must be in [2, 1024]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_rolling_minhash"
+
+  /** Shared by interpreted eval and tests; mirrors the generated code. */
+  def hashBytes(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    val B = 257L
+    var pow = 1L // B^(w-1)
+    var i = 1
+    while (i < w) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    var minH = h
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xff) * pow) * B + (bytes(i) & 0xff)
+      if (java.lang.Long.compareUnsigned(h, minH) < 0) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hashBytes(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val bytes = ctx.freshName("bytes")
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      val pow = ctx.freshName("pow")
+      val h = ctx.freshName("h")
+      val minH = ctx.freshName("minH")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $str.getBytes();
+         |int $n = $bytes.length;
+         |long $minH = 0L;
+         |if ($n > 0) {
+         |  int $w = Math.min($window, $n);
+         |  long $pow = 1L;
+         |  for (int $i = 1; $i < $w; $i++) $pow *= 257L;
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $w; $i++) $h = $h * 257L + ($bytes[$i] & 0xff);
+         |  $minH = $h;
+         |  for (int $i = $w; $i < $n; $i++) {
+         |    $h = ($h - ($bytes[$i - $w] & 0xff) * $pow) * 257L + ($bytes[$i] & 0xff);
+         |    if (Long.compareUnsigned($h, $minH) < 0) $minH = $h;
+         |  }
+         |}
+         |${ev.value} = $minH;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+}
+
+object RollingHashFunctions {
+  /** Winnowed rolling-hash fingerprint of a string column. */
+  def rollingMinHash(text: Column, window: Int): Column =
+    Bridge.column(RollingMinHash(Bridge.expression(text), window))
+}

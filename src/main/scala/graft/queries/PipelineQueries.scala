@@ -129,6 +129,80 @@ object PipelineQueries {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_re
         FROM documents""")),
 
+    // Rolling-hash fingerprint: byte-level Rabin-Karp winnowing, no SQL
+    // equivalent → rows-only check (value correctness is spec-tested
+    // against a naive sliding-window oracle in RollingHashSpec).
+    QueryDef(
+      "doc_rolling_fingerprint",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.RollingHashFunctions.rollingMinHash(col("text"), 16)
+            .as("rfp")),
+      None),
+
+    // End-to-end dedup: pairs → clusters → drop non-canonical members.
+    QueryDef(
+      "dedup_survivors",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val removed = Dedup.clusters(
+          Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3, threshold = 0.08))
+          .filter(col("id") =!= col("cluster"))
+        docs.join(removed, docs("doc_id") === removed("id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM w),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+        inter AS (
+          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter i
+          JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+          WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.08),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        removed AS (
+          SELECT a AS id FROM reach GROUP BY a HAVING a != MIN(b))
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM removed)""")),
+
+    // Composite quality gate over the text-stats building blocks — the
+    // standard pre-training corpus filter shape.
+    QueryDef(
+      "text_quality_filter",
+      (s, dir) => TextOps.textStats(
+          table(s, dir, "documents").select("doc_id", "text"), "text", Stopwords)
+        .filter(col("n_tokens").between(25, 1000) &&
+          col("stopword_ratio") <= 0.08 &&
+          col("mean_token_len").between(2.0, 15.0) &&
+          col("type_token_ratio") >= 0.35)
+        .select("doc_id", "n_tokens", "stopword_ratio"),
+      Some("""
+        WITH stats AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+            CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+            CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl
+          FROM documents)
+        SELECT doc_id, n_tokens, stopword_ratio FROM stats
+        WHERE n_tokens BETWEEN 25 AND 1000
+          AND stopword_ratio <= 0.08
+          AND mtl BETWEEN 2.0 AND 15.0
+          AND ttr >= 0.35""")),
+
     QueryDef(
       "text_stats",
       (s, dir) => TextOps.textStats(
