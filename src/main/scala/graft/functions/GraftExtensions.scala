@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }
 
 object GraftFunctions {
@@ -44,11 +46,16 @@ object GraftFunctions {
         SimHash64(args.head)
       }))
 
-  /** Register every graft function on an already-built session (the
-    * path for sessions the caller doesn't construct, e.g. a shared
-    * driver-provided session). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register every graft function + the dot-product optimizer rewrite
+    * on an already-built session (the path for sessions the caller
+    * doesn't construct, e.g. a shared driver-provided session).
+    * Idempotent. */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, inf, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+  }
 }

@@ -16,10 +16,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * lambda dispatch — ~100 ns/element. This expression generates a tight
   * primitive loop (~1 ns/element), which matters when a similarity join
   * evaluates millions of vector pairs (SURVEY.md §7.2 step 7's
-  * brute-force top-k is O(n²·d) dot products). Null elements are
-  * treated as 0 contribution; a null array yields null.
+  * brute-force top-k is O(n²·d) dot products).
+  *
+  * Null semantics, by mode:
+  *   - lenient (default, the Column API): null elements contribute 0,
+  *     lengths may differ (min length wins); a null array yields null.
+  *   - strict (`strict = true`, used by the optimizer rewrite in
+  *     [[graft.plans.DotProductRewrite]]): bit-for-bit the semantics of
+  *     `aggregate(zip_with(a, b, _*_), 0d, _+_)` — any null element or
+  *     length mismatch yields NULL, so the rewrite is always
+  *     semantics-preserving.
   */
-case class DotProduct(left: Expression, right: Expression)
+case class DotProduct(left: Expression, right: Expression, strict: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -37,14 +45,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = strict || super.nullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (strict && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) {
+        if (strict) return null
+      } else s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     s
@@ -55,11 +68,19 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val strictNull =
+        if (strict) s"${ev.isNull} = true;" else "/* lenient: skip */"
+      val strictLen =
+        if (strict) s"if ($a.numElements() != $b.numElements()) ${ev.isNull} = true;"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |$strictLen
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    $strictNull
+         |  } else {
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |}
