@@ -167,15 +167,24 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // one hop: adopt the smallest label among self + neighbors
       val viaNeighbor = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("cluster")).as("ncluster"))
-      val updated = labels.join(viaNeighbor, labels("id") === viaNeighbor("nid"), "left")
+      val stepped = labels.join(viaNeighbor, labels("id") === viaNeighbor("nid"), "left")
         .select(labels("id"),
           least(labels("cluster"), coalesce(col("ncluster"), labels("cluster"))).as("cluster"),
           labels("cluster").as("__graft_old"))
+      // pointer jump: adopt the label's label — halves the remaining
+      // distance to the component min each round (O(log diameter) total,
+      // which matters for chain-shaped components)
+      val parents = stepped.select(col("id").as("pid"), col("cluster").as("pcluster"))
+      val jumped = stepped.join(parents, stepped("cluster") === parents("pid"), "left")
+        .select(stepped("id"),
+          least(stepped("cluster"), coalesce(col("pcluster"), stepped("cluster"))).as("cluster"),
+          col("__graft_old"))
         .localCheckpoint(true)
-      changed = updated.filter(col("cluster") =!= col("__graft_old")).count()
-      labels = updated.select("id", "cluster")
+      changed = jumped.filter(col("cluster") =!= col("__graft_old")).count()
+      labels = jumped.select("id", "cluster")
       it += 1
     }
     labels
