@@ -73,23 +73,56 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Approximate top-k: compare only vectors sharing an LSH bucket.
-    * Returns (query_id, neighbor_id, rank) within-bucket; recall rises
-    * with fewer planes (bigger buckets) or multiple tables. */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int, nPlanes: Int = 8): DataFrame = {
+  /** Within-bucket candidate pairs for one hash table (planes seeded by
+    * `tableIdx` so multiple tables are independent). */
+  private def lshCandidates(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, tableIdx: Int): DataFrame = {
     val v = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+      .withColumn("bucket", lshBucketSeeded(col("v"), dim, nPlanes, tableIdx))
       .withColumn("n", norm(col("v")))
     val a = v.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
     val b = v.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
     a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+  }
+
+  private def lshBucketSeeded(vec: Column, dim: Int, nPlanes: Int, tableIdx: Int): Column =
+    (0 until nPlanes).map { p =>
+      val plane = array(planeWeights(tableIdx * nPlanes + p, dim).map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
+    cand
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Approximate top-k: compare only vectors sharing an LSH bucket.
+    * Returns (query_id, neighbor_id, rank) within-bucket; recall rises
+    * with fewer planes (bigger buckets) or multiple tables. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, nPlanes: Int = 8): DataFrame =
+    rankTopK(lshCandidates(df, idCol, vecCol, dim, nPlanes, tableIdx = 0), k)
+
+  /** Multi-table LSH top-k: union candidates from `tables` independent
+    * plane sets before ranking — recall rises as 1-(1-p)^tables while
+    * each table keeps the same bucket-join shuffle structure (the
+    * standard recall/compute dial for LSH ANN at scale). */
+  def lshTopKMultiTable(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    require(tables >= 1)
+    val cand = (0 until tables)
+      .map(t => lshCandidates(df, idCol, vecCol, dim, nPlanes, t))
+      .reduce(_ unionAll _)
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(cand, k)
   }
 }

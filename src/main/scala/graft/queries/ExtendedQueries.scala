@@ -101,6 +101,21 @@ object ExtendedQueries {
                COUNT(*) AS n
         FROM orders GROUP BY o_orderpriority""")),
 
+    // Approximate sketches (HLL distinct, quantile sketch): estimates
+    // are engine-specific, so no value oracle — rows-only check; the
+    // estimates' sanity is asserted in ExtendedQueriesSpec.
+    QueryDef(
+      "q16_approx_sketches",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            approx_count_distinct(col("o_custkey")).as("approx_custs"),
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+            count(lit(1)).as("n"))
+      },
+      None),
+
     QueryDef(
       "q15_json_datetime",
       (s, dir) => {

@@ -280,6 +280,13 @@ object PipelineQueries {
       None),
 
     QueryDef(
+      "sim_topk_lsh_multi",
+      (s, dir) => Similarity.lshTopKMultiTable(
+        table(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        dim = 64, nPlanes = 6, tables = 3).drop("cos"),
+      None),
+
+    QueryDef(
       "multimodal_decode",
       (s, dir) => Multimodal.stubDecode(
         Multimodal.asPayload(table(s, dir, "documents"), "doc_id", "text"),

@@ -81,6 +81,27 @@ class SimilaritySpec extends SparkSpec with Matchers {
     }
   }
 
+  test("multi-table LSH recall >= single-table recall against brute force") {
+    val rnd = new scala.util.Random(29)
+    // clustered vectors: the regime LSH is built for (uniform-random
+    // vectors have near-zero pairwise cosine and defeat any LSH)
+    val centers = Seq.fill(5)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val vecs = (1L to 60L).map { i =>
+      val c = centers((i % 5).toInt)
+      i -> c.map(x => x + (rnd.nextDouble() - 0.5) * 0.2)
+    }
+    val df = vecsDf(vecs)
+    def pairSet(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Similarity.bruteForceTopK(df, "vec_id", "embedding", 3))
+    val single = pairSet(Similarity.lshTopK(df, "vec_id", "embedding", 3, 16, 6))
+    val multi = pairSet(Similarity.lshTopKMultiTable(df, "vec_id", "embedding", 3, 16, 6, 4))
+    val recallSingle = (single intersect truth).size.toDouble / truth.size
+    val recallMulti = (multi intersect truth).size.toDouble / truth.size
+    recallMulti should be >= recallSingle
+    recallMulti should be > 0.8
+  }
+
   test("lshTopK: bucketed neighbors are a subset of brute-force candidates with correct ranks") {
     val rnd = new scala.util.Random(5)
     // clustered vectors so buckets are meaningful
