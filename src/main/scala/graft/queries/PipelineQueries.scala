@@ -339,6 +339,42 @@ object PipelineQueries {
                embedding[1] AS first_v, embedding[len(embedding)] AS last_v
         FROM embeddings""")),
 
+    QueryDef(
+      "multimodal_resize",
+      (s, dir) => Multimodal.stubResize(
+        Multimodal.stubDecode(
+          Multimodal.asPayload(table(s, dir, "documents"), "doc_id", "text"),
+          "media_id", "payload"),
+        targetW = 32, targetH = 32),
+      Some("""
+        WITH decoded AS (
+          SELECT doc_id AS media_id,
+                 16 + (length(text) % 64) AS w,
+                 16 + ((length(text) // 64) % 64) AS h
+          FROM documents)
+        SELECT media_id,
+               CAST(floor(w * least(32.0 / w, 32.0 / h)) AS INTEGER) AS out_w,
+               CAST(floor(h * least(32.0 / w, 32.0 / h)) AS INTEGER) AS out_h,
+               least(32.0 / w, 32.0 / h) AS scale_x,
+               least(32.0 / w, 32.0 / h) AS scale_y
+        FROM decoded""")),
+
+    // Frame sampling: payload split into fixed-length frames, every
+    // stride-th emitted. documents.text is pure ASCII in the testdata,
+    // so byte frames == character substrings and the oracle can build
+    // the exact frame blobs with encode(substr(...)).
+    QueryDef(
+      "multimodal_frames",
+      (s, dir) => Multimodal.stubFrameSample(
+        Multimodal.asPayload(table(s, dir, "documents"), "doc_id", "text"),
+        "media_id", "payload", frameLen = 16, stride = 2),
+      Some("""
+        SELECT doc_id AS media_id,
+               CAST(f AS BIGINT) AS frame_idx,
+               encode(substr(text, CAST(f AS INTEGER) * 16 + 1, 16)) AS frame_payload
+        FROM documents,
+             unnest(range(0, length(text) // 16, 2)) t(f)""")),
+
     // Streaming-shaped tumbling-window aggregation over the events
     // table (batch here; StreamingSpec runs the same plan through
     // Structured Streaming).
