@@ -60,5 +60,17 @@ for name, sql in sorted(oracles.items()):
     else:
         print(f"ok   {name} ({len(got)} rows)")
 
-print(f"\n{len(oracles) - len(failures)}/{len(oracles)} oracle-checked queries match")
+import os
+rows_only = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}") and d not in oracles)
+for name in rows_only:
+    n = con.sql(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+    if n <= 0:
+        failures.append(name)
+        print(f"FAIL {name}: rows-only query returned 0 rows")
+    else:
+        print(f"ok   {name} (rows-only, {n} rows)")
+
+print(f"\n{len(oracles) - len(failures)}/{len(oracles)} oracle-checked queries match; "
+      f"{len(rows_only)} rows-only checked")
 sys.exit(1 if failures else 0)
