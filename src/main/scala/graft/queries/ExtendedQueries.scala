@@ -64,7 +64,10 @@ object ExtendedQueries {
         li.groupBy(col("l_orderkey"))
           .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
           .select(
-            col("l_orderkey"), col("lines"),
+            col("l_orderkey"),
+            // Arrays canonicalized to a CSV string: the correctness
+            // driver's pandas comparator can't hash ndarray cells.
+            array_join(col("lines").cast("array<string>"), ",").as("lines_csv"),
             size(col("lines")).cast("long").as("n_lines"),
             array_contains(col("lines"), 3).as("has_line3"),
             aggregate(col("lines"), lit(0L), (acc, x) => acc + x).as("sum_lines"),
@@ -72,7 +75,7 @@ object ExtendedQueries {
       },
       Some("""
         SELECT l_orderkey,
-               list_sort(list(l_linenumber)) AS lines,
+               array_to_string(list_sort(list(l_linenumber)), ',') AS lines_csv,
                CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines,
                list_contains(list(l_linenumber), 3) AS has_line3,
                CAST(list_sum(list(l_linenumber)) AS BIGINT) AS sum_lines,

@@ -288,9 +288,17 @@ object PipelineQueries {
 
     QueryDef(
       "multimodal_decode",
+      // Feature vector unpacked to scalar columns: the correctness
+      // driver's pandas comparator can't hash ndarray cells.
       (s, dir) => Multimodal.stubDecode(
         Multimodal.asPayload(table(s, dir, "documents"), "doc_id", "text"),
-        "media_id", "payload"),
+        "media_id", "payload")
+        .select(col("media_id"), col("n_bytes"), col("format"),
+          col("width"), col("height"),
+          element_at(col("feature"), 1).as("f0"),
+          element_at(col("feature"), 2).as("f1"),
+          element_at(col("feature"), 3).as("f2"),
+          element_at(col("feature"), 4).as("f3")),
       Some("""
         SELECT doc_id AS media_id,
                CAST(length(text) AS BIGINT) AS n_bytes,
@@ -299,10 +307,10 @@ object PipelineQueries {
                     ELSE 'img/fake-b' END AS format,
                CAST(16 + (length(text) % 64) AS INTEGER) AS width,
                CAST(16 + ((length(text) // 64) % 64) AS INTEGER) AS height,
-               [CAST(CAST(ascii(substr(text, 1, 1)) AS FLOAT) / 255 AS FLOAT),
-                CAST(CAST(ascii(substr(text, 2, 1)) AS FLOAT) / 255 AS FLOAT),
-                CAST(CAST(ascii(substr(text, 3, 1)) AS FLOAT) / 255 AS FLOAT),
-                CAST(CAST(ascii(substr(text, 4, 1)) AS FLOAT) / 255 AS FLOAT)] AS feature
+               CAST(CAST(ascii(substr(text, 1, 1)) AS FLOAT) / 255 AS FLOAT) AS f0,
+               CAST(CAST(ascii(substr(text, 2, 1)) AS FLOAT) / 255 AS FLOAT) AS f1,
+               CAST(CAST(ascii(substr(text, 3, 1)) AS FLOAT) / 255 AS FLOAT) AS f2,
+               CAST(CAST(ascii(substr(text, 4, 1)) AS FLOAT) / 255 AS FLOAT) AS f3
         FROM documents""")),
 
     // SequenceExample wire-format round-trip: embeddings encoded with
@@ -365,13 +373,19 @@ object PipelineQueries {
     // the exact frame blobs with encode(substr(...)).
     QueryDef(
       "multimodal_frames",
+      // Binary frame payload canonicalized to its md5 hex digest: the
+      // correctness driver's pandas comparator can't hash bytearray
+      // cells, and md5-of-bytes is engine-portable (text is ASCII, so
+      // DuckDB's varchar md5 hashes the same bytes).
       (s, dir) => Multimodal.stubFrameSample(
         Multimodal.asPayload(table(s, dir, "documents"), "doc_id", "text"),
-        "media_id", "payload", frameLen = 16, stride = 2),
+        "media_id", "payload", frameLen = 16, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame_payload")).as("frame_md5")),
       Some("""
         SELECT doc_id AS media_id,
                CAST(f AS BIGINT) AS frame_idx,
-               encode(substr(text, CAST(f AS INTEGER) * 16 + 1, 16)) AS frame_payload
+               md5(substr(text, CAST(f AS INTEGER) * 16 + 1, 16)) AS frame_md5
         FROM documents,
              unnest(range(0, length(text) // 16, 2)) t(f)""")),
 
