@@ -30,6 +30,43 @@ object TfRecordSink {
     written.reduce(_ + _)
   }
 
+  /** Single-pass partitioned write: ONE upstream execution fans records
+    * into every split at once. `routed` carries `payload: binary` plus
+    * `split_idx: int` (0-based index into `names`); each task holds one
+    * open writer per split and routes records as they stream through —
+    * the Spark shape of the reference's per-split WriteSplit loop
+    * (`executor.py:166-184`) without re-running the pipeline per split,
+    * which at 100 TB multiplies the whole job by the split count.
+    * Returns per-split record counts. */
+  def writePartitioned(
+      routed: org.apache.spark.sql.DataFrame,
+      dir: String,
+      names: Seq[String]): Map[String, Long] = {
+    val nSplits = names.size
+    // (splitIdx, count) per task: tiny driver-side metadata (partitions
+    // × splits tuples), the same footprint as the old write().reduce.
+    val counts = routed.select("payload", "split_idx").mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val conf = new Configuration()
+      val writers = names.map { name =>
+        val path = new Path(f"$dir/$name/part-$pid%05d.tfrecord.gz")
+        TfRecord.gzipWriter(path.getFileSystem(conf).create(path, true))
+      }.toArray
+      val n = new Array[Long](nSplits)
+      try it.foreach { r =>
+        val idx = r.getInt(1)
+        TfRecord.writeRecord(writers(idx), r.getAs[Array[Byte]](0))
+        n(idx) += 1
+      } finally writers.foreach(_.close())
+      Iterator.range(0, nSplits).map(i => (i, n(i)))
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+    val agg = counts.groupBy(_._1).map { case (i, xs) => names(i) -> xs.map(_._2).sum }
+    names.map(nm => nm -> agg.getOrElse(nm, 0L)).toMap
+  }
+
   /** Read shards back (test/verification path). */
   def readAll(spark: org.apache.spark.sql.SparkSession, dir: String, split: String): Seq[Array[Byte]] = {
     val path = new Path(s"$dir/$split")

@@ -34,7 +34,9 @@ final case class JobConfig(
     rangeParams: Map[String, String] = Map.empty,
     outputPath: String = "/tmp/graft-out",
     fullFeatureNames: Boolean = false,
-    outputFormat: OutputFormat = TfExampleFormat)
+    outputFormat: OutputFormat = TfExampleFormat,
+    span: Long = 0,
+    artifactVersion: Long = 0)
 
 /** Payload-format dispatch — total, unlike the reference's C5 dispatch
   * (`executor.py:141-153`) whose SequenceExample branch raised. */
@@ -117,25 +119,55 @@ object Runner {
 
   /** Deterministic output-split partition (X2): bucket by xxhash64 of
     * the payload bytes modulo total weight; contiguous weight ranges map
-    * to splits (TFX hash-bucket contract shape, `executor.py:181`). */
+    * to splits (TFX hash-bucket contract shape, `executor.py:181`).
+    * Single-pass: the bucket→split lookup is computed inline and every
+    * split is written by one fan-out action, so the upstream pipeline
+    * (entity SQL → PIT join → encode) executes exactly once however
+    * many splits are configured. */
   def writeSplits(
       payloads: Dataset[Array[Byte]],
       splits: Seq[(String, Int)],
       outputPath: String): Seq[SplitResult] = {
     val total = splits.map(_._2).sum
     require(total > 0, "output split weights must sum > 0")
-    val bucketed = payloads.toDF("payload")
-      .withColumn("bucket", pmod(xxhash64(col("payload")), lit(total)))
-    var lo = 0
-    splits.map { case (name, weight) =>
-      val hi = lo + weight
-      val slice = bucketed
-        .filter(col("bucket") >= lo && col("bucket") < hi)
-        .select("payload").as(org.apache.spark.sql.Encoders.BINARY)
-      lo = hi
-      val n = TfRecordSink.write(slice, outputPath, name)
-      SplitResult(name, n, s"$outputPath/$name")
+    val names = splits.map(_._1)
+    val bucketToSplit = splits.zipWithIndex.flatMap { case ((_, w), i) => Seq.fill(w)(i) }
+    val routed = payloads.toDF("payload")
+      .withColumn("split_idx",
+        element_at(typedLit(bucketToSplit),
+          pmod(xxhash64(col("payload")), lit(total)).cast("int") + 1))
+    val counts = TfRecordSink.writePartitioned(routed, outputPath, names)
+    splits.map { case (name, _) =>
+      SplitResult(name, counts(name), s"$outputPath/$name")
     }
+  }
+
+  /** Output artifact manifest — the Spark analogue of the properties the
+    * reference stamps on its Examples artifact (`executor.py:144-148`:
+    * span, version, payload_format): downstream consumers discover
+    * splits, counts, and format without listing shards. Written as
+    * `_MANIFEST.json` beside the split directories via the Hadoop FS
+    * API (local FS / HDFS / object stores alike). */
+  def writeManifest(base: String, job: JobConfig, results: Seq[SplitResult]): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val fmt = job.outputFormat match {
+      case TfExampleFormat => "FORMAT_TF_EXAMPLE"
+      case TfSequenceExampleFormat => "FORMAT_TF_SEQUENCE_EXAMPLE"
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val splitsJson = results
+      .map(r => s"""{"name":"${esc(r.split)}","records":${r.records},"path":"${esc(r.path)}"}""")
+      .mkString("[", ",", "]")
+    val params = job.rangeParams.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"payload_format":"$fmt","span":${job.span},"version":${job.artifactVersion},"splits":$splitsJson,"range_params":$params}"""
+    val path = new Path(s"$base/_MANIFEST.json")
+    val fs = path.getFileSystem(new Configuration())
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Full job (§3.2 loop). Input splits each run their own query and
@@ -149,7 +181,9 @@ object Runner {
       val joined = retrieve(spark, job, sql)
       val payloads = encode(joined, job.outputFormat)
       val base = if (inName.isEmpty) job.outputPath else s"${job.outputPath}/$inName"
-      writeSplits(payloads, job.outputSplits, base)
+      val results = writeSplits(payloads, job.outputSplits, base)
+      writeManifest(base, job, results)
+      results
     }
   }
 }

@@ -75,6 +75,31 @@ class RunnerSpec extends SparkSpec {
     val m = TfExample.decode(train.head)
     assert(m.keySet == Set("o_custkey", "event_timestamp", "event_type",
       "o_totalprice", "o_orderstatus"))
+
+    // artifact manifest: format + per-split counts readable downstream
+    val manifest = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$out/_MANIFEST.json")), "UTF-8")
+    assert(manifest.contains("\"payload_format\":\"FORMAT_TF_EXAMPLE\""))
+    assert(manifest.contains(s""""name":"train","records":${train.size}"""))
+    assert(manifest.contains(s""""name":"eval","records":${eval.size}"""))
+    assert(manifest.contains("\"span\":0"))
+  }
+
+  test("writeSplits executes the upstream pipeline once for N splits") {
+    val out = java.nio.file.Files.createTempDirectory("graft-1pass").toString
+    val acc = spark.sparkContext.longAccumulator("upstream-evals")
+    import spark.implicits._
+    val payloads = spark.range(1000).as[Long].map { i =>
+      acc.add(1); s"payload-$i".getBytes("UTF-8")
+    }
+    val results = Runner.writeSplits(
+      payloads, Seq("a" -> 1, "b" -> 1, "c" -> 2), out)
+    assert(results.map(_.records).sum == 1000)
+    // multi-pass write would re-run the map once per split → 3000/4000
+    assert(acc.value == 1000, s"upstream executed ${acc.value}/1000 times")
+    // every record lands in exactly one split, readable back
+    val back = results.map(r => TfRecordSink.readAll(spark, out, r.split).size)
+    assert(back.sum == 1000 && back.zip(results).forall { case (n, r) => n == r.records })
   }
 
   test("static dimension view joins via synthesized timestamp") {
