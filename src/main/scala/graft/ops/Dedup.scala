@@ -32,11 +32,32 @@ object Dedup {
   /** Deterministic MinHash signature family: sig_i = min over shingles
     * of xxhash64(shingle, i) — one independent seeded hash per
     * component, reproducible across runs (no fitted model state, no
-    * overflow under ANSI arithmetic). */
+    * overflow under ANSI arithmetic).
+    *
+    * For an engine-portable family (used by the oracle-checked query)
+    * see [[portableMinhashSignature]]. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
     }: _*)
+
+  /** Mersenne prime modulus of the portable minhash family (fits well
+    * inside a long so `h1 + 15*h2` can never overflow). */
+  val PortableMinhashMod = 2147483647L
+
+  /** Engine-portable MinHash signature: ONE md5 per shingle supplies
+    * two 60-bit seeds h1, h2 (hex chars 1-15 and 16-30), and component
+    * i is `min over shingles of (h1 + i*h2) mod p` — the classic
+    * two-hash universal family. Bit-reproducible in any engine with
+    * md5 (the DuckDB oracle recomputes it exactly), and ~k× cheaper
+    * than hashing every shingle k times.
+    *
+    * `h1Col`/`h2Col` must be staged `array<long>` columns (already
+    * reduced mod p); all k minima come out of one codegen'd pass
+    * ([[graft.functions.PortableMinHash]] — k interpreted zip_with
+    * passes were ~10× the whole query's budget at sf0.1). */
+  def portableMinhashSignature(h1Col: Column, h2Col: Column, k: Int): Column =
+    graft.functions.HashFunctions.portableMinhash(h1Col, h2Col, k, PortableMinhashMod)
 
   /** MinHash + LSH banding near-duplicate candidates.
     *
@@ -50,7 +71,7 @@ object Dedup {
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val src = OpsUtil.widen(df)
@@ -59,18 +80,31 @@ object Dedup {
     // normalize→split chain per element (CollapseProject keeps these
     // projections separate because the aliases are non-cheap and
     // multiply-referenced). 100× on long documents.
-    val sigs = src
+    val shingled = src
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), TextOps.shingles(col("ws"), shingleN).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .filter(size(col("sh")) > 0)
+    val sigs =
+      if (portable) {
+        val p = PortableMinhashMod
+        shingled
+          .select(col("id"), transform(col("sh"), md5(_)).as("hx"))
+          .select(col("id"),
+            transform(col("hx"), h => conv(substring(h, 1, 15), 16, 10).cast("long") % p).as("h1"),
+            transform(col("hx"), h => conv(substring(h, 16, 15), 16, 10).cast("long") % p).as("h2"))
+          .select(col("id"), portableMinhashSignature(col("h1"), col("h2"), k).as("sig"))
+      } else
+        shingled.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
 
     // band rows: (band index, hash of that band's slice, id, sig)
+    def bandHash(b: Column): Column = {
+      val key = concat_ws(",", slice(col("sig"), b * r + 1, lit(r)), b.cast("string"))
+      if (portable) md5(key) else xxhash64(key)
+    }
     val banded = sigs.select(
       col("id"), col("sig"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)), b.cast("string"))))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandHash(_))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
     val a = banded.select(col("band"), col("band_hash"),
@@ -92,8 +126,8 @@ object Dedup {
   /** Near-duplicate pairs by SimHash banding + Hamming distance. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
-    val withSim = withSimhash(df, idCol, textCol)
+      maxHamming: Int = 8, portable: Boolean = false): DataFrame = {
+    val withSim = withSimhash(df, idCol, textCol, portable)
     // 4 bands of 16 bits: pairs within Hamming<=maxHamming must share
     // >=1 exact band when maxHamming < 4 per the pigeonhole at 16-bit
     // chunks; used as a candidate filter, then verified exactly.
@@ -107,20 +141,30 @@ object Dedup {
     a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
   /** (id, simhash) — 64-bit fingerprint per document: xxhash64 per
     * token (one pass), then the codegen'd 64-bit majority-vote fold
-    * ([[graft.functions.SimHash64]]). */
-  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * ([[graft.functions.SimHash64]]).
+    *
+    * `portable = true` derives each token hash from md5 instead (first
+    * 15 hex chars → a 60-bit long) so the driver's DuckDB oracle can
+    * recompute identical fingerprints; the fold is unchanged and the 4
+    * permanently-clear top bits don't affect banding or Hamming. */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    def tokenHash(w: Column): Column =
+      if (portable) conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+      else xxhash64(w)
     OpsUtil.widen(df)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
-      .select(col("id"), transform(col("ws"), w => xxhash64(w)).as("hs"))
+      .select(col("id"), transform(col("ws"), tokenHash(_)).as("hs"))
       .select(col("id"), graft.functions.HashFunctions.simhash64(col("hs")).as("simhash"))
+  }
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     * id_a < id_b and cosine >= threshold. Exact O(n²) with the

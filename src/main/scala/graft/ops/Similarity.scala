@@ -57,7 +57,7 @@ object Similarity {
     * from xxhash64(plane, dim), evaluated once at plan-build time and
     * embedded as an `array<double>` literal (constant across rows — no
     * per-row hash evaluation, unlike deriving them inside the plan). */
-  private def planeWeights(plane: Int, dim: Int): Seq[Double] =
+  private[graft] def planeWeights(plane: Int, dim: Int): Seq[Double] =
     (0 until dim).map { i =>
       val h = XxHash64(Seq(Literal(plane.toLong), Literal(i)), 42L)
         .eval(InternalRow.empty).asInstanceOf[Long]

@@ -104,20 +104,38 @@ object ExtendedQueries {
                COUNT(*) AS n
         FROM orders GROUP BY o_orderpriority""")),
 
-    // Approximate sketches (HLL distinct, quantile sketch): estimates
-    // are engine-specific, so no value oracle — rows-only check; the
-    // estimates' sanity is asserted in ExtendedQueriesSpec.
+    // Approximate sketches (HLL distinct, quantile sketch): the raw
+    // estimates are engine-specific, so the value-level oracle checks
+    // the INVARIANT instead — each sketch lands within a relative error
+    // bound of the exact answer (computed Spark-side in the same agg),
+    // which DuckDB states as literal `true`s plus the exact counts. A
+    // sketch implementation regression flips a boolean and fails the
+    // hash check; estimate sanity is additionally spec-asserted.
     QueryDef(
       "q16_approx_sketches",
       (s, dir) => {
         val o = table(s, dir, "orders")
         o.groupBy(col("o_orderpriority"))
           .agg(
-            approx_count_distinct(col("o_custkey")).as("approx_custs"),
-            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+            approx_count_distinct(col("o_custkey"), rsd = 0.02).as("ac"),
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50a"),
+            countDistinct(col("o_custkey")).as("exact_custs"),
+            expr("percentile(o_totalprice, 0.5)").as("p50e"),
             count(lit(1)).as("n"))
+          .select(
+            col("o_orderpriority"),
+            (abs(col("ac") - col("exact_custs")).cast("double") /
+              col("exact_custs").cast("double") <= 0.05).as("hll_within_5pct"),
+            (abs(col("p50a") - col("p50e")) / col("p50e") <= 0.05).as("p50_within_5pct"),
+            col("exact_custs"), col("n"))
       },
-      None),
+      Some("""
+        SELECT o_orderpriority,
+               true AS hll_within_5pct,
+               true AS p50_within_5pct,
+               COUNT(DISTINCT o_custkey) AS exact_custs,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority""")),
 
     QueryDef(
       "q15_json_datetime",

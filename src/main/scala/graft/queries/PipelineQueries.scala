@@ -17,6 +17,17 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 object PipelineQueries {
   import QueryDef.table
 
+  /** DuckDB sign-LSH bucket expression over column `v`, built from the
+    * operator's own deterministic [[Similarity.planeWeights]] so both
+    * engines bucket with bit-identical hyperplanes (weights are exact
+    * integers — no float-literal round-trip error). */
+  private def bucketSql(tableIdx: Int, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val ws = Similarity.planeWeights(tableIdx * nPlanes + p, dim)
+        .map(_.toLong.toString).mkString(", ")
+      s"(CASE WHEN list_dot_product(v, CAST([$ws] AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val Stopwords = Seq("the", "a")
   private val LangMarkers = Seq(
     "en" -> Seq("the", "a", "and", "of"),
@@ -90,20 +101,82 @@ object PipelineQueries {
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a""")),
 
-    // MinHash-LSH and SimHash: xxhash64-based, not SQL-expressible →
-    // rows-only checks.
+    // MinHash-LSH and SimHash run in portable-hash mode here (md5-derived
+    // instead of xxhash64) so DuckDB can recompute identical signatures:
+    // the full pipeline — signatures, banding, bucket join, verification
+    // — is value-checked, not just row-counted. Production callers keep
+    // the faster xxhash64 default; the relational machinery is the same.
     QueryDef(
       "dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(
         table(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, k = 16, bands = 8, threshold = 0.125),
-      None),
+        shingleN = 3, k = 16, bands = 8, threshold = 0.125, portable = true),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+          FROM w),
+        hp AS (
+          SELECT id,
+                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647) AS h2
+          FROM sh WHERE len(shs) > 0),
+        sig AS (
+          SELECT id, list_transform(range(0, 16),
+                   j -> list_min(list_transform(range(1, len(h1) + 1),
+                          x -> (h1[x] + j * h2[x]) % 2147483647))) AS sig
+          FROM hp),
+        banded AS (
+          SELECT id, b,
+                 md5(array_to_string(sig[b*2+1 : b*2+2], ',') || ',' || b) AS band_hash
+          FROM sig, unnest(range(0, 8)) t(b)),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM banded x JOIN banded y ON x.b = y.b AND x.band_hash = y.band_hash
+          WHERE x.id < y.id),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.id = c.id_a
+          JOIN sig sb ON sb.id = c.id_b)
+        SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= 0.125""")),
 
     QueryDef(
       "dedup_simhash",
       (s, dir) => Dedup.simhashPairs(
-        table(s, dir, "documents"), "doc_id", "text", maxHamming = 14),
-      None),
+        table(s, dir, "documents"), "doc_id", "text", maxHamming = 14,
+        portable = true),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        th AS (
+          SELECT doc_id AS id,
+                 list_transform(ws, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+          FROM w),
+        sim AS (
+          SELECT id,
+                 CAST(list_sum(list_transform(range(0, 60), p ->
+                   CASE WHEN 2 * len(list_filter(hs, h -> ((h >> p) & 1) = 1)) > len(hs)
+                        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM th),
+        banded AS (
+          SELECT id, simhash, b, (simhash >> CAST(b*16 AS INTEGER)) & 65535 AS chunk
+          FROM sim, unnest(range(0, 4)) t(b)),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+                 x.simhash AS sim_a, y.simhash AS sim_b
+          FROM banded x JOIN banded y ON x.b = y.b AND x.chunk = y.chunk
+          WHERE x.id < y.id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 14""")),
 
     QueryDef(
       "dedup_embedding_cosine",
@@ -272,19 +345,58 @@ object PipelineQueries {
                  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         FROM p QUALIFY rank <= 5""")),
 
+    // Sign-LSH top-k: the hyperplanes are deterministic plan-time
+    // literals, so the SAME weights are embedded into the oracle SQL
+    // (generated below from the operator's own planeWeights) and DuckDB
+    // reproduces the bucketing exactly — a value-level check of the
+    // whole bucket-join + rank pipeline.
     QueryDef(
       "sim_topk_lsh",
       (s, dir) => Similarity.lshTopK(
         table(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
         dim = 64, nPlanes = 4).drop("cos"),
-      None),
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (
+          SELECT id, v, ${bucketSql(tableIdx = 0, nPlanes = 4, dim = 64)} AS bucket FROM v),
+        p AS (
+          SELECT a.id AS query_id, c.id AS neighbor_id,
+                 list_cosine_similarity(a.v, c.v) AS cos
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.id != c.id)
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM p QUALIFY rank <= 5""")),
 
     QueryDef(
       "sim_topk_lsh_multi",
       (s, dir) => Similarity.lshTopKMultiTable(
         table(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
         dim = 64, nPlanes = 6, tables = 3).drop("cos"),
-      None),
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (
+          SELECT id, v,
+                 ${bucketSql(tableIdx = 0, nPlanes = 6, dim = 64)} AS b0,
+                 ${bucketSql(tableIdx = 1, nPlanes = 6, dim = 64)} AS b1,
+                 ${bucketSql(tableIdx = 2, nPlanes = 6, dim = 64)} AS b2
+          FROM v),
+        p AS (
+          SELECT DISTINCT a.id AS query_id, c.id AS neighbor_id
+          FROM b a JOIN b c
+            ON (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2) AND a.id != c.id),
+        s AS (
+          SELECT p.query_id, p.neighbor_id,
+                 list_cosine_similarity(va.v, vb.v) AS cos
+          FROM p
+          JOIN v va ON va.id = p.query_id
+          JOIN v vb ON vb.id = p.neighbor_id)
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM s QUALIFY rank <= 5""")),
 
     QueryDef(
       "multimodal_decode",
