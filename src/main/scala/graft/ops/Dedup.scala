@@ -68,10 +68,17 @@ object Dedup {
     *         fraction of matching signature components, filtered to
     *         `threshold`
     */
+  /** `maxBucket` caps LSH bucket width: (band, band_hash) buckets
+    * holding more than `maxBucket` documents are dropped before the
+    * candidate join — a bucket that wide is template/boilerplate
+    * collapse and would contribute width² candidate pairs on one
+    * shuffle key. Mass-identical documents belong to [[exact]] dedup,
+    * which catches them in one agg; run it first. */
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+      threshold: Double = 0.5, portable: Boolean = false,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val src = OpsUtil.widen(df)
@@ -102,10 +109,18 @@ object Dedup {
       val key = concat_ws(",", slice(col("sig"), b * r + 1, lit(r)), b.cast("string"))
       if (portable) md5(key) else xxhash64(key)
     }
-    val banded = sigs.select(
+    val bandedRaw = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bandHash(_))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedRaw
+      else {
+        val hot = bandedRaw.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
+          .select("band", "band_hash")
+        bandedRaw.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+      }
 
     val a = banded.select(col("band"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -237,15 +252,33 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for co-shingled pairs:
     * J(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed by exploding distinct
     * shingles and counting shared ones per pair (only pairs that share
-    * at least one shingle are ever materialized). */
+    * at least one shingle are ever materialized).
+    *
+    * `maxDf` is the stop-shingle cap: shingles appearing in more than
+    * `maxDf` documents are dropped before the self-join (from both the
+    * intersection AND the per-doc sizes, so Jaccard stays consistent
+    * over the capped shingle space). Without it, one corpus-common
+    * boilerplate shingle shared by m documents puts m² candidate pairs
+    * on a single shuffle key — the quadratic hot-key trap at web-corpus
+    * scale. The hot set is tiny by construction (only shingles with
+    * df > cap), so it broadcasts: one extra agg, no extra shuffle of
+    * the exploded shingles. */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = OpsUtil.widen(df)
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val shRaw = OpsUtil.widen(df)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"),
         explode(array_distinct(TextOps.shingles(col("ws"), shingleN))).as("sh"))
+    val sh =
+      if (maxDf == Int.MaxValue) shRaw
+      else {
+        val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("sh")
+        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
       .filter(col("x.id") < col("y.id"))

@@ -45,21 +45,26 @@ object PipelineQueries {
                MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         FROM documents GROUP BY 1""")),
 
+    // maxDf = 100 is the stop-shingle cap, mirrored in the oracle: at
+    // 500-5000 docs a shingle spanning >100 documents is boilerplate.
     QueryDef(
       "dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(
-        table(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.08),
+        table(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.08,
+        maxDf = 100),
       Some("""
         WITH w AS (
           SELECT doc_id,
                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
           FROM documents),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id AS id,
                  unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
           FROM w
         ),
+        shdf AS (SELECT sh, COUNT(*) AS dfc FROM sh0 GROUP BY sh),
+        sh AS (SELECT s.id, s.sh FROM sh0 s JOIN shdf d ON d.sh = s.sh WHERE d.dfc <= 100),
         sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
         inter AS (
           SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
@@ -76,16 +81,18 @@ object PipelineQueries {
       "dedup_clusters",
       (s, dir) => Dedup.clusters(
         Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, threshold = 0.08)),
+          shingleN = 3, threshold = 0.08, maxDf = 100)),
       Some("""
         WITH RECURSIVE w AS (
           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
           FROM documents),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id AS id,
                  unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
           FROM w),
+        shdf AS (SELECT sh, COUNT(*) AS dfc FROM sh0 GROUP BY sh),
+        sh AS (SELECT s.id, s.sh FROM sh0 s JOIN shdf d ON d.sh = s.sh WHERE d.dfc <= 100),
         sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
         inter AS (
           SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
@@ -110,7 +117,8 @@ object PipelineQueries {
       "dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(
         table(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, k = 16, bands = 8, threshold = 0.125, portable = true),
+        shingleN = 3, k = 16, bands = 8, threshold = 0.125, portable = true,
+        maxBucket = 200),
       Some("""
         WITH w AS (
           SELECT doc_id,
@@ -135,9 +143,12 @@ object PipelineQueries {
           SELECT id, b,
                  md5(array_to_string(sig[b*2+1 : b*2+2], ',') || ',' || b) AS band_hash
           FROM sig, unnest(range(0, 8)) t(b)),
+        bsz AS (SELECT b, band_hash, COUNT(*) AS m FROM banded GROUP BY 1, 2),
         cand AS (
           SELECT DISTINCT x.id AS id_a, y.id AS id_b
-          FROM banded x JOIN banded y ON x.b = y.b AND x.band_hash = y.band_hash
+          FROM banded x
+          JOIN banded y ON x.b = y.b AND x.band_hash = y.band_hash
+          JOIN bsz z ON z.b = x.b AND z.band_hash = x.band_hash AND z.m <= 200
           WHERE x.id < y.id),
         scored AS (
           SELECT c.id_a, c.id_b,
@@ -219,7 +230,8 @@ object PipelineQueries {
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val removed = Dedup.clusters(
-          Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3, threshold = 0.08))
+          Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3, threshold = 0.08,
+            maxDf = 100))
           .filter(col("id") =!= col("cluster"))
         docs.join(removed, docs("doc_id") === removed("id"), "left_anti")
           .select(col("doc_id"), col("lang"))
@@ -228,11 +240,13 @@ object PipelineQueries {
         WITH RECURSIVE w AS (
           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
           FROM documents),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id AS id,
                  unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
           FROM w),
+        shdf AS (SELECT sh, COUNT(*) AS dfc FROM sh0 GROUP BY sh),
+        sh AS (SELECT s.id, s.sh FROM sh0 s JOIN shdf d ON d.sh = s.sh WHERE d.dfc <= 100),
         sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
         inter AS (
           SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter

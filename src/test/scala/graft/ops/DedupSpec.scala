@@ -127,6 +127,45 @@ class DedupSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("stop-shingle cap: one corpus-wide shingle doesn't go quadratic") {
+    // 10k docs, each with unique content plus one shared boilerplate
+    // trigram. Uncapped, that shingle alone creates ~50M candidate
+    // pairs on one shuffle key; with the df-cap it is dropped and only
+    // genuinely-similar pairs remain (none here).
+    val docs = (1L to 10000L).map { i =>
+      i -> s"unique$i alpha$i beta$i common boiler plate gamma$i delta$i"
+    }
+    val pairs = Dedup.ngramJaccard(
+      docsDf(docs), "doc_id", "text", shingleN = 3, threshold = 0.05, maxDf = 100)
+    pairs.count() shouldBe 0L
+    // and the cap leaves legitimately-similar pairs intact: two copies
+    // of the same rare text still match at jaccard 1.0
+    val withDup = docs ++ Seq(
+      20001L -> "rare one two three four five six",
+      20002L -> "rare one two three four five six")
+    val dup = Dedup.ngramJaccard(
+      docsDf(withDup), "doc_id", "text", shingleN = 3, threshold = 0.5, maxDf = 100)
+      .collect()
+    dup.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((20001L, 20002L))
+    dup.head.getDouble(2) shouldBe 1.0 +- 1e-12
+  }
+
+  test("minhash bucket cap drops template-collapse buckets") {
+    // 500 identical docs collapse every band into one bucket of width
+    // 500 (250k candidate pairs per band uncapped); the bucket cap
+    // drops them — mass-identical docs are exact-dedup's job.
+    val docs = (1L to 500L).map(i => i -> "same boilerplate text for all docs here")
+    val capped = Dedup.minhashLsh(
+      docsDf(docs), "doc_id", "text", shingleN = 3, k = 16, bands = 8,
+      threshold = 0.125, maxBucket = 200)
+    capped.count() shouldBe 0L
+    // sanity: uncapped they do pair up
+    val uncapped = Dedup.minhashLsh(
+      docsDf(docs.take(20)), "doc_id", "text", shingleN = 3, k = 16, bands = 8,
+      threshold = 0.125)
+    uncapped.count() shouldBe 190L // 20 choose 2
+  }
+
   test("ngram jaccard property: random doc pairs match naive oracle") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 30).map(i => s"w$i")
