@@ -473,6 +473,41 @@ object PipelineQueries {
                embedding[1] AS first_v, embedding[len(embedding)] AS last_v
         FROM embeddings""")),
 
+    // Write → distributed read-back → decode: closes the S5 loop (the
+    // output of the reference's WriteSplit, executor.py:163-164, is
+    // re-consumable as a distributed source). Identity oracle proves
+    // the full wire round-trip value-for-value.
+    QueryDef(
+      "tfrecord_read_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import graft.encode.TfExample
+        val src = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+        val payloads = graft.run.Runner.encode(src)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-tfrecord-roundtrip"
+        val base = new org.apache.hadoop.fs.Path(out)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(base)) fs.delete(base, true) // stale shards would duplicate rows
+        graft.io.TfRecordSink.write(payloads, out, "all")
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType)))
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        graft.io.TfRecordSource.read(s, out, "all").mapPartitions { it =>
+          it.map { bytes =>
+            val m = TfExample.decode(bytes)
+            val TfExample.Int64s(Seq(id)) = m("doc_id")
+            val TfExample.Bytes(Seq(lang)) = m("lang")
+            val TfExample.Int64s(Seq(nc)) = m("n_chars")
+            org.apache.spark.sql.Row(id, new String(lang, "UTF-8"), nc)
+          }
+        }(enc)
+      },
+      Some("SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents")),
+
     QueryDef(
       "multimodal_resize",
       (s, dir) => Multimodal.stubResize(

@@ -60,4 +60,19 @@ class TfRecordSinkSpec extends SparkSpec {
     val back = TfRecordSink.readAll(spark, dir, "train").map(new String(_)).toSet
     assert(back == (0 until 1000).map(i => s"payload-$i").toSet)
   }
+
+  test("distributed source reads shards back without driver materialization") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val payloads = spark.range(5000)
+      .map(i => s"rec-$i".getBytes)(org.apache.spark.sql.Encoders.BINARY)
+      .repartition(8)
+    TfRecordSink.write(payloads, dir, "all")
+    val ds = TfRecordSource.read(spark, dir, "all")
+    assert(ds.rdd.getNumPartitions > 1) // actually distributed
+    val back = ds.map(new String(_))(org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(back == (0 until 5000).map(i => s"rec-$i").toSet)
+    // missing split dir → empty dataset, not an error
+    assert(TfRecordSource.read(spark, dir, "nope").count() == 0)
+  }
 }
