@@ -90,10 +90,23 @@ object PointInTimeJoin {
 
     val spine = rowIdCol match {
       case Some(c) => entity.withColumn(RowId, col(c))
-      case None    => entity.withColumn(RowId, monotonically_increasing_id())
+      case None =>
+        // Synthetic ids must come out IDENTICAL in every consumer of
+        // the spine (the stitch base plus each view's entity
+        // projection), but monotonically_increasing_id depends on
+        // partition layout and the spine subtree would otherwise
+        // re-execute once per consumer — shuffle fetch order can
+        // reorder rows between executions and silently reassign ids
+        // (misjoined features at cluster scale). localCheckpoint
+        // materializes the ids once and every consumer reads the
+        // stored partitions, which also removes the V+1 recomputes of
+        // the upstream entity scan. Callers with a natural unique key
+        // should pass rowIdCol and skip the materialization.
+        entity.withColumn(RowId, monotonically_increasing_id()).localCheckpoint(true)
     }
-    // Bounded-scan pruning: one tiny job, two values on the driver.
-    val bounds = entity.agg(min(col(entityTs)), max(col(entityTs))).head()
+    // Bounded-scan pruning: one tiny job, two values on the driver
+    // (reads the checkpointed spine when one was just materialized).
+    val bounds = spine.agg(min(col(entityTs)), max(col(entityTs))).head()
     val empty = bounds.isNullAt(0)
 
     val withFeatures = views.foldLeft(spine) { (acc, v) =>

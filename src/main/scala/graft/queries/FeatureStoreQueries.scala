@@ -114,6 +114,54 @@ object FeatureStoreQueries {
         FROM o1 LEFT JOIN customer c ON c.c_custkey = o1.user_id
         WHERE o1.rn = 1""")),
 
+    // Bench-weight engine-core query: multi-view TTL PIT join on a
+    // lineitem-scale spine (the largest table as entities) — a
+    // time-varying TTL-bounded view plus a broadcastable static
+    // dimension view. PointInTimeJoinSpec asserts the plan shape
+    // (pruned views broadcast, no stray exchanges).
+    QueryDef(
+      "pit_lineitem_multiview_ttl",
+      (s, dir) => {
+        val entity = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("l_shipdate"))
+          .distinct()
+        val orders = ResolvedView(
+          name = "order_features",
+          source = table(s, dir, "orders"),
+          joinKeys = Seq("l_orderkey" -> "o_orderkey"),
+          tsCol = "o_orderdate",
+          features = Seq("o_totalprice", "o_orderpriority"),
+          ttlSeconds = Some(90L * 86400))
+        val supp = ResolvedView(
+          name = "supplier_features",
+          source = table(s, dir, "supplier")
+            .withColumn("static_ts", lit("1970-01-01 00:00:00").cast("timestamp")),
+          joinKeys = Seq("l_suppkey" -> "s_suppkey"),
+          tsCol = "static_ts",
+          features = Seq("s_acctbal", "s_name"))
+        PointInTimeJoin.join(entity, "l_shipdate", Seq(orders, supp))
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey, l_shipdate FROM lineitem),
+        c AS (
+          SELECT e.l_orderkey, e.l_linenumber, e.l_suppkey, e.l_shipdate,
+                 o.o_totalprice, o.o_orderpriority,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.l_orderkey, e.l_linenumber, e.l_suppkey, e.l_shipdate
+                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC, o.o_orderpriority DESC) AS rn
+          FROM e
+          LEFT JOIN orders o
+            ON o.o_orderkey = e.l_orderkey
+           AND o.o_orderdate <= e.l_shipdate
+           AND o.o_orderdate >= e.l_shipdate - INTERVAL 90 DAY)
+        SELECT c.l_orderkey, c.l_linenumber, c.l_suppkey, c.l_shipdate,
+               c.o_totalprice, c.o_orderpriority, s.s_acctbal, s.s_name
+        FROM c
+        LEFT JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        WHERE c.rn = 1""")),
+
     // Latest-value dedup standalone (A1): one row per order = the last
     // shipped lineitem, argmax on (l_shipdate, l_linenumber).
     QueryDef(

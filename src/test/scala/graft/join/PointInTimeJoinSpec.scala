@@ -91,6 +91,25 @@ class PointInTimeJoinSpec extends SparkSpec {
     assert(r3.getAs[Double]("v2__score") == 9.9) // but v2 matches
   }
 
+  test("lineitem multiview plan: views broadcast, TTL pushed to scan, spine scanned once") {
+    val df = graft.SparkEntry.queries("pit_lineitem_multiview_ttl")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan.take(4000)) {
+      // both pruned views join by broadcast — no shuffle of the spine
+      // per view beyond the row-id agg
+      assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 2)
+      // TTL + as-of bounds reach the orders parquet scan as row-group filters
+      assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThanOrEqual(o_orderdate"))
+      // the synthetic-id spine is materialized once: consumers read the
+      // checkpointed RDD instead of re-running scan+distinct per view
+      assert(!plan.contains("lineitem.parquet"))
+      assert(plan.contains("ExistingRDD"))
+      // row-id exchanges only: stitch base + one per view
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size <= 3)
+    }
+    assert(df.count() > 0)
+  }
+
   test("empty entity spine yields empty result with full schema") {
     val out = PointInTimeJoin.join(
       entity.filter($"eid" < 0), "event_ts", Seq(view(None)), rowIdCol = Some("eid"))
