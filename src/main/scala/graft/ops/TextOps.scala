@@ -27,11 +27,16 @@ object TextOps {
   }
 
   /** Per-document statistics (token counts, type-token ratio, stopword
-    * ratio, mean token length) — the quality-scoring building blocks. */
+    * ratio, mean token length) — the quality-scoring building blocks.
+    * The token array is staged as a real column first so the derived
+    * stats read a materialized array instead of re-splitting the text
+    * per stat (subexpression elimination is not guaranteed across
+    * withColumn chains — the HOF re-evaluation pitfall). */
   def textStats(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
-    val ws = tokens(col(textCol))
+    val ws = col("__graft_ws")
     val stopArr = array(stopwords.map(lit): _*)
-    df.withColumn("n_chars_txt", length(col(textCol)).cast("long"))
+    df.withColumn("__graft_ws", tokens(col(textCol)))
+      .withColumn("n_chars_txt", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", size(ws).cast("long"))
       .withColumn("n_types", size(array_distinct(ws)).cast("long"))
       .withColumn("n_stopwords",
@@ -43,6 +48,7 @@ object TextOps {
       .withColumn("mean_token_len",
         (col("n_chars_txt") - (col("n_tokens") - 1)).cast("double") /
           col("n_tokens").cast("double"))
+      .drop("__graft_ws")
   }
 
   /** Marker-word language ID: score = number of tokens in each
