@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -82,39 +82,58 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** All `k` portable-minhash components in ONE pass over the staged
-  * seed arrays: component i = min over elements j of
-  * `(h1(j) + i*h2(j)) mod p`, with h1, h2 already reduced mod p.
-  * Replaces k interpreted `zip_with` passes (k×n lambda dispatches per
-  * row — the dominant cost of the portable signature at scale) with a
-  * single codegen'd primitive loop using incremental modular addition.
-  * Callers guard non-empty input (empty arrays yield Long.MaxValue
-  * components); null elements are skipped. */
-case class PortableMinHash(left: Expression, right: Expression, k: Int, mod: Long)
-    extends BinaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<bigint> inputs, got ${l.sql}, ${r.sql}")
+/** Shared md5-seed math for the portable hash family: the first 30 hex
+  * chars of md5 (nibbles 0-14 and 15-29) read as two 60-bit longs —
+  * exactly `conv(substring(md5(s), 1|16, 15), 16, 10)`, computed from
+  * the digest bytes without materializing the hex string. */
+object Md5Seeds {
+  def h1(d: Array[Byte]): Long = nibbles(d, 0)
+  def h2(d: Array[Byte]): Long = nibbles(d, 15)
+  private def nibbles(d: Array[Byte], from: Int): Long = {
+    var v = 0L
+    var i = from
+    while (i < from + 15) {
+      val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xF else d(i >> 1) & 0xF
+      v = (v << 4) | nib
+      i += 1
     }
+    v
+  }
+}
+
+/** Fused portable-minhash signature straight from the shingle strings:
+  * one md5 per shingle feeds the (h1 + i*h2) mod p family and all k
+  * minima in a single pass — replacing three interpreted HOF passes
+  * (md5 transform + two conv transforms) whose per-element lambda
+  * dispatch dominated the signature stage. Bit-identical to the
+  * staged-column composition (the DuckDB oracle's formulation).
+  * Null elements are skipped; empty arrays yield Long.MaxValue
+  * components (callers filter empty shingle sets upstream). */
+case class PortableMinHashSignature(child: Expression, k: Int, mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.sql}")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def prettyName: String = "graft_portable_minhash"
+  override def prettyName: String = "graft_portable_minhash_sig"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(k)(Long.MaxValue)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = arr.numElements()
     var j = 0
     while (j < n) {
-      if (!x.isNullAt(j) && !y.isNullAt(j)) {
-        val h2 = y.getLong(j)
-        var v = x.getLong(j)
+      if (!arr.isNullAt(j)) {
+        val d = org.apache.commons.codec.digest.DigestUtils.md5(
+          arr.getUTF8String(j).getBytes)
+        var v = Md5Seeds.h1(d) % mod
+        val h2 = Md5Seeds.h2(d) % mod
         var i = 0
         while (i < k) {
           if (v < mins(i)) mins(i) = v
@@ -129,21 +148,24 @@ case class PortableMinHash(left: Expression, right: Expression, k: Int, mod: Lon
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+    nullSafeCodeGen(ctx, ev, arr => {
       val mins = ctx.freshName("mins")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val v = ctx.freshName("v")
       val h2 = ctx.freshName("h2")
+      val d = ctx.freshName("digest")
       s"""
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |int $n = Math.min($xa.numElements(), $ya.numElements());
+         |int $n = $arr.numElements();
          |for (int $j = 0; $j < $n; $j++) {
-         |  if (!$xa.isNullAt($j) && !$ya.isNullAt($j)) {
-         |    long $h2 = $ya.getLong($j);
-         |    long $v = $xa.getLong($j);
+         |  if (!$arr.isNullAt($j)) {
+         |    byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5(
+         |      $arr.getUTF8String($j).getBytes());
+         |    long $v = graft.functions.Md5Seeds.h1($d) % ${mod}L;
+         |    long $h2 = graft.functions.Md5Seeds.h2($d) % ${mod}L;
          |    for (int $i = 0; $i < $k; $i++) {
          |      if ($v < $mins[$i]) $mins[$i] = $v;
          |      $v += $h2;
@@ -155,9 +177,66 @@ case class PortableMinHash(left: Expression, right: Expression, k: Int, mod: Lon
        """.stripMargin
     })
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PortableMinHash =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHashSignature =
+    copy(child = newChild)
+}
+
+/** `array<string> → array<long>`: each element's portable 60-bit token
+  * hash (md5 hex chars 1-15 as a long) in one codegen'd pass — the
+  * portable-simhash analogue of xxhash64-per-token, replacing an
+  * interpreted `transform(ws, conv(substring(md5(w),1,15),16,10))`.
+  * Null elements stay null (SimHash64 skips them). */
+case class Md5Prefix60Array(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def prettyName: String = "graft_md5_prefix60_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val d = org.apache.commons.codec.digest.DigestUtils.md5(
+          arr.getUTF8String(j).getBytes)
+        out(j) = Md5Seeds.h1(d)
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val d = ctx.freshName("digest")
+      s"""
+         |int $n = $arr.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5(
+         |      $arr.getUTF8String($j).getBytes());
+         |    $out[$j] = graft.functions.Md5Seeds.h1($d);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60Array =
+    copy(child = newChild)
 }
 
 object HashFunctions {
@@ -165,7 +244,11 @@ object HashFunctions {
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
 
-  /** Codegen'd k-component portable minhash over staged seed arrays. */
-  def portableMinhash(h1: Column, h2: Column, k: Int, mod: Long): Column =
-    Bridge.column(PortableMinHash(Bridge.expression(h1), Bridge.expression(h2), k, mod))
+  /** Fused codegen'd portable minhash straight from shingle strings. */
+  def portableMinhashSignature(shingles: Column, k: Int, mod: Long): Column =
+    Bridge.column(PortableMinHashSignature(Bridge.expression(shingles), k, mod))
+
+  /** Codegen'd portable 60-bit md5-prefix hash per array element. */
+  def md5Prefix60Array(tokens: Column): Column =
+    Bridge.column(Md5Prefix60Array(Bridge.expression(tokens)))
 }

@@ -42,22 +42,14 @@ object Dedup {
     }: _*)
 
   /** Mersenne prime modulus of the portable minhash family (fits well
-    * inside a long so `h1 + 15*h2` can never overflow). */
+    * inside a long so `h1 + 15*h2` can never overflow). The family:
+    * ONE md5 per shingle supplies two 60-bit seeds h1, h2 (hex chars
+    * 1-15 and 16-30), and component i is `min over shingles of
+    * (h1 + i*h2) mod p` — the classic two-hash universal trick,
+    * bit-reproducible in any engine with md5 (the DuckDB oracle
+    * recomputes it exactly). Computed by the fused codegen kernel
+    * [[graft.functions.PortableMinHashSignature]]. */
   val PortableMinhashMod = 2147483647L
-
-  /** Engine-portable MinHash signature: ONE md5 per shingle supplies
-    * two 60-bit seeds h1, h2 (hex chars 1-15 and 16-30), and component
-    * i is `min over shingles of (h1 + i*h2) mod p` — the classic
-    * two-hash universal family. Bit-reproducible in any engine with
-    * md5 (the DuckDB oracle recomputes it exactly), and ~k× cheaper
-    * than hashing every shingle k times.
-    *
-    * `h1Col`/`h2Col` must be staged `array<long>` columns (already
-    * reduced mod p); all k minima come out of one codegen'd pass
-    * ([[graft.functions.PortableMinHash]] — k interpreted zip_with
-    * passes were ~10× the whole query's budget at sf0.1). */
-  def portableMinhashSignature(h1Col: Column, h2Col: Column, k: Int): Column =
-    graft.functions.HashFunctions.portableMinhash(h1Col, h2Col, k, PortableMinhashMod)
 
   /** MinHash + LSH banding near-duplicate candidates.
     *
@@ -87,29 +79,35 @@ object Dedup {
     // normalize→split chain per element (CollapseProject keeps these
     // projections separate because the aliases are non-cheap and
     // multiply-referenced). 100× on long documents.
+    // Docs too short to shingle are dropped BEFORE the projections: a
+    // filter on the staged `sh` column would be pushed below the
+    // projection by Catalyst, collapsing the staging and re-running
+    // the tokenize chain per lambda element access (the HOF
+    // re-evaluation trap — measured 10× on this exact pipeline).
     val shingled = src
+      .filter(size(TextOps.tokens(TextOps.normalized(col(textCol)))) >= shingleN)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), TextOps.shingles(col("ws"), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
     val sigs =
-      if (portable) {
-        val p = PortableMinhashMod
-        shingled
-          .select(col("id"), transform(col("sh"), md5(_)).as("hx"))
-          .select(col("id"),
-            transform(col("hx"), h => conv(substring(h, 1, 15), 16, 10).cast("long") % p).as("h1"),
-            transform(col("hx"), h => conv(substring(h, 16, 15), 16, 10).cast("long") % p).as("h2"))
-          .select(col("id"), portableMinhashSignature(col("h1"), col("h2"), k).as("sig"))
-      } else
+      if (portable)
+        shingled.select(col("id"),
+          graft.functions.HashFunctions
+            .portableMinhashSignature(col("sh"), k, PortableMinhashMod).as("sig"))
+      else
         shingled.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    // The signature table is the LSH index: tiny relative to the corpus
+    // (id + k longs per doc) but consumed by BOTH candidate-join sides
+    // (and the bucket-width aggregate when capped) — materialize once
+    // instead of re-tokenizing/re-hashing the corpus per consumer.
+    val sigsOnce = sigs.localCheckpoint(true)
 
     // band rows: (band index, hash of that band's slice, id, sig)
     def bandHash(b: Column): Column = {
       val key = concat_ws(",", slice(col("sig"), b * r + 1, lit(r)), b.cast("string"))
       if (portable) md5(key) else xxhash64(key)
     }
-    val bandedRaw = sigs.select(
+    val bandedRaw = sigsOnce.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bandHash(_))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -122,16 +120,22 @@ object Dedup {
         bandedRaw.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
       }
 
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    // Candidate join carries ids only — signatures re-attach from the
+    // checkpointed table after pair dedup, so the bucket-join shuffle
+    // moves 16-byte pairs instead of both k-component arrays (the
+    // candidate set is sparse by LSH construction; the sig re-join is
+    // small and AQE-broadcastable).
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    cand.withColumn("est_jaccard",
+    cand
+      .join(sigsOnce.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsOnce.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
           .cast("double") / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
@@ -142,7 +146,9 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8, portable: Boolean = false): DataFrame = {
-    val withSim = withSimhash(df, idCol, textCol, portable)
+    // 16 bytes per doc, consumed by both candidate-join sides —
+    // materialize once instead of re-hashing the corpus twice.
+    val withSim = withSimhash(df, idCol, textCol, portable).localCheckpoint(true)
     // 4 bands of 16 bits: pairs within Hamming<=maxHamming must share
     // >=1 exact band when maxHamming < 4 per the pigeonhole at 16-bit
     // chunks; used as a candidate filter, then verified exactly.
@@ -166,18 +172,20 @@ object Dedup {
     * ([[graft.functions.SimHash64]]).
     *
     * `portable = true` derives each token hash from md5 instead (first
-    * 15 hex chars → a 60-bit long) so the driver's DuckDB oracle can
-    * recompute identical fingerprints; the fold is unchanged and the 4
-    * permanently-clear top bits don't affect banding or Hamming. */
+    * 15 hex chars → a 60-bit long, via the codegen'd
+    * [[graft.functions.Md5Prefix60Array]]) so the driver's DuckDB
+    * oracle can recompute identical fingerprints; the fold is unchanged
+    * and the 4 permanently-clear top bits don't affect banding or
+    * Hamming. */
   def withSimhash(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
-    def tokenHash(w: Column): Column =
-      if (portable) conv(substring(md5(w), 1, 15), 16, 10).cast("long")
-      else xxhash64(w)
+    def tokenHashes(ws: Column): Column =
+      if (portable) graft.functions.HashFunctions.md5Prefix60Array(ws)
+      else transform(ws, w => xxhash64(w))
     OpsUtil.widen(df)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
-      .select(col("id"), transform(col("ws"), tokenHash(_)).as("hs"))
+      .select(col("id"), tokenHashes(col("ws")).as("hs"))
       .select(col("id"), graft.functions.HashFunctions.simhash64(col("hs")).as("simhash"))
   }
 
@@ -267,11 +275,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxDf: Int = Int.MaxValue): DataFrame = {
+    // The exploded shingle table is consumed by the two self-join
+    // sides, the per-doc sizes, and (when capped) the df aggregate —
+    // materialize it once rather than re-tokenizing the corpus per
+    // consumer. (Exact pairwise Jaccard is the verification-scale
+    // operator; minhashLsh is the 100 TB path, whose materialized
+    // intermediate is the far smaller signature table.)
     val shRaw = OpsUtil.widen(df)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"),
         explode(array_distinct(TextOps.shingles(col("ws"), shingleN))).as("sh"))
+      .localCheckpoint(true)
     val sh =
       if (maxDf == Int.MaxValue) shRaw
       else {

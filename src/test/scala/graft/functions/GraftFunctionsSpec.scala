@@ -31,6 +31,37 @@ class GraftFunctionsSpec extends SparkSpec with Matchers {
     ex.getMessage should include("graft_dot")
   }
 
+  test("fused portable hashes match the interpreted SQL composition") {
+    // The DuckDB oracle computes the portable family from md5 hex
+    // strings; the fused codegen kernels must agree bit-for-bit.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(s"w${rnd.nextInt(50)} x$i").toArray)
+    }.toDF("id", "arr")
+    val p = graft.ops.Dedup.PortableMinhashMod
+    val k = 16
+    val interpSig = array((0 until k).map { i =>
+      array_min(transform(col("arr"), s =>
+        (conv(substring(md5(s), 1, 15), 16, 10).cast("long") % p +
+          lit(i.toLong) * (conv(substring(md5(s), 16, 15), 16, 10).cast("long") % p)) % p))
+    }: _*)
+    val sigRows = docs.select(
+      HashFunctions.portableMinhashSignature(col("arr"), k, p).as("fused"),
+      interpSig.as("interp")).collect()
+    sigRows.foreach { r =>
+      r.getSeq[Long](0) shouldBe r.getSeq[Long](1)
+    }
+    val hashRows = docs.select(
+      HashFunctions.md5Prefix60Array(col("arr")).as("fused"),
+      transform(col("arr"), s =>
+        conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("interp")).collect()
+    hashRows.foreach { r =>
+      r.getSeq[Long](0) shouldBe r.getSeq[Long](1)
+    }
+  }
+
   test("extension class injects functions at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
