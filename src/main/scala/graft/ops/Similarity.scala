@@ -38,9 +38,14 @@ object Similarity {
   /** Exact top-k cosine neighbors for every vector (excluding itself).
     * Output: (query_id, neighbor_id, rank), rank 1..k by cosine desc,
     * ties broken by neighbor id. */
-  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryPred: Option[Column] = None): DataFrame = {
     val src = OpsUtil.widen(df)
-    val q = src.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // queryPred restricts the QUERY side only (the candidate corpus
+    // stays full) — the exact-recall baseline for ANN verification
+    // runs over a deterministic sample instead of all n² pairs.
+    val q = queryPred.fold(src)(src.filter)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val c = src.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -122,6 +127,100 @@ object Similarity {
     val cand = (0 until tables)
       .map(t => lshCandidates(df, idCol, vecCol, dim, nPlanes, t))
       .reduce(_ unionAll _)
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(cand, k)
+  }
+
+  // ---- IVF (inverted-file) ANN: the centroid-bucketed scale path ----
+
+  /** Deterministic IVF centroid fit: Lloyd iterations from hash-seeded
+    * initial centers. All per-dimension sums go through DECIMAL so the
+    * means are independent of partition/merge order — the fit is
+    * bit-reproducible across runs and cluster layouts. The collected
+    * result is index METADATA (nCentroids × dim doubles), not data;
+    * assignment happens later as a pure column expression over the
+    * embedded literals. */
+  def ivfCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 3): Array[Array[Double]] = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var cents: Array[Array[Double]] = v
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCentroids)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = v.withColumn("scores", centroidScores(col("v"), cents))
+        .withColumn("cid", argmaxIdx(col("scores")))
+      val stats = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col").cast("decimal(30,12)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        rows.foreach { r =>
+          val n = r.getLong(3)
+          if (n > 0)
+            next(cid)(r.getInt(1)) = (r.getDecimal(2).doubleValue() / n)
+        }
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** score_c = 2·dot(v,c) − ‖c‖² per centroid — argmax of this equals
+    * argmin of Euclidean distance (‖v‖² is constant per row). One
+    * codegen'd expression carrying the matrix as a reference object:
+    * composing k literal-array dots put k×dim literal nodes in the
+    * plan and codegen compile time dominated the IVF fit. */
+  private def centroidScores(v: Column, cents: Array[Array[Double]]): Column =
+    VectorFunctions.centroidScores(v, cents.toSeq.map(_.toSeq))
+
+  /** 0-based index of the array's maximum (first occurrence). */
+  private def argmaxIdx(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+
+  /** 0-based indices of the `n` largest scores, best first. */
+  private def topIdx(scores: Column, nCentroids: Int, n: Int): Column =
+    slice(
+      transform(
+        array_sort(zip_with(
+          scores,
+          sequence(lit(0), lit(nCentroids - 1)).cast("array<double>"),
+          (s, i) => struct((-s).as("negs"), i.as("i")))),
+        x => x.getField("i").cast("int")),
+      1, n)
+
+  /** IVF-Flat approximate top-k: vectors are bucketed by nearest
+    * centroid; each query probes its `nProbe` nearest centroids and
+    * ranks exact cosine within the probed buckets. Recall/compute dial:
+    * nProbe/nCentroids. Shuffle shape matches the LSH path — candidate
+    * generation is a bucket equi-join, never all-pairs; the index side
+    * is computed once per centroid set and shuffles only (cid, id,
+    * vector). */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val cents = ivfCentroids(df, idCol, vecCol, nCentroids, iters)
+    val v = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("scores", centroidScores(col("v"), cents))
+    val index = v
+      .withColumn("cid", argmaxIdx(col("scores")))
+      .select(col("cid"), col("id").as("neighbor_id"),
+        col("v").as("cv"), col("n").as("cn"))
+    val queries = v
+      .withColumn("cid", explode(topIdx(col("scores"), nCentroids, nProbe)))
+      .select(col("cid"), col("id").as("query_id"),
+        col("v").as("qv"), col("n").as("qn"))
+    val cand = queries.join(index, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(cand, k)
   }

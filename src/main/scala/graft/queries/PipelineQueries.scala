@@ -412,6 +412,39 @@ object PipelineQueries {
                  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         FROM s QUALIFY rank <= 5""")),
 
+    // IVF-Flat ANN (the centroid-bucketed scale path beside sign-LSH).
+    // The centroid fit is float-mean-based and engine-specific, so the
+    // oracle checks the INVARIANT (q16-style): recall@5 against the
+    // exact brute-force top-5 — computed Spark-side in the same query —
+    // must clear the bound, which DuckDB states as a literal alongside
+    // the exact query count. Deterministic: the fit uses hash-seeded
+    // init and DECIMAL sums (order-independent means).
+    QueryDef(
+      "sim_topk_ivf_recall",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+          nCentroids = 64, nProbe = 24)
+        // Exact baseline over a 10% deterministic query sample (the
+        // engine-portable sampling hash, so the oracle can count the
+        // sampled queries); the candidate corpus stays full.
+        val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
+          queryPred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10))
+        val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        bf.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            (sum(col("n_hit")).cast("double") /
+              (count(lit(1)) * 5).cast("double") >= 0.7).as("recall_ok"))
+      },
+      Some("""
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               true AS recall_ok
+        FROM embeddings
+        WHERE (vec_id * 2654435761 % 1000003) % 100 < 10""")),
+
     QueryDef(
       "multimodal_decode",
       // Feature vector unpacked to scalar columns: the correctness

@@ -102,6 +102,51 @@ class SimilaritySpec extends SparkSpec with Matchers {
     recallMulti should be > 0.8
   }
 
+  test("IVF: deterministic fit, full assignment coverage, recall beats probe fraction") {
+    val rnd = new scala.util.Random(23)
+    // 8 well-separated cluster centers + noise → IVF's favorable shape
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 5)
+    val vecs = (1L to 400L).map { i =>
+      val c = centers(rnd.nextInt(8))
+      i -> c.map(_ + rnd.nextGaussian() * 0.5).toSeq
+    }
+    val df = vecsDf(vecs)
+    val c1 = Similarity.ivfCentroids(df, "vec_id", "embedding", nCentroids = 8, iters = 3)
+    val c2 = Similarity.ivfCentroids(df, "vec_id", "embedding", nCentroids = 8, iters = 3)
+    // decimal-sum means → bit-identical fit across runs
+    c1.map(_.toSeq) shouldBe c2.map(_.toSeq)
+
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 2, iters = 3)
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 3)
+    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / bf.count()
+    // clustered data: probing 2/8 of the space must recover far more
+    // than 2/8 of the true neighbors
+    recall should be > 0.6
+    // every query returns rows (no centroid bucket lost)
+    ivf.select("query_id").distinct().count() shouldBe 400L
+  }
+
+  test("CentroidScores expression matches the literal-dot composition") {
+    val rnd = new scala.util.Random(31)
+    val cents = Seq.fill(5)(Seq.fill(8)(rnd.nextGaussian()))
+    val vecs = (1L to 50L).map(i => i -> Seq.fill(8)(rnd.nextGaussian()))
+    val df = vecsDf(vecs)
+    val composed = array(cents.map { c =>
+      VectorFunctions.dot(col("embedding"), array(c.map(lit): _*)) * 2 -
+        lit(c.map(x => x * x).sum)
+    }: _*)
+    val rows = df.select(
+      VectorFunctions.centroidScores(col("embedding"), cents).as("fused"),
+      composed.as("interp")).collect()
+    rows.foreach { r =>
+      r.getSeq[Double](0).zip(r.getSeq[Double](1)).foreach { case (a, b) =>
+        a shouldBe b +- 1e-12
+      }
+    }
+  }
+
   test("lshTopK: bucketed neighbors are a subset of brute-force candidates with correct ranks") {
     val rnd = new scala.util.Random(5)
     // clustered vectors so buckets are meaningful
