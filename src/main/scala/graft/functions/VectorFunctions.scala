@@ -117,17 +117,22 @@ case class CentroidScores(child: Expression, cents: Seq[Seq[Double]])
 
   override def prettyName: String = "graft_centroid_scores"
 
-  /** Shared by interpreted and codegen paths. */
+  /** Shared by interpreted and codegen paths. Dimension mismatches
+    * fail fast — a truncated dot would silently index the row under an
+    * arbitrary centroid, making it unfindable by probes. */
   def score(arr: ArrayData): GenericArrayData = {
     val k = matrix.length
+    val dim = if (k == 0) 0 else matrix(0).length
+    if (arr.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector has ${arr.numElements()} dims, centroids have $dim")
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {
       val m = matrix(c)
-      val n = math.min(arr.numElements(), m.length)
       var s = 0.0
       var d = 0
-      while (d < n) { s += arr.getDouble(d) * m(d); d += 1 }
+      while (d < dim) { s += arr.getDouble(d) * m(d); d += 1 }
       out(c) = 2 * s - normSq(c)
       c += 1
     }

@@ -15,12 +15,24 @@ import org.apache.spark.sql.Dataset
   */
 object TfRecordSink {
 
+  /** Delete the target split directories before a (re-)write: a rerun
+    * with fewer upstream partitions would otherwise leave stale
+    * part-files from the prior run mixed into the output. */
+  private def clean(conf: Configuration, dir: String, splits: Seq[String]): Unit =
+    splits.foreach { s =>
+      val d = new Path(s"$dir/$s")
+      val fs = d.getFileSystem(conf)
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+
   def write(payloads: Dataset[Array[Byte]], dir: String, split: String): Long = {
     val splitDir = s"$dir/$split"
+    val conf = HadoopConfs.serializable(payloads.sparkSession)
+    clean(conf.value, dir, Seq(split))
     val written = payloads.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val path = new Path(f"$splitDir/part-$pid%05d.tfrecord.gz")
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(conf.value)
       val out = TfRecord.gzipWriter(fs.create(path, true))
       var n = 0L
       try it.foreach { bytes => TfRecord.writeRecord(out, bytes); n += 1 }
@@ -43,14 +55,15 @@ object TfRecordSink {
       dir: String,
       names: Seq[String]): Map[String, Long] = {
     val nSplits = names.size
+    val conf = HadoopConfs.serializable(routed.sparkSession)
+    clean(conf.value, dir, names)
     // (splitIdx, count) per task: tiny driver-side metadata (partitions
     // × splits tuples), the same footprint as the old write().reduce.
     val counts = routed.select("payload", "split_idx").mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val conf = new Configuration()
       val writers = names.map { name =>
         val path = new Path(f"$dir/$name/part-$pid%05d.tfrecord.gz")
-        TfRecord.gzipWriter(path.getFileSystem(conf).create(path, true))
+        TfRecord.gzipWriter(path.getFileSystem(conf.value).create(path, true))
       }.toArray
       val n = new Array[Long](nSplits)
       try it.foreach { r =>
@@ -67,10 +80,11 @@ object TfRecordSink {
     names.map(nm => nm -> agg.getOrElse(nm, 0L)).toMap
   }
 
-  /** Read shards back (test/verification path). */
+  /** Read shards back (test/verification path; use
+    * [[TfRecordSource.read]] for the distributed path). */
   def readAll(spark: org.apache.spark.sql.SparkSession, dir: String, split: String): Seq[Array[Byte]] = {
     val path = new Path(s"$dir/$split")
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(HadoopConfs.of(spark))
     if (!fs.exists(path)) return Nil
     fs.listStatus(path).filter(_.getPath.getName.endsWith(".tfrecord.gz")).toSeq
       .sortBy(_.getPath.getName)

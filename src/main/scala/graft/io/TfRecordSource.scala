@@ -1,6 +1,5 @@
 package graft.io
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 
@@ -15,26 +14,40 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
   * shuffle. Gzipped TFRecord frames are not block-splittable, so the
   * parallelism unit is the shard; the sink writes one shard per
   * upstream partition, which keeps shard sizes bounded by upstream
-  * partitioning.
+  * partitioning. Filesystems resolve from the session's Hadoop conf
+  * (object-store credentials included); each shard's stream closes as
+  * soon as its iterator drains.
   */
 object TfRecordSource {
 
   /** All record payloads under `dir`/`split` as a distributed dataset. */
   def read(spark: SparkSession, dir: String, split: String): Dataset[Array[Byte]] = {
     val base = new Path(s"$dir/$split")
-    val fs = base.getFileSystem(new Configuration())
+    val fs = base.getFileSystem(HadoopConfs.of(spark))
     val files: Seq[String] =
       if (!fs.exists(base)) Seq.empty
       else fs.listStatus(base).toSeq
         .filter(_.getPath.getName.endsWith(".tfrecord.gz"))
         .map(_.getPath.toString).sorted
+    val conf = HadoopConfs.serializable(spark)
     val parallelism = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(files)(Encoders.STRING)
       .repartition(parallelism)
       .mapPartitions { paths =>
         paths.flatMap { f =>
           val p = new Path(f)
-          TfRecord.readAll(p.getFileSystem(new Configuration()).open(p), gzipped = true)
+          val in = p.getFileSystem(conf.value).open(p)
+          val records = TfRecord.readAll(in, gzipped = true)
+          // close the shard's stream the moment it drains — a task
+          // reading many shards must not accumulate open descriptors
+          new Iterator[Array[Byte]] {
+            def hasNext: Boolean = {
+              val h = records.hasNext
+              if (!h) in.close()
+              h
+            }
+            def next(): Array[Byte] = records.next()
+          }
         }
       }(Encoders.BINARY)
   }

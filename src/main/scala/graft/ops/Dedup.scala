@@ -35,7 +35,7 @@ object Dedup {
     * overflow under ANSI arithmetic).
     *
     * For an engine-portable family (used by the oracle-checked query)
-    * see [[portableMinhashSignature]]. */
+    * see [[graft.functions.PortableMinHashSignature]]. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
@@ -59,8 +59,8 @@ object Dedup {
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
     *         fraction of matching signature components, filtered to
     *         `threshold`
-    */
-  /** `maxBucket` caps LSH bucket width: (band, band_hash) buckets
+    *
+    * `maxBucket` caps LSH bucket width: (band, band_hash) buckets
     * holding more than `maxBucket` documents are dropped before the
     * candidate join — a bucket that wide is template/boilerplate
     * collapse and would contribute width² candidate pairs on one
@@ -100,7 +100,11 @@ object Dedup {
     // (id + k longs per doc) but consumed by BOTH candidate-join sides
     // (and the bucket-width aggregate when capped) — materialize once
     // instead of re-tokenizing/re-hashing the corpus per consumer.
-    val sigsOnce = sigs.localCheckpoint(true)
+    // Lazy checkpoint: lineage truncates and blocks cache on the first
+    // action, so plan CONSTRUCTION stays side-effect free; signature
+    // values are pure functions of the input, so a concurrent first
+    // compute by two stages is harmless.
+    val sigsOnce = sigs.localCheckpoint(false)
 
     // band rows: (band index, hash of that band's slice, id, sig)
     def bandHash(b: Column): Column = {
@@ -147,8 +151,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8, portable: Boolean = false): DataFrame = {
     // 16 bytes per doc, consumed by both candidate-join sides —
-    // materialize once instead of re-hashing the corpus twice.
-    val withSim = withSimhash(df, idCol, textCol, portable).localCheckpoint(true)
+    // materialized once (lazily) instead of re-hashing the corpus twice.
+    val withSim = withSimhash(df, idCol, textCol, portable).localCheckpoint(false)
     // 4 bands of 16 bits: pairs within Hamming<=maxHamming must share
     // >=1 exact band when maxHamming < 4 per the pigeonhole at 16-bit
     // chunks; used as a candidate filter, then verified exactly.
@@ -286,7 +290,7 @@ object Dedup {
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"),
         explode(array_distinct(TextOps.shingles(col("ws"), shingleN))).as("sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sh =
       if (maxDf == Int.MaxValue) shRaw
       else {

@@ -142,8 +142,17 @@ object Similarity {
     * embedded literals. */
   def ivfCentroids(
       df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 3): Array[Array[Double]] = {
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      nCentroids: Int, iters: Int = 3): Array[Array[Double]] =
+    fitCentroids(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      nCentroids, iters)
+
+  /** Fit over a prepared (id, v) frame — callers materialize it once
+    * (the fit re-reads it per Lloyd iteration). */
+  private def fitCentroids(
+      v: DataFrame, nCentroids: Int, iters: Int): Array[Array[Double]] = {
+    // Fewer rows than requested centroids → fit what exists; callers
+    // clamp nProbe to the fitted count.
     var cents: Array[Array[Double]] = v
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(nCentroids)
@@ -205,9 +214,17 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
-    val cents = ivfCentroids(df, idCol, vecCol, nCentroids, iters)
-    val v = OpsUtil.widen(df)
+    // Materialize the narrow (id, vector) base once: the fit reads it
+    // per Lloyd iteration and the index/query branches both derive
+    // from it (lazy checkpoint — no job until the fit's first action).
+    val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(false)
+    val cents = fitCentroids(base, nCentroids, iters)
+    // The fit caps centroids at the row count; probe within what exists.
+    val kFit = cents.length
+    val probeN = math.min(nProbe, kFit)
+    val v = base
       .withColumn("n", norm(col("v")))
       .withColumn("scores", centroidScores(col("v"), cents))
     val index = v
@@ -215,7 +232,7 @@ object Similarity {
       .select(col("cid"), col("id").as("neighbor_id"),
         col("v").as("cv"), col("n").as("cn"))
     val queries = v
-      .withColumn("cid", explode(topIdx(col("scores"), nCentroids, nProbe)))
+      .withColumn("cid", explode(topIdx(col("scores"), kFit, probeN)))
       .select(col("cid"), col("id").as("query_id"),
         col("v").as("qv"), col("n").as("qn"))
     val cand = queries.join(index, Seq("cid"))

@@ -520,10 +520,7 @@ object PipelineQueries {
             length(col("text")).cast("long").as("n_chars"))
         val payloads = graft.run.Runner.encode(src)
         val out = s"${System.getProperty("java.io.tmpdir")}/graft-tfrecord-roundtrip"
-        val base = new org.apache.hadoop.fs.Path(out)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        if (fs.exists(base)) fs.delete(base, true) // stale shards would duplicate rows
-        graft.io.TfRecordSink.write(payloads, out, "all")
+        graft.io.TfRecordSink.write(payloads, out, "all") // sink cleans stale shards
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("lang", StringType),

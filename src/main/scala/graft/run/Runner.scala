@@ -148,8 +148,8 @@ object Runner {
     * splits, counts, and format without listing shards. Written as
     * `_MANIFEST.json` beside the split directories via the Hadoop FS
     * API (local FS / HDFS / object stores alike). */
-  def writeManifest(base: String, job: JobConfig, results: Seq[SplitResult]): Unit = {
-    import org.apache.hadoop.conf.Configuration
+  def writeManifest(spark: SparkSession, base: String, job: JobConfig,
+      results: Seq[SplitResult]): Unit = {
     import org.apache.hadoop.fs.Path
     val fmt = job.outputFormat match {
       case TfExampleFormat => "FORMAT_TF_EXAMPLE"
@@ -165,7 +165,7 @@ object Runner {
     val json =
       s"""{"payload_format":"$fmt","span":${job.span},"version":${job.artifactVersion},"splits":$splitsJson,"range_params":$params}"""
     val path = new Path(s"$base/_MANIFEST.json")
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(graft.io.HadoopConfs.of(spark))
     val out = fs.create(path, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -182,7 +182,7 @@ object Runner {
       val payloads = encode(joined, job.outputFormat)
       val base = if (inName.isEmpty) job.outputPath else s"${job.outputPath}/$inName"
       val results = writeSplits(payloads, job.outputSplits, base)
-      writeManifest(base, job, results)
+      writeManifest(spark, base, job, results)
       results
     }
   }

@@ -75,4 +75,20 @@ class TfRecordSinkSpec extends SparkSpec {
     // missing split dir → empty dataset, not an error
     assert(TfRecordSource.read(spark, dir, "nope").count() == 0)
   }
+
+  test("rewrite into the same dir replaces stale shards from a wider run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val wide = spark.range(1000)
+      .map(i => s"old-$i".getBytes)(org.apache.spark.sql.Encoders.BINARY)
+      .repartition(16)
+    TfRecordSink.write(wide, dir, "all")
+    val narrow = spark.range(100)
+      .map(i => s"new-$i".getBytes)(org.apache.spark.sql.Encoders.BINARY)
+      .repartition(2)
+    val n = TfRecordSink.write(narrow, dir, "all")
+    assert(n == 100)
+    val back = TfRecordSource.read(spark, dir, "all")
+      .map(new String(_))(org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(back == (0 until 100).map(i => s"new-$i").toSet) // no old-* leftovers
+  }
 }
