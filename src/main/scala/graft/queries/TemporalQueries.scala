@@ -80,6 +80,33 @@ object TemporalQueries {
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM numbered GROUP BY 1, 2""")),
 
+    // Native merging session_window (vs the lag/cumsum formulation
+    // above): boundary semantics differ — a gap of EXACTLY 30 minutes
+    // starts a new session here (windows touch but don't overlap),
+    // mirrored with >= in the oracle. session_end = last event + gap.
+    QueryDef(
+      "events_session_window",
+      (s, dir) => graft.streaming.StreamingOps.sessionWindowAgg(
+        table(s, dir, "events"), "ts", "user_id", "30 minutes", "0 seconds"),
+      Some("""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsm FROM events),
+        flagged AS (
+          SELECT user_id, tsm,
+                 CASE WHEN lag(tsm) OVER w IS NULL
+                        OR tsm - lag(tsm) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
+        numbered AS (
+          SELECT user_id, tsm,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+          FROM flagged)
+        SELECT user_id,
+               MIN(tsm) AS session_start,
+               MAX(tsm) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sidx""")),
+
     QueryDef(
       "events_pivot",
       (s, dir) => table(s, dir, "events")

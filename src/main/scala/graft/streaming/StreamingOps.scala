@@ -35,6 +35,26 @@ object StreamingOps {
         count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("sum_value"))
 
+  /** Event-time gap-session aggregation via Spark's native merging
+    * `session_window` state: one session row per (key, burst of events
+    * closer than `gap`), `session_end` = last event + gap. The same
+    * transform runs batch (watermark is a no-op) and streaming (append
+    * mode; a session finalizes and its state drops once the watermark
+    * passes its end — bounded memory on unbounded streams). The
+    * streaming analogue of [[graft.ops.Sessionize.sessionStats]], and
+    * the batch `events_session_window` query's implementation. */
+  def sessionWindowAgg(
+      events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming exact dedup: drops rows whose `idCols` were already seen
     * within the watermark horizon. State is evicted as event time
     * advances, so memory stays proportional to the horizon, not the

@@ -53,6 +53,42 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg: streaming append result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = StreamingOps.sessionWindowAgg(
+      stream.toDF(), "ts", "user_id", "30 minutes", "10 minutes")
+    // session windows emit in APPEND mode once the watermark passes
+    // their end; a far-future flush event on a sacrificial key pushes
+    // the watermark past every real session
+    val flush = Ev(99L, t("2024-01-02 12:00:00"), "flush", 0.0)
+    val q = out.writeStream.format("memory").queryName("swagg")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.take(3))
+      q.processAllAvailable()
+      stream.addData(events.drop(3))
+      q.processAllAvailable()
+      stream.addData(Seq(flush))
+      q.processAllAvailable()
+      val got = spark.table("swagg").filter($"user_id" =!= 99L)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+
+      val batch = StreamingOps.sessionWindowAgg(
+        events.toDF(), "ts", "user_id", "30 minutes", "10 minutes")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      got shouldBe batch
+      // user 1: 10:05+10:20 merge (15 min apart), 11:10 separate
+      batch.count(_._1 == 1L) shouldBe 2
+      val first = batch.find(x => x._1 == 1L && x._2 == t("2024-01-01 10:05:00")).get
+      first._3 shouldBe t("2024-01-01 10:50:00") // last event 10:20 + 30 min
+      first._4 shouldBe 2L
+    } finally q.stop()
+  }
+
   test("latestPerKey: state converges to the per-key event-time argmax") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
