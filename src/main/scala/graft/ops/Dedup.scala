@@ -261,6 +261,28 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct shingles with ANY document of the evaluation
+    * set. The eval shingle set is distinct'd first (typically small —
+    * benchmarks are thousands of docs, not billions) so the semi-join
+    * broadcasts under AQE; the training corpus streams through it
+    * map-side, one aggregate on doc id after. The standard pipeline
+    * removes (or flags) the returned ids before training. */
+  def contamination(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minShared: Int = 3): DataFrame = {
+    def sh(d: DataFrame) = OpsUtil.widen(d)
+      .select(col(idCol).as("id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
+      .select(col("id"),
+        explode(array_distinct(TextOps.shingles(col("ws"), shingleN))).as("sh"))
+    val evalShingles = sh(eval).select("sh").distinct()
+    sh(train).join(evalShingles, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Exact n-gram Jaccard similarity for co-shingled pairs:
     * J(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed by exploding distinct
     * shingles and counting shared ones per pair (only pairs that share

@@ -25,6 +25,21 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(keyCol)) < pct)
 
+  /** Weighted mixture sampling: per-stratum keep percentages (the
+    * data-mixture knob of a pre-training corpus — e.g. upsample rare
+    * languages, downsample boilerplate-heavy sources). Same portable
+    * hash as [[deterministicSample]], so the mixture is reproducible
+    * and referentially consistent across tables keyed the same way;
+    * strata not named in `rates` keep `defaultPct`. */
+  def mixtureSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < pct)
+  }
+
   /** Exactly-N-per-stratum sample (class balancing): rank rows within
     * each stratum by hash of the key (then key, for total order) and
     * keep the first n. One shuffle on the strata columns. */

@@ -201,6 +201,78 @@ object PipelineQueries {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.42""")),
 
+    // Sequence packing: docs → fixed-token-budget training sequences,
+    // hash-bucketed so packing parallelizes (one window per bucket,
+    // never a global sort).
+    QueryDef(
+      "pack_sequences",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(TextOps.normalized(col("text")))).cast("long").as("n_tokens"))
+        graft.ops.Packing.sequenceStats(docs, "doc_id", "n_tokens",
+          seqLen = 2048, buckets = 8)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+                 (doc_id * 2654435761 % 1000003) % 8 AS pack_bucket,
+                 (doc_id * 2654435761 % 1000003) AS ord
+          FROM documents),
+        p AS (
+          SELECT pack_bucket, doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_bucket
+                   ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+          FROM d)
+        SELECT pack_bucket,
+               tokens_before // 2048 AS seq_idx,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS n_tokens,
+               least(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 1.0) AS fill_ratio
+        FROM p GROUP BY 1, 2""")),
+
+    // Data-mixture sampling: per-language keep rates (upsample rare,
+    // downsample common) via the portable sampling hash.
+    QueryDef(
+      "mixture_sample",
+      (s, dir) => graft.ops.Sampling.mixtureSample(
+        table(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 40, "de" -> 80, "fr" -> 100), defaultPct = 10)
+        .select("doc_id", "lang"),
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761 % 1000003) % 100 <
+              CASE lang WHEN 'fr' THEN 100 WHEN 'de' THEN 80
+                        WHEN 'en' THEN 40 ELSE 10 END""")),
+
+    // Benchmark decontamination: flag training docs sharing >= 3
+    // trigrams with the (hash-sampled) eval split.
+    QueryDef(
+      "decontaminate",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val evalSet = docs.filter(graft.ops.Sampling.hashBucket(col("doc_id")) < 5)
+        val train = docs.filter(graft.ops.Sampling.hashBucket(col("doc_id")) >= 5)
+        Dedup.contamination(train, evalSet, "doc_id", "text",
+          shingleN = 3, minShared = 3)
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM w),
+        ev AS (SELECT DISTINCT sh FROM sh WHERE (id * 2654435761 % 1000003) % 100 < 5),
+        tr AS (SELECT id, sh FROM sh WHERE (id * 2654435761 % 1000003) % 100 >= 5)
+        SELECT tr.id AS doc_id, COUNT(*) AS n_shared
+        FROM tr JOIN ev ON ev.sh = tr.sh
+        GROUP BY tr.id HAVING COUNT(*) >= 3""")),
+
     QueryDef(
       "text_token_counts",
       (s, dir) => table(s, dir, "documents")

@@ -166,6 +166,22 @@ class DedupSpec extends SparkSpec with Matchers {
     uncapped.count() shouldBe 190L // 20 choose 2
   }
 
+  test("contamination flags exactly the docs sharing enough eval shingles") {
+    val evalSet = docsDf(Seq(
+      1000L -> "the quick brown fox jumps over the lazy dog"))
+    val train = docsDf(Seq(
+      1L -> "the quick brown fox jumps somewhere else entirely now", // shares 3 shingles
+      2L -> "quick brown dogs sleep all day long",                   // shares 0 trigrams
+      3L -> "the quick brown fox jumps over the lazy dog indeed",    // shares 7
+      4L -> "completely unrelated text about something different"))
+    val got = Dedup.contamination(train, evalSet, "doc_id", "text",
+      shingleN = 3, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe Set(1L, 3L)
+    got(1L) shouldBe 3L
+    got(3L) shouldBe 7L
+  }
+
   test("ngram jaccard property: random doc pairs match naive oracle") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 30).map(i => s"w$i")
