@@ -44,6 +44,41 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash64 takes exactly 1 argument")
         SimHash64(args.head)
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "_FUNC_(shingles, k) - k-component engine-portable minhash signature " +
+          "(md5-seeded (h1 + i*h2) mod p family) over an array<string>.",
+        classOf[PortableMinHashSignature]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash_sig takes exactly 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig: k must be an integer literal, got $other")
+        }
+        PortableMinHashSignature(args.head, k, graft.ops.Dedup.PortableMinhashMod)
+      }),
+    (FunctionIdentifier("graft_md5_prefix60"),
+      info("graft_md5_prefix60",
+        "_FUNC_(tokens) - per-element portable 60-bit md5-prefix hashes of an array<string>.",
+        classOf[Md5Prefix60Array]),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_md5_prefix60 takes exactly 1 argument")
+        Md5Prefix60Array(args.head)
+      }),
+    (FunctionIdentifier("graft_rolling_minhash"),
+      info("graft_rolling_minhash",
+        "_FUNC_(text, window) - minimum rolling byte-hash fingerprint with the given window.",
+        classOf[RollingMinHash]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_rolling_minhash takes exactly 2 arguments")
+        val w = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_minhash: window must be an integer literal, got $other")
+        }
+        RollingMinHash(args.head, w)
       }))
 
   /** Register every graft function + the dot-product optimizer rewrite

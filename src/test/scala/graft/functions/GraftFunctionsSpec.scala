@@ -31,6 +31,24 @@ class GraftFunctionsSpec extends SparkSpec with Matchers {
     ex.getMessage should include("graft_dot")
   }
 
+  test("round-2 kernels callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(array('a b c', 'b c d'), 4) AS s").head().getSeq[Long](0)
+    sig.length shouldBe 4
+    sig.foreach(v => v should (be >= 0L and be < graft.ops.Dedup.PortableMinhashMod))
+    val hs = spark.sql(
+      "SELECT graft_md5_prefix60(array('x', 'y')) AS h").head().getSeq[Long](0)
+    hs.length shouldBe 2
+    hs.distinct.length shouldBe 2
+    val rfp = spark.sql(
+      "SELECT graft_rolling_minhash('abcdefghijklmnop', 4) AS r").head().getLong(0)
+    val viaCol = spark.range(1).select(
+      RollingHashFunctions.rollingMinHash(
+        org.apache.spark.sql.functions.lit("abcdefghijklmnop"), 4)).head().getLong(0)
+    rfp shouldBe viaCol
+  }
+
   test("fused portable hashes match the interpreted SQL composition") {
     // The DuckDB oracle computes the portable family from md5 hex
     // strings; the fused codegen kernels must agree bit-for-bit.
