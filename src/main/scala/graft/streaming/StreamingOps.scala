@@ -17,6 +17,19 @@ import graft.join.{PointInTimeJoin, ResolvedView}
   * `read` (batch) because they only use event-time columns — no
   * processing-time dependence, so results are reproducible.
   */
+/** Union row of the custom-state as-of join: an event (`event_id` set)
+  * or a feature (`payload` set). */
+case class PitTagged(key: String, ts: java.sql.Timestamp,
+    event_id: java.lang.Long, payload: String)
+
+/** Per-key buffers: pending events (tsMs, eventId) and admissible
+  * features (tsMs, payload). */
+case class PitGroupState(events: List[(Long, Long)], features: List[(Long, String)])
+
+/** Resolved event: feature fields None when nothing was admissible. */
+case class PitResolved(event_id: Long, event_ts_ms: Long,
+    feature_ts_ms: Option[Long], payload: Option[String])
+
 object StreamingOps {
 
   /** Event-time tumbling-window aggregation with a watermark: the
@@ -63,6 +76,132 @@ object StreamingOps {
       df: DataFrame, idCols: Seq[String], tsCol: String, watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** TRUE stream-stream point-in-time join: both the entity events AND
+    * the feature rows arrive as streams, and each event picks the
+    * latest feature row within `[event_ts − ttl, event_ts]` per key —
+    * the case [[pitEnrichStream]]'s batch-table model can't express
+    * (late-arriving features need buffering on event time).
+    *
+    * Plan shape: watermarked stream-stream INNER join on key + time
+    * range (both sides' state evicted as the watermark advances — the
+    * TTL bounds how long a feature row stays joinable), then a chained
+    * stateful event-time argmax per event dedups multiple admissible
+    * feature rows with the SAME lexicographic (ts, features…) winner
+    * as the batch engine's MaxByAgg. Append mode: an event finalizes
+    * once the watermark passes its timestamp.
+    *
+    * INNER only: events with no admissible feature are absent from the
+    * output. Spark emits stream-stream OUTER null rows only after the
+    * watermark passes them, so a downstream stateful argmax discards
+    * them as late — use [[pitStreamStreamWithState]] for full batch
+    * left-join parity (nulls for feature-less events).
+    *
+    * `eventIdCol` must uniquely identify an event row (the stitch key,
+    * like the batch join's rowIdCol). */
+  def pitStreamStream(
+      events: DataFrame, eventIdCol: String, eventTsCol: String,
+      features: DataFrame, featureTsCol: String,
+      joinKeys: Seq[(String, String)], featureCols: Seq[String],
+      ttlSeconds: Long, watermark: String): DataFrame = {
+    require(joinKeys.nonEmpty && featureCols.nonEmpty)
+    val e = events.withWatermark(eventTsCol, watermark).alias("e")
+    val f = features.withWatermark(featureTsCol, watermark).alias("f")
+    val keyCond = joinKeys
+      .map { case (ek, fk) => col(s"e.$ek") === col(s"f.$fk") }
+      .reduce(_ && _)
+    val rangeCond =
+      col(s"f.$featureTsCol") <= col(s"e.$eventTsCol") &&
+        col(s"f.$featureTsCol") >= col(s"e.$eventTsCol") - expr(s"INTERVAL $ttlSeconds SECONDS")
+    val joined = e.join(f, keyCond && rangeCond, "inner")
+    val best = struct(
+      col(s"f.$featureTsCol") +: featureCols.map(c => col(s"f.$c")): _*)
+    joined
+      .groupBy(col(s"e.$eventIdCol").as(eventIdCol),
+        col(s"e.$eventTsCol").as(eventTsCol))
+      .agg(max(best).as("__graft_best"))
+      .select(col(eventIdCol) +: col(eventTsCol) +:
+        featureCols.map(c => col(s"__graft_best.$c").as(c)): _*)
+  }
+
+  /** Full-semantics streaming as-of LEFT join via custom state — the
+    * (c)-tier operator for what built-in composition can't express:
+    * [[pitStreamStream]]'s inner join drops feature-less events, and
+    * Spark's outer-join null rows arrive too late for a chained argmax.
+    *
+    * Both streams union into one keyed stream with a single watermark;
+    * per join key, `flatMapGroupsWithState` buffers pending events and
+    * admissible features, resolves an event once the watermark passes
+    * its timestamp (every on-time feature with `fts <= ets` must have
+    * arrived by then), and emits nulls when nothing was admissible —
+    * exact batch left-join parity. State is pruned to the TTL horizon
+    * (`fts >= watermark - ttl`) and an event-time timeout fires at the
+    * earliest pending event so groups resolve without new input.
+    *
+    * Column contract (callers pre-project): events `(key string,
+    * ets timestamp, event_id long)`; features `(key string,
+    * fts timestamp, payload string)` — payload is the caller's encoded
+    * feature tuple (e.g. `to_json(struct(...))`). Winner per event:
+    * latest admissible `fts`, ties by payload (equals the batch
+    * MaxByAgg whenever (key, fts) is unique). */
+  def pitStreamStreamWithState(
+      events: DataFrame, features: DataFrame,
+      ttlSeconds: Long, watermark: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlMs = ttlSeconds * 1000L
+    val tagged = events
+      .select(col("key"), col("ets").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        lit(null).cast("string").as("payload"))
+      .unionAll(features.select(col("key"), col("fts").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("payload")))
+      .withWatermark("ts", watermark)
+      .as[PitTagged]
+
+    val resolved = tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PitGroupState, PitResolved](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state) =>
+          val st = state.getOption.getOrElse(PitGroupState(Nil, Nil))
+          var pendingEvents = st.events
+          var feats = st.features
+          rows.foreach { r =>
+            if (r.event_id != null) pendingEvents ::= (r.ts.getTime, r.event_id.longValue())
+            else feats ::= (r.ts.getTime, r.payload)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, stillPending) = pendingEvents.partition(_._1 <= wm)
+          val out = ready.map { case (ets, id) =>
+            val adm = feats.filter(f => f._1 <= ets && f._1 >= ets - ttlMs)
+            if (adm.isEmpty) PitResolved(id, ets, None, None)
+            else {
+              val best = adm.max
+              PitResolved(id, ets, Some(best._1), Some(best._2))
+            }
+          }
+          // features stay joinable for ttl past the watermark horizon;
+          // anything older can never be admissible for an on-time event
+          val keptFeats = feats.filter(_._1 >= wm - ttlMs)
+          if (stillPending.isEmpty && keptFeats.isEmpty) state.remove()
+          else {
+            state.update(PitGroupState(stillPending, keptFeats))
+            val next =
+              if (stillPending.nonEmpty) stillPending.map(_._1).min
+              else wm + ttlMs // revisit to expire remaining features
+            if (next > wm) state.setTimeoutTimestamp(next)
+          }
+          out.iterator
+      }
+
+    resolved.select(col("event_id"),
+      timestamp_millis(col("event_ts_ms")).as("ets"),
+      timestamp_millis(col("feature_ts_ms")).as("fts"),
+      col("payload"))
+  }
 
   /** Streaming training-data generation: point-in-time enrich each
     * micro-batch of entity events against (static) feature views using

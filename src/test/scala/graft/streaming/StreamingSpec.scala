@@ -9,6 +9,8 @@ import org.scalatest.matchers.should.Matchers
 import graft.SparkSpec
 
 case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class IdEv(event_id: Long, user_id: Long, ts: Timestamp)
+case class Feat(key: Long, fts: Timestamp, score: Double)
 
 /** Streaming operators checked for batch/stream result parity: the same
   * DataFrame transform fed through a MemoryStream must produce the same
@@ -88,6 +90,121 @@ class StreamingSpec extends SparkSpec with Matchers {
       first._4 shouldBe 2L
     } finally q.stop()
   }
+
+  test("pitStreamStream: both-sides-streaming as-of join equals batch PIT") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      IdEv(1L, 10L, t("2024-01-01 10:00:00")), // sees f@09:50 (latest in ttl)
+      IdEv(2L, 10L, t("2024-01-01 11:00:00")), // sees f@10:55
+      IdEv(3L, 20L, t("2024-01-01 10:30:00")), // key 20: feature too old → null
+      IdEv(4L, 30L, t("2024-01-01 10:30:00"))) // key absent → null
+    val feats = Seq(
+      Feat(10L, t("2024-01-01 09:50:00"), 1.0),
+      Feat(10L, t("2024-01-01 09:40:00"), 2.0), // older, must lose to 09:50
+      Feat(10L, t("2024-01-01 10:55:00"), 3.0),
+      Feat(20L, t("2024-01-01 08:00:00"), 9.0)) // outside 2h ttl for 10:30
+    val ttl = 2L * 3600
+
+    val eStream = MemoryStream[IdEv]
+    val fStream = MemoryStream[Feat]
+    val out = StreamingOps.pitStreamStream(
+      eStream.toDF(), "event_id", "ts",
+      fStream.toDF(), "fts",
+      joinKeys = Seq("user_id" -> "key"), featureCols = Seq("score"),
+      ttlSeconds = ttl, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sspit")
+      .outputMode("append").start()
+    try {
+      // interleaved arrival, then far-future flush on BOTH streams
+      // (the join's watermark is the min across inputs)
+      eStream.addData(evs.take(2)); fStream.addData(feats.take(3))
+      q.processAllAvailable()
+      eStream.addData(evs.drop(2)); fStream.addData(feats.drop(3))
+      q.processAllAvailable()
+      eStream.addData(Seq(IdEv(99L, 99L, t("2024-01-03 00:00:00"))))
+      fStream.addData(Seq(Feat(98L, t("2024-01-03 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("sspit").filter($"event_id" =!= 99L)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toSet
+
+      // inner semantics: matches batch PIT on events that HAVE features
+      val view = ResolvedViewForTest(feats.toDF(), ttl)
+      val batch = graft.join.PointInTimeJoin.join(
+        evs.toDF(), "ts", Seq(view), rowIdCol = Some("event_id"))
+        .filter($"score".isNotNull)
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[Any]("score")).map(_.asInstanceOf[Double])))
+        .toSet
+      got shouldBe batch
+      got shouldBe Set((1L, Some(1.0)), (2L, Some(3.0)))
+    } finally q.stop()
+  }
+
+  test("pitStreamStreamWithState: custom state gives full batch left-join parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      IdEv(1L, 10L, t("2024-01-01 10:00:00")),
+      IdEv(2L, 10L, t("2024-01-01 11:00:00")),
+      IdEv(3L, 20L, t("2024-01-01 10:30:00")), // stale feature → null
+      IdEv(4L, 30L, t("2024-01-01 10:30:00"))) // no feature → null
+    val feats = Seq(
+      Feat(10L, t("2024-01-01 09:50:00"), 1.0),
+      Feat(10L, t("2024-01-01 09:40:00"), 2.0),
+      Feat(10L, t("2024-01-01 10:55:00"), 3.0),
+      Feat(20L, t("2024-01-01 08:00:00"), 9.0))
+    val ttl = 2L * 3600
+
+    val eStream = MemoryStream[IdEv]
+    val fStream = MemoryStream[Feat]
+    val out = StreamingOps.pitStreamStreamWithState(
+      eStream.toDF().select($"user_id".cast("string").as("key"),
+        $"ts".as("ets"), $"event_id"),
+      fStream.toDF().select($"key".cast("string").as("key"),
+        $"fts", $"score".cast("string").as("payload")),
+      ttlSeconds = ttl, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sspit2")
+      .outputMode("append").start()
+    try {
+      // everything arrives while the watermark is still at zero (rows
+      // older than the watermark are dropped as late — standard
+      // semantics); then two flush rounds: the first advances the
+      // watermark past most events (timeouts resolve them), the second
+      // past the rest
+      eStream.addData(evs); fStream.addData(feats)
+      q.processAllAvailable()
+      eStream.addData(Seq(IdEv(99L, 99L, t("2024-01-03 00:00:00"))))
+      q.processAllAvailable()
+      eStream.addData(Seq(IdEv(97L, 97L, t("2024-01-05 00:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("sspit2")
+        .filter($"event_id" =!= 99L && $"event_id" =!= 97L)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)).map(_.toDouble)))
+        .toSet
+
+      val view = ResolvedViewForTest(feats.toDF(), ttl)
+      val batch = graft.join.PointInTimeJoin.join(
+        evs.toDF(), "ts", Seq(view), rowIdCol = Some("event_id"))
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[Any]("score")).map(_.asInstanceOf[Double])))
+        .toSet
+      got shouldBe batch
+      got shouldBe Set(
+        (1L, Some(1.0)), (2L, Some(3.0)), (3L, None), (4L, None))
+    } finally q.stop()
+  }
+
+  private def ResolvedViewForTest(feats: org.apache.spark.sql.DataFrame, ttl: Long) =
+    graft.join.ResolvedView(
+      name = "f", source = feats, joinKeys = Seq("user_id" -> "key"),
+      tsCol = "fts", createdTs = None, features = Seq("score"),
+      ttlSeconds = Some(ttl))
 
   test("latestPerKey: state converges to the per-key event-time argmax") {
     import spark.implicits._
