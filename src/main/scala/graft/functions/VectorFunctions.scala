@@ -104,6 +104,9 @@ case class CentroidScores(child: Expression, cents: Seq[Seq[Double]])
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "centroid rows must be non-empty and share one dimensionality")
+
   @transient private lazy val matrix: Array[Array[Double]] = cents.map(_.toArray).toArray
   @transient private lazy val normSq: Array[Double] = matrix.map(_.map(x => x * x).sum)
 

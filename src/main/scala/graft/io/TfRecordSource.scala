@@ -34,16 +34,23 @@ object TfRecordSource {
     spark.createDataset(files)(Encoders.STRING)
       .repartition(parallelism)
       .mapPartitions { paths =>
+        // one stream open at a time per task; closed when its shard
+        // drains AND (belt-and-braces) at task completion, so early
+        // termination (limit, failure mid-shard) can't leak the
+        // descriptor / pooled object-store connection
+        var open: java.io.Closeable = null
+        def closeOpen(): Unit = if (open != null) { open.close(); open = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOpen()))
         paths.flatMap { f =>
           val p = new Path(f)
           val in = p.getFileSystem(conf.value).open(p)
+          open = in
           val records = TfRecord.readAll(in, gzipped = true)
-          // close the shard's stream the moment it drains — a task
-          // reading many shards must not accumulate open descriptors
           new Iterator[Array[Byte]] {
             def hasNext: Boolean = {
               val h = records.hasNext
-              if (!h) in.close()
+              if (!h) closeOpen()
               h
             }
             def next(): Array[Byte] = records.next()

@@ -17,9 +17,14 @@ object Sampling {
 
   /** Multiplicative-hash position of a key in [0, buckets) — kept
     * SQL-portable (same arithmetic runs in any engine) rather than
-    * xxhash64 so oracles and downstream systems can reproduce it. */
+    * xxhash64 so oracles and downstream systems can reproduce it.
+    * The key reduces mod p BEFORE the multiply: the product then fits
+    * a long for any key (a raw key*2654435761 overflows above ~3.5e9 —
+    * an ArithmeticException under ANSI mode, or a sign-flipped hash
+    * that defeats every rate filter), and pmod keeps negative keys in
+    * range. Identical values for keys in [0, p). */
   def hashBucket(key: Column, buckets: Int = 100): Column =
-    (key * lit(2654435761L) % lit(1000003L)) % buckets
+    (pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L) % lit(1000003L)) % buckets
 
   /** Keep ~pct% of rows, deterministically by key. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =

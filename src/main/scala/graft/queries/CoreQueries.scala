@@ -214,10 +214,11 @@ object CoreQueries {
       "q10_split_assign",
       (s, dir) =>
         table(s, dir, "orders")
-          .withColumn("bucket", (col("o_orderkey") * 2654435761L % 1000003L) % 3)
+          .withColumn("bucket",
+            (pmod(col("o_orderkey"), lit(1000003L)) * 2654435761L % 1000003L) % 3)
           .groupBy("bucket").agg(count(lit(1)).as("n")),
       Some("""
-        SELECT (o_orderkey * 2654435761 % 1000003) % 3 AS bucket, COUNT(*) AS n
+        SELECT ((((o_orderkey % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 3 AS bucket, COUNT(*) AS n
         FROM orders GROUP BY 1"""))
   )
 }

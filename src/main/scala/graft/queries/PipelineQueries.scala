@@ -217,8 +217,8 @@ object PipelineQueries {
         WITH d AS (
           SELECT doc_id,
                  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
-                 (doc_id * 2654435761 % 1000003) % 8 AS pack_bucket,
-                 (doc_id * 2654435761 % 1000003) AS ord
+                 ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 8 AS pack_bucket,
+                 ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) AS ord
           FROM documents),
         p AS (
           SELECT pack_bucket, doc_id, n_tokens,
@@ -243,7 +243,7 @@ object PipelineQueries {
         .select("doc_id", "lang"),
       Some("""
         SELECT doc_id, lang FROM documents
-        WHERE (doc_id * 2654435761 % 1000003) % 100 <
+        WHERE ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 <
               CASE lang WHEN 'fr' THEN 100 WHEN 'de' THEN 80
                         WHEN 'en' THEN 40 ELSE 10 END""")),
 
@@ -267,8 +267,8 @@ object PipelineQueries {
                  unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
           FROM w),
-        ev AS (SELECT DISTINCT sh FROM sh WHERE (id * 2654435761 % 1000003) % 100 < 5),
-        tr AS (SELECT id, sh FROM sh WHERE (id * 2654435761 % 1000003) % 100 >= 5)
+        ev AS (SELECT DISTINCT sh FROM sh WHERE ((((id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 5),
+        tr AS (SELECT id, sh FROM sh WHERE ((((id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 >= 5)
         SELECT tr.id AS doc_id, COUNT(*) AS n_shared
         FROM tr JOIN ev ON ev.sh = tr.sh
         GROUP BY tr.id HAVING COUNT(*) >= 3""")),
@@ -515,7 +515,7 @@ object PipelineQueries {
         SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
                true AS recall_ok
         FROM embeddings
-        WHERE (vec_id * 2654435761 % 1000003) % 100 < 10""")),
+        WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10""")),
 
     QueryDef(
       "multimodal_decode",

@@ -23,7 +23,7 @@ object TemporalQueries {
         .select("event_id", "user_id", "event_type"),
       Some("""
         SELECT event_id, user_id, event_type FROM events
-        WHERE (event_id * 2654435761 % 1000003) % 100 < 10""")),
+        WHERE ((((event_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10""")),
 
     QueryDef(
       "sample_stratified",
@@ -34,7 +34,7 @@ object TemporalQueries {
         SELECT event_id, event_type FROM (
           SELECT event_id, event_type,
                  ROW_NUMBER() OVER (PARTITION BY event_type
-                   ORDER BY (event_id * 2654435761 % 1000003) % 1000003, event_id) AS rk
+                   ORDER BY ((((event_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 1000003, event_id) AS rk
           FROM events) WHERE rk <= 3""")),
 
     QueryDef(
@@ -81,9 +81,10 @@ object TemporalQueries {
         FROM numbered GROUP BY 1, 2""")),
 
     // Native merging session_window (vs the lag/cumsum formulation
-    // above): boundary semantics differ — a gap of EXACTLY 30 minutes
-    // starts a new session here (windows touch but don't overlap),
-    // mirrored with >= in the oracle. session_end = last event + gap.
+    // above): an event exactly `gap` after its predecessor still MERGES
+    // into the session (verified against Spark's merge rule), so the
+    // oracle breaks sessions strictly with >. session_end = last
+    // event + gap.
     QueryDef(
       "events_session_window",
       (s, dir) => graft.streaming.StreamingOps.sessionWindowAgg(
@@ -93,7 +94,7 @@ object TemporalQueries {
         flagged AS (
           SELECT user_id, tsm,
                  CASE WHEN lag(tsm) OVER w IS NULL
-                        OR tsm - lag(tsm) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                        OR tsm - lag(tsm) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
           FROM e
           WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
         numbered AS (

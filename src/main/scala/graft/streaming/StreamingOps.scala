@@ -174,7 +174,10 @@ object StreamingOps {
             else feats ::= (r.ts.getTime, r.payload)
           }
           val wm = state.getCurrentWatermarkMs()
-          val (ready, stillPending) = pendingEvents.partition(_._1 <= wm)
+          // STRICTLY before the watermark: a feature with fts == wm is
+          // not late and may still arrive, so an event at ets == wm
+          // isn't resolvable yet (batch-parity at the boundary)
+          val (ready, stillPending) = pendingEvents.partition(_._1 < wm)
           val out = ready.map { case (ets, id) =>
             val adm = feats.filter(f => f._1 <= ets && f._1 >= ets - ttlMs)
             if (adm.isEmpty) PitResolved(id, ets, None, None)
@@ -191,8 +194,9 @@ object StreamingOps {
             state.update(PitGroupState(stillPending, keptFeats))
             val next =
               if (stillPending.nonEmpty) stillPending.map(_._1).min
-              else wm + ttlMs // revisit to expire remaining features
-            if (next > wm) state.setTimeoutTimestamp(next)
+              // revisit to expire remaining features (max guards ttl=0)
+              else wm + math.max(ttlMs, 1L)
+            state.setTimeoutTimestamp(math.max(next, wm + 1L))
           }
           out.iterator
       }

@@ -91,6 +91,21 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("session_window boundary: an exact-gap event merges into the session") {
+    import spark.implicits._
+    // verified Spark semantics (and mirrored with > in the DuckDB
+    // oracle): 10:00 and 10:30 with a 30-minute gap form ONE session
+    val two = Seq(
+      Ev(1L, t("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(1L, t("2024-01-01 10:30:00"), "click", 1.0)).toDF()
+    val rows = StreamingOps.sessionWindowAgg(two, "ts", "user_id", "30 minutes", "0 seconds")
+      .collect()
+    rows.length shouldBe 1
+    rows.head.getTimestamp(1) shouldBe t("2024-01-01 10:00:00")
+    rows.head.getTimestamp(2) shouldBe t("2024-01-01 11:00:00")
+    rows.head.getLong(3) shouldBe 2L
+  }
+
   test("pitStreamStream: both-sides-streaming as-of join equals batch PIT") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
