@@ -18,8 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Java and generated code). Texts shorter than the window hash their
   * full content as a single window; empty text fingerprints to 0.
   * Total function, deterministic, codegen'd single pass.
+  *
+  * `portable = true` swaps the arithmetic to mod 2^31-1 and recomputes
+  * each window's fold from scratch — O(n·window) instead of O(n), but
+  * expressible verbatim in any SQL engine (`list_reduce` over char
+  * codes), which is how the driver's DuckDB oracle value-checks the
+  * fingerprint. For ASCII text the char-code fold equals the byte
+  * fold; production callers keep the fast mod-2^64 rolling form.
   */
-case class RollingMinHash(child: Expression, window: Int)
+case class RollingMinHash(child: Expression, window: Int, portable: Boolean = false)
     extends UnaryExpression {
   require(window >= 2 && window <= 1024, "window must be in [2, 1024]")
 
@@ -32,6 +39,25 @@ case class RollingMinHash(child: Expression, window: Int)
   override def dataType: DataType = LongType
 
   override def prettyName: String = "graft_rolling_minhash"
+
+  /** Portable-mode fold: min over windows of
+    * `fold(bytes, acc = 0)((acc * 257 + b) mod p)`, p = 2^31-1. */
+  def hashBytesPortable(bytes: Array[Byte]): Long = {
+    val p = 2147483647L
+    val n = bytes.length
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    var minH = Long.MaxValue
+    var s = 0
+    while (s <= n - w) {
+      var h = 0L
+      var j = 0
+      while (j < w) { h = (h * 257L + (bytes(s + j) & 0xff)) % p; j += 1 }
+      if (h < minH) minH = h
+      s += 1
+    }
+    minH
+  }
 
   /** Shared by interpreted eval and tests; mirrors the generated code. */
   def hashBytes(bytes: Array[Byte]): Long = {
@@ -55,11 +81,17 @@ case class RollingMinHash(child: Expression, window: Int)
     minH
   }
 
-  override def nullSafeEval(input: Any): Any =
-    hashBytes(input.asInstanceOf[UTF8String].getBytes)
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    if (portable) hashBytesPortable(b) else hashBytes(b)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, str => {
+    if (portable) {
+      val self = ctx.addReferenceObj("rollingMinHash", this, classOf[RollingMinHash].getName)
+      nullSafeCodeGen(ctx, ev, str =>
+        s"${ev.value} = $self.hashBytesPortable($str.getBytes());")
+    } else nullSafeCodeGen(ctx, ev, str => {
       val bytes = ctx.freshName("bytes")
       val n = ctx.freshName("n")
       val w = ctx.freshName("w")
@@ -95,4 +127,8 @@ object RollingHashFunctions {
   /** Winnowed rolling-hash fingerprint of a string column. */
   def rollingMinHash(text: Column, window: Int): Column =
     Bridge.column(RollingMinHash(Bridge.expression(text), window))
+
+  /** Engine-portable (mod 2^31-1) fingerprint — oracle-checkable. */
+  def rollingMinHashPortable(text: Column, window: Int): Column =
+    Bridge.column(RollingMinHash(Bridge.expression(text), window, portable = true))
 }

@@ -285,16 +285,27 @@ object PipelineQueries {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_re
         FROM documents""")),
 
-    // Rolling-hash fingerprint: byte-level Rabin-Karp winnowing, no SQL
-    // equivalent → rows-only check (value correctness is spec-tested
-    // against a naive sliding-window oracle in RollingHashSpec).
+    // Rolling-hash fingerprint in portable mode (mod 2^31-1): the
+    // DuckDB oracle folds the same per-window char-code polynomial via
+    // list_reduce (documents.text is ASCII, so char codes == bytes).
+    // Production callers keep the O(n) mod-2^64 rolling form, which is
+    // parity-tested against this fold in RollingHashSpec.
     QueryDef(
       "doc_rolling_fingerprint",
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"),
-          graft.functions.RollingHashFunctions.rollingMinHash(col("text"), 16)
+          graft.functions.RollingHashFunctions.rollingMinHashPortable(col("text"), 16)
             .as("rfp")),
-      None),
+      Some("""
+        SELECT doc_id,
+          CASE WHEN length(text) = 0 THEN 0
+          ELSE list_min(list_transform(
+                 range(1, greatest(length(text) - least(16, length(text)) + 1, 1) + 1),
+                 i -> list_reduce(list_transform(range(i, i + least(16, length(text))),
+                        j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                      (acc, x) -> (acc * 257 + x) % 2147483647)))
+          END AS rfp
+        FROM documents""")),
 
     // End-to-end dedup: pairs → clusters → drop non-canonical members.
     QueryDef(

@@ -33,6 +33,30 @@ class RollingHashSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("portable mode matches a naive mod-p window fold") {
+    import org.apache.spark.sql.{Row, types => T}
+    val p = 2147483647L
+    def naiveP(text: String, window: Int): Long = {
+      val bytes = text.getBytes("UTF-8")
+      if (bytes.isEmpty) return 0L
+      val w = math.min(window, bytes.length)
+      bytes.sliding(w)
+        .map(_.foldLeft(0L)((h, b) => (h * 257L + (b & 0xff)) % p)).min
+    }
+    val rnd = new scala.util.Random(29)
+    val texts = Seq("", "a", "hello world") ++
+      Seq.fill(15)(rnd.alphanumeric.take(5 + rnd.nextInt(120)).mkString)
+    val df = spark.createDataFrame(
+      texts.map(Row(_)).asJava,
+      T.StructType(Seq(T.StructField("t", T.StringType, nullable = true))))
+    for (w <- Seq(4, 16)) {
+      val got = df.select(col("t"),
+          RollingHashFunctions.rollingMinHashPortable(col("t"), w))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      texts.foreach { t => withClue(s"window=$w text=$t: ") { got(t) shouldBe naiveP(t, w) } }
+    }
+  }
+
   test("near-identical documents share the fingerprint; disjoint ones don't") {
     import org.apache.spark.sql.{Row, types => T}
     val base = ("common prefix content that dominates the document body " * 10)
