@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * the per-bucket remainder waste is bounded by one sequence per
   * bucket. A global greedy packing would serialize on one partition
   * at 100 TB for a ~0.1% fill improvement.
+  *
+  * Size `buckets` to the cluster, not the data: each bucket is one
+  * sort partition, so buckets ≈ a few × total cores keeps partitions
+  * executor-sized at any corpus scale while the remainder waste
+  * (≤ one sequence per bucket) stays negligible.
   */
 object Packing {
 
