@@ -19,12 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * full content as a single window; empty text fingerprints to 0.
   * Total function, deterministic, codegen'd single pass.
   *
-  * `portable = true` swaps the arithmetic to mod 2^31-1 and recomputes
-  * each window's fold from scratch — O(n·window) instead of O(n), but
-  * expressible verbatim in any SQL engine (`list_reduce` over char
-  * codes), which is how the driver's DuckDB oracle value-checks the
-  * fingerprint. For ASCII text the char-code fold equals the byte
-  * fold; production callers keep the fast mod-2^64 rolling form.
+  * `portable = true` swaps the arithmetic to mod 2^31-1 — still an
+  * O(n) rolling update (bit-identical to the per-window fold), but the
+  * FOLD formulation is expressible verbatim in SQL (`list_reduce` over
+  * char codes), which is how the driver's DuckDB oracle value-checks
+  * the fingerprint. Caveat: the SQL mirror folds CHARACTER CODES while
+  * this folds UTF-8 BYTES — identical for ASCII text only (true of the
+  * oracle corpus; non-ASCII text still fingerprints deterministically,
+  * just not char-fold-comparably). Production callers keep the
+  * mod-2^64 form, spec-tested against its own naive oracle.
   */
 case class RollingMinHash(child: Expression, window: Int, portable: Boolean = false)
     extends UnaryExpression {
@@ -40,21 +43,31 @@ case class RollingMinHash(child: Expression, window: Int, portable: Boolean = fa
 
   override def prettyName: String = "graft_rolling_minhash"
 
-  /** Portable-mode fold: min over windows of
-    * `fold(bytes, acc = 0)((acc * 257 + b) mod p)`, p = 2^31-1. */
+  /** Portable-mode hash: min over windows of
+    * `fold(bytes, acc = 0)((acc * 257 + b) mod p)`, p = 2^31-1 —
+    * computed with an O(n) rolling update (mathematically identical to
+    * the fold mod p; RollingHashSpec checks it against the naive
+    * per-window recompute). */
   def hashBytesPortable(bytes: Array[Byte]): Long = {
     val p = 2147483647L
+    val B = 257L
     val n = bytes.length
     if (n == 0) return 0L
     val w = math.min(window, n)
-    var minH = Long.MaxValue
-    var s = 0
-    while (s <= n - w) {
-      var h = 0L
-      var j = 0
-      while (j < w) { h = (h * 257L + (bytes(s + j) & 0xff)) % p; j += 1 }
+    var pow = 1L // B^(w-1) mod p
+    var i = 1
+    while (i < w) { pow = pow * B % p; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * B + (bytes(i) & 0xff)) % p; i += 1 }
+    var minH = h
+    i = w
+    while (i < n) {
+      var t = (h - (bytes(i - w) & 0xff) * pow % p) % p
+      if (t < 0) t += p
+      h = (t * B + (bytes(i) & 0xff)) % p
       if (h < minH) minH = h
-      s += 1
+      i += 1
     }
     minH
   }

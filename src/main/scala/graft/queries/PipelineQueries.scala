@@ -285,11 +285,12 @@ object PipelineQueries {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_re
         FROM documents""")),
 
-    // Rolling-hash fingerprint in portable mode (mod 2^31-1): the
-    // DuckDB oracle folds the same per-window char-code polynomial via
-    // list_reduce (documents.text is ASCII, so char codes == bytes).
-    // Production callers keep the O(n) mod-2^64 rolling form, which is
-    // parity-tested against this fold in RollingHashSpec.
+    // Rolling-hash fingerprint in portable mode (mod 2^31-1, still an
+    // O(n) rolling update): the DuckDB oracle folds the same per-window
+    // char-code polynomial via list_reduce (documents.text is ASCII, so
+    // char codes == bytes). The production mod-2^64 form is not
+    // SQL-expressible (no wraparound); it is spec-tested against its
+    // own naive oracle in RollingHashSpec.
     QueryDef(
       "doc_rolling_fingerprint",
       (s, dir) => table(s, dir, "documents")
