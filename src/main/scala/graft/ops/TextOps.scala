@@ -18,6 +18,18 @@ object TextOps {
   /** Whitespace word tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Corpus cleaning — the standard first stage of a pre-training
+    * quality pipeline, as one codegen'd projection: strip URLs, strip
+    * control characters, collapse runs of whitespace, trim. Regexes
+    * are deliberately engine-portable (RE2-safe, no lookarounds) so
+    * the oracle runs them verbatim. */
+  def cleaned(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://[^\\s]+", " "),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   /** Word n-gram shingles: `["a b c", "b c d", ...]` (1-based element_at). */
   def shingles(ws: Column, n: Int): Column = {
     val sh = transform(

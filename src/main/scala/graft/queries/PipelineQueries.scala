@@ -374,6 +374,30 @@ object PipelineQueries {
           AND mtl BETWEEN 2.0 AND 15.0
           AND ttr >= 0.35""")),
 
+    // Cleaning stage: URLs out, control chars out, whitespace
+    // collapsed — the synthetic docs contain none of the dirt, so the
+    // interesting assertions (URL/control stripping) live in
+    // TextOpsSpec; the oracle still value-checks the full regex chain
+    // verbatim over the corpus.
+    QueryDef(
+      "text_clean",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.cleaned(col("text")).as("clean_text"),
+          length(TextOps.cleaned(col("text"))).cast("long").as("n_chars")),
+      Some("""
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '\s+', ' ', 'g')) AS clean_text,
+               CAST(length(trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+        FROM documents""")),
+
     QueryDef(
       "text_stats",
       (s, dir) => TextOps.textStats(

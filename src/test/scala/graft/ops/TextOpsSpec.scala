@@ -17,6 +17,22 @@ class TextOpsSpec extends SparkSpec with Matchers {
         T.StructField("text", T.StringType, nullable = true))))
   }
 
+  test("cleaned strips URLs and control chars, collapses whitespace") {
+    import org.apache.spark.sql.functions._
+    val dirty = Seq(
+      1L -> "see https://example.com/x?q=1 for  details",
+      2L -> "tabs\tand\u0000\u0007bells   here",
+      3L -> "  already clean  ",
+      4L -> "http://a.b c https://d.e/f#g d")
+    val got = docsDf(dirty)
+      .select(col("doc_id"), TextOps.cleaned(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(1L) shouldBe "see for details"
+    got(2L) shouldBe "tabs andbells here" // BEL removed joins the words
+    got(3L) shouldBe "already clean"
+    got(4L) shouldBe "c d"
+  }
+
   test("shingles: n-grams in order, short docs yield empty array") {
     val df = docsDf(Seq(1L -> "a b c d", 2L -> "a b", 3L -> "a"))
       .select(col("doc_id"), TextOps.tokens(TextOps.normalized(col("text"))).as("ws"))
