@@ -10,9 +10,11 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
   * text analysis (stats, language ID, fingerprints), multimodal
   * metadata extraction, and a streaming-shaped event windowing.
   *
-  * Oracle notes: operators built on xxhash64 (MinHash, SimHash, sign-LSH)
-  * have no DuckDB equivalent — those ship with rows-only checks; every
-  * other query carries an exact SQL oracle.
+  * Every query carries an exact SQL value oracle. Operators whose
+  * production hash (xxhash64) has no DuckDB equivalent run here in
+  * engine-portable md5-seeded modes — identical relational machinery,
+  * reproducible hashes — and sketch/ANN estimators are checked through
+  * exact invariants (error bounds, recall over a portable sample).
   */
 object PipelineQueries {
   import QueryDef.table
