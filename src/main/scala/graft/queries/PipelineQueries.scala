@@ -229,9 +229,9 @@ object PipelineQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
           FROM d)
         SELECT pack_bucket,
-               tokens_before // 2048 AS seq_idx,
+               CAST(tokens_before // 2048 AS BIGINT) AS seq_idx,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS n_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                least(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 1.0) AS fill_ratio
         FROM p GROUP BY 1, 2""")),
 

@@ -21,13 +21,15 @@ for t in TABLES:
 with open(f"{out_dir}/oracle_sql.json") as f:
     oracles = json.load(f)
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    # Emulate the driver: go through pandas (so DuckDB HUGEINT -> float64
+    # dtype promotion is visible, exactly as the driver sees it), sort
+    # columns by name, stringify values dtype-sensitively, sort rows.
+    df = df[sorted(df.columns)]
     out = []
-    for r in rows:
+    for r in df.itertuples(index=False):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in r:
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == -0.0: v = 0.0
@@ -38,12 +40,14 @@ def canon(rows, cols):
 failures = []
 for name, sql in sorted(oracles.items()):
     try:
-        got_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_cols = [c.lower() for c in got_rel.columns]
-        got = canon(got_rel.fetchall(), got_cols)
-        exp_rel = con.sql(sql)
-        exp_cols = [c.lower() for c in exp_rel.columns]
-        exp = canon(exp_rel.fetchall(), exp_cols)
+        got_df = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        got_df.columns = [c.lower() for c in got_df.columns]
+        got_cols = list(got_df.columns)
+        got = canon(got_df)
+        exp_df = con.sql(sql).df()
+        exp_df.columns = [c.lower() for c in exp_df.columns]
+        exp_cols = list(exp_df.columns)
+        exp = canon(exp_df)
     except Exception as e:
         failures.append(name)
         print(f"FAIL {name}: exception {type(e).__name__}: {e}")
