@@ -27,11 +27,16 @@ object IntervalJoin {
       lowerSec: Long, upperSec: Long): DataFrame = {
     require(keys.nonEmpty, "keyless interval join: use joinBinned")
     require(lowerSec <= upperSec, "lowerSec must be <= upperSec")
-    val keyCond = keys.map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
+    // Widen the probe side: when the planner broadcasts the build side,
+    // probe parallelism is inherited from the left scan's input splits —
+    // a single-file scan would evaluate every candidate pair on one
+    // core. No-op once input splits >= cluster slots.
+    val l = graft.ops.OpsUtil.widen(left)
+    val keyCond = keys.map { case (a, b) => l(a) === right(b) }.reduce(_ && _)
     val rangeCond =
-      right(rightTs) >= left(leftTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
-        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upperSec SECONDS")
-    left.join(right, keyCond && rangeCond)
+      right(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
+        right(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperSec SECONDS")
+    l.join(right, keyCond && rangeCond)
   }
 
   /** Bin-bucketed interval join for keyless / hot-key inputs: bin width
@@ -50,7 +55,7 @@ object IntervalJoin {
     val binL = explode(sequence(
       bin(unix_timestamp(col(leftTs)) + lowerSec),
       bin(unix_timestamp(col(leftTs)) + upperSec)))
-    val l = left.withColumn("__graft_bin", binL)
+    val l = graft.ops.OpsUtil.widen(left).withColumn("__graft_bin", binL)
     val r = right.withColumn("__graft_bin", bin(unix_timestamp(col(rightTs))))
     val keyCond = (keys.map { case (a, b) => l(a) === r(b) } :+
       (l("__graft_bin") === r("__graft_bin"))).reduce(_ && _)

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 
-private[ops] object OpsUtil {
+private[graft] object OpsUtil {
 
   /** Decouple compute-bound projection parallelism from input-split
     * parallelism: when the scan yields fewer partitions than the
