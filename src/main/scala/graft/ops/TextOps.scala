@@ -89,6 +89,89 @@ object TextOps {
   def tokenCountRegex(text: Column, pattern: String = BpeishPattern): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** PII redaction patterns — deliberately engine-portable (RE2-safe,
+    * no lookarounds) so oracles run them verbatim. Order matters:
+    * emails first (they contain dots and digits), then IPs (dotted
+    * digits would otherwise half-match the phone pattern), then
+    * phones. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Redact emails / IPv4s / phone numbers to sentinel tokens — the
+    * standard pre-training scrub stage. One chained codegen'd
+    * projection, zero shuffle, linear in text length. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of matches for a PII pattern (audit / filtering signal:
+    * docs over a PII budget get dropped rather than scrubbed). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Repetition-based quality signals (the Gopher/C4 family): fraction
+    * of the document covered by its single most frequent token / bigram,
+    * and the duplicate-trigram fraction. Per-row column expressions
+    * only — the most-frequent-token count runs as an O(n log n) sort +
+    * one linear fold over the token array (longest equal run), NOT an
+    * O(n²) count-per-distinct-token scan, so a pathological 1M-token
+    * document costs a sort, not a quadratic blowup. Zero shuffle. */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    // Longest equal run in the sorted array = max multiplicity.
+    def maxRun(arr: Column): Column =
+      aggregate(
+        array_sort(arr),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (a, x) => {
+          val run = when(x === a.getField("prev"), a.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(a.getField("best"), run).as("best"))
+        },
+        a => a.getField("best"))
+    val ws = col("__graft_ws")
+    val bg = col("__graft_bg")
+    val tg = col("__graft_tg")
+    OpsUtil.widen(df).withColumn("__graft_ws", tokens(col(textCol)))
+      .withColumn("__graft_bg", shingles(col("__graft_ws"), 2))
+      .withColumn("__graft_tg", shingles(col("__graft_ws"), 3))
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("top_token_frac",
+        maxRun(ws).cast("double") / greatest(size(ws), lit(1)).cast("double"))
+      .withColumn("top_bigram_frac",
+        when(size(bg) > 0,
+          maxRun(bg).cast("double") / size(bg).cast("double")).otherwise(0.0))
+      .withColumn("dup_trigram_frac",
+        when(size(tg) > 0,
+          (size(tg) - size(array_distinct(tg))).cast("double") /
+            size(tg).cast("double")).otherwise(0.0))
+      .drop("__graft_ws", "__graft_bg", "__graft_tg")
+  }
+
+  /** Split documents into fixed-token-budget chunks with a stride
+    * (stride < chunkTokens ⇒ overlapping windows — the RAG/context-
+    * window prep shape). Emits one row per chunk with its index and
+    * token count. Pure per-row explode: no shuffle, and the chunk
+    * count per doc is ceil(n/stride) so output size is predictable
+    * from the token histogram. */
+  def chunk(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens)
+    val ws = col("__graft_ws")
+    val starts = sequence(lit(0), floor((size(ws) - 1) / stride).cast("int"))
+    OpsUtil.widen(df).withColumn("__graft_ws", tokens(col(textCol)))
+      .select(col(idCol), ws,
+        posexplode(transform(starts, st => st * stride)).as(Seq("chunk_idx", "__graft_st")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(ws, col("__graft_st") + 1, lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), size(ws) - col("__graft_st")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Document fingerprint: lexicographic min of md5 over word n-gram
     * shingles — a 1-permutation MinHash usable as a near-dup blocking
     * key and content fingerprint. `ws` must be a materialized token

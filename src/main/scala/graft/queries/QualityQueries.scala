@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CorpusOps, Embeddings, TextOps}
+
+/** Round-3 corpus-quality operators as verifiable queries: PII
+  * redaction, repetition-based quality signals (the Gopher/C4 family),
+  * fixed-token-budget chunking, corpus-level boilerplate line removal,
+  * vocabulary statistics, and embedding int8 quantization.
+  *
+  * The synthetic `documents` text has no digits / emails / newlines, so
+  * the PII and line-oriented queries first synthesize those features
+  * deterministically from `doc_id` — identically in the Spark program
+  * and the oracle SQL — and then run the operator under test over the
+  * derived column. The operator itself never depends on the synthesis.
+  */
+object QualityQueries {
+  import QueryDef.table
+
+  private val Norm =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // PII scrub: synthesize an email / phone / IPv4 per doc, redact,
+    // and count each class (the audit signal a PII budget filter uses).
+    QueryDef(
+      "pii_redact",
+      (s, dir) => {
+        val synth = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+        table(s, dir, "documents")
+          .withColumn("__graft_t", synth)
+          .select(col("doc_id"),
+            TextOps.redactPii(col("__graft_t")).as("clean_text"),
+            TextOps.piiCount(col("__graft_t"), TextOps.EmailPattern).as("n_emails"),
+            TextOps.piiCount(col("__graft_t"), TextOps.Ipv4Pattern).as("n_ips"),
+            TextOps.piiCount(col("__graft_t"), TextOps.PhonePattern).as("n_phones"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@mail.example.com or 415-555-',
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                        ' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7') AS t
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean_text,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+               len(regexp_extract_all(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
+        FROM d""")),
+
+    // Repetition quality signals over the normalized token stream.
+    QueryDef(
+      "text_repetition",
+      (s, dir) => TextOps.repetitionStats(
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.normalized(col("text")).as("t")),
+        "t")
+        .select("doc_id", "n_tokens", "top_token_frac",
+          "top_bigram_frac", "dup_trigram_frac"),
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+        topt AS (
+          SELECT doc_id, max(c) AS mx
+          FROM (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2)
+          GROUP BY 1),
+        bgl AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 2
+                      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                      ELSE [] END AS bgs,
+                 CASE WHEN len(ws) >= 3
+                      THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                      ELSE [] END AS tgs
+          FROM w),
+        topb AS (
+          SELECT doc_id, max(c) AS mx
+          FROM (SELECT doc_id, bg, count(*) AS c
+                FROM (SELECT doc_id, unnest(bgs) AS bg FROM bgl) GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS BIGINT) AS n_tokens,
+               CAST(topt.mx AS DOUBLE) / greatest(len(w.ws), 1) AS top_token_frac,
+               CASE WHEN len(bgl.bgs) > 0
+                    THEN CAST(COALESCE(topb.mx, 0) AS DOUBLE) / len(bgl.bgs)
+                    ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN len(bgl.tgs) > 0
+                    THEN CAST(len(bgl.tgs) - len(list_distinct(bgl.tgs)) AS DOUBLE) / len(bgl.tgs)
+                    ELSE 0.0 END AS dup_trigram_frac
+        FROM w
+        JOIN topt ON topt.doc_id = w.doc_id
+        JOIN bgl ON bgl.doc_id = w.doc_id
+        LEFT JOIN topb ON topb.doc_id = w.doc_id""")),
+
+    // Fixed-token chunking with overlap (32-token windows, stride 24).
+    QueryDef(
+      "doc_chunks",
+      (s, dir) => TextOps.chunk(
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.normalized(col("text")).as("t")),
+        "doc_id", "t", chunkTokens = 32, stride = 24),
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+        s AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+        c AS (SELECT doc_id, ws, n, unnest(range(0, (n - 1) // 24 + 1)) AS i FROM s)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(ws[i*24 + 1 : least(i*24 + 32, n)], ' ') AS chunk_text,
+               CAST(least(32, n - i*24) AS BIGINT) AS n_chunk_tokens
+        FROM c""")),
+
+    // Corpus-level boilerplate removal: synthesize line structure by
+    // breaking the normalized text at ' the ' (deterministic in both
+    // engines), then drop lines appearing in > 3 distinct docs.
+    QueryDef(
+      "boilerplate_strip",
+      (s, dir) => CorpusOps.stripBoilerplate(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(TextOps.normalized(col("text")), lit(" the "), lit("\n")).as("t")),
+        "doc_id", "t", maxDf = 3),
+      Some(s"""
+        WITH d AS (SELECT doc_id, replace($Norm, ' the ', chr(10)) AS t FROM documents),
+        ls AS (SELECT doc_id, string_split(t, chr(10)) AS lns FROM d),
+        l AS (SELECT doc_id, unnest(range(0, len(lns))) AS line_pos, lns FROM ls),
+        lx AS (SELECT doc_id, line_pos, lns[line_pos + 1] AS line FROM l),
+        hot AS (SELECT md5(line) AS k FROM lx GROUP BY 1 HAVING count(DISTINCT doc_id) > 3),
+        keep AS (SELECT * FROM lx WHERE md5(line) NOT IN (SELECT k FROM hot))
+        SELECT doc_id,
+               count(*) AS n_lines_kept,
+               string_agg(line, chr(10) ORDER BY line_pos) AS clean_text
+        FROM keep GROUP BY doc_id""")),
+
+    // Corpus bigram vocabulary, top 100 by frequency (ties broken
+    // lexicographically for a total order).
+    QueryDef(
+      "vocab_topk",
+      (s, dir) => CorpusOps.vocabTopK(
+        table(s, dir, "documents"), "text", n = 2, k = 100),
+      Some(s"""
+        WITH w AS (SELECT string_split($Norm, ' ') AS ws FROM documents),
+        bg AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS ngram
+               FROM w WHERE len(ws) >= 2)
+        SELECT ngram, count(*) AS freq FROM bg
+        GROUP BY 1 ORDER BY freq DESC, ngram LIMIT 100""")),
+
+    // Embedding int8 scalar quantization with exact reconstruction
+    // audit (codes as CSV so the compared frame stays scalar-typed).
+    QueryDef(
+      "embed_quantize",
+      (s, dir) => Embeddings.quantizeInt8(
+        table(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("q_scale"),
+          array_join(transform(col("q_codes"), c => c.cast("string")), ",").as("q_codes_csv"),
+          col("q_max_err"), col("q_n_sat"),
+          (col("q_max_err") <= col("q_scale") / 2 + lit(1e-12)).as("within_bound")),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        s AS (SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) / 127.0 AS q_scale FROM v),
+        q AS (SELECT vec_id, vd, q_scale,
+                     CASE WHEN q_scale > 0
+                          THEN list_transform(vd, x -> CAST(floor(x / q_scale + 0.5) AS INTEGER))
+                          ELSE list_transform(vd, x -> 0) END AS codes
+              FROM s),
+        e AS (SELECT vec_id, q_scale, codes,
+                     CASE WHEN q_scale > 0
+                          THEN list_max(list_transform(range(1, len(codes) + 1),
+                                 i -> abs(codes[i] * q_scale - vd[i])))
+                          ELSE 0.0 END AS q_max_err
+              FROM q)
+        SELECT vec_id, q_scale,
+               array_to_string(codes, ',') AS q_codes_csv,
+               q_max_err,
+               CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS q_n_sat,
+               q_max_err <= q_scale / 2 + 1e-12 AS within_bound
+        FROM e"""))
+  )
+}

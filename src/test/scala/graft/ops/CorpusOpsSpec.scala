@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec with Matchers {
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      docs.map { case (i, t) => Row(i, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("doc_id", T.LongType, nullable = false),
+        T.StructField("text", T.StringType, nullable = true))))
+  }
+
+  test("stripBoilerplate drops corpus-frequent lines, keeps order, drops empty docs") {
+    val boiler = "subscribe to our newsletter"
+    val docs = (1L to 5L).map(i =>
+      i -> s"unique line $i a\n$boiler\nunique line $i b") :+
+      (6L -> boiler) // all-boilerplate doc vanishes
+    val out = CorpusOps.stripBoilerplate(docsDf(docs), "doc_id", "text", maxDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines_kept"), r.getAs[String]("clean_text"))).toMap
+    out.keySet shouldBe (1L to 5L).toSet
+    (1L to 5L).foreach { i =>
+      out(i) shouldBe ((2L, s"unique line $i a\nunique line $i b"))
+    }
+  }
+
+  test("stripBoilerplate: df counts distinct docs, not occurrences") {
+    // One doc repeats a line 5 times; corpus df for it is still 1,
+    // so a maxDf=3 strip must keep all copies.
+    val docs = Seq(1L -> Seq.fill(5)("echo echo").mkString("\n"), 2L -> "other")
+    val out = CorpusOps.stripBoilerplate(docsDf(docs), "doc_id", "text", maxDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_lines_kept")).toMap
+    out(1L) shouldBe 5L
+    out(2L) shouldBe 1L
+  }
+
+  test("vocabTopK: frequency order with lexicographic tie-break") {
+    val docs = Seq(
+      1L -> "a b a b a b", // "a b" x3, "b a" x2
+      2L -> "c d c d")     // "c d" x2, "d c" x1
+    val out = CorpusOps.vocabTopK(docsDf(docs), "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("a b", 3L), ("b a", 2L), ("c d", 2L))
+  }
+}

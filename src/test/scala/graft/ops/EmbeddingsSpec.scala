@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class EmbeddingsSpec extends SparkSpec with Matchers {
+  import scala.jdk.CollectionConverters._
+
+  private def vecsDf(vecs: Seq[(Long, Seq[Float])]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      vecs.map { case (i, v) => Row(i, v) }.asJava,
+      T.StructType(Seq(
+        T.StructField("vec_id", T.LongType, nullable = false),
+        T.StructField("embedding", T.ArrayType(T.FloatType), nullable = true))))
+  }
+
+  test("quantizeInt8: codes in range, error bound holds, max component saturates") {
+    val df = vecsDf(Seq(
+      1L -> Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      2L -> Seq(-2.0f, 2.0f, 1.99f, -1.0f)))
+    val rows = Embeddings.quantizeInt8(df, "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val r1 = rows(1L)
+    val scale1 = r1.getAs[Double]("q_scale")
+    scale1 shouldBe (1.0 / 127) +- 1e-15
+    val codes1 = r1.getAs[scala.collection.Seq[Int]]("q_codes")
+    codes1.toSeq shouldBe Seq(127, -63, 32, 0) // -0.5/scale = -63.5 -> floor(-63.0)= -63
+    r1.getAs[Double]("q_max_err") should be <= scale1 / 2 + 1e-12
+    r1.getAs[Long]("q_n_sat") shouldBe 1L
+    val r2 = rows(2L)
+    r2.getAs[scala.collection.Seq[Int]]("q_codes").foreach(c => math.abs(c) should be <= 127)
+    r2.getAs[Long]("q_n_sat") shouldBe 2L // both ±2.0 components clip
+    r2.getAs[Double]("q_max_err") should be <= r2.getAs[Double]("q_scale") / 2 + 1e-12
+  }
+
+  test("quantizeInt8: zero vector gets scale 0 and all-zero codes") {
+    val r = Embeddings.quantizeInt8(
+      vecsDf(Seq(1L -> Seq(0.0f, 0.0f, 0.0f))), "embedding").collect().head
+    r.getAs[Double]("q_scale") shouldBe 0.0
+    r.getAs[scala.collection.Seq[Int]]("q_codes").toSeq shouldBe Seq(0, 0, 0)
+    r.getAs[Double]("q_max_err") shouldBe 0.0
+    r.getAs[Long]("q_n_sat") shouldBe 0L
+  }
+
+  test("l2Normalize yields unit vectors; zero vector passes through") {
+    val df = vecsDf(Seq(1L -> Seq(3.0f, 4.0f), 2L -> Seq(0.0f, 0.0f)))
+      .select(col("vec_id"), Embeddings.l2Normalize(col("embedding")).as("nv"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    out(1L)(0) shouldBe 0.6 +- 1e-12
+    out(1L)(1) shouldBe 0.8 +- 1e-12
+    out(2L) shouldBe Seq(0.0, 0.0)
+  }
+}

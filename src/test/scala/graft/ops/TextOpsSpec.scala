@@ -66,6 +66,67 @@ class TextOpsSpec extends SparkSpec with Matchers {
     out shouldBe Map(1L -> "en", 2L -> "de", 3L -> "und")
   }
 
+  test("redactPii scrubs emails, IPs, phones; counts match; clean text untouched") {
+    val df = docsDf(Seq(
+      1L -> "mail bob.smith+x@corp.example.org now",
+      2L -> "server 192.168.0.1 and 10.0.255.7 up",
+      3L -> "call 415-555-0042 or 415.555.9999",
+      4L -> "nothing sensitive here at all",
+      5L -> "a@b.co 1.2.3.4 111-222-3333 all three"))
+    val out = df.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("c"),
+        TextOps.piiCount(col("text"), TextOps.EmailPattern).as("ne"),
+        TextOps.piiCount(col("text"), TextOps.Ipv4Pattern).as("ni"),
+        TextOps.piiCount(col("text"), TextOps.PhonePattern).as("np"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getString(1) shouldBe "mail <EMAIL> now"
+    out(2L).getString(1) shouldBe "server <IP> and <IP> up"
+    out(3L).getString(1) shouldBe "call <PHONE> or <PHONE>"
+    out(4L).getString(1) shouldBe "nothing sensitive here at all"
+    out(5L).getString(1) shouldBe "<EMAIL> <IP> <PHONE> all three"
+    (out(5L).getLong(2), out(5L).getLong(3), out(5L).getLong(4)) shouldBe ((1L, 1L, 1L))
+    out(4L).getLong(2) + out(4L).getLong(3) + out(4L).getLong(4) shouldBe 0L
+  }
+
+  test("repetitionStats matches hand-computed fractions") {
+    // "a a a b": top token 'a' 3/4; bigrams [a a, a a, a b] top 2/3;
+    // trigrams [a a a, a a b] distinct -> dup frac 0.
+    // "x y x y x y": top token 3/6; bigrams [x y, y x, x y, y x, x y]
+    // top 3/5; trigrams [x y x, y x y, x y x, y x y] dup frac 2/4.
+    val df = docsDf(Seq(1L -> "a a a b", 2L -> "x y x y x y", 3L -> "solo"))
+    val out = TextOps.repetitionStats(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Double]("top_token_frac") shouldBe 0.75 +- 1e-12
+    out(1L).getAs[Double]("top_bigram_frac") shouldBe (2.0 / 3) +- 1e-12
+    out(1L).getAs[Double]("dup_trigram_frac") shouldBe 0.0 +- 1e-12
+    out(2L).getAs[Double]("top_token_frac") shouldBe 0.5 +- 1e-12
+    out(2L).getAs[Double]("top_bigram_frac") shouldBe 0.6 +- 1e-12
+    out(2L).getAs[Double]("dup_trigram_frac") shouldBe 0.5 +- 1e-12
+    out(3L).getAs[Long]("n_tokens") shouldBe 1L
+    out(3L).getAs[Double]("top_token_frac") shouldBe 1.0 +- 1e-12
+    out(3L).getAs[Double]("top_bigram_frac") shouldBe 0.0 +- 1e-12
+    out(3L).getAs[Double]("dup_trigram_frac") shouldBe 0.0 +- 1e-12
+  }
+
+  test("chunk: stride==chunk partitions exactly; overlap windows share tokens") {
+    val df = docsDf(Seq(1L -> (1 to 10).map(i => s"w$i").mkString(" ")))
+    // Non-overlapping: 4+4+2.
+    val exact = TextOps.chunk(df, "doc_id", "text", chunkTokens = 4, stride = 4)
+      .orderBy("chunk_idx").collect()
+    exact.map(_.getAs[String]("chunk_text")) shouldBe Array(
+      "w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10")
+    exact.map(_.getAs[Long]("n_chunk_tokens")) shouldBe Array(4L, 4L, 2L)
+    // Reassembling non-overlapping chunks recovers the document.
+    exact.map(_.getAs[String]("chunk_text")).mkString(" ") shouldBe
+      (1 to 10).map(i => s"w$i").mkString(" ")
+    // Overlapping: stride 2, width 4 -> starts 0,2,4,6,8.
+    val ov = TextOps.chunk(df, "doc_id", "text", chunkTokens = 4, stride = 2)
+      .orderBy("chunk_idx").collect()
+    ov.length shouldBe 5
+    ov(1).getAs[String]("chunk_text") shouldBe "w3 w4 w5 w6"
+    ov(4).getAs[String]("chunk_text") shouldBe "w9 w10"
+  }
+
   test("fingerprint: identical normalized content gives identical fingerprint") {
     val df = docsDf(Seq(
       1L -> "The Quick   Brown Fox Jumps", 2L -> "the quick brown fox jumps",
