@@ -30,10 +30,14 @@ object CorpusOps {
   def stripBoilerplate(
       df: DataFrame, idCol: String, textCol: String, maxDf: Int): DataFrame = {
     require(maxDf > 0)
+    // Consumed by both the df-count branch and the anti-join branch —
+    // materialized once (lazily) instead of re-exploding the corpus
+    // per consumer.
     val lines = OpsUtil.widen(df)
       .select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("line_pos", "line")))
       .withColumn("line_key", md5(col("line")))
+      .localCheckpoint(false)
     val boilerplate = lines
       .groupBy(col("line_key"))
       .agg(countDistinct(col(idCol)).as("line_df"))
@@ -49,6 +53,54 @@ object CorpusOps {
             array_sort(collect_list(struct(col("line_pos"), col("line")))),
             s => s.getField("line")),
           "\n").as("clean_text"))
+  }
+
+  /** Exact substring-duplication audit (the "deduplicating training
+    * data" shape): slide fixed-width character windows across every
+    * document at a stride, hash each window, and count how many
+    * distinct documents share each window hash. Emits per-document
+    * window counts and the fraction of windows that also appear in
+    * some other document — the signal a span-removal or doc-drop
+    * policy consumes. Documents shorter than one window emit no row.
+    *
+    * Scale shape: windows are a per-row projection + explode (no
+    * shuffle, and stride controls the blowup: len/stride rows per
+    * doc); the corpus-wide frequency count shuffles only
+    * `(16-byte md5, doc_id)` with map-side partial aggregation, and
+    * the count joins back on the same hash key — two shuffles total
+    * on fixed-width keys, raw text never leaves the scan stage.
+    */
+  def duplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      windowChars: Int, stride: Int): DataFrame = {
+    require(windowChars > 0 && stride > 0 && stride <= windowChars)
+    val t = col(textCol)
+    // Window starts 0, stride, 2*stride … while start + windowChars <= len;
+    // guarded so sub-window docs yield an empty array (sequence(0, -1)
+    // would count DOWN, not produce an empty sequence).
+    val nWin = (floor((length(t) - windowChars) / stride) + 1).cast("int")
+    val winArr = when(length(t) >= windowChars,
+      transform(sequence(lit(0), nWin - 1),
+        i => t.substr(i * stride + 1, lit(windowChars))))
+      .otherwise(array().cast("array<string>"))
+    // ~40 bytes/row, consumed by both the frequency count and the
+    // join-back — materialized once (lazily) instead of re-windowing
+    // and re-hashing the corpus text per consumer.
+    val wins = OpsUtil.widen(df)
+      .select(col(idCol), posexplode(winArr).as(Seq("win_pos", "win")))
+      .select(col(idCol), col("win_pos"), md5(col("win")).as("win_hash"))
+      .localCheckpoint(false)
+    val winDf = wins
+      .groupBy(col("win_hash"))
+      .agg(countDistinct(col(idCol)).as("win_df"))
+    wins
+      .join(winDf, Seq("win_hash"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("win_df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_window_frac",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
   }
 
   /** Top-k most frequent word n-grams across the corpus — the vocab /

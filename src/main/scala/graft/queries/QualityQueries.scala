@@ -143,6 +143,38 @@ object QualityQueries {
                string_agg(line, chr(10) ORDER BY line_pos) AS clean_text
         FROM keep GROUP BY doc_id""")),
 
+    // Exact substring-duplication audit: 40-char windows at stride 20.
+    // A shared footer is appended to every third doc so cross-document
+    // duplicated spans exist at every scale factor (the corpus also
+    // carries genuine full-text duplicates, which flag themselves).
+    QueryDef(
+      "dedup_substring",
+      (s, dir) => CorpusOps.duplicateSpans(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"),
+                lit(" standard legal disclaimer boilerplate repeated across many documents verbatim")))
+              .otherwise(col("text")).as("t")),
+        "doc_id", "t", windowChars = 40, stride = 20),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' standard legal disclaimer boilerplate repeated across many documents verbatim'
+                      ELSE text END AS t
+          FROM documents),
+        w AS (SELECT doc_id, t, unnest(range(0, (len(t) - 40) // 20 + 1)) AS i
+              FROM d WHERE len(t) >= 40),
+        h AS (SELECT doc_id, i AS win_pos, md5(substr(t, CAST(i*20 + 1 AS BIGINT), 40)) AS win_hash FROM w),
+        f AS (SELECT win_hash, count(DISTINCT doc_id) AS win_df FROM h GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_windows,
+               CAST(SUM(CASE WHEN f.win_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+               CAST(SUM(CASE WHEN f.win_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_window_frac
+        FROM h JOIN f USING (win_hash)
+        GROUP BY doc_id""")),
+
     // Corpus bigram vocabulary, top 100 by frequency (ties broken
     // lexicographically for a total order).
     QueryDef(

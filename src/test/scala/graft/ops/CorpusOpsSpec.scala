@@ -41,6 +41,35 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
     out(2L) shouldBe 1L
   }
 
+  test("duplicateSpans flags shared windows, skips sub-window docs") {
+    // 40-char docs: 1 window each. Docs 1 and 2 identical -> their
+    // window duplicates; doc 3 unique; doc 4 too short for any window.
+    val fortyA = "a" * 40
+    val docs = Seq(
+      1L -> fortyA, 2L -> fortyA,
+      3L -> ("b" * 40), 4L -> "short")
+    val out = CorpusOps.duplicateSpans(docsDf(docs), "doc_id", "text",
+        windowChars = 40, stride = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((1L, 1L))
+    out(2L) shouldBe ((1L, 1L))
+    out(3L) shouldBe ((1L, 0L))
+  }
+
+  test("duplicateSpans: window count follows stride; within-doc repeats are not cross-doc dups") {
+    // len 80, window 40, stride 20 -> starts 0,20,40 -> 3 windows; all
+    // windows are "a"*40 but only this doc contains them (df=1).
+    val out = CorpusOps.duplicateSpans(
+      docsDf(Seq(1L -> ("a" * 80), 2L -> ("c" * 40))), "doc_id", "text",
+      windowChars = 40, stride = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    out(1L) shouldBe ((3L, 0L))
+    out(2L) shouldBe ((1L, 0L))
+  }
+
   test("vocabTopK: frequency order with lexicographic tie-break") {
     val docs = Seq(
       1L -> "a b a b a b", // "a b" x3, "b a" x2
