@@ -14,6 +14,9 @@ private[graft] object OpsUtil {
     * no-op with zero added shuffle.
     */
   def widen(df: DataFrame): DataFrame = {
+    // Streaming frames can't be partition-probed (df.rdd throws) and
+    // micro-batch parallelism is the source's concern — pass through.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

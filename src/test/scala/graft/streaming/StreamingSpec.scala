@@ -11,6 +11,7 @@ import graft.SparkSpec
 case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class IdEv(event_id: Long, user_id: Long, ts: Timestamp)
 case class Feat(key: Long, fts: Timestamp, score: Double)
+case class Doc(doc_id: Long, text: String)
 
 /** Streaming operators checked for batch/stream result parity: the same
   * DataFrame transform fed through a MemoryStream must produce the same
@@ -286,6 +287,34 @@ class StreamingSpec extends SparkSpec with Matchers {
       val byUser = got.groupBy(_._1)
       byUser(1L).map(_._2).toSet shouldBe Set(Some(10.0), Some(11.0))
       byUser(3L).map(_._2).toSet shouldBe Set(None) // beyond TTL
+    } finally q.stop()
+  }
+
+  test("stateless corpus-quality ops run identically on streams (widen passes through)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1L, "reach me at bob@corp.example.org now a a a b"),
+      Doc(2L, "x y x y x y plain text with no pii at all"),
+      Doc(3L, "short one"))
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      TextOps.repetitionStats(
+        df.withColumn("clean", TextOps.redactPii(org.apache.spark.sql.functions.col("text"))),
+        "clean")
+        .select("doc_id", "clean", "n_tokens", "top_token_frac")
+    val stream = MemoryStream[Doc]
+    val q = transform(stream.toDF()).writeStream.format("memory")
+      .queryName("qstream").outputMode("append").start()
+    try {
+      stream.addData(docs)
+      q.processAllAvailable()
+      val got = spark.table("qstream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = transform(docs.toDF()).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      got shouldBe batch
+      got.find(_._1 == 1L).get._2 should include("<EMAIL>")
     } finally q.stop()
   }
 
