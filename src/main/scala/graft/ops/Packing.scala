@@ -41,6 +41,36 @@ object Packing {
       .withColumn("seq_idx", (col("tokens_before") / seqLen).cast("long"))
   }
 
+  /** The splitter: one row per (document, training sequence) overlap.
+    * A document occupying tokens `[tokens_before, tokens_before + n)`
+    * of its bucket's stream straddles every sequence whose
+    * `[seq_idx·seqLen, (seq_idx+1)·seqLen)` window it intersects; each
+    * overlap row carries the half-open token span of the document that
+    * lands in that sequence (`doc_token_start/end`) and where the span
+    * starts inside the sequence (`seq_offset`). Concatenating spans in
+    * (seq_idx, seq_offset) order reconstructs each training sequence
+    * exactly; spans of one doc concatenate back to the doc (asserted
+    * in spec). Pure arithmetic on the [[assignSequences]] output — the
+    * explode adds ≤ n/seqLen extra rows per doc, and no new shuffle
+    * beyond the packing window itself. */
+  def splitSegments(
+      df: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Int, buckets: Int): DataFrame = {
+    require(seqLen > 0 && buckets > 0)
+    val tb = col("tokens_before")
+    val n = col(nTokensCol)
+    val lastSeq = floor((tb + n - 1) / seqLen).cast("long")
+    assignSequences(df, idCol, nTokensCol, seqLen, buckets)
+      .filter(n > 0)
+      .select(col("pack_bucket"), col(idCol), tb, n,
+        explode(sequence(col("seq_idx"), lastSeq)).as("seq_idx"))
+      .select(
+        col("pack_bucket"), col("seq_idx"), col(idCol),
+        greatest(col("seq_idx") * seqLen - tb, lit(0L)).as("doc_token_start"),
+        least((col("seq_idx") + 1) * seqLen - tb, n).as("doc_token_end"),
+        greatest(tb - col("seq_idx") * seqLen, lit(0L)).as("seq_offset"))
+  }
+
   /** Per-sequence packing stats: docs packed, tokens packed, fill
     * ratio vs the budget (straddling docs count toward the sequence
     * they start in — the splitter downstream handles the carry). */

@@ -235,6 +235,42 @@ object PipelineQueries {
                least(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 1.0) AS fill_ratio
         FROM p GROUP BY 1, 2""")),
 
+    // The packing splitter: every (doc, sequence) overlap with its
+    // half-open token span — straddling docs split across sequences.
+    QueryDef(
+      "pack_segments",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(TextOps.normalized(col("text")))).cast("long").as("n_tokens"))
+        graft.ops.Packing.splitSegments(docs, "doc_id", "n_tokens",
+          seqLen = 2048, buckets = 8)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+                 ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 8 AS pack_bucket,
+                 ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) AS ord
+          FROM documents),
+        p AS (
+          SELECT pack_bucket, doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_bucket
+                   ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+          FROM d),
+        seg AS (
+          SELECT pack_bucket, doc_id, n_tokens, tb,
+                 unnest(range(tb // 2048, (tb + n_tokens - 1) // 2048 + 1)) AS seq_idx
+          FROM p WHERE n_tokens > 0)
+        SELECT pack_bucket,
+               CAST(seq_idx AS BIGINT) AS seq_idx,
+               doc_id,
+               CAST(greatest(seq_idx*2048 - tb, 0) AS BIGINT) AS doc_token_start,
+               CAST(least((seq_idx+1)*2048 - tb, n_tokens) AS BIGINT) AS doc_token_end,
+               CAST(greatest(tb - seq_idx*2048, 0) AS BIGINT) AS seq_offset
+        FROM seg""")),
+
     // Data-mixture sampling: per-language keep rates (upsample rare,
     // downsample common) via the portable sampling hash.
     QueryDef(

@@ -188,6 +188,58 @@ object QualityQueries {
         SELECT ngram, count(*) AS freq FROM bg
         GROUP BY 1 ORDER BY freq DESC, ngram LIMIT 100""")),
 
+    // The whole prep pipeline as ONE plan: clean → redact → normalize →
+    // quality gate → exact dedup → mixture sample. Catalyst fuses the
+    // per-row stages into a single codegen'd projection; the only
+    // shuffles are the dedup hash-agg (16-byte keys) and its keeper
+    // join — composing five operators costs the same as running the
+    // dedup alone. (The synthetic corpus carries no URLs/PII, so those
+    // stages verify as exact no-ops over the full regex chain.)
+    QueryDef(
+      "corpus_prep_pipeline",
+      (s, dir) => {
+        val norm = TextOps.normalized(TextOps.redactPii(TextOps.cleaned(col("text"))))
+        val gated = TextOps.textStats(
+            table(s, dir, "documents")
+              .select(col("doc_id"), col("lang"), norm.as("t")), "t", Seq("the", "a"))
+          .filter(col("n_tokens") >= 20 && col("type_token_ratio") >= 0.3)
+          .withColumn("text_hash", md5(col("t")))
+        val keepers = gated.groupBy("text_hash")
+          .agg(min("doc_id").as("doc_id"))
+        graft.ops.Sampling.mixtureSample(
+          gated.join(keepers, Seq("text_hash", "doc_id")),
+          "doc_id", "lang", rates = Map("en" -> 50, "de" -> 80), defaultPct = 30)
+          .select("doc_id", "lang", "n_tokens", "text_hash")
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(
+                   regexp_replace(regexp_replace(regexp_replace(
+                     trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+                         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                       '\s+', ' ', 'g')),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')),
+                   '\s+', ' ', 'g')) AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, lang, t,
+                 CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(t, ' '))) AS DOUBLE) /
+                   CAST(len(string_split(t, ' ')) AS DOUBLE) AS ttr,
+                 md5(t) AS text_hash
+          FROM n),
+        gated AS (SELECT * FROM g WHERE n_tokens >= 20 AND ttr >= 0.3),
+        keep AS (SELECT text_hash, min(doc_id) AS doc_id FROM gated GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.n_tokens, d.text_hash
+        FROM gated d JOIN keep k ON k.text_hash = d.text_hash AND k.doc_id = d.doc_id
+        WHERE ((((d.doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 <
+              CASE d.lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 ELSE 30 END""")),
+
     // Embedding int8 scalar quantization with exact reconstruction
     // audit (codes as CSV so the compared frame stays scalar-typed).
     QueryDef(

@@ -51,4 +51,61 @@ class PackingSpec extends SparkSpec with Matchers {
       seq shouldBe before / 256
     }
   }
+
+  test("splitSegments: spans conserve tokens and tile every sequence exactly") {
+    val docs = docsDf(400)
+    val segs = Packing.splitSegments(docs, "doc_id", "n_tokens",
+      seqLen = 512, buckets = 4).collect()
+    // Conservation: per-doc span lengths sum to the doc's token count.
+    val perDoc = segs.groupBy(_.getAs[Long]("doc_id")).view.mapValues(
+      _.map(r => r.getAs[Long]("doc_token_end") - r.getAs[Long]("doc_token_start")).sum)
+    val expected = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.toMap shouldBe expected
+    // Tiling: within each (bucket, seq), spans are contiguous from
+    // offset 0 and fill exactly seqLen except each bucket's last seq.
+    val byBucket = segs.groupBy(_.getAs[Long]("pack_bucket"))
+    byBucket.foreach { case (_, rows) =>
+      val lastSeq = rows.map(_.getAs[Long]("seq_idx")).max
+      rows.groupBy(_.getAs[Long]("seq_idx")).foreach { case (seq, srows) =>
+        val sorted = srows.sortBy(_.getAs[Long]("seq_offset"))
+        sorted.head.getAs[Long]("seq_offset") shouldBe 0L
+        sorted.toSeq.sliding(2).foreach {
+          case Seq(a, b) =>
+            b.getAs[Long]("seq_offset") shouldBe
+              a.getAs[Long]("seq_offset") +
+                (a.getAs[Long]("doc_token_end") - a.getAs[Long]("doc_token_start"))
+          case _ => ()
+        }
+        val filled = sorted.map(r =>
+          r.getAs[Long]("doc_token_end") - r.getAs[Long]("doc_token_start")).sum
+        if (seq < lastSeq) filled shouldBe 512L else filled should be <= 512L
+      }
+    }
+    // Parity with sequenceStats: docs STARTING in a sequence match n_docs.
+    val starts = segs.filter(_.getAs[Long]("doc_token_start") == 0L)
+      .groupBy(r => (r.getAs[Long]("pack_bucket"), r.getAs[Long]("seq_idx")))
+      .view.mapValues(_.size.toLong).toMap
+    val stats = Packing.sequenceStats(docs, "doc_id", "n_tokens", 512, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    starts shouldBe stats
+  }
+
+  test("splitSegments: a straddling doc splits at exact sequence boundaries") {
+    import spark.implicits._
+    // One bucket: docs of 300 + 300 tokens, seqLen 512 -> second doc
+    // splits 212 / 88.
+    val docs = Seq((1L, 300L), (2L, 300L)).toDF("doc_id", "n_tokens")
+    val segs = Packing.splitSegments(docs, "doc_id", "n_tokens",
+        seqLen = 512, buckets = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_idx"),
+        r.getAs[Long]("doc_token_start"), r.getAs[Long]("doc_token_end"),
+        r.getAs[Long]("seq_offset"))).sortBy(x => (x._2, x._5))
+    // Hash order decides which doc is first; derive it from the output.
+    val firstDoc = segs.head._1
+    val secondDoc = if (firstDoc == 1L) 2L else 1L
+    segs shouldBe Array(
+      (firstDoc, 0L, 0L, 300L, 0L),
+      (secondDoc, 0L, 0L, 212L, 300L),
+      (secondDoc, 1L, 212L, 300L, 0L))
+  }
 }
