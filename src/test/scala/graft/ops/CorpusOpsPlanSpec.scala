@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Physical-plan assertions for the corpus-level operators: the scale
+  * claims in SCALE.md (hot sets broadcast, bounded shuffle counts, no
+  * global sort for top-k) hold in the executed plan, not just prose.
+  */
+class CorpusOpsPlanSpec extends SparkSpec with Matchers
+    with AdaptiveSparkPlanHelper {
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      docs.map { case (i, t) => Row(i, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("doc_id", T.LongType, nullable = false),
+        T.StructField("text", T.StringType, nullable = true))))
+  }
+
+  private val corpus = (1L to 200L).map(i =>
+    i -> s"unique $i line\ncommon shared boilerplate\nline tail $i")
+
+  test("stripBoilerplate: hot set broadcasts; line table shuffles once") {
+    val out = CorpusOps.stripBoilerplate(docsDf(corpus), "doc_id", "text", maxDf = 3)
+    out.collect() // execute so AQE finalizes the plan
+    val plan = out.queryExecution.executedPlan
+    // The boilerplate set reaches the anti-join via broadcast, never a
+    // shuffled join of the full line table against itself.
+    collect(plan) { case j: BroadcastHashJoinExec => j } should not be empty
+    collect(plan) { case b: BroadcastExchangeExec => b } should have size 1
+    // Shuffles: df-count aggregate + doc reassembly (+ the widen
+    // round-robin for the tiny local input) — and nothing else.
+    collect(plan) { case e: ShuffleExchangeExec => e }.size should be <= 3
+  }
+
+  test("vocabTopK: TakeOrderedAndProject, no global Sort") {
+    val out = CorpusOps.vocabTopK(docsDf(corpus), "text", n = 2, k = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    collect(plan) { case t: TakeOrderedAndProjectExec => t } should not be empty
+    collect(plan) { case s: org.apache.spark.sql.execution.SortExec => s } shouldBe empty
+  }
+
+  test("duplicateSpans: frequency count and join-back key on the window hash") {
+    val out = CorpusOps.duplicateSpans(docsDf(corpus), "doc_id", "text",
+      windowChars = 20, stride = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    // All shuffles are on fixed-width keys (win_hash / doc id) — the
+    // raw text column appears in no exchange's output.
+    val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      e.output.map(_.name) should not contain "win"
+      e.output.map(_.name) should not contain "text"
+    }
+  }
+}
