@@ -153,6 +153,81 @@ case class CentroidScores(child: Expression, cents: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Asymmetric-distance (ADC) score of a raw query vector against a
+  * product-quantized database vector: the PQ approximation of
+  * `dot(query, x)` is `Σ_j dot(query_j, books(j)(codes(j)))` — the
+  * query stays exact, the database side is its per-subspace codeword.
+  *
+  * The codebooks ride along as a reference object (like
+  * [[CentroidScores]]): embedding m×k×subDim doubles as literal plan
+  * nodes would dominate codegen compile time. One codegen'd call per
+  * (query, code) pair — a candidate join scoring millions of pairs
+  * reads m·subDim doubles per pair with zero allocation.
+  */
+case class AdcScore(
+    left: Expression, right: Expression, books: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+  require(books.forall(b => b.forall(_.length == b.head.length)),
+    "codewords within a subspace must share one dimensionality")
+
+  @transient private lazy val mats: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val subDims: Array[Int] = mats.map(_.head.length)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<int>), got (${l.sql}, ${r.sql})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_adc_score"
+
+  /** Shared by interpreted and codegen paths; fails fast on dimension
+    * or code mismatches (a silently truncated score would rank wrong). */
+  def score(q: ArrayData, codes: ArrayData): Double = {
+    val m = mats.length
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"$prettyName: ${codes.numElements()} codes for $m subspaces")
+    var total = 0.0
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cw = mats(j)(codes.getInt(j))
+      val sd = subDims(j)
+      var d = 0
+      var s = 0.0
+      while (d < sd) { s += q.getDouble(off + d) * cw(d); d += 1 }
+      total += s
+      off += sd
+      j += 1
+    }
+    if (q.numElements() != off)
+      throw new IllegalArgumentException(
+        s"$prettyName: query has ${q.numElements()} dims, codebooks cover $off")
+    total
+  }
+
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    score(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("adcScore", this, classOf[AdcScore].getName)
+    nullSafeCodeGen(ctx, ev, (q, c) => s"${ev.value} = $self.score($q, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Codegen'd dot product of two `array<double>` columns. */
@@ -164,4 +239,8 @@ object VectorFunctions {
   /** One-pass scores of a vector against every centroid row. */
   def centroidScores(v: Column, cents: Seq[Seq[Double]]): Column =
     Bridge.column(CentroidScores(Bridge.expression(v), cents))
+
+  /** ADC score of a raw query against PQ codes under `books`. */
+  def adcScore(q: Column, codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(AdcScore(Bridge.expression(q), Bridge.expression(codes), books))
 }

@@ -241,4 +241,131 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(cand, k)
   }
+
+  // ----- Product quantization (the FAISS IVFPQ shape) -----
+
+  /** Fit per-subspace PQ codebooks: the vector splits into `m`
+    * contiguous subspaces and each runs the same deterministic Lloyd
+    * fit as the IVF coarse quantizer (hash-seeded init, DECIMAL sums —
+    * reproducible across runs/partitionings). Returns index METADATA
+    * (m × kSub × dim/m doubles), not data. */
+  def pqCodebooks(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, kSub: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && kSub > 0)
+    val base = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(false)
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { j =>
+      fitCentroids(
+        base.select(col("id"),
+          slice(col("v"), j * subDim + 1, subDim).as("v")),
+        kSub, iters)
+        .map(_.toSeq).toSeq
+    }
+  }
+
+  /** Attach `pq_codes` (array<int>, one codeword index per subspace):
+    * each subspace picks its Euclidean-nearest codeword via the same
+    * codegen'd score kernel as IVF assignment. Pure projection — the
+    * m·kSub·subDim codebook rides along as a reference object, so at
+    * 100 TB encoding is an embarrassingly parallel scan that shrinks
+    * each vector from 4·dim bytes to m codes before anything persists
+    * or shuffles. */
+  def pqEncode(
+      df: DataFrame, vecCol: String,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val subDim = books.head.head.length
+    val codes = books.indices.map { j =>
+      argmaxIdx(centroidScores(
+        slice(asDouble(col(vecCol)), j * subDim + 1, subDim),
+        books(j).map(_.toArray).toArray))
+    }
+    df.withColumn("pq_codes", array(codes: _*))
+  }
+
+  /** IVF-PQ approximate top-k with refinement (the FAISS IVFPQR
+    * shape): the IVF coarse quantizer prunes candidates (probe
+    * `nProbe` of `nCentroids` buckets); within the probed buckets the
+    * database side is scored from its PQ codes via the codegen'd
+    * asymmetric-distance kernel (query exact, index side reads m
+    * codebook rows per pair instead of the full vector); the ADC
+    * top-`refine` per query are then re-ranked by exact cosine after
+    * joining their raw vectors back by id. PQ estimates rank coarsely
+    * by construction (quantization error swamps within-cluster cosine
+    * gaps), so the refine stage is what buys exact-grade top-k — at
+    * `refine` rows per query, not per candidate.
+    *
+    * 100 TB shape: identical candidate shuffle structure to
+    * [[ivfTopK]] (bucket equi-join, never all-pairs), but the
+    * candidate join ships `(cid, id, m×int)` instead of
+    * `(cid, id, dim×double)` — ~dim·8/m smaller per row, the
+    * difference between an index that fits in executor memory and one
+    * that spills. The refinement join touches only
+    * `queries × refine` rows of the raw vector table, keyed by unique
+    * id (skew-free). */
+  def ivfpqTopK(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kSub: Int = 16, iters: Int = 3,
+      refine: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val refineN = if (refine > 0) refine else math.max(4 * k, 32)
+    val base = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(false)
+    val cents = fitCentroids(base, nCentroids, iters)
+    val books = pqCodebooks(base, "id", "v", m, kSub, iters)
+    val kFit = cents.length
+    val probeN = math.min(nProbe, kFit)
+    val scored = base.withColumn("scores", centroidScores(col("v"), cents))
+    // Reconstructed-vector norm from codes alone: subspaces are
+    // orthogonal coordinate blocks, so ‖x̂‖² = Σ_j ‖codeword_j‖² — a
+    // lookup into m tiny literal arrays, no vector access.
+    val normSqArrs = books.map(b => array(b.map(cw =>
+      lit(cw.map(x => x * x).sum)): _*))
+    val estNorm = sqrt(books.indices.map { j =>
+      element_at(normSqArrs(j), col("pq_codes")(j) + 1)
+    }.reduce(_ + _))
+    val index = pqEncode(scored, "v", books)
+      .withColumn("cid", argmaxIdx(col("scores")))
+      .select(col("cid"), col("id").as("neighbor_id"), col("pq_codes"),
+        estNorm.as("est_n"))
+    val queries = scored
+      .withColumn("cid", explode(topIdx(col("scores"), kFit, probeN)))
+      .select(col("cid"), col("id").as("query_id"), col("v").as("qv"),
+        norm(col("v")).as("qn"))
+    val cand = queries.join(index, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("est_dot",
+        graft.functions.VectorFunctions.adcScore(col("qv"), col("pq_codes"), books))
+      // Rank by the ADC cosine estimate (matches the exact rankers);
+      // degenerate zero norms sink to the bottom instead of NaN-sorting.
+      .withColumn("est_cos",
+        when(col("qn") * col("est_n") > 0.0,
+          col("est_dot") / (col("qn") * col("est_n")))
+          .otherwise(lit(Double.MinValue)))
+    val wEst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("est_cos").desc, col("neighbor_id"))
+    val shortlist = cand
+      .withColumn("est_rank", row_number().over(wEst))
+      .filter(col("est_rank") <= refineN)
+      .select("query_id", "neighbor_id", "qv", "qn", "est_cos")
+    // Refinement: exact cosine over the shortlist only.
+    val nbr = base.select(col("id").as("neighbor_id"),
+      col("v").as("cv"), norm(col("v")).as("cn"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist.join(nbr, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "est_cos", "rank")
+  }
 }

@@ -592,6 +592,31 @@ object PipelineQueries {
         WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10""")),
 
     QueryDef(
+      "sim_topk_pq_recall",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val pq = Similarity.ivfpqTopK(emb, "vec_id", "embedding", k = 5,
+          nCentroids = 64, nProbe = 24, m = 8, kSub = 16, refine = 256)
+        // Same recall invariant as the IVF query: exact baseline over
+        // the portable 10% query sample, candidate corpus stays full.
+        val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
+          queryPred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10))
+        val hits = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        bf.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            (sum(col("n_hit")).cast("double") /
+              (count(lit(1)) * 5).cast("double") >= 0.7).as("recall_ok"))
+      },
+      Some("""
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               true AS recall_ok
+        FROM embeddings
+        WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10""")),
+
+    QueryDef(
       "multimodal_decode",
       // Feature vector unpacked to scalar columns: the correctness
       // driver's pandas comparator can't hash ndarray cells.

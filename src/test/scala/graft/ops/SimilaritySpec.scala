@@ -169,4 +169,55 @@ class SimilaritySpec extends SparkSpec with Matchers {
       dim = 16, nPlanes = 2).collect()
     rows.map(_.toString).sorted shouldBe again.map(_.toString).sorted
   }
+
+  test("AdcScore matches per-subspace reconstruction dots; codes validated") {
+    val rnd = new scala.util.Random(47)
+    val m = 4; val subDim = 4; val kSub = 3
+    val books = Seq.fill(m)(Seq.fill(kSub)(Seq.fill(subDim)(rnd.nextGaussian())))
+    val q = Seq.fill(m * subDim)(rnd.nextGaussian())
+    val codes = Seq(2, 0, 1, 2)
+    val expected = (0 until m).map { j =>
+      (0 until subDim).map(d => q(j * subDim + d) * books(j)(codes(j))(d)).sum
+    }.sum
+    import spark.implicits._
+    val df = Seq((q, codes)).toDF("q", "codes")
+    val got = df.select(
+      VectorFunctions.adcScore(col("q"), col("codes"), books).as("s"))
+      .head().getDouble(0)
+    got shouldBe expected +- 1e-12
+    // wrong code-array length fails fast, not a silent wrong rank
+    val bad = Seq((q, Seq(1, 2))).toDF("q", "codes")
+    val ex = intercept[Exception] {
+      bad.select(VectorFunctions.adcScore(col("q"), col("codes"), books)).collect()
+    }
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString) should
+      include("subspaces")
+  }
+
+  test("PQ: deterministic codebooks, codes in range, IVF-PQ recall on clustered data") {
+    val rnd = new scala.util.Random(59)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 5)
+    val vecs = (1L to 400L).map { i =>
+      val c = centers(rnd.nextInt(8))
+      i -> c.map(_ + rnd.nextGaussian() * 0.5).toSeq
+    }
+    val df = vecsDf(vecs)
+    val b1 = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, kSub = 8)
+    val b2 = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, kSub = 8)
+    b1 shouldBe b2 // decimal-sum fit -> bit-identical codebooks
+    val enc = Similarity.pqEncode(df, "embedding", b1)
+      .select(col("vec_id"), col("pq_codes")).collect()
+    enc.foreach { r =>
+      val cs = r.getAs[scala.collection.Seq[Int]]("pq_codes")
+      cs should have size 4
+      cs.foreach { c => c should (be >= 0 and be < 8) }
+    }
+    val pq = Similarity.ivfpqTopK(df, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 2, m = 4, kSub = 8)
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 3)
+    val hits = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / bf.count()
+    recall should be > 0.5 // coarse pruning + ADC quantization error
+    pq.select("query_id").distinct().count() shouldBe 400L
+  }
 }
