@@ -13,6 +13,10 @@ import graft.registry.YamlRegistry
   *
   * `service-or-refs`: a feature-service name, or comma-separated
   * `view:feature` refs. Prints one JSON line per output split.
+  *
+  * Env `GRAFT_TRANSFORMS` applies a corpus-prep transform chain (see
+  * [[Transforms]]) between retrieval and encoding, e.g.
+  * `quality_filter(col=bio,min_tokens=5);sample_hash(key=user_id,pct=50)`.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -47,7 +51,9 @@ object Main {
       features = features,
       entityQuery = entitySql,
       rangeParams = rangeParams,
-      outputPath = outDir)
+      outputPath = outDir,
+      transforms = sys.env.get("GRAFT_TRANSFORMS")
+        .map(Transforms.parse).getOrElse(Nil))
     val results = Runner.run(spark, job)
     results.foreach { r =>
       println(s"""{"split":"${r.split}","records":${r.records},"path":"${r.path}"}""")

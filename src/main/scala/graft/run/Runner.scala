@@ -36,7 +36,8 @@ final case class JobConfig(
     fullFeatureNames: Boolean = false,
     outputFormat: OutputFormat = TfExampleFormat,
     span: Long = 0,
-    artifactVersion: Long = 0)
+    artifactVersion: Long = 0,
+    transforms: Seq[Transforms.TransformSpec] = Nil)
 
 /** Payload-format dispatch — total, unlike the reference's C5 dispatch
   * (`executor.py:141-153`) whose SequenceExample branch raised. */
@@ -178,7 +179,9 @@ object Runner {
       if (job.inputSplits.nonEmpty) job.inputSplits.toSeq.sortBy(_._1)
       else Seq("" -> job.entityQuery)
     inputs.flatMap { case (inName, sql) =>
-      val joined = retrieve(spark, job, sql)
+      // Corpus-prep transforms extend the retrieval plan (projections /
+      // filters fused by Catalyst) before anything is encoded.
+      val joined = Transforms.applyAll(retrieve(spark, job, sql), job.transforms)
       val payloads = encode(joined, job.outputFormat)
       val base = if (inName.isEmpty) job.outputPath else s"${job.outputPath}/$inName"
       val results = writeSplits(payloads, job.outputSplits, base)

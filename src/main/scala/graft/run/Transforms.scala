@@ -1,0 +1,94 @@
+package graft.run
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, TextOps}
+
+/** Named corpus-prep transforms applicable between retrieval and
+  * encoding — the configuration-surface analogue of the reference's
+  * component parameters, extended to the pipeline operators this
+  * engine adds. Specs are strings so they travel through CLI/config
+  * layers: `name(key=value,...)`, chained with `;`:
+  *
+  * {{{
+  *   clean_text(cols=bio);redact_pii(cols=bio);sample_hash(key=user_id,pct=50)
+  * }}}
+  *
+  * Every transform is a pure DataFrame→DataFrame plan rewrite (column
+  * projections and filters — no shuffle except `dedup_exact`'s
+  * hash-agg), so chaining transforms extends the single job plan and
+  * Catalyst fuses the per-row stages; nothing materializes between
+  * stages. Unknown names or missing arguments fail fast at parse time
+  * (total error handling, not the reference's §2.13 silent fallbacks).
+  */
+object Transforms {
+
+  final case class TransformSpec(name: String, args: Map[String, String]) {
+    def arg(key: String): String = args.getOrElse(key,
+      throw new IllegalArgumentException(s"transform '$name' requires arg '$key'"))
+    def argInt(key: String): Int = arg(key).toInt
+    def argCols(key: String): Seq[String] = arg(key).split('|').toSeq
+  }
+
+  /** Parse `name(k=v,...)` chained with `;`. */
+  def parse(spec: String): Seq[TransformSpec] =
+    spec.split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+      val open = s.indexOf('(')
+      require(open > 0 && s.endsWith(")"), s"malformed transform spec: '$s'")
+      val name = s.substring(0, open)
+      val body = s.substring(open + 1, s.length - 1).trim
+      val args =
+        if (body.isEmpty) Map.empty[String, String]
+        else body.split(',').map { kv =>
+          val eq = kv.indexOf('=')
+          require(eq > 0, s"malformed arg '$kv' in transform '$name'")
+          kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
+        }.toMap
+      val t = TransformSpec(name, args)
+      require(Names.contains(name),
+        s"unknown transform '$name' (known: ${Names.mkString(", ")})")
+      t
+    }
+
+  val Names: Set[String] = Set(
+    "clean_text", "redact_pii", "quality_filter", "dedup_exact",
+    "sample_hash", "mixture_sample")
+
+  /** Apply one spec. */
+  def apply(df: DataFrame, t: TransformSpec): DataFrame = t.name match {
+    case "clean_text" =>
+      t.argCols("cols").foldLeft(df)((d, c) => d.withColumn(c, TextOps.cleaned(col(c))))
+    case "redact_pii" =>
+      t.argCols("cols").foldLeft(df)((d, c) => d.withColumn(c, TextOps.redactPii(col(c))))
+    case "quality_filter" =>
+      // Token-count gate over the normalized text column.
+      val c = col(t.arg("col"))
+      val n = size(TextOps.tokens(TextOps.normalized(c)))
+      df.filter(n.between(
+        t.args.get("min_tokens").map(_.toInt).getOrElse(1),
+        t.args.get("max_tokens").map(_.toInt).getOrElse(Int.MaxValue)))
+    case "dedup_exact" =>
+      // Keep the min-key row per normalized text hash (one hash-agg
+      // shuffle on 16-byte keys + a keeper join, as in Dedup.exact).
+      val key = t.arg("key"); val text = t.arg("col")
+      val hashed = df.withColumn("__graft_th", md5(TextOps.normalized(col(text))))
+      val keepers = hashed.groupBy("__graft_th").agg(min(col(key)).as(key))
+      hashed.join(keepers, Seq("__graft_th", key)).drop("__graft_th")
+    case "sample_hash" =>
+      Sampling.deterministicSample(df, t.arg("key"), t.argInt("pct"))
+    case "mixture_sample" =>
+      // rates as strata:pct pairs joined with '|', e.g. rates=en:40|de:80
+      val rates = t.arg("rates").split('|').map { r =>
+        val Array(s, p) = r.split(':'); s -> p.toInt
+      }.toMap
+      Sampling.mixtureSample(df, t.arg("key"), t.arg("strata"), rates,
+        t.args.get("default_pct").map(_.toInt).getOrElse(0))
+    case other =>
+      throw new IllegalArgumentException(s"unknown transform '$other'")
+  }
+
+  /** Apply a whole chain. */
+  def applyAll(df: DataFrame, specs: Seq[TransformSpec]): DataFrame =
+    specs.foldLeft(df)(apply)
+}

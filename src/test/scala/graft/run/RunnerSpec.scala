@@ -134,4 +134,50 @@ class RunnerSpec extends SparkSpec {
     assert(results.map(_.records).sum == entityCount)
     assert(new java.io.File(s"$out/a/all").exists && new java.io.File(s"$out/b/all").exists)
   }
+
+  test("transforms: parse is total, unknown names and bad args fail fast") {
+    val specs = Transforms.parse(
+      "clean_text(cols=a|b); sample_hash(key=id,pct=50) ;dedup_exact(key=id,col=a)")
+    assert(specs.map(_.name) == Seq("clean_text", "sample_hash", "dedup_exact"))
+    assert(specs(1).args == Map("key" -> "id", "pct" -> "50"))
+    intercept[IllegalArgumentException](Transforms.parse("nope(x=1)"))
+    intercept[IllegalArgumentException](Transforms.parse("clean_text"))
+    intercept[IllegalArgumentException] {
+      Transforms.apply(spark.range(1).toDF(), Transforms.parse("sample_hash(key=id)").head)
+    }
+  }
+
+  test("transforms: chain filters, dedups, and scrubs through the job plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob@x.example.org here we go now"),
+      (2L, "mail bob@x.example.org here we go now"), // exact dup of 1
+      (3L, "tiny"),
+      (4L, "another unique document with enough tokens in it")
+    ).toDF("id", "bio")
+    val out = Transforms.applyAll(df, Transforms.parse(
+      "quality_filter(col=bio,min_tokens=5);dedup_exact(key=id,col=bio);redact_pii(cols=bio)"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 4L)) // 3 fails gate; 2 deduped to 1
+    assert(out(1L) == "mail <EMAIL> here we go now")
+  }
+
+  test("full job applies GRAFT_TRANSFORMS-style chain before encoding") {
+    val out = java.nio.file.Files.createTempDirectory("graft-tf").toString
+    val job = JobConfig(
+      registry = YamlRegistry.load(registryYaml),
+      dataDir = sf(),
+      features = Right("training_service"),
+      entityQuery = "SELECT user_id AS o_custkey, ts AS event_timestamp FROM events",
+      outputSplits = Seq("train" -> 1),
+      outputPath = out,
+      transforms = Transforms.parse("sample_hash(key=o_custkey,pct=40)"))
+    val results = Runner.run(spark, job)
+    val total = results.map(_.records).sum
+    val events = spark.read.parquet(s"${sf()}/events.parquet")
+    val expected = graft.ops.Sampling.deterministicSample(
+      events.selectExpr("user_id AS o_custkey"), "o_custkey", 40).count()
+    assert(total == expected, s"sampled $total of expected $expected rows")
+    assert(total > 0 && total < events.count())
+  }
 }
