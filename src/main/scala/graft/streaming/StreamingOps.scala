@@ -26,6 +26,11 @@ case class PitTagged(key: String, ts: java.sql.Timestamp,
   * features (tsMs, payload). */
 case class PitGroupState(events: List[(Long, Long)], features: List[(Long, String)])
 
+/** Streaming packing assignment: where a doc landed in its bucket's
+  * token stream (`tokens_before` / `seq_idx` as in batch packing). */
+case class PackAssigned(pack_bucket: Long, doc_id: Long, n_tokens: Long,
+    tokens_before: Long, seq_idx: Long)
+
 /** Resolved event: feature fields None when nothing was admissible. */
 case class PitResolved(event_id: Long, event_ts_ms: Long,
     feature_ts_ms: Option[Long], payload: Option[String])
@@ -236,6 +241,47 @@ object StreamingOps {
     * row of state per key.
     *
     * Output (Update mode): one row per updated key per trigger. */
+  /** Streaming sequence packing: documents arriving on a stream are
+    * assigned (bucket, seq_idx, tokens_before) against a running
+    * per-bucket token total — the incremental form of
+    * [[graft.ops.Packing.assignSequences]]. Batch packing orders by
+    * the portable hash globally; a stream must pack in arrival order,
+    * so the contract here is: deterministic GIVEN the micro-batch
+    * sequence (within a micro-batch, docs order by the same portable
+    * hash + id as batch packing; across batches, arrival order is the
+    * corpus order). State per bucket is ONE running long — bounded by
+    * the bucket count forever, the smallest possible streaming state.
+    */
+  def packStream(
+      df: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Int, buckets: Int): Dataset[PackAssigned] = {
+    require(seqLen > 0 && buckets > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("id"),
+        col(nTokensCol).cast("long").as("n"),
+        graft.ops.Sampling.hashBucket(col(idCol), buckets).as("bucket"),
+        graft.ops.Sampling.hashBucket(col(idCol), 1000003).as("ord"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, PackAssigned](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, rows: Iterator[(Long, Long, Long, Long)], state) =>
+          var before = state.getOption.getOrElse(0L)
+          // Batch-parity order within the micro-batch: (hash, id).
+          val out = rows.toSeq.sortBy(r => (r._4, r._1)).map {
+            case (id, n, _, _) =>
+              val a = PackAssigned(bucket, id, n, before, before / seqLen)
+              before += n
+              a
+          }
+          state.update(before)
+          out.iterator
+      }
+  }
+
   def latestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String): Dataset[Row] = {
     val schema = df.schema
     val tsIdx = schema.fieldIndex(tsCol)

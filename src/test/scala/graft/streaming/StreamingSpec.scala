@@ -12,6 +12,7 @@ case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class IdEv(event_id: Long, user_id: Long, ts: Timestamp)
 case class Feat(key: Long, fts: Timestamp, score: Double)
 case class Doc(doc_id: Long, text: String)
+case class PackDoc(doc_id: Long, n_tokens: Long)
 
 /** Streaming operators checked for batch/stream result parity: the same
   * DataFrame transform fed through a MemoryStream must produce the same
@@ -334,5 +335,50 @@ class StreamingSpec extends SparkSpec with Matchers {
       got.size shouldBe got.toSet.size // no (user, type) appears twice
       got.toSet shouldBe Set((1L, "click"), (2L, "view"), (3L, "click"))
     } finally q.stop()
+  }
+
+  test("packStream: single micro-batch equals batch packing; state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 60L).map(i => PackDoc(i, 30L + (i * 13) % 100))
+
+    // One micro-batch: in-batch (hash, id) order == batch global order.
+    val s1 = MemoryStream[PackDoc]
+    val q1 = StreamingOps.packStream(s1.toDF(), "doc_id", "n_tokens", 256, 4)
+      .writeStream.format("memory").queryName("pack1").outputMode("append").start()
+    try {
+      s1.addData(docs)
+      q1.processAllAvailable()
+      val got = spark.table("pack1")
+        .collect().map(r => (r.getLong(1), (r.getLong(0), r.getLong(3), r.getLong(4)))).toMap
+      val batch = graft.ops.Packing.assignSequences(
+        docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 256, 4)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("pack_bucket"), r.getAs[Long]("tokens_before"),
+            r.getAs[Long]("seq_idx")))).toMap
+      got shouldBe batch
+    } finally q1.stop()
+
+    // Two micro-batches: per-bucket token totals continue, no overlap.
+    val s2 = MemoryStream[PackDoc]
+    val q2 = StreamingOps.packStream(s2.toDF(), "doc_id", "n_tokens", 256, 4)
+      .writeStream.format("memory").queryName("pack2").outputMode("append").start()
+    try {
+      s2.addData(docs.take(30)); q2.processAllAvailable()
+      s2.addData(docs.drop(30)); q2.processAllAvailable()
+      val rows = spark.table("pack2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      rows.map(_._2).sorted shouldBe (1L to 60L)
+      // Within each bucket the assignments tile the token stream:
+      // sorted by tokens_before, each start = previous start + previous n.
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._4)
+        sorted.head._4 shouldBe 0L
+        sorted.toSeq.sliding(2).foreach {
+          case Seq(a, b) => b._4 shouldBe a._4 + a._3
+          case _ => ()
+        }
+      }
+    } finally q2.stop()
   }
 }
