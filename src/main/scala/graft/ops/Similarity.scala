@@ -259,13 +259,23 @@ object Similarity {
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    (0 until m).map { j =>
-      fitCentroids(
-        base.select(col("id"),
-          slice(col("v"), j * subDim + 1, subDim).as("v")),
-        kSub, iters)
-        .map(_.toSeq).toSeq
+    // The m subspace fits are independent — run them as concurrent
+    // Spark jobs (results are deterministic regardless of completion
+    // order). Sequentially, m×iters driver round-trips dominate the
+    // index build; concurrently the wall time is one fit.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until m).map { j =>
+      Future {
+        fitCentroids(
+          base.select(col("id"),
+            slice(col("v"), j * subDim + 1, subDim).as("v")),
+          kSub, iters)
+          .map(_.toSeq).toSeq
+      }
     }
+    Await.result(Future.sequence(fits), Duration.Inf)
   }
 
   /** Attach `pq_codes` (array<int>, one codeword index per subspace):
