@@ -103,6 +103,42 @@ object CorpusOps {
         col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
   }
 
+  /** Per-document top-k TF-IDF terms (keyword extraction). TF is the
+    * in-document term count, IDF the smoothed `ln((N+1)/(df+1)) + 1`
+    * over distinct-document frequency; ties break lexicographically.
+    *
+    * Scale shape: one (doc, term) hash-agg for TF (map-side combined),
+    * one term-keyed agg for DF, and a join of the exploded terms
+    * against the DF table — vocab-sized, so AQE broadcasts it in
+    * practice; high-df (stopword-like) terms are exactly the rows a
+    * skewed term join would hot-spot on, and they arrive pre-collapsed
+    * to one row each by the DF aggregation. The doc count N is a
+    * 1-value driver aggregate embedded as a literal (index-build
+    * pattern, same as the PIT join's min/max bounds). */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = OpsUtil.widen(df)
+      .select(col(idCol),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("term"))
+      .localCheckpoint(false) // feeds TF, DF, and N — explode once
+    val nDocs = terms.select(col(idCol)).distinct().count()
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = terms.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("term_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfTab, Seq("term"))
+      .withColumn("tfidf",
+        col("tf") * (log((lit(nDocs) + 1.0) / (col("term_df") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("term_df"),
+        col("tfidf"))
+  }
+
   /** Top-k most frequent word n-grams across the corpus — the vocab /
     * merge-table prep statistic. One map-side-combined hash-agg shuffle
     * on the n-gram string, then a TakeOrderedAndProject (no global

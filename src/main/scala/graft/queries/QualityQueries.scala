@@ -175,6 +175,28 @@ object QualityQueries {
         FROM h JOIN f USING (win_hash)
         GROUP BY doc_id""")),
 
+    // Per-document top-3 TF-IDF keywords.
+    QueryDef(
+      "tfidf_keywords",
+      (s, dir) => CorpusOps.tfidfTopTerms(
+        table(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split($Norm, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        dfx AS (SELECT term, count(DISTINCT doc_id) AS term_df FROM t GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfx.term_df,
+                 tf.tf * (ln((n.n_docs + 1.0) / (dfx.term_df + 1.0)) + 1.0) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (dfx.term_df + 1.0)) + 1.0) DESC,
+                            tf.term) AS rank
+          FROM tf JOIN dfx USING (term) CROSS JOIN n)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(term_df AS BIGINT) AS term_df, tfidf
+        FROM scored WHERE rank <= 3""")),
+
     // Corpus bigram vocabulary, top 100 by frequency (ties broken
     // lexicographically for a total order).
     QueryDef(

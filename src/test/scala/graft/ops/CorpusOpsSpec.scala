@@ -70,6 +70,27 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
     out(2L) shouldBe ((1L, 0L))
   }
 
+  test("tfidfTopTerms: corpus-common terms rank below doc-specific ones") {
+    val docs = Seq(
+      1L -> "shared shared apple apple apple",
+      2L -> "shared banana",
+      3L -> "shared cherry cherry")
+    val out = CorpusOps.tfidfTopTerms(docsDf(docs), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("term_df"),
+          r.getAs[Double]("tfidf"))).toMap
+    // 'shared' df=3 (idf = ln(4/4)+1 = 1); doc-unique terms df=1 (idf = ln(2)+1)
+    out((1L, 1L))._1 shouldBe "apple"
+    out((1L, 1L))._4 shouldBe 3.0 * (math.log(4.0 / 2.0) + 1.0) +- 1e-12
+    out((1L, 2L)) shouldBe (("shared", 2L, 3L, 2.0))
+    out((2L, 1L))._1 shouldBe "banana"
+    out((3L, 1L))._1 shouldBe "cherry"
+    // every doc gets at most k rows, ranks dense from 1
+    out.keys.groupBy(_._1).values.foreach { ks =>
+      ks.map(_._2).toSeq.sorted shouldBe (1L to ks.size)
+    }
+  }
+
   test("vocabTopK: frequency order with lexicographic tie-break") {
     val docs = Seq(
       1L -> "a b a b a b", // "a b" x3, "b a" x2
