@@ -189,18 +189,29 @@ case class AdcScore(
 
   override def prettyName: String = "graft_adc_score"
 
+  @transient private lazy val totalDim: Int = subDims.sum
+
   /** Shared by interpreted and codegen paths; fails fast on dimension
-    * or code mismatches (a silently truncated score would rank wrong). */
+    * or code mismatches BEFORE touching array memory (a late check
+    * would let the loop read past an UnsafeArrayData buffer, scoring
+    * garbage; a silently truncated score would rank wrong). */
   def score(q: ArrayData, codes: ArrayData): Double = {
     val m = mats.length
     if (codes.numElements() != m)
       throw new IllegalArgumentException(
         s"$prettyName: ${codes.numElements()} codes for $m subspaces")
+    if (q.numElements() != totalDim)
+      throw new IllegalArgumentException(
+        s"$prettyName: query has ${q.numElements()} dims, codebooks cover $totalDim")
     var total = 0.0
     var off = 0
     var j = 0
     while (j < m) {
-      val cw = mats(j)(codes.getInt(j))
+      val code = codes.getInt(j)
+      if (code < 0 || code >= mats(j).length)
+        throw new IllegalArgumentException(
+          s"$prettyName: code $code out of range for subspace $j (${mats(j).length} codewords)")
+      val cw = mats(j)(code)
       val sd = subDims(j)
       var d = 0
       var s = 0.0
@@ -209,9 +220,6 @@ case class AdcScore(
       off += sd
       j += 1
     }
-    if (q.numElements() != off)
-      throw new IllegalArgumentException(
-        s"$prettyName: query has ${q.numElements()} dims, codebooks cover $off")
     total
   }
 

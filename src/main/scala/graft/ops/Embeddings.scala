@@ -43,12 +43,20 @@ object Embeddings {
       .drop("__graft_vd")
   }
 
-  /** L2-normalize a vector column (unit-norm embeddings make cosine a
-    * plain dot product downstream). Zero vectors pass through as-is. */
-  def l2Normalize(vec: Column): Column = {
-    val nrm = sqrt(aggregate(vec,
-      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(nrm > 0.0, transform(vec, x => x.cast("double") / nrm))
-      .otherwise(transform(vec, x => x.cast("double")))
+  /** L2-normalize a vector column into `outCol` (unit-norm embeddings
+    * make cosine a plain dot product downstream). Zero vectors pass
+    * through as-is. DataFrame-shaped, not a bare Column: the norm must
+    * be staged as a real projection column — inlined into the divide
+    * lambda it would re-run the O(d) sum per element access (the HOF
+    * re-evaluation pitfall), turning normalization O(d²). */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val nrm = col("__graft_nrm")
+    df.withColumn("__graft_nrm",
+        sqrt(aggregate(col(vecCol),
+          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn(outCol,
+        when(nrm > 0.0, transform(col(vecCol), x => x.cast("double") / nrm))
+          .otherwise(transform(col(vecCol), x => x.cast("double"))))
+      .drop("__graft_nrm")
   }
 }

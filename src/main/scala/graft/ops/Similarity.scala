@@ -251,11 +251,19 @@ object Similarity {
     * (m × kSub × dim/m doubles), not data. */
   def pqCodebooks(
       df: DataFrame, idCol: String, vecCol: String,
-      m: Int, kSub: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+      m: Int, kSub: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] =
+    pqCodebooksPrepared(
+      OpsUtil.widen(df)
+        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .localCheckpoint(false),
+      m, kSub, iters)
+
+  /** Fit over an already-prepared `(id, v)` frame — [[ivfpqTopK]]
+    * passes its checkpointed base directly so the dominant data
+    * structure is materialized once, not once per caller. */
+  private def pqCodebooksPrepared(
+      base: DataFrame, m: Int, kSub: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && kSub > 0)
-    val base = OpsUtil.widen(df)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .localCheckpoint(false)
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
@@ -321,14 +329,14 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, kSub: Int = 16, iters: Int = 3,
-      refine: Int = 0): DataFrame = {
+      refine: Int = 0, queryPred: Option[Column] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
     val refineN = if (refine > 0) refine else math.max(4 * k, 32)
     val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(false)
     val cents = fitCentroids(base, nCentroids, iters)
-    val books = pqCodebooks(base, "id", "v", m, kSub, iters)
+    val books = pqCodebooksPrepared(base, m, kSub, iters)
     val kFit = cents.length
     val probeN = math.min(nProbe, kFit)
     val scored = base.withColumn("scores", centroidScores(col("v"), cents))
@@ -344,13 +352,24 @@ object Similarity {
       .withColumn("cid", argmaxIdx(col("scores")))
       .select(col("cid"), col("id").as("neighbor_id"), col("pq_codes"),
         estNorm.as("est_n"))
-    val queries = scored
+    // queryPred restricts the QUERY side only (candidate corpus stays
+    // full) — evaluated on the original frame's columns, applied here
+    // as a semi-join on the unique id.
+    val scoredQ = queryPred.fold(scored) { p =>
+      scored.join(
+        OpsUtil.widen(df).filter(p).select(col(idCol).as("id")),
+        Seq("id"), "left_semi")
+    }
+    val queries = scoredQ
       .withColumn("cid", explode(topIdx(col("scores"), kFit, probeN)))
       .select(col("cid"), col("id").as("query_id"), col("v").as("qv"),
         norm(col("v")).as("qn"))
+    // ADC-score at the join output and immediately drop the raw query
+    // vector: the dedup and ranking shuffles then carry 3 narrow
+    // columns per candidate, not dim doubles — the PQ payload win
+    // applies to every shuffle, not just the bucket join.
     val cand = queries.join(index, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("est_dot",
         graft.functions.VectorFunctions.adcScore(col("qv"), col("pq_codes"), books))
       // Rank by the ADC cosine estimate (matches the exact rankers);
@@ -359,20 +378,25 @@ object Similarity {
         when(col("qn") * col("est_n") > 0.0,
           col("est_dot") / (col("qn") * col("est_n")))
           .otherwise(lit(Double.MinValue)))
+      .select("query_id", "neighbor_id", "est_cos")
+      .dropDuplicates("query_id", "neighbor_id")
     val wEst = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("est_cos").desc, col("neighbor_id"))
     val shortlist = cand
       .withColumn("est_rank", row_number().over(wEst))
       .filter(col("est_rank") <= refineN)
-      .select("query_id", "neighbor_id", "qv", "qn", "est_cos")
-    // Refinement: exact cosine over the shortlist only.
+      .select("query_id", "neighbor_id", "est_cos")
+    // Refinement: exact cosine over the shortlist only — raw vectors
+    // re-join by unique id (refine rows per query, skew-free).
+    val qTab = base.select(col("id").as("query_id"),
+      col("v").as("qv"), norm(col("v")).as("qn"))
     val nbr = base.select(col("id").as("neighbor_id"),
       col("v").as("cv"), norm(col("v")).as("cn"))
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    shortlist.join(nbr, Seq("neighbor_id"))
+    shortlist.join(qTab, Seq("query_id")).join(nbr, Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)

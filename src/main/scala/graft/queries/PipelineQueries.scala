@@ -596,7 +596,8 @@ object PipelineQueries {
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val pq = Similarity.ivfpqTopK(emb, "vec_id", "embedding", k = 5,
-          nCentroids = 64, nProbe = 24, m = 8, kSub = 16, refine = 256)
+          nCentroids = 64, nProbe = 24, m = 8, kSub = 16, refine = 256,
+          queryPred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10))
         // Same recall invariant as the IVF query: exact baseline over
         // the portable 10% query sample, candidate corpus stays full.
         val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,

@@ -46,14 +46,30 @@ object Transforms {
           kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
         }.toMap
       val t = TransformSpec(name, args)
-      require(Names.contains(name),
-        s"unknown transform '$name' (known: ${Names.mkString(", ")})")
+      require(Required.contains(name),
+        s"unknown transform '$name' (known: ${Required.keys.toSeq.sorted.mkString(", ")})")
+      Required(name).foreach(t.arg) // missing required args fail HERE
+      if (name == "mixture_sample") parseRates(t.arg("rates")) // and bad formats
       t
     }
 
-  val Names: Set[String] = Set(
-    "clean_text", "redact_pii", "quality_filter", "dedup_exact",
-    "sample_hash", "mixture_sample")
+  /** Transform name → required argument names (checked at parse time). */
+  val Required: Map[String, Seq[String]] = Map(
+    "clean_text" -> Seq("cols"),
+    "redact_pii" -> Seq("cols"),
+    "quality_filter" -> Seq("col"),
+    "dedup_exact" -> Seq("key", "col"),
+    "sample_hash" -> Seq("key", "pct"),
+    "mixture_sample" -> Seq("key", "strata", "rates"))
+
+  /** rates as strata:pct pairs joined with '|', e.g. `en:40|de:80`. */
+  private def parseRates(spec: String): Map[String, Int] =
+    spec.split('|').toSeq.map { r =>
+      val parts = r.split(':')
+      require(parts.length == 2 && parts(1).forall(_.isDigit),
+        s"malformed rate '$r' (want strata:pct)")
+      parts(0) -> parts(1).toInt
+    }.toMap
 
   /** Apply one spec. */
   def apply(df: DataFrame, t: TransformSpec): DataFrame = t.name match {
@@ -71,18 +87,21 @@ object Transforms {
     case "dedup_exact" =>
       // Keep the min-key row per normalized text hash (one hash-agg
       // shuffle on 16-byte keys + a keeper join, as in Dedup.exact).
+      // NULL-text rows have no content to deduplicate on — they bypass
+      // the keeper join untouched (an equi-join would silently drop
+      // them: NULL keys never match).
       val key = t.arg("key"); val text = t.arg("col")
       val hashed = df.withColumn("__graft_th", md5(TextOps.normalized(col(text))))
-      val keepers = hashed.groupBy("__graft_th").agg(min(col(key)).as(key))
-      hashed.join(keepers, Seq("__graft_th", key)).drop("__graft_th")
+      val nonNull = hashed.filter(col("__graft_th").isNotNull)
+      val keepers = nonNull.groupBy("__graft_th").agg(min(col(key)).as(key))
+      nonNull.join(keepers, Seq("__graft_th", key))
+        .unionByName(hashed.filter(col("__graft_th").isNull))
+        .drop("__graft_th")
     case "sample_hash" =>
       Sampling.deterministicSample(df, t.arg("key"), t.argInt("pct"))
     case "mixture_sample" =>
-      // rates as strata:pct pairs joined with '|', e.g. rates=en:40|de:80
-      val rates = t.arg("rates").split('|').map { r =>
-        val Array(s, p) = r.split(':'); s -> p.toInt
-      }.toMap
-      Sampling.mixtureSample(df, t.arg("key"), t.arg("strata"), rates,
+      Sampling.mixtureSample(df, t.arg("key"), t.arg("strata"),
+        parseRates(t.arg("rates")),
         t.args.get("default_pct").map(_.toInt).getOrElse(0))
     case other =>
       throw new IllegalArgumentException(s"unknown transform '$other'")

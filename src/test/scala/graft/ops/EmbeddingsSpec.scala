@@ -46,8 +46,9 @@ class EmbeddingsSpec extends SparkSpec with Matchers {
   }
 
   test("l2Normalize yields unit vectors; zero vector passes through") {
-    val df = vecsDf(Seq(1L -> Seq(3.0f, 4.0f), 2L -> Seq(0.0f, 0.0f)))
-      .select(col("vec_id"), Embeddings.l2Normalize(col("embedding")).as("nv"))
+    val df = Embeddings.l2Normalize(
+      vecsDf(Seq(1L -> Seq(3.0f, 4.0f), 2L -> Seq(0.0f, 0.0f))), "embedding", "nv")
+      .select(col("vec_id"), col("nv"))
     val out = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     out(1L)(0) shouldBe 0.6 +- 1e-12
     out(1L)(1) shouldBe 0.8 +- 1e-12

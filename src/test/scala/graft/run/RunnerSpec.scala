@@ -162,6 +162,30 @@ class RunnerSpec extends SparkSpec {
     assert(out(1L) == "mail <EMAIL> here we go now")
   }
 
+  test("dedup_exact transform passes NULL-text rows through instead of dropping them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("same text here")),
+      (2L, Option("same text here")),
+      (3L, None: Option[String]),
+      (4L, None: Option[String])
+    ).toDF("id", "bio")
+    val out = Transforms.applyAll(df,
+      Transforms.parse("dedup_exact(key=id,col=bio)"))
+      .collect().map(_.getLong(0)).sorted
+    // duplicate text collapses to min key; both null rows survive
+    assert(out.toSeq == Seq(1L, 3L, 4L), s"got ${out.toSeq}")
+  }
+
+  test("transforms: missing args and malformed rates fail at parse time") {
+    intercept[IllegalArgumentException](Transforms.parse("sample_hash(key=id)"))
+    intercept[IllegalArgumentException](
+      Transforms.parse("mixture_sample(key=id,strata=lang,rates=en40)"))
+    // well-formed chain still parses
+    assert(Transforms.parse(
+      "mixture_sample(key=id,strata=lang,rates=en:40|de:80)").head.name == "mixture_sample")
+  }
+
   test("full job applies GRAFT_TRANSFORMS-style chain before encoding") {
     val out = java.nio.file.Files.createTempDirectory("graft-tf").toString
     val job = JobConfig(
