@@ -136,6 +136,109 @@ case class RollingMinHash(child: Expression, window: Int, portable: Boolean = fa
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+  * MOSS algorithm): from the sequence of `k`-gram rolling hashes,
+  * select the minimum of every `w` consecutive hashes and return the
+  * DISTINCT selected values, sorted. Guarantee: any substring of
+  * length ≥ w + k − 1 shared by two documents contributes at least one
+  * shared fingerprint, while only ~2/(w+1) of all hashes are kept —
+  * the storage/recall dial between "one min per doc" (RollingMinHash)
+  * and "every window" (CorpusOps.duplicateSpans).
+  *
+  * Single pass, O(n): rolling hash + monotonic-deque window minima.
+  * `portable = true` uses the mod 2³¹−1 char-fold arithmetic whose SQL
+  * mirror the DuckDB oracle runs verbatim (ASCII caveat as in
+  * [[RollingMinHash]]); default is mod 2⁶⁴ with unsigned minima.
+  */
+case class WinnowedFingerprints(
+    child: Expression, k: Int, w: Int, portable: Boolean = false)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.ArrayType
+
+  require(k >= 2 && k <= 1024, "k-gram size must be in [2, 1024]")
+  require(w >= 1 && w <= 4096, "winnow window must be in [1, 4096]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_winnowed_fingerprints"
+
+  private def less(a: Long, b: Long): Boolean =
+    if (portable) a < b else java.lang.Long.compareUnsigned(a, b) < 0
+
+  /** All k-gram rolling hashes (length-capped k for short texts). */
+  private def grams(bytes: Array[Byte]): Array[Long] = {
+    val n = bytes.length
+    if (n == 0) return Array.empty
+    val kk = math.min(k, n)
+    val p = 2147483647L
+    val B = 257L
+    val out = new Array[Long](n - kk + 1)
+    var pow = 1L
+    var i = 1
+    while (i < kk) { pow = if (portable) pow * B % p else pow * B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < kk) {
+      h = if (portable) (h * B + (bytes(i) & 0xff)) % p else h * B + (bytes(i) & 0xff)
+      i += 1
+    }
+    out(0) = h
+    i = kk
+    while (i < n) {
+      if (portable) {
+        var t = (h - (bytes(i - kk) & 0xff) * pow % p) % p
+        if (t < 0) t += p
+        h = (t * B + (bytes(i) & 0xff)) % p
+      } else {
+        h = (h - (bytes(i - kk) & 0xff) * pow) * B + (bytes(i) & 0xff)
+      }
+      out(i - kk + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Shared by interpreted and codegen paths. */
+  def winnow(str: UTF8String): GenericArrayData = {
+    val hs = grams(str.getBytes)
+    if (hs.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val ww = math.min(w, hs.length)
+    // Monotonic deque of indices with ascending hash values.
+    val deque = new Array[Int](hs.length)
+    var head = 0; var tail = 0 // [head, tail)
+    val selected = scala.collection.mutable.TreeSet.empty[Long](
+      if (portable) Ordering.Long
+      else Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0))
+    var i = 0
+    while (i < hs.length) {
+      while (tail > head && !less(hs(deque(tail - 1)), hs(i))) tail -= 1
+      deque(tail) = i; tail += 1
+      while (deque(head) <= i - ww) head += 1
+      if (i >= ww - 1) selected += hs(deque(head))
+      i += 1
+    }
+    new GenericArrayData(selected.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    winnow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowed", this, classOf[WinnowedFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, str => s"${ev.value} = $self.winnow($str);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprints =
+    copy(child = newChild)
+}
+
 object RollingHashFunctions {
   /** Winnowed rolling-hash fingerprint of a string column. */
   def rollingMinHash(text: Column, window: Int): Column =
@@ -144,4 +247,12 @@ object RollingHashFunctions {
   /** Engine-portable (mod 2^31-1) fingerprint — oracle-checkable. */
   def rollingMinHashPortable(text: Column, window: Int): Column =
     Bridge.column(RollingMinHash(Bridge.expression(text), window, portable = true))
+
+  /** Winnowing fingerprint set (sorted distinct window minima). */
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowedFingerprints(Bridge.expression(text), k, w))
+
+  /** Engine-portable winnowing — oracle-checkable (ASCII caveat). */
+  def winnowedFingerprintsPortable(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowedFingerprints(Bridge.expression(text), k, w, portable = true))
 }
