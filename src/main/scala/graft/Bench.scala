@@ -29,10 +29,19 @@ object Bench {
     }
     val (pass1, pass2) = (timeAll(), timeAll())
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness reading this line keeps only a bounded tail of stdout;
+    // millisecond precision keeps the whole JSON line inside that window
+    // (full-precision doubles overflowed it once the query count grew).
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(decimals: Int): String = {
+      def fmt(v: Double): String =
+        s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val l3 = line(3)
+    println(if (l3.length <= 1800) l3 else line(2))
     spark.stop()
   }
 }

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * shuffle by necessity; the design keeps every shuffle on small
   * fixed-width keys (16-byte md5 line hashes, n-gram strings) with
   * map-side partial aggregation, and the "hot" sets that drive
-  * filtering are broadcast, never joined shuffle-to-shuffle.
+  * filtering are small by construction (df-capped) so the planner can
+  * broadcast them — without forcing a broadcast that would OOM on a
+  * pathological corpus.
   */
 object CorpusOps {
 
@@ -22,10 +24,13 @@ object CorpusOps {
     * Scale shape: (1) explode to lines — map-side, no shuffle; (2) one
     * hash-agg shuffle on the 16-byte line hash for document frequency
     * (partial aggregation collapses repeats before the wire); (3) the
-    * boilerplate set — by construction ≤ corpus_lines / maxDf entries,
-    * tiny in practice — broadcasts into a left-anti join, so the line
-    * table itself never re-shuffles for the filter; (4) one shuffle on
-    * doc id to reassemble. Nothing is ever keyed on raw line text.
+    * boilerplate set — by construction ≤ corpus_lines / maxDf entries —
+    * anti-joins against the line table with the strategy left to
+    * AQE: it broadcasts when the measured size fits
+    * autoBroadcastJoinThreshold, and falls back to a shuffle join when
+    * a pathological corpus makes the hot set big (a forced broadcast
+    * would OOM the driver there); (4) one shuffle on doc id to
+    * reassemble. Nothing is ever keyed on raw line text.
     */
   def stripBoilerplate(
       df: DataFrame, idCol: String, textCol: String, maxDf: Int): DataFrame = {
@@ -44,7 +49,7 @@ object CorpusOps {
       .filter(col("line_df") > maxDf)
       .select("line_key")
     lines
-      .join(broadcast(boilerplate), Seq("line_key"), "left_anti")
+      .join(boilerplate, Seq("line_key"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_lines_kept"),

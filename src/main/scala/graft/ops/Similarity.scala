@@ -297,12 +297,20 @@ object Similarity {
       df: DataFrame, vecCol: String,
       books: Seq[Seq[Seq[Double]]]): DataFrame = {
     val subDim = books.head.head.length
+    val expectedDim = books.length * subDim
     val codes = books.indices.map { j =>
       argmaxIdx(centroidScores(
         slice(asDouble(col(vecCol)), j * subDim + 1, subDim),
         books(j).map(_.toArray).toArray))
     }
-    df.withColumn("pq_codes", array(codes: _*))
+    // Fail fast on a dimension mismatch: slice() would silently hand
+    // truncated subvectors to the kernel and emit wrong codes (AdcScore
+    // validates its inputs; the encoder must too).
+    df.withColumn("pq_codes",
+      when(size(col(vecCol)) === expectedDim, array(codes: _*))
+        .otherwise(raise_error(concat(
+          lit(s"pqEncode: expected vector dim $expectedDim, got "),
+          size(col(vecCol)).cast("string")))))
   }
 
   /** IVF-PQ approximate top-k with refinement (the FAISS IVFPQR

@@ -49,6 +49,10 @@ object Transforms {
       require(Required.contains(name),
         s"unknown transform '$name' (known: ${Required.keys.toSeq.sorted.mkString(", ")})")
       Required(name).foreach(t.arg) // missing required args fail HERE
+      IntArgs.getOrElse(name, Nil).foreach { k => // and non-numeric ints
+        t.args.get(k).foreach(v => require(v.nonEmpty && v.forall(_.isDigit),
+          s"transform '$name' arg '$k' must be a non-negative integer, got '$v'"))
+      }
       if (name == "mixture_sample") parseRates(t.arg("rates")) // and bad formats
       t
     }
@@ -61,6 +65,14 @@ object Transforms {
     "dedup_exact" -> Seq("key", "col"),
     "sample_hash" -> Seq("key", "pct"),
     "mixture_sample" -> Seq("key", "strata", "rates"))
+
+  /** Transform name → integer-typed argument names, validated at parse
+    * time when present (same fail-fast contract as Required: `pct=abc`
+    * should die in parse(), not as a NumberFormatException mid-job). */
+  val IntArgs: Map[String, Seq[String]] = Map(
+    "quality_filter" -> Seq("min_tokens", "max_tokens"),
+    "sample_hash" -> Seq("pct"),
+    "mixture_sample" -> Seq("default_pct"))
 
   /** rates as strata:pct pairs joined with '|', e.g. `en:40|de:80`. */
   private def parseRates(spec: String): Map[String, Int] =
@@ -87,15 +99,16 @@ object Transforms {
     case "dedup_exact" =>
       // Keep the min-key row per normalized text hash (one hash-agg
       // shuffle on 16-byte keys + a keeper join, as in Dedup.exact).
-      // NULL-text rows have no content to deduplicate on — they bypass
-      // the keeper join untouched (an equi-join would silently drop
-      // them: NULL keys never match).
+      // NULL-text rows have no content to deduplicate on, and NULL-key
+      // rows can never match the (hash, key) keeper equi-join (min()
+      // skips nulls and NULL = NULL is never true) — both bypass the
+      // join untouched instead of silently vanishing.
       val key = t.arg("key"); val text = t.arg("col")
       val hashed = df.withColumn("__graft_th", md5(TextOps.normalized(col(text))))
-      val nonNull = hashed.filter(col("__graft_th").isNotNull)
-      val keepers = nonNull.groupBy("__graft_th").agg(min(col(key)).as(key))
-      nonNull.join(keepers, Seq("__graft_th", key))
-        .unionByName(hashed.filter(col("__graft_th").isNull))
+      val dedupable = hashed.filter(col("__graft_th").isNotNull && col(key).isNotNull)
+      val keepers = dedupable.groupBy("__graft_th").agg(min(col(key)).as(key))
+      dedupable.join(keepers, Seq("__graft_th", key))
+        .unionByName(hashed.filter(col("__graft_th").isNull || col(key).isNull))
         .drop("__graft_th")
     case "sample_hash" =>
       Sampling.deterministicSample(df, t.arg("key"), t.argInt("pct"))

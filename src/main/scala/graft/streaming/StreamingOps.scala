@@ -232,15 +232,6 @@ object StreamingOps {
       sink(PointInTimeJoin.join(batch, entityTs, views), batchId)
     }
 
-  /** Online-store materialization: maintain the latest row per entity
-    * key by event time (created-timestamp tie-break order = arrival
-    * order within equal timestamps). This is the streaming half of the
-    * feature-store model: the batch engine's point-in-time join answers
-    * "value as of t" over history; this operator answers "value as of
-    * now" continuously, with `mapGroupsWithState` keeping exactly one
-    * row of state per key.
-    *
-    * Output (Update mode): one row per updated key per trigger. */
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running
     * per-bucket token total — the incremental form of
@@ -282,6 +273,15 @@ object StreamingOps {
       }
   }
 
+  /** Online-store materialization: maintain the latest row per entity
+    * key by event time (created-timestamp tie-break order = arrival
+    * order within equal timestamps). This is the streaming half of the
+    * feature-store model: the batch engine's point-in-time join answers
+    * "value as of t" over history; this operator answers "value as of
+    * now" continuously, with `mapGroupsWithState` keeping exactly one
+    * row of state per key.
+    *
+    * Output (Update mode): one row per updated key per trigger. */
   def latestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String): Dataset[Row] = {
     val schema = df.schema
     val tsIdx = schema.fieldIndex(tsCol)

@@ -212,6 +212,14 @@ class SimilaritySpec extends SparkSpec with Matchers {
       cs should have size 4
       cs.foreach { c => c should (be >= 0 and be < 8) }
     }
+    // a vector whose dim != m*subDim fails fast instead of silently
+    // encoding truncated subvectors
+    val short = vecsDf(Seq(1L -> Seq.fill(8)(0.5)))
+    val dimEx = intercept[Exception] {
+      Similarity.pqEncode(short, "embedding", b1).collect()
+    }
+    (dimEx.getMessage + Option(dimEx.getCause).map(_.getMessage).mkString) should
+      include("expected vector dim")
     val pq = Similarity.ivfpqTopK(df, "vec_id", "embedding", k = 3,
       nCentroids = 8, nProbe = 2, m = 4, kSub = 8)
     val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 3)

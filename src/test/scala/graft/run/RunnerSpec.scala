@@ -177,6 +177,25 @@ class RunnerSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 3L, 4L), s"got ${out.toSeq}")
   }
 
+  test("dedup_exact transform passes NULL-key rows through instead of dropping them") {
+    import spark.implicits._
+    // min(key) skips nulls and NULL keys never match the keeper
+    // equi-join — without the bypass, rows 3 and 4 would vanish even
+    // though their text is non-null.
+    val df = Seq(
+      (Option(1L), "same text here"),
+      (Option(2L), "same text here"),
+      (None: Option[Long], "same text here"),
+      (None: Option[Long], "unique text")
+    ).toDF("id", "bio")
+    val out = Transforms.applyAll(df,
+      Transforms.parse("dedup_exact(key=id,col=bio)"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    assert(out.length == 3, s"got ${out.toSeq}")
+    assert(out.count(_._1 == -1L) == 2) // both null-key rows survive
+    assert(out.contains((1L, "same text here"))) // dup collapsed to min key
+  }
+
   test("transforms: missing args and malformed rates fail at parse time") {
     intercept[IllegalArgumentException](Transforms.parse("sample_hash(key=id)"))
     intercept[IllegalArgumentException](
@@ -184,6 +203,18 @@ class RunnerSpec extends SparkSpec {
     // well-formed chain still parses
     assert(Transforms.parse(
       "mixture_sample(key=id,strata=lang,rates=en:40|de:80)").head.name == "mixture_sample")
+  }
+
+  test("transforms: non-numeric int args fail at parse time, not at apply") {
+    intercept[IllegalArgumentException](
+      Transforms.parse("sample_hash(key=id,pct=abc)"))
+    intercept[IllegalArgumentException](
+      Transforms.parse("quality_filter(col=bio,min_tokens=lots)"))
+    intercept[IllegalArgumentException](
+      Transforms.parse("mixture_sample(key=id,strata=lang,rates=en:40,default_pct=x)"))
+    // valid ints still parse
+    assert(Transforms.parse("quality_filter(col=bio,min_tokens=5,max_tokens=100)")
+      .head.args("max_tokens") == "100")
   }
 
   test("full job applies GRAFT_TRANSFORMS-style chain before encoding") {
