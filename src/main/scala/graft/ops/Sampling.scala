@@ -45,6 +45,24 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
   }
 
+  /** Deterministic corpus shuffle: assign every row a (shard, pos)
+    * address in a pseudo-random but reproducible global order — the
+    * "shuffle the corpus before training" step, without `rand()` and
+    * without a global sort. Rows hash to `shards` shards; within a
+    * shard they rank by a second hash (key tie-break makes the order
+    * total). One shuffle on the shard id; each shard sorts
+    * independently, so at 100 TB the sort is corpus/shards per task —
+    * size `shards` to the cluster, and no single-partition global
+    * window ever exists. Readers stream shards in (shard, pos) order
+    * and see a stable, engine-reproducible permutation. */
+  def shuffleAssign(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards > 0)
+    val ord = hashBucket(col(keyCol), 1000003)
+    val w = Window.partitionBy(col("shard")).orderBy(ord, col(keyCol))
+    df.withColumn("shard", hashBucket(col(keyCol), shards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Exactly-N-per-stratum sample (class balancing): rank rows within
     * each stratum by hash of the key (then key, for total order) and
     * keep the first n. One shuffle on the strata columns. */

@@ -752,6 +752,54 @@ object PipelineQueries {
         FROM documents,
              unnest(range(0, length(text) // 16, 2)) t(f)""")),
 
+    // Corpus-trained bigram-LM scoring: per-doc cross-entropy under an
+    // add-1-smoothed bigram model trained on the corpus itself — the
+    // CCNet/Gopher perplexity-filter stage.
+    QueryDef(
+      "lm_score",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.ops.LanguageModel.bigramCrossEntropy(docs, docs, "doc_id", "text")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        c12 AS (SELECT bg, COUNT(*) AS c12 FROM pr GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM pr GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q)
+        SELECT pr.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(-ln((c12 + 1.0) / (c1 + 1.0 * v)) AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS cross_entropy
+        FROM pr
+        JOIN c12 USING (bg)
+        JOIN c1 ON split_part(pr.bg, ' ', 1) = c1.w1
+        CROSS JOIN v
+        GROUP BY pr.id""")),
+
+    // Deterministic corpus shuffle: reproducible (shard, pos) address
+    // for every document — no rand(), no global sort, no
+    // single-partition window.
+    QueryDef(
+      "corpus_shuffle",
+      (s, dir) => graft.ops.Sampling.shuffleAssign(
+        table(s, dir, "documents").select("doc_id"), "doc_id", shards = 16)
+        .select("doc_id", "shard", "pos"),
+      Some("""
+        SELECT doc_id,
+               ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 16 AS shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 16
+                 ORDER BY ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 1000003,
+                          doc_id) AS BIGINT) AS pos
+        FROM documents""")),
+
     // Streaming-shaped tumbling-window aggregation over the events
     // table (batch here; StreamingSpec runs the same plan through
     // Structured Streaming).

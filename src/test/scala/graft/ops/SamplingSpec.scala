@@ -39,4 +39,31 @@ class SamplingSpec extends SparkSpec with Matchers {
     s1 shouldBe s2
     s1.size.toDouble should (be > 700.0 and be < 1300.0)
   }
+
+  test("shuffleAssign: dense per-shard positions, partition-stable, no global window") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("k")
+    val a1 = Sampling.shuffleAssign(df, "k", shards = 8)
+    val rows = a1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.length shouldBe 2000
+    // every shard's positions are exactly 1..n (a permutation address)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      withClue(s"shard $shard: ") {
+        rs.map(_._3).sorted.toSeq shouldBe (1L to rs.length).toSeq
+      }
+    }
+    // reproducible under a different input partitioning
+    val a2 = Sampling.shuffleAssign(df.repartition(13), "k", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    a2.sortBy(_._1).toSeq shouldBe rows.sortBy(_._1).toSeq
+    // scale shape: the window runs per shard — no single-partition
+    // exchange anywhere in the executed plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val plan = a1.queryExecution.executedPlan
+    val single = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    single shouldBe empty
+  }
 }
