@@ -144,8 +144,33 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 3): Array[Array[Double]] =
     fitCentroids(
-      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      fitSample(
+        df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+        FitSampleFactor * nCentroids),
       nCentroids, iters)
+
+  /** Rows per requested centroid used to train a quantizer. Lloyd
+    * iterations never need the full corpus — FAISS practice is a
+    * bounded training sample per centroid — and at 100 TB iterating
+    * the fit over every vector would be the dominant cost of the whole
+    * index build. */
+  private val FitSampleFactor = 200L
+
+  /** Deterministic hash-sampled training set for quantizer fits: the
+    * portable key hash keeps the sample reproducible across runs and
+    * partitionings, and when the corpus is already at-or-under target
+    * the frame passes through untouched (small-data fits stay
+    * bit-identical to the unsampled ones). */
+  private def fitSample(base: DataFrame, targetRows: Long): DataFrame = {
+    val cnt = base.count()
+    if (cnt <= targetRows) base
+    else {
+      val pct = math.max(1L, targetRows * 100L / cnt).toInt
+      if (pct >= 100) base
+      else base.filter(Sampling.hashBucket(col("id")) < pct)
+        .localCheckpoint(false)
+    }
+  }
 
   /** Fit over a prepared (id, v) frame — callers materialize it once
     * (the fit re-reads it per Lloyd iteration). */
@@ -220,7 +245,8 @@ object Similarity {
     val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(false)
-    val cents = fitCentroids(base, nCentroids, iters)
+    val cents = fitCentroids(
+      fitSample(base, FitSampleFactor * nCentroids), nCentroids, iters)
     // The fit caps centroids at the row count; probe within what exists.
     val kFit = cents.length
     val probeN = math.min(nProbe, kFit)
@@ -253,9 +279,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       m: Int, kSub: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] =
     pqCodebooksPrepared(
-      OpsUtil.widen(df)
-        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-        .localCheckpoint(false),
+      fitSample(
+        OpsUtil.widen(df)
+          .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+          .localCheckpoint(false),
+        FitSampleFactor * kSub),
       m, kSub, iters)
 
   /** Fit over an already-prepared `(id, v)` frame — [[ivfpqTopK]]
@@ -343,8 +371,17 @@ object Similarity {
     val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(false)
-    val cents = fitCentroids(base, nCentroids, iters)
-    val books = pqCodebooksPrepared(base, m, kSub, iters)
+    // One training sample serves the coarse quantizer and every PQ
+    // subspace; the coarse fit runs concurrently with the m subspace
+    // fits (all are independent Spark jobs over the same sample).
+    val sample = fitSample(
+      base, FitSampleFactor * math.max(nCentroids, kSub))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val centsF = Future { fitCentroids(sample, nCentroids, iters) }
+    val books = pqCodebooksPrepared(sample, m, kSub, iters)
+    val cents = Await.result(centsF, Duration.Inf)
     val kFit = cents.length
     val probeN = math.min(nProbe, kFit)
     val scored = base.withColumn("scores", centroidScores(col("v"), cents))

@@ -7,7 +7,7 @@ import graft.SparkEntry
 /** Run a single named query from [[SparkEntry.defs]] with timing and an
   * optional formatted plan dump — the inner loop for plan tuning.
   *
-  * Usage: runMain graft.tools.BenchOne <queryName> [sfDir] [explain]
+  * Usage: runMain graft.tools.BenchOne <queryName> [sfDir] [explain] [show]
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -28,9 +28,10 @@ object BenchOne {
     // and the count, so eager-at-build queries run their job once
     // (timing then excludes the build — use non-explain mode to time).
     val t0 = System.nanoTime()
-    val n = if (doExplain) {
+    val n = if (doExplain || args.contains("show")) {
       val df = fn(spark, sfDir)
-      df.explain("formatted")
+      if (doExplain) df.explain("formatted")
+      if (args.contains("show")) df.show(50, false)
       df.count()
     } else fn(spark, sfDir).count()
     val sec = (System.nanoTime() - t0) / 1e9
