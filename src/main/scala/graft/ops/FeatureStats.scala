@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-feature statistics and train/eval skew validation — the
+  * StatisticsGen/ExampleValidator stages that consume an example-gen
+  * component's output in a TFX pipeline (the reference's downstream
+  * contract): count, missing count, distinct count, mean/min/max per
+  * feature, and a drift comparison between two splits.
+  *
+  * Scale shape: ONE aggregation pass produces every feature's row —
+  * no per-column jobs, no driver-side iteration over columns. The
+  * exact distinct counts plan through Spark's Expand (one duplicate of
+  * the input per distinct aggregate), so the pass is O(features × rows)
+  * — the price of exact TFDV-style uniques; swap `countDistinct` for
+  * `approx_count_distinct` when 2% error is acceptable at 100 TB.
+  * Means sum through DECIMAL (order-free, deterministic under any
+  * partitioning).
+  */
+object FeatureStats {
+
+  /** One row per feature in long format:
+    * (feature, n, n_null, n_distinct, mean, min_val, max_val);
+    * the numeric moments are NULL for string features. */
+  def summarize(
+      df: DataFrame, numericCols: Seq[String], stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__n")) ++
+        numericCols.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"__${c}_cnt"),
+            countDistinct(col(c)).as(s"__${c}_nd"),
+            sum(col(c).cast("decimal(28,6)")).as(s"__${c}_sum"),
+            min(col(c).cast("double")).as(s"__${c}_min"),
+            max(col(c).cast("double")).as(s"__${c}_max"))
+        } ++
+        stringCols.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"__${c}_cnt"),
+            countDistinct(col(c)).as(s"__${c}_nd"))
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows: Seq[Column] =
+      numericCols.map { c =>
+        struct(
+          lit(c).as("feature"),
+          col("__n").as("n"),
+          (col("__n") - col(s"__${c}_cnt")).as("n_null"),
+          col(s"__${c}_nd").as("n_distinct"),
+          (col(s"__${c}_sum").cast("double") /
+            col(s"__${c}_cnt").cast("double")).as("mean"),
+          col(s"__${c}_min").as("min_val"),
+          col(s"__${c}_max").as("max_val"))
+      } ++
+        stringCols.map { c =>
+          struct(
+            lit(c).as("feature"),
+            col("__n").as("n"),
+            (col("__n") - col(s"__${c}_cnt")).as("n_null"),
+            col(s"__${c}_nd").as("n_distinct"),
+            lit(null).cast("double").as("mean"),
+            lit(null).cast("double").as("min_val"),
+            lit(null).cast("double").as("max_val"))
+        }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
+  /** Train/eval skew check (the ExampleValidator shape): per-feature
+    * missing-rate and mean drift between two frames of the same schema.
+    * `drift` flags |mean_a − mean_b| > tol·max(|mean_a|, |mean_b|) or a
+    * missing-rate gap above `missTol` — the cheap L∞-style gate that
+    * catches unit changes, dropped columns, and skewed joins before
+    * training does. Two aggregation passes (one per split) joined on
+    * the feature name — 7-column frames of #features rows. */
+  def skewCheck(
+      a: DataFrame, b: DataFrame,
+      numericCols: Seq[String], stringCols: Seq[String],
+      tol: Double = 0.1, missTol: Double = 0.01): DataFrame = {
+    def side(d: DataFrame, tag: String) =
+      summarize(d, numericCols, stringCols).select(
+        col("feature"),
+        col("mean").as(s"mean_$tag"),
+        (cast0(col("n_null")) / cast0(col("n"))).as(s"miss_$tag"))
+    side(a, "a").join(side(b, "b"), Seq("feature"))
+      .withColumn("mean_drift",
+        when(col("mean_a").isNotNull && col("mean_b").isNotNull,
+          abs(col("mean_a") - col("mean_b")) >
+            lit(tol) * greatest(abs(col("mean_a")), abs(col("mean_b"))))
+          .otherwise(lit(false)))
+      .withColumn("miss_drift",
+        abs(col("miss_a") - col("miss_b")) > lit(missTol))
+  }
+
+  private def cast0(c: Column): Column = c.cast("double")
+}

@@ -291,6 +291,97 @@ object QualityQueries {
                q_max_err,
                CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS q_n_sat,
                q_max_err <= q_scale / 2 + 1e-12 AS within_bound
-        FROM e"""))
+        FROM e""")),
+
+    // StatisticsGen over the examplegen output's source table: one
+    // aggregation pass, one row per feature (the TFX stage that
+    // consumes an example-gen component downstream).
+    QueryDef(
+      "feature_stats",
+      (s, dir) => graft.ops.FeatureStats.summarize(
+        table(s, dir, "orders"),
+        numericCols = Seq("o_totalprice", "o_custkey"),
+        stringCols = Seq("o_orderstatus", "o_orderpriority")),
+      Some("""
+        SELECT 'o_totalprice' AS feature, COUNT(*) AS n,
+               COUNT(*) - COUNT(o_totalprice) AS n_null,
+               COUNT(DISTINCT o_totalprice) AS n_distinct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(COUNT(o_totalprice) AS DOUBLE) AS mean,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey),
+               CAST(SUM(CAST(o_custkey AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(COUNT(o_custkey) AS DOUBLE),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders""")),
+
+    // ExampleValidator's skew gate: per-feature mean / missing-rate
+    // drift between a deterministic 80/20 train-eval split.
+    QueryDef(
+      "skew_check",
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+        val h = graft.ops.Sampling.hashBucket(col("o_orderkey"))
+        graft.ops.FeatureStats.skewCheck(
+          orders.filter(h < 80), orders.filter(h >= 80),
+          numericCols = Seq("o_totalprice", "o_custkey"),
+          stringCols = Seq("o_orderstatus"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT *, ((((o_orderkey % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 AS hb
+          FROM orders),
+        sa AS (
+          SELECT 'o_totalprice' AS feature,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(COUNT(o_totalprice) AS DOUBLE) AS mean_a,
+                 CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS miss_a
+          FROM h WHERE hb < 80
+          UNION ALL
+          SELECT 'o_custkey',
+                 CAST(SUM(CAST(o_custkey AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(COUNT(o_custkey) AS DOUBLE),
+                 CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          FROM h WHERE hb < 80
+          UNION ALL
+          SELECT 'o_orderstatus', CAST(NULL AS DOUBLE),
+                 CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          FROM h WHERE hb < 80),
+        sb AS (
+          SELECT 'o_totalprice' AS feature,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(COUNT(o_totalprice) AS DOUBLE) AS mean_b,
+                 CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS miss_b
+          FROM h WHERE hb >= 80
+          UNION ALL
+          SELECT 'o_custkey',
+                 CAST(SUM(CAST(o_custkey AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(COUNT(o_custkey) AS DOUBLE),
+                 CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          FROM h WHERE hb >= 80
+          UNION ALL
+          SELECT 'o_orderstatus', CAST(NULL AS DOUBLE),
+                 CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          FROM h WHERE hb >= 80)
+        SELECT sa.feature, mean_a, miss_a, mean_b, miss_b,
+               CASE WHEN mean_a IS NOT NULL AND mean_b IS NOT NULL
+                    THEN abs(mean_a - mean_b) > 0.1 * greatest(abs(mean_a), abs(mean_b))
+                    ELSE false END AS mean_drift,
+               abs(miss_a - miss_b) > 0.01 AS miss_drift
+        FROM sa JOIN sb ON sa.feature = sb.feature"""))
   )
 }

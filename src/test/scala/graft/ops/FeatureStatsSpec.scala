@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class FeatureStatsSpec extends SparkSpec with Matchers {
+  import org.apache.spark.sql.Row
+
+  private def statsMap(rows: Array[Row]) =
+    rows.map(r => r.getString(0) -> r).toMap
+
+  test("summarize: one row per feature with exact counts and moments") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1.0), Option("a")),
+      (Option(3.0), Option("b")),
+      (None: Option[Double], Option("a")),
+      (Option(2.0), None: Option[String])
+    ).toDF("x", "s")
+    val out = statsMap(FeatureStats.summarize(df, Seq("x"), Seq("s")).collect())
+    out.keySet shouldBe Set("x", "s")
+    val x = out("x")
+    x.getLong(1) shouldBe 4L // n
+    x.getLong(2) shouldBe 1L // n_null
+    x.getLong(3) shouldBe 3L // n_distinct
+    x.getDouble(4) shouldBe 2.0 +- 1e-12 // mean over non-null
+    x.getDouble(5) shouldBe 1.0
+    x.getDouble(6) shouldBe 3.0
+    val s = out("s")
+    s.getLong(2) shouldBe 1L
+    s.getLong(3) shouldBe 2L
+    s.isNullAt(4) shouldBe true // no mean for strings
+  }
+
+  test("skewCheck flags mean drift and missing-rate drift") {
+    import spark.implicits._
+    val a = Seq(
+      (Option(10.0), Option("x")), (Option(10.0), Option("x"))
+    ).toDF("x", "s")
+    val b = Seq(
+      (Option(20.0), Option("x")), (Option(20.0), None: Option[String])
+    ).toDF("x", "s")
+    val out = statsMap(
+      FeatureStats.skewCheck(a, b, Seq("x"), Seq("s")).collect())
+    val x = out("x")
+    x.getBoolean(5) shouldBe true // mean 10 vs 20 drifts at tol 0.1
+    x.getBoolean(6) shouldBe false
+    val s = out("s")
+    s.getBoolean(5) shouldBe false // no numeric mean for strings
+    s.getBoolean(6) shouldBe true // missing rate 0 vs 0.5
+  }
+}
