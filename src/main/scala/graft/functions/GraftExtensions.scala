@@ -79,6 +79,19 @@ object GraftFunctions {
             s"graft_rolling_minhash: window must be an integer literal, got $other")
         }
         RollingMinHash(args.head, w)
+      }),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "_FUNC_(text, k, w) - sorted distinct winnowed k-gram fingerprints (the MOSS selection).",
+        classOf[WinnowedFingerprints]),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnow takes exactly 3 arguments")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow: $name must be an integer literal, got $other")
+        }
+        WinnowedFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
       }))
 
   /** Register every graft function + the dot-product optimizer rewrite

@@ -346,6 +346,35 @@ object PipelineQueries {
           END AS rfp
         FROM documents""")),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    // selection): one row per selected k-gram window-min hash, in
+    // engine-portable mod-p mode so DuckDB recomputes every value.
+    QueryDef(
+      "doc_winnow",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.RollingHashFunctions
+            .winnowedFingerprintsPortable(col("text"), 8, 16)).as("fp")),
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+                 ELSE list_transform(
+                   range(1, greatest(length(text) - least(8, length(text)) + 1, 1) + 1),
+                   i -> list_reduce(
+                          list_transform(range(i, i + least(8, length(text))),
+                            j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                          (acc, x) -> (acc * 257 + x) % 2147483647))
+                 END AS hs
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(hs) - least(16, len(hs)) + 1, 1) + 1),
+                   j -> list_min(hs[CAST(j AS INTEGER):CAST(j + least(16, len(hs)) - 1 AS INTEGER)]))) AS fps
+          FROM g WHERE len(hs) > 0)
+        SELECT doc_id, unnest(fps) AS fp FROM s""")),
+
     // End-to-end dedup: pairs → clusters → drop non-canonical members.
     QueryDef(
       "dedup_survivors",
