@@ -297,6 +297,45 @@ object Dedup {
     * scale. The hot set is tiny by construction (only shingles with
     * df > cap), so it broadcasts: one extra agg, no extra shuffle of
     * the exploded shingles. */
+  /** Winnow-overlap candidate pairs (the MOSS report): documents
+    * sharing at least `minShared` winnowed k-gram fingerprints. The
+    * winnowing guarantee makes this a RECALL-complete blocking stage
+    * for substring plagiarism: any shared run of ≥ w+k−1 chars
+    * contributes a shared fingerprint, while only ~2/(w+1) of windows
+    * are ever keyed. Same scale shape as [[ngramJaccard]] — per-row
+    * codegen'd fingerprint projection, self-join blocked on the 8-byte
+    * fingerprint (never text), `maxDf` drops corpus-ubiquitous
+    * fingerprints (boilerplate) before the join so no key goes
+    * quadratic; the hot set is tiny by construction and the planner
+    * broadcasts the anti-join when it fits. `portable = true` uses the
+    * mod-p arithmetic whose SQL mirror the oracle runs verbatim. */
+  def winnowOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, minShared: Int = 2,
+      maxDf: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
+    import graft.functions.RollingHashFunctions
+    val fpCol =
+      if (portable) RollingHashFunctions.winnowedFingerprintsPortable(col(textCol), k, w)
+      else RollingHashFunctions.winnowedFingerprints(col(textCol), k, w)
+    // Consumed by the df-cap aggregate and both self-join sides —
+    // materialize the exploded fingerprints once.
+    val fpsRaw = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), explode(fpCol).as("fp"))
+      .localCheckpoint(false)
+    val fps =
+      if (maxDf == Int.MaxValue) fpsRaw
+      else {
+        val hot = fpsRaw.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("fp")
+        fpsRaw.join(hot, Seq("fp"), "left_anti")
+      }
+    fps.as("x").join(fps.as("y"), Seq("fp"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,

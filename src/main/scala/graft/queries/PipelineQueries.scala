@@ -375,6 +375,37 @@ object PipelineQueries {
           FROM g WHERE len(hs) > 0)
         SELECT doc_id, unnest(fps) AS fp FROM s""")),
 
+    // Winnow-overlap near-dup pairs (the MOSS report): docs sharing
+    // >= 2 winnowed fingerprints, ubiquitous fingerprints df-capped.
+    QueryDef(
+      "dedup_winnow_pairs",
+      (s, dir) => Dedup.winnowOverlap(
+        table(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 16, minShared = 2, maxDf = 100, portable = true),
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+                 ELSE list_transform(
+                   range(1, greatest(length(text) - least(8, length(text)) + 1, 1) + 1),
+                   i -> list_reduce(
+                          list_transform(range(i, i + least(8, length(text))),
+                            j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                          (acc, x) -> (acc * 257 + x) % 2147483647))
+                 END AS hs
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - least(16, len(hs)) + 1, 1) + 1),
+                   j -> list_min(hs[CAST(j AS INTEGER):CAST(j + least(16, len(hs)) - 1 AS INTEGER)])))) AS fp
+          FROM g WHERE len(hs) > 0),
+        keep AS (SELECT fp FROM s GROUP BY fp HAVING COUNT(*) <= 100),
+        f AS (SELECT s.doc_id, s.fp FROM s JOIN keep USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
+
     // End-to-end dedup: pairs → clusters → drop non-canonical members.
     QueryDef(
       "dedup_survivors",

@@ -166,6 +166,35 @@ class DedupSpec extends SparkSpec with Matchers {
     uncapped.count() shouldBe 190L // 20 choose 2
   }
 
+  test("winnowOverlap: shared-substring docs pair; boilerplate fingerprints df-cap away") {
+    val rnd = new scala.util.Random(67)
+    def noise(n: Int) = rnd.alphanumeric.take(n).mkString
+    // k=5, w=8: any shared substring of length >= w+k-1 = 12 guarantees
+    // a shared fingerprint. Give docs 1,2 a 40-char shared run.
+    val shared = noise(40)
+    val docs = Seq(
+      1L -> (noise(50) + shared + noise(50)),
+      2L -> (noise(80) + shared + noise(20)),
+      3L -> noise(150))
+    val pairs = Dedup.winnowOverlap(
+      docsDf(docs), "doc_id", "text", k = 5, w = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+    // df-cap: 100 docs sharing only boilerplate pair up uncapped (the
+    // quadratic hot key), and maxDf = 1 drops every shared fingerprint
+    // before the self-join — zero pairs, no quadratic stage
+    val boiler = "standard legal disclaimer boilerplate line"
+    val many = (1L to 100L).map(i => i -> (noise(30) + boiler + noise(30)))
+    Dedup.winnowOverlap(
+      docsDf(many), "doc_id", "text", k = 5, w = 8, minShared = 1)
+      .count() should be > 0L
+    Dedup.winnowOverlap(
+      docsDf(many), "doc_id", "text", k = 5, w = 8, minShared = 1, maxDf = 1)
+      .count() shouldBe 0L
+  }
+
   test("contamination flags exactly the docs sharing enough eval shingles") {
     val evalSet = docsDf(Seq(
       1000L -> "the quick brown fox jumps over the lazy dog"))
