@@ -15,12 +15,18 @@ import graft.ops.{Sampling, TextOps}
   *   clean_text(cols=bio);redact_pii(cols=bio);sample_hash(key=user_id,pct=50)
   * }}}
   *
-  * Every transform is a pure DataFrame→DataFrame plan rewrite (column
-  * projections and filters — no shuffle except `dedup_exact`'s
-  * hash-agg), so chaining transforms extends the single job plan and
-  * Catalyst fuses the per-row stages; nothing materializes between
-  * stages. Unknown names or missing arguments fail fast at parse time
-  * (total error handling, not the reference's §2.13 silent fallbacks).
+  * Every transform is a pure DataFrame→DataFrame plan rewrite, so
+  * chaining transforms extends the single job plan and Catalyst fuses
+  * the per-row stages; nothing materializes between stages except
+  * where an operator is inherently corpus-level (`dedup_exact`'s
+  * hash-agg, `corpus_shuffle`'s shard shuffle, `lm_filter`'s count
+  * tables — each documented at its case). Unknown names or missing /
+  * mistyped arguments fail fast at parse time (total error handling,
+  * not the reference's §2.13 silent fallbacks).
+  *
+  * `lm_filter` semantics: documents with fewer than 2 tokens have no
+  * bigrams, cannot be scored, and are dropped — the same contract as
+  * `quality_filter`'s minimum-token gate.
   */
 object Transforms {
 
@@ -53,6 +59,10 @@ object Transforms {
         t.args.get(k).foreach(v => require(v.nonEmpty && v.forall(_.isDigit),
           s"transform '$name' arg '$k' must be a non-negative integer, got '$v'"))
       }
+      DoubleArgs.getOrElse(name, Nil).foreach { k => // and non-numeric doubles
+        t.args.get(k).foreach(v => require(scala.util.Try(v.toDouble).isSuccess,
+          s"transform '$name' arg '$k' must be numeric, got '$v'"))
+      }
       if (name == "mixture_sample") parseRates(t.arg("rates")) // and bad formats
       t
     }
@@ -64,7 +74,9 @@ object Transforms {
     "quality_filter" -> Seq("col"),
     "dedup_exact" -> Seq("key", "col"),
     "sample_hash" -> Seq("key", "pct"),
-    "mixture_sample" -> Seq("key", "strata", "rates"))
+    "mixture_sample" -> Seq("key", "strata", "rates"),
+    "corpus_shuffle" -> Seq("key", "shards"),
+    "lm_filter" -> Seq("key", "col", "max_ce"))
 
   /** Transform name → integer-typed argument names, validated at parse
     * time when present (same fail-fast contract as Required: `pct=abc`
@@ -72,7 +84,12 @@ object Transforms {
   val IntArgs: Map[String, Seq[String]] = Map(
     "quality_filter" -> Seq("min_tokens", "max_tokens"),
     "sample_hash" -> Seq("pct"),
-    "mixture_sample" -> Seq("default_pct"))
+    "mixture_sample" -> Seq("default_pct"),
+    "corpus_shuffle" -> Seq("shards"))
+
+  /** Double-typed argument names, same parse-time validation. */
+  val DoubleArgs: Map[String, Seq[String]] = Map(
+    "lm_filter" -> Seq("max_ce"))
 
   /** rates as strata:pct pairs joined with '|', e.g. `en:40|de:80`. */
   private def parseRates(spec: String): Map[String, Int] =
@@ -112,6 +129,24 @@ object Transforms {
         .drop("__graft_th")
     case "sample_hash" =>
       Sampling.deterministicSample(df, t.arg("key"), t.argInt("pct"))
+    case "corpus_shuffle" =>
+      // Reproducible (shard, pos) training order — one shuffle on the
+      // shard hash, per-shard windows (no global sort).
+      Sampling.shuffleAssign(df, t.arg("key"), t.argInt("shards"))
+    case "lm_filter" =>
+      // Perplexity gate: self-train the add-1 bigram model on the
+      // incoming frame, keep rows at/below the cross-entropy budget.
+      // The input feeds the model AND the scoring side — materialize it
+      // once (lazily) instead of re-running the upstream plan per
+      // consumer.
+      val key = t.arg("key"); val text = t.arg("col")
+      val maxCe = t.arg("max_ce").toDouble
+      val staged = df.localCheckpoint(false)
+      val keep = graft.ops.LanguageModel
+        .bigramCrossEntropy(staged, staged, key, text)
+        .filter(col("cross_entropy") <= maxCe)
+        .select(col(key))
+      staged.join(keep, Seq(key), "left_semi")
     case "mixture_sample" =>
       Sampling.mixtureSample(df, t.arg("key"), t.arg("strata"),
         parseRates(t.arg("rates")),

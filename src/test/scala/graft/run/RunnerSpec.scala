@@ -205,6 +205,40 @@ class RunnerSpec extends SparkSpec {
       "mixture_sample(key=id,strata=lang,rates=en:40|de:80)").head.name == "mixture_sample")
   }
 
+  test("corpus_shuffle transform assigns reproducible dense shard positions") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    val out = Transforms.applyAll(df,
+      Transforms.parse("corpus_shuffle(key=id,shards=4)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 200)
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("lm_filter transform drops the high-cross-entropy tail") {
+    import spark.implicits._
+    // 10 fluent docs from a tiny shared vocabulary + 1 outlier doc of
+    // unique tokens: the outlier's bigrams are all singletons, so its
+    // cross-entropy is the corpus maximum.
+    val fluent = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+    val outlier = Seq((99L, "zyx wvu tsr qpo nml"))
+    val df = (fluent ++ outlier).toDF("doc_id", "bio")
+    val scores = graft.ops.LanguageModel
+      .bigramCrossEntropy(df, df, "doc_id", "bio")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.maxBy(_._2)._1 == 99L)
+    val cut = (scores(99L) + scores(1L)) / 2
+    val kept = Transforms.applyAll(df,
+      Transforms.parse(s"lm_filter(key=doc_id,col=bio,max_ce=$cut)"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 10L).toSet)
+    // mistyped budget dies at parse time
+    intercept[IllegalArgumentException](
+      Transforms.parse("lm_filter(key=doc_id,col=bio,max_ce=cheap)"))
+  }
+
   test("transforms: non-numeric int args fail at parse time, not at apply") {
     intercept[IllegalArgumentException](
       Transforms.parse("sample_hash(key=id,pct=abc)"))
