@@ -329,6 +329,36 @@ object QualityQueries {
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
         FROM orders""")),
 
+    // The 100 TB stats mode, held to its documented error bound: HLL++
+    // uniques (no Expand duplication) must land within 10% of exact —
+    // the q16-style invariant oracle (exact scalars + literal trues).
+    QueryDef(
+      "feature_stats_approx",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val exact = graft.ops.FeatureStats.summarize(
+          o, Seq("o_totalprice", "o_custkey"), Seq("o_orderstatus"))
+          .select(col("feature"), col("n"), col("n_distinct"))
+        val approx = graft.ops.FeatureStats.summarize(
+          o, Seq("o_totalprice", "o_custkey"), Seq("o_orderstatus"),
+          exactDistinct = false)
+          .select(col("feature"), col("n_distinct").as("nd_approx"))
+        exact.join(approx, Seq("feature"))
+          .select(col("feature"), col("n"), col("n_distinct"),
+            (abs(col("nd_approx") - col("n_distinct")).cast("double") <=
+              lit(0.1) * col("n_distinct").cast("double")).as("within_bound"))
+      },
+      Some("""
+        SELECT 'o_totalprice' AS feature, COUNT(*) AS n,
+               COUNT(DISTINCT o_totalprice) AS n_distinct, true AS within_bound
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey), true
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus), true
+        FROM orders""")),
+
     // ExampleValidator's skew gate: per-feature mean / missing-rate
     // drift between a deterministic 80/20 train-eval split.
     QueryDef(

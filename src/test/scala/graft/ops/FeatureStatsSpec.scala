@@ -33,6 +33,20 @@ class FeatureStatsSpec extends SparkSpec with Matchers {
     s.isNullAt(4) shouldBe true // no mean for strings
   }
 
+  test("approx distinct mode stays within the HLL++ error bound") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i % 977, s"v${i % 211}")).toDF("x", "s")
+    val exact = statsMap(FeatureStats.summarize(df, Seq("x"), Seq("s")).collect())
+    val approx = statsMap(
+      FeatureStats.summarize(df, Seq("x"), Seq("s"), exactDistinct = false).collect())
+    for (f <- Seq("x", "s")) {
+      val e = exact(f).getLong(3).toDouble
+      math.abs(approx(f).getLong(3) - e) should be <= 0.1 * e
+    }
+    // non-distinct stats are identical between modes
+    approx("x").getDouble(4) shouldBe exact("x").getDouble(4) +- 1e-12
+  }
+
   test("skewCheck flags mean drift and missing-rate drift") {
     import spark.implicits._
     val a = Seq(
