@@ -270,6 +270,72 @@ object Similarity {
 
   // ----- Product quantization (the FAISS IVFPQ shape) -----
 
+  /** A fitted IVF-PQ index: coarse centroids + per-subspace codebooks.
+    * Pure metadata (nCentroids·dim + m·kSub·dim/m doubles) — the
+    * fit-once / serve-many unit. At 100 TB the index build and the
+    * query workloads are separate jobs; persisting this decouples
+    * them. */
+  final case class AnnIndex(
+      centroids: Array[Array[Double]], books: Seq[Seq[Seq[Double]]])
+
+  /** Fit an [[AnnIndex]]: one bounded training sample serves the
+    * coarse quantizer and every PQ subspace; the coarse fit runs
+    * concurrently with the m subspace fits (all independent Spark jobs
+    * over the same sample). */
+  def fitIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, m: Int, kSub: Int, iters: Int = 3): AnnIndex =
+    fitIndexPrepared(
+      OpsUtil.widen(df)
+        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .localCheckpoint(false),
+      nCentroids, m, kSub, iters)
+
+  private def fitIndexPrepared(
+      base: DataFrame, nCentroids: Int, m: Int, kSub: Int,
+      iters: Int): AnnIndex = {
+    val sample = fitSample(base, FitSampleFactor * math.max(nCentroids, kSub))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val centsF = Future { fitCentroids(sample, nCentroids, iters) }
+    val books = pqCodebooksPrepared(sample, m, kSub, iters)
+    AnnIndex(Await.result(centsF, Duration.Inf), books)
+  }
+
+  /** Persist a fitted index as parquet (kind, i, j, vec) — readable by
+    * any engine, diffable, and safe to version alongside the data it
+    * indexes. */
+  def saveIndex(index: AnnIndex, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows =
+      index.centroids.zipWithIndex.toSeq.map { case (c, i) =>
+        ("cent", i, 0, c.toSeq)
+      } ++
+        index.books.zipWithIndex.flatMap { case (b, j) =>
+          b.zipWithIndex.map { case (cw, c) => ("book", j, c, cw) }
+        }
+    rows.toDF("kind", "i", "j", "vec")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted index (inverse of [[saveIndex]]). */
+  def loadIndex(path: String,
+      spark: org.apache.spark.sql.SparkSession): AnnIndex = {
+    val rows = spark.read.parquet(path)
+      .select("kind", "i", "j", "vec").collect()
+    val cents = rows.filter(_.getString(0) == "cent")
+      .sortBy(_.getInt(1))
+      .map(_.getSeq[Double](3).toArray)
+    val books = rows.filter(_.getString(0) == "book")
+      .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      .map { case (_, cws) =>
+        cws.sortBy(_.getInt(2)).map(_.getSeq[Double](3).toSeq).toSeq
+      }
+    AnnIndex(cents, books)
+  }
+
   /** Fit per-subspace PQ codebooks: the vector splits into `m`
     * contiguous subspaces and each runs the same deterministic Lloyd
     * fit as the IVF coarse quantizer (hash-seeded init, DECIMAL sums —
@@ -365,23 +431,15 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, kSub: Int = 16, iters: Int = 3,
-      refine: Int = 0, queryPred: Option[Column] = None): DataFrame = {
+      refine: Int = 0, queryPred: Option[Column] = None,
+      prebuilt: Option[AnnIndex] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
     val refineN = if (refine > 0) refine else math.max(4 * k, 32)
     val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(false)
-    // One training sample serves the coarse quantizer and every PQ
-    // subspace; the coarse fit runs concurrently with the m subspace
-    // fits (all are independent Spark jobs over the same sample).
-    val sample = fitSample(
-      base, FitSampleFactor * math.max(nCentroids, kSub))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val centsF = Future { fitCentroids(sample, nCentroids, iters) }
-    val books = pqCodebooksPrepared(sample, m, kSub, iters)
-    val cents = Await.result(centsF, Duration.Inf)
+    val AnnIndex(cents, books) = prebuilt.getOrElse(
+      fitIndexPrepared(base, nCentroids, m, kSub, iters))
     val kFit = cents.length
     val probeN = math.min(nProbe, kFit)
     val scored = base.withColumn("scores", centroidScores(col("v"), cents))

@@ -228,4 +228,28 @@ class SimilaritySpec extends SparkSpec with Matchers {
     recall should be > 0.5 // coarse pruning + ADC quantization error
     pq.select("query_id").distinct().count() shouldBe 400L
   }
+
+  test("AnnIndex: parquet save/load round-trips; prebuilt index reproduces results") {
+    val rnd = new scala.util.Random(73)
+    val centers = Array.fill(6, 16)(rnd.nextGaussian() * 5)
+    val df = vecsDf((1L to 300L).map { i =>
+      i -> centers(rnd.nextInt(6)).map(_ + rnd.nextGaussian() * 0.5).toSeq
+    })
+    val idx = Similarity.fitIndex(df, "vec_id", "embedding",
+      nCentroids = 6, m = 4, kSub = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    Similarity.saveIndex(idx, path, spark)
+    val loaded = Similarity.loadIndex(path, spark)
+    loaded.centroids.map(_.toSeq).toSeq shouldBe idx.centroids.map(_.toSeq).toSeq
+    loaded.books shouldBe idx.books
+    // queries served from the loaded index == queries with a fresh fit
+    // (the fit is deterministic, so both paths coincide exactly)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = rows(Similarity.ivfpqTopK(df, "vec_id", "embedding", k = 3,
+      nCentroids = 6, nProbe = 2, m = 4, kSub = 8))
+    val served = rows(Similarity.ivfpqTopK(df, "vec_id", "embedding", k = 3,
+      nCentroids = 6, nProbe = 2, m = 4, kSub = 8, prebuilt = Some(loaded)))
+    served shouldBe fresh
+  }
 }
