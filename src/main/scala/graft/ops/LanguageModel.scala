@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * log-loss) is identical and everything here is expressible as Spark
   * relational ops, so the 100 TB shape falls out of Catalyst:
   *
-  *   - bigram/prefix counts: one hash-aggregate shuffle each, both with
-  *     map-side partial aggregation (the wire carries one row per
-  *     DISTINCT n-gram, not per occurrence);
+  *   - bigram/prefix counts: one hash-aggregate shuffle each over the
+  *     ONCE-materialized exploded bigram table, both with map-side
+  *     partial aggregation (the wire carries one row per DISTINCT
+  *     n-gram, not per occurrence);
   *   - vocabulary size: a 1-row aggregate that broadcasts;
   *   - scoring: the exploded (doc, bigram) table joins the count tables
   *     on narrow string keys — shuffle joins that AQE converts to
@@ -50,7 +51,12 @@ object LanguageModel {
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), explode(TextOps.shingles(col("ws"), 2)).as("bg"))
-    val trainBg = bigrams(train)
+    // The exploded bigram table feeds the c12 aggregate, the c1
+    // aggregate, and (when self-scoring) the scoring side — three
+    // consumers that would each re-tokenize the corpus. Materialize it
+    // once; self-scoring (score eq train) reuses the same frame.
+    val trainBg = bigrams(train).localCheckpoint(false)
+    val scoreBg = if (score eq train) trainBg else bigrams(score)
     // c(w1 w2) and c(w1 ·) — two aggregates over the same exploded
     // frame; prefix counts aggregate the bigram string's first token so
     // both group-bys read the one exploded column.
@@ -69,7 +75,7 @@ object LanguageModel {
     val term = -log(
       (coalesce(col("c12"), lit(0L)) + lit(k)) /
         (coalesce(col("c1"), lit(0L)) + lit(k) * col("v")))
-    bigrams(score)
+    scoreBg
       .join(c12, Seq("bg"), "left")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c1, Seq("w1"), "left")
