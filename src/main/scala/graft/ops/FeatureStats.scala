@@ -72,6 +72,19 @@ object FeatureStats {
     one.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
 
+  /** Top-k most frequent values of one feature (TFDV's top-k uniques):
+    * hash-agg with map-side partial counts, then a
+    * TakeOrderedAndProject — no global sort ever materializes. Ties
+    * break on the value itself, so the result is deterministic. */
+  def topValues(df: DataFrame, c: String, k: Int): DataFrame = {
+    require(k > 0)
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value"))
+      .limit(k)
+  }
+
   /** Train/eval skew check (the ExampleValidator shape): per-feature
     * missing-rate and mean drift between two frames of the same schema.
     * `drift` flags |mean_a − mean_b| > tol·max(|mean_a|, |mean_b|) or a

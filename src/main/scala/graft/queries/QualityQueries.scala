@@ -359,6 +359,17 @@ object QualityQueries {
         SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus), true
         FROM orders""")),
 
+    // TFDV top-k uniques for one feature: partial-agg counts +
+    // TakeOrderedAndProject, value tie-break.
+    QueryDef(
+      "feature_topk",
+      (s, dir) => graft.ops.FeatureStats.topValues(
+        table(s, dir, "orders"), "o_orderpriority", k = 3),
+      Some("""
+        SELECT o_orderpriority AS value, COUNT(*) AS n
+        FROM orders WHERE o_orderpriority IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, value LIMIT 3""")),
+
     // ExampleValidator's skew gate: per-feature mean / missing-rate
     // drift between a deterministic 80/20 train-eval split.
     QueryDef(

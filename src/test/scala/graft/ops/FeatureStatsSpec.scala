@@ -4,7 +4,8 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpec
 
-class FeatureStatsSpec extends SparkSpec with Matchers {
+class FeatureStatsSpec extends SparkSpec with Matchers
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import org.apache.spark.sql.Row
 
   private def statsMap(rows: Array[Row]) =
@@ -45,6 +46,45 @@ class FeatureStatsSpec extends SparkSpec with Matchers {
     }
     // non-distinct stats are identical between modes
     approx("x").getDouble(4) shouldBe exact("x").getDouble(4) +- 1e-12
+  }
+
+  test("topValues: deterministic top-k with value tie-break, nulls excluded") {
+    import spark.implicits._
+    val df = Seq("b", "a", "a", "c", "b", null, "d").toDF("s")
+    val got = FeatureStats.topValues(df, "s", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a and b tie at 2 → value order; c/d tie at 1 → c wins the cut
+    got.toSeq shouldBe Seq(("a", 2L), ("b", 2L), ("c", 1L))
+    // plan shape: TakeOrderedAndProject, no global Sort
+    val executed = FeatureStats.topValues(df, "s", 3)
+    executed.collect()
+    collect(executed.queryExecution.executedPlan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    } should not be empty
+  }
+
+  test("summarize in approx mode runs on a stream; final state equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Double, String)]
+    val out = FeatureStats.summarize(
+      stream.toDF().toDF("x", "s"), Seq("x"), Seq("s"), exactDistinct = false)
+    val q = out.writeStream.format("memory").queryName("fstats")
+      .outputMode("complete").start()
+    try {
+      stream.addData(Seq((1.0, "a"), (2.0, "b")))
+      q.processAllAvailable()
+      stream.addData(Seq((3.0, "a"), (2.0, "c")))
+      q.processAllAvailable()
+      val got = spark.table("fstats").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.get(4))).toSet
+      val batch = FeatureStats.summarize(
+        Seq((1.0, "a"), (2.0, "b"), (3.0, "a"), (2.0, "c")).toDF("x", "s"),
+        Seq("x"), Seq("s"), exactDistinct = false).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.get(4))).toSet
+      got shouldBe batch
+    } finally q.stop()
   }
 
   test("skewCheck flags mean drift and missing-rate drift") {
