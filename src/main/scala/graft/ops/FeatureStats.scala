@@ -111,5 +111,32 @@ object FeatureStats {
         abs(col("miss_a") - col("miss_b")) > lit(missTol))
   }
 
+  /** Exact-moment Pearson correlation between two numeric features —
+    * the cross-feature drift signal (a unit change or broken join
+    * shifts correlations even when the marginals look fine). Built
+    * from DECIMAL co-moment sums rather than `corr()` so the result is
+    * bit-reproducible under any partitioning (Spark's corr streams
+    * doubles); one aggregation pass, five exact sums, the closed-form
+    * combination happens once in doubles at the end. */
+  def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
+    val both = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    both.agg(
+      count(lit(1)).as("n"),
+      sum(d6(col(xCol))).as("sx"),
+      sum(d6(col(yCol))).as("sy"),
+      sum(d6(col(xCol)) * d6(col(yCol))).as("sxy"),
+      sum(d6(col(xCol)) * d6(col(xCol))).as("sxx"),
+      sum(d6(col(yCol)) * d6(col(yCol))).as("syy"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .as("corr_xy"))
+  }
+
   private def cast0(c: Column): Column = c.cast("double")
 }

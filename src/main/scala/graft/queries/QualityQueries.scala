@@ -370,6 +370,31 @@ object QualityQueries {
         FROM orders WHERE o_orderpriority IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, value LIMIT 3""")),
 
+    // Cross-feature Pearson correlation from exact DECIMAL co-moments
+    // (partition-invariant, unlike streaming-double corr()).
+    QueryDef(
+      "feature_corr",
+      (s, dir) => graft.ops.FeatureStats.pearson(
+        table(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+      Some("""
+        WITH m AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+                 SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy,
+                 SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+        SELECT n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+        FROM m""")),
+
     // ExampleValidator's skew gate: per-feature mean / missing-rate
     // drift between a deterministic 80/20 train-eval split.
     QueryDef(

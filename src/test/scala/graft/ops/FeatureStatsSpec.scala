@@ -87,6 +87,30 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     } finally q.stop()
   }
 
+  test("pearson: exact co-moment correlation matches hand computation and is partition-stable") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val ys = Seq(2.0, 4.1, 5.9, 8.2, 9.8) // near-linear
+    val df = xs.zip(ys).toDF("x", "y")
+    val got = FeatureStats.pearson(df, "x", "y").collect().head
+    got.getLong(0) shouldBe 5L
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(b => b * b).sum)
+    val expected = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    got.getDouble(1) shouldBe expected +- 1e-9
+    // repartitioning must not move the value at all (decimal sums)
+    FeatureStats.pearson(df.repartition(7), "x", "y")
+      .collect().head.getDouble(1) shouldBe got.getDouble(1)
+    // null rows in either column are excluded pairwise
+    val withNulls = (xs.zip(ys).map { case (a, b) => (Option(a), Option(b)) } :+
+      ((None: Option[Double], Option(1.0)))).toDF("x", "y")
+    FeatureStats.pearson(withNulls, "x", "y")
+      .collect().head.getLong(0) shouldBe 5L
+  }
+
   test("skewCheck flags mean drift and missing-rate drift") {
     import spark.implicits._
     val a = Seq(
