@@ -40,4 +40,34 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
+
+  /** Ordered conversion funnel: for each key, the earliest completion
+    * time of every step, where step i+1 must occur STRICTLY AFTER the
+    * key's earliest completion of step i (the standard product-funnel
+    * definition; a key that never reaches step i has NULL from there
+    * on). One row per key that completed step 1, with t1..tN columns.
+    *
+    * Scale shape: one filtered aggregate for step 1, then per step one
+    * left join + regroup — every shuffle is on the narrow key column,
+    * the per-step event subsets are type-filtered at the scan
+    * (pushdown), and no window over the full event stream exists. N is
+    * the funnel length (small, fixed), not data-dependent. */
+  def funnel(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol).as("key"))
+      .agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val nxt = df.filter(col(typeCol) === st)
+        .select(col(keyCol).as("key"), col(tsCol).as("__graft_ts"))
+      val groupCols = col("key") +: (1 to i).map(j => col(s"t$j"))
+      acc = acc.join(nxt, Seq("key"), "left")
+        .groupBy(groupCols: _*)
+        .agg(min(when(col("__graft_ts") > col(s"t$i"), col("__graft_ts")))
+          .as(s"t${i + 1}"))
+    }
+    acc.withColumnRenamed("key", keyCol)
+  }
 }

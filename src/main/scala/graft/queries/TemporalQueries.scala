@@ -80,6 +80,29 @@ object TemporalQueries {
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM numbered GROUP BY 1, 2""")),
 
+    // Ordered conversion funnel: earliest view → first click strictly
+    // after it → first purchase strictly after that, per user.
+    QueryDef(
+      "events_funnel",
+      (s, dir) => Sessionize.funnel(
+        table(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")),
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+          SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+          FROM s1 LEFT JOIN events e
+            ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY 1, 2),
+        s3 AS (
+          SELECT s2.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+          FROM s2 LEFT JOIN events e
+            ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY 1, 2, 3)
+        SELECT user_id, t1, t2, t3 FROM s3""")),
+
     // Native merging session_window (vs the lag/cumsum formulation
     // above): an event exactly `gap` after its predecessor still MERGES
     // into the session (verified against Spark's merge rule), so the

@@ -57,6 +57,31 @@ class IntervalJoinSpec extends SparkSpec with Matchers {
     plainSym should contain((2L, 1L)) // symmetric window includes the reverse pair
   }
 
+  test("funnel: strictly-ordered steps, dropouts null from the missed step on") {
+    import spark.implicits._
+    def ev(u: Long, ty: String, hm: String) = (u, ty, t(s"2024-01-01 $hm:00"))
+    val events = Seq(
+      // user 1: full funnel in order
+      ev(1L, "view", "09:00"), ev(1L, "click", "09:05"), ev(1L, "purchase", "09:30"),
+      // user 2: clicks BEFORE the first view — click doesn't count; no purchase
+      ev(2L, "click", "08:00"), ev(2L, "view", "08:30"),
+      // user 3: purchase before the qualifying click — purchase must not count
+      ev(3L, "view", "10:00"), ev(3L, "purchase", "10:10"), ev(3L, "click", "10:20"),
+      // user 4: never views (absent from output despite click+purchase)
+      ev(4L, "click", "11:00"), ev(4L, "purchase", "11:30")
+    ).toDF("user", "event_type", "ts")
+    val out = Sessionize.funnel(events, "user", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getTimestamp(1), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((t("2024-01-01 09:00:00"),
+      Some(t("2024-01-01 09:05:00")), Some(t("2024-01-01 09:30:00"))))
+    out(2L) shouldBe ((t("2024-01-01 08:30:00"), None, None))
+    out(3L) shouldBe ((t("2024-01-01 10:00:00"),
+      Some(t("2024-01-01 10:20:00")), None))
+  }
+
   test("sessionize: gap threshold splits sessions; counts and bounds correct") {
     val out = Sessionize.sessionStats(ticks, "user", "ts", "id", gapSec = 1800L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
