@@ -306,4 +306,57 @@ object StreamingOps {
           best
       }
   }
+
+  /** Streaming conversion funnel — the continuous form of
+    * [[graft.ops.Sessionize.funnel]]: per key, the earliest completion
+    * time of each ordered step (step i+1 strictly after step i's
+    * earliest completion), maintained in `mapGroupsWithState` with
+    * exactly ONE timestamp per step per key — state is bounded by
+    * #keys × #steps forever.
+    *
+    * Contract vs batch: rows are applied in event-time order WITHIN
+    * each micro-batch (ties process earlier steps first, so a step at
+    * exactly the previous step's time never qualifies — same strict-<
+    * rule as batch). Across batches the funnel refines monotonically:
+    * when batches arrive in event-time order (the StreamingSpec
+    * feed), the final state equals the batch funnel exactly. An
+    * out-of-order view arriving AFTER a click was already admitted
+    * cannot retract the admission — exact retraction would need every
+    * past event buffered, i.e. unbounded state.
+    *
+    * Output (Update mode): one row per touched key per trigger:
+    * (key, times) with `times(i)` = epoch micros of step i+1's
+    * earliest completion, or NULL while unreached. */
+  def funnelStream(
+      df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): Dataset[(String, Seq[Option[Long]])] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val Unset = Long.MaxValue
+    df.select(
+        col(keyCol).cast("string").as("k"),
+        col(typeCol).cast("string").as("st"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[(String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Seq[Option[Long]])](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, java.sql.Timestamp)], state) =>
+          val t = state.getOption.getOrElse(Array.fill(steps.length)(Unset))
+          val evs = rows.flatMap { case (_, st, ts) =>
+            stepIdx.get(st).map(i => (tsMicros(ts), i))
+          }.toArray.sortInPlaceBy(identity)
+          evs.foreach { case (ts, i) =>
+            if (i == 0) { if (ts < t(0)) t(0) = ts }
+            else if (t(i - 1) != Unset && ts > t(i - 1) && ts < t(i)) t(i) = ts
+          }
+          state.update(t)
+          key -> t.toSeq.map(v => if (v == Unset) None else Some(v))
+      }
+  }
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000) % 1000L
 }

@@ -381,4 +381,52 @@ class StreamingSpec extends SparkSpec with Matchers {
       }
     } finally q2.stop()
   }
+
+  test("funnelStream: final state equals the batch funnel on ordered batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1L, t("2024-01-01 09:00:00"), "view", 0),
+      Ev(1L, t("2024-01-01 09:05:00"), "click", 0),
+      Ev(2L, t("2024-01-01 08:00:00"), "click", 0), // click before any view
+      Ev(2L, t("2024-01-01 08:30:00"), "view", 0),
+      Ev(3L, t("2024-01-01 10:00:00"), "view", 0),
+      // --- second batch (later event times) ---
+      Ev(1L, t("2024-01-01 09:30:00"), "purchase", 0),
+      Ev(3L, t("2024-01-01 10:10:00"), "purchase", 0), // before 3's click
+      Ev(3L, t("2024-01-01 10:20:00"), "click", 0),
+      Ev(2L, t("2024-01-01 11:00:00"), "click", 0))
+    val steps = Seq("view", "click", "purchase")
+    val stream = MemoryStream[Ev]
+    val out = StreamingOps.funnelStream(
+      stream.toDF(), "user_id", "event_type", "ts", steps)
+    val q = out.toDF("k", "times").writeStream
+      .format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      stream.addData(evs.take(5))
+      q.processAllAvailable()
+      stream.addData(evs.drop(5))
+      q.processAllAvailable()
+      // latest update per key = final state
+      val got = spark.table("funnel").collect()
+        .map(r => r.getString(0) -> r.getSeq[Any](1).map(Option(_)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.last._2 }
+      val batch = graft.ops.Sessionize.funnel(
+        evs.toDF(), "user_id", "event_type", "ts", steps)
+        .collect().map { r =>
+          r.getLong(0).toString -> (1 to 3).map(i =>
+            Option(r.getTimestamp(i)).map(ts => ts.getTime * 1000L))
+        }.toMap
+      // streaming emits the update trail; the last row per key must
+      // carry exactly the batch times (epoch micros)
+      got.keySet shouldBe batch.keySet
+      batch.foreach { case (k, times) =>
+        withClue(s"key $k: ") {
+          got(k).map(_.map(_.asInstanceOf[Long])) shouldBe times
+        }
+      }
+      // user 3's purchase BEFORE its click must not count in either engine
+      batch("3")(2) shouldBe None
+    } finally q.stop()
+  }
 }
