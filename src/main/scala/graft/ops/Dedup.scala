@@ -308,10 +308,14 @@ object Dedup {
     * fingerprints (boilerplate) before the join so no key goes
     * quadratic; the hot set is tiny by construction and the planner
     * broadcasts the anti-join when it fits. `portable = true` uses the
-    * mod-p arithmetic whose SQL mirror the oracle runs verbatim. */
+    * mod-p arithmetic whose SQL mirror the oracle runs verbatim.
+    *
+    * The default `minShared = 1` preserves that guarantee; raising it
+    * trades the recall away for precision (a minimal w+k−1 shared run
+    * may contribute exactly one fingerprint). */
   def winnowOverlap(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 16, minShared: Int = 2,
+      k: Int = 8, w: Int = 16, minShared: Int = 1,
       maxDf: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
     import graft.functions.RollingHashFunctions
     val fpCol =

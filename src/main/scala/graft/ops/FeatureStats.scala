@@ -96,8 +96,11 @@ object FeatureStats {
       a: DataFrame, b: DataFrame,
       numericCols: Seq[String], stringCols: Seq[String],
       tol: Double = 0.1, missTol: Double = 0.01): DataFrame = {
+    // Approx-distinct mode: the drift gates never read n_distinct, so
+    // don't pay the Expand-duplicated exact-uniques pass on either
+    // split (identical output, fraction of the cost at 100 TB).
     def side(d: DataFrame, tag: String) =
-      summarize(d, numericCols, stringCols).select(
+      summarize(d, numericCols, stringCols, exactDistinct = false).select(
         col("feature"),
         col("mean").as(s"mean_$tag"),
         (cast0(col("n_null")) / cast0(col("n"))).as(s"miss_$tag"))
@@ -119,7 +122,17 @@ object FeatureStats {
     * doubles); one aggregation pass, five exact sums, the closed-form
     * combination happens once in doubles at the end. */
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    def d6(c: Column): Column = c.cast("decimal(18,6)")
+    // decimal(18,6) is the WIDEST cast whose product still fits an
+    // exact decimal(37,12) — wider casts make Spark round the product
+    // (precision cap at 38). That bounds the domain to |x| < 1e12;
+    // values beyond it would cast to NULL and silently skew the
+    // moments, so they fail fast instead.
+    def d6(c: Column): Column =
+      when(abs(c) < lit(1e12), c.cast("decimal(18,6)"))
+        .otherwise(raise_error(concat(
+          lit(s"pearson: |value| >= 1e12 overflows the exact decimal "),
+          lit("co-moments; rescale the feature first (got "),
+          c.cast("string"), lit(")"))))
     val both = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     both.agg(
       count(lit(1)).as("n"),

@@ -157,17 +157,21 @@ object Similarity {
   private val FitSampleFactor = 200L
 
   /** Deterministic hash-sampled training set for quantizer fits: the
-    * portable key hash keeps the sample reproducible across runs and
+    * key hash keeps the sample reproducible across runs and
     * partitionings, and when the corpus is already at-or-under target
     * the frame passes through untouched (small-data fits stay
-    * bit-identical to the unsampled ones). */
+    * bit-identical to the unsampled ones). Hashes with xxhash64, NOT
+    * the numeric portable hash — ids here can be any type (a string id
+    * cast to long is NULL, which would silently empty the sample), and
+    * the fit needs no cross-engine reproducibility, only within-Spark
+    * determinism. */
   private def fitSample(base: DataFrame, targetRows: Long): DataFrame = {
     val cnt = base.count()
     if (cnt <= targetRows) base
     else {
       val pct = math.max(1L, targetRows * 100L / cnt).toInt
       if (pct >= 100) base
-      else base.filter(Sampling.hashBucket(col("id")) < pct)
+      else base.filter(pmod(xxhash64(col("id")), lit(100L)) < pct)
         .localCheckpoint(false)
     }
   }
@@ -399,9 +403,12 @@ object Similarity {
     }
     // Fail fast on a dimension mismatch: slice() would silently hand
     // truncated subvectors to the kernel and emit wrong codes (AdcScore
-    // validates its inputs; the encoder must too).
+    // validates its inputs; the encoder must too). NULL vectors stay
+    // NULL — they are data absence, not corruption, and downstream
+    // ranking already sinks null-coded rows via the zero-norm guard.
     df.withColumn("pq_codes",
-      when(size(col(vecCol)) === expectedDim, array(codes: _*))
+      when(col(vecCol).isNull, lit(null).cast("array<int>"))
+        .when(size(col(vecCol)) === expectedDim, array(codes: _*))
         .otherwise(raise_error(concat(
           lit(s"pqEncode: expected vector dim $expectedDim, got "),
           size(col(vecCol)).cast("string")))))

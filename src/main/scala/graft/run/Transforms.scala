@@ -56,9 +56,12 @@ object Transforms {
         s"unknown transform '$name' (known: ${Required.keys.toSeq.sorted.mkString(", ")})")
       Required(name).foreach(t.arg) // missing required args fail HERE
       IntArgs.getOrElse(name, Nil).foreach { k => // and non-numeric ints
-        t.args.get(k).foreach(v => require(v.nonEmpty && v.forall(_.isDigit),
+        t.args.get(k).foreach(v => require(v.toIntOption.exists(_ >= 0),
           s"transform '$name' arg '$k' must be a non-negative integer, got '$v'"))
       }
+      if (name == "corpus_shuffle") // shards=0 would die mid-job otherwise
+        require(t.arg("shards").toIntOption.exists(_ > 0),
+          s"transform 'corpus_shuffle' needs shards > 0, got '${t.arg("shards")}'")
       DoubleArgs.getOrElse(name, Nil).foreach { k => // and non-numeric doubles
         t.args.get(k).foreach(v => require(scala.util.Try(v.toDouble).isSuccess,
           s"transform '$name' arg '$k' must be numeric, got '$v'"))
@@ -138,15 +141,19 @@ object Transforms {
       // incoming frame, keep rows at/below the cross-entropy budget.
       // The input feeds the model AND the scoring side — materialize it
       // once (lazily) instead of re-running the upstream plan per
-      // consumer.
+      // consumer. NULL-key rows bypass the keep-join untouched (a
+      // left_semi on a NULL key never matches — same silent-vanish
+      // trap dedup_exact guards against above).
       val key = t.arg("key"); val text = t.arg("col")
       val maxCe = t.arg("max_ce").toDouble
       val staged = df.localCheckpoint(false)
+      val scorable = staged.filter(col(key).isNotNull)
       val keep = graft.ops.LanguageModel
-        .bigramCrossEntropy(staged, staged, key, text)
+        .bigramCrossEntropy(scorable, scorable, key, text)
         .filter(col("cross_entropy") <= maxCe)
         .select(col(key))
-      staged.join(keep, Seq(key), "left_semi")
+      scorable.join(keep, Seq(key), "left_semi")
+        .unionByName(staged.filter(col(key).isNull))
     case "mixture_sample" =>
       Sampling.mixtureSample(df, t.arg("key"), t.arg("strata"),
         parseRates(t.arg("rates")),

@@ -109,6 +109,12 @@ class FeatureStatsSpec extends SparkSpec with Matchers
       ((None: Option[Double], Option(1.0)))).toDF("x", "y")
     FeatureStats.pearson(withNulls, "x", "y")
       .collect().head.getLong(0) shouldBe 5L
+    // values past the exact-decimal domain fail fast instead of
+    // silently casting to NULL and skewing the moments
+    val big = Seq((1e13, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val ex = intercept[Exception](FeatureStats.pearson(big, "x", "y").collect())
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString) should
+      include("rescale")
   }
 
   test("skewCheck flags mean drift and missing-rate drift") {

@@ -229,6 +229,37 @@ class SimilaritySpec extends SparkSpec with Matchers {
     pq.select("query_id").distinct().count() shouldBe 400L
   }
 
+  test("fit sampling survives non-numeric ids and NULL vectors pass pqEncode") {
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(79)
+    // 500 rows with STRING ids and nCentroids=2 → target 400 < 500, so
+    // the sampling path engages; a long-cast hash would NULL every id
+    // and train on an empty sample (empty result / head on empty).
+    val rows = (1 to 500).map(i =>
+      Row(s"doc-$i", Seq.fill(8)(rnd.nextGaussian())))
+    val df = spark.createDataFrame(
+      rows.asJava,
+      T.StructType(Seq(
+        T.StructField("vec_id", T.StringType, nullable = false),
+        T.StructField("embedding", T.ArrayType(T.DoubleType), nullable = true))))
+    val out = Similarity.ivfTopK(df, "vec_id", "embedding", k = 2,
+      nCentroids = 2, nProbe = 1)
+    out.count() should be > 0L
+    out.select("query_id").distinct().count() shouldBe 500L
+    // NULL embedding: pq_codes stays NULL instead of killing the job
+    val withNull = spark.createDataFrame(
+      (rows.take(4) :+ Row("doc-null", null)).asJava,
+      T.StructType(Seq(
+        T.StructField("vec_id", T.StringType, nullable = false),
+        T.StructField("embedding", T.ArrayType(T.DoubleType), nullable = true))))
+    val books = Seq.fill(2)(Seq.fill(2)(Seq.fill(4)(0.0)))
+    val enc = Similarity.pqEncode(withNull, "embedding", books)
+      .collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    enc("doc-null") shouldBe true
+    enc("doc-1") shouldBe false
+  }
+
   test("AnnIndex: parquet save/load round-trips; prebuilt index reproduces results") {
     val rnd = new scala.util.Random(73)
     val centers = Array.fill(6, 16)(rnd.nextGaussian() * 5)

@@ -246,9 +246,29 @@ class RunnerSpec extends SparkSpec {
       Transforms.parse("quality_filter(col=bio,min_tokens=lots)"))
     intercept[IllegalArgumentException](
       Transforms.parse("mixture_sample(key=id,strata=lang,rates=en:40,default_pct=x)"))
+    // Int-overflowing digits and zero shards die at parse, not mid-job
+    intercept[IllegalArgumentException](
+      Transforms.parse("sample_hash(key=id,pct=99999999999)"))
+    intercept[IllegalArgumentException](
+      Transforms.parse("corpus_shuffle(key=id,shards=0)"))
     // valid ints still parse
     assert(Transforms.parse("quality_filter(col=bio,min_tokens=5,max_tokens=100)")
       .head.args("max_tokens") == "100")
+    assert(Transforms.parse("corpus_shuffle(key=id,shards=16)").head.name == "corpus_shuffle")
+  }
+
+  test("lm_filter passes NULL-key rows through instead of dropping them") {
+    import spark.implicits._
+    val df = (Seq((Option(1L), "the cat sat on the mat"),
+      (Option(2L), "the cat sat on the mat"),
+      (None: Option[Long], "the cat sat on the mat")))
+      .toDF("doc_id", "bio")
+    val out = Transforms.applyAll(df,
+      Transforms.parse("lm_filter(key=doc_id,col=bio,max_ce=100.0)"))
+      .collect()
+    // generous budget keeps both scorable rows AND the null-key row
+    assert(out.length == 3, s"got ${out.length}")
+    assert(out.count(_.isNullAt(0)) == 1)
   }
 
   test("full job applies GRAFT_TRANSFORMS-style chain before encoding") {
