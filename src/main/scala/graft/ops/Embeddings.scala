@@ -43,6 +43,34 @@ object Embeddings {
       .drop("__graft_vd")
   }
 
+  /** Johnson-Lindenstrauss random projection to `k` dimensions: each
+    * output coordinate is the dot product with a deterministic
+    * zero-mean hyperplane (the sign-LSH planes, reused un-signed),
+    * scaled by 1/(10⁶·√k) so coordinates stay O(‖v‖). Pairwise
+    * distances/cosines are preserved in expectation (JL lemma); the
+    * planes are xxhash-derived integer literals, so the projection is
+    * reproducible across runs, partitionings, and engines.
+    *
+    * Emits `k` scalar columns `p0..p{k-1}` (not an array — the moment
+    * downstream systems want individual coordinates, e.g. for
+    * column-pruned parquet scans of a few projected dims). Pure
+    * codegen'd projection, zero shuffle; at 100 TB this cuts vector
+    * bytes dim/k-fold before anything persists. */
+  def randomProject(
+      df: DataFrame, vecCol: String, dim: Int, k: Int): DataFrame = {
+    require(k > 0 && dim > 0)
+    val vd = col("__graft_vd")
+    val out = (0 until k).foldLeft(
+      df.withColumn("__graft_vd", transform(col(vecCol), x => x.cast("double")))) {
+      (d, j) =>
+        val plane = array(Similarity.planeWeights(j, dim).map(lit): _*)
+        d.withColumn(s"p$j",
+          graft.functions.VectorFunctions.dot(vd, plane) /
+            lit(1e6) / sqrt(lit(k.toDouble)))
+    }
+    out.drop("__graft_vd")
+  }
+
   /** L2-normalize a vector column into `outCol` (unit-norm embeddings
     * make cosine a plain dot product downstream). Zero vectors pass
     * through as-is. DataFrame-shaped, not a bare Column: the norm must

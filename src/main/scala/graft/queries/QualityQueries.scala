@@ -293,6 +293,28 @@ object QualityQueries {
                q_max_err <= q_scale / 2 + 1e-12 AS within_bound
         FROM e""")),
 
+    // Johnson-Lindenstrauss random projection 64 → 4 dims: integer
+    // plane literals embedded in both engines; the division order
+    // (dot / 1e6 / sqrt(k)) matches exactly.
+    QueryDef(
+      "embed_project",
+      (s, dir) => graft.ops.Embeddings.randomProject(
+        table(s, dir, "embeddings"), "embedding", dim = 64, k = 4)
+        .select("vec_id", "p0", "p1", "p2", "p3"),
+      Some {
+        val planes = (0 until 4).map { j =>
+          graft.ops.Similarity.planeWeights(j, 64)
+            .map(_.toLong.toString).mkString(", ")
+        }
+        s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings)
+        SELECT vec_id,
+               ${(0 until 4).map(j =>
+                 s"list_dot_product(vd, CAST([${planes(j)}] AS DOUBLE[])) / 1000000.0 / sqrt(4.0) AS p$j")
+                 .mkString(",\n               ")}
+        FROM v"""
+      }),
+
     // StatisticsGen over the examplegen output's source table: one
     // aggregation pass, one row per feature (the TFX stage that
     // consumes an example-gen component downstream).

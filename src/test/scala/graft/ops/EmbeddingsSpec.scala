@@ -54,4 +54,40 @@ class EmbeddingsSpec extends SparkSpec with Matchers {
     out(1L)(1) shouldBe 0.8 +- 1e-12
     out(2L) shouldBe Seq(0.0, 0.0)
   }
+
+  test("randomProject: linear, deterministic across partitionings, zero maps to zero") {
+    val rnd = new scala.util.Random(83)
+    val dim = 16; val k = 3
+    val a = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val b = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val df = vecsDf(Seq(1L -> a, 2L -> b, 3L -> sum, 4L -> Seq.fill(dim)(0.0f)))
+    def proj(d: org.apache.spark.sql.DataFrame) =
+      Embeddings.randomProject(d, "embedding", dim, k)
+        .select((col("vec_id") +: (0 until k).map(j => col(s"p$j"))): _*)
+        .collect().map(r => r.getLong(0) -> (1 to k).map(r.getDouble)).toMap
+    val p = proj(df)
+    // linearity: P(a+b) = P(a) + P(b) — tolerance is set by the FLOAT
+    // precision of the test's own a+b, not by the operator (which
+    // projects in doubles)
+    (0 until k).foreach { j =>
+      p(3L)(j) shouldBe (p(1L)(j) + p(2L)(j)) +- 1e-5
+    }
+    p(4L).foreach(_ shouldBe 0.0)
+    // repartitioning changes nothing (literal planes, per-row math)
+    proj(df.repartition(5)) shouldBe p
+    // JL sanity: projections of a 2-cluster corpus keep the clusters
+    // separated in the projected space on average
+    val c1 = Array.fill(dim)(5.0f); val c2 = Array.fill(dim)(-5.0f)
+    val docs = (1L to 40L).map { i =>
+      val c = if (i <= 20) c1 else c2
+      i -> c.map(x => x + rnd.nextGaussian().toFloat * 0.3f).toSeq
+    }
+    val pc = proj(vecsDf(docs))
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val within = (1L to 19L).map(i => d2(pc(i), pc(i + 1))).sum / 19
+    val across = (1L to 19L).map(i => d2(pc(i), pc(i + 20))).sum / 19
+    across should be > within * 10
+  }
 }
