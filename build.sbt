@@ -15,6 +15,11 @@ run / fork := true
 // parses the JSON metric line from sbt stdout, and the default logger
 // buries it under an "[info] " tag.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop sbt's trailing "[success] Total time: ..." line: the harness
+// keeps only a bounded tail of stdout, and those ~75 chars come AFTER
+// the bench JSON line — with 78 per-query timings the line needs every
+// byte of that window.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,8 +40,12 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val l3 = line(3)
-    println(if (l3.length <= 1800) l3 else line(2))
+    // The harness window is ~2000 chars of stdout tail and this line is
+    // the last stdout (build.sbt sets showSuccess := false); step
+    // precision down until the line fits with margin.
+    val out = Seq(line(3), line(2), line(1))
+      .find(_.length <= 1950).getOrElse(line(1))
+    println(out)
     spark.stop()
   }
 }
