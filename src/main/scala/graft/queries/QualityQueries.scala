@@ -293,6 +293,23 @@ object QualityQueries {
                q_max_err <= q_scale / 2 + 1e-12 AS within_bound
         FROM e""")),
 
+    // BPE training statistic (round-1 form): adjacent character-pair
+    // counts over every word occurrence — the aggregate each merge
+    // round of Bpe.train ranks.
+    QueryDef(
+      "bpe_pair_counts",
+      (s, dir) => graft.ops.Bpe.pairCounts(
+        table(s, dir, "documents"), "text"),
+      Some(s"""
+        WITH w AS (SELECT string_split($Norm, ' ') AS ws FROM documents),
+        wd AS (SELECT unnest(ws) AS word FROM w),
+        p AS (
+          SELECT substr(word, CAST(i AS INTEGER), 1) || ' ' ||
+                 substr(word, CAST(i + 1 AS INTEGER), 1) AS pair
+          FROM wd, unnest(range(1, greatest(length(word), 1))) t(i)
+          WHERE length(word) >= 2)
+        SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair""")),
+
     // Johnson-Lindenstrauss random projection 64 → 4 dims: integer
     // plane literals embedded in both engines; the division order
     // (dot / 1e6 / sqrt(k)) matches exactly.

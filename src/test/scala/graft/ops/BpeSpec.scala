@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec with Matchers {
+  import org.apache.spark.sql.{Row, types => T}
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(docs: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      docs.map { case (i, t) => Row(i, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("doc_id", T.LongType, nullable = false),
+        T.StructField("text", T.StringType, nullable = true))))
+
+  /** Independent naive reference: list-based, rule-by-rule. */
+  private def naiveSegment(word: String, rules: Seq[(String, String)]): List[String] = {
+    def applyOne(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: applyOne(rest, a, b)
+      case x :: rest => x :: applyOne(rest, a, b)
+      case Nil => Nil
+    }
+    rules.foldLeft(word.map(_.toString).toList) {
+      case (s, (a, b)) => applyOne(s, a, b)
+    }
+  }
+
+  test("train learns the classic merge sequence with deterministic ties") {
+    // corpus "aaab aaab ab": round 1 counts (a,a)=4 (a,b)=3 → merge aa;
+    // round 2 (aa,a)=2 (a,b)=3 → merge ab; round 3 (aa,ab)=2 → merge aaab
+    val df = docsDf(Seq(1L -> "aaab aaab ab"))
+    Bpe.train(df, "text", 3) shouldBe Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    // tie on count → lexicographically smaller pair wins
+    Bpe.train(docsDf(Seq(1L -> "ab ba")), "text", 1) shouldBe Seq(("a", "b"))
+    // more merges than mergeable pairs → stops at exhaustion
+    Bpe.train(docsDf(Seq(1L -> "ab")), "text", 5).length should be <= 5
+  }
+
+  test("tokenize matches the naive reference and reassembles every word") {
+    val rnd = new scala.util.Random(89)
+    val words = Seq("lower", "newest", "lowest", "wider", "low", "a") ++
+      Seq.fill(20)(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString.toLowerCase)
+    val docs = words.grouped(5).zipWithIndex
+      .map { case (ws, i) => (i + 1).toLong -> ws.mkString(" ") }.toSeq
+    val df = docsDf(docs)
+    val rules = Bpe.train(df, "text", 10)
+    rules.length shouldBe 10
+    val toks = Bpe.tokenize(df, "doc_id", "text", rules)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // per doc: tokens in position order == naive segmentation of each word
+    docs.foreach { case (id, text) =>
+      val expected = text.split(' ').filter(_.nonEmpty)
+        .flatMap(w => naiveSegment(w, rules)).toSeq
+      val got = toks.filter(_._1 == id).sortBy(_._2).map(_._3).toSeq
+      withClue(s"doc $id: ") { got shouldBe expected }
+    }
+    // segmentation is lossless: concatenated tokens == the words
+    docs.foreach { case (id, text) =>
+      toks.filter(_._1 == id).sortBy(_._2).map(_._3).mkString("") shouldBe
+        text.replace(" ", "")
+    }
+  }
+
+  test("pairCounts under rules equals counting over naive-segmented words") {
+    val df = docsDf(Seq(1L -> "banana bandana", 2L -> "an an banana"))
+    val rules = Seq(("a", "n"))
+    val got = Bpe.pairCounts(df, "text", rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = Seq("banana", "bandana", "an", "an", "banana")
+    val expected = words.flatMap { w =>
+      val s = naiveSegment(w, rules)
+      s.zip(s.tail).map { case (a, b) => s"$a $b" }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    got shouldBe expected
+  }
+}
