@@ -41,7 +41,12 @@ case class BpeSegment(
   override def prettyName: String = "graft_bpe_segment"
 
   private def segmentWord(w: String): Array[String] = {
-    var syms: Array[String] = w.map(_.toString).toArray
+    // Split by Unicode CODE POINTS, not UTF-16 code units: a char-wise
+    // split would shear supplementary-plane characters (emoji etc.)
+    // into lone surrogates that mangle on UTF-8 re-encode — and
+    // diverge from the oracle's codepoint-based substr.
+    var syms: Array[String] = w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
     rules.foreach { case (a, b) =>
       if (syms.length >= 2) {
         val out = Array.newBuilder[String]

@@ -44,11 +44,18 @@ object Bpe {
   def train(
       df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
     require(nMerges > 0)
+    // The loop re-reads the corpus once per merge round — materialize
+    // the normalized text once so the upstream plan (joins, filters)
+    // isn't re-executed nMerges times. normalized() is idempotent, so
+    // pairCounts re-normalizing the staged column is a no-op.
+    val staged = OpsUtil.widen(df)
+      .select(TextOps.normalized(col(textCol)).as("__graft_bpe_t"))
+      .localCheckpoint(false)
     var rules = Vector.empty[(String, String)]
     var r = 0
     var exhausted = false
     while (r < nMerges && !exhausted) {
-      val top = pairCounts(df, textCol, rules)
+      val top = pairCounts(staged, "__graft_bpe_t", rules)
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true

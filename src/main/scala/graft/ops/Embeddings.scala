@@ -60,8 +60,16 @@ object Embeddings {
       df: DataFrame, vecCol: String, dim: Int, k: Int): DataFrame = {
     require(k > 0 && dim > 0)
     val vd = col("__graft_vd")
-    val out = (0 until k).foldLeft(
-      df.withColumn("__graft_vd", transform(col(vecCol), x => x.cast("double")))) {
+    // Fail fast on a dimension mismatch (the dot kernel is lenient and
+    // would silently project a truncated vector — same contract as
+    // pqEncode); NULL vectors stay NULL coordinates.
+    val guarded = when(col(vecCol).isNull, lit(null).cast("array<double>"))
+      .when(size(col(vecCol)) === dim,
+        transform(col(vecCol), x => x.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: expected vector dim $dim, got "),
+        size(col(vecCol)).cast("string"))))
+    val out = (0 until k).foldLeft(df.withColumn("__graft_vd", guarded)) {
       (d, j) =>
         val plane = array(Similarity.planeWeights(j, dim).map(lit): _*)
         d.withColumn(s"p$j",

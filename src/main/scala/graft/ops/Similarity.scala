@@ -145,7 +145,8 @@ object Similarity {
       nCentroids: Int, iters: Int = 3): Array[Array[Double]] =
     fitCentroids(
       fitSample(
-        df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+        df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+          .filter(col("v").isNotNull),
         FitSampleFactor * nCentroids),
       nCentroids, iters)
 
@@ -246,8 +247,11 @@ object Similarity {
     // Materialize the narrow (id, vector) base once: the fit reads it
     // per Lloyd iteration and the index/query branches both derive
     // from it (lazy checkpoint — no job until the fit's first action).
+    // NULL vectors are unsearchable and would NPE the Lloyd fit's
+    // driver-side collects — drop them from index and queries alike.
     val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
       .localCheckpoint(false)
     val cents = fitCentroids(
       fitSample(base, FitSampleFactor * nCentroids), nCentroids, iters)
@@ -292,6 +296,7 @@ object Similarity {
     fitIndexPrepared(
       OpsUtil.widen(df)
         .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull)
         .localCheckpoint(false),
       nCentroids, m, kSub, iters)
 
@@ -352,6 +357,7 @@ object Similarity {
       fitSample(
         OpsUtil.widen(df)
           .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+          .filter(col("v").isNotNull)
           .localCheckpoint(false),
         FitSampleFactor * kSub),
       m, kSub, iters)
@@ -442,8 +448,11 @@ object Similarity {
       prebuilt: Option[AnnIndex] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
     val refineN = if (refine > 0) refine else math.max(4 * k, 32)
+    // NULL vectors: unsearchable, and the fit's driver-side collects
+    // would NPE on them — excluded from index and queries alike.
     val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
       .localCheckpoint(false)
     val AnnIndex(cents, books) = prebuilt.getOrElse(
       fitIndexPrepared(base, nCentroids, m, kSub, iters))

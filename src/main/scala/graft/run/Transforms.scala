@@ -59,9 +59,10 @@ object Transforms {
         t.args.get(k).foreach(v => require(v.toIntOption.exists(_ >= 0),
           s"transform '$name' arg '$k' must be a non-negative integer, got '$v'"))
       }
-      if (name == "corpus_shuffle") // shards=0 would die mid-job otherwise
-        require(t.arg("shards").toIntOption.exists(_ > 0),
-          s"transform 'corpus_shuffle' needs shards > 0, got '${t.arg("shards")}'")
+      PositiveIntArgs.getOrElse(name, Nil).foreach { k =>
+        t.args.get(k).foreach(v => require(v.toIntOption.exists(_ > 0),
+          s"transform '$name' arg '$k' must be a positive integer, got '$v'"))
+      }
       DoubleArgs.getOrElse(name, Nil).foreach { k => // and non-numeric doubles
         t.args.get(k).foreach(v => require(scala.util.Try(v.toDouble).isSuccess,
           s"transform '$name' arg '$k' must be numeric, got '$v'"))
@@ -87,7 +88,11 @@ object Transforms {
   val IntArgs: Map[String, Seq[String]] = Map(
     "quality_filter" -> Seq("min_tokens", "max_tokens"),
     "sample_hash" -> Seq("pct"),
-    "mixture_sample" -> Seq("default_pct"),
+    "mixture_sample" -> Seq("default_pct"))
+
+  /** Arguments that must be STRICTLY positive ints (zero would die
+    * mid-job in the operator's own require). */
+  val PositiveIntArgs: Map[String, Seq[String]] = Map(
     "corpus_shuffle" -> Seq("shards"))
 
   /** Double-typed argument names, same parse-time validation. */
@@ -148,8 +153,11 @@ object Transforms {
       val maxCe = t.arg("max_ce").toDouble
       val staged = df.localCheckpoint(false)
       val scorable = staged.filter(col(key).isNotNull)
+      // Train on the WHOLE frame (null-key rows still carry model-worthy
+      // text — excluding them would shift every score); only scoring
+      // needs the key.
       val keep = graft.ops.LanguageModel
-        .bigramCrossEntropy(scorable, scorable, key, text)
+        .bigramCrossEntropy(scorable, staged, key, text)
         .filter(col("cross_entropy") <= maxCe)
         .select(col(key))
       scorable.join(keep, Seq(key), "left_semi")

@@ -63,6 +63,19 @@ class BpeSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("segmentation is codepoint-based: supplementary-plane chars survive intact") {
+    val emoji = new String(Character.toChars(0x1F600)) // outside the BMP
+    val df = docsDf(Seq(1L -> s"${emoji}ab ${emoji}ab"))
+    val rules = Bpe.train(df, "text", 1)
+    // the pair (emoji, a) and (a, b) both have count 2; "\uD83D..." vs "a":
+    // the emoji-led pair string sorts after "a b", so (a, b) merges first
+    rules shouldBe Seq(("a", "b"))
+    val toks = Bpe.tokenize(df, "doc_id", "text", rules)
+      .collect().sortBy(_.getInt(1)).map(_.getString(2))
+    toks.toSeq shouldBe Seq(emoji, "ab", emoji, "ab")
+    toks.mkString("") shouldBe s"${emoji}ab${emoji}ab"
+  }
+
   test("pairCounts under rules equals counting over naive-segmented words") {
     val df = docsDf(Seq(1L -> "banana bandana", 2L -> "an an banana"))
     val rules = Seq(("a", "n"))

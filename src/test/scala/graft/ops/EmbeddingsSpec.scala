@@ -90,4 +90,25 @@ class EmbeddingsSpec extends SparkSpec with Matchers {
     val across = (1L to 19L).map(i => d2(pc(i), pc(i + 20))).sum / 19
     across should be > within * 10
   }
+
+  test("randomProject: dim mismatch fails fast; NULL vector yields NULL coordinates") {
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      rows.asJava,
+      T.StructType(Seq(
+        T.StructField("vec_id", T.LongType, nullable = false),
+        T.StructField("embedding", T.ArrayType(T.FloatType), nullable = true))))
+    val short = df(Seq(Row(1L, Seq(1.0f, 2.0f))))
+    val ex = intercept[Exception] {
+      Embeddings.randomProject(short, "embedding", dim = 4, k = 2).collect()
+    }
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString) should
+      include("expected vector dim")
+    val withNull = df(Seq(Row(1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), Row(2L, null)))
+    val out = Embeddings.randomProject(withNull, "embedding", dim = 4, k = 2)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    out(1L) shouldBe false
+    out(2L) shouldBe true
+  }
 }

@@ -247,6 +247,18 @@ class SimilaritySpec extends SparkSpec with Matchers {
       nCentroids = 2, nProbe = 1)
     out.count() should be > 0L
     out.select("query_id").distinct().count() shouldBe 500L
+    // a NULL-vector row in the corpus neither crashes the fit's
+    // driver-side collects nor appears as query or neighbor
+    val withNullRow = spark.createDataFrame(
+      (rows :+ Row("doc-null", null)).asJava,
+      T.StructType(Seq(
+        T.StructField("vec_id", T.StringType, nullable = false),
+        T.StructField("embedding", T.ArrayType(T.DoubleType), nullable = true))))
+    val outN = Similarity.ivfpqTopK(withNullRow, "vec_id", "embedding", k = 2,
+      nCentroids = 2, nProbe = 1, m = 2, kSub = 2)
+    outN.filter(col("query_id") === "doc-null" ||
+      col("neighbor_id") === "doc-null").count() shouldBe 0L
+    outN.count() should be > 0L
     // NULL embedding: pq_codes stays NULL instead of killing the job
     val withNull = spark.createDataFrame(
       (rows.take(4) :+ Row("doc-null", null)).asJava,
