@@ -218,6 +218,85 @@ object FeatureStoreQueries {
                CAST(o_totalprice AS FLOAT) AS price_f32,
                o_orderstatus AS status,
                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%fZ') AS odate_iso
-        FROM orders WHERE o_orderkey <= 500"""))
+        FROM orders WHERE o_orderkey <= 500""")),
+
+    // Forward as-of join (label construction): for each purchase event,
+    // the FIRST event by the same user strictly within the next 48 h.
+    // The backward PIT join answers "what was known at t"; this answers
+    // "what happened next" — the label side of a training pair.
+    QueryDef(
+      "pit_forward_label",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        graft.join.DirectionalAsOf.forward(
+          e.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts").as("p_ts")),
+          entityTs = "p_ts",
+          view = e.filter(col("event_type") =!= "purchase")
+            .select(col("ts"), col("user_id").as("v_user"),
+              col("event_type").as("next_type"), col("value").as("next_value")),
+          viewTs = "ts",
+          joinKeys = Seq("user_id" -> "v_user"),
+          features = Seq("next_type", "next_value"),
+          horizonSeconds = 48L * 3600, rowIdCol = "event_id",
+          keepViewTs = true)
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT p.event_id, p.user_id, p.p_ts,
+                 CAST(e.ts AS TIMESTAMP) AS ts,
+                 e.event_type AS next_type, e.value AS next_value,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY e.ts ASC NULLS FIRST, e.event_type ASC NULLS FIRST,
+                            e.value ASC NULLS FIRST) AS rn
+          FROM p
+          LEFT JOIN events e
+            ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+           AND CAST(e.ts AS TIMESTAMP) >= p.p_ts
+           AND CAST(e.ts AS TIMESTAMP) <= p.p_ts + INTERVAL 48 HOUR)
+        SELECT event_id, user_id, p_ts, ts, next_type, next_value
+        FROM c WHERE rn = 1""")),
+
+    // Nearest as-of join (log/sensor alignment): the error event closest
+    // in time to each signup event, within +/- 24 h; equidistant ties
+    // prefer the earlier event. |Δt| compares in exact integer
+    // microseconds on both engines.
+    QueryDef(
+      "pit_nearest",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        graft.join.DirectionalAsOf.nearest(
+          e.filter(col("event_type") === "signup")
+            .select(col("event_id"), col("user_id"), col("ts").as("s_ts")),
+          entityTs = "s_ts",
+          view = e.filter(col("event_type") === "error")
+            .select(col("ts"), col("user_id").as("v_user"),
+              col("value").as("err_value")),
+          viewTs = "ts",
+          joinKeys = Seq("user_id" -> "v_user"),
+          features = Seq("err_value"),
+          toleranceSeconds = 24L * 3600, rowIdCol = "event_id",
+          keepViewTs = true)
+      },
+      Some("""
+        WITH sg AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s_ts
+          FROM events WHERE event_type = 'signup'),
+        c AS (
+          SELECT sg.event_id, sg.user_id, sg.s_ts,
+                 CAST(e.ts AS TIMESTAMP) AS ts, e.value AS err_value,
+                 ROW_NUMBER() OVER (PARTITION BY sg.event_id
+                   ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP) - sg.s_ts)) ASC NULLS FIRST,
+                            e.ts ASC NULLS FIRST, e.value ASC NULLS FIRST) AS rn
+          FROM sg
+          LEFT JOIN events e
+            ON e.user_id = sg.user_id AND e.event_type = 'error'
+           AND CAST(e.ts AS TIMESTAMP) >= sg.s_ts - INTERVAL 24 HOUR
+           AND CAST(e.ts AS TIMESTAMP) <= sg.s_ts + INTERVAL 24 HOUR)
+        SELECT event_id, user_id, s_ts, ts, err_value
+        FROM c WHERE rn = 1"""))
   )
 }
