@@ -340,6 +340,44 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Fuzzy near-dup pairs by bounded edit distance under prefix
+    * blocking — the cheap "typo-level duplicate" detector that catches
+    * what exact hashing misses without shingling at all.
+    *
+    * Scale shape: candidate generation is an equi-join on the
+    * normalized `blockChars`-prefix (never all-pairs); per-pair cost is
+    * bounded by comparing only `compareChars`-prefixes with Spark's
+    * thresholded `levenshtein(l, r, maxDist)` — the banded O(maxDist ·
+    * len) variant that bails out early instead of filling the full
+    * O(len²) matrix. Blocks hotter than `maxBlock` members (boilerplate
+    * openings: m members → m² pairs on one shuffle key) are dropped
+    * up front, the same df-cap guard as the shingle joins.
+    */
+  def fuzzyLevenshtein(
+      df: DataFrame, idCol: String, textCol: String,
+      blockChars: Int = 16, compareChars: Int = 80, maxDist: Int = 20,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    require(blockChars > 0 && compareChars >= blockChars && maxDist >= 0)
+    val norm = TextOps.normalized(col(textCol))
+    val baseRaw = OpsUtil.widen(df)
+      .select(col(idCol).as("id"),
+        substring(norm, 1, blockChars).as("blk"),
+        substring(norm, 1, compareChars).as("pfx"))
+      .localCheckpoint(false) // consumed by both self-join sides (+ cap agg)
+    val base =
+      if (maxBlock == Int.MaxValue) baseRaw
+      else {
+        val hot = baseRaw.groupBy("blk").agg(count(lit(1)).as("m"))
+          .filter(col("m") > maxBlock).select("blk")
+        baseRaw.join(broadcast(hot), Seq("blk"), "left_anti")
+      }
+    base.as("x").join(base.as("y"), Seq("blk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        levenshtein(col("x.pfx"), col("y.pfx"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,

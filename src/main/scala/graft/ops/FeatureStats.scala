@@ -122,17 +122,7 @@ object FeatureStats {
     * doubles); one aggregation pass, five exact sums, the closed-form
     * combination happens once in doubles at the end. */
   def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    // decimal(18,6) is the WIDEST cast whose product still fits an
-    // exact decimal(37,12) — wider casts make Spark round the product
-    // (precision cap at 38). That bounds the domain to |x| < 1e12;
-    // values beyond it would cast to NULL and silently skew the
-    // moments, so they fail fast instead.
-    def d6(c: Column): Column =
-      when(abs(c) < lit(1e12), c.cast("decimal(18,6)"))
-        .otherwise(raise_error(concat(
-          lit(s"pearson: |value| >= 1e12 overflows the exact decimal "),
-          lit("co-moments; rescale the feature first (got "),
-          c.cast("string"), lit(")"))))
+    def d6(c: Column): Column = exactD6(c, "pearson")
     val both = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     both.agg(
       count(lit(1)).as("n"),
@@ -150,6 +140,77 @@ object FeatureStats {
               col("sy").cast("double") * col("sy").cast("double"))))
           .as("corr_xy"))
   }
+
+  /** Equi-width histogram of one numeric feature — TFDV's standard
+    * histogram shape: `(bucket, lo, hi, n)`, non-empty buckets only.
+    *
+    * Two aggregation passes: a 1-row min/max (comparison-only, exact on
+    * any float input) broadcast-joined back onto the scan, then a
+    * hash-agg on the bucket index with map-side partial counts — no
+    * sort, no driver round-trip, mergeable at any parallelism. Bucket
+    * edges derive from (min, max, nBins) with one double division, so
+    * the same row lands in the same bucket on every engine; the max
+    * value closes into the last bucket (TFDV/`width_bucket` overflow
+    * convention folded in). */
+  def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
+    require(nBins > 0, "histogram needs at least one bucket")
+    val x = col(c).cast("double")
+    val bounds = df.filter(x.isNotNull)
+      .agg(min(x).as("__mn"), max(x).as("__mx"))
+    val w = (col("__mx") - col("__mn")) / lit(nBins.toDouble)
+    val bucket = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(floor((x - col("__mn")) / w), lit(nBins - 1L)))
+    df.filter(x.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(bucket.cast("long").as("bucket"), col("__mn"), col("__mx"))
+      .groupBy("bucket", "__mn", "__mx")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bucket"),
+        (col("__mn") + col("bucket").cast("double") *
+          ((col("__mx") - col("__mn")) / lit(nBins.toDouble))).as("lo"),
+        (col("__mn") + (col("bucket") + 1L).cast("double") *
+          ((col("__mx") - col("__mn")) / lit(nBins.toDouble))).as("hi"),
+        col("n"))
+  }
+
+  /** TFT `scale_to_z_score`: per-row standardization against the frame's
+    * own population mean/stddev. The moments come from exact DECIMAL
+    * sums (order-free under any partitioning — `stddev_pop` streams
+    * doubles and is not bit-reproducible), combined once in doubles and
+    * broadcast back onto the scan: one stats pass + one map-side
+    * projection, no shuffle of the data itself. Rows where the feature
+    * is NULL keep a NULL z-score; a zero-variance frame yields NULL
+    * (not ±Inf). */
+  def zscore(df: DataFrame, keyCol: String, c: String): DataFrame = {
+    def d6(v: Column): Column = exactD6(v, "zscore")
+    val x = col(c)
+    val stats = df.filter(x.isNotNull)
+      .agg(count(lit(1)).as("__zn"),
+        sum(d6(x)).as("__zsx"),
+        sum(d6(x) * d6(x)).as("__zsxx"))
+    val nD = col("__zn").cast("double")
+    val mean = col("__zsx").cast("double") / nD
+    val variance =
+      (col("__zsxx").cast("double") - col("__zsx").cast("double") *
+        col("__zsx").cast("double") / nD) / nD
+    df.crossJoin(broadcast(stats))
+      .select(col(keyCol), x.as(c),
+        when(x.isNotNull && variance > 0d,
+          (x.cast("double") - mean) / sqrt(variance)).as("z"))
+  }
+
+  /** decimal(18,6) is the WIDEST cast whose product still fits an
+    * exact decimal(37,12) — wider casts make Spark round the product
+    * (precision cap at 38). That bounds the domain to |x| < 1e12;
+    * values beyond it would cast to NULL and silently skew the
+    * moments, so they fail fast instead. */
+  private def exactD6(c: Column, op: String): Column =
+    when(abs(c) < lit(1e12), c.cast("decimal(18,6)"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: |value| >= 1e12 overflows the exact decimal "),
+        lit("co-moments; rescale the feature first (got "),
+        c.cast("string"), lit(")"))))
 
   private def cast0(c: Column): Column = c.cast("double")
 }

@@ -161,6 +161,81 @@ object ExtendedQueries {
           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
           date_trunc('quarter', o_orderdate) AS quarter_start,
           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
-        FROM orders WHERE o_orderkey <= 1000"""))
+        FROM orders WHERE o_orderkey <= 1000""")),
+
+    // Graph analytics: weighted PageRank (3 fixed iterations) over the
+    // nation->nation trade graph (customer nation buys from supplier
+    // nation; weight = lineitem count). Edge build is the Q5-style
+    // multi-join; each iteration is one broadcast join + one hash-agg,
+    // accumulating through exact DECIMAL so any partitioning produces
+    // bit-identical ranks. The oracle unrolls the same three steps.
+    QueryDef(
+      "graph_pagerank",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val su = table(s, dir, "supplier")
+        val n = table(s, dir, "nation")
+        val edges = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .join(n.as("cn"), c("c_nationkey") === col("cn.n_nationkey"))
+          .join(n.as("sn"), su("s_nationkey") === col("sn.n_nationkey"))
+          .groupBy(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ops.Graph.pageRank(edges, "src", "dst", "w", iterations = 3)
+          .select(col("node"), col("rank").as("pr"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT cn.n_name AS src, sn.n_name AS dst,
+                 CAST(COUNT(*) AS DECIMAL(28,6)) AS w
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+          JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+        r1 AS (
+          SELECT nd.node,
+                 (1.0 - 0.85) / nn.n + 0.85 * CAST(COALESCE(SUM(
+                     CAST((r.pr * CAST(e.w AS DOUBLE)) / CAST(outw.ow AS DOUBLE)
+                          AS DECIMAL(38,18))),
+                   CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS pr
+          FROM nodes nd CROSS JOIN nn
+          LEFT JOIN e ON e.dst = nd.node
+          LEFT JOIN r0 r ON r.node = e.src
+          LEFT JOIN outw ON outw.src = e.src
+          GROUP BY nd.node, nn.n),
+        r2 AS (
+          SELECT nd.node,
+                 (1.0 - 0.85) / nn.n + 0.85 * CAST(COALESCE(SUM(
+                     CAST((r.pr * CAST(e.w AS DOUBLE)) / CAST(outw.ow AS DOUBLE)
+                          AS DECIMAL(38,18))),
+                   CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS pr
+          FROM nodes nd CROSS JOIN nn
+          LEFT JOIN e ON e.dst = nd.node
+          LEFT JOIN r1 r ON r.node = e.src
+          LEFT JOIN outw ON outw.src = e.src
+          GROUP BY nd.node, nn.n),
+        r3 AS (
+          SELECT nd.node,
+                 (1.0 - 0.85) / nn.n + 0.85 * CAST(COALESCE(SUM(
+                     CAST((r.pr * CAST(e.w AS DOUBLE)) / CAST(outw.ow AS DOUBLE)
+                          AS DECIMAL(38,18))),
+                   CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS pr
+          FROM nodes nd CROSS JOIN nn
+          LEFT JOIN e ON e.dst = nd.node
+          LEFT JOIN r2 r ON r.node = e.src
+          LEFT JOIN outw ON outw.src = e.src
+          GROUP BY nd.node, nn.n)
+        SELECT node, pr FROM r3"""))
   )
 }

@@ -47,6 +47,28 @@ object PipelineQueries {
                MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         FROM documents GROUP BY 1""")),
 
+    // Typo-level near-dups: equi-join blocking on the 16-char normalized
+    // prefix, banded thresholded levenshtein on 80-char prefixes, block
+    // cap 50 (a hotter block is boilerplate, same guard as stop-shingles).
+    QueryDef(
+      "dedup_fuzzy",
+      (s, dir) => Dedup.fuzzyLevenshtein(
+        table(s, dir, "documents"), "doc_id", "text",
+        blockChars = 16, compareChars = 80, maxDist = 20, maxBlock = 50),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents),
+        b0 AS (
+          SELECT doc_id AS id, substring(t, 1, 16) AS blk, substring(t, 1, 80) AS pfx
+          FROM d),
+        caps AS (SELECT blk FROM b0 GROUP BY blk HAVING COUNT(*) <= 50),
+        b AS (SELECT b0.* FROM b0 JOIN caps USING (blk))
+        SELECT x.id AS id_a, y.id AS id_b,
+               CAST(levenshtein(x.pfx, y.pfx) AS INT) AS dist
+        FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+        WHERE levenshtein(x.pfx, y.pfx) <= 20""")),
+
     // maxDf = 100 is the stop-shingle cap, mirrored in the oracle: at
     // 500-5000 docs a shingle spanning >100 documents is boilerplate.
     QueryDef(

@@ -409,6 +409,54 @@ object QualityQueries {
         FROM orders WHERE o_orderpriority IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, value LIMIT 3""")),
 
+    // TFDV standard histogram: equi-width buckets of one numeric
+    // feature. Bucket index is one double division per row (identical
+    // on both engines); max folds into the last bucket.
+    QueryDef(
+      "feature_hist",
+      (s, dir) => graft.ops.FeatureStats.histogram(
+        table(s, dir, "lineitem"), "l_extendedprice", nBins = 16),
+      Some("""
+        WITH b AS (
+          SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                 max(CAST(l_extendedprice AS DOUBLE)) AS mx
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        h AS (
+          SELECT CASE WHEN b.mx = b.mn THEN 0
+                      ELSE least(CAST(floor((CAST(l.l_extendedprice AS DOUBLE) - b.mn) /
+                             ((b.mx - b.mn) / 16.0)) AS BIGINT), 15) END AS bucket,
+                 b.mn AS mn, b.mx AS mx
+          FROM lineitem l, b WHERE l.l_extendedprice IS NOT NULL)
+        SELECT bucket,
+               mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 16.0) AS lo,
+               mn + CAST(bucket + 1 AS DOUBLE) * ((mx - mn) / 16.0) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM h GROUP BY bucket, mn, mx""")),
+
+    // TFT scale_to_z_score: standardize a feature against its own
+    // population moments (exact DECIMAL sums, one double combine).
+    QueryDef(
+      "transform_zscore",
+      (s, dir) => graft.ops.FeatureStats.zscore(
+        table(s, dir, "orders"), "o_orderkey", "o_totalprice"),
+      Some("""
+        WITH s AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS sx,
+                 SUM(CAST(o_totalprice AS DECIMAL(28,6)) *
+                     CAST(o_totalprice AS DECIMAL(28,6))) AS sxx
+          FROM orders WHERE o_totalprice IS NOT NULL)
+        SELECT o.o_orderkey, o.o_totalprice,
+               CASE WHEN o.o_totalprice IS NOT NULL
+                     AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+                          CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+                    THEN (CAST(o.o_totalprice AS DOUBLE) -
+                          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+                         sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+                               CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               END AS z
+        FROM orders o, s""")),
+
     // Cross-feature Pearson correlation from exact DECIMAL co-moments
     // (partition-invariant, unlike streaming-double corr()).
     QueryDef(

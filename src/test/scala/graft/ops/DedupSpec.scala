@@ -211,6 +211,27 @@ class DedupSpec extends SparkSpec with Matchers {
     got(3L) shouldBe 7L
   }
 
+  test("fuzzyLevenshtein: blocked pairs within distance; hot block capped away") {
+    val docs = docsDf(Seq(
+      1L -> "shared opening line with a small typo at the end xx",
+      2L -> "shared opening line with a small typo at the end yy",
+      3L -> "shared opening line but then a completely different continuation of text",
+      4L -> "entirely different opening so never a candidate pair",
+      // a hot block: 4 docs sharing a 16-char prefix, maxBlock = 3 drops it
+      10L -> "boilerplate head A", 11L -> "boilerplate head B",
+      12L -> "boilerplate head C", 13L -> "boilerplate head D"))
+    val got = Dedup.fuzzyLevenshtein(docs, "doc_id", "text",
+      blockChars = 16, compareChars = 60, maxDist = 4, maxBlock = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    got.keySet shouldBe Set((1L, 2L)) // 3 is blocked with 1,2 but 24 edits away
+    got((1L, 2L)) shouldBe 2 // xx -> yy
+    // without the cap the boilerplate block pairs appear
+    val uncapped = Dedup.fuzzyLevenshtein(docs, "doc_id", "text",
+      blockChars = 16, compareChars = 60, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain allOf ((10L, 11L), (10L, 12L), (12L, 13L))
+  }
+
   test("ngram jaccard property: random doc pairs match naive oracle") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 30).map(i => s"w$i")

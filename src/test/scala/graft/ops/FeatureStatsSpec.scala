@@ -134,4 +134,44 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     s.getBoolean(5) shouldBe false // no numeric mean for strings
     s.getBoolean(6) shouldBe true // missing rate 0 vs 0.5
   }
+
+  test("histogram: equi-width buckets, max closes into the last bucket, nulls dropped") {
+    import spark.implicits._
+    val df = Seq(Option(0.0), Option(2.5), Option(5.0), Option(9.9),
+      Option(10.0), None).toDF("x")
+    val out = FeatureStats.histogram(df, "x", nBins = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    // width = 2.5 over [0,10]: 0.0->b0, 2.5->b1, 5.0->b2, 9.9 and 10.0->b3
+    out(0L)._3 shouldBe 1
+    out(1L)._3 shouldBe 1
+    out(2L)._3 shouldBe 1
+    out(3L)._3 shouldBe 2
+    out(0L)._1 shouldBe 0.0
+    out(3L)._2 shouldBe 10.0
+    out.keySet shouldBe Set(0L, 1L, 2L, 3L)
+  }
+
+  test("histogram: degenerate single-value frame lands in bucket 0") {
+    import spark.implicits._
+    val out = FeatureStats.histogram(Seq(7.0, 7.0).toDF("x"), "x", 5).collect()
+    out.length shouldBe 1
+    out.head.getLong(0) shouldBe 0L
+    out.head.getLong(3) shouldBe 2L
+  }
+
+  test("zscore: standardizes against population moments; nulls and zero variance stay NULL") {
+    import spark.implicits._
+    val df = Seq((1L, Option(2.0)), (2L, Option(4.0)), (3L, Option(6.0)),
+      (4L, None: Option[Double])).toDF("k", "x")
+    val out = FeatureStats.zscore(df, "k", "x")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // mean 4, population std = sqrt(8/3)
+    val std = math.sqrt(8.0 / 3.0)
+    out(1L).get shouldBe (-2.0 / std) +- 1e-12
+    out(2L).get shouldBe 0.0 +- 1e-12
+    out(3L).get shouldBe (2.0 / std) +- 1e-12
+    out(4L) shouldBe None
+    val const = FeatureStats.zscore(Seq((1L, 5.0), (2L, 5.0)).toDF("k", "x"), "k", "x")
+    const.collect().forall(_.isNullAt(2)) shouldBe true
+  }
 }

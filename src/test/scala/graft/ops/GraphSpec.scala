@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec with Matchers {
+
+  private def ranks(edges: Seq[(String, String, Long)], iters: Int): Map[String, Double] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Naive reference: same formula, same fixed iterations. */
+  private def naive(edges: Seq[(String, String, Long)], iters: Int): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) * w.toDouble / outw(s) }.sum).toMap
+      r = nodes.map(v => v -> ((1.0 - 0.85) / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches a naive in-memory reference on a small weighted graph") {
+    val edges = Seq(
+      ("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L),
+      ("c", "a", 1L), ("d", "c", 3L)) // d is a source-only node; a<-c cycle
+    for (iters <- Seq(1, 3)) {
+      val got = ranks(edges, iters)
+      val want = naive(edges, iters)
+      got.keySet shouldBe want.keySet
+      for ((k, v) <- want) got(k) shouldBe v +- 1e-9
+    }
+  }
+
+  test("pageRank: sink nodes keep teleport mass; ranks order by link weight") {
+    // everyone points at 'hub'; hub points nowhere (dangling)
+    val edges = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L))
+    val got = ranks(edges, 2)
+    got("hub") should be > got("a")
+    got("a") shouldBe got("b")
+    // teleport floor: every node's rank >= (1-d)/n
+    got.values.min should be >= (0.15 / 4) - 1e-12
+  }
+}
