@@ -213,6 +213,55 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
+    * embeddings (quantizer fit on a bounded hash sample, like the IVF
+    * index build), then score pairwise cosine ONLY within each cluster.
+    * Output matches [[embeddingCosinePairs]]: (id_a, id_b, cos),
+    * id_a < id_b, cos >= threshold — minus the pairs whose endpoints
+    * land in different clusters (the approximation's recall loss; a
+    * cos-θ near-dup pair almost always shares its nearest centroid).
+    *
+    * Scale shape: clustering turns the O(n²) all-pairs scoring into n/k
+    * independent cluster-local joins on a `cid` equi-key — the shuffle
+    * key is the cluster id, per-cluster fan-in is bounded by the
+    * cluster size, and no global pairwise stage exists at all. The
+    * assignment itself is one codegen'd projection per row. */
+  def semanticPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, threshold: Double, probes: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.ops.Similarity
+    require(probes >= 1 && probes <= nCentroids)
+    val cents = Similarity.ivfCentroids(df, idCol, vecCol, nCentroids)
+    // Multi-probe assignment: each vector lands in its top-`probes`
+    // centroid buckets, so a true cluster that the quantizer split
+    // across two centroids still co-buckets its members (the k-means
+    // local-optimum failure mode). probes² × the join fan-in, bought
+    // back in recall — same dial as the multi-table LSH join.
+    val topCids = {
+      val scores = VectorFunctions.centroidScores(col("v"), cents.toSeq.map(_.toSeq))
+      val idxed = zip_with(scores, sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("i")))
+      slice(reverse(array_sort(idxed)), 1, probes)("i")
+    }
+    val v = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("id"), explode(topCids).as("cid"),
+        col("v"), Similarity.norm(col("v")).as("nrm"))
+      .localCheckpoint(false) // both self-join sides read the assignment
+    val a = v.select(col("cid"), col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = v.select(col("cid"), col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .distinct() // a pair co-bucketed under several probes emits once
+  }
+
   /** Connected components over near-duplicate pairs — the step that
     * turns pairwise matches into "keep one document per cluster".
     * Iterative min-label propagation: every node repeatedly adopts the

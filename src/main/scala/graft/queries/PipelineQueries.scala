@@ -225,6 +225,35 @@ object PipelineQueries {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.42""")),
 
+    // SemDeDup invariant gate: cluster-local cosine pairs must be a
+    // SUBSET of the exact all-pairs result (same threshold) and keep
+    // >= 50% recall. n_exact is DuckDB-checkable; the booleans assert
+    // the approximation's contract, like the ANN recall queries.
+    QueryDef(
+      "dedup_semantic",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val sem = Dedup.semanticPairs(emb, "vec_id", "embedding",
+          nCentroids = 16, threshold = 0.42)
+        val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+          threshold = 0.42)
+        val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+        val nSem = sem.agg(count(lit(1)).as("__nsem"))
+        val bad = sem.join(exact.select("id_a", "id_b"),
+          Seq("id_a", "id_b"), "left_anti").agg(count(lit(1)).as("__nbad"))
+        nEx.crossJoin(nSem).crossJoin(bad).select(
+          col("n_exact"),
+          (col("__nbad") === 0).as("subset_ok"),
+          (col("__nsem").cast("double") / col("n_exact").cast("double") >= 0.5)
+            .as("recall_ok"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+               true AS subset_ok, true AS recall_ok
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.42""")),
+
     // Sequence packing: docs → fixed-token-budget training sequences,
     // hash-bucketed so packing parallelizes (one window per bucket,
     // never a global sort).

@@ -232,6 +232,26 @@ class DedupSpec extends SparkSpec with Matchers {
     uncapped should contain allOf ((10L, 11L), (10L, 12L), (12L, 13L))
   }
 
+  test("semanticPairs: subset of exact pairs with full recall on well-separated clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3 tight clusters far apart: near-dup pairs only exist inside a
+    // cluster, so cluster-local scoring loses nothing.
+    val base = Seq(
+      Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0), Array(0.0, 0.0, 10.0, 0.0))
+    val vecs = (0L until 30L).map { i =>
+      val c = base((i % 3).toInt)
+      i -> c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val sem = Dedup.semanticPairs(df, "vec_id", "embedding", nCentroids = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty
+    sem shouldBe exact // subset AND recall 1.0 when clusters are separable
+  }
+
   test("ngram jaccard property: random doc pairs match naive oracle") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 30).map(i => s"w$i")
