@@ -29,23 +29,27 @@ object Bench {
     }
     val (pass1, pass2) = (timeAll(), timeAll())
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
-    // The harness reading this line keeps only a bounded tail of stdout;
-    // millisecond precision keeps the whole JSON line inside that window
-    // (full-precision doubles overflowed it once the query count grew).
+    // The harness reading this line keeps only the last ~2000 chars of
+    // stdout, and sbt appends its own "[success] Total time: …" line
+    // after ours — so the JSON must fit well under the window or its
+    // head gets clipped and the driver records `parsed: null` (this
+    // happened in r1 and r3 as the query count grew). `value` always
+    // sums EVERY query; the per-query map reports the slowest queries
+    // that fit a conservative budget, so the map stays informative
+    // (cheap sub-second queries are the ones elided) at any count.
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def line(decimals: Int): String = {
-      def fmt(v: Double): String =
-        s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val budget = 1600
+    val slowestFirst = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     }
-    // The harness window is ~2000 chars of stdout tail and this line is
-    // the last stdout (build.sbt sets showSuccess := false); step
-    // precision down until the line fits with margin.
-    val out = Seq(line(3), line(2), line(1))
-      .find(_.length <= 1950).getOrElse(line(1))
-    println(out)
+    var keep = slowestFirst
+    while (keep.nonEmpty && line(keep).length > budget) keep = keep.dropRight(1)
+    println(line(keep))
     spark.stop()
   }
 }
