@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every verifiable operator (SURVEY.md §2 inventory + north-star ops). */
   val defs: Seq[QueryDef] =
     CoreQueries.all ++ ExtendedQueries.all ++ FeatureStoreQueries.all ++
-      PipelineQueries.all ++ TemporalQueries.all ++ QualityQueries.all
+      PipelineQueries.all ++ TemporalQueries.all ++ QualityQueries.all ++
+      ShapingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the engine's core — multi-view point-in-time join. */

@@ -144,6 +144,60 @@ object CorpusOps {
         col("tfidf"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much
+    * its hashed n-gram feature distribution looks like a TARGET corpus
+    * rather than the RAW corpus — `w(doc) = Σ_tokens ln(p_target(b) /
+    * p_raw(b))` over hashed feature buckets b, with add-one smoothing.
+    * High-weight documents are the ones importance resampling keeps.
+    *
+    * Buckets are the first `hexChars` hex digits of md5(token) —
+    * engine-portable (no xxhash), 16^hexChars buckets. Per-bucket log
+    * ratios are rounded to 6 dp and summed as DECIMAL so the per-doc
+    * reduction is order-independent (bit-identical on any engine or
+    * partitioning).
+    *
+    * Scale shape: the two distributions aggregate over 16-byte-prefix
+    * keys with map-side combine into bucket-count tables of AT MOST
+    * 16^hexChars rows — broadcast-sized by construction — and the
+    * per-token join against them is a broadcast hash join feeding one
+    * final per-doc hash-agg. The corpus is scanned twice (target
+    * predicate + scoring), never joined to itself.
+    */
+  def dsirLogWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8)
+    val nBuckets = math.pow(16, hexChars).toLong
+    val toks = OpsUtil.widen(df)
+      .select(col(idCol), targetPred.as("__graft_tgt"),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
+      .withColumn("b", substring(md5(col("tk")), 1, hexChars))
+      .localCheckpoint(false) // feeds both distributions + the scorer
+    def dist(frame: DataFrame, cnt: String, tot: String): DataFrame = {
+      val c = frame.groupBy(col("b")).agg(count(lit(1)).as(cnt))
+      c.crossJoin(broadcast(c.agg(sum(col(cnt)).as(tot))))
+    }
+    val target = dist(toks.filter(col("__graft_tgt")), "c_t", "n_t")
+    val raw = dist(toks, "c_r", "n_r")
+    // Smoothed log ratio per bucket, on the tiny joined bucket table;
+    // buckets absent from the target keep c_t = 0 via the left join.
+    val ratios = raw
+      .join(target.select("b", "c_t"), Seq("b"), "left")
+      .crossJoin(broadcast(target.select("n_t").distinct()))
+      .withColumn("log_ratio", round(
+        log((coalesce(col("c_t"), lit(0L)) + 1.0).cast("double")
+            / (col("n_t") + nBuckets).cast("double"))
+          - log((col("c_r") + 1.0).cast("double")
+            / (col("n_r") + nBuckets).cast("double")), 6)
+        .cast("decimal(28,6)"))
+      .select("b", "log_ratio")
+    toks.join(broadcast(ratios), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("log_ratio")).cast("double").as("dsir_weight"))
+  }
+
   /** Top-k most frequent word n-grams across the corpus — the vocab /
     * merge-table prep statistic. One map-side-combined hash-agg shuffle
     * on the n-gram string, then a TakeOrderedAndProject (no global

@@ -63,6 +63,96 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Temperature-based domain rebalancing (the multilingual /
+    * multi-source mixture rule p_d ∝ n_d^alpha): compute per-stratum
+    * keep rates that reshape the corpus toward the alpha-tempered
+    * distribution at ~`targetRows` total, then keep rows
+    * deterministically by key hash. alpha=1 preserves proportions,
+    * alpha→0 flattens toward uniform (upsampling-by-rate is capped at
+    * keep-all). Rates are a pure function of the stratum counts, so the
+    * sample is reproducible and referentially consistent.
+    *
+    * Scale shape: one map-side-combined count per stratum (a
+    * strata-sized frame), rate arithmetic on that tiny frame, and a
+    * broadcast join back — the corpus itself is touched by exactly one
+    * scan + filter. The tempered weights go through 6-dp DECIMAL so
+    * the normalizing sum is order-independent (bit-identical across
+    * engines/partitionings); the final rate comparison is double.
+    */
+  def temperatureSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0.0 && targetRows > 0)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_d"))
+      .withColumn("w_d",
+        round(pow(col("n_d").cast("double"), lit(alpha)), 6)
+          .cast("decimal(38,6)"))
+    val wTot = counts.agg(sum(col("w_d")).as("w_tot"))
+    // Both operands leave DECIMAL before the divide: decimal/decimal
+    // rounding rules differ across engines, IEEE double division does
+    // not (and the decimal→double casts see identical exact values).
+    val rates = counts.crossJoin(broadcast(wTot))
+      .withColumn("keep_rate",
+        least(lit(1.0),
+          col("w_d").cast("double") / col("w_tot").cast("double")
+            * targetRows / col("n_d")))
+      .select(col(strataCol), col("keep_rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashBucket(col(keyCol), 1000003).cast("double")
+        < col("keep_rate") * 1000003.0)
+  }
+
+  /** Greedy budget selection: order rows by `scoreCol` descending (key
+    * tie-break) and keep the maximal prefix whose running `costCol` sum
+    * stays within `budget` — "fill the token budget with the
+    * best-scoring documents". Emits the kept rows with their running
+    * total `cum_cost`.
+    *
+    * Scale shape: a naive `SUM(cost) OVER (ORDER BY score)` compiles
+    * to a SinglePartition exchange — the whole corpus through one
+    * task. Instead this runs the classic two-phase distributed prefix
+    * sum: (1) coarse-bucket rows by score VALUE range (bounds from one
+    * 2-value driver aggregate — no sampling, so bucketing is
+    * deterministic); (2) aggregate per-bucket cost totals (a
+    * `buckets`-sized frame) and window THOSE into bucket offsets;
+    * (3) per-bucket running sums — each bucket sorts independently —
+    * plus the broadcast offset. The only single-partition window runs
+    * over `buckets` rows, never over data.
+    */
+  def budgetSelect(
+      df: DataFrame, keyCol: String, scoreCol: String, costCol: String,
+      budget: Long, buckets: Int = 256): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    val bounds = df.agg(
+      min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double"))
+      .head()
+    if (bounds.isNullAt(0)) return df.withColumn("cum_cost", lit(0L)).limit(0)
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    // Bucket 0 holds the HIGHEST scores so bucket order == scan order;
+    // the max score folds into bucket 0 (width guarded for lo == hi).
+    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
+    val bucket = least(lit(buckets - 1),
+      floor((lit(hi) - col(scoreCol).cast("double")) / width).cast("int"))
+    val rows = df.withColumn("__graft_bk", bucket)
+    val bucketTotals = rows.groupBy(col("__graft_bk"))
+      .agg(sum(col(costCol)).as("bk_cost"))
+    val offsets = bucketTotals
+      .withColumn("bk_offset",
+        coalesce(sum(col("bk_cost")).over(
+          Window.orderBy(col("__graft_bk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__graft_bk"), col("bk_offset"))
+    // Explicit ROWS frame: the default RANGE frame would pool
+    // duplicate (score, key) rows into one running-total step.
+    val w = Window.partitionBy(col("__graft_bk"))
+      .orderBy(col(scoreCol).desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(offsets), Seq("__graft_bk"))
+      .withColumn("cum_cost", col("bk_offset") + sum(col(costCol)).over(w))
+      .filter(col("cum_cost") <= budget)
+      .drop("__graft_bk", "bk_offset")
+  }
+
   /** Exactly-N-per-stratum sample (class balancing): rank rows within
     * each stratum by hash of the key (then key, for total order) and
     * keep the first n. One shuffle on the strata columns. */

@@ -58,6 +58,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * every anchor, the `k` most cosine-similar vectors with a DIFFERENT
+    * label — the near-misses a triplet or InfoNCE loss learns most
+    * from. Exact (all-pairs) form, same contract as [[bruteForceTopK]]:
+    * this is the verification baseline; at corpus scale route candidate
+    * generation through [[lshTopK]]'s bucketed join and apply the same
+    * label filter to its candidate stream.
+    * Output: (query_id, query_label, neighbor_id, rank). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val src = OpsUtil.widen(df)
+    val q = src.select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = src.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    q.join(c, col("query_label") =!= col("n_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "rank")
+  }
+
   /** Deterministic hyperplane weights: w(plane, dim) = zero-mean integer
     * from xxhash64(plane, dim), evaluated once at plan-build time and
     * embedded as an `array<double>` literal (constant across rows — no

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cdc, CorpusOps, Layout, Retrieval, Sampling, Similarity}
+
+/** Round-4 dataset-shaping operators as verifiable queries: BM25
+  * retrieval, temperature-based domain rebalancing, token-budget greedy
+  * selection, CDC changelog merge, hard-negative mining, DSIR
+  * importance weights, and z-order layout assignment. Every query has
+  * an exact DuckDB value oracle.
+  */
+object ShapingQueries {
+  import QueryDef.table
+
+  private val Norm =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** The portable multiplicative hash of [[Sampling.hashBucket]] with
+    * buckets = 1000003, as DuckDB SQL. */
+  private def hashSql(key: String): String =
+    s"(((($key % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 1000003"
+
+  /** [[graft.ops.Layout.zValue]] mirrored as SQL: the identical
+    * shift/mask fold, generated from the same bit positions. */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($x & ${1L << i}) * ${1L << i}) | (($y & ${1L << i}) * ${2L << i})"
+    }.map(t => s"($t)").mkString(" | ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Okapi BM25 over the documents corpus for a 4-term query.
+    QueryDef(
+      "bm25_topk",
+      (s, dir) => Retrieval.bm25TopK(
+        table(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "vector", "merge", "customer"), k = 50),
+      Some(s"""
+        WITH d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+        dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        hits AS (SELECT doc_id, dl, unnest(ws) AS term FROM dl),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits
+               WHERE term IN ('spark', 'vector', 'merge', 'customer') GROUP BY 1, 2, 3),
+        dfx AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
+        sc AS (SELECT doc_id,
+                 ln(1.0 + ((SELECT n FROM stats) - term_df + 0.5) / (term_df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats))) AS s
+               FROM tf JOIN dfx USING (term))
+        SELECT doc_id, count(*) AS n_hit_terms, round(sum(s), 6) AS score
+        FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50""")),
+
+    // Temperature-tempered source mixture: alpha=0.5 flattens the
+    // skewed per-source counts toward uniform at ~300 rows.
+    QueryDef(
+      "sample_temperature",
+      (s, dir) => Sampling.temperatureSample(
+        table(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", alpha = 0.5, targetRows = 300)
+        .select("doc_id", "source"),
+      Some(s"""
+        WITH c AS (SELECT source, count(*) AS n_d FROM documents GROUP BY 1),
+        w AS (SELECT source, n_d,
+                     CAST(round(pow(CAST(n_d AS DOUBLE), 0.5), 6) AS DECIMAL(38,6)) AS w_d
+              FROM c),
+        t AS (SELECT sum(w_d) AS w_tot FROM w),
+        r AS (SELECT source,
+                     least(1.0, CAST(w_d AS DOUBLE) / CAST((SELECT w_tot FROM t) AS DOUBLE)
+                                  * 300 / n_d) AS keep_rate
+              FROM w)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE CAST(${hashSql("d.doc_id")} AS DOUBLE) < keep_rate * 1000003.0""")),
+
+    // Greedy token-budget fill: hash-scrambled priority, n_chars cost.
+    QueryDef(
+      "budget_select",
+      (s, dir) => Sampling.budgetSelect(
+        table(s, dir, "documents").select("doc_id", "n_chars")
+          .withColumn("score", Sampling.hashBucket(col("doc_id"), 1000003)),
+        "doc_id", "score", "n_chars", budget = 60000L)
+        .select("doc_id", "n_chars", "cum_cost"),
+      Some(s"""
+        SELECT doc_id, n_chars, cum_cost FROM (
+          SELECT doc_id, n_chars,
+                 CAST(sum(n_chars) OVER (ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+          FROM (SELECT doc_id, n_chars, ${hashSql("doc_id")} AS score
+                FROM documents))
+        WHERE cum_cost <= 60000""")),
+
+    // CDC merge: a stale base snapshot + a 3-sequence changelog
+    // (upsert, second upsert, delete) derived deterministically from
+    // orders; latest-sequence-wins, tombstones drop.
+    QueryDef(
+      "cdc_merge",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val base = o.filter(col("o_orderkey") % 3 =!= 0)
+        def chg(pred: org.apache.spark.sql.Column, status: org.apache.spark.sql.Column,
+            price: org.apache.spark.sql.Column, seq: Long, op: String) =
+          o.filter(pred).select(
+            col("o_orderkey"), col("o_custkey"),
+            status.as("o_orderstatus"), price.as("o_totalprice"),
+            lit(seq).as("seq"), lit(op).as("op"))
+        val changes =
+          chg(col("o_orderkey") % 2 === 0, lit("X1"), col("o_totalprice") + 1000.0, 1L, "U")
+            .unionByName(chg(col("o_orderkey") % 10 === 0, lit("X2"), col("o_totalprice") + 2000.0, 2L, "U"))
+            .unionByName(chg(col("o_orderkey") % 7 === 0, col("o_orderstatus"), col("o_totalprice"), 3L, "D"))
+        Cdc.applyChangelog(base, changes, Seq("o_orderkey"), "seq", "op")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 CAST(-9223372036854775807 AS BIGINT) - 1 AS seq, 'U' AS op
+          FROM orders WHERE o_orderkey % 3 != 0),
+        c1 AS (SELECT o_orderkey, o_custkey, 'X1' AS o_orderstatus,
+                      o_totalprice + 1000.0 AS o_totalprice, CAST(1 AS BIGINT) AS seq, 'U' AS op
+               FROM orders WHERE o_orderkey % 2 = 0),
+        c2 AS (SELECT o_orderkey, o_custkey, 'X2', o_totalprice + 2000.0, 2, 'U'
+               FROM orders WHERE o_orderkey % 10 = 0),
+        c3 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 3, 'D'
+               FROM orders WHERE o_orderkey % 7 = 0),
+        allr AS (SELECT * FROM base UNION ALL SELECT * FROM c1
+                 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3),
+        latest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                     ORDER BY seq DESC) AS rn FROM allr)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM latest WHERE rn = 1 AND op != 'D'""")),
+
+    // Hard negatives: top-5 most-similar different-label vectors.
+    QueryDef(
+      "sim_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(
+        table(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5),
+      Some("""
+        WITH p AS (
+          SELECT a.vec_id AS query_id, a.label AS query_label, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) AS cos
+          FROM embeddings a JOIN embeddings b ON a.label != b.label)
+        SELECT query_id, query_label, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM p QUALIFY rank <= 5""")),
+
+    // DSIR importance weights toward the English slice of the corpus.
+    QueryDef(
+      "dsir_weights",
+      (s, dir) => CorpusOps.dsirLogWeights(
+        table(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("lang") === "en", hexChars = 2),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+                             unnest(string_split($Norm, ' ')) AS tk
+                      FROM documents),
+        bk AS (SELECT doc_id, tgt, substr(md5(tk), 1, 2) AS b FROM toks),
+        raw AS (SELECT b, count(*) AS c_r FROM bk GROUP BY 1),
+        rtot AS (SELECT sum(c_r) AS n_r FROM raw),
+        tgt AS (SELECT b, count(*) AS c_t FROM bk WHERE tgt GROUP BY 1),
+        ttot AS (SELECT sum(c_t) AS n_t FROM tgt),
+        lr AS (SELECT raw.b, CAST(round(
+                 ln((coalesce(c_t, 0) + 1.0) / CAST((SELECT n_t FROM ttot) + 256 AS DOUBLE))
+                 - ln((c_r + 1.0) / CAST((SELECT n_r FROM rtot) + 256 AS DOUBLE)), 6)
+                 AS DECIMAL(28,6)) AS log_ratio
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(log_ratio) AS DOUBLE) AS dsir_weight
+        FROM bk JOIN lr USING (b) GROUP BY 1""")),
+
+    // Z-order (Morton) layout assignment over (user, event) dimensions.
+    QueryDef(
+      "zorder_layout",
+      (s, dir) => Layout.zorderAssign(
+        table(s, dir, "events")
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(256)).as("x"),
+            pmod(col("event_id"), lit(256)).as("y")),
+        "x", "y", bits = 8, files = 16)
+        .select("event_id", "z", "file_id"),
+      Some(s"""
+        WITH zt AS (
+          SELECT event_id, ${zSql("x", "y", 8)} AS z
+          FROM (SELECT event_id,
+                       ((user_id % 256) + 256) % 256 AS x,
+                       ((event_id % 256) + 256) % 256 AS y
+                FROM events)),
+        b AS (SELECT min(z) AS lo, max(z) AS hi FROM zt)
+        SELECT event_id, z,
+               CAST(floor((z - (SELECT lo FROM b)) * 16
+                 / CAST(greatest((SELECT hi FROM b) - (SELECT lo FROM b) + 1, 1) AS DOUBLE))
+                 AS INT) AS file_id
+        FROM zt"""))
+  )
+}

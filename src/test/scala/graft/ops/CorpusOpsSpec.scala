@@ -91,6 +91,39 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("dsirLogWeights: target-like documents outscore off-target ones") {
+    import spark.implicits._
+    // Target distribution = "alpha beta" language; raw corpus adds a
+    // disjoint "gamma delta" language. A held-out doc written in the
+    // target language must carry a higher importance weight.
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "alpha beta alpha beta", true)) ++
+      (11 to 20).map(i => (i.toLong, "gamma delta gamma delta", false)) ++
+      Seq((21L, "alpha beta", false), (22L, "gamma delta", false))
+    ).toDF("id", "text", "is_target")
+    val w = CorpusOps.dsirLogWeights(docs, "id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    w(21L) should be > w(22L)        // target-language held-out doc wins
+    w(1L) should be > w(11L)         // and in-corpus docs order the same way
+    // n_tokens is the full token count.
+    val n = CorpusOps.dsirLogWeights(docs, "id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    n(21L) shouldBe 2L
+    n(1L) shouldBe 4L
+  }
+
+  test("dsirLogWeights is partitioning-invariant (decimal log-ratio sums)") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "x y z w v" else "a b c d e a b", i % 2 == 0))
+      .toDF("id", "text", "t")
+    val a = CorpusOps.dsirLogWeights(docs, "id", "text", col("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = CorpusOps.dsirLogWeights(docs.repartition(13), "id", "text", col("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    a shouldBe b
+  }
+
   test("vocabTopK: frequency order with lexicographic tie-break") {
     val docs = Seq(
       1L -> "a b a b a b", // "a b" x3, "b a" x2

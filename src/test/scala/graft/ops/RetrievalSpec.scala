@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** BM25 semantics against a hand-computed miniature corpus. */
+class RetrievalSpec extends SparkSpec with Matchers {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark spark spark"),       // tf=3, short doc
+      (2L, "spark flink beam trino"),  // tf=1, longer doc
+      (3L, "flink beam trino duckdb"), // no hit
+      (4L, "spark query engine")       // tf=1
+    ).toDF("id", "text")
+  }
+
+  test("bm25: only matching docs score; higher tf ranks higher at equal length") {
+    val out = Retrieval.bm25TopK(corpus, "id", "text", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(_._1).toSet shouldBe Set(1L, 2L, 4L)
+    // doc 1 saturates tf AND is shortest → top rank.
+    out.head._1 shouldBe 1L
+    // Every score positive, every hit count 1 for the single-term query.
+    out.foreach { case (_, nTerms, s) => nTerms shouldBe 1L; s should be > 0.0 }
+  }
+
+  test("bm25 matches the formula on a 2-doc check") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a a")).toDF("id", "text")
+    val out = Retrieval.bm25TopK(df, "id", "text", Seq("a"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // N=2, df=2, idf = ln(1 + 0.5/2.5); avgdl = 2, dl = 2 → len norm = 1.
+    val idf = math.log(1 + 0.5 / 2.5)
+    def s(tf: Double) = idf * tf * 2.2 / (tf + 1.2)
+    out(1L) shouldBe (math.rint(s(1) * 1e6) / 1e6 +- 1e-9)
+    out(2L) shouldBe (math.rint(s(2) * 1e6) / 1e6 +- 1e-9)
+  }
+
+  test("bm25: rarer term carries higher idf weight") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare"), (2L, "common x"), (3L, "common y"), (4L, "common z")
+    ).toDF("id", "text")
+    val out = Retrieval.bm25TopK(df, "id", "text", Seq("common", "rare"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.head._1 shouldBe 1L           // the doc with the rare term wins
+    out.head._2 shouldBe 2L           // and hit both terms
+  }
+
+  test("bm25 on an empty corpus returns empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    Retrieval.bm25TopK(empty, "id", "text", Seq("a"), k = 5).count() shouldBe 0L
+  }
+}

@@ -40,6 +40,68 @@ class SamplingSpec extends SparkSpec with Matchers {
     s1.size.toDouble should (be > 700.0 and be < 1300.0)
   }
 
+  test("temperatureSample: alpha=0 flattens strata toward uniform; alpha=1 preserves proportions") {
+    import spark.implicits._
+    // Heavily skewed strata: 1600 'big', 100 'small'.
+    val df = ((1L to 1600L).map(i => (i, "big")) ++
+      (10001L to 10100L).map(i => (i, "small"))).toDF("k", "s")
+    def counts(alpha: Double, target: Long): Map[String, Long] =
+      Sampling.temperatureSample(df, "k", "s", alpha, target)
+        .groupBy("s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0: both strata weighted equally → ~200 each from target=400;
+    // 'small' (100 rows < its 200 quota) is kept whole, never upsampled.
+    val flat = counts(0.0, 400)
+    flat("small") shouldBe 100L
+    flat("big").toDouble shouldBe 200.0 +- 60.0
+    // alpha=1: proportional — 'big' keeps ~16× more than 'small'.
+    val prop = counts(1.0, 400)
+    (prop("big").toDouble / prop.getOrElse("small", 1L).toDouble) should be > 8.0
+    // Deterministic under repartitioning.
+    val a = Sampling.temperatureSample(df, "k", "s", 0.5, 400)
+      .collect().map(_.getAs[Long]("k")).toSet
+    val b = Sampling.temperatureSample(df.repartition(13), "k", "s", 0.5, 400)
+      .collect().map(_.getAs[Long]("k")).toSet
+    a shouldBe b
+  }
+
+  test("budgetSelect equals the naive global-window prefix and stays distributed") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 5000L).map(i => (i, i * 2654435761L % 997L, 1L + i % 37L))
+      .toDF("k", "score", "cost")
+    val budget = 20000L
+    val got = Sampling.budgetSelect(df, "k", "score", "cost", budget, buckets = 16)
+      .select("k", "cum_cost").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = df.withColumn("cum",
+        sum(col("cost")).over(Window.orderBy(col("score").desc, col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe naive
+    // Every kept row within budget; the selection is a maximal prefix.
+    got.values.max should be <= budget
+    // Scale shape: the DATA window partitions by bucket; the only
+    // single-partition exchange feeds the 16-row bucket-totals window.
+    // (Assert on the optimized plan text — AQE hides exchange nodes
+    // from collect() on the executed root.)
+    val planStr = Sampling.budgetSelect(df, "k", "score", "cost", budget, buckets = 16)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    // The running-sum window spec partitions by the bucket column.
+    "windowspecdefinition\\(__graft_bk".r.findAllIn(planStr).size should be >= 1
+  }
+
+  test("budgetSelect handles ties at the bucket boundary and empty input") {
+    import spark.implicits._
+    // All scores identical → one bucket; order falls to the key.
+    val flat = (1L to 100L).map(i => (i, 5L, 10L)).toDF("k", "score", "cost")
+    val kept = Sampling.budgetSelect(flat, "k", "score", "cost", budget = 250L)
+      .collect().map(_.getLong(0)).sorted
+    kept shouldBe (1L to 25L).toArray
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k", "score", "cost")
+    Sampling.budgetSelect(empty, "k", "score", "cost", 10L).count() shouldBe 0L
+  }
+
   test("shuffleAssign: dense per-shard positions, partition-stable, no global window") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("k")

@@ -60,6 +60,40 @@ class SimilaritySpec extends SparkSpec with Matchers {
     out(2).getDouble(0) shouldBe 22.0 // null element contributes 0
   }
 
+  test("hardNegatives: same-label vectors never appear; ranks follow cosine") {
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 24L).map(i =>
+      (i, Seq.fill(6)(rnd.nextDouble() * 2 - 1), (i % 3).toInt))
+    val df = spark.createDataFrame(
+      vecs.map { case (i, v, l) => Row(i, v, l) }.asJava,
+      T.StructType(Seq(
+        T.StructField("vec_id", T.LongType, nullable = false),
+        T.StructField("embedding", T.ArrayType(T.DoubleType), nullable = true),
+        T.StructField("label", T.IntegerType, nullable = false))))
+    val k = 3
+    val got = Similarity.hardNegatives(df, "vec_id", "embedding", "label", k)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    for ((qi, qv, ql) <- vecs) {
+      val expected = vecs.filter(_._3 != ql)
+        .map { case (ci, cv, _) => (ci, cos(qv, cv)) }
+        .sortBy { case (ci, c) => (-c, ci) }.take(k).map(_._1)
+      expected.zipWithIndex.foreach { case (ci, rank) =>
+        val (label, neighbor) = got((qi, rank + 1L))
+        label shouldBe ql
+        neighbor shouldBe ci
+        byId(neighbor)._3 should not be ql
+      }
+    }
+  }
+
   test("bruteForceTopK matches a naive cosine oracle") {
     val rnd = new scala.util.Random(3)
     val vecs = (1L to 20L).map(i => i -> Seq.fill(8)(rnd.nextDouble() * 2 - 1))
