@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine quality classifier: logistic regression over hashed
+  * binary token-bucket features (the fastText-style quality /
+  * language / domain scorer of a pre-training pipeline), trained by
+  * full-batch gradient descent expressed ENTIRELY as relational
+  * operators — no driver-side math, no model library.
+  *
+  * Features are md5-prefix buckets (16^hexChars of them, same portable
+  * scheme as [[CorpusOps.dsirLogWeights]]), binary per document. Each
+  * GD iteration is: score = Σ w(b) over the document's buckets →
+  * p = σ(score) → per-bucket gradient Σ (y − p) → weight update
+  * w += lr·grad/N. Intermediates are pinned to 6-dp DECIMAL at every
+  * step, so training is partition-invariant and engine-reproducible
+  * (double math happens only inside a round(…, 6)).
+  *
+  * Scale shape: the feature frame (doc, bucket) is materialized once
+  * and reused by every iteration; the weight table is ≤ 16^hexChars
+  * rows — broadcast by construction — so each iteration costs one
+  * broadcast join + per-doc hash-agg and one per-bucket hash-agg
+  * (both map-side combined). N is a 1-value driver aggregate (index
+  * metadata). Iterations unroll into one lazy plan.
+  */
+object Classifier {
+
+  private def sigmoid6(s: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-s.cast("double"))), 6)
+      .cast("decimal(28,6)")
+
+  /** Train `iters` full-batch GD steps on (`labelCol` ∈ {0,1}) and
+    * score every document with the final weights. Output:
+    * (id, label, score) — score is the 6-dp calibrated probability.
+    * Documents with no tokens carry no features and are dropped
+    * (unclassifiable by a bag-of-buckets model).
+    */
+  def trainScoreLogistic(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
+    // Binary features: DISTINCT (doc, label, bucket). Feeds every
+    // iteration twice (scoring + gradient) — materialized once.
+    val feats = OpsUtil.widen(df)
+      .select(col(idCol), labelCol.cast("int").as("y"),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
+      .filter(col("tk") =!= "") // empty text → [""] under split; not a feature
+      .select(col(idCol), col("y"),
+        substring(md5(col("tk")), 1, hexChars).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val nDocs = feats.select(col(idCol)).distinct().count()
+    require(nDocs > 0, "empty corpus")
+    var w = feats.select(col("b")).distinct()
+      .withColumn("w", lit(0).cast("decimal(28,6)"))
+    for (_ <- 1 to iters) {
+      val scored = feats.join(broadcast(w), Seq("b"))
+        .groupBy(col(idCol), col("y"))
+        .agg(sum(col("w")).as("s"))
+        .withColumn("p", sigmoid6(col("s")))
+        .withColumn("r", col("y").cast("decimal(28,6)") - col("p"))
+      val grad = feats
+        .join(scored.select(col(idCol), col("r")), Seq(idCol))
+        .groupBy(col("b"))
+        .agg(sum(col("r")).as("g"))
+      w = w.join(grad, Seq("b"))
+        .withColumn("w",
+          col("w") + round(lit(lr) * col("g").cast("double") / nDocs, 6)
+            .cast("decimal(28,6)"))
+        .select("b", "w")
+    }
+    feats.join(broadcast(w), Seq("b"))
+      .groupBy(col(idCol), col("y"))
+      .agg(sum(col("w")).as("s"))
+      .select(col(idCol), col("y").as("label"),
+        sigmoid6(col("s")).cast("double").as("score"))
+  }
+}

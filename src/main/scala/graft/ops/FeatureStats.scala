@@ -205,6 +205,23 @@ object FeatureStats {
     * (precision cap at 38). That bounds the domain to |x| < 1e12;
     * values beyond it would cast to NULL and silently skew the
     * moments, so they fail fast instead. */
+  /** Hot-key diagnostic for join/agg planning at scale: the top-N
+    * heaviest keys with their row counts and share of the table — the
+    * numbers that decide between a plain shuffle join, salting, and a
+    * broadcast (a key with share ≫ 1/shuffle.partitions is a straggler
+    * task in waiting). One map-side-combined count + a 1-row total +
+    * TakeOrderedAndProject; no global sort. */
+  def keySkew(df: DataFrame, keyCols: Seq[String], topN: Int): DataFrame = {
+    require(keyCols.nonEmpty && topN > 0)
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") / col("total"), 6))
+      .drop("total")
+      .orderBy(desc("cnt") +: keyCols.map(asc): _*)
+      .limit(topN)
+  }
+
   private def exactD6(c: Column, op: String): Column =
     when(abs(c) < lit(1e12), c.cast("decimal(18,6)"))
       .otherwise(raise_error(concat(

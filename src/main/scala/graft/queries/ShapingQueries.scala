@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cdc, CorpusOps, Layout, Retrieval, Sampling, Similarity}
+import graft.ops.{Cdc, Classifier, CorpusOps, FeatureStats, Layout, Retrieval, Sampling, Similarity}
 
 /** Round-4 dataset-shaping operators as verifiable queries: BM25
   * retrieval, temperature-based domain rebalancing, token-budget greedy
@@ -171,6 +171,61 @@ object ShapingQueries {
         SELECT doc_id, count(*) AS n_tokens,
                CAST(sum(log_ratio) AS DOUBLE) AS dsir_weight
         FROM bk JOIN lr USING (b) GROUP BY 1""")),
+
+    // In-engine logistic-regression classifier: 2 full-batch GD steps
+    // learning "is this document English" from hashed token buckets,
+    // then calibrated scores for every document. The oracle replays
+    // the ENTIRE training loop as SQL — every intermediate is pinned
+    // to 6-dp DECIMAL, so both engines walk the same weight sequence.
+    QueryDef(
+      "classifier_score",
+      (s, dir) => Classifier.trainScoreLogistic(
+        table(s, dir, "documents"), "doc_id", "text",
+        labelCol = (col("lang") === "en"), hexChars = 2, iters = 2, lr = 0.5),
+      Some(s"""
+        WITH feats AS (
+          SELECT DISTINCT doc_id, CAST(lang = 'en' AS INT) AS y, substr(md5(tk), 1, 2) AS b
+          FROM (SELECT doc_id, lang, unnest(string_split($Norm, ' ')) AS tk FROM documents)
+          WHERE tk != ''),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM feats),
+        w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(28,6)) AS w FROM feats),
+        s1 AS (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w0 USING (b) GROUP BY 1, 2),
+        r1 AS (SELECT doc_id,
+                 CAST(y AS DECIMAL(28,6))
+                   - CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6) AS DECIMAL(28,6)) AS r
+               FROM s1),
+        g1 AS (SELECT b, sum(r) AS g FROM feats JOIN r1 USING (doc_id) GROUP BY 1),
+        w1 AS (SELECT w0.b,
+                 w0.w + CAST(round(0.5 * CAST(g AS DOUBLE) / (SELECT n FROM n), 6)
+                   AS DECIMAL(28,6)) AS w
+               FROM w0 JOIN g1 ON w0.b = g1.b),
+        s2 AS (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w1 USING (b) GROUP BY 1, 2),
+        r2 AS (SELECT doc_id,
+                 CAST(y AS DECIMAL(28,6))
+                   - CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6) AS DECIMAL(28,6)) AS r
+               FROM s2),
+        g2 AS (SELECT b, sum(r) AS g FROM feats JOIN r2 USING (doc_id) GROUP BY 1),
+        w2 AS (SELECT w1.b,
+                 w1.w + CAST(round(0.5 * CAST(g AS DOUBLE) / (SELECT n FROM n), 6)
+                   AS DECIMAL(28,6)) AS w
+               FROM w1 JOIN g2 ON w1.b = g2.b)
+        SELECT doc_id, y AS label,
+               CAST(CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6)
+                 AS DECIMAL(28,6)) AS DOUBLE) AS score
+        FROM (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w2 USING (b) GROUP BY 1, 2)""")),
+
+    // Hot-key skew diagnostic over the events stream.
+    QueryDef(
+      "key_skew",
+      (s, dir) => FeatureStats.keySkew(
+        table(s, dir, "events"), Seq("user_id", "event_type"), topN = 25),
+      Some("""
+        WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT sum(cnt) AS total FROM c)
+        SELECT user_id, event_type, cnt,
+               round(cnt / (SELECT total FROM t), 6) AS share
+        FROM c ORDER BY cnt DESC, user_id, event_type LIMIT 25""")),
 
     // Z-order (Morton) layout assignment over (user, event) dimensions.
     QueryDef(

@@ -174,4 +174,15 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     val const = FeatureStats.zscore(Seq((1L, 5.0), (2L, 5.0)).toDF("k", "x"), "k", "x")
     const.collect().forall(_.isNullAt(2)) shouldBe true
   }
+
+  test("keySkew surfaces the heavy key with its share; ties break on key") {
+    import spark.implicits._
+    val df = ((1L to 900L).map(_ => "hot") ++ (1L to 100L).map(i => s"k$i"))
+      .toDF("k")
+    val top = FeatureStats.keySkew(df, Seq("k"), topN = 3).collect()
+    top.head.getString(0) shouldBe "hot"
+    top.head.getLong(1) shouldBe 900L
+    top.head.getDouble(2) shouldBe 0.9 +- 1e-9
+    top(1).getString(0) shouldBe "k1" // 1-count ties order by key ascending
+  }
 }
