@@ -437,11 +437,18 @@ object Dedup {
     // consumer. (Exact pairwise Jaccard is the verification-scale
     // operator; minhashLsh is the 100 TB path, whose materialized
     // intermediate is the far smaller signature table.)
+    // Shingle TEXT never leaves the scan stage: every downstream key
+    // (df-cap aggregate, both self-join sides) is the 8-byte xxhash64
+    // of the shingle — distinct-per-doc first, so a hash collision
+    // could only merge two different shingles corpus-wide (~n²/2⁶⁴,
+    // negligible even at 100 TB), and the shuffle carries fixed-width
+    // keys at a third of the raw-string wire size.
     val shRaw = OpsUtil.widen(df)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"),
-        explode(array_distinct(TextOps.shingles(col("ws"), shingleN))).as("sh"))
+        explode(array_distinct(TextOps.shingles(col("ws"), shingleN))).as("sh_txt"))
+      .select(col("id"), xxhash64(col("sh_txt")).as("sh"))
       .localCheckpoint(false)
     val sh =
       if (maxDf == Int.MaxValue) shRaw
