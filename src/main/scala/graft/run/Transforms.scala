@@ -63,6 +63,10 @@ object Transforms {
         t.args.get(k).foreach(v => require(v.toIntOption.exists(_ > 0),
           s"transform '$name' arg '$k' must be a positive integer, got '$v'"))
       }
+      PositiveLongArgs.getOrElse(name, Nil).foreach { k =>
+        t.args.get(k).foreach(v => require(v.toLongOption.exists(_ > 0L),
+          s"transform '$name' arg '$k' must be a positive integer, got '$v'"))
+      }
       DoubleArgs.getOrElse(name, Nil).foreach { k => // and non-numeric doubles
         t.args.get(k).foreach(v => require(scala.util.Try(v.toDouble).isSuccess,
           s"transform '$name' arg '$k' must be numeric, got '$v'"))
@@ -80,7 +84,10 @@ object Transforms {
     "sample_hash" -> Seq("key", "pct"),
     "mixture_sample" -> Seq("key", "strata", "rates"),
     "corpus_shuffle" -> Seq("key", "shards"),
-    "lm_filter" -> Seq("key", "col", "max_ce"))
+    "lm_filter" -> Seq("key", "col", "max_ce"),
+    "sample_temperature" -> Seq("key", "strata", "alpha", "target"),
+    "budget_select" -> Seq("key", "score", "cost", "budget"),
+    "classifier_filter" -> Seq("key", "col", "label", "min_score"))
 
   /** Transform name → integer-typed argument names, validated at parse
     * time when present (same fail-fast contract as Required: `pct=abc`
@@ -95,9 +102,17 @@ object Transforms {
   val PositiveIntArgs: Map[String, Seq[String]] = Map(
     "corpus_shuffle" -> Seq("shards"))
 
+  /** Long-typed strictly positive args (row targets / token budgets
+    * exceed Int range at corpus scale). */
+  val PositiveLongArgs: Map[String, Seq[String]] = Map(
+    "sample_temperature" -> Seq("target"),
+    "budget_select" -> Seq("budget"))
+
   /** Double-typed argument names, same parse-time validation. */
   val DoubleArgs: Map[String, Seq[String]] = Map(
-    "lm_filter" -> Seq("max_ce"))
+    "lm_filter" -> Seq("max_ce"),
+    "sample_temperature" -> Seq("alpha"),
+    "classifier_filter" -> Seq("min_score"))
 
   /** rates as strata:pct pairs joined with '|', e.g. `en:40|de:80`. */
   private def parseRates(spec: String): Map[String, Int] =
@@ -166,6 +181,31 @@ object Transforms {
       Sampling.mixtureSample(df, t.arg("key"), t.arg("strata"),
         parseRates(t.arg("rates")),
         t.args.get("default_pct").map(_.toInt).getOrElse(0))
+    case "sample_temperature" =>
+      // p ∝ n^alpha domain rebalancing toward ~target rows.
+      Sampling.temperatureSample(df, t.arg("key"), t.arg("strata"),
+        t.arg("alpha").toDouble, t.arg("target").toLong)
+    case "budget_select" =>
+      // Greedy best-scoring prefix within the cost budget (two-phase
+      // distributed prefix sum; one bucket shuffle, no global window).
+      Sampling.budgetSelect(df, t.arg("key"), t.arg("score"),
+        t.arg("cost"), t.arg("budget").toLong)
+        .drop("cum_cost")
+    case "classifier_filter" =>
+      // Self-trained logistic quality gate: label column marks the
+      // positive class on THIS frame (e.g. a curated flag); rows
+      // scoring below min_score drop. The frame feeds training and
+      // the keep-join — materialized once. NULL-key rows bypass the
+      // join untouched (same contract as lm_filter/dedup_exact).
+      val key = t.arg("key")
+      val staged = df.localCheckpoint(false)
+      val scorable = staged.filter(col(key).isNotNull)
+      val keep = graft.ops.Classifier.trainScoreLogistic(
+          scorable, key, t.arg("col"), col(t.arg("label")).cast("boolean"))
+        .filter(col("score") >= t.arg("min_score").toDouble)
+        .select(col(key))
+      scorable.join(keep, Seq(key), "left_semi")
+        .unionByName(staged.filter(col(key).isNull))
     case other =>
       throw new IllegalArgumentException(s"unknown transform '$other'")
   }

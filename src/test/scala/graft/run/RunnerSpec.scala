@@ -271,6 +271,47 @@ class RunnerSpec extends SparkSpec {
     assert(out.count(_.isNullAt(0)) == 1)
   }
 
+  test("sample_temperature / budget_select / classifier_filter transforms apply and validate") {
+    import spark.implicits._
+    // temperature: skewed strata flatten at alpha=0; bad args die at parse
+    val skew = ((1L to 900L).map(i => (i, "big")) ++ (1001L to 1100L).map(i => (i, "small")))
+      .toDF("id", "src")
+    val t = Transforms.applyAll(skew,
+      Transforms.parse("sample_temperature(key=id,strata=src,alpha=0.0,target=200)"))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t("small") == 100L) // under-quota stratum kept whole
+    assert(t("big") < 300L)    // heavy stratum cut toward its quota
+    intercept[IllegalArgumentException](
+      Transforms.parse("sample_temperature(key=id,strata=src,alpha=x,target=200)"))
+    intercept[IllegalArgumentException](
+      Transforms.parse("sample_temperature(key=id,strata=src,alpha=0.5,target=0)"))
+
+    // budget_select: keeps the maximal score-ordered prefix; budget is
+    // Long-ranged (values past Int.MaxValue parse fine)
+    val docs = (1L to 50L).map(i => (i, 51L - i, 10L)).toDF("id", "prio", "toks")
+    val kept = Transforms.applyAll(docs,
+      Transforms.parse("budget_select(key=id,score=prio,cost=toks,budget=200)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == (1L to 20L), s"got ${kept.mkString(",")}")
+    assert(Transforms.parse("budget_select(key=id,score=p,cost=c,budget=9999999999)")
+      .head.name == "budget_select")
+    intercept[IllegalArgumentException](
+      Transforms.parse("budget_select(key=id,score=p,cost=c,budget=-5)"))
+
+    // classifier_filter: separable corpus — positives stay, negatives drop,
+    // NULL-key rows pass through
+    val labeled = ((1 to 10).map(i => (Option(i.toLong), "alpha beta alpha", 1)) ++
+      (11 to 20).map(i => (Option(i.toLong), "gamma delta gamma", 0)) ++
+      Seq((None: Option[Long], "gamma delta", 0)))
+      .toDF("id", "bio", "good")
+    val out = Transforms.applyAll(labeled,
+      Transforms.parse("classifier_filter(key=id,col=bio,label=good,min_score=0.5)"))
+      .collect()
+    val keptIds = out.filter(!_.isNullAt(0)).map(_.getLong(0)).toSet
+    assert(keptIds == (1L to 10L).toSet, s"got $keptIds")
+    assert(out.count(_.isNullAt(0)) == 1) // null-key bypass
+  }
+
   test("full job applies GRAFT_TRANSFORMS-style chain before encoding") {
     val out = java.nio.file.Files.createTempDirectory("graft-tf").toString
     val job = JobConfig(
