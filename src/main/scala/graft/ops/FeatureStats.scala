@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-feature statistics and train/eval skew validation — the
@@ -220,6 +221,59 @@ object FeatureStats {
       .drop("total")
       .orderBy(desc("cnt") +: keyCols.map(asc): _*)
       .limit(topN)
+  }
+
+  /** TFT-style exact quantile bucketing (`tft.bucketize`): assign every
+    * row to one of `k` equal-frequency buckets of `valCol` — EXACT
+    * NTILE semantics (the first `N mod k` buckets take one extra row;
+    * note `1 + (rank−1)·k div N` is NOT ntile — it spreads the extras
+    * evenly instead of front-loading them), without NTILE's
+    * single-partition global window. `valCol` must be non-null (null
+    * sort order differs across engines).
+    *
+    * Scale shape: the same two-phase distributed rank as
+    * [[Sampling.budgetSelect]] — value-range buckets from one 2-value
+    * bounds aggregate, per-range counts windowed into rank offsets
+    * (a `rangeBuckets`-row frame), per-range row_number + broadcast
+    * offset = global rank. The only single-partition window runs over
+    * range summaries, never data. */
+  def bucketize(
+      df: DataFrame, valCol: String, keyCol: String, k: Int,
+      rangeBuckets: Int = 256): DataFrame = {
+    require(k > 0 && rangeBuckets > 0)
+    val b = df.agg(
+      min(col(valCol)).cast("double"), max(col(valCol)).cast("double"),
+      count(lit(1))).head()
+    if (b.isNullAt(0)) return df.withColumn("bucket", lit(0)).limit(0)
+    val (lo, hi, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
+    val width = math.max((hi - lo) / rangeBuckets, java.lang.Double.MIN_NORMAL)
+    val range = least(lit(rangeBuckets - 1),
+      floor((col(valCol).cast("double") - lo) / width).cast("int"))
+    val rows = df.withColumn("__graft_rb", range)
+    val rangeCounts = rows.groupBy(col("__graft_rb"))
+      .agg(count(lit(1)).as("rb_n"))
+    val offsets = rangeCounts
+      .withColumn("rb_off",
+        coalesce(sum(col("rb_n")).over(
+          Window.orderBy(col("__graft_rb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__graft_rb"), col("rb_off"))
+    val w = Window.partitionBy(col("__graft_rb"))
+      .orderBy(col(valCol), col(keyCol))
+    // NTILE's split: q = N div k rows per bucket, the first rem = N mod
+    // k buckets take one extra. Long DIV keeps it exact at any N; qSafe
+    // only guards the never-taken branch when N < k (DIV 0 would still
+    // evaluate under ANSI).
+    val q = n / k; val rem = n % k; val cut = rem * (q + 1)
+    val qSafe = math.max(q, 1L)
+    rows.join(broadcast(offsets), Seq("__graft_rb"))
+      .withColumn("__graft_rnk", col("rb_off") + row_number().over(w))
+      .withColumn("bucket", expr(
+        s"""CAST(CASE WHEN __graft_rnk - 1 < ${cut}L
+           |  THEN (__graft_rnk - 1) DIV ${q + 1}L
+           |  ELSE ${rem}L + (__graft_rnk - 1 - ${cut}L) DIV ${qSafe}L
+           |END AS INT) + 1""".stripMargin))
+      .drop("__graft_rb", "rb_off", "__graft_rnk")
   }
 
   private def exactD6(c: Column, op: String): Column =

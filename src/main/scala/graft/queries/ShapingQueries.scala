@@ -214,6 +214,19 @@ object ShapingQueries {
                  AS DECIMAL(28,6)) AS DOUBLE) AS score
         FROM (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w2 USING (b) GROUP BY 1, 2)""")),
 
+    // TFT exact quantile bucketize: NTILE semantics from a distributed
+    // two-phase rank (the oracle uses real NTILE; the Spark plan never
+    // runs a global single-partition window).
+    QueryDef(
+      "transform_bucketize",
+      (s, dir) => FeatureStats.bucketize(
+        table(s, dir, "events").select("event_id", "value"),
+        "value", "event_id", k = 10),
+      Some("""
+        SELECT event_id, value,
+               CAST(NTILE(10) OVER (ORDER BY value, event_id) AS INT) AS bucket
+        FROM events""")),
+
     // Hot-key skew diagnostic over the events stream.
     QueryDef(
       "key_skew",

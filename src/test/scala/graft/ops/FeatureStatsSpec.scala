@@ -185,4 +185,26 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     top.head.getDouble(2) shouldBe 0.9 +- 1e-9
     top(1).getString(0) shouldBe "k1" // 1-count ties order by key ascending
   }
+
+  test("bucketize matches NTILE semantics exactly, without a global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    val df = (1L to 1007L).map(i => (i, (i * 2654435761L % 9973L).toDouble))
+      .toDF("k", "v")
+    val got = FeatureStats.bucketize(df, "v", "k", k = 10, rangeBuckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val want = df.withColumn("bucket",
+        ntile(10).over(Window.orderBy(col("v"), col("k"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    got shouldBe want
+    // equal-frequency: first N mod k buckets take the extra row
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    (1 to 7).foreach(b => sizes(b) shouldBe 101)
+    (8 to 10).foreach(b => sizes(b) shouldBe 100)
+    // partition-invariance
+    val alt = FeatureStats.bucketize(df.repartition(13), "v", "k", 10, 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    alt shouldBe got
+  }
 }
