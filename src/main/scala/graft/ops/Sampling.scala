@@ -153,6 +153,41 @@ object Sampling {
       .drop("__graft_bk", "bk_offset")
   }
 
+  /** Exactly-N global sample, deterministic by key: rank every row by
+    * the portable hash (key tie-break) and keep the first n — the
+    * fixed-size eval-set / human-review draw. Compiles to
+    * TakeOrderedAndProject (per-partition top-n + merge of n-row
+    * heaps), never a global sort. */
+  def exactNSample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    df.orderBy(hashBucket(col(keyCol), 1000003), col(keyCol)).limit(n)
+  }
+
+  /** Leakage-safe train/eval split: every member of a near-duplicate
+    * cluster lands in the SAME split (otherwise eval examples have
+    * near-copies in train and metrics lie). `clusters` is
+    * [[graft.ops.Dedup.clusters]] output — (id, cluster-representative)
+    * for documents that have at least one near-dup; singletons fall
+    * back to their own id as group key. The split decision hashes the
+    * GROUP key, so it is deterministic, engine-reproducible, and
+    * cluster-atomic by construction.
+    *
+    * Scale shape: one equi-join on the unique id (the clusters side
+    * holds only duplicate members — a small fraction of the corpus, so
+    * AQE broadcasts it in practice) and a per-row hash projection. */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100)
+    val c = clusters.select(col("id").as(idCol), col("cluster"))
+    df.join(c, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("cluster"), col(idCol)))
+      .withColumn("split",
+        when(hashBucket(col("group_key")) < trainPct, lit("train"))
+          .otherwise(lit("eval")))
+      .drop("cluster")
+  }
+
   /** Exactly-N-per-stratum sample (class balancing): rank rows within
     * each stratum by hash of the key (then key, for total order) and
     * keep the first n. One shuffle on the strata columns. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cdc, Classifier, CorpusOps, FeatureStats, Layout, Retrieval, Sampling, Similarity}
+import graft.ops.{Cdc, Classifier, CorpusOps, Dedup, FeatureStats, Layout, Retrieval, Sampling, Similarity}
 
 /** Round-4 dataset-shaping operators as verifiable queries: BM25
   * retrieval, temperature-based domain rebalancing, token-budget greedy
@@ -213,6 +213,61 @@ object ShapingQueries {
                CAST(CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6)
                  AS DECIMAL(28,6)) AS DOUBLE) AS score
         FROM (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w2 USING (b) GROUP BY 1, 2)""")),
+
+    // Exactly-N deterministic global sample (TakeOrderedAndProject).
+    QueryDef(
+      "sample_exact_n",
+      (s, dir) => Sampling.exactNSample(
+        table(s, dir, "documents").select("doc_id", "source"), "doc_id", n = 100),
+      Some(s"""
+        SELECT doc_id, source FROM documents
+        ORDER BY ${hashSql("doc_id")}, doc_id LIMIT 100""")),
+
+    // Leakage-safe 80/20 split: near-dup clusters are split-atomic.
+    // Composes the ngram-Jaccard pair generator and connected
+    // components with the hash split; the oracle replays the whole
+    // chain (recursive-CTE components included).
+    QueryDef(
+      "split_leakage_safe",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val clusters = Dedup.clusters(
+          Dedup.ngramJaccard(docs, "doc_id", "text",
+            shingleN = 3, threshold = 0.08, maxDf = 100))
+        Sampling.leakageSafeSplit(
+          docs.select("doc_id", "source"), "doc_id", clusters, trainPct = 80)
+          .select("doc_id", "source", "group_key", "split")
+      },
+      Some(s"""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM w),
+        shdf AS (SELECT sh, COUNT(*) AS dfc FROM sh0 GROUP BY sh),
+        sh AS (SELECT s.id, s.sh FROM sh0 s JOIN shdf d ON d.sh = s.sh WHERE d.dfc <= 100),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+        inter AS (
+          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM inter i
+          JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+          WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.08),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clusters AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a)
+        SELECT d.doc_id, d.source,
+               coalesce(c.cluster, d.doc_id) AS group_key,
+               CASE WHEN ${hashSql("coalesce(c.cluster, d.doc_id)")} % 100 < 80
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id""")),
 
     // TFT exact quantile bucketize: NTILE semantics from a distributed
     // two-phase rank (the oracle uses real NTILE; the Spark plan never

@@ -102,6 +102,39 @@ class SamplingSpec extends SparkSpec with Matchers {
     Sampling.budgetSelect(empty, "k", "score", "cost", 10L).count() shouldBe 0L
   }
 
+  test("exactNSample returns exactly n, deterministically, via TakeOrdered") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("k")
+    val a = Sampling.exactNSample(df, "k", 50).collect().map(_.getLong(0)).toSet
+    val b = Sampling.exactNSample(df.repartition(11), "k", 50)
+      .collect().map(_.getLong(0)).toSet
+    a.size shouldBe 50
+    a shouldBe b
+    val plan = Sampling.exactNSample(df, "k", 50)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("leakageSafeSplit keeps every cluster member in one split") {
+    import spark.implicits._
+    val docs = (1L to 400L).toDF("id")
+    // clusters: ids 1..40 in 10 clusters of 4, rep = min member
+    val clusters = (1L to 40L).map(i => (i, ((i - 1) / 4) * 4 + 1))
+      .toDF("id", "cluster")
+    val out = Sampling.leakageSafeSplit(docs, "id", clusters, trainPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    out.length shouldBe 400
+    // cluster-atomic: all 4 members share the split of their rep
+    out.filter(_._1 <= 40).groupBy(_._2).foreach { case (_, members) =>
+      members.map(_._3).toSet.size shouldBe 1
+    }
+    // singletons keep their own id as group key
+    out.filter(_._1 > 40).foreach { case (id, gk, _) => gk shouldBe id }
+    // both splits are populated at 80/20-ish
+    val evalFrac = out.count(_._3 == "eval").toDouble / 400
+    evalFrac should (be > 0.1 and be < 0.35)
+  }
+
   test("shuffleAssign: dense per-shard positions, partition-stable, no global window") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("k")
