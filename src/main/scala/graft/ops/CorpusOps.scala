@@ -178,6 +178,11 @@ object CorpusOps {
       val c = frame.groupBy(col("b")).agg(count(lit(1)).as(cnt))
       c.crossJoin(broadcast(c.agg(sum(col(cnt)).as(tot))))
     }
+    // Fail fast on an empty target slice: the distributions would empty
+    // the ratio table and every document would silently score to zero
+    // rows — a resampler downstream would keep NOTHING with no signal.
+    require(!toks.filter(col("__graft_tgt")).isEmpty,
+      "dsirLogWeights: targetPred matches no tokens — empty target distribution")
     val target = dist(toks.filter(col("__graft_tgt")), "c_t", "n_t")
     val raw = dist(toks, "c_r", "n_r")
     // Smoothed log ratio per bucket, on the tiny joined bucket table;

@@ -201,11 +201,6 @@ object FeatureStats {
           (x.cast("double") - mean) / sqrt(variance)).as("z"))
   }
 
-  /** decimal(18,6) is the WIDEST cast whose product still fits an
-    * exact decimal(37,12) — wider casts make Spark round the product
-    * (precision cap at 38). That bounds the domain to |x| < 1e12;
-    * values beyond it would cast to NULL and silently skew the
-    * moments, so they fail fast instead. */
   /** Hot-key diagnostic for join/agg planning at scale: the top-N
     * heaviest keys with their row counts and share of the table — the
     * numbers that decide between a plain shuffle join, salting, and a
@@ -276,6 +271,11 @@ object FeatureStats {
       .drop("__graft_rb", "rb_off", "__graft_rnk")
   }
 
+  /** decimal(18,6) is the WIDEST cast whose product still fits an
+    * exact decimal(37,12) — wider casts make Spark round the product
+    * (precision cap at 38). That bounds the domain to |x| < 1e12;
+    * values beyond it would cast to NULL and silently skew the
+    * moments, so they fail fast instead. */
   private def exactD6(c: Column, op: String): Column =
     when(abs(c) < lit(1e12), c.cast("decimal(18,6)"))
       .otherwise(raise_error(concat(

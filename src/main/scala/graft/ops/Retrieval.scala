@@ -35,11 +35,15 @@ object Retrieval {
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && k > 0)
+    // Tokenization feeds BOTH the corpus-stats aggregate and the
+    // scoring explode — materialized once (lazily) instead of running
+    // the normalize/split projection over the corpus twice.
     val docs = OpsUtil.widen(df)
       .select(col(idCol),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("__graft_ws"))
       .select(col(idCol), col("__graft_ws"),
         size(col("__graft_ws")).cast("long").as("dl"))
+      .localCheckpoint(false)
     // One tiny aggregate: corpus size + total token count (exact — a
     // long sum), from which avgdl derives; embedded as plan literals.
     val statsRow = docs.agg(count(lit(1)), sum(col("dl"))).head()

@@ -96,10 +96,15 @@ object Sampling {
         least(lit(1.0),
           col("w_d").cast("double") / col("w_tot").cast("double")
             * targetRows / col("n_d")))
-      .select(col(strataCol), col("keep_rate"))
-    df.join(broadcast(rates), Seq(strataCol))
+      .select(col(strataCol).as("__graft_stratum"), col("keep_rate"))
+    // Null-safe stratum match: groupBy counted NULL as a stratum, so
+    // the rate join must honor it too (a plain equi-join would silently
+    // drop every NULL-stratum row). Output schema == input schema.
+    df.join(broadcast(rates),
+        col(strataCol) <=> col("__graft_stratum"))
       .filter(hashBucket(col(keyCol), 1000003).cast("double")
         < col("keep_rate") * 1000003.0)
+      .select(df.columns.map(col): _*)
   }
 
   /** Greedy budget selection: order rows by `scoreCol` descending (key
@@ -123,7 +128,13 @@ object Sampling {
       df: DataFrame, keyCol: String, scoreCol: String, costCol: String,
       budget: Long, buckets: Int = 256): DataFrame = {
     require(budget > 0 && buckets > 0)
-    val bounds = df.agg(
+    // NULL scores carry no priority and are excluded UP FRONT: left in,
+    // they'd land in a NULL range bucket that sorts before every real
+    // bucket in the offsets window, inflating every bk_offset while the
+    // rows themselves drop out of the bucket equi-join — silently wrong
+    // cum_cost for all selected rows.
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val bounds = scored.agg(
       min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double"))
       .head()
     if (bounds.isNullAt(0)) return df.withColumn("cum_cost", lit(0L)).limit(0)
@@ -133,7 +144,7 @@ object Sampling {
     val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
     val bucket = least(lit(buckets - 1),
       floor((lit(hi) - col(scoreCol).cast("double")) / width).cast("int"))
-    val rows = df.withColumn("__graft_bk", bucket)
+    val rows = scored.withColumn("__graft_bk", bucket)
     val bucketTotals = rows.groupBy(col("__graft_bk"))
       .agg(sum(col(costCol)).as("bk_cost"))
     val offsets = bucketTotals

@@ -35,28 +35,48 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Exact top-k cosine neighbors for every vector (excluding itself).
-    * Output: (query_id, neighbor_id, rank), rank 1..k by cosine desc,
-    * ties broken by neighbor id. */
-  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      queryPred: Option[Column] = None): DataFrame = {
+  /** Shared all-pairs exact top-k core: query side (optionally
+    * filtered and carrying extra columns) cross-joined to the full
+    * candidate corpus under `pairCond`, cosine-ranked per query with
+    * the neighbor-id tie-break. Both public exact baselines are thin
+    * wrappers so their tie-break/NULL/rank conventions can never
+    * drift apart. */
+  private def allPairsTopK(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      extraCols: Seq[(String, String)], pairCond: Column,
+      queryPred: Option[Column]): DataFrame = {
     val src = OpsUtil.widen(df)
-    // queryPred restricts the QUERY side only (the candidate corpus
-    // stays full) — the exact-recall baseline for ANN verification
-    // runs over a deterministic sample instead of all n² pairs.
     val q = queryPred.fold(src)(src.filter)
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .select(col(idCol).as("query_id") +:
+        extraCols.map { case (from, to) => col(from).as(to) } :+
+        asDouble(col(vecCol)).as("qv"): _*)
       .withColumn("qn", norm(col("qv")))
-    val c = src.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = src.select(
+      col(idCol).as("neighbor_id"),
+      extraCols.headOption.map(e => col(e._1).as("__graft_nx"))
+        .getOrElse(lit(null).as("__graft_nx")),
+      asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
+    q.join(c, pairCond)
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+      .select(col("query_id") +: extraCols.map(e => col(e._2)) :+
+        col("neighbor_id") :+ col("rank"): _*)
   }
+
+  /** Exact top-k cosine neighbors for every vector (excluding itself).
+    * Output: (query_id, neighbor_id, rank), rank 1..k by cosine desc,
+    * ties broken by neighbor id. `queryPred` restricts the QUERY side
+    * only (the candidate corpus stays full) — the exact-recall
+    * baseline for ANN verification runs over a deterministic sample
+    * instead of all n² pairs. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryPred: Option[Column] = None): DataFrame =
+    allPairsTopK(df, idCol, vecCol, k, Nil,
+      col("query_id") =!= col("neighbor_id"), queryPred)
 
   /** Hard-negative mining for contrastive / embedding training: for
     * every anchor, the `k` most cosine-similar vectors with a DIFFERENT
@@ -67,22 +87,10 @@ object Similarity {
     * label filter to its candidate stream.
     * Output: (query_id, query_label, neighbor_id, rank). */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int): DataFrame = {
-    val src = OpsUtil.widen(df)
-    val q = src.select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
-        asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val c = src.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"),
-        asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos"), col("neighbor_id"))
-    q.join(c, col("query_label") =!= col("n_label"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "query_label", "neighbor_id", "rank")
-  }
+      labelCol: String, k: Int): DataFrame =
+    allPairsTopK(df, idCol, vecCol, k,
+      Seq(labelCol -> "query_label"),
+      col("query_label") =!= col("__graft_nx"), None)
 
   /** Deterministic hyperplane weights: w(plane, dim) = zero-mean integer
     * from xxhash64(plane, dim), evaluated once at plan-build time and

@@ -194,9 +194,12 @@ object Transforms {
     case "classifier_filter" =>
       // Self-trained logistic quality gate: label column marks the
       // positive class on THIS frame (e.g. a curated flag); rows
-      // scoring below min_score drop. The frame feeds training and
-      // the keep-join — materialized once. NULL-key rows bypass the
-      // join untouched (same contract as lm_filter/dedup_exact).
+      // scoring below min_score drop. Rows whose text is NULL/empty
+      // have no features, cannot be scored, and are dropped regardless
+      // of min_score — the same contract as lm_filter's sub-2-token
+      // gate. The frame feeds training and the keep-join —
+      // materialized once. NULL-key rows bypass the join untouched
+      // (same contract as lm_filter/dedup_exact).
       val key = t.arg("key")
       val staged = df.localCheckpoint(false)
       val scorable = staged.filter(col(key).isNotNull)

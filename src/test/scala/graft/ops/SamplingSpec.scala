@@ -91,6 +91,29 @@ class SamplingSpec extends SparkSpec with Matchers {
     "windowspecdefinition\\(__graft_bk".r.findAllIn(planStr).size should be >= 1
   }
 
+  test("budgetSelect: NULL-score rows are excluded and do not corrupt cum_cost") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, None: Option[Long], 1000L),  // null score, huge cost
+      (2L, Option(5L), 10L),
+      (3L, Option(4L), 10L)
+    ).toDF("k", "score", "cost")
+    val out = Sampling.budgetSelect(df, "k", "score", "cost", budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out shouldBe Map(2L -> 10L, 3L -> 20L) // null row neither kept nor counted
+  }
+
+  test("temperatureSample: NULL strata are sampled, schema and column order preserved") {
+    import spark.implicits._
+    val df = ((1L to 200L).map(i => (i, Option("a"))) ++
+      (201L to 400L).map(i => (i, None: Option[String]))).toDF("k", "s")
+    val out = Sampling.temperatureSample(df, "k", "s", alpha = 1.0, targetRows = 400)
+    out.columns.toSeq shouldBe Seq("k", "s") // no keep_rate leak, no reorder
+    val by = out.collect().map(r => Option(r.getString(1)))
+    by.count(_.isEmpty) shouldBe 200L // target >= n keeps ALL, null stratum included
+    by.count(_.isDefined) shouldBe 200L
+  }
+
   test("budgetSelect handles ties at the bucket boundary and empty input") {
     import spark.implicits._
     // All scores identical → one bucket; order falls to the key.
@@ -124,10 +147,16 @@ class SamplingSpec extends SparkSpec with Matchers {
     val out = Sampling.leakageSafeSplit(docs, "id", clusters, trainPct = 80)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     out.length shouldBe 400
-    // cluster-atomic: all 4 members share the split of their rep
-    out.filter(_._1 <= 40).groupBy(_._2).foreach { case (_, members) =>
-      members.map(_._3).toSet.size shouldBe 1
-    }
+    // cluster-atomic, grouped by the CONSTRUCTED cluster (not the
+    // output group_key — split is a function of group_key, so grouping
+    // by it could never fail): every known 4-member cluster maps to
+    // its rep's group key and one shared split.
+    out.filter(_._1 <= 40).groupBy(r => ((r._1 - 1) / 4) * 4 + 1)
+      .foreach { case (rep, members) =>
+        members.length shouldBe 4
+        members.map(_._2).toSet shouldBe Set(rep) // group_key == rep
+        members.map(_._3).toSet.size shouldBe 1   // one split
+      }
     // singletons keep their own id as group key
     out.filter(_._1 > 40).foreach { case (id, gk, _) => gk shouldBe id }
     // both splits are populated at 80/20-ish
