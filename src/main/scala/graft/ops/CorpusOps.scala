@@ -203,6 +203,33 @@ object CorpusOps {
         sum(col("log_ratio")).cast("double").as("dsir_weight"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct word n-grams they share — the corpus-governance
+    * statistic behind "is split A leaking into split B" and "which
+    * scrapes overlap enough to merge". Shingles reduce to DISTINCT
+    * (source, md5) pairs first, so the self-join input is bounded by
+    * sources × vocabulary (not corpus rows) and each shared shingle
+    * contributes ≤ C(sources, 2) pairs — there is no per-document
+    * quadratic anywhere. md5 keys keep the join off raw text while
+    * staying engine-reproducible (the oracle counts the same hashes).
+    */
+  def crossSourceOverlap(
+      df: DataFrame, srcCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
+    val sh = OpsUtil.widen(df)
+      .select(col(srcCol).as("src"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
+      .select(col("src"),
+        explode(TextOps.shingles(col("ws"), shingleN)).as("sh_txt"))
+      .select(col("src"), md5(col("sh_txt")).as("sh"))
+      .distinct() // (source, shingle) pairs — the join input
+      .localCheckpoint(false)
+    sh.as("x").join(sh.as("y"), Seq("sh"))
+      .filter(col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Top-k most frequent word n-grams across the corpus — the vocab /
     * merge-table prep statistic. One map-side-combined hash-agg shuffle
     * on the n-gram string, then a TakeOrderedAndProject (no global

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval over the corpus — the BM25 scoring a
@@ -73,5 +74,58 @@ object Retrieval {
         round(sum(col("term_score")), 6).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** Batch BM25: score a whole QUERY TABLE (query_id, query_text) in
+    * one plan — the serving shape for decontamination probes and eval
+    * retrieval, where thousands of queries amortize a single corpus
+    * scan. Per-term statistics are computed once (they are
+    * query-independent); each query then reduces over its own term
+    * subset. Output: (query_id, doc, n_hit_terms, score, rank ≤ k).
+    *
+    * Scale shape: the query table is tiny by definition — its exploded
+    * (query_id, term) set broadcasts twice (scan-side vocabulary
+    * filter, per-query reduction); the corpus cost is one tokenize +
+    * explode + two map-side-combined aggs regardless of query count.
+    * The per-query top-k windows partition by query_id (parallel
+    * across queries, never a global sort). */
+  def bm25TopKBatch(
+      df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0)
+    val docs = OpsUtil.widen(df)
+      .select(col(idCol),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("__graft_ws"))
+      .select(col(idCol), col("__graft_ws"),
+        size(col("__graft_ws")).cast("long").as("dl"))
+      .localCheckpoint(false)
+    val statsRow = docs.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs.toDouble
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(TextOps.tokens(TextOps.normalized(col(queryTextCol)))).as("term"))
+      .distinct()
+    val vocab = qTerms.select("term").distinct()
+    val hits = docs
+      .select(col(idCol), col("dl"), explode(col("__graft_ws")).as("term"))
+      .join(broadcast(vocab), Seq("term")) // scan-side vocabulary prune
+    val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("term_df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("term_df") + 0.5) / (col("term_df") + 0.5))
+    val termScore = idf * (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col(idCol))
+    tf.join(broadcast(dfTab), Seq("term"))
+      .withColumn("term_score", termScore)
+      .join(broadcast(qTerms), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        round(sum(col("term_score")), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

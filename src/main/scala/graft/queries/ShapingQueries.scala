@@ -53,6 +53,64 @@ object ShapingQueries {
         SELECT doc_id, count(*) AS n_hit_terms, round(sum(s), 6) AS score
         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50""")),
 
+    // Batch BM25: three queries scored against the corpus in one plan.
+    QueryDef(
+      "bm25_batch",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", "spark vector"),
+          ("q2", "merge customer table"),
+          ("q3", "window agg scan")).toDF("query_id", "query_text")
+        Retrieval.bm25TopKBatch(
+          table(s, dir, "documents"), "doc_id", "text",
+          queries, "query_id", "query_text", k = 20)
+      },
+      Some(s"""
+        WITH q AS (SELECT * FROM (VALUES
+                     ('q1', 'spark vector'),
+                     ('q2', 'merge customer table'),
+                     ('q3', 'window agg scan')) AS t(query_id, query_text)),
+        qt AS (SELECT DISTINCT query_id,
+                      unnest(string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
+               FROM q),
+        d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+        dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        hits AS (SELECT doc_id, dl, unnest(ws) AS term FROM dl),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits
+               WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+        dfx AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+                 ln(1.0 + ((SELECT n FROM stats) - term_df + 0.5) / (term_df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats))) AS s
+               FROM tf JOIN dfx USING (term) JOIN qt USING (term)),
+        agg AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
+                       round(sum(s), 6) AS score
+                FROM sc GROUP BY 1, 2)
+        SELECT query_id, doc_id, n_hit_terms, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM agg QUALIFY rank <= 20""")),
+
+    // Cross-source contamination matrix over 3-gram shingles.
+    QueryDef(
+      "source_overlap",
+      (s, dir) => CorpusOps.crossSourceOverlap(
+        table(s, dir, "documents"), "source", "text", shingleN = 3),
+      Some(s"""
+        WITH w AS (SELECT source AS src, string_split($Norm, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT src,
+                      md5(unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+               FROM w),
+        p AS (SELECT x.src AS source_a, y.src AS source_b
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.src < y.src)
+        SELECT source_a, source_b, count(*) AS n_shared
+        FROM p GROUP BY 1, 2""")),
+
     // Temperature-tempered source mixture: alpha=0.5 flattens the
     // skewed per-source counts toward uniform at ~300 rows.
     QueryDef(

@@ -91,6 +91,22 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("crossSourceOverlap counts distinct shared shingles per source pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "w x y z"),        // shingles: "w x y", "x y z"
+      (2L, "a", "w x y q"),        // adds "w x y" (dup within source), "x y q"
+      (3L, "b", "w x y z"),        // shares both of doc 1's shingles
+      (4L, "c", "p q r s")         // shares nothing
+    ).toDF("id", "src", "text")
+    val out = CorpusOps.crossSourceOverlap(docs, "src", "text", shingleN = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out(("a", "b")) shouldBe 2L      // "w x y" counted once despite 2 docs in a
+    out.get(("a", "c")) shouldBe None
+    out.get(("b", "c")) shouldBe None
+    out.keySet shouldBe Set(("a", "b"))
+  }
+
   test("dsirLogWeights: target-like documents outscore off-target ones") {
     import spark.implicits._
     // Target distribution = "alpha beta" language; raw corpus adds a

@@ -50,6 +50,23 @@ class RetrievalSpec extends SparkSpec with Matchers {
     out.head._2 shouldBe 2L           // and hit both terms
   }
 
+  test("bm25TopKBatch matches bm25TopK per query and isolates query term sets") {
+    import spark.implicits._
+    val queries = Seq(("a", "spark"), ("b", "flink beam")).toDF("qid", "qtext")
+    val batch = Retrieval.bm25TopKBatch(
+      corpus, "id", "text", queries, "qid", "qtext", k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // Query "a" reproduces the single-query operator exactly.
+    val single = Retrieval.bm25TopK(corpus, "id", "text", Seq("spark"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    single.foreach { case (doc, v) => batch(("a", doc)) shouldBe v }
+    // Query "b" never matches docs lacking its terms (doc 1 is spark-only).
+    batch.keys.filter(_._1 == "b").map(_._2) should not contain 1L
+    batch(("b", 3L))._1 shouldBe 2L // doc 3 hits both of query b's terms
+  }
+
   test("bm25 on an empty corpus returns empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
