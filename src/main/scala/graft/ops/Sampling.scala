@@ -164,6 +164,32 @@ object Sampling {
       .drop("__graft_bk", "bk_offset")
   }
 
+  /** Weighted sample WITHOUT replacement, size n, deterministic
+    * (Efraimidis–Spirakis A-ES): each row draws a pseudo-uniform
+    * u ∈ (0, 1) from the portable key hash and ranks by priority
+    * u^(1/w) descending — inclusion probability proportional to the
+    * weight column, no replacement, reproducible across runs and
+    * engines. Priorities are rounded to 9 dp before ranking (pow's
+    * last-ulp may differ across libm implementations; a rank boundary
+    * must not), with the key as tie-break.
+    *
+    * Scale shape: one per-row projection + TakeOrderedAndProject —
+    * per-partition top-n heaps, no global sort, no shuffle of the
+    * corpus. Rows with NULL or non-positive weight are excluded (they
+    * have no defined inclusion probability). */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    val u = (hashBucket(col(keyCol), 1000003).cast("double") + 1.0) / 1000004.0
+    val priority = round(
+      pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__graft_pri", priority)
+      .orderBy(desc("__graft_pri"), col(keyCol))
+      .limit(n)
+      .drop("__graft_pri")
+  }
+
   /** Exactly-N global sample, deterministic by key: rank every row by
     * the portable hash (key tie-break) and keep the first n — the
     * fixed-size eval-set / human-review draw. Compiles to

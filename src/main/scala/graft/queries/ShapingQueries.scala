@@ -272,6 +272,20 @@ object ShapingQueries {
                  AS DECIMAL(28,6)) AS DOUBLE) AS score
         FROM (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w2 USING (b) GROUP BY 1, 2)""")),
 
+    // Weighted sample without replacement (A-ES), n_chars as weight.
+    QueryDef(
+      "sample_weighted",
+      (s, dir) => Sampling.weightedSample(
+        table(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", n = 100),
+      Some(s"""
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 round(pow((CAST(${hashSql("doc_id")} AS DOUBLE) + 1.0) / 1000004.0,
+                           1.0 / CAST(n_chars AS DOUBLE)), 9) AS pri
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        ORDER BY pri DESC, doc_id LIMIT 100""")),
+
     // Exactly-N deterministic global sample (TakeOrderedAndProject).
     QueryDef(
       "sample_exact_n",

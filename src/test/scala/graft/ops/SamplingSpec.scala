@@ -138,6 +138,26 @@ class SamplingSpec extends SparkSpec with Matchers {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("weightedSample: inclusion tracks weight, no replacement, deterministic") {
+    import spark.implicits._
+    // 500 light rows (w=1) + 500 heavy rows (w=50): the heavy half
+    // must dominate a 200-row draw.
+    val df = ((1L to 500L).map(i => (i, 1.0)) ++
+      (1001L to 1500L).map(i => (i, 50.0))).toDF("k", "w")
+    val a = Sampling.weightedSample(df, "k", "w", 200)
+      .collect().map(_.getLong(0))
+    a.length shouldBe 200
+    a.distinct.length shouldBe 200 // without replacement
+    a.count(_ > 1000L).toDouble should be > 150.0 // heavy rows dominate
+    val b = Sampling.weightedSample(df.repartition(9), "k", "w", 200)
+      .collect().map(_.getLong(0))
+    b.sorted.toSeq shouldBe a.sorted.toSeq
+    // non-positive and NULL weights are never drawn
+    val withBad = df.union(Seq((9001L, 0.0), (9002L, -3.0)).toDF("k", "w"))
+    Sampling.weightedSample(withBad, "k", "w", 2000)
+      .collect().map(_.getLong(0)).filter(_ >= 9000L) shouldBe empty
+  }
+
   test("leakageSafeSplit keeps every cluster member in one split") {
     import spark.implicits._
     val docs = (1L to 400L).toDF("id")
