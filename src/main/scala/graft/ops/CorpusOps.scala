@@ -181,8 +181,10 @@ object CorpusOps {
     // Fail fast on an empty target slice: the distributions would empty
     // the ratio table and every document would silently score to zero
     // rows — a resampler downstream would keep NOTHING with no signal.
-    require(!toks.filter(col("__graft_tgt")).isEmpty,
-      "dsirLogWeights: targetPred matches no tokens — empty target distribution")
+    // Probed on the RAW frame (limit-1 scan, stops at the first match)
+    // so the guard never materializes the tokenized corpus.
+    require(!df.filter(targetPred).isEmpty,
+      "dsirLogWeights: no target documents (empty corpus or targetPred matches nothing)")
     val target = dist(toks.filter(col("__graft_tgt")), "c_t", "n_t")
     val raw = dist(toks, "c_r", "n_r")
     // Smoothed log ratio per bucket, on the tiny joined bucket table;
@@ -216,6 +218,10 @@ object CorpusOps {
   def crossSourceOverlap(
       df: DataFrame, srcCol: String, textCol: String,
       shingleN: Int): DataFrame = {
+    // shingleN = 0 would emit the empty shingle from EVERY document
+    // (every source pair "overlaps"); negative values crash inside
+    // element_at under ANSI. Fail at the API boundary instead.
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     val sh = OpsUtil.widen(df)
       .select(col(srcCol).as("src"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))

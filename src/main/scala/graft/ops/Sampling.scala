@@ -128,11 +128,13 @@ object Sampling {
       df: DataFrame, keyCol: String, scoreCol: String, costCol: String,
       budget: Long, buckets: Int = 256): DataFrame = {
     require(budget > 0 && buckets > 0)
-    // NULL scores carry no priority and are excluded UP FRONT: left in,
-    // they'd land in a NULL range bucket that sorts before every real
-    // bucket in the offsets window, inflating every bk_offset while the
-    // rows themselves drop out of the bucket equi-join — silently wrong
-    // cum_cost for all selected rows.
+    // NULL scores carry no priority and are excluded UP FRONT: left
+    // in, least()'s null-skip would collapse them into the LAST value
+    // bucket (floor of a NULL division is NULL, least(lit, NULL) =
+    // lit), where they'd sort after real scores (desc = NULLS LAST)
+    // yet still count toward that bucket's total and be selectable
+    // under a large budget — arbitrary-cost rows admitted with no
+    // defined priority.
     val scored = df.filter(col(scoreCol).isNotNull)
     val bounds = scored.agg(
       min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double"))
@@ -165,13 +167,21 @@ object Sampling {
   }
 
   /** Weighted sample WITHOUT replacement, size n, deterministic
-    * (Efraimidis–Spirakis A-ES): each row draws a pseudo-uniform
-    * u ∈ (0, 1) from the portable key hash and ranks by priority
-    * u^(1/w) descending — inclusion probability proportional to the
-    * weight column, no replacement, reproducible across runs and
-    * engines. Priorities are rounded to 9 dp before ranking (pow's
-    * last-ulp may differ across libm implementations; a rank boundary
-    * must not), with the key as tie-break.
+    * (Efraimidis–Spirakis A-ES, exponential-keys form): each row draws
+    * a pseudo-uniform u ∈ (0, 1) from the portable key hash and ranks
+    * by ln(u)/w descending (order-equivalent to u^(1/w) descending) —
+    * inclusion probability proportional to the weight column, no
+    * replacement, reproducible across runs and engines.
+    *
+    * Exactness: ln(u) is rounded to 12 dp — a grid ~100× coarser than
+    * libm's cross-implementation last-ulp wobble on [-14, 0), so every
+    * engine pins the same value — and then divided by the RAW weight
+    * (IEEE division of identical operands is bit-identical
+    * everywhere). Dividing after rounding preserves relative spread at
+    * any weight magnitude; rounding the powered priority instead would
+    * collapse u^(1/w) (which lives within 13.8/w of 1.0) into a
+    * handful of ties for large weights and silently bias the draw
+    * toward low keys. Key tie-break for the residual exact ties.
     *
     * Scale shape: one per-row projection + TakeOrderedAndProject —
     * per-partition top-n heaps, no global sort, no shuffle of the
@@ -181,8 +191,7 @@ object Sampling {
       df: DataFrame, keyCol: String, weightCol: String, n: Int): DataFrame = {
     require(n > 0)
     val u = (hashBucket(col(keyCol), 1000003).cast("double") + 1.0) / 1000004.0
-    val priority = round(
-      pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    val priority = round(log(u), 12) / col(weightCol).cast("double")
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("__graft_pri", priority)
       .orderBy(desc("__graft_pri"), col(keyCol))

@@ -36,26 +36,29 @@ object Similarity {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Shared all-pairs exact top-k core: query side (optionally
-    * filtered and carrying extra columns) cross-joined to the full
-    * candidate corpus under `pairCond`, cosine-ranked per query with
-    * the neighbor-id tie-break. Both public exact baselines are thin
+    * filtered, optionally carrying ONE extra column that is also
+    * mirrored to the candidate side as `__graft_nx` for use in
+    * `pairCond`) cross-joined to the full candidate corpus, cosine-
+    * ranked per query with the neighbor-id tie-break. The Option-typed
+    * parameter states the real contract — exactly zero or one mirrored
+    * attribute — rather than advertising a generality the candidate
+    * side doesn't implement. Both public exact baselines are thin
     * wrappers so their tie-break/NULL/rank conventions can never
     * drift apart. */
   private def allPairsTopK(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
-      extraCols: Seq[(String, String)], pairCond: Column,
+      extraCol: Option[(String, String)], pairCond: Column,
       queryPred: Option[Column]): DataFrame = {
     val src = OpsUtil.widen(df)
     val q = queryPred.fold(src)(src.filter)
       .select(col(idCol).as("query_id") +:
-        extraCols.map { case (from, to) => col(from).as(to) } :+
+        extraCol.toSeq.map { case (from, to) => col(from).as(to) } :+
         asDouble(col(vecCol)).as("qv"): _*)
       .withColumn("qn", norm(col("qv")))
     val c = src.select(
-      col(idCol).as("neighbor_id"),
-      extraCols.headOption.map(e => col(e._1).as("__graft_nx"))
-        .getOrElse(lit(null).as("__graft_nx")),
-      asDouble(col(vecCol)).as("cv"))
+      col(idCol).as("neighbor_id") +:
+        extraCol.toSeq.map(e => col(e._1).as("__graft_nx")) :+
+        asDouble(col(vecCol)).as("cv"): _*)
       .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
@@ -63,7 +66,7 @@ object Similarity {
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id") +: extraCols.map(e => col(e._2)) :+
+      .select(col("query_id") +: extraCol.toSeq.map(e => col(e._2)) :+
         col("neighbor_id") :+ col("rank"): _*)
   }
 
@@ -75,7 +78,7 @@ object Similarity {
     * instead of all n² pairs. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queryPred: Option[Column] = None): DataFrame =
-    allPairsTopK(df, idCol, vecCol, k, Nil,
+    allPairsTopK(df, idCol, vecCol, k, None,
       col("query_id") =!= col("neighbor_id"), queryPred)
 
   /** Hard-negative mining for contrastive / embedding training: for
@@ -89,7 +92,7 @@ object Similarity {
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame =
     allPairsTopK(df, idCol, vecCol, k,
-      Seq(labelCol -> "query_label"),
+      Some(labelCol -> "query_label"),
       col("query_label") =!= col("__graft_nx"), None)
 
   /** Deterministic hyperplane weights: w(plane, dim) = zero-mean integer

@@ -71,9 +71,10 @@ object ShapingQueries {
                      ('q1', 'spark vector'),
                      ('q2', 'merge customer table'),
                      ('q3', 'window agg scan')) AS t(query_id, query_text)),
-        qt AS (SELECT DISTINCT query_id,
-                      unnest(string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
-               FROM q),
+        qt AS (SELECT DISTINCT query_id, term FROM (
+                 SELECT query_id,
+                        unnest(string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
+                 FROM q) WHERE term != ''),
         d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
         dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -130,7 +131,7 @@ object ShapingQueries {
                                   * 300 / n_d) AS keep_rate
               FROM w)
         SELECT d.doc_id, d.source
-        FROM documents d JOIN r USING (source)
+        FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
         WHERE CAST(${hashSql("d.doc_id")} AS DOUBLE) < keep_rate * 1000003.0""")),
 
     // Greedy token-budget fill: hash-scrambled priority, n_chars cost.
@@ -281,8 +282,8 @@ object ShapingQueries {
       Some(s"""
         SELECT doc_id, n_chars FROM (
           SELECT doc_id, n_chars,
-                 round(pow((CAST(${hashSql("doc_id")} AS DOUBLE) + 1.0) / 1000004.0,
-                           1.0 / CAST(n_chars AS DOUBLE)), 9) AS pri
+                 round(ln((CAST(${hashSql("doc_id")} AS DOUBLE) + 1.0) / 1000004.0), 12)
+                   / CAST(n_chars AS DOUBLE) AS pri
           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
         ORDER BY pri DESC, doc_id LIMIT 100""")),
 

@@ -158,6 +158,20 @@ class SamplingSpec extends SparkSpec with Matchers {
       .collect().map(_.getLong(0)).filter(_ >= 9000L) shouldBe empty
   }
 
+  test("weightedSample: priorities stay discriminative at huge weights") {
+    import spark.implicits._
+    // Weights ~1e8: the old powered-priority form collapsed u^(1/w)
+    // into a handful of 9-dp ties, degenerating into key order. The
+    // exponential-keys form must still track the (uniform) hash, not
+    // the key: the drawn set must not be a key-ordered prefix.
+    val df = (1L to 2000L).map(i => (i, 1e8 + (i % 7))).toDF("k", "w")
+    val got = Sampling.weightedSample(df, "k", "w", 100)
+      .collect().map(_.getLong(0)).sorted
+    got.length shouldBe 100
+    got.toSeq should not be (1L to 100L).toSeq // not a low-key prefix
+    got.max should be > 1500L // draws reach the high-key tail
+  }
+
   test("leakageSafeSplit keeps every cluster member in one split") {
     import spark.implicits._
     val docs = (1L to 400L).toDF("id")
