@@ -205,6 +205,65 @@ object CorpusOps {
         sum(col("log_ratio")).cast("double").as("dsir_weight"))
   }
 
+  /** Exact duplicate-span REMOVAL (the surgery the [[duplicateSpans]]
+    * audit motivates — Lee et al. 2022's "deduplicating training data"
+    * cuts repeated substrings instead of dropping whole documents):
+    * every character covered by a strided window whose hash appears in
+    * ≥ `minDocs` DISTINCT documents is deleted; the survivors
+    * concatenate in order. Emits (id, clean_text, n_removed_chars).
+    *
+    * Scale shape: same two fixed-width-key shuffles as the audit
+    * (window-hash df + hash join-back) plus a per-doc collect of the
+    * duplicate START OFFSETS only (few longs per doc — never text).
+    * The final cut is a per-row projection: a position mask over the
+    * doc's own characters (O(len · dup_windows) interpreted HOF —
+    * fine for the cut step because dup windows per doc are few; a
+    * production build would swap the mask for a codegen expression,
+    * the surrounding plan is unchanged). Documents with no duplicated
+    * window pass through untouched via the left join.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      windowChars: Int, stride: Int, minDocs: Int = 2): DataFrame = {
+    require(windowChars > 0 && stride > 0 && stride <= windowChars && minDocs >= 2)
+    val t = col(textCol)
+    val nWin = (floor((length(t) - windowChars) / stride) + 1).cast("int")
+    val winArr = when(length(t) >= windowChars,
+      transform(sequence(lit(0), nWin - 1),
+        i => struct((i * stride).as("start"),
+          md5(t.substr(i * stride + 1, lit(windowChars))).as("h"))))
+      .otherwise(array().cast("array<struct<start:int,h:string>>"))
+    val wins = OpsUtil.widen(df)
+      .select(col(idCol), explode(winArr).as("w"))
+      .select(col(idCol), col("w.start").as("start"), col("w.h").as("h"))
+      .localCheckpoint(false) // feeds the df count and the join-back
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("wdf"))
+      .filter(col("wdf") >= minDocs).select("h")
+    val dupStarts = wins.join(dup, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("start"))).as("__graft_cuts"))
+    // Character p (0-based) survives iff no duplicate window covers it;
+    // array_join concatenates survivors in one linear pass.
+    val masked = array_join(
+      filter(
+        transform(sequence(lit(0), length(t) - 1),
+          p => when(
+            exists(col("__graft_cuts"),
+              s => p >= s && p < s + windowChars),
+            lit(null).cast("string"))
+            .otherwise(t.substr(p + 1, lit(1)))),
+        c => c.isNotNull),
+      "")
+    OpsUtil.widen(df)
+      .join(dupStarts, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col("__graft_cuts").isNull, t).otherwise(masked))
+      .withColumn("n_removed_chars",
+        (length(t) - length(col("clean_text"))).cast("long"))
+      .select(col(idCol), col("clean_text"), col("n_removed_chars"))
+  }
+
   /** Cross-source contamination matrix: for every pair of sources, how
     * many distinct word n-grams they share — the corpus-governance
     * statistic behind "is split A leaking into split B" and "which

@@ -96,6 +96,48 @@ object ShapingQueries {
                  ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         FROM agg QUALIFY rank <= 20""")),
 
+    // Exact duplicate-span removal: cut every character covered by a
+    // 40-char window shared across >= 2 documents (the synthesized
+    // disclaimer from dedup_substring's fixture guarantees cuts).
+    QueryDef(
+      "dedup_span_removal",
+      (s, dir) => CorpusOps.removeDuplicateSpans(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"),
+                lit(" standard legal disclaimer boilerplate repeated across many documents verbatim")))
+              .otherwise(col("text")).as("t")),
+        "doc_id", "t", windowChars = 40, stride = 20),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN concat(text, ' standard legal disclaimer boilerplate repeated across many documents verbatim')
+                      ELSE text END AS t
+          FROM documents),
+        wins AS (
+          SELECT doc_id, (i - 1) * 20 AS start,
+                 md5(substr(t, (i - 1) * 20 + 1, 40)) AS h
+          FROM d, unnest(range(1, greatest(CAST(floor((length(t) - 40) / 20) AS INT) + 1, 0) + 1)) AS u(i)
+          WHERE length(t) >= 40),
+        dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        ds AS (SELECT doc_id, list_sort(list(DISTINCT start)) AS cuts
+               FROM wins JOIN dup USING (h) GROUP BY 1),
+        cut AS (
+          SELECT d.doc_id, d.t, ds.cuts,
+                 CASE WHEN ds.cuts IS NULL THEN d.t ELSE
+                   coalesce(array_to_string(list_filter(
+                     list_transform(range(1, length(d.t) + 1),
+                       p -> CASE WHEN len(list_filter(ds.cuts, s -> p > s AND p <= s + 40)) > 0
+                                 THEN NULL ELSE substr(d.t, CAST(p AS INT), 1) END),
+                     x -> x IS NOT NULL), ''), '')
+                 END AS clean_text
+          FROM d LEFT JOIN ds USING (doc_id))
+        SELECT doc_id, clean_text,
+               CAST(length(t) - length(clean_text) AS BIGINT) AS n_removed_chars
+        FROM cut""")),
+
     // Cross-source contamination matrix over 3-gram shingles.
     QueryDef(
       "source_overlap",

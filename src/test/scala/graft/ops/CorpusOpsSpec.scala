@@ -91,6 +91,38 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("removeDuplicateSpans cuts exactly the covered characters, pass-through otherwise") {
+    import spark.implicits._
+    // W=4, stride=2. Docs 1 and 2 share "ABCD" at different offsets;
+    // doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "ABCDxxxx"),   // windows: ABCD@0, CDxx@2, xxxx@4
+      (2L, "zzABCDyy"),   // windows: zzAB@0, ABCD@2, CDyy@4
+      (3L, "qqqqqqqq")    // windows: qqqq@0, qqqq@2, qqqq@4 (within-doc only)
+    ).toDF("id", "text")
+    val out = CorpusOps.removeDuplicateSpans(docs, "id", "text",
+      windowChars = 4, stride = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(1L) shouldBe ("xxxx", 4L)   // chars 0-3 cut
+    out(2L) shouldBe ("zzyy", 4L)   // chars 2-5 cut
+    out(3L) shouldBe ("qqqqqqqq", 0L) // within-doc repeats are not cross-doc dups
+  }
+
+  test("removeDuplicateSpans: sub-window docs and overlapping cut windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab"),           // shorter than one window — untouched
+      (2L, "ABCDEFxx"),     // ABCD@0 and CDEF@2 both duplicated → cut 0..5
+      (3L, "yyABCDEFzz")    // ABCD@2, CDEF@4 duplicated
+    ).toDF("id", "text")
+    val out = CorpusOps.removeDuplicateSpans(docs, "id", "text", 4, 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(1L) shouldBe ("ab", 0L)
+    out(2L)._1 shouldBe "xx"        // overlapping windows merge into one cut
+    out(3L)._1 should (startWith("yy") and endWith("zz"))
+    out(3L)._2 shouldBe 6L
+  }
+
   test("crossSourceOverlap counts distinct shared shingles per source pair") {
     import spark.implicits._
     val docs = Seq(
