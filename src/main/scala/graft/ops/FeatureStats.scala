@@ -271,6 +271,89 @@ object FeatureStats {
       .drop("__graft_rb", "rb_off", "__graft_rnk")
   }
 
+  /** Exact tie-aware ROC-AUC for a binary scorer (the eval companion
+    * of [[graft.ops.Classifier]]): the Mann-Whitney form
+    * `AUC = (S⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)` where S⁺ sums the AVERAGE
+    * ranks of positives (tied scores share the midrank, so the result
+    * equals P(s⁺ > s⁻) + ½P(s⁺ = s⁻) exactly). One output row
+    * (auc, n_pos, n_neg).
+    *
+    * Scale shape: ranks come from per-DISTINCT-SCORE counts, never
+    * per-row — one hash-agg to (score → n, n_pos), then the same
+    * two-phase prefix sum as [[bucketize]] over that aggregated frame
+    * (value-range buckets; the only single-partition window runs over
+    * ≤ `rangeBuckets` bucket summaries). Midranks are exact halves —
+    * DECIMAL(38,1) arithmetic end-to-end, so the sum is
+    * order-independent; the single final division happens in double.
+    * NULL scores/labels are excluded. */
+  def rocAuc(
+      df: DataFrame, scoreCol: String, labelCol: Column,
+      rangeBuckets: Int = 256): DataFrame = {
+    require(rangeBuckets > 0)
+    val rows = df
+      .filter(col(scoreCol).isNotNull && labelCol.isNotNull)
+      .select(col(scoreCol).as("s"), labelCol.cast("int").as("y"))
+    val byScore = rows.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+    val b = byScore.agg(
+      min(col("s")).cast("double"), max(col("s")).cast("double")).head()
+    if (b.isNullAt(0))
+      return rows.groupBy().agg(lit(null).cast("double").as("auc"),
+        lit(0L).as("n_pos"), lit(0L).as("n_neg")).limit(0)
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val width = math.max((hi - lo) / rangeBuckets, java.lang.Double.MIN_NORMAL)
+    val rb = least(lit(rangeBuckets - 1),
+      floor((col("s").cast("double") - lo) / width).cast("int"))
+    val scored = byScore.withColumn("__graft_rb", rb)
+    val offsets = scored.groupBy(col("__graft_rb"))
+      .agg(sum(col("n")).as("rb_n"))
+      .withColumn("rb_off",
+        coalesce(sum(col("rb_n")).over(
+          Window.orderBy(col("__graft_rb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__graft_rb"), col("rb_off"))
+    val w = Window.partitionBy(col("__graft_rb")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // DOUBLED midrank of a tied block after `before` rows of length n
+    // is the integer 2·before + n + 1 — everything stays in exact
+    // integer/decimal arithmetic (AUC = (S2 − n⁺(n⁺+1)) / (2 n⁺ n⁻)
+    // with S2 = Σ n_pos·doubled_midrank) until one final double
+    // division, identical in every engine.
+    val doubledMidrank =
+      (col("rb_off") + coalesce(sum(col("n")).over(w), lit(0L))) * 2 +
+        col("n") + 1
+    scored.join(broadcast(offsets), Seq("__graft_rb"))
+      .withColumn("dmr", doubledMidrank)
+      .agg(
+        sum(col("n_pos").cast("decimal(38,0)") * col("dmr")).as("s2"),
+        sum(col("n_pos")).as("np"), sum(col("n") - col("n_pos")).as("nn"))
+      .select(
+        ((col("s2").cast("double") -
+          col("np").cast("double") * (col("np") + 1.0))
+          / (lit(2.0) * col("np").cast("double") * col("nn").cast("double"))).as("auc"),
+        col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"))
+  }
+
+  /** Calibration / reliability bins for a probability scorer: fixed
+    * equal-width bins over [0, 1], per-bin count, mean predicted
+    * score, and observed positive rate — "does 0.8 mean 80%". Pure
+    * value-range bucketing (no rank), one hash-agg; means are
+    * DECIMAL-summed then divided in double. */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0)
+    val bin = least(lit(bins - 1),
+      floor(col(scoreCol).cast("double") * bins).cast("int"))
+    df.filter(col(scoreCol).isNotNull && labelCol.isNotNull)
+      .select(bin.as("bin"), col(scoreCol).cast("decimal(28,6)").as("s"),
+        labelCol.cast("int").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("s")).cast("double") / count(lit(1))).as("mean_score"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("pos_rate"))
+  }
+
   /** decimal(18,6) is the WIDEST cast whose product still fits an
     * exact decimal(37,12) — wider casts make Spark round the product
     * (precision cap at 38). That bounds the domain to |x| < 1e12;

@@ -21,6 +21,41 @@ object ShapingQueries {
   private def hashSql(key: String): String =
     s"(((($key % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 1000003"
 
+  /** The classifier training loop (2 full-batch GD steps) replayed as
+    * a DuckDB CTE chain, ending in `final_scores(doc_id, y, score)` —
+    * shared by every oracle that consumes the trained model. */
+  private val ClassifierCtes = s"""feats AS (
+          SELECT DISTINCT doc_id, CAST(lang = 'en' AS INT) AS y, substr(md5(tk), 1, 2) AS b
+          FROM (SELECT doc_id, lang, unnest(string_split($Norm, ' ')) AS tk FROM documents)
+          WHERE tk != ''),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM feats),
+        w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(28,6)) AS w FROM feats),
+        s1 AS (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w0 USING (b) GROUP BY 1, 2),
+        r1 AS (SELECT doc_id,
+                 CAST(y AS DECIMAL(28,6))
+                   - CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6) AS DECIMAL(28,6)) AS r
+               FROM s1),
+        g1 AS (SELECT b, sum(r) AS g FROM feats JOIN r1 USING (doc_id) GROUP BY 1),
+        w1 AS (SELECT w0.b,
+                 w0.w + CAST(round(0.5 * CAST(g AS DOUBLE) / (SELECT n FROM n), 6)
+                   AS DECIMAL(28,6)) AS w
+               FROM w0 JOIN g1 ON w0.b = g1.b),
+        s2 AS (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w1 USING (b) GROUP BY 1, 2),
+        r2 AS (SELECT doc_id,
+                 CAST(y AS DECIMAL(28,6))
+                   - CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6) AS DECIMAL(28,6)) AS r
+               FROM s2),
+        g2 AS (SELECT b, sum(r) AS g FROM feats JOIN r2 USING (doc_id) GROUP BY 1),
+        w2 AS (SELECT w1.b,
+                 w1.w + CAST(round(0.5 * CAST(g AS DOUBLE) / (SELECT n FROM n), 6)
+                   AS DECIMAL(28,6)) AS w
+               FROM w1 JOIN g2 ON w1.b = g2.b),
+        final_scores AS (
+          SELECT doc_id, y,
+                 CAST(CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6)
+                   AS DECIMAL(28,6)) AS DOUBLE) AS score
+          FROM (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w2 USING (b) GROUP BY 1, 2))"""
+
   /** [[graft.ops.Layout.zValue]] mirrored as SQL: the identical
     * shift/mask fold, generated from the same bit positions. */
   private def zSql(x: String, y: String, bits: Int): String =
@@ -284,36 +319,49 @@ object ShapingQueries {
         table(s, dir, "documents"), "doc_id", "text",
         labelCol = (col("lang") === "en"), hexChars = 2, iters = 2, lr = 0.5),
       Some(s"""
-        WITH feats AS (
-          SELECT DISTINCT doc_id, CAST(lang = 'en' AS INT) AS y, substr(md5(tk), 1, 2) AS b
-          FROM (SELECT doc_id, lang, unnest(string_split($Norm, ' ')) AS tk FROM documents)
-          WHERE tk != ''),
-        n AS (SELECT count(DISTINCT doc_id) AS n FROM feats),
-        w0 AS (SELECT DISTINCT b, CAST(0 AS DECIMAL(28,6)) AS w FROM feats),
-        s1 AS (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w0 USING (b) GROUP BY 1, 2),
-        r1 AS (SELECT doc_id,
-                 CAST(y AS DECIMAL(28,6))
-                   - CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6) AS DECIMAL(28,6)) AS r
-               FROM s1),
-        g1 AS (SELECT b, sum(r) AS g FROM feats JOIN r1 USING (doc_id) GROUP BY 1),
-        w1 AS (SELECT w0.b,
-                 w0.w + CAST(round(0.5 * CAST(g AS DOUBLE) / (SELECT n FROM n), 6)
-                   AS DECIMAL(28,6)) AS w
-               FROM w0 JOIN g1 ON w0.b = g1.b),
-        s2 AS (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w1 USING (b) GROUP BY 1, 2),
-        r2 AS (SELECT doc_id,
-                 CAST(y AS DECIMAL(28,6))
-                   - CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6) AS DECIMAL(28,6)) AS r
-               FROM s2),
-        g2 AS (SELECT b, sum(r) AS g FROM feats JOIN r2 USING (doc_id) GROUP BY 1),
-        w2 AS (SELECT w1.b,
-                 w1.w + CAST(round(0.5 * CAST(g AS DOUBLE) / (SELECT n FROM n), 6)
-                   AS DECIMAL(28,6)) AS w
-               FROM w1 JOIN g2 ON w1.b = g2.b)
-        SELECT doc_id, y AS label,
-               CAST(CAST(round(1.0 / (1.0 + exp(-CAST(s AS DOUBLE))), 6)
-                 AS DECIMAL(28,6)) AS DOUBLE) AS score
-        FROM (SELECT doc_id, y, sum(w) AS s FROM feats JOIN w2 USING (b) GROUP BY 1, 2)""")),
+        WITH $ClassifierCtes
+        SELECT doc_id, y AS label, score FROM final_scores""")),
+
+    // Calibration bins over the trained classifier's probabilities —
+    // "does a 0.8 mean 80% positives" — reusing the SAME replayed
+    // training chain in the oracle.
+    QueryDef(
+      "classifier_calibration",
+      (s, dir) => FeatureStats.calibrationBins(
+        Classifier.trainScoreLogistic(
+          table(s, dir, "documents"), "doc_id", "text",
+          labelCol = (col("lang") === "en"), hexChars = 2, iters = 2, lr = 0.5),
+        "score", col("label") === 1, bins = 100),
+      Some(s"""
+        WITH $ClassifierCtes
+        SELECT least(99, CAST(floor(score * 100) AS INT)) AS bin,
+               count(*) AS n,
+               CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_score,
+               CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+        FROM final_scores GROUP BY 1""")),
+
+    // Exact tie-aware ROC-AUC: does document length predict English?
+    // (An arbitrary but deterministic score/label pairing — the op
+    // under test is the midrank machinery, exercised with heavy ties.)
+    QueryDef(
+      "eval_roc_auc",
+      (s, dir) => FeatureStats.rocAuc(
+        table(s, dir, "documents"), "n_chars", col("lang") === "en"),
+      Some("""
+        WITH r AS (SELECT n_chars AS s, CAST(lang = 'en' AS INT) AS y
+                   FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        g AS (SELECT s, count(*) AS n, sum(y) AS n_pos FROM r GROUP BY 1),
+        o AS (SELECT s, n, n_pos,
+                     2 * coalesce(sum(n) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + n + 1 AS dmr
+              FROM g)
+        SELECT (CAST(sum(CAST(n_pos AS DECIMAL(38,0)) * dmr) AS DOUBLE)
+                  - CAST(sum(n_pos) AS DOUBLE) * (sum(n_pos) + 1.0))
+               / (2.0 * CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n - n_pos) AS DOUBLE)) AS auc,
+               CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n - n_pos) AS BIGINT) AS n_neg
+        FROM o""")),
 
     // Weighted sample without replacement (A-ES), n_chars as weight.
     QueryDef(

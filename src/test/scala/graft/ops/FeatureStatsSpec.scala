@@ -186,6 +186,45 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     top(1).getString(0) shouldBe "k1" // 1-count ties order by key ascending
   }
 
+  test("rocAuc: perfect separation, tie midranks, and partition invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Perfect ranking → AUC 1.
+    val perfect = Seq((1.0, 0), (2.0, 1), (3.0, 1)).toDF("s", "y")
+    FeatureStats.rocAuc(perfect, "s", col("y") === 1)
+      .head().getDouble(0) shouldBe 1.0 +- 1e-12
+    // Tie between a positive and a negative at s=1: hand AUC = 0.75.
+    val tied = Seq((1.0, 0), (1.0, 1), (2.0, 1)).toDF("s", "y")
+    FeatureStats.rocAuc(tied, "s", col("y") === 1)
+      .head().getDouble(0) shouldBe 0.75 +- 1e-12
+    // Random labels on many ties → near 0.5; partition-invariant.
+    val big = (1L to 2000L).map(i => ((i % 50).toDouble, (i % 2).toInt)).toDF("s", "y")
+    val a = FeatureStats.rocAuc(big, "s", col("y") === 1).head().getDouble(0)
+    val b = FeatureStats.rocAuc(big.repartition(13), "s", col("y") === 1)
+      .head().getDouble(0)
+    a shouldBe b
+    a shouldBe 0.5 +- 0.05
+  }
+
+  test("calibrationBins: per-bin counts, mean score, positive rate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (0.05, 0), (0.08, 0),          // bin 0: rate 0
+      (0.82, 1), (0.88, 1), (0.85, 0), // bin 8: rate 2/3
+      (1.0, 1)                        // 1.0 folds into bin 9
+    ).toDF("score", "y")
+    val bins = FeatureStats.calibrationBins(df, "score", col("y") === 1, 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    bins(0)._1 shouldBe 2L
+    bins(0)._3 shouldBe 0.0
+    bins(8)._1 shouldBe 3L
+    bins(8)._3 shouldBe (2.0 / 3.0 +- 1e-12)
+    bins(8)._2 shouldBe ((0.82 + 0.88 + 0.85) / 3 +- 1e-9)
+    bins(9)._1 shouldBe 1L
+  }
+
   test("bucketize matches NTILE semantics exactly, without a global window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
