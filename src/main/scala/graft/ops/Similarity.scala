@@ -323,6 +323,22 @@ object Similarity {
   final case class AnnIndex(
       centroids: Array[Array[Double]], books: Seq[Seq[Seq[Double]]])
 
+  /** Assign every vector its nearest coarse centroid from a prebuilt
+    * [[AnnIndex]] — a STATELESS projection (centroids ride as plan
+    * literals), so the same call runs on a batch frame or a streaming
+    * one unchanged: the serving-side "route this embedding to its
+    * shard/cluster" step of an IVF deployment. Adds
+    * (centroid, centroid_score); NULL vectors pass through with NULL
+    * assignment. */
+  def assignCentroid(df: DataFrame, vecCol: String, index: AnnIndex): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scores = centroidScores(v, index.centroids)
+    df.withColumn("centroid",
+        when(v.isNotNull, argmaxIdx(scores)))
+      .withColumn("centroid_score",
+        when(v.isNotNull, array_max(scores)))
+  }
+
   /** Fit an [[AnnIndex]]: one bounded training sample serves the
     * coarse quantizer and every PQ subspace; the coarse fit runs
     * concurrently with the m subspace fits (all independent Spark jobs

@@ -429,4 +429,39 @@ class StreamingSpec extends SparkSpec with Matchers {
       batch("3")(2) shouldBe None
     } finally q.stop()
   }
+
+  test("assignCentroid serves a prebuilt index identically on batch and stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Two well-separated clusters; index fitted once on a batch frame.
+    val rnd = new scala.util.Random(7)
+    case class Vec(id: Long, embedding: Seq[Double])
+    val base = (1L to 40L).map { i =>
+      val c = if (i % 2 == 0) 5.0 else -5.0
+      (i, Seq.fill(4)(c + rnd.nextGaussian() * 0.1))
+    }
+    val batchDf = base.toDF("id", "embedding")
+    val index = graft.ops.Similarity.fitIndex(
+      batchDf, "id", "embedding", nCentroids = 2, m = 2, kSub = 2)
+    val batch = graft.ops.Similarity.assignCentroid(batchDf, "embedding", index)
+      .select("id", "centroid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Same rows through a MemoryStream with the same prebuilt index.
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val out = graft.ops.Similarity.assignCentroid(
+      stream.toDF().toDF("id", "embedding"), "embedding", index)
+    val q = out.writeStream.format("memory").queryName("centassign")
+      .outputMode("append").start()
+    try {
+      stream.addData(base.take(20))
+      q.processAllAvailable()
+      stream.addData(base.drop(20))
+      q.processAllAvailable()
+      val got = spark.table("centassign")
+        .select("id", "centroid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got shouldBe batch
+      // the two clusters land on two distinct centroids
+      batch.values.toSet.size shouldBe 2
+      base.filter(_._1 % 2 == 0).map(v => batch(v._1)).toSet.size shouldBe 1
+    } finally q.stop()
+  }
 }
