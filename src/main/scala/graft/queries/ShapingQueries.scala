@@ -308,6 +308,52 @@ object ShapingQueries {
                CAST(sum(log_ratio) AS DOUBLE) AS dsir_weight
         FROM bk JOIN lr USING (b) GROUP BY 1""")),
 
+    // Feature-freshness observability for the engine's core operator:
+    // staleness (event time − matched feature time) distribution after
+    // a point-in-time join — the "how old are the features we serve"
+    // dashboard number. Percentiles ignore unmatched (NULL) rows,
+    // counted separately.
+    QueryDef(
+      "pit_staleness",
+      (s, dir) => {
+        import graft.join.{PointInTimeJoin, ResolvedView}
+        val entity = table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val view = ResolvedView(
+          name = "order_features",
+          source = table(s, dir, "orders"),
+          joinKeys = Seq("user_id" -> "o_custkey"),
+          tsCol = "o_orderdate",
+          features = Seq("o_orderdate"))
+        val stale = (unix_micros(col("ts")) - unix_micros(col("o_orderdate")))
+          .cast("double") / 86400000000.0
+        PointInTimeJoin.join(entity, "ts", Seq(view), rowIdCol = Some("event_id"))
+          .withColumn("stale_days", stale)
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(col("o_orderdate")).as("n_matched"),
+            expr("percentile(stale_days, 0.5)").as("p50_days"),
+            expr("percentile(stale_days, 0.9)").as("p90_days"),
+            max(col("stale_days")).as("max_days"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, o.o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC) AS rn
+          FROM events e
+          LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)),
+        p AS (SELECT ts, o_orderdate,
+                     (epoch_us(ts) - epoch_us(o_orderdate)) / 86400000000.0 AS stale_days
+              FROM c WHERE rn = 1)
+        SELECT count(*) AS n_events,
+               count(o_orderdate) AS n_matched,
+               quantile_cont(stale_days, 0.5) AS p50_days,
+               quantile_cont(stale_days, 0.9) AS p90_days,
+               max(stale_days) AS max_days
+        FROM p""")),
+
     // In-engine logistic-regression classifier: 2 full-batch GD steps
     // learning "is this document English" from hashed token buckets,
     // then calibrated scores for every document. The oracle replays
