@@ -48,6 +48,14 @@ class ClassifierSpec extends SparkSpec with Matchers {
     spread(3) should be > spread(1)
   }
 
+  test("every weight-table join broadcasts — no sort-merge join in the plan") {
+    val df = Classifier.trainScoreLogistic(corpus, "id", "text", col("y") === 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("empty-text documents are dropped, not scored") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta", 1), (2L, "", 0), (3L, "gamma", 0))

@@ -67,6 +67,19 @@ class RetrievalSpec extends SparkSpec with Matchers {
     batch(("b", 3L))._1 shouldBe 2L // doc 3 hits both of query b's terms
   }
 
+  test("bm25 plans broadcast the term statistics — no sort-merge join anywhere") {
+    import spark.implicits._
+    val queries = Seq(("a", "spark"), ("b", "flink beam")).toDF("qid", "qtext")
+    val df = Retrieval.bm25TopKBatch(corpus, "id", "text", queries, "qid", "qtext", k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    val single = Retrieval.bm25TopK(corpus, "id", "text", Seq("spark"), k = 5)
+    single.collect()
+    single.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
+
   test("bm25 on an empty corpus returns empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
