@@ -236,23 +236,10 @@ object FeatureStats {
       df: DataFrame, valCol: String, keyCol: String, k: Int,
       rangeBuckets: Int = 256): DataFrame = {
     require(k > 0 && rangeBuckets > 0)
-    val b = df.agg(
-      min(col(valCol)).cast("double"), max(col(valCol)).cast("double"),
-      count(lit(1))).head()
-    if (b.isNullAt(0)) return df.withColumn("bucket", lit(0)).limit(0)
-    val (lo, hi, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
-    val width = math.max((hi - lo) / rangeBuckets, java.lang.Double.MIN_NORMAL)
-    val range = least(lit(rangeBuckets - 1),
-      floor((col(valCol).cast("double") - lo) / width).cast("int"))
-    val rows = df.withColumn("__graft_rb", range)
-    val rangeCounts = rows.groupBy(col("__graft_rb"))
-      .agg(count(lit(1)).as("rb_n"))
-    val offsets = rangeCounts
-      .withColumn("rb_off",
-        coalesce(sum(col("rb_n")).over(
-          Window.orderBy(col("__graft_rb"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__graft_rb"), col("rb_off"))
+    val n = df.count()
+    if (n == 0) return df.withColumn("bucket", lit(0)).limit(0)
+    val Some((rows, offsets)) = OpsUtil.rangeBucketOffsets(
+      df, col(valCol), lit(1L), rangeBuckets)
     val w = Window.partitionBy(col("__graft_rb"))
       .orderBy(col(valCol), col(keyCol))
     // NTILE's split: q = N div k rows per bucket, the first rem = N mod
@@ -279,13 +266,16 @@ object FeatureStats {
     * (auc, n_pos, n_neg).
     *
     * Scale shape: ranks come from per-DISTINCT-SCORE counts, never
-    * per-row — one hash-agg to (score → n, n_pos), then the same
-    * two-phase prefix sum as [[bucketize]] over that aggregated frame
-    * (value-range buckets; the only single-partition window runs over
-    * ≤ `rangeBuckets` bucket summaries). Midranks are exact halves —
-    * DECIMAL(38,1) arithmetic end-to-end, so the sum is
-    * order-independent; the single final division happens in double.
-    * NULL scores/labels are excluded. */
+    * per-row — one hash-agg to (score → n, n_pos), materialized once
+    * (it feeds the bucketing bounds AND the midrank plan), then the
+    * shared two-phase prefix sum ([[OpsUtil.rangeBucketOffsets]]) over
+    * that aggregated frame — the only single-partition window runs
+    * over ≤ `rangeBuckets` bucket summaries. DOUBLED midranks
+    * (integers) keep every step in exact integer/decimal(38,0)
+    * arithmetic, so the reduction is order-independent; the single
+    * final division happens in double. NULL scores/labels are
+    * excluded; empty input yields ZERO rows; a single-class input
+    * (no positives or no negatives) yields auc = NULL, not NaN. */
   def rocAuc(
       df: DataFrame, scoreCol: String, labelCol: Column,
       rangeBuckets: Int = 256): DataFrame = {
@@ -295,56 +285,51 @@ object FeatureStats {
       .select(col(scoreCol).as("s"), labelCol.cast("int").as("y"))
     val byScore = rows.groupBy(col("s"))
       .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
-    val b = byScore.agg(
-      min(col("s")).cast("double"), max(col("s")).cast("double")).head()
-    if (b.isNullAt(0))
-      return rows.groupBy().agg(lit(null).cast("double").as("auc"),
-        lit(0L).as("n_pos"), lit(0L).as("n_neg")).limit(0)
-    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-    val width = math.max((hi - lo) / rangeBuckets, java.lang.Double.MIN_NORMAL)
-    val rb = least(lit(rangeBuckets - 1),
-      floor((col("s").cast("double") - lo) / width).cast("int"))
-    val scored = byScore.withColumn("__graft_rb", rb)
-    val offsets = scored.groupBy(col("__graft_rb"))
-      .agg(sum(col("n")).as("rb_n"))
-      .withColumn("rb_off",
-        coalesce(sum(col("rb_n")).over(
-          Window.orderBy(col("__graft_rb"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__graft_rb"), col("rb_off"))
-    val w = Window.partitionBy(col("__graft_rb")).orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // DOUBLED midrank of a tied block after `before` rows of length n
-    // is the integer 2·before + n + 1 — everything stays in exact
-    // integer/decimal arithmetic (AUC = (S2 − n⁺(n⁺+1)) / (2 n⁺ n⁻)
-    // with S2 = Σ n_pos·doubled_midrank) until one final double
-    // division, identical in every engine.
-    val doubledMidrank =
-      (col("rb_off") + coalesce(sum(col("n")).over(w), lit(0L))) * 2 +
-        col("n") + 1
-    scored.join(broadcast(offsets), Seq("__graft_rb"))
-      .withColumn("dmr", doubledMidrank)
-      .agg(
-        sum(col("n_pos").cast("decimal(38,0)") * col("dmr")).as("s2"),
-        sum(col("n_pos")).as("np"), sum(col("n") - col("n_pos")).as("nn"))
-      .select(
-        ((col("s2").cast("double") -
-          col("np").cast("double") * (col("np") + 1.0))
-          / (lit(2.0) * col("np").cast("double") * col("nn").cast("double"))).as("auc"),
-        col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"))
+      .localCheckpoint(false)
+    OpsUtil.rangeBucketOffsets(byScore, col("s"), col("n"), rangeBuckets) match {
+      case None =>
+        rows.groupBy().agg(lit(null).cast("double").as("auc"),
+          lit(0L).as("n_pos"), lit(0L).as("n_neg")).limit(0)
+      case Some((scored, offsets)) =>
+        val w = Window.partitionBy(col("__graft_rb")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // DOUBLED midrank of a tied block after `before` rows of
+        // length n is the integer 2·before + n + 1 — everything stays
+        // in exact integer/decimal arithmetic
+        // (AUC = (S2 − n⁺(n⁺+1)) / (2 n⁺ n⁻) with
+        // S2 = Σ n_pos·doubled_midrank) until one final double
+        // division, identical in every engine.
+        val doubledMidrank =
+          (col("rb_off") + coalesce(sum(col("n")).over(w), lit(0L))) * 2 +
+            col("n") + 1
+        scored.join(broadcast(offsets), Seq("__graft_rb"))
+          .withColumn("dmr", doubledMidrank)
+          .agg(
+            sum(col("n_pos").cast("decimal(38,0)") * col("dmr")).as("s2"),
+            sum(col("n_pos")).as("np"), sum(col("n") - col("n_pos")).as("nn"))
+          .select(
+            when(col("np") > 0 && col("nn") > 0,
+              (col("s2").cast("double") -
+                col("np").cast("double") * (col("np") + 1.0))
+                / (lit(2.0) * col("np").cast("double") * col("nn").cast("double")))
+              .as("auc"),
+            col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"))
+    }
   }
 
   /** Calibration / reliability bins for a probability scorer: fixed
     * equal-width bins over [0, 1], per-bin count, mean predicted
-    * score, and observed positive rate — "does 0.8 mean 80%". Pure
-    * value-range bucketing (no rank), one hash-agg; means are
-    * DECIMAL-summed then divided in double. */
+    * score, and observed positive rate — "does 0.8 mean 80%". Scores
+    * outside [0, 1] clamp into the edge bins on BOTH sides (a caller
+    * passing logits gets them pooled at bins 0 / bins−1, never
+    * negative bin ids). Pure value-range bucketing (no rank), one
+    * hash-agg; means are DECIMAL-summed then divided in double. */
   def calibrationBins(
       df: DataFrame, scoreCol: String, labelCol: Column,
       bins: Int = 10): DataFrame = {
     require(bins > 0)
-    val bin = least(lit(bins - 1),
-      floor(col(scoreCol).cast("double") * bins).cast("int"))
+    val bin = greatest(lit(0), least(lit(bins - 1),
+      floor(col(scoreCol).cast("double") * bins).cast("int")))
     df.filter(col(scoreCol).isNotNull && labelCol.isNotNull)
       .select(bin.as("bin"), col(scoreCol).cast("decimal(28,6)").as("s"),
         labelCol.cast("int").as("y"))

@@ -1,8 +1,46 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 private[graft] object OpsUtil {
+
+  /** The shared core of every two-phase distributed prefix computation
+    * (budgetSelect's running cost, bucketize's rank, rocAuc's
+    * midranks): coarse-bucket rows by the VALUE range of `orderAsc`
+    * (bounds from one 2-value driver aggregate — deterministic, unlike
+    * repartitionByRange's sampling), aggregate `weight` per bucket,
+    * and window those totals into per-bucket offsets. The only
+    * single-partition window runs over ≤ `buckets` summary rows —
+    * never over data. Returns None on empty input; otherwise the rows
+    * with a `__graft_rb` bucket column plus the broadcastable
+    * (`__graft_rb`, `rb_off`) offsets frame. Because bucketing is
+    * monotone in `orderAsc`, (bucket, within-bucket order) equals the
+    * global order.
+    */
+  def rangeBucketOffsets(
+      df: DataFrame, orderAsc: Column, weight: Column,
+      buckets: Int): Option[(DataFrame, DataFrame)] = {
+    require(buckets > 0)
+    val b = df.agg(min(orderAsc).cast("double"), max(orderAsc).cast("double")).head()
+    if (b.isNullAt(0)) return None
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    // MIN_NORMAL guards the constant-value corner: width 0 would put
+    // every row in bucket NaN instead of bucket 0.
+    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
+    val bucket = least(lit(buckets - 1),
+      floor((orderAsc.cast("double") - lo) / width).cast("int"))
+    val rows = df.withColumn("__graft_rb", bucket)
+    val offsets = rows.groupBy(col("__graft_rb"))
+      .agg(sum(weight).as("rb_w"))
+      .withColumn("rb_off",
+        coalesce(sum(col("rb_w")).over(
+          Window.orderBy(col("__graft_rb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__graft_rb"), col("rb_off"))
+    Some((rows, offsets))
+  }
 
   /** Decouple compute-bound projection parallelism from input-split
     * parallelism: when the scan yields fewer partitions than the

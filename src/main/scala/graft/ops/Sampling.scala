@@ -136,34 +136,22 @@ object Sampling {
     // under a large budget — arbitrary-cost rows admitted with no
     // defined priority.
     val scored = df.filter(col(scoreCol).isNotNull)
-    val bounds = scored.agg(
-      min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double"))
-      .head()
-    if (bounds.isNullAt(0)) return df.withColumn("cum_cost", lit(0L)).limit(0)
-    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-    // Bucket 0 holds the HIGHEST scores so bucket order == scan order;
-    // the max score folds into bucket 0 (width guarded for lo == hi).
-    val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
-    val bucket = least(lit(buckets - 1),
-      floor((lit(hi) - col(scoreCol).cast("double")) / width).cast("int"))
-    val rows = scored.withColumn("__graft_bk", bucket)
-    val bucketTotals = rows.groupBy(col("__graft_bk"))
-      .agg(sum(col(costCol)).as("bk_cost"))
-    val offsets = bucketTotals
-      .withColumn("bk_offset",
-        coalesce(sum(col("bk_cost")).over(
-          Window.orderBy(col("__graft_bk"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__graft_bk"), col("bk_offset"))
-    // Explicit ROWS frame: the default RANGE frame would pool
-    // duplicate (score, key) rows into one running-total step.
-    val w = Window.partitionBy(col("__graft_bk"))
-      .orderBy(col(scoreCol).desc, col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rows.join(broadcast(offsets), Seq("__graft_bk"))
-      .withColumn("cum_cost", col("bk_offset") + sum(col(costCol)).over(w))
-      .filter(col("cum_cost") <= budget)
-      .drop("__graft_bk", "bk_offset")
+    // Ascending on the NEGATED score: bucket 0 holds the highest
+    // scores, so bucket order == selection order.
+    OpsUtil.rangeBucketOffsets(
+      scored, -col(scoreCol).cast("double"), col(costCol), buckets) match {
+      case None => df.withColumn("cum_cost", lit(0L)).limit(0)
+      case Some((rows, offsets)) =>
+        // Explicit ROWS frame: the default RANGE frame would pool
+        // duplicate (score, key) rows into one running-total step.
+        val w = Window.partitionBy(col("__graft_rb"))
+          .orderBy(col(scoreCol).desc, col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rows.join(broadcast(offsets), Seq("__graft_rb"))
+          .withColumn("cum_cost", col("rb_off") + sum(col(costCol)).over(w))
+          .filter(col("cum_cost") <= budget)
+          .drop("__graft_rb", "rb_off")
+    }
   }
 
   /** Weighted sample WITHOUT replacement, size n, deterministic

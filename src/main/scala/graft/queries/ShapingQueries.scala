@@ -148,7 +148,7 @@ object ShapingQueries {
         WITH d AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 3 = 0
-                      THEN concat(text, ' standard legal disclaimer boilerplate repeated across many documents verbatim')
+                      THEN text || ' standard legal disclaimer boilerplate repeated across many documents verbatim'
                       ELSE text END AS t
           FROM documents),
         wins AS (
@@ -380,7 +380,7 @@ object ShapingQueries {
         "score", col("label") === 1, bins = 100),
       Some(s"""
         WITH $ClassifierCtes
-        SELECT least(99, CAST(floor(score * 100) AS INT)) AS bin,
+        SELECT greatest(0, least(99, CAST(floor(score * 100) AS INT))) AS bin,
                count(*) AS n,
                CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_score,
                CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate

@@ -88,7 +88,7 @@ class SamplingSpec extends SparkSpec with Matchers {
     val planStr = Sampling.budgetSelect(df, "k", "score", "cost", budget, buckets = 16)
       .queryExecution.optimizedPlan.toString.toLowerCase
     // The running-sum window spec partitions by the bucket column.
-    "windowspecdefinition\\(__graft_bk".r.findAllIn(planStr).size should be >= 1
+    "windowspecdefinition\\(__graft_rb".r.findAllIn(planStr).size should be >= 1
   }
 
   test("budgetSelect: NULL-score rows are excluded and do not corrupt cum_cost") {
