@@ -87,6 +87,7 @@ object Transforms {
     "lm_filter" -> Seq("key", "col", "max_ce"),
     "sample_temperature" -> Seq("key", "strata", "alpha", "target"),
     "budget_select" -> Seq("key", "score", "cost", "budget"),
+    "sample_weighted" -> Seq("key", "weight", "n"),
     "classifier_filter" -> Seq("key", "col", "label", "min_score"))
 
   /** Transform name → integer-typed argument names, validated at parse
@@ -100,7 +101,8 @@ object Transforms {
   /** Arguments that must be STRICTLY positive ints (zero would die
     * mid-job in the operator's own require). */
   val PositiveIntArgs: Map[String, Seq[String]] = Map(
-    "corpus_shuffle" -> Seq("shards"))
+    "corpus_shuffle" -> Seq("shards"),
+    "sample_weighted" -> Seq("n"))
 
   /** Long-typed strictly positive args (row targets / token budgets
     * exceed Int range at corpus scale). */
@@ -191,6 +193,9 @@ object Transforms {
       Sampling.budgetSelect(df, t.arg("key"), t.arg("score"),
         t.arg("cost"), t.arg("budget").toLong)
         .drop("cum_cost")
+    case "sample_weighted" =>
+      // Fixed-size weighted draw without replacement (A-ES).
+      Sampling.weightedSample(df, t.arg("key"), t.arg("weight"), t.argInt("n"))
     case "classifier_filter" =>
       // Self-trained logistic quality gate: label column marks the
       // positive class on THIS frame (e.g. a curated flag); rows

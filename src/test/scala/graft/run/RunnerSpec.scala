@@ -298,6 +298,17 @@ class RunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Transforms.parse("budget_select(key=id,score=p,cost=c,budget=-5)"))
 
+    // sample_weighted: fixed-size draw, heavy rows dominate, bad n dies at parse
+    val weighted = ((1L to 300L).map(i => (i, 1.0)) ++
+      (1001L to 1300L).map(i => (i, 40.0))).toDF("id", "wt")
+    val drawn = Transforms.applyAll(weighted,
+      Transforms.parse("sample_weighted(key=id,weight=wt,n=100)"))
+      .collect().map(_.getLong(0))
+    assert(drawn.length == 100)
+    assert(drawn.count(_ > 1000L) > 75)
+    intercept[IllegalArgumentException](
+      Transforms.parse("sample_weighted(key=id,weight=wt,n=0)"))
+
     // classifier_filter: separable corpus — positives stay, negatives drop,
     // NULL-key rows pass through
     val labeled = ((1 to 10).map(i => (Option(i.toLong), "alpha beta alpha", 1)) ++
