@@ -317,6 +317,68 @@ object FeatureStats {
     }
   }
 
+  /** Per-slice ROC-AUC ([[rocAuc]] grouped by `groupCols`) — the
+    * slice-evaluation table ("AUC by language / source / time bucket")
+    * that catches a model scoring well on the majority slice and at
+    * chance on a minority one. One row per group:
+    * (groupCols…, auc, n_pos, n_neg); single-class groups get
+    * auc = NULL.
+    *
+    * Scale shape: the distinct-score frame is per (group, score);
+    * range buckets come from the GLOBAL score bounds (bucketing stays
+    * monotone within every group, which is all correctness needs —
+    * per-group bounds would buy nothing but another pass); the offsets
+    * window partitions by group over ≤ groups × rangeBuckets summary
+    * rows, and midrank windows partition by (group, bucket). */
+  def rocAucBy(
+      df: DataFrame, scoreCol: String, labelCol: Column,
+      groupCols: Seq[String], rangeBuckets: Int = 256): DataFrame = {
+    require(groupCols.nonEmpty && rangeBuckets > 0)
+    val gs = groupCols.map(col)
+    val rows = df
+      .filter(col(scoreCol).isNotNull && labelCol.isNotNull)
+      .select(gs :+ col(scoreCol).as("s") :+ labelCol.cast("int").as("y"): _*)
+    val byScore = rows.groupBy(gs :+ col("s"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+      .localCheckpoint(false)
+    val b = byScore.agg(min(col("s")).cast("double"), max(col("s")).cast("double")).head()
+    if (b.isNullAt(0))
+      return byScore.select(gs: _*)
+        .withColumn("auc", lit(null).cast("double"))
+        .withColumn("n_pos", lit(0L)).withColumn("n_neg", lit(0L)).limit(0)
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val width = math.max((hi - lo) / rangeBuckets, java.lang.Double.MIN_NORMAL)
+    val rb = least(lit(rangeBuckets - 1),
+      floor((col("s").cast("double") - lo) / width).cast("int"))
+    val scored = byScore.withColumn("__graft_rb", rb)
+    val offsets = scored.groupBy(gs :+ col("__graft_rb"): _*)
+      .agg(sum(col("n")).as("rb_w"))
+      .withColumn("rb_off",
+        coalesce(sum(col("rb_w")).over(
+          Window.partitionBy(gs: _*).orderBy(col("__graft_rb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(gs :+ col("__graft_rb") :+ col("rb_off"): _*)
+    val w = Window.partitionBy(gs :+ col("__graft_rb"): _*).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val doubledMidrank =
+      (col("rb_off") + coalesce(sum(col("n")).over(w), lit(0L))) * 2 +
+        col("n") + 1
+    scored.join(broadcast(offsets), groupCols :+ "__graft_rb")
+      .withColumn("dmr", doubledMidrank)
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("n_pos").cast("decimal(38,0)") * col("dmr")).as("s2"),
+        sum(col("n_pos")).as("np"), sum(col("n") - col("n_pos")).as("nn"))
+      .select(gs ++ Seq(
+        when(col("np") > 0 && col("nn") > 0,
+          (col("s2").cast("double") -
+            col("np").cast("double") * (col("np") + 1.0))
+            / (lit(2.0) * col("np").cast("double") * col("nn").cast("double")))
+          .as("auc"),
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg")): _*)
+  }
+
   /** Calibration / reliability bins for a probability scorer: fixed
     * equal-width bins over [0, 1], per-bin count, mean predicted
     * score, and observed positive rate — "does 0.8 mean 80%". Scores

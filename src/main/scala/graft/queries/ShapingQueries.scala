@@ -308,6 +308,33 @@ object ShapingQueries {
                CAST(sum(log_ratio) AS DOUBLE) AS dsir_weight
         FROM bk JOIN lr USING (b) GROUP BY 1""")),
 
+    // Per-slice AUC: the same length-predicts-English probe, sliced by
+    // language — the slice-eval table that catches majority-only skill.
+    QueryDef(
+      "eval_auc_by_lang",
+      (s, dir) => FeatureStats.rocAucBy(
+        table(s, dir, "documents"), "n_chars", col("source") <= "src9",
+        groupCols = Seq("lang")),
+      Some("""
+        WITH r AS (SELECT lang, n_chars AS s, CAST(source <= 'src9' AS INT) AS y
+                   FROM documents
+                   WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        g AS (SELECT lang, s, count(*) AS n, sum(y) AS n_pos FROM r GROUP BY 1, 2),
+        o AS (SELECT lang, s, n, n_pos,
+                     2 * coalesce(sum(n) OVER (PARTITION BY lang ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + n + 1 AS dmr
+              FROM g)
+        SELECT lang,
+               CASE WHEN sum(n_pos) > 0 AND sum(n - n_pos) > 0 THEN
+                 (CAST(sum(CAST(n_pos AS DECIMAL(38,0)) * dmr) AS DOUBLE)
+                    - CAST(sum(n_pos) AS DOUBLE) * (sum(n_pos) + 1.0))
+                 / (2.0 * CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n - n_pos) AS DOUBLE))
+               END AS auc,
+               CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n - n_pos) AS BIGINT) AS n_neg
+        FROM o GROUP BY 1""")),
+
     // Feature-freshness observability for the engine's core operator:
     // staleness (event time − matched feature time) distribution after
     // a point-in-time join — the "how old are the features we serve"

@@ -206,6 +206,30 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     a shouldBe 0.5 +- 0.05
   }
 
+  test("rocAucBy: per-group AUC equals per-group rocAuc; single-class group is NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 600L).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      // group a: informative score; group b: anti-informative
+      val y = (i % 2).toInt
+      val s = if (g == "a") y * 10.0 + (i % 5) else -y * 10.0 + (i % 5)
+      (g, s, y)
+    }.toDF("g", "s", "y")
+      .union(Seq(("c", 1.0, 1), ("c", 2.0, 1)).toDF("g", "s", "y")) // all-positive
+    val by = FeatureStats.rocAucBy(df, "s", col("y") === 1, Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = FeatureStats.rocAuc(df.filter(col("g") === g), "s", col("y") === 1)
+        .head().getDouble(0)
+      by(g) shouldBe Some(solo)
+    }
+    by("a").get should be > 0.9
+    by("b").get should be < 0.1
+    by("c") shouldBe None // single-class slice → NULL, not NaN
+  }
+
   test("calibrationBins: per-bin counts, mean score, positive rate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
