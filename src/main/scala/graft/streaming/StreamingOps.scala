@@ -53,6 +53,24 @@ object StreamingOps {
         count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("sum_value"))
 
+  /** Streaming hot-key monitor — the streaming face of
+    * [[graft.ops.FeatureStats.keySkew]]: per event-time tumbling
+    * window, emit every key whose row count reaches `minCount` (the
+    * skew/straggler alarm a pipeline watches before a join melts
+    * down). Windowed state drops once the watermark passes the window
+    * end — bounded memory forever; the same call runs in batch for
+    * backfill parity. */
+  def hotKeysStream(
+      events: DataFrame, keyCol: String, tsCol: String,
+      windowDuration: String, watermark: String, minCount: Long): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        window(col(tsCol), windowDuration).getField("start").as("window_start"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
   /** Event-time gap-session aggregation via Spark's native merging
     * `session_window` state: one session row per (key, burst of events
     * closer than `gap`), `session_end` = last event + gap. The same

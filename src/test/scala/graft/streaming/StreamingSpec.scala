@@ -430,6 +430,34 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("hotKeysStream flags heavy keys per window; streaming equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 fires 3 events in hour 10 (hot); others stay below.
+    val evs = Seq(
+      Ev(1L, t("2024-01-01 10:01:00"), "click", 1.0),
+      Ev(1L, t("2024-01-01 10:02:00"), "click", 1.0),
+      Ev(1L, t("2024-01-01 10:03:00"), "click", 1.0),
+      Ev(2L, t("2024-01-01 10:04:00"), "view", 1.0),
+      Ev(1L, t("2024-01-01 11:01:00"), "click", 1.0))
+    val stream = MemoryStream[Ev]
+    val out = StreamingOps.hotKeysStream(
+      stream.toDF(), "user_id", "ts", "1 hour", "10 minutes", minCount = 3L)
+    val q = out.writeStream.format("memory").queryName("hotkeys")
+      .outputMode("complete").start()
+    try {
+      stream.addData(evs)
+      q.processAllAvailable()
+      val got = spark.table("hotkeys")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      val batch = StreamingOps.hotKeysStream(
+        evs.toDF(), "user_id", "ts", "1 hour", "10 minutes", minCount = 3L)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      got shouldBe batch
+      got shouldBe Set(("2024-01-01 10:00:00.0", 1L, 3L))
+    } finally q.stop()
+  }
+
   test("assignCentroid serves a prebuilt index identically on batch and stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
