@@ -401,6 +401,36 @@ object FeatureStats {
         (sum(col("y")).cast("double") / count(lit(1))).as("pos_rate"))
   }
 
+  /** Proper-scoring-rule evaluation for a probability scorer: one row
+    * (n, log_loss, brier). Brier is computed ENTIRELY in DECIMAL (the
+    * 6-dp score makes (p−y)² exact at 12 dp) — order-independent by
+    * construction; log-loss clamps p into [eps, 1−eps] (a calibrated
+    * 6-dp scorer can emit exact 0/1), pins each row's −ln term to a
+    * 9-dp DECIMAL, sums exactly, and divides once in double. */
+  def probLoss(
+      df: DataFrame, scoreCol: String, labelCol: Column,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 0.5)
+    val rows = df.filter(col(scoreCol).isNotNull && labelCol.isNotNull)
+      .select(col(scoreCol).cast("decimal(28,6)").as("p"),
+        labelCol.cast("int").as("y"))
+    val pc = greatest(lit(eps), least(lit(1.0 - eps), col("p").cast("double")))
+    val rowLoss = round(
+      -(col("y") * log(pc) + (lit(1) - col("y")) * log(lit(1.0) - pc)), 9)
+      .cast("decimal(28,9)")
+    // |p − y| ≤ 1: narrow to DECIMAL(12,6) before squaring so the
+    // product precision stays within 38 digits in EVERY engine
+    // (DuckDB errors, Spark silently rounds, past the cap).
+    val diff = (col("p") - col("y")).cast("decimal(12,6)")
+    val sqErr = diff * diff
+    rows
+      .agg(count(lit(1)).as("n"),
+        sum(rowLoss).as("ll_sum"), sum(sqErr).as("se_sum"))
+      .select(col("n"),
+        (col("ll_sum").cast("double") / col("n")).as("log_loss"),
+        (col("se_sum").cast("double") / col("n")).as("brier"))
+  }
+
   /** decimal(18,6) is the WIDEST cast whose product still fits an
     * exact decimal(37,12) — wider casts make Spark round the product
     * (precision cap at 38). That bounds the domain to |x| < 1e12;

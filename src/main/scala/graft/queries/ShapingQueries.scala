@@ -308,6 +308,27 @@ object ShapingQueries {
                CAST(sum(log_ratio) AS DOUBLE) AS dsir_weight
         FROM bk JOIN lr USING (b) GROUP BY 1""")),
 
+    // Proper scoring rules over the trained classifier's probabilities.
+    QueryDef(
+      "classifier_loss",
+      (s, dir) => FeatureStats.probLoss(
+        Classifier.trainScoreLogistic(
+          table(s, dir, "documents"), "doc_id", "text",
+          labelCol = (col("lang") === "en"), hexChars = 2, iters = 2, lr = 0.5),
+        "score", col("label") === 1),
+      Some(s"""
+        WITH $ClassifierCtes,
+        r AS (SELECT y, CAST(score AS DECIMAL(28,6)) AS p,
+                     greatest(0.000001, least(0.999999,
+                       CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE))) AS pc
+              FROM final_scores)
+        SELECT count(*) AS n,
+               CAST(sum(CAST(round(-(y * ln(pc) + (1 - y) * ln(1.0 - pc)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS log_loss,
+               CAST(sum(CAST(p - y AS DECIMAL(12,6)) * CAST(p - y AS DECIMAL(12,6)))
+                 AS DOUBLE) / count(*) AS brier
+        FROM r""")),
+
     // Per-slice AUC: the same length-predicts-English probe, sliced by
     // language — the slice-eval table that catches majority-only skill.
     QueryDef(

@@ -230,6 +230,26 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     by("c") shouldBe None // single-class slice → NULL, not NaN
   }
 
+  test("probLoss: hand-computed log-loss and Brier; perfect scores clamp, not blow up") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0.9, 1), (0.2, 0), (1.0, 1), (0.0, 1)).toDF("p", "y")
+    val r = FeatureStats.probLoss(df, "p", col("y") === 1).head()
+    r.getLong(0) shouldBe 4L
+    val eps = 1e-6
+    val expectedLl = Seq(
+      -math.log(0.9), -math.log(0.8),
+      -math.log(1 - eps), -math.log(eps) // clamped, finite
+    ).map(v => math.rint(v * 1e9) / 1e9).sum / 4
+    r.getDouble(1) shouldBe expectedLl +- 1e-9
+    val expectedBrier = (0.01 + 0.04 + 0.0 + 1.0) / 4
+    r.getDouble(2) shouldBe expectedBrier +- 1e-12
+    // partition invariance
+    val alt = FeatureStats.probLoss(df.repartition(5), "p", col("y") === 1).head()
+    alt.getDouble(1) shouldBe r.getDouble(1)
+    alt.getDouble(2) shouldBe r.getDouble(2)
+  }
+
   test("calibrationBins: per-bin counts, mean score, positive rate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
