@@ -341,29 +341,29 @@ object FeatureStats {
     val byScore = rows.groupBy(gs :+ col("s"): _*)
       .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
       .localCheckpoint(false)
-    val b = byScore.agg(min(col("s")).cast("double"), max(col("s")).cast("double")).head()
-    if (b.isNullAt(0))
+    val bucketed = OpsUtil.rangeBucketOffsets(
+      byScore, col("s"), col("n"), rangeBuckets, partitionCols = groupCols)
+    if (bucketed.isEmpty)
       return byScore.select(gs: _*)
         .withColumn("auc", lit(null).cast("double"))
         .withColumn("n_pos", lit(0L)).withColumn("n_neg", lit(0L)).limit(0)
-    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-    val width = math.max((hi - lo) / rangeBuckets, java.lang.Double.MIN_NORMAL)
-    val rb = least(lit(rangeBuckets - 1),
-      floor((col("s").cast("double") - lo) / width).cast("int"))
-    val scored = byScore.withColumn("__graft_rb", rb)
-    val offsets = scored.groupBy(gs :+ col("__graft_rb"): _*)
-      .agg(sum(col("n")).as("rb_w"))
-      .withColumn("rb_off",
-        coalesce(sum(col("rb_w")).over(
-          Window.partitionBy(gs: _*).orderBy(col("__graft_rb"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(gs :+ col("__graft_rb") :+ col("rb_off"): _*)
+    val (scored, offsets) = bucketed.get
     val w = Window.partitionBy(gs :+ col("__graft_rb"): _*).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val doubledMidrank =
       (col("rb_off") + coalesce(sum(col("n")).over(w), lit(0L))) * 2 +
         col("n") + 1
-    scored.join(broadcast(offsets), groupCols :+ "__graft_rb")
+    // NULL-SAFE join back on the group keys: "unknown" (NULL) slices
+    // are legitimate groups — groupBy and the offsets window both kept
+    // them, and a plain equi-join would silently drop exactly the
+    // minority slice this table exists to surface. No broadcast hint:
+    // the offsets frame scales with group cardinality (groups ×
+    // rangeBuckets rows) — AQE broadcasts it when it measures small.
+    val o = offsets.withColumnsRenamed(
+      (groupCols :+ "__graft_rb").map(c => c -> s"__graft_o_$c").toMap)
+    val cond = (groupCols :+ "__graft_rb")
+      .map(c => col(c) <=> col(s"__graft_o_$c")).reduce(_ && _)
+    scored.join(o, cond)
       .withColumn("dmr", doubledMidrank)
       .groupBy(gs: _*)
       .agg(
@@ -411,9 +411,18 @@ object FeatureStats {
       df: DataFrame, scoreCol: String, labelCol: Column,
       eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 0.5)
+    // Non-finite scores fail FAST with a diagnosable message: under
+    // ANSI the decimal cast would crash with a generic cast error, and
+    // with ANSI off greatest/least's null-skip would silently clamp
+    // NaN rows to 1−eps while the Brier sum dropped them — both
+    // metrics quietly deflated.
+    val d = col(scoreCol).cast("double")
+    val pDec = when(!isnan(d) && abs(d) =!= lit(Double.PositiveInfinity),
+      d.cast("decimal(28,6)"))
+      .otherwise(raise_error(concat(
+        lit("probLoss: non-finite score (got "), d.cast("string"), lit(")"))))
     val rows = df.filter(col(scoreCol).isNotNull && labelCol.isNotNull)
-      .select(col(scoreCol).cast("decimal(28,6)").as("p"),
-        labelCol.cast("int").as("y"))
+      .select(pDec.as("p"), labelCol.cast("int").as("y"))
     val pc = greatest(lit(eps), least(lit(1.0 - eps), col("p").cast("double")))
     val rowLoss = round(
       -(col("y") * log(pc) + (lit(1) - col("y")) * log(lit(1.0) - pc)), 9)

@@ -21,24 +21,28 @@ private[graft] object OpsUtil {
     */
   def rangeBucketOffsets(
       df: DataFrame, orderAsc: Column, weight: Column,
-      buckets: Int): Option[(DataFrame, DataFrame)] = {
+      buckets: Int, partitionCols: Seq[String] = Nil): Option[(DataFrame, DataFrame)] = {
     require(buckets > 0)
     val b = df.agg(min(orderAsc).cast("double"), max(orderAsc).cast("double")).head()
     if (b.isNullAt(0)) return None
     val (lo, hi) = (b.getDouble(0), b.getDouble(1))
     // MIN_NORMAL guards the constant-value corner: width 0 would put
-    // every row in bucket NaN instead of bucket 0.
+    // every row in bucket NaN instead of bucket 0. With partitionCols
+    // the bounds stay GLOBAL — bucketing is monotone within every
+    // partition, which is all the prefix logic needs — and the offsets
+    // window runs per partition over ≤ partitions × buckets rows.
     val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_NORMAL)
     val bucket = least(lit(buckets - 1),
       floor((orderAsc.cast("double") - lo) / width).cast("int"))
     val rows = df.withColumn("__graft_rb", bucket)
-    val offsets = rows.groupBy(col("__graft_rb"))
+    val offWindow =
+      (if (partitionCols.isEmpty) Window.orderBy(col("__graft_rb"))
+       else Window.partitionBy(partitionCols.map(col): _*).orderBy(col("__graft_rb")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy((partitionCols :+ "__graft_rb").map(col): _*)
       .agg(sum(weight).as("rb_w"))
-      .withColumn("rb_off",
-        coalesce(sum(col("rb_w")).over(
-          Window.orderBy(col("__graft_rb"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__graft_rb"), col("rb_off"))
+      .withColumn("rb_off", coalesce(sum(col("rb_w")).over(offWindow), lit(0L)))
+      .select((partitionCols :+ "__graft_rb" :+ "rb_off").map(col): _*)
     Some((rows, offsets))
   }
 

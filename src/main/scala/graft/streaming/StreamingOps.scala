@@ -46,12 +46,16 @@ object StreamingOps {
       windowDuration: String, watermark: String): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(
-        window(col(tsCol), windowDuration).getField("start").as("window_start"),
-        col(typeCol))
+      // Group by the FULL window struct — extracting .start inside the
+      // grouping key strips the event-time metadata, which silently
+      // disables watermark state eviction (unbounded state) and makes
+      // append mode throw. The start column projects out AFTER the agg.
+      .groupBy(window(col(tsCol), windowDuration), col(typeCol))
       .agg(
         count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window").getField("start").as("window_start"),
+        col(typeCol), col("n"), col("sum_value"))
 
   /** Streaming hot-key monitor — the streaming face of
     * [[graft.ops.FeatureStats.keySkew]]: per event-time tumbling
@@ -65,11 +69,14 @@ object StreamingOps {
       windowDuration: String, watermark: String, minCount: Long): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(
-        window(col(tsCol), windowDuration).getField("start").as("window_start"),
-        col(keyCol))
+      // Full window struct in the grouping key (see windowedAgg): this
+      // is what lets the watermark evict closed-window state and
+      // append mode emit finalized windows.
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+      .select(col("window").getField("start").as("window_start"),
+        col(keyCol), col("n"))
 
   /** Event-time gap-session aggregation via Spark's native merging
     * `session_window` state: one session row per (key, burst of events

@@ -230,6 +230,18 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     by("c") shouldBe None // single-class slice → NULL, not NaN
   }
 
+  test("rocAucBy keeps the NULL slice (null-safe offsets join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = ((1L to 100L).map(i => (Option("a"), i.toDouble, (i % 2).toInt)) ++
+      (1L to 100L).map(i => (None: Option[String], (i % 2) * 10.0 + i % 3, (i % 2).toInt)))
+      .toDF("g", "s", "y")
+    val by = FeatureStats.rocAucBy(df, "s", col("y") === 1, Seq("g"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    by.keySet shouldBe Set(Some("a"), None) // the unknown slice survives
+    by(None) should be > 0.9 // and its AUC is computed, not defaulted
+  }
+
   test("probLoss: hand-computed log-loss and Brier; perfect scores clamp, not blow up") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

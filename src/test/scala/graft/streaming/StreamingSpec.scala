@@ -430,23 +430,31 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
-  test("hotKeysStream flags heavy keys per window; streaming equals batch") {
+  test("hotKeysStream flags heavy keys per window in APPEND mode (watermark evicts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // user 1 fires 3 events in hour 10 (hot); others stay below.
+    // user 1 fires 3 events in hour 10 (hot); others stay below. A
+    // far-future flush event pushes the watermark past every real
+    // window — APPEND mode only emits once a window finalizes, which
+    // is exactly the property the full-window-struct grouping restores
+    // (grouping by window.start strips event-time metadata: append
+    // throws and state never evicts).
     val evs = Seq(
       Ev(1L, t("2024-01-01 10:01:00"), "click", 1.0),
       Ev(1L, t("2024-01-01 10:02:00"), "click", 1.0),
       Ev(1L, t("2024-01-01 10:03:00"), "click", 1.0),
       Ev(2L, t("2024-01-01 10:04:00"), "view", 1.0),
       Ev(1L, t("2024-01-01 11:01:00"), "click", 1.0))
+    val flush = Ev(99L, t("2024-01-02 12:00:00"), "flush", 0.0)
     val stream = MemoryStream[Ev]
     val out = StreamingOps.hotKeysStream(
       stream.toDF(), "user_id", "ts", "1 hour", "10 minutes", minCount = 3L)
     val q = out.writeStream.format("memory").queryName("hotkeys")
-      .outputMode("complete").start()
+      .outputMode("append").start()
     try {
       stream.addData(evs)
+      q.processAllAvailable()
+      stream.addData(Seq(flush))
       q.processAllAvailable()
       val got = spark.table("hotkeys")
         .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
