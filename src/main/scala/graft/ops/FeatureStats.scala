@@ -401,6 +401,32 @@ object FeatureStats {
         (sum(col("y")).cast("double") / count(lit(1))).as("pos_rate"))
   }
 
+  /** Threshold confusion counts + derived rates for a binary scorer:
+    * one row (tp, fp, tn, fn, precision, recall, f1) at `threshold`
+    * (score ≥ threshold predicts positive). Counts are exact longs
+    * from one aggregation pass; the three rates divide once in double,
+    * NULL when undefined (no predicted / no actual positives). */
+  def confusionAtThreshold(
+      df: DataFrame, scoreCol: String, labelCol: Column,
+      threshold: Double): DataFrame = {
+    val pred = col(scoreCol).cast("double") >= threshold
+    val y = labelCol.cast("int")
+    val agg = df.filter(col(scoreCol).isNotNull && labelCol.isNotNull)
+      .agg(
+        sum(when(pred && y === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && y === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && y === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && y === 1, 1L).otherwise(0L)).as("fn"))
+    val precision = when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp")))
+    val recall = when(col("tp") + col("fn") > 0,
+      col("tp").cast("double") / (col("tp") + col("fn")))
+    agg.select(col("tp"), col("fp"), col("tn"), col("fn"),
+      precision.as("precision"), recall.as("recall"),
+      when(precision.isNotNull && recall.isNotNull && precision + recall > 0,
+        lit(2.0) * precision * recall / (precision + recall)).as("f1"))
+  }
+
   /** Proper-scoring-rule evaluation for a probability scorer: one row
     * (n, log_loss, brier). Brier is computed ENTIRELY in DECIMAL (the
     * 6-dp score makes (p−y)² exact at 12 dp) — order-independent by

@@ -329,6 +329,33 @@ object ShapingQueries {
                  AS DOUBLE) / count(*) AS brier
         FROM r""")),
 
+    // Threshold confusion matrix + P/R/F1 over the trained classifier.
+    QueryDef(
+      "classifier_confusion",
+      (s, dir) => FeatureStats.confusionAtThreshold(
+        Classifier.trainScoreLogistic(
+          table(s, dir, "documents"), "doc_id", "text",
+          labelCol = (col("lang") === "en"), hexChars = 2, iters = 2, lr = 0.5),
+        "score", col("label") === 1, threshold = 0.52),
+      Some(s"""
+        WITH $ClassifierCtes,
+        c AS (SELECT
+                CAST(sum(CASE WHEN score >= 0.52 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN score >= 0.52 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN score < 0.52 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                CAST(sum(CASE WHEN score < 0.52 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM final_scores)
+        SELECT tp, fp, tn, fn,
+               CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+               CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+               CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END) IS NOT NULL
+                     AND (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END) IS NOT NULL
+                     AND CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn) > 0
+                    THEN 2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+                         / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn))
+               END AS f1
+        FROM c""")),
+
     // Per-slice AUC: the same length-predicts-English probe, sliced by
     // language — the slice-eval table that catches majority-only skill.
     QueryDef(

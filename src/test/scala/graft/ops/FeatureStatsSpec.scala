@@ -242,6 +242,22 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     by(None) should be > 0.9 // and its AUC is computed, not defaulted
   }
 
+  test("confusionAtThreshold: hand-computed counts and rates; degenerate rates are NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0.9, 1), (0.8, 0), (0.3, 1), (0.1, 0), (0.5, 1)).toDF("p", "y")
+    val r = FeatureStats.confusionAtThreshold(df, "p", col("y") === 1, 0.5).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((2L, 1L, 1L, 1L))
+    r.getDouble(4) shouldBe (2.0 / 3.0 +- 1e-12) // precision
+    r.getDouble(5) shouldBe (2.0 / 3.0 +- 1e-12) // recall
+    r.getDouble(6) shouldBe (2.0 / 3.0 +- 1e-12) // f1 (p == r)
+    // nothing predicted positive → precision NULL, recall 0, f1 NULL
+    val none = FeatureStats.confusionAtThreshold(df, "p", col("y") === 1, 2.0).head()
+    none.isNullAt(4) shouldBe true
+    none.getDouble(5) shouldBe 0.0
+    none.isNullAt(6) shouldBe true
+  }
+
   test("probLoss: hand-computed log-loss and Brier; perfect scores clamp, not blow up") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
