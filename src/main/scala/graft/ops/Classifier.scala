@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the feature frame (doc, bucket) is materialized once
   * and reused by every iteration; the weight table is ≤ 16^hexChars
-  * rows — broadcast by construction — so each iteration costs one
+  * rows — broadcast-hinted while that bound is driver-sized
+  * (hexChars ≤ 4), AQE-chosen above it — so each iteration costs one
   * broadcast join + per-doc hash-agg and one per-bucket hash-agg
   * (both map-side combined). N is a 1-value driver aggregate (index
   * metadata). Iterations unroll into one lazy plan.
@@ -40,6 +41,13 @@ object Classifier {
       df: DataFrame, idCol: String, textCol: String, labelCol: Column,
       hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
+    // "Broadcast by construction" only holds while 16^hexChars is
+    // driver-sized: at hexChars ≥ 5 the weight table is bounded by
+    // min(vocab, ≥1M) rows and a FORCED broadcast can OOM the driver —
+    // past that, leave strategy choice to AQE (the join stays a plain
+    // equi-join on `b`).
+    val hintW: DataFrame => DataFrame =
+      if (hexChars <= 4) broadcast(_) else identity
     // Binary features: DISTINCT (doc, label, bucket). Feeds every
     // iteration twice (scoring + gradient) — materialized once.
     val feats = OpsUtil.widen(df)
@@ -55,7 +63,7 @@ object Classifier {
     var w = feats.select(col("b")).distinct()
       .withColumn("w", lit(0).cast("decimal(28,6)"))
     for (_ <- 1 to iters) {
-      val scored = feats.join(broadcast(w), Seq("b"))
+      val scored = feats.join(hintW(w), Seq("b"))
         .groupBy(col(idCol), col("y"))
         .agg(sum(col("w")).as("s"))
         .withColumn("p", sigmoid6(col("s")))
@@ -70,7 +78,7 @@ object Classifier {
             .cast("decimal(28,6)"))
         .select("b", "w")
     }
-    feats.join(broadcast(w), Seq("b"))
+    feats.join(hintW(w), Seq("b"))
       .groupBy(col(idCol), col("y"))
       .agg(sum(col("w")).as("s"))
       .select(col(idCol), col("y").as("label"),

@@ -172,6 +172,11 @@ object CorpusOps {
     val toks = OpsUtil.widen(df)
       .select(col(idCol), targetPred.as("__graft_tgt"),
         explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
+      // Empty/whitespace text splits to [""] — not a feature. Without
+      // this an empty doc gets n_tokens=1 and a weight from the md5("")
+      // bucket, skewing both distributions (and diverging from
+      // [[Classifier.trainScoreLogistic]]'s feature extraction).
+      .filter(col("tk") =!= "")
       .withColumn("b", substring(md5(col("tk")), 1, hexChars))
       .localCheckpoint(false) // feeds both distributions + the scorer
     def dist(frame: DataFrame, cnt: String, tot: String): DataFrame = {

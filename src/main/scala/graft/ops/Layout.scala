@@ -39,9 +39,15 @@ object Layout {
   def zorderAssign(
       df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, files: Int = 64): DataFrame = {
-    // (z - lo) * files must fit a long under ANSI arithmetic: z spans
-    // ≤ 2^(2·bits), so 2·bits + log2(files) stays below 63.
-    require(files > 0 && 2 * bits + 64 - java.lang.Long.numberOfLeadingZeros(files.toLong) < 63)
+    // (z - lo) * files is computed as a long but DIVIDED as a double,
+    // so the numerator must stay exactly representable in a double
+    // (2^53): 2·bits + ceil(log2(files)) ≤ 52. Beyond that, rounding
+    // in the long→double conversion can push floor(...) to `files` —
+    // an out-of-range file_id (long overflow at 63 bits is the laxer,
+    // insufficient bound).
+    require(files > 0 &&
+      2 * bits + (64 - java.lang.Long.numberOfLeadingZeros(files.toLong - 1)) <= 52,
+      s"zorderAssign: 2*bits + log2(files) must be <= 52 (got bits=$bits files=$files)")
     val withZ = df.withColumn("z", zValue(col(xCol), col(yCol), bits))
     val b = withZ.agg(min(col("z")), max(col("z"))).head()
     if (b.isNullAt(0)) return withZ.withColumn("file_id", lit(0)).limit(0)

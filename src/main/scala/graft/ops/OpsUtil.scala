@@ -35,8 +35,20 @@ private[graft] object OpsUtil {
     val bucket = least(lit(buckets - 1),
       floor((orderAsc.cast("double") - lo) / width).cast("int"))
     val rows = df.withColumn("__graft_rb", bucket)
+    // The unpartitioned form runs over ≤ `buckets` SUMMARY rows (never
+    // data) — safe by construction, but an empty partitionSpec makes
+    // WindowExec log a "No Partition Defined … single partition" warning
+    // on every run, noise that would scare an operator reading logs at
+    // scale. Partition by a constant-valued but NON-FOLDABLE expression
+    // (a literal gets constant-folded out of the spec): identical
+    // semantics — all ≤ `buckets` summary rows land in one partition —
+    // and silent logs. `__graft_rb` is never NULL (floor/least over
+    // non-NULL bounds), so pmod(rb, 1) is always exactly 0 — and unlike
+    // rb*0 (simplified to a literal and then eliminated from the spec)
+    // no optimizer rule folds it.
     val offWindow =
-      (if (partitionCols.isEmpty) Window.orderBy(col("__graft_rb"))
+      (if (partitionCols.isEmpty)
+         Window.partitionBy(pmod(col("__graft_rb"), lit(1))).orderBy(col("__graft_rb"))
        else Window.partitionBy(partitionCols.map(col): _*).orderBy(col("__graft_rb")))
         .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = rows.groupBy((partitionCols :+ "__graft_rb").map(col): _*)

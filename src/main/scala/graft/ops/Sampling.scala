@@ -23,8 +23,19 @@ object Sampling {
     * an ArithmeticException under ANSI mode, or a sign-flipped hash
     * that defeats every rate filter), and pmod keeps negative keys in
     * range. Identical values for keys in [0, p). */
-  def hashBucket(key: Column, buckets: Int = 100): Column =
-    (pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L) % lit(1000003L)) % buckets
+  def hashBucket(key: Column, buckets: Int = 100): Column = {
+    val h = (pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L) % lit(1000003L)) % buckets
+    // Under non-ANSI mode a non-numeric key (UUID string, struct …)
+    // casts to NULL, every rate comparison goes NULL, and the sample
+    // SILENTLY empties — fail fast instead: a NULL hash from a
+    // non-NULL key is a type error, not data. NULL keys stay NULL
+    // (absence, handled by the caller's filter as before).
+    when(key.isNotNull && h.isNull,
+      raise_error(concat(
+        lit("hashBucket: key is not castable to long (got value '"),
+        key.cast("string"), lit("') — sample keys must be numeric"))))
+      .otherwise(h)
+  }
 
   /** Keep ~pct% of rows, deterministically by key. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =

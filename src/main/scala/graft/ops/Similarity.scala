@@ -116,19 +116,32 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Within-bucket candidate pairs for one hash table (planes seeded by
-    * `tableIdx` so multiple tables are independent). */
+    * `tableIdx` so multiple tables are independent). With `labelCol`
+    * set, both sides carry the label (query side as `query_label`,
+    * candidate side as `__graft_nx`) — same one-mirrored-attribute
+    * contract as [[allPairsTopK]]. */
   private def lshCandidates(
       df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nPlanes: Int, tableIdx: Int): DataFrame = {
+      dim: Int, nPlanes: Int, tableIdx: Int,
+      labelCol: Option[String] = None): DataFrame = {
     val v = OpsUtil.widen(df)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).as("id") +:
+        labelCol.toSeq.map(l => col(l).as("__graft_lbl")) :+
+        asDouble(col(vecCol)).as("v"): _*)
       .withColumn("bucket", lshBucketSeeded(col("v"), dim, nPlanes, tableIdx))
       .withColumn("n", norm(col("v")))
-    val a = v.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-    val b = v.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn"))
+    val a = v.select(col("bucket") +: col("id").as("query_id") +:
+      labelCol.toSeq.map(_ => col("__graft_lbl").as("query_label")) :+
+      col("v").as("qv") :+ col("n").as("qn"): _*)
+    val b = v.select(col("bucket") +: col("id").as("neighbor_id") +:
+      labelCol.toSeq.map(_ => col("__graft_lbl").as("__graft_nx")) :+
+      col("v").as("cv") :+ col("n").as("cn"): _*)
+    val outCols = Seq("query_id", "neighbor_id") ++
+      labelCol.toSeq.flatMap(_ => Seq("query_label", "__graft_nx")) ++
+      Seq("qv", "qn", "cv", "cn")
     a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+      .select(outCols.map(col): _*)
   }
 
   private def lshBucketSeeded(vec: Column, dim: Int, nPlanes: Int, tableIdx: Int): Column =
@@ -137,13 +150,13 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(cand: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
     cand
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      .select(("query_id" +: carry ++: Seq("neighbor_id", "rank", "cos")).map(col): _*)
   }
 
   /** Approximate top-k: compare only vectors sharing an LSH bucket.
@@ -166,6 +179,67 @@ object Similarity {
       .reduce(_ unionAll _)
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(cand, k)
+  }
+
+  /** Hard-negative mining at corpus scale — the bucketed sibling
+    * [[hardNegatives]]'s scaladoc promises: candidate generation goes
+    * through the SAME multi-table sign-LSH bucket join as
+    * [[lshTopKMultiTable]] (never all-pairs), with the different-label
+    * filter applied to the candidate stream before ranking. Output
+    * matches the exact form: (query_id, query_label, neighbor_id,
+    * rank) — an approximate subset whose recall rises with `tables` /
+    * falls with `nPlanes`, the standard LSH dial. At 10⁹ vectors this
+    * replaces the cartesian product with `tables` bucket equi-joins. */
+  def hardNegativesLsh(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, dim: Int, nPlanes: Int = 6, tables: Int = 3): DataFrame = {
+    require(tables >= 1)
+    val cand = (0 until tables)
+      .map(t => lshCandidates(df, idCol, vecCol, dim, nPlanes, t, Some(labelCol)))
+      .reduce(_ unionAll _)
+      .filter(col("query_label") =!= col("__graft_nx"))
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(cand, k, carry = Seq("query_label")).drop("cos")
+  }
+
+  /** Hard-negative mining through the IVF centroid buckets — the
+    * second scale sibling of [[hardNegatives]], for corpora whose
+    * embedding space clusters (where k-means buckets concentrate true
+    * neighbors better than data-oblivious hyperplanes): candidate
+    * generation is [[ivfTopK]]'s probe-bucket equi-join with the
+    * different-label filter applied to the candidate stream before
+    * ranking. Recall dial: nProbe/nCentroids. Same output contract as
+    * the exact form: (query_id, query_label, neighbor_id, rank). */
+  def hardNegativesIvf(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val base = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(false)
+    val cents = fitCentroids(
+      fitSample(base, FitSampleFactor * nCentroids), nCentroids, iters)
+    val kFit = cents.length
+    val probeN = math.min(nProbe, kFit)
+    val v = base
+      .withColumn("n", norm(col("v")))
+      .withColumn("scores", centroidScores(col("v"), cents))
+    val index = v
+      .withColumn("cid", argmaxIdx(col("scores")))
+      .select(col("cid"), col("id").as("neighbor_id"),
+        col("lbl").as("__graft_nx"), col("v").as("cv"), col("n").as("cn"))
+    val queries = v
+      .withColumn("cid", explode(topIdx(col("scores"), kFit, probeN)))
+      .select(col("cid"), col("id").as("query_id"),
+        col("lbl").as("query_label"), col("v").as("qv"), col("n").as("qn"))
+    val cand = queries.join(index, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("query_label") =!= col("__graft_nx"))
+      .select("query_id", "neighbor_id", "query_label", "qv", "qn", "cv", "cn")
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(cand, k, carry = Seq("query_label")).drop("cos")
   }
 
   // ---- IVF (inverted-file) ANN: the centroid-bucketed scale path ----
@@ -202,15 +276,35 @@ object Similarity {
     * the numeric portable hash — ids here can be any type (a string id
     * cast to long is NULL, which would silently empty the sample), and
     * the fit needs no cross-engine reproducibility, only within-Spark
-    * determinism. */
-  private def fitSample(base: DataFrame, targetRows: Long): DataFrame = {
-    val cnt = base.count()
-    if (cnt <= targetRows) base
-    else {
-      val pct = math.max(1L, targetRows * 100L / cnt).toInt
-      if (pct >= 100) base
-      else base.filter(pmod(xxhash64(col("id")), lit(100L)) < pct)
-        .localCheckpoint(false)
+    * determinism.
+    *
+    * NO full-corpus `count()`: at 100 TB a complete pre-count is the
+    * dominant cost of the fit it exists to bound. Instead (a) a
+    * LIMIT-bounded probe (stops at the first targetRows+1 rows) decides
+    * small-corpus pass-through, then (b) ONE sampling scan materializes
+    * a coarse 10% hash-sample whose count — over the checkpointed
+    * sample, not the corpus — calibrates a consistent-subset threshold
+    * (smaller threshold ⊂ larger, same hash), so trimming to target
+    * re-filters the materialized sample without touching the corpus
+    * again. Only the rare under-sampled case (corpus < 10× target)
+    * pays a second corpus scan to widen. */
+  private[graft] def fitSample(base: DataFrame, targetRows: Long): DataFrame = {
+    // Bounded probe: LocalLimit stops each task early; no full scan.
+    val probe = base.limit(math.min(targetRows + 1, Int.MaxValue.toLong).toInt).count()
+    if (probe <= targetRows) return base
+    val M = 1000000L
+    val h = pmod(xxhash64(col("id")), lit(M))
+    val coarseThr = M / 10
+    val coarse = base.filter(h < coarseThr).localCheckpoint(false)
+    val s = math.max(coarse.count(), 1L)
+    if (s <= targetRows) {
+      // Corpus ≈ 10·s but target wants more: widen in one more scan.
+      val thr = math.min(M, coarseThr * targetRows / s)
+      if (thr >= M) base
+      else base.filter(h < thr).localCheckpoint(false)
+    } else {
+      // Trim the MATERIALIZED sample — threshold subsets are consistent.
+      coarse.filter(h < math.max(1L, coarseThr * targetRows / s))
     }
   }
 

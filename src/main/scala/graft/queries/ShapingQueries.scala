@@ -284,6 +284,80 @@ object ShapingQueries {
                  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         FROM p QUALIFY rank <= 5""")),
 
+    // Scale path for hard-negative mining: multi-table sign-LSH
+    // candidate generation (never all-pairs) + different-label filter.
+    // The bucketing is approximate, so the oracle checks the INVARIANT
+    // (sim_topk_ivf_recall pattern): every emitted pair must genuinely
+    // cross labels (valid_ok — checked Spark-side by joining labels
+    // back) and recall vs the exact all-pairs top-5 must clear 0.7;
+    // DuckDB states both as literals beside the exact query count.
+    QueryDef(
+      "sim_hard_negatives_lsh",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        // Dial note: the synthetic embeddings are near-uniform (no
+        // cluster structure), so hyperplane buckets must be COARSE to
+        // catch true cosine neighbors — 3 planes × 8 tables measures
+        // 0.86 recall here. A real embedding corpus clusters and takes
+        // many more planes at the same recall (smaller buckets); the
+        // op exposes exactly that dial.
+        val lsh = Similarity.hardNegativesLsh(
+          emb, "vec_id", "embedding", "label", k = 5,
+          dim = 64, nPlanes = 3, tables = 8)
+        val exact = Similarity.hardNegatives(
+          emb, "vec_id", "embedding", "label", k = 5)
+        val marked = exact.join(
+          lsh.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        val recall = marked.agg(
+          count_distinct(col("query_id")).cast("long").as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0)).cast("double") /
+            count(lit(1)).cast("double") >= 0.7).as("recall_ok"))
+        val lbl = emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl"))
+        val valid = lsh.join(lbl, Seq("neighbor_id"))
+          .agg((coalesce(sum(when(col("nl") <=> col("query_label"), 1)
+            .otherwise(0)), lit(0)) === 0).as("valid_ok"))
+        recall.crossJoin(valid)
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               true AS recall_ok, true AS valid_ok
+        FROM embeddings a
+        WHERE EXISTS (SELECT 1 FROM embeddings b WHERE b.label != a.label)""")),
+
+    // The IVF-bucketed sibling: k-means candidate buckets (nProbe of
+    // nCentroids probed per query) + the same different-label filter
+    // and invariant oracle.
+    QueryDef(
+      "sim_hard_negatives_ivf",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val ivf = Similarity.hardNegativesIvf(
+          emb, "vec_id", "embedding", "label", k = 5,
+          nCentroids = 64, nProbe = 24)
+        val exact = Similarity.hardNegatives(
+          emb, "vec_id", "embedding", "label", k = 5)
+        val marked = exact.join(
+          ivf.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        val recall = marked.agg(
+          count_distinct(col("query_id")).cast("long").as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0)).cast("double") /
+            count(lit(1)).cast("double") >= 0.7).as("recall_ok"))
+        val lbl = emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl"))
+        val valid = ivf.join(lbl, Seq("neighbor_id"))
+          .agg((coalesce(sum(when(col("nl") <=> col("query_label"), 1)
+            .otherwise(0)), lit(0)) === 0).as("valid_ok"))
+        recall.crossJoin(valid)
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               true AS recall_ok, true AS valid_ok
+        FROM embeddings a
+        WHERE EXISTS (SELECT 1 FROM embeddings b WHERE b.label != a.label)""")),
+
     // DSIR importance weights toward the English slice of the corpus.
     QueryDef(
       "dsir_weights",
@@ -291,9 +365,10 @@ object ShapingQueries {
         table(s, dir, "documents"), "doc_id", "text",
         targetPred = col("lang") === "en", hexChars = 2),
       Some(s"""
-        WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
-                             unnest(string_split($Norm, ' ')) AS tk
-                      FROM documents),
+        WITH toks AS (SELECT * FROM (
+                        SELECT doc_id, lang = 'en' AS tgt,
+                               unnest(string_split($Norm, ' ')) AS tk
+                        FROM documents) WHERE tk != ''),
         bk AS (SELECT doc_id, tgt, substr(md5(tk), 1, 2) AS b FROM toks),
         raw AS (SELECT b, count(*) AS c_r FROM bk GROUP BY 1),
         rtot AS (SELECT sum(c_r) AS n_r FROM raw),

@@ -94,6 +94,48 @@ class SimilaritySpec extends SparkSpec with Matchers {
     }
   }
 
+  private def labeledClusteredDf(n: Int, dim: Int, seed: Int) = {
+    import org.apache.spark.sql.{Row, types => T}
+    val rnd = new scala.util.Random(seed)
+    val centers = Seq.fill(4)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val vecs = (1L to n.toLong).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + (rnd.nextDouble() - 0.5) * 0.2), (i % 3).toInt)
+    }
+    val df = spark.createDataFrame(
+      vecs.map { case (i, v, l) => Row(i, v, l) }.asJava,
+      T.StructType(Seq(
+        T.StructField("vec_id", T.LongType, nullable = false),
+        T.StructField("embedding", T.ArrayType(T.DoubleType), nullable = true),
+        T.StructField("label", T.IntegerType, nullable = false))))
+    (df, vecs)
+  }
+
+  test("hardNegativesLsh/Ivf: cross-label only, recall vs exact clears the dial") {
+    val (df, vecs) = labeledClusteredDf(n = 60, dim = 16, seed = 41)
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def pairSet(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairSet(
+      Similarity.hardNegatives(df, "vec_id", "embedding", "label", 3))
+    for (approx <- Seq(
+        Similarity.hardNegativesLsh(df, "vec_id", "embedding", "label", 3,
+          dim = 16, nPlanes = 3, tables = 6),
+        Similarity.hardNegativesIvf(df, "vec_id", "embedding", "label", 3,
+          nCentroids = 8, nProbe = 5))) {
+      val pairs = pairSet(approx)
+      // every emitted pair genuinely crosses labels
+      pairs.foreach { case (q, nb) =>
+        byId(q)._3 should not be byId(nb)._3
+      }
+      // output respects the top-k bound per query
+      approx.collect().groupBy(_.getLong(0)).values
+        .foreach(_.length should be <= 3)
+      val recall = (pairs intersect exact).size.toDouble / exact.size
+      recall should be > 0.7
+    }
+  }
+
   test("bruteForceTopK matches a naive cosine oracle") {
     val rnd = new scala.util.Random(3)
     val vecs = (1L to 20L).map(i => i -> Seq.fill(8)(rnd.nextDouble() * 2 - 1))
@@ -261,6 +303,21 @@ class SimilaritySpec extends SparkSpec with Matchers {
     val recall = hits.toDouble / bf.count()
     recall should be > 0.5 // coarse pruning + ADC quantization error
     pq.select("query_id").distinct().count() shouldBe 400L
+  }
+
+  test("fitSample: small corpus passes through untouched; large corpus bounded + deterministic, no full pre-count") {
+    import spark.implicits._
+    val small = (1L to 100L).map(i => (i, Seq(i.toDouble))).toDF("id", "v")
+    // reference-identical return proves the small path never rewrites
+    // the frame (and therefore never needed a corpus-wide count)
+    assert(Similarity.fitSample(small, 200L) eq small)
+    val big = (1L to 5000L).map(i => (i, Seq(i.toDouble))).toDF("id", "v")
+    val s1 = Similarity.fitSample(big, 400L).select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Similarity.fitSample(big, 400L).select("id").collect().map(_.getLong(0)).toSet
+    s1 shouldBe s2 // hash-threshold sampling is deterministic
+    s1.size should be > 0
+    s1.size should be < 5000 // genuinely sampled
+    s1.subsetOf((1L to 5000L).toSet) shouldBe true
   }
 
   test("fit sampling survives non-numeric ids and NULL vectors pass pqEncode") {
