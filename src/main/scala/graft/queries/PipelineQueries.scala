@@ -755,6 +755,40 @@ object PipelineQueries {
                CAST(CAST(ascii(substr(text, 4, 1)) AS FLOAT) / 255 AS FLOAT) AS f3
         FROM documents""")),
 
+    // REAL image codec roundtrip (javax.imageio, JDK-resident): image
+    // params derive from doc_id, pixels from the shared pixelValue
+    // contract; the engine WRITES real PNG/BMP bytes and READS them
+    // back — format detected from the bytes, dims and pixel checksum
+    // from the decoded raster. PNG and BMP are lossless RGB, so the
+    // oracle recomputes the identical checksum with plain BIGINT
+    // arithmetic over generate_series — a value-level proof that a
+    // real codec (not the stub) ran the roundtrip.
+    QueryDef(
+      "multimodal_decode_real",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(4) + pmod(col("doc_id"), lit(8))).cast("int").as("w"),
+          (lit(4) + pmod(floor(col("doc_id") / lit(8.0)).cast("long"), lit(8)))
+            .cast("int").as("h"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("bmp").as("fmt"))
+        Multimodal.decodeImage(
+          Multimodal.encodeImage(params, "doc_id", "w", "h", "fmt"),
+          "media_id", "payload")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS w,
+                 CAST(4 + (doc_id // 8) % 8 AS INT) AS h,
+                 CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+          FROM documents)
+        SELECT p.doc_id AS media_id, p.fmt AS format, p.w AS width, p.h AS height,
+               CAST(SUM((p.doc_id * 2654435761 + xs.x * 40503 + ys.y * 69061)
+                 % 16777216) AS BIGINT) AS pix_sum
+        FROM p, generate_series(0, 10) AS xs(x), generate_series(0, 10) AS ys(y)
+        WHERE xs.x < p.w AND ys.y < p.h
+        GROUP BY 1, 2, 3, 4""")),
+
     // SequenceExample wire-format round-trip: embeddings encoded with
     // scalar context + per-element FeatureList steps, decoded back and
     // re-projected (proves the format the reference declared but never

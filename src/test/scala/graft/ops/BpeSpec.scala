@@ -38,6 +38,72 @@ class BpeSpec extends SparkSpec with Matchers {
     Bpe.train(docsDf(Seq(1L -> "ab")), "text", 5).length should be <= 5
   }
 
+  /** The pre-batching reference: exactly one merge (one argmax job)
+    * per round — the classic Sennrich loop the batched train must
+    * reproduce bit-for-bit. */
+  private def naiveTrain(df: org.apache.spark.sql.DataFrame, nMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    var rules = Vector.empty[(String, String)]
+    var exhausted = false
+    while (rules.length < nMerges && !exhausted) {
+      val top = Bpe.pairCounts(df, "text", rules)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val parts = top.head.getString(0).split(' ')
+        rules = rules :+ ((parts(0), parts(1)))
+      }
+    }
+    rules
+  }
+
+  test("batched train equals the one-merge-per-job classic loop on random corpora") {
+    for (seed <- Seq(5, 17, 101)) {
+      val rnd = new scala.util.Random(seed)
+      // small alphabet → dense pair interactions, the regime where a
+      // wrong batch bound would reorder merges
+      val words = Seq.fill(40)(
+        (0 until 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val docs = words.grouped(8).zipWithIndex
+        .map { case (ws, i) => (i + 1).toLong -> ws.mkString(" ") }.toSeq
+      val df = docsDf(docs)
+      withClue(s"seed $seed: ") {
+        Bpe.train(df, "text", 8) shouldBe naiveTrain(df, 8)
+      }
+    }
+  }
+
+  test("disjoint top pairs batch into one round: job count independent of merge count") {
+    // four symbol-disjoint non-self pairs with strictly ordered counts —
+    // all provably safe to apply from one summary
+    val text = (Seq.fill(8)("ab") ++ Seq.fill(6)("cd") ++
+      Seq.fill(4)("ef") ++ Seq.fill(2)("gh")).mkString(" ")
+    val df = docsDf(Seq(1L -> text))
+    def jobsDuring(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // status store fills asynchronously — poll until stable
+      var last = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (cur != last && spins < 50) {
+        last = cur; Thread.sleep(100)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      cur
+    }
+    var r2: Seq[(String, String)] = Nil
+    var r4: Seq[(String, String)] = Nil
+    val j2 = jobsDuring("bpe-train-2") { r2 = Bpe.train(df, "text", 2) }
+    val j4 = jobsDuring("bpe-train-4") { r4 = Bpe.train(df, "text", 4) }
+    r4 shouldBe Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"))
+    r2 shouldBe r4.take(2)
+    // both trains take ONE summary round — doubling the merge count
+    // must not add a single Spark job
+    j4 shouldBe j2
+  }
+
   test("tokenize matches the naive reference and reassembles every word") {
     val rnd = new scala.util.Random(89)
     val words = Seq("lower", "newest", "lowest", "wider", "low", "a") ++

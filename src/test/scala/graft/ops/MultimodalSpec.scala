@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Real-codec multimodal coverage: the javax.imageio encode/decode
+  * roundtrip must reproduce the generating parameters exactly (PNG and
+  * BMP are lossless RGB), and undecodable payloads must degrade to
+  * NULL fields, not task failures. */
+class MultimodalSpec extends SparkSpec with Matchers {
+  import scala.jdk.CollectionConverters._
+
+  private def paramsDf(rows: Seq[(Long, Int, Int, String)]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      rows.map { case (i, w, h, f) => Row(i, w, h, f) }.asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType, nullable = false),
+        T.StructField("w", T.IntegerType, nullable = false),
+        T.StructField("h", T.IntegerType, nullable = false),
+        T.StructField("fmt", T.StringType, nullable = false))))
+  }
+
+  test("encodeImage→decodeImage roundtrips dims, format, and pixel checksum for PNG and BMP") {
+    val params = Seq(
+      (1L, 5, 9, "png"), (2L, 16, 4, "bmp"),
+      (3L, 1, 1, "png"), (4L, 11, 7, "bmp"))
+    val decoded = Multimodal.decodeImage(
+      Multimodal.encodeImage(paramsDf(params), "id", "w", "h", "fmt"),
+      "media_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    for ((id, w, h, fmt) <- params) {
+      val expSum = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixelValue(id, x, y).toLong).sum
+      decoded(id) shouldBe ((fmt, w, h, expSum))
+    }
+  }
+
+  test("decodeImage: undecodable payloads yield NULL fields, not failures") {
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(
+      Seq(Row(7L, Array[Byte](1, 2, 3, 4)), Row(8L, Array.emptyByteArray)).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val out = Multimodal.decodeImage(df, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(7L).isNullAt(1) shouldBe true // format
+    out(7L).isNullAt(2) shouldBe true // width
+    out(8L).isNullAt(4) shouldBe true // pix_sum
+  }
+
+  test("decodeImage detects format from bytes regardless of what the writer was told") {
+    // encode as PNG, hand the payload over with no format metadata at
+    // all — detection must come from the byte signature
+    val dec = Multimodal.decodeImage(
+      Multimodal.encodeImage(paramsDf(Seq((42L, 6, 6, "png"))), "id", "w", "h", "fmt")
+        .select(col("media_id"), col("payload")),
+      "media_id", "payload").head()
+    dec.getString(1) shouldBe "png"
+    dec.getInt(2) shouldBe 6
+  }
+}
