@@ -6,6 +6,8 @@ import org.apache.spark.sql.types._
 
 import graft.encode.{TfExample, TfExampleEncoder}
 import graft.join.{PointInTimeJoin, ResolvedView}
+import graft.registry.YamlRegistry
+import graft.run.{JobConfig, Runner}
 
 /** The reference's core capability re-expressed Spark-first: the
   * point-in-time (as-of) join (SURVEY.md §2.3 J1), latest-value dedup
@@ -14,6 +16,24 @@ import graft.join.{PointInTimeJoin, ResolvedView}
   */
 object FeatureStoreQueries {
   import QueryDef.table
+
+  /** The CLI fixture registry, inlined so the full registry-driven job
+    * path (YAML → resolve → retrieve → encode) is bench- and
+    * oracle-tracked at every scale factor, not just the sf0.001 CLI
+    * smoke run. */
+  private val E2eRegistryYaml =
+    """project: graft-bench
+      |views:
+      |  - name: order_features
+      |    source: orders.parquet
+      |    entities: [o_custkey]
+      |    timestamp: o_orderdate
+      |    createdTimestamp: o_orderdate
+      |    features: [o_totalprice, o_orderstatus]
+      |services:
+      |  - name: training_service
+      |    features: ["order_features:o_totalprice", "order_features:o_orderstatus"]
+      |""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     // Entities = events(user_id, ts); features = latest order per customer
@@ -41,6 +61,47 @@ object FeatureStoreQueries {
           FROM events e
           LEFT JOIN orders o
             ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        )
+        SELECT event_id, user_id, ts, o_totalprice, o_orderstatus FROM c WHERE rn = 1""")),
+
+    // Adversarial-skew PIT: one synthetic hot entity key carries ~10%
+    // of the spine (every 10th event remaps to user 1), concentrating
+    // the as-of join's equi-key shuffle on one partition — the regime
+    // AqeSkewSpec proves AQE splits at runtime (skew known a priori
+    // would use SaltedJoin instead). Values stay exactly oracle-
+    // checkable: the remap is deterministic arithmetic both engines
+    // compute identically, so this doubles as a bench-weighted canary
+    // that the PIT plan survives a hot key without a wrong answer.
+    QueryDef(
+      "pit_skew_hotkey",
+      (s, dir) => {
+        val entity = table(s, dir, "events")
+          .select(col("event_id"),
+            when(pmod(col("event_id"), lit(10)) === 0, lit(1L))
+              .otherwise(col("user_id")).as("user_id"),
+            col("ts"))
+        val view = ResolvedView(
+          name = "order_features",
+          source = table(s, dir, "orders"),
+          joinKeys = Seq("user_id" -> "o_custkey"),
+          tsCol = "o_orderdate",
+          features = Seq("o_totalprice", "o_orderstatus"))
+        PointInTimeJoin.join(entity, "ts", Seq(view), rowIdCol = Some("event_id"))
+      },
+      Some("""
+        WITH e2 AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 10 = 0 THEN 1 ELSE user_id END AS user_id,
+                 CAST(ts AS TIMESTAMP) AS ts
+          FROM events),
+        c AS (
+          SELECT e.event_id, e.user_id, e.ts,
+                 o.o_totalprice, o.o_orderstatus,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC, o.o_orderstatus DESC) AS rn
+          FROM e2 e
+          LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         )
         SELECT event_id, user_id, ts, o_totalprice, o_orderstatus FROM c WHERE rn = 1""")),
 
@@ -188,6 +249,60 @@ object FeatureStoreQueries {
           FROM lineitem) WHERE rn = 1""")),
 
     // Row → tf.Example bytes → decoded row (U1/P1): the oracle is a plain
+    // Registry-driven job path end-to-end AT BENCH WEIGHT: YAML
+    // registry → service resolution → entity SQL → PIT join → per-row
+    // tf.Example ENCODE → wire-format DECODE → aggregate over the
+    // decoded features. Everything the CLI run does except the
+    // TFRecord file write (I/O, covered by the sf0.001 smoke +
+    // tools/check_tfrecords.py), so the full retrieval+codec latency
+    // is tracked per round. min/max survive float32 quantization
+    // exactly (casting is monotonic), so the oracle is value-exact.
+    QueryDef(
+      "runner_e2e",
+      (s, dir) => {
+        val job = JobConfig(
+          registry = YamlRegistry.load(E2eRegistryYaml),
+          dataDir = dir,
+          features = Right("training_service"),
+          entityQuery =
+            "SELECT user_id AS o_custkey, ts AS event_timestamp FROM events")
+        val joined = Runner.retrieve(s, job, job.entityQuery)
+        val payloads = Runner.encode(joined)
+        val out = StructType(Seq(
+          StructField("status", StringType),
+          StructField("price_f32", FloatType)))
+        val decoded = payloads.mapPartitions { bs =>
+          bs.map { b =>
+            val d = TfExample.decode(b)
+            val st = d.get("o_orderstatus") match {
+              case Some(TfExample.Bytes(Seq(v))) => new String(v, "UTF-8")
+              case _ => null
+            }
+            val pr: java.lang.Float = d.get("o_totalprice") match {
+              case Some(TfExample.Floats(Seq(v))) => v
+              case _ => null
+            }
+            org.apache.spark.sql.Row(st, pr)
+          }
+        }(org.apache.spark.sql.Encoders.row(out))
+        decoded.groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            min(col("price_f32")).as("min_price"),
+            max(col("price_f32")).as("max_price"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT e.event_id, o.o_totalprice, o.o_orderstatus,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC, o.o_orderstatus DESC) AS rn
+          FROM events e
+          LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+        SELECT o_orderstatus AS status, COUNT(*) AS n,
+               MIN(CAST(o_totalprice AS FLOAT)) AS min_price,
+               MAX(CAST(o_totalprice AS FLOAT)) AS max_price
+        FROM c WHERE rn = 1 GROUP BY 1""")),
+
     // SELECT, so a hash match proves the encoder's type mapping
     // (int64/float32/bytes/timestamp-ISO) end to end.
     QueryDef(

@@ -103,6 +103,49 @@ object TemporalQueries {
           GROUP BY 1, 2, 3)
         SELECT user_id, t1, t2, t3 FROM s3""")),
 
+    // Batch-parity twin of StreamingOps.hotKeysStream — the SAME
+    // operator invocation runs here on the batch frame (the watermark
+    // is a no-op outside streaming), so the driver's value oracle
+    // covers the streaming monitor's aggregation semantics end-to-end,
+    // not just its spec harness.
+    QueryDef(
+      "events_hot_keys",
+      (s, dir) => graft.streaming.StreamingOps.hotKeysStream(
+        table(s, dir, "events"), "user_id", "ts",
+        windowDuration = "1 day", watermark = "0 seconds", minCount = 3L),
+      Some("""
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+               user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3""")),
+
+    // Batch-parity twin of StreamingOps.packStream: in batch execution
+    // the whole corpus is one "micro-batch" (state starts empty), so
+    // the incremental packing must equal Packing.assignSequences'
+    // hash-ordered prefix sums — stated here as the exact value oracle.
+    QueryDef(
+      "pack_stream_batch",
+      (s, dir) => graft.streaming.StreamingOps.packStream(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.ops.TextOps.tokens(
+              graft.ops.TextOps.normalized(col("text")))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 2048, buckets = 8).toDF(),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+                 ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 8 AS pack_bucket,
+                 ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) AS ord
+          FROM documents)
+        SELECT pack_bucket, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_bucket
+                 ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_bucket
+                 ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_idx
+        FROM d""")),
+
     // Native merging session_window (vs the lag/cumsum formulation
     // above): an event exactly `gap` after its predecessor still MERGES
     // into the session (verified against Spark's merge rule), so the
