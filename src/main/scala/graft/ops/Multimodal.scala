@@ -122,30 +122,39 @@ object Multimodal {
     val payIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
-        val bytes = r.getAs[Array[Byte]](payIdx)
+        // NULL ids/payloads are corrupt-metadata rows, not task errors.
+        val id: java.lang.Long =
+          if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          val bytes = r.getAs[Array[Byte]](payIdx)
+          // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+          // the default factory (useCache=true) backs every stream with a
+          // temp FILE + open descriptor — one per row would exhaust
+          // ulimit/tmpdir on a large partition between GC cycles.
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) Row(id, null, null, null, null)
-          else {
-            val reader = readers.next()
-            val fmt = reader.getFormatName.toLowerCase
-            reader.setInput(iis)
-            val img = reader.read(0)
-            var sum = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                sum += (img.getRGB(x, y) & 0xffffff); x += 1
-              }
-              y += 1
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Row(id, null, null, null, null)
+            else {
+              val reader = readers.next()
+              try {
+                val fmt = reader.getFormatName.toLowerCase
+                reader.setInput(iis)
+                val img = reader.read(0)
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    sum += (img.getRGB(x, y) & 0xffffff); x += 1
+                  }
+                  y += 1
+                }
+                Row(id, fmt, img.getWidth, img.getHeight, sum)
+              } finally reader.dispose()
             }
-            reader.dispose()
-            Row(id, fmt, img.getWidth, img.getHeight, sum)
-          }
+          } finally iis.close()
         } catch {
           case _: Exception => Row(id, null, null, null, null)
         }

@@ -90,10 +90,10 @@ object Similarity {
     * label filter to its candidate stream.
     * Output: (query_id, query_label, neighbor_id, rank). */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int): DataFrame =
+      labelCol: String, k: Int, queryPred: Option[Column] = None): DataFrame =
     allPairsTopK(df, idCol, vecCol, k,
       Some(labelCol -> "query_label"),
-      col("query_label") =!= col("__graft_nx"), None)
+      col("query_label") =!= col("__graft_nx"), queryPred)
 
   /** Deterministic hyperplane weights: w(plane, dim) = zero-mean integer
     * from xxhash64(plane, dim), evaluated once at plan-build time and
@@ -123,14 +123,19 @@ object Similarity {
   private def lshCandidates(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nPlanes: Int, tableIdx: Int,
-      labelCol: Option[String] = None): DataFrame = {
-    val v = OpsUtil.widen(df)
+      labelCol: Option[String] = None,
+      queryPred: Option[Column] = None): DataFrame = {
+    val src = OpsUtil.widen(df)
+    val prep = (frame: DataFrame) => frame
       .select(col(idCol).as("id") +:
         labelCol.toSeq.map(l => col(l).as("__graft_lbl")) :+
         asDouble(col(vecCol)).as("v"): _*)
       .withColumn("bucket", lshBucketSeeded(col("v"), dim, nPlanes, tableIdx))
       .withColumn("n", norm(col("v")))
-    val a = v.select(col("bucket") +: col("id").as("query_id") +:
+    val v = prep(src)
+    // queryPred restricts the QUERY side only; candidates stay full.
+    val vq = queryPred.fold(v)(p => prep(src.filter(p)))
+    val a = vq.select(col("bucket") +: col("id").as("query_id") +:
       labelCol.toSeq.map(_ => col("__graft_lbl").as("query_label")) :+
       col("v").as("qv") :+ col("n").as("qn"): _*)
     val b = v.select(col("bucket") +: col("id").as("neighbor_id") +:
@@ -189,13 +194,18 @@ object Similarity {
     * matches the exact form: (query_id, query_label, neighbor_id,
     * rank) — an approximate subset whose recall rises with `tables` /
     * falls with `nPlanes`, the standard LSH dial. At 10⁹ vectors this
-    * replaces the cartesian product with `tables` bucket equi-joins. */
+    * replaces the cartesian product with `tables` bucket equi-joins.
+    * `queryPred` restricts the QUERY side only (the candidate corpus
+    * stays full) — mining negatives for a batch of anchors, or the
+    * sampled-recall verification pattern. */
   def hardNegativesLsh(
       df: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int, dim: Int, nPlanes: Int = 6, tables: Int = 3): DataFrame = {
+      k: Int, dim: Int, nPlanes: Int = 6, tables: Int = 3,
+      queryPred: Option[Column] = None): DataFrame = {
     require(tables >= 1)
     val cand = (0 until tables)
-      .map(t => lshCandidates(df, idCol, vecCol, dim, nPlanes, t, Some(labelCol)))
+      .map(t => lshCandidates(df, idCol, vecCol, dim, nPlanes, t,
+        Some(labelCol), queryPred))
       .reduce(_ unionAll _)
       .filter(col("query_label") =!= col("__graft_nx"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -209,10 +219,12 @@ object Similarity {
     * generation is [[ivfTopK]]'s probe-bucket equi-join with the
     * different-label filter applied to the candidate stream before
     * ranking. Recall dial: nProbe/nCentroids. Same output contract as
-    * the exact form: (query_id, query_label, neighbor_id, rank). */
+    * the exact form: (query_id, query_label, neighbor_id, rank);
+    * `queryPred` restricts the query side only, like [[ivfpqTopK]]. */
   def hardNegativesIvf(
       df: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      queryPred: Option[Column] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
     val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), col(labelCol).as("lbl"),
@@ -230,7 +242,13 @@ object Similarity {
       .withColumn("cid", argmaxIdx(col("scores")))
       .select(col("cid"), col("id").as("neighbor_id"),
         col("lbl").as("__graft_nx"), col("v").as("cv"), col("n").as("cn"))
-    val queries = v
+    // queryPred is stated over the ORIGINAL frame's columns — applied
+    // as a semi-join on the unique id (the ivfpqTopK pattern).
+    val vq = queryPred.fold(v) { p =>
+      v.join(OpsUtil.widen(df).filter(p).select(col(idCol).as("id")),
+        Seq("id"), "left_semi")
+    }
+    val queries = vq
       .withColumn("cid", explode(topIdx(col("scores"), kFit, probeN)))
       .select(col("cid"), col("id").as("query_id"),
         col("lbl").as("query_label"), col("v").as("qv"), col("n").as("qn"))
@@ -282,23 +300,26 @@ object Similarity {
     * dominant cost of the fit it exists to bound. Instead (a) a
     * LIMIT-bounded probe (stops at the first targetRows+1 rows) decides
     * small-corpus pass-through, then (b) ONE sampling scan materializes
-    * a coarse 10% hash-sample whose count — over the checkpointed
-    * sample, not the corpus — calibrates a consistent-subset threshold
-    * (smaller threshold ⊂ larger, same hash), so trimming to target
-    * re-filters the materialized sample without touching the corpus
-    * again. Only the rare under-sampled case (corpus < 10× target)
-    * pays a second corpus scan to widen. */
+    * a coarse 1% hash-sample — the floor the old count-based rate
+    * bottomed out at, so the materialization is never WORSE than the
+    * count()-era plan — whose count (over the checkpointed sample, not
+    * the corpus) calibrates a consistent-subset threshold (smaller
+    * threshold ⊂ larger, same hash), so trimming to target re-filters
+    * the materialized sample without touching the corpus again. Only
+    * the under-sampled case (corpus < 100× target) pays a second
+    * corpus scan to widen — bounded, since that rescan checkpoints
+    * ~target rows. */
   private[graft] def fitSample(base: DataFrame, targetRows: Long): DataFrame = {
     // Bounded probe: LocalLimit stops each task early; no full scan.
     val probe = base.limit(math.min(targetRows + 1, Int.MaxValue.toLong).toInt).count()
     if (probe <= targetRows) return base
     val M = 1000000L
     val h = pmod(xxhash64(col("id")), lit(M))
-    val coarseThr = M / 10
+    val coarseThr = M / 100
     val coarse = base.filter(h < coarseThr).localCheckpoint(false)
     val s = math.max(coarse.count(), 1L)
     if (s <= targetRows) {
-      // Corpus ≈ 10·s but target wants more: widen in one more scan.
+      // Corpus ≈ 100·s but target wants more: widen in one more scan.
       val thr = math.min(M, coarseThr * targetRows / s)
       if (thr >= M) base
       else base.filter(h < thr).localCheckpoint(false)

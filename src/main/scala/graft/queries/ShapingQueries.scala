@@ -300,12 +300,15 @@ object ShapingQueries {
         // catch true cosine neighbors — 3 planes × 8 tables measures
         // 0.86 recall here. A real embedding corpus clusters and takes
         // many more planes at the same recall (smaller buckets); the
-        // op exposes exactly that dial.
+        // op exposes exactly that dial. Queries restrict to the
+        // portable 10% sample (candidate corpus stays full), the
+        // sim_topk_ivf_recall verification pattern.
+        val qp = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10)
         val lsh = Similarity.hardNegativesLsh(
           emb, "vec_id", "embedding", "label", k = 5,
-          dim = 64, nPlanes = 3, tables = 8)
+          dim = 64, nPlanes = 3, tables = 8, queryPred = qp)
         val exact = Similarity.hardNegatives(
-          emb, "vec_id", "embedding", "label", k = 5)
+          emb, "vec_id", "embedding", "label", k = 5, queryPred = qp)
         val marked = exact.join(
           lsh.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
           Seq("query_id", "neighbor_id"), "left")
@@ -324,7 +327,8 @@ object ShapingQueries {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                true AS recall_ok, true AS valid_ok
         FROM embeddings a
-        WHERE EXISTS (SELECT 1 FROM embeddings b WHERE b.label != a.label)""")),
+        WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10
+          AND EXISTS (SELECT 1 FROM embeddings b WHERE b.label != a.label)""")),
 
     // The IVF-bucketed sibling: k-means candidate buckets (nProbe of
     // nCentroids probed per query) + the same different-label filter
@@ -333,11 +337,12 @@ object ShapingQueries {
       "sim_hard_negatives_ivf",
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
+        val qp = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10)
         val ivf = Similarity.hardNegativesIvf(
           emb, "vec_id", "embedding", "label", k = 5,
-          nCentroids = 64, nProbe = 24)
+          nCentroids = 64, nProbe = 24, queryPred = qp)
         val exact = Similarity.hardNegatives(
-          emb, "vec_id", "embedding", "label", k = 5)
+          emb, "vec_id", "embedding", "label", k = 5, queryPred = qp)
         val marked = exact.join(
           ivf.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
           Seq("query_id", "neighbor_id"), "left")
@@ -356,7 +361,8 @@ object ShapingQueries {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                true AS recall_ok, true AS valid_ok
         FROM embeddings a
-        WHERE EXISTS (SELECT 1 FROM embeddings b WHERE b.label != a.label)""")),
+        WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10
+          AND EXISTS (SELECT 1 FROM embeddings b WHERE b.label != a.label)""")),
 
     // DSIR importance weights toward the English slice of the corpus.
     QueryDef(

@@ -73,6 +73,26 @@ class BpeSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("batched train stays exact when the summary TRUNCATES (nonzero cutoff bound)") {
+    // >64 distinct adjacent pairs forces top.length == k (k = 64 for
+    // nMerges <= 16), so the cutoff bound and the provability-lost
+    // bail-out — the delicate half of the batch-safety argument —
+    // actually execute, unlike the small-alphabet corpora above.
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(300)(
+        (0 until 4 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(12)).toChar).mkString)
+      val docs = words.grouped(25).zipWithIndex
+        .map { case (ws, i) => (i + 1).toLong -> ws.mkString(" ") }.toSeq
+      val df = docsDf(docs)
+      val distinctPairs = Bpe.pairCounts(df, "text").count()
+      withClue(s"seed $seed (distinct pairs $distinctPairs): ") {
+        distinctPairs should be > 64L // truncation really happens
+        Bpe.train(df, "text", 6) shouldBe naiveTrain(df, 6)
+      }
+    }
+  }
+
   test("disjoint top pairs batch into one round: job count independent of merge count") {
     // four symbol-disjoint non-self pairs with strictly ordered counts —
     // all provably safe to apply from one summary

@@ -148,17 +148,31 @@ def main():
     def f32(x):  # tf.Example FloatList is float32 — quantize the oracle too
         return None if x is None else struct.unpack("<f", struct.pack("<f", x))[0]
 
+    # None-safe total order: unmatched events carry None features and
+    # Python 3 refuses None < float — sort on a presence-tagged key.
+    def key(t):
+        return (t[0], t[1] is not None, t[1] or 0.0, t[2] or "")
+
     got = sorted(
-        (r["o_custkey"][0],
-         f32(r["o_totalprice"][0]) if r.get("o_totalprice") else None,
-         r["o_orderstatus"][0].decode() if r.get("o_orderstatus") else None)
-        for r in records)
+        ((r["o_custkey"][0],
+          f32(r["o_totalprice"][0]) if r.get("o_totalprice") else None,
+          r["o_orderstatus"][0].decode() if r.get("o_orderstatus") else None)
+         for r in records), key=key)
+    # Explicit tie-break mirroring the engine's max(struct(ts, createdTs,
+    # price, status)) dedup — a bare ASOF join picks an ARBITRARY row
+    # among orders tied on the winning o_orderdate (sf0.01 has 194 such
+    # events) and would flag a correct output as mismatched.
     exp = duckdb.sql(f"""
-        SELECT e.user_id, o.o_totalprice, o.o_orderstatus
-        FROM read_parquet('{data_dir}/events.parquet') e
-        ASOF LEFT JOIN read_parquet('{data_dir}/orders.parquet') o
-          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""").fetchall()
-    exp = sorted((a, f32(b), c) for a, b, c in exp)
+        WITH c AS (
+          SELECT e.event_id, e.user_id, o.o_totalprice, o.o_orderstatus,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC,
+                            o.o_orderstatus DESC) AS rn
+          FROM read_parquet('{data_dir}/events.parquet') e
+          LEFT JOIN read_parquet('{data_dir}/orders.parquet') o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        SELECT user_id, o_totalprice, o_orderstatus FROM c WHERE rn = 1""").fetchall()
+    exp = sorted(((a, f32(b), c) for a, b, c in exp), key=key)
     mism = sum(1 for g, x in zip(got, exp) if g != x) + abs(len(got) - len(exp))
     print(f"{mism} mismatches ({len(got)} decoded vs {len(exp)} oracle rows)")
     sys.exit(0 if mism == 0 else 1)
