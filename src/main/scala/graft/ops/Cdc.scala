@@ -51,4 +51,34 @@ object Cdc {
       .select(keyCols.map(col) ++
         nonKey.map(c => col("__graft_latest").getField(c).as(c)): _*)
   }
+
+  /** Slowly-changing-dimension TYPE 2 history from the same changelog
+    * contract as [[applyChangelog]]: every upsert opens a version row
+    * valid over `[seq, next change's seq)`; the key's following change
+    * (upsert OR delete) closes it. Output = the change's data columns
+    * plus `valid_from_seq`, `valid_to_seq` (NULL = still open) and
+    * `is_current` (open AND not closed by a delete). A training
+    * pipeline joins facts against this on
+    * `valid_from_seq <= fact_seq < valid_to_seq` to reconstruct any
+    * point-in-time snapshot — the audit-table complement of the PIT
+    * join's latest-value semantics.
+    *
+    * Scale shape: ONE shuffle (the per-key window for `lead(seq)`);
+    * key cardinality bounds nothing — each key's history sorts
+    * independently inside its partition. `seqCol` unique per key, as
+    * in [[applyChangelog]]. */
+  def scd2History(
+      changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    changes
+      .withColumn("__graft_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumn("valid_from_seq", col(seqCol))
+      .withColumn("valid_to_seq", col("__graft_to"))
+      .withColumn("is_current", col("__graft_to").isNull)
+      .drop("__graft_to", seqCol, opCol)
+  }
 }

@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with typed metadata alongside. IMAGE decode
   * is REAL — [[encodeImage]]/[[decodeImage]] run the JDK-resident
-  * `javax.imageio` codecs (PNG/BMP/JPEG/GIF) with a lossless-roundtrip
-  * oracle. Audio/video have no JDK codec, so those stages keep the
-  * deterministic stub ([[stubDecode]], [[stubFrameSample]]) — the
-  * Spark-side plumbing (schema contract, partition-preserving
-  * `mapPartitions` batch shape, the Scala analogue of `mapInPandas`,
-  * projection-friendly metadata extraction) is real and tested either
-  * way.
+  * `javax.imageio` codecs (PNG/BMP/JPEG/GIF) — and so is AUDIO —
+  * [[encodeAudio]]/[[decodeAudio]] run `javax.sound.sampled`
+  * (WAV/AIFF/AU containers, PCM frames) — both with lossless-roundtrip
+  * oracles. Only COMPRESSED audio and video genuinely lack a JDK
+  * codec, so those stages keep the deterministic stub ([[stubDecode]],
+  * [[stubFrameSample]]) — the Spark-side plumbing (schema contract,
+  * partition-preserving `mapPartitions` batch shape, the Scala
+  * analogue of `mapInPandas`, projection-friendly metadata extraction)
+  * is real and tested either way.
   *
   * At 100 TB: payload bytes never enter a shuffle — decode/feature
   * steps are per-partition projections; group-bys operate on the
@@ -160,6 +162,104 @@ object Multimodal {
         }
       }
     }(org.apache.spark.sql.Encoders.row(imageSchema))
+  }
+
+  /** Deterministic 16-bit PCM sample `i` of clip `id` — the shared
+    * contract between [[encodeAudio]], the roundtrip oracle SQL (plain
+    * BIGINT arithmetic), and the spec. Range [-32768, 32767]. */
+  private[graft] def sampleValue(id: Long, i: Int): Int =
+    (((id * 31L + i * 2654435761L) % 65536L) - 32768L).toInt
+
+  /** Output contract of the REAL audio decode stage ([[decodeAudio]]). */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("encoding", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sample_sum", LongType)))
+
+  /** Generate real RIFF/WAVE bytes in-engine: `nSamples` frames of
+    * 16-bit signed little-endian mono PCM at `sampleRate`, sample `i`
+    * carrying [[sampleValue]], written through the JDK-resident
+    * `javax.sound.sampled` codec (AudioSystem.write — audio's
+    * [[encodeImage]] twin; the container genuinely lacks codecs only
+    * for COMPRESSED audio and video, which keep the stubs). Input:
+    * (id, nSamples); output: (media_id, payload). Correctness is
+    * asserted on the decoded roundtrip, never on the container
+    * bytes. */
+  def encodeAudio(
+      df: DataFrame, idCol: String, nSamplesCol: String,
+      sampleRate: Int = 8000): DataFrame = {
+    require(sampleRate > 0)
+    val src = df.select(col(idCol).cast("long").as("media_id"),
+      col(nSamplesCol).cast("int").as("n"))
+    src.mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // 16-bit signed LE mono
+      rows.map { r =>
+        val (id, n) = (r.getLong(0), r.getInt(1))
+        require(n > 0, s"encodeAudio: non-positive sample count $n")
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = sampleValue(id, i)
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        try javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        finally ais.close()
+        Row(id, bos.toByteArray)
+      }
+    }(org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))))
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU — the
+    * JDK-resident readers): parses the container header for encoding /
+    * sample rate / channel count, streams the PCM frames, and reduces
+    * them to a sample checksum (Σ signed 16-bit LE samples) so a
+    * lossless roundtrip is verifiable end-to-end in SQL. Undecodable
+    * payloads and NULL ids degrade to NULL fields — corrupt media is
+    * data, not an error. Same per-partition shape as [[decodeImage]];
+    * payload bytes never shuffle. */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id: java.lang.Long =
+          if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
+        try {
+          val bytes = r.getAs[Array[Byte]](payIdx)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            val data = ais.readAllBytes()
+            val bigEndian = fmt.isBigEndian
+            var sum = 0L
+            var i = 0
+            while (i + 1 < data.length) {
+              val lo = if (bigEndian) data(i + 1) else data(i)
+              val hi = if (bigEndian) data(i) else data(i + 1)
+              sum += ((hi.toInt << 8) | (lo.toInt & 0xff)).toShort.toLong
+              i += 2
+            }
+            Row(id, fmt.getEncoding.toString, fmt.getSampleRate.toInt,
+              fmt.getChannels, ais.getFrameLength, sum)
+          } finally ais.close()
+        } catch {
+          case _: Exception => Row(id, null, null, null, null, null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(audioSchema))
   }
 
   /** Output contract of the resize stage. */

@@ -789,6 +789,33 @@ object PipelineQueries {
         WHERE xs.x < p.w AND ys.y < p.h
         GROUP BY 1, 2, 3, 4""")),
 
+    // REAL audio codec roundtrip (javax.sound.sampled, JDK-resident):
+    // 16-bit mono PCM clips generated from doc_id via the shared
+    // sampleValue contract, written as real RIFF/WAVE containers and
+    // decoded back — encoding/rate/channels from the parsed header,
+    // frame count and sample checksum from the streamed PCM. Lossless,
+    // so the oracle recomputes the checksum in BIGINT arithmetic.
+    QueryDef(
+      "multimodal_audio_real",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(64) + pmod(col("doc_id"), lit(128))).cast("int").as("n"))
+        Multimodal.decodeAudio(
+          Multimodal.encodeAudio(params, "doc_id", "n", sampleRate = 8000),
+          "media_id", "payload")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(64 + doc_id % 128 AS BIGINT) AS n FROM documents)
+        SELECT p.doc_id AS media_id, 'PCM_SIGNED' AS encoding,
+               CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+               p.n AS n_samples,
+               CAST(SUM((p.doc_id * 31 + i.i * 2654435761) % 65536 - 32768) AS BIGINT) AS sample_sum
+        FROM p, generate_series(0, 191) AS i(i)
+        WHERE i.i < p.n
+        GROUP BY 1, 2, 3, 4, 5""")),
+
     // SequenceExample wire-format round-trip: embeddings encoded with
     // scalar context + per-element FeatureList steps, decoded back and
     // re-projected (proves the format the reference declared but never

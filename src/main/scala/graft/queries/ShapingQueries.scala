@@ -268,6 +268,47 @@ object ShapingQueries {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM latest WHERE rn = 1 AND op != 'D'""")),
 
+    // SCD2 history from the same changelog: every upsert opens a
+    // version, the key's next change closes it, deletes leave no open
+    // row — the audit-table complement of cdc_merge's latest-value
+    // snapshot, exact-mirrored by a LEAD window in the oracle.
+    QueryDef(
+      "cdc_scd2",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        def chg(pred: org.apache.spark.sql.Column, status: org.apache.spark.sql.Column,
+            price: org.apache.spark.sql.Column, seq: Long, op: String) =
+          o.filter(pred).select(
+            col("o_orderkey"), col("o_custkey"),
+            status.as("o_orderstatus"), price.as("o_totalprice"),
+            lit(seq).as("seq"), lit(op).as("op"))
+        val changes =
+          chg(lit(true), col("o_orderstatus"), col("o_totalprice"), 0L, "U")
+            .unionByName(chg(col("o_orderkey") % 2 === 0, lit("X1"), col("o_totalprice") + 1000.0, 1L, "U"))
+            .unionByName(chg(col("o_orderkey") % 10 === 0, lit("X2"), col("o_totalprice") + 2000.0, 2L, "U"))
+            .unionByName(chg(col("o_orderkey") % 7 === 0, col("o_orderstatus"), col("o_totalprice"), 3L, "D"))
+        Cdc.scd2History(changes, Seq("o_orderkey"), "seq", "op")
+      },
+      Some("""
+        WITH c0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                           CAST(0 AS BIGINT) AS seq, 'U' AS op FROM orders),
+        c1 AS (SELECT o_orderkey, o_custkey, 'X1' AS o_orderstatus,
+                      o_totalprice + 1000.0 AS o_totalprice, CAST(1 AS BIGINT) AS seq, 'U' AS op
+               FROM orders WHERE o_orderkey % 2 = 0),
+        c2 AS (SELECT o_orderkey, o_custkey, 'X2', o_totalprice + 2000.0, 2, 'U'
+               FROM orders WHERE o_orderkey % 10 = 0),
+        c3 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 3, 'D'
+               FROM orders WHERE o_orderkey % 7 = 0),
+        allr AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+                 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3),
+        v AS (SELECT *, LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to_seq
+              FROM allr)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               seq AS valid_from_seq, valid_to_seq,
+               valid_to_seq IS NULL AS is_current
+        FROM v WHERE op != 'D'""")),
+
     // Hard negatives: top-5 most-similar different-label vectors.
     QueryDef(
       "sim_hard_negatives",

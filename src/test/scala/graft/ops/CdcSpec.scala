@@ -34,6 +34,34 @@ class CdcSpec extends SparkSpec with Matchers {
     out(4L) shouldBe ("d", 40.0)    // insert
   }
 
+  test("scd2History: versions chain, deletes close without emitting, re-insert reopens") {
+    import spark.implicits._
+    val changes = Seq(
+      (2L, "b1", 21.0, 1L, "U"),  // v1, closed by seq 2
+      (2L, "b2", 22.0, 2L, "U"),  // v2, open → current
+      (5L, "e1", 50.0, 1L, "U"),  // closed by the delete, NOT current
+      (5L, "e1", 50.0, 2L, "D"),  // closes; emits nothing
+      (5L, "e2", 51.0, 3L, "U"),  // re-insert → open again
+      (7L, "g", 70.0, 1L, "D")    // delete-only key → no rows at all
+    ).toDF("k", "s", "v", "seq", "op")
+    val out = Cdc.scd2History(changes, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+      .toMap
+    out.keySet shouldBe Set(2L -> "b1", 2L -> "b2", 5L -> "e1", 5L -> "e2")
+    out(2L -> "b1") shouldBe ((21.0, 1L, Some(2L), false))
+    out(2L -> "b2") shouldBe ((22.0, 2L, None, true))
+    out(5L -> "e1") shouldBe ((50.0, 1L, Some(2L), false)) // closed by the delete
+    out(5L -> "e2") shouldBe ((51.0, 3L, None, true))
+    // point-in-time reconstruction: snapshot "as of seq 1" = versions
+    // with valid_from <= 1 < valid_to — must equal {b1, e1}
+    val asOf1 = out.collect {
+      case ((k, s), (_, from, to, _)) if from <= 1L && to.forall(_ > 1L) => (k, s)
+    }.toSet
+    asOf1 shouldBe Set(2L -> "b1", 5L -> "e1")
+  }
+
   test("empty changelog is the identity") {
     val (base, changes) = frames
     val out = Cdc.applyChangelog(base, changes.limit(0), Seq("k"), "seq", "op")

@@ -53,6 +53,38 @@ class MultimodalSpec extends SparkSpec with Matchers {
     out(8L).isNullAt(4) shouldBe true // pix_sum
   }
 
+  test("encodeAudio→decodeAudio roundtrips rate, channels, frame count, and sample checksum") {
+    import org.apache.spark.sql.{Row, types => T}
+    val params = Seq((1L, 37), (2L, 256), (9L, 1))
+    val df = spark.createDataFrame(
+      params.map { case (i, n) => Row(i, n) }.asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType, nullable = false),
+        T.StructField("n", T.IntegerType, nullable = false))))
+    val out = Multimodal.decodeAudio(
+      Multimodal.encodeAudio(df, "id", "n", sampleRate = 8000),
+      "media_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    for ((id, n) <- params) {
+      val expSum = (0 until n).map(i => Multimodal.sampleValue(id, i).toLong).sum
+      out(id) shouldBe (("PCM_SIGNED", 8000, 1, n.toLong, expSum))
+    }
+  }
+
+  test("decodeAudio: garbage payloads degrade to NULL fields") {
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(
+      Seq(Row(3L, Array[Byte](82, 73, 70, 70)), Row(4L, Array.emptyByteArray)).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val out = Multimodal.decodeAudio(df, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(3L).isNullAt(1) shouldBe true
+    out(4L).isNullAt(5) shouldBe true
+  }
+
   test("decodeImage detects format from bytes regardless of what the writer was told") {
     // encode as PNG, hand the payload over with no format metadata at
     // all — detection must come from the byte signature
