@@ -466,6 +466,36 @@ object FeatureStats {
         (col("se_sum").cast("double") / col("n")).as("brier"))
   }
 
+  /** Per-key time-series training features: for every row, the
+    * previous `lags` values and a trailing ROWS-window sum/count over
+    * the `rollRows` preceding rows — the lag/rolling feature block a
+    * feature store materializes ahead of a PIT join (each output row
+    * uses strictly PAST rows of its key, so the features are leakage-
+    * free by construction). Rolling sums run in DECIMAL(18,6): a
+    * ROWS-frame double sum is engine- and implementation-order
+    * dependent (sliding add/remove vs recompute), DECIMAL is exact and
+    * order-free. Ordering is total via (ts, tieBreak).
+    *
+    * One shuffle (the per-key window); every added column shares the
+    * same window frame family, so Spark evaluates them in a single
+    * WindowExec pass. */
+  def timeSeriesFeatures(
+      df: DataFrame, keyCol: String, tsCol: String, tieBreakCol: String,
+      valueCol: String, lags: Seq[Int] = Seq(1), rollRows: Int = 3): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1) && rollRows >= 1)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreakCol))
+    val vDec = col(valueCol).cast("decimal(18,6)")
+    val rollW = w.rowsBetween(-rollRows, -1)
+    val withLags = lags.foldLeft(df) { (acc, l) =>
+      acc.withColumn(s"${valueCol}_lag_$l", lag(col(valueCol), l).over(w))
+    }
+    withLags
+      .withColumn(s"${valueCol}_roll_sum",
+        sum(vDec).over(rollW).cast("double"))
+      .withColumn(s"${valueCol}_roll_cnt",
+        count(vDec).over(rollW))
+  }
+
   /** decimal(18,6) is the WIDEST cast whose product still fits an
     * exact decimal(37,12) — wider casts make Spark round the product
     * (precision cap at 38). That bounds the domain to |x| < 1e12;

@@ -233,6 +233,44 @@ object Sampling {
       .drop("cluster")
   }
 
+  /** Deterministic negative sampling for recommendation / contrastive
+    * training: every (user, positive item) interaction emits up to `k`
+    * pseudo-random negative item ids from `[0, nItems)`, derived by
+    * the engine-portable hash of (user, item, draw index) — so the
+    * negatives are reproducible across runs/engines and stable under
+    * retries, unlike `rand()`. Draws that collide with ANY positive of
+    * the same user are dropped (left-anti join), not resampled:
+    * deterministic output beats an exact-k guarantee for training, and
+    * the drop rate is positives/nItems per draw. Output: the
+    * interaction row + (neg_idx, neg_item).
+    *
+    * Scale shape: the explode multiplies rows by k BEFORE any shuffle;
+    * the anti-join shuffles on (user, item-candidate) — both narrow
+    * longs — against the deduplicated positives. No window, no
+    * all-pairs. */
+  def negativeSample(
+      df: DataFrame, userCol: String, itemCol: String,
+      nItems: Long, k: Int): DataFrame = {
+    // The draw reduces through the portable hash's modulus, so the
+    // reachable id space is capped by it — a bigger catalog needs a
+    // bigger prime, not silent partial coverage.
+    require(nItems > 0 && nItems <= 1000003L && k >= 1)
+    val m = lit(1000003L)
+    val draw = explode(sequence(lit(0), lit(k - 1))).as("neg_idx")
+    val negItem = pmod(
+      (pmod(col(userCol).cast("long"), m) * lit(2654435761L) +
+        pmod(col(itemCol).cast("long"), m) * lit(40503L) +
+        col("neg_idx") * lit(69061L)) % m, lit(nItems))
+    val withNeg = df.select(col("*"), draw)
+      .withColumn("neg_item", negItem)
+    val positives = df.select(col(userCol).as("__graft_u"),
+      col(itemCol).cast("long").as("__graft_i")).distinct()
+    withNeg.join(positives,
+      withNeg(userCol) === col("__graft_u") &&
+        withNeg("neg_item") === col("__graft_i"),
+      "left_anti")
+  }
+
   /** Exactly-N-per-stratum sample (class balancing): rank rows within
     * each stratum by hash of the key (then key, for total order) and
     * keep the first n. One shuffle on the strata columns. */

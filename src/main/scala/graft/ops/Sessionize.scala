@@ -70,4 +70,29 @@ object Sessionize {
     }
     acc.withColumnRenamed("key", keyCol)
   }
+
+  /** Weekly retention cohorts: users cohort by the ISO week of their
+    * FIRST event; every (cohort, activity week) cell counts the
+    * cohort's users active that week — the standard retention triangle
+    * a product/engagement pipeline derives from the event stream.
+    * Output: (cohort_week, week_offset, n_users), offset 0 = the
+    * cohort's own week (n_users there = cohort size).
+    *
+    * Scale shape: one groupBy(user) for first-activity (map-side
+    * combined min), one equi-join back on the unique user key
+    * (skew-free — each user joins its single cohort row), one
+    * distinct-user aggregate per cell. date_trunc('week') is
+    * ISO-Monday in Spark and DuckDB alike, so the cells mirror into
+    * SQL exactly. */
+  def retentionCohorts(
+      df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weeks = df.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).as("w"))
+    val cohorts = weeks.groupBy(col("u")).agg(min(col("w")).as("cohort_week"))
+    weeks.join(cohorts, Seq("u"))
+      .groupBy(col("cohort_week"),
+        floor((col("w").cast("long") - col("cohort_week").cast("long")) /
+          lit(7L * 86400)).cast("long").as("week_offset"))
+      .agg(count_distinct(col("u")).as("n_users"))
+  }
 }

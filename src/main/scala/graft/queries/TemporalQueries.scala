@@ -103,6 +103,72 @@ object TemporalQueries {
           GROUP BY 1, 2, 3)
         SELECT user_id, t1, t2, t3 FROM s3""")),
 
+    // Weekly retention triangle: cohort = ISO week of first activity,
+    // cells count distinct active users per (cohort, week offset).
+    QueryDef(
+      "events_retention",
+      (s, dir) => Sessionize.retentionCohorts(
+        table(s, dir, "events"), "user_id", "ts"),
+      Some("""
+        WITH weeks AS (
+          SELECT user_id AS u,
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w
+          FROM events),
+        cohorts AS (SELECT u, MIN(w) AS cohort_week FROM weeks GROUP BY 1)
+        SELECT c.cohort_week,
+               CAST((epoch(weeks.w) - epoch(c.cohort_week)) // (7 * 86400) AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT weeks.u) AS BIGINT) AS n_users
+        FROM weeks JOIN cohorts c ON weeks.u = c.u
+        GROUP BY 1, 2""")),
+
+    // Leakage-free per-key lag/rolling feature block: every feature
+    // uses strictly PAST rows of its key (ROWS frames ending at -1);
+    // rolling sums pinned to DECIMAL so the frame sum is order-free
+    // and engine-identical.
+    QueryDef(
+      "events_ts_features",
+      (s, dir) => graft.ops.FeatureStats.timeSeriesFeatures(
+        table(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        lags = Seq(1, 2), rollRows = 3)
+        .select(col("event_id"), col("user_id"),
+          col("value_lag_1"), col("value_lag_2"),
+          col("value_roll_sum"), col("value_roll_cnt")),
+      Some("""
+        SELECT event_id, user_id,
+               LAG(value, 1) OVER w AS value_lag_1,
+               LAG(value, 2) OVER w AS value_lag_2,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+                 (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS value_roll_sum,
+               CAST(COUNT(CAST(value AS DECIMAL(18,6))) OVER
+                 (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS value_roll_cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // Deterministic negative sampling over (user, item=event_type-id)
+    // interactions: portable-hash draws, positives dropped by anti-join.
+    QueryDef(
+      "events_negative_sample",
+      (s, dir) => Sampling.negativeSample(
+        table(s, dir, "events")
+          .select(col("user_id"), pmod(col("event_id"), lit(50L)).as("item_id"))
+          .distinct(),
+        "user_id", "item_id", nItems = 50L, k = 3)
+        .select(col("user_id"), col("item_id"),
+          col("neg_idx").cast("long").as("neg_idx"), col("neg_item")),
+      Some("""
+        WITH inter AS (
+          SELECT DISTINCT user_id, ((event_id % 50) + 50) % 50 AS item_id FROM events),
+        drawn AS (
+          SELECT user_id, item_id, j.j AS neg_idx,
+                 ((((((user_id % 1000003) + 1000003) % 1000003) * 2654435761
+                    + ((((item_id % 1000003) + 1000003) % 1000003) * 40503)
+                    + j.j * 69061) % 1000003) % 50 + 50) % 50 AS neg_item
+          FROM inter, generate_series(0, 2) AS j(j))
+        SELECT d.user_id, d.item_id, d.neg_idx, d.neg_item
+        FROM drawn d
+        WHERE NOT EXISTS (SELECT 1 FROM inter i
+                          WHERE i.user_id = d.user_id AND i.item_id = d.neg_item)""")),
+
     // Batch-parity twin of StreamingOps.hotKeysStream — the SAME
     // operator invocation runs here on the batch frame (the watermark
     // is a no-op outside streaming), so the driver's value oracle

@@ -318,4 +318,41 @@ class FeatureStatsSpec extends SparkSpec with Matchers
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     alt shouldBe got
   }
+
+  test("timeSeriesFeatures: lags and trailing rolls use strictly past rows (leakage-free)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // key A: values 1..5 at increasing ts
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0), (1L, 5L, 5.0),
+      // key B: single row → all features NULL/empty
+      (2L, 1L, 9.0))
+      .toDF("k", "seq", "v")
+      .select(col("k"), col("seq"),
+        (to_timestamp(lit("2024-01-01 00:00:00")).cast("long") + col("seq") * 60)
+          .cast("timestamp"), col("v"))
+      .toDF("k", "seq", "ts", "v")
+    val out = FeatureStats.timeSeriesFeatures(
+      rows, "k", "ts", "seq", "v", lags = Seq(1, 2), rollRows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+
+    def lagOf(k: Long, s: Long, i: Int): Option[Double] = {
+      val r = out((k, s)); if (r.isNullAt(4 + i - 1)) None else Some(r.getDouble(4 + i - 1))
+    }
+    lagOf(1L, 1L, 1) shouldBe None
+    lagOf(1L, 3L, 1) shouldBe Some(2.0)
+    lagOf(1L, 3L, 2) shouldBe Some(1.0)
+    lagOf(1L, 5L, 2) shouldBe Some(3.0)
+    lagOf(2L, 1L, 1) shouldBe None // other keys never leak in
+    // trailing roll over ≤3 preceding rows, never the current one
+    val r4 = out((1L, 4L))
+    r4.getDouble(6) shouldBe 6.0 // 1+2+3
+    r4.getLong(7) shouldBe 3L
+    val r5 = out((1L, 5L))
+    r5.getDouble(6) shouldBe 9.0 // 2+3+4 — row 1 aged out of the frame
+    r5.getLong(7) shouldBe 3L
+    val r1 = out((1L, 1L))
+    r1.isNullAt(6) shouldBe true // empty frame → NULL sum
+    r1.getLong(7) shouldBe 0L
+  }
 }

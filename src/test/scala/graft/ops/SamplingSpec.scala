@@ -224,4 +224,27 @@ class SamplingSpec extends SparkSpec with Matchers {
     }
     single shouldBe empty
   }
+
+  test("negativeSample: deterministic, in-range, never a positive of the same user") {
+    import spark.implicits._
+    val inter = Seq(
+      (1L, 3L), (1L, 7L), (1L, 12L),
+      (2L, 0L), (2L, 19L),
+      (3L, 5L)).toDF("user_id", "item_id")
+    val out = Sampling.negativeSample(inter, "user_id", "item_id", nItems = 20L, k = 4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val positives = Map(1L -> Set(3L, 7L, 12L), 2L -> Set(0L, 19L), 3L -> Set(5L))
+    rows.foreach { case (u, _, idx, neg) =>
+      neg should (be >= 0L and be < 20L)
+      idx should (be >= 0 and be < 4)
+      positives(u) should not contain neg
+    }
+    // at most k draws per interaction; some survive for every pair
+    rows.groupBy(t => (t._1, t._2)).values.foreach(_.length should be <= 4)
+    // deterministic: a second evaluation is identical
+    val again = Sampling.negativeSample(inter, "user_id", "item_id", 20L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    again.sorted.toSeq shouldBe rows.sorted.toSeq
+  }
 }
