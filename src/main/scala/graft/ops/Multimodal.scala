@@ -166,9 +166,13 @@ object Multimodal {
 
   /** Deterministic 16-bit PCM sample `i` of clip `id` — the shared
     * contract between [[encodeAudio]], the roundtrip oracle SQL (plain
-    * BIGINT arithmetic), and the spec. Range [-32768, 32767]. */
+    * BIGINT arithmetic; SQL `%` on the non-negative ids there equals
+    * floorMod), and the spec. floorMod, NOT `%`: Scala's signed
+    * remainder would push negative ids below -32768 and the low-16-bit
+    * PCM write would silently wrap them. Range [-32768, 32767] for
+    * every (id, i). */
   private[graft] def sampleValue(id: Long, i: Int): Int =
-    (((id * 31L + i * 2654435761L) % 65536L) - 32768L).toInt
+    (java.lang.Math.floorMod(id * 31L + i * 2654435761L, 65536L) - 32768L).toInt
 
   /** Output contract of the REAL audio decode stage ([[decodeAudio]]). */
   val audioSchema: StructType = StructType(Seq(
@@ -242,18 +246,29 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes))
           try {
             val fmt = ais.getFormat
-            val data = ais.readAllBytes()
-            val bigEndian = fmt.isBigEndian
-            var sum = 0L
-            var i = 0
-            while (i + 1 < data.length) {
-              val lo = if (bigEndian) data(i + 1) else data(i)
-              val hi = if (bigEndian) data(i) else data(i + 1)
-              sum += ((hi.toInt << 8) | (lo.toInt & 0xff)).toShort.toLong
-              i += 2
-            }
+            val frames = ais.getFrameLength
+            // The checksum contract is defined over 16-bit integer
+            // samples; pairing raw bytes of an 8/24/32-bit or float
+            // payload would return a confident wrong value — degrade
+            // the CHECKSUM to NULL there while keeping the honest
+            // header fields.
+            val sum: java.lang.Long =
+              if (fmt.getSampleSizeInBits != 16) null
+              else {
+                val data = ais.readAllBytes()
+                val bigEndian = fmt.isBigEndian
+                var s = 0L
+                var i = 0
+                while (i + 1 < data.length) {
+                  val lo = if (bigEndian) data(i + 1) else data(i)
+                  val hi = if (bigEndian) data(i) else data(i + 1)
+                  s += ((hi.toInt << 8) | (lo.toInt & 0xff)).toShort.toLong
+                  i += 2
+                }
+                Long.box(s)
+              }
             Row(id, fmt.getEncoding.toString, fmt.getSampleRate.toInt,
-              fmt.getChannels, ais.getFrameLength, sum)
+              fmt.getChannels, frames, sum)
           } finally ais.close()
         } catch {
           case _: Exception => Row(id, null, null, null, null, null)

@@ -257,10 +257,16 @@ object Sampling {
     require(nItems > 0 && nItems <= 1000003L && k >= 1)
     val m = lit(1000003L)
     val draw = explode(sequence(lit(0), lit(k - 1))).as("neg_idx")
-    val negItem = pmod(
+    // The draw index MUST be post-mixed: without the final
+    // re-multiply-and-reduce, a fixed interaction's k draws are the
+    // arithmetic progression (H + idx·69061) mod nItems — evenly
+    // spaced, fully correlated "negatives". Same decorrelation step
+    // as [[hashBucket]].
+    val mixed = pmod(
       (pmod(col(userCol).cast("long"), m) * lit(2654435761L) +
         pmod(col(itemCol).cast("long"), m) * lit(40503L) +
-        col("neg_idx") * lit(69061L)) % m, lit(nItems))
+        col("neg_idx") * lit(69061L)) % m, m)
+    val negItem = pmod(mixed * lit(2654435761L) % m, lit(nItems))
     val withNeg = df.select(col("*"), draw)
       .withColumn("neg_item", negItem)
     val positives = df.select(col(userCol).as("__graft_u"),

@@ -90,9 +90,14 @@ object Sessionize {
       date_trunc("week", col(tsCol)).as("w"))
     val cohorts = weeks.groupBy(col("u")).agg(min(col("w")).as("cohort_week"))
     weeks.join(cohorts, Seq("u"))
+      // DAY difference, not epoch-second difference: both instants are
+      // local Monday-midnights, so under a DST-shifting session
+      // timezone their second gap is 604800 ± 3600 and epoch division
+      // would misplace post-transition weeks; calendar datediff is
+      // exactly 7·k days in any timezone.
       .groupBy(col("cohort_week"),
-        floor((col("w").cast("long") - col("cohort_week").cast("long")) /
-          lit(7L * 86400)).cast("long").as("week_offset"))
+        floor(datediff(to_date(col("w")), to_date(col("cohort_week"))) / 7)
+          .cast("long").as("week_offset"))
       .agg(count_distinct(col("u")).as("n_users"))
   }
 }

@@ -155,10 +155,19 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  private def rankTopK(cand: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame = {
+  /** Score candidate pairs and keep each query's top-k. With `dedup`
+    * (multi-table/multi-probe callers), duplicate pairs are dropped
+    * AFTER the cosine projection narrows each row to 3 small columns
+    * (+carry) — the dedup shuffle then ships ~40 bytes/row instead of
+    * both raw vectors (2·dim doubles); the result is identical because
+    * cos is a pure function of the pair. */
+  private def rankTopK(cand: DataFrame, k: Int, carry: Seq[String] = Nil,
+      dedup: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
-    cand
+    val scored = cand
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(("query_id" +: carry ++: Seq("neighbor_id", "cos")).map(col): _*)
+    (if (dedup) scored.dropDuplicates("query_id", "neighbor_id") else scored)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(("query_id" +: carry ++: Seq("neighbor_id", "rank", "cos")).map(col): _*)
@@ -182,8 +191,7 @@ object Similarity {
     val cand = (0 until tables)
       .map(t => lshCandidates(df, idCol, vecCol, dim, nPlanes, t))
       .reduce(_ unionAll _)
-      .dropDuplicates("query_id", "neighbor_id")
-    rankTopK(cand, k)
+    rankTopK(cand, k, dedup = true)
   }
 
   /** Hard-negative mining at corpus scale — the bucketed sibling
@@ -208,8 +216,7 @@ object Similarity {
         Some(labelCol), queryPred))
       .reduce(_ unionAll _)
       .filter(col("query_label") =!= col("__graft_nx"))
-      .dropDuplicates("query_id", "neighbor_id")
-    rankTopK(cand, k, carry = Seq("query_label")).drop("cos")
+    rankTopK(cand, k, carry = Seq("query_label"), dedup = true).drop("cos")
   }
 
   /** Hard-negative mining through the IVF centroid buckets — the
@@ -256,8 +263,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(col("query_label") =!= col("__graft_nx"))
       .select("query_id", "neighbor_id", "query_label", "qv", "qn", "cv", "cn")
-      .dropDuplicates("query_id", "neighbor_id")
-    rankTopK(cand, k, carry = Seq("query_label")).drop("cos")
+    rankTopK(cand, k, carry = Seq("query_label"), dedup = true).drop("cos")
   }
 
   // ---- IVF (inverted-file) ANN: the centroid-bucketed scale path ----
@@ -424,8 +430,7 @@ object Similarity {
     val cand = queries.join(index, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
-      .dropDuplicates("query_id", "neighbor_id")
-    rankTopK(cand, k)
+    rankTopK(cand, k, dedup = true)
   }
 
   // ----- Product quantization (the FAISS IVFPQ shape) -----

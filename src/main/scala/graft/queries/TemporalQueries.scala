@@ -116,7 +116,7 @@ object TemporalQueries {
           FROM events),
         cohorts AS (SELECT u, MIN(w) AS cohort_week FROM weeks GROUP BY 1)
         SELECT c.cohort_week,
-               CAST((epoch(weeks.w) - epoch(c.cohort_week)) // (7 * 86400) AS BIGINT) AS week_offset,
+               CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(weeks.w AS DATE)) // 7 AS BIGINT) AS week_offset,
                CAST(COUNT(DISTINCT weeks.u) AS BIGINT) AS n_users
         FROM weeks JOIN cohorts c ON weeks.u = c.u
         GROUP BY 1, 2""")),
@@ -160,9 +160,9 @@ object TemporalQueries {
           SELECT DISTINCT user_id, ((event_id % 50) + 50) % 50 AS item_id FROM events),
         drawn AS (
           SELECT user_id, item_id, j.j AS neg_idx,
-                 ((((((user_id % 1000003) + 1000003) % 1000003) * 2654435761
-                    + ((((item_id % 1000003) + 1000003) % 1000003) * 40503)
-                    + j.j * 69061) % 1000003) % 50 + 50) % 50 AS neg_item
+                 (((((((user_id % 1000003) + 1000003) % 1000003) * 2654435761
+                     + ((((item_id % 1000003) + 1000003) % 1000003) * 40503)
+                     + j.j * 69061) % 1000003) * 2654435761 % 1000003) % 50 + 50) % 50 AS neg_item
           FROM inter, generate_series(0, 2) AS j(j))
         SELECT d.user_id, d.item_id, d.neg_idx, d.neg_item
         FROM drawn d
