@@ -476,9 +476,10 @@ object FeatureStats {
     * dependent (sliding add/remove vs recompute), DECIMAL is exact and
     * order-free. Ordering is total via (ts, tieBreak).
     *
-    * One shuffle (the per-key window); every added column shares the
-    * same window frame family, so Spark evaluates them in a single
-    * WindowExec pass. */
+    * One shuffle and ONE sort (the per-key window): every added column
+    * shares the same partition/order spec, so Spark chains the
+    * per-frame Window operators over a single exchange + sort —
+    * plan-asserted in the spec. */
   def timeSeriesFeatures(
       df: DataFrame, keyCol: String, tsCol: String, tieBreakCol: String,
       valueCol: String, lags: Seq[Int] = Seq(1), rollRows: Int = 3): DataFrame = {

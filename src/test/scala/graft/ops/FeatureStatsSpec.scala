@@ -355,4 +355,24 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     r1.isNullAt(6) shouldBe true // empty frame → NULL sum
     r1.getLong(7) shouldBe 0L
   }
+
+  test("timeSeriesFeatures: all lags and rolls share one shuffle and one sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 1000).map(i => ((i % 7).toLong, i.toLong, i * 1.5))
+      .toDF("k", "seq", "v")
+      .select(col("k"), col("seq"),
+        (lit(1704067200L) + col("seq")).cast("timestamp").as("ts"), col("v"))
+    val out = FeatureStats.timeSeriesFeatures(
+      df, "k", "ts", "seq", "v", lags = Seq(1, 2, 3), rollRows = 5)
+    out.collect().length shouldBe 1000
+    val plan = out.queryExecution.executedPlan
+    // Spark materializes one Window operator per distinct frame, but
+    // they all share (partition, order) — the data moves and sorts
+    // exactly ONCE regardless of how many lags/rolls are requested.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }.length shouldBe 1
+    collectWithSubqueries(plan) { case s: SortExec => s }.length shouldBe 1
+  }
 }

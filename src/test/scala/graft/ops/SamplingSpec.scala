@@ -246,5 +246,23 @@ class SamplingSpec extends SparkSpec with Matchers {
     val again = Sampling.negativeSample(inter, "user_id", "item_id", 20L, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     again.sorted.toSeq shouldBe rows.sorted.toSeq
+    // scale shape: the anti-join is a real equi-join on narrow keys —
+    // no cartesian / nested-loop anywhere in the executed plan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = out.queryExecution.executedPlan
+    plan.collect { case j: CartesianProductExec => j } shouldBe empty
+    plan.collect { case j: BroadcastNestedLoopJoinExec => j } shouldBe empty
+  }
+
+  test("negativeSample: draws for one interaction are decorrelated, not an arithmetic progression") {
+    import spark.implicits._
+    val inter = Seq((11L, 2L)).toDF("user_id", "item_id")
+    val negs = Sampling.negativeSample(inter, "user_id", "item_id", nItems = 1000L, k = 6)
+      .orderBy("neg_idx").collect().map(_.getLong(3))
+    negs.length should be >= 4
+    // consecutive gaps mod nItems must NOT all be equal (the pre-mix
+    // bug produced stride-69061 progressions)
+    val gaps = negs.sliding(2).map(p => ((p(1) - p(0)) % 1000 + 1000) % 1000).toSeq
+    gaps.distinct.size should be > 1
   }
 }
