@@ -62,9 +62,14 @@ object Multimodal {
 
   /** Deterministic RGB value of pixel (x, y) of image `id` — the shared
     * contract between [[encodeImage]], the roundtrip oracle SQL (plain
-    * BIGINT arithmetic any engine reproduces), and the spec. */
+    * BIGINT arithmetic any engine reproduces on the non-negative ids
+    * there), and the spec. floorMod, NOT `%`, for the same reason as
+    * [[sampleValue]]: a signed remainder on a negative id would go
+    * negative, setRGB would mask it to 24 bits, and the decode-side
+    * `& 0xffffff` checksum would diverge from the contract. */
   private[graft] def pixelValue(id: Long, x: Int, y: Int): Int =
-    ((id * 2654435761L + x * 40503L + y * 69061L) % 16777216L).toInt
+    java.lang.Math.floorMod(id * 2654435761L + x * 40503L + y * 69061L,
+      16777216L).toInt
 
   /** Output contract of the REAL decode stage ([[decodeImage]]). */
   val imageSchema: StructType = StructType(Seq(

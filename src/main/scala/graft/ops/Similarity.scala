@@ -263,7 +263,12 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(col("query_label") =!= col("__graft_nx"))
       .select("query_id", "neighbor_id", "query_label", "qv", "qn", "cv", "cn")
-    rankTopK(cand, k, carry = Seq("query_label"), dedup = true).drop("cos")
+    // No dedup: each neighbor is indexed under exactly ONE centroid
+    // (argmax cid) while only queries explode to nProbe buckets, so
+    // the cid equi-join emits every (query, neighbor) at most once —
+    // a dropDuplicates here would shuffle the candidate set to prove
+    // what the plan shape already guarantees.
+    rankTopK(cand, k, carry = Seq("query_label")).drop("cos")
   }
 
   // ---- IVF (inverted-file) ANN: the centroid-bucketed scale path ----
@@ -430,7 +435,10 @@ object Similarity {
     val cand = queries.join(index, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
-    rankTopK(cand, k, dedup = true)
+    // No dedup: one index bucket per neighbor (argmax cid) → the cid
+    // join emits each (query, neighbor) at most once (see
+    // hardNegativesIvf).
+    rankTopK(cand, k)
   }
 
   // ----- Product quantization (the FAISS IVFPQ shape) -----
@@ -671,7 +679,8 @@ object Similarity {
           col("est_dot") / (col("qn") * col("est_n")))
           .otherwise(lit(Double.MinValue)))
       .select("query_id", "neighbor_id", "est_cos")
-      .dropDuplicates("query_id", "neighbor_id")
+      // unique by construction — one index bucket per neighbor (see
+      // hardNegativesIvf); no dedup shuffle needed
     val wEst = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("est_cos").desc, col("neighbor_id"))

@@ -160,10 +160,11 @@ object TemporalQueries {
           SELECT DISTINCT user_id, ((event_id % 50) + 50) % 50 AS item_id FROM events),
         drawn AS (
           SELECT user_id, item_id, j.j AS neg_idx,
-                 (((((((user_id % 1000003) + 1000003) % 1000003) * 2654435761
-                     + ((((item_id % 1000003) + 1000003) % 1000003) * 40503)
-                     + j.j * 69061) % 1000003) * 2654435761 % 1000003) % 50 + 50) % 50 AS neg_item
-          FROM inter, generate_series(0, 2) AS j(j))
+                 ((h.h * h.h % 1000003) % 50 + 50) % 50 AS neg_item
+          FROM inter, generate_series(0, 2) AS j(j),
+               LATERAL (SELECT (((((user_id % 1000003) + 1000003) % 1000003) * 2654435761
+                                + ((((item_id % 1000003) + 1000003) % 1000003) * 40503)
+                                + j.j * 69061) % 1000003) AS h) AS h)
         SELECT d.user_id, d.item_id, d.neg_idx, d.neg_item
         FROM drawn d
         WHERE NOT EXISTS (SELECT 1 FROM inter i

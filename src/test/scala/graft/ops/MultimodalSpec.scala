@@ -72,6 +72,28 @@ class MultimodalSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("decodeAudio: non-16-bit payloads keep honest header fields but NULL the checksum") {
+    import org.apache.spark.sql.{Row, types => T}
+    // real 8-bit PCM WAV built with the same JDK codec
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm = Array.tabulate[Byte](40)(i => (i * 5).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 40L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = spark.createDataFrame(
+      Seq(Row(6L, bos.toByteArray)).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val r = Multimodal.decodeAudio(df, "media_id", "payload").head()
+    r.getInt(2) shouldBe 8000      // header fields stay real
+    r.getInt(3) shouldBe 1
+    r.getLong(4) shouldBe 40L
+    r.isNullAt(5) shouldBe true    // checksum contract is 16-bit only
+  }
+
   test("decodeAudio: garbage payloads degrade to NULL fields") {
     import org.apache.spark.sql.{Row, types => T}
     val df = spark.createDataFrame(

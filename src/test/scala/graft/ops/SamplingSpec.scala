@@ -7,7 +7,8 @@ import graft.SparkSpec
 
 /** Hash-sampling robustness beyond what the oracles cover: extreme and
   * negative keys (the 100 TB id space), and mixture rate semantics. */
-class SamplingSpec extends SparkSpec with Matchers {
+class SamplingSpec extends SparkSpec with Matchers
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("hashBucket stays in range for huge and negative keys") {
     import spark.implicits._
@@ -247,11 +248,17 @@ class SamplingSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     again.sorted.toSeq shouldBe rows.sorted.toSeq
     // scale shape: the anti-join is a real equi-join on narrow keys —
-    // no cartesian / nested-loop anywhere in the executed plan
-    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // no cartesian / nested-loop anywhere in the executed plan.
+    // collectWithSubqueries, NOT plan.collect: under AQE the executed
+    // plan root is an AdaptiveSparkPlanExec LEAF and a plain collect
+    // would assert vacuously on it. Also positively assert the join
+    // operators we DO expect, so the probe can't silently match
+    // nothing.
     val plan = out.queryExecution.executedPlan
-    plan.collect { case j: CartesianProductExec => j } shouldBe empty
-    plan.collect { case j: BroadcastNestedLoopJoinExec => j } shouldBe empty
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    collectWithSubqueries(plan) { case j: BaseJoinExec => j } should not be empty
+    collectWithSubqueries(plan) { case j: CartesianProductExec => j } shouldBe empty
+    collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j } shouldBe empty
   }
 
   test("negativeSample: draws for one interaction are decorrelated, not an arithmetic progression") {
