@@ -84,4 +84,84 @@ object Classifier {
       .select(col(idCol), col("y").as("label"),
         sigmoid6(col("s")).cast("double").as("score"))
   }
+
+  /** Train and return the WEIGHT TABLE (b, w) instead of scores — the
+    * fit-once half of fit-once/serve-many (the [[graft.ops.Similarity.AnnIndex]]
+    * pattern for the classifier): a production pipeline trains on a
+    * labeled slice, persists the weights ([[saveWeights]]), and scores
+    * arbitrary unlabeled corpora later with [[scoreLogistic]]. Same
+    * relational GD loop as [[trainScoreLogistic]] (shared by
+    * construction: that op's final scoring over these exact weights
+    * reproduces its output bit-for-bit — spec-asserted). */
+  def trainLogistic(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
+    val hintW: DataFrame => DataFrame =
+      if (hexChars <= 4) broadcast(_) else identity
+    val feats = OpsUtil.widen(df)
+      .select(col(idCol), labelCol.cast("int").as("y"),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
+      .filter(col("tk") =!= "")
+      .select(col(idCol), col("y"),
+        substring(md5(col("tk")), 1, hexChars).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val nDocs = feats.select(col(idCol)).distinct().count()
+    require(nDocs > 0, "empty corpus")
+    var w = feats.select(col("b")).distinct()
+      .withColumn("w", lit(0).cast("decimal(28,6)"))
+    for (_ <- 1 to iters) {
+      val scored = feats.join(hintW(w), Seq("b"))
+        .groupBy(col(idCol), col("y"))
+        .agg(sum(col("w")).as("s"))
+        .withColumn("p", sigmoid6(col("s")))
+        .withColumn("r", col("y").cast("decimal(28,6)") - col("p"))
+      val grad = feats
+        .join(scored.select(col(idCol), col("r")), Seq(idCol))
+        .groupBy(col("b"))
+        .agg(sum(col("r")).as("g"))
+      w = w.join(grad, Seq("b"))
+        .withColumn("w",
+          col("w") + round(lit(lr) * col("g").cast("double") / nDocs, 6)
+            .cast("decimal(28,6)"))
+        .select("b", "w")
+    }
+    w
+  }
+
+  /** Inference-only scoring with a frozen weight table — the
+    * serve-many half: no labels needed, no training jobs, one
+    * (hint-gated) weight join + per-doc hash-agg over any corpus.
+    * Output (id, score); documents with no in-vocabulary feature are
+    * dropped, exactly as in training. A document's score over the
+    * SAME corpus/weights equals [[trainScoreLogistic]]'s (the per-doc
+    * feature set distinct (id, b) sums the same weights). */
+  def scoreLogistic(
+      df: DataFrame, idCol: String, textCol: String, weights: DataFrame,
+      hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8)
+    val hintW: DataFrame => DataFrame =
+      if (hexChars <= 4) broadcast(_) else identity
+    OpsUtil.widen(df)
+      .select(col(idCol),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
+      .filter(col("tk") =!= "")
+      .select(col(idCol), substring(md5(col("tk")), 1, hexChars).as("b"))
+      .distinct()
+      .join(hintW(weights.select(col("b"), col("w").cast("decimal(28,6)"))), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("s"))
+      .select(col(idCol), sigmoid6(col("s")).cast("double").as("score"))
+  }
+
+  /** Persist a weight table as parquet — engine-agnostic, diffable,
+    * versionable beside the corpus it scores (the saveIndex pattern). */
+  def saveWeights(weights: DataFrame, path: String): Unit =
+    weights.select(col("b"), col("w").cast("decimal(28,6)"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted weight table (inverse of [[saveWeights]]). */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("b"), col("w"))
 }

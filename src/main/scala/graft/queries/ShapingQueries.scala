@@ -565,6 +565,27 @@ object ShapingQueries {
         WITH $ClassifierCtes
         SELECT doc_id, y AS label, score FROM final_scores""")),
 
+    // Fit-once/serve-many through PERSISTENCE: train the weight table,
+    // round-trip it through parquet, and score with the frozen weights
+    // on the inference-only path (no labels touched). The oracle is
+    // the SAME replayed training chain as classifier_score — value
+    // equality proves the split train/save/load/score path reproduces
+    // the end-to-end op exactly.
+    QueryDef(
+      "classifier_serve",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val w = Classifier.trainLogistic(docs, "doc_id", "text",
+          labelCol = (col("lang") === "en"), hexChars = 2, iters = 2, lr = 0.5)
+        val path = s"/tmp/graft-clf-weights-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        Classifier.saveWeights(w, path)
+        Classifier.scoreLogistic(docs, "doc_id", "text",
+          Classifier.loadWeights(s, path), hexChars = 2)
+      },
+      Some(s"""
+        WITH $ClassifierCtes
+        SELECT doc_id, score FROM final_scores""")),
+
     // Calibration bins over the trained classifier's probabilities —
     // "does a 0.8 mean 80% positives" — reusing the SAME replayed
     // training chain in the oracle.

@@ -29,6 +29,29 @@ class ClassifierSpec extends SparkSpec with Matchers {
     neg.head should be < 0.5
   }
 
+  test("train/save/load/score path reproduces trainScoreLogistic bit-for-bit") {
+    val endToEnd = Classifier.trainScoreLogistic(
+      corpus, "id", "text", col("y") === 1, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w = Classifier.trainLogistic(corpus, "id", "text", col("y") === 1, iters = 2)
+    val path = "/tmp/graft-clf-spec-weights"
+    Classifier.saveWeights(w, path)
+    val served = Classifier.scoreLogistic(
+      corpus, "id", "text", Classifier.loadWeights(spark, path))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    served shouldBe endToEnd // exact double equality — same decimal sums
+    // frozen weights score UNSEEN docs from the learned vocabulary
+    import spark.implicits._
+    val unseen = Seq((100L, "alpha beta"), (101L, "gamma delta"),
+      (102L, "omega")).toDF("id", "text") // omega: out-of-vocab → dropped
+    val inf = Classifier.scoreLogistic(
+      unseen, "id", "text", Classifier.loadWeights(spark, path))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    inf.keySet shouldBe Set(100L, 101L)
+    inf(100L) should be > 0.5
+    inf(101L) should be < 0.5
+  }
+
   test("training is partitioning-invariant (decimal-pinned intermediates)") {
     val a = Classifier.trainScoreLogistic(corpus, "id", "text", col("y") === 1)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
