@@ -251,10 +251,16 @@ object Sampling {
   def negativeSample(
       df: DataFrame, userCol: String, itemCol: String,
       nItems: Long, k: Int): DataFrame = {
-    // The draw reduces through the portable hash's modulus, so the
-    // reachable id space is capped by it — a bigger catalog needs a
-    // bigger prime, not silent partial coverage.
-    require(nItems > 0 && nItems <= 1000003L && k >= 1)
+    // Squares mod a prime cover only (m+1)/2 residues, so the draw's
+    // reachable id set is the quadratic residues of m folded by
+    // `% nItems`: with ≥ ~50 QR preimages per item class (nItems ≤
+    // m/100) every item is reachable w.h.p. and draws are uniform to
+    // Poisson noise; at nItems near m, half the catalog would be
+    // silently unreachable — fail fast instead (a bigger catalog needs
+    // a bigger prime).
+    require(nItems > 0 && nItems <= 10000L && k >= 1,
+      s"negativeSample: nItems must be in [1, 10000] (got $nItems) — " +
+        "the portable-hash draw space caps the catalog size")
     val m = lit(1000003L)
     val draw = explode(sequence(lit(0), lit(k - 1))).as("neg_idx")
     // The draw index MUST be mixed NONLINEARLY: any linear map mod the
