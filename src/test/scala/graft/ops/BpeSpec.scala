@@ -73,11 +73,10 @@ class BpeSpec extends SparkSpec with Matchers {
     }
   }
 
-  test("batched train stays exact when the summary TRUNCATES (nonzero cutoff bound)") {
-    // >64 distinct adjacent pairs forces top.length == k (k = 64 for
-    // nMerges <= 16), so the cutoff bound and the provability-lost
-    // bail-out — the delicate half of the batch-safety argument —
-    // actually execute, unlike the small-alphabet corpora above.
+  test("dict-loop train stays exact on corpora with large pair vocabularies") {
+    // >64 distinct adjacent pairs: dense multi-symbol interactions,
+    // many same-count ties — the regime where an ordering or
+    // incremental-count bug in the driver loop would reorder merges.
     for (seed <- Seq(7, 31)) {
       val rnd = new scala.util.Random(seed)
       val words = Seq.fill(300)(
@@ -94,8 +93,8 @@ class BpeSpec extends SparkSpec with Matchers {
   }
 
   test("disjoint top pairs batch into one round: job count independent of merge count") {
-    // four symbol-disjoint non-self pairs with strictly ordered counts —
-    // all provably safe to apply from one summary
+    // the dictionary reduction makes training ONE job for any merge
+    // count; this corpus keeps the classic sequence trivially ordered
     val text = (Seq.fill(8)("ab") ++ Seq.fill(6)("cd") ++
       Seq.fill(4)("ef") ++ Seq.fill(2)("gh")).mkString(" ")
     val df = docsDf(Seq(1L -> text))
@@ -119,8 +118,8 @@ class BpeSpec extends SparkSpec with Matchers {
     val j4 = jobsDuring("bpe-train-4") { r4 = Bpe.train(df, "text", 4) }
     r4 shouldBe Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"))
     r2 shouldBe r4.take(2)
-    // both trains take ONE summary round — doubling the merge count
-    // must not add a single Spark job
+    // ONE dictionary job regardless of merge count — doubling the
+    // merge count must not add a single Spark job
     j4 shouldBe j2
   }
 
