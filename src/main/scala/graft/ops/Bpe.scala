@@ -54,24 +54,30 @@ object Bpe {
     * per merge (measured: 85 jobs for 64 merges) — the dictionary
     * reduction is the real scale path.
     *
-    * `maxVocab` caps driver memory: corpora with more distinct words
-    * keep the `maxVocab` most frequent (count desc, word asc —
-    * deterministic); training on the dominant dictionary is standard
-    * practice, and the count-1 tail it drops cannot influence early
-    * merges. Ties break on the pair string ascending in UTF-8 byte
-    * order (Spark's string order), and segmentation is codepoint-based
-    * — both identical to the distributed pairCounts statistics. */
+    * `maxVocab` caps driver memory by FAILING FAST, not by silently
+    * truncating: a dropped count-1 tail CAN change even the first
+    * merge (millions of distinct rare words sharing one pair sum to a
+    * dominant count), so a corpus whose distinct-word count exceeds
+    * the cap raises with the remedies — pre-sample the corpus
+    * (`Sampling.deterministicSample` composes) or raise the cap. The
+    * result is therefore ALWAYS bit-identical to the distributed
+    * pairCounts statistic. Ties break on the pair string ascending in
+    * UTF-8 byte order (Spark's string order), and segmentation is
+    * codepoint-based — both identical to pairCounts. */
   def train(
       df: DataFrame, textCol: String, nMerges: Int,
-      maxVocab: Int = 1 << 20): Seq[(String, String)] = {
+      maxVocab: Int = 1 << 22): Seq[(String, String)] = {
     require(nMerges > 0 && maxVocab > 0)
-    val dict = OpsUtil.widen(df)
+    val words = OpsUtil.widen(df)
       .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc)
-      .limit(maxVocab)
+    val dict = words.limit(maxVocab + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(dict.length <= maxVocab,
+      s"Bpe.train: corpus has more than $maxVocab distinct words — " +
+        "train on a deterministic sample (Sampling.deterministicSample) " +
+        "or raise maxVocab; silent truncation would change the merge sequence")
     trainOnDict(dict, nMerges)
   }
 
@@ -114,20 +120,34 @@ object Bpe {
         val c = pairCnt.getOrElse(p, 0L) + sign * counts(i)
         if (c == 0L) pairCnt.remove(p) else pairCnt(p) = c
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        else pairWords.get(p).foreach { ws => // prune the inverted index
+          ws -= i
+          if (ws.isEmpty) pairWords.remove(p)
+        }
         j += 1
       }
     }
     words.indices.foreach(addPairs(_, 1L))
-    val pairOrd: Ordering[((String, String), Long)] = Ordering.by[
-      ((String, String), Long), (Long, String)](
-      { case ((a, b), c) => (-c, s"$a $b") })(
-      Ordering.Tuple2(Ordering.Long, utf8Order))
+    // Allocation-free argmax scan: compare Long counts first and build
+    // the joined "a b" strings only on count TIES — a comparator-based
+    // min over boxed tuples would allocate per element per merge.
+    def argmax: (String, String) = {
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      pairCnt.foreach { case (p, c) =>
+        if (c > bestC) { best = p; bestC = c }
+        else if (c == bestC &&
+          utf8Order.compare(p._1 + " " + p._2, best._1 + " " + best._2) < 0)
+          best = p
+      }
+      best
+    }
     var rules = Vector.empty[(String, String)]
     while (rules.length < nMerges && pairCnt.nonEmpty) {
-      val ((a, b), _) = pairCnt.iterator.min(pairOrd)
+      val (a, b) = argmax
       rules = rules :+ ((a, b))
-      // Re-segment only the words that contain the pair (the index may
-      // hold stale entries from earlier merges — adjacency re-checked).
+      // Re-segment only the words that contain the pair. The pruned
+      // index is exact; the adjacency re-check is defense in depth.
       val affected = pairWords.getOrElse((a, b), mutable.Set.empty).toArray
       affected.foreach { i =>
         val s = words(i)
@@ -149,7 +169,6 @@ object Bpe {
           addPairs(i, 1L)
         }
       }
-      pairWords.remove((a, b))
     }
     rules
   }

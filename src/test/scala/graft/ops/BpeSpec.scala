@@ -86,10 +86,20 @@ class BpeSpec extends SparkSpec with Matchers {
       val df = docsDf(docs)
       val distinctPairs = Bpe.pairCounts(df, "text").count()
       withClue(s"seed $seed (distinct pairs $distinctPairs): ") {
-        distinctPairs should be > 64L // truncation really happens
+        distinctPairs should be > 64L // genuinely large pair table
         Bpe.train(df, "text", 6) shouldBe naiveTrain(df, 6)
       }
     }
+  }
+
+  test("train fails fast when the vocabulary exceeds maxVocab instead of silently truncating") {
+    val df = docsDf(Seq(1L -> "alpha beta gamma delta epsilon"))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(df, "text", 2, maxVocab = 3)
+    }
+    e.getMessage should include("distinct words")
+    // at the cap exactly, training proceeds and stays classic-exact
+    Bpe.train(df, "text", 2, maxVocab = 5) shouldBe naiveTrain(df, 2)
   }
 
   test("disjoint top pairs batch into one round: job count independent of merge count") {
