@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Key cast shared by every sampling hash. Under non-ANSI mode a
+    * non-numeric key (UUID string, struct …) casts to NULL, every
+    * downstream comparison goes NULL, and the sample SILENTLY empties
+    * (or, in [[negativeSample]], emits NULL negatives) — fail fast
+    * instead: a NULL long from a non-NULL key is a type error, not
+    * data. NULL keys stay NULL (absence, handled by each caller). */
+  private def longKey(key: Column, op: String): Column = {
+    val k = key.cast("long")
+    when(key.isNotNull && k.isNull,
+      raise_error(concat(
+        lit(s"$op: key is not castable to long (got value '"),
+        key.cast("string"), lit("') — sample keys must be numeric"))))
+      .otherwise(k)
+  }
+
   /** Multiplicative-hash position of a key in [0, buckets) — kept
     * SQL-portable (same arithmetic runs in any engine) rather than
     * xxhash64 so oracles and downstream systems can reproduce it.
@@ -22,20 +37,10 @@ object Sampling {
     * a long for any key (a raw key*2654435761 overflows above ~3.5e9 —
     * an ArithmeticException under ANSI mode, or a sign-flipped hash
     * that defeats every rate filter), and pmod keeps negative keys in
-    * range. Identical values for keys in [0, p). */
-  def hashBucket(key: Column, buckets: Int = 100): Column = {
-    val h = (pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L) % lit(1000003L)) % buckets
-    // Under non-ANSI mode a non-numeric key (UUID string, struct …)
-    // casts to NULL, every rate comparison goes NULL, and the sample
-    // SILENTLY empties — fail fast instead: a NULL hash from a
-    // non-NULL key is a type error, not data. NULL keys stay NULL
-    // (absence, handled by the caller's filter as before).
-    when(key.isNotNull && h.isNull,
-      raise_error(concat(
-        lit("hashBucket: key is not castable to long (got value '"),
-        key.cast("string"), lit("') — sample keys must be numeric"))))
-      .otherwise(h)
-  }
+    * range. Identical values for keys in [0, p). Non-castable keys
+    * fail fast via [[longKey]]; NULL keys hash to NULL. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    (pmod(longKey(key, "hashBucket"), lit(1000003L)) * lit(2654435761L) % lit(1000003L)) % buckets
 
   /** Keep ~pct% of rows, deterministically by key. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
@@ -248,35 +253,56 @@ object Sampling {
     * the anti-join shuffles on (user, item-candidate) — both narrow
     * longs — against the deduplicated positives. No window, no
     * all-pairs. */
+  // Distinct primes just under 2^31 with p ≡ 2 (mod 3): gcd(3, p-1)=1,
+  // so x → x³ mod p is a BIJECTION on [0, p) — unlike squaring (which
+  // reaches only the (p+1)/2 quadratic residues and capped the old
+  // draw at 10k items), cubing loses no coverage at all.
+  private val NegP1 = 2147483579L
+  private val NegP2 = 2147483549L
+
+  /** Max [[negativeSample]] catalog: draws reduce H mod nItems with H
+    * near-uniform on [0, NegP1·NegP2 ≈ 2^62); keeping the draw space
+    * at least 1024× the catalog bounds the modulo bias below 0.1%.
+    * ≈ 4.5e15 ≈ 2^52 — far beyond any real item catalog. */
+  val MaxNegCatalog: Long = NegP1 * NegP2 / 1024L
+
   def negativeSample(
       df: DataFrame, userCol: String, itemCol: String,
       nItems: Long, k: Int): DataFrame = {
-    // Squares mod a prime cover only (m+1)/2 residues, so the draw's
-    // reachable id set is the quadratic residues of m folded by
-    // `% nItems`: with ≥ ~50 QR preimages per item class (nItems ≤
-    // m/100) every item is reachable w.h.p. and draws are uniform to
-    // Poisson noise; at nItems near m, half the catalog would be
-    // silently unreachable — fail fast instead (a bigger catalog needs
-    // a bigger prime).
-    require(nItems > 0 && nItems <= 10000L && k >= 1,
-      s"negativeSample: nItems must be in [1, 10000] (got $nItems) — " +
+    require(nItems > 0 && nItems <= MaxNegCatalog && k >= 1,
+      s"negativeSample: nItems must be in [1, $MaxNegCatalog] (got $nItems) — " +
         "the portable-hash draw space caps the catalog size")
-    val m = lit(1000003L)
     val draw = explode(sequence(lit(0), lit(k - 1))).as("neg_idx")
-    // The draw index MUST be mixed NONLINEARLY: any linear map mod the
-    // same prime (including a re-multiply) sends the progression
-    // (H + idx·69061) mod m to another progression, so a fixed
+    val u = longKey(col(userCol), "negativeSample")
+    val i = longKey(col(itemCol), "negativeSample")
+    // One independent draw component per prime. The draw index MUST be
+    // mixed NONLINEARLY: any linear map mod one prime sends the
+    // progression (H + idx·c) mod p to another progression, so a fixed
     // interaction's k draws stay evenly spaced — correlated
-    // "negatives". Squaring makes the draw quadratic in idx: measured
-    // over 10k interactions at (nItems=50, k=3), ZERO constant-gap
-    // triples survive and single-draw frequencies are uniform to ~5%
-    // (Poisson noise). mixed < m ≈ 1e6, so mixed² < 1e12 fits a long.
-    val mixed = pmod(
-      (pmod(col(userCol).cast("long"), m) * lit(2654435761L) +
-        pmod(col(itemCol).cast("long"), m) * lit(40503L) +
-        col("neg_idx") * lit(69061L)) % m, m)
-    val negItem = pmod(mixed * mixed % m, lit(nItems))
-    val withNeg = df.select(col("*"), draw)
+    // "negatives". The cube supplies the nonlinearity without the
+    // quadratic-residue coverage loss of squaring. Overflow audit
+    // (DuckDB errors on int64 overflow; Spark non-ANSI would wrap):
+    // (p-1)·2654435761 ≈ 5.70e18 and the mix sum stays < 2^63 for any
+    // idx ≤ 5e13; h < p ≈ 2^31 so h² < 2^62 and (h² mod p)·h < 2^62.
+    def component(p: Long, cu: Long, ci: Long, cj: Long): Column = {
+      val h = pmod(
+        pmod(u, lit(p)) * lit(cu) + pmod(i, lit(p)) * lit(ci) +
+          col("neg_idx") * lit(cj), lit(p))
+      pmod(h * h % lit(p) * h, lit(p))
+    }
+    val s1 = component(NegP1, 2654435761L, 40503L, 69061L)
+    val s2 = component(NegP2, 2246822519L, 52361L, 86969L)
+    // CRT-style combine: (s1, s2) → s1·P2 + s2 ∈ [0, P1·P2 ≈ 2^62) —
+    // s1·P2 < 2^62 fits a long. Measured over 10k interactions at
+    // (nItems=1e6, k=3): decile frequencies uniform to ~4% (Poisson
+    // noise at 3k/bucket) and ZERO constant-gap triples.
+    val negItem = pmod(s1 * lit(NegP2) + s2, lit(nItems))
+    // Rows with NULL user/item have no defined draw — excluded up
+    // front (consistent with weightedSample's NULL-weight exclusion);
+    // left in, the NULL neg_item would survive the anti-join as a
+    // silent NULL "negative".
+    val withNeg = df.filter(u.isNotNull && i.isNotNull)
+      .select(col("*"), draw)
       .withColumn("neg_item", negItem)
     val positives = df.select(col(userCol).as("__graft_u"),
       col(itemCol).cast("long").as("__graft_i")).distinct()

@@ -146,13 +146,15 @@ object TemporalQueries {
 
     // Deterministic negative sampling over (user, item=event_type-id)
     // interactions: portable-hash draws, positives dropped by anti-join.
+    // nItems = 1M exercises the 64-bit two-prime cube draw (catalog cap
+    // ≈ 2^52); the oracle replays the exact CRT-combine arithmetic.
     QueryDef(
       "events_negative_sample",
       (s, dir) => Sampling.negativeSample(
         table(s, dir, "events")
           .select(col("user_id"), pmod(col("event_id"), lit(50L)).as("item_id"))
           .distinct(),
-        "user_id", "item_id", nItems = 50L, k = 3)
+        "user_id", "item_id", nItems = 1000000L, k = 3)
         .select(col("user_id"), col("item_id"),
           col("neg_idx").cast("long").as("neg_idx"), col("neg_item")),
       Some("""
@@ -160,11 +162,16 @@ object TemporalQueries {
           SELECT DISTINCT user_id, ((event_id % 50) + 50) % 50 AS item_id FROM events),
         drawn AS (
           SELECT user_id, item_id, j.j AS neg_idx,
-                 ((h.h * h.h % 1000003) % 50 + 50) % 50 AS neg_item
+                 (c1.s * 2147483549 + c2.s) % 1000000 AS neg_item
           FROM inter, generate_series(0, 2) AS j(j),
-               LATERAL (SELECT (((((user_id % 1000003) + 1000003) % 1000003) * 2654435761
-                                + ((((item_id % 1000003) + 1000003) % 1000003) * 40503)
-                                + j.j * 69061) % 1000003) AS h) AS h)
+               LATERAL (SELECT (((((user_id % 2147483579) + 2147483579) % 2147483579) * 2654435761
+                                + ((((item_id % 2147483579) + 2147483579) % 2147483579) * 40503)
+                                + j.j * 69061) % 2147483579) AS v) AS h1,
+               LATERAL (SELECT (h1.v * h1.v % 2147483579) * h1.v % 2147483579 AS s) AS c1,
+               LATERAL (SELECT (((((user_id % 2147483549) + 2147483549) % 2147483549) * 2246822519
+                                + ((((item_id % 2147483549) + 2147483549) % 2147483549) * 52361)
+                                + j.j * 86969) % 2147483549) AS v) AS h2,
+               LATERAL (SELECT (h2.v * h2.v % 2147483549) * h2.v % 2147483549 AS s) AS c2)
         SELECT d.user_id, d.item_id, d.neg_idx, d.neg_item
         FROM drawn d
         WHERE NOT EXISTS (SELECT 1 FROM inter i

@@ -272,4 +272,43 @@ class SamplingSpec extends SparkSpec with Matchers
     val gaps = negs.sliding(2).map(p => ((p(1) - p(0)) % 1000 + 1000) % 1000).toSeq
     gaps.distinct.size should be > 1
   }
+
+  test("negativeSample: million-item catalog draws are in-range and decile-uniform") {
+    import spark.implicits._
+    val n = 1000000L
+    val inter = (for (u <- 0L until 1000L; i <- 0L until 4L) yield (u, i * 7 + 1))
+      .toDF("user_id", "item_id")
+    val negs = Sampling.negativeSample(inter, "user_id", "item_id", nItems = n, k = 3)
+      .select("neg_item").collect().map(_.getLong(0))
+    negs.length should be >= 11000 // 12000 draws minus rare positive collisions
+    negs.foreach(_ should (be >= 0L and be < n))
+    // the old quadratic-residue draw capped the catalog at 10k ids —
+    // the 64-bit draw must actually reach the upper catalog
+    negs.count(_ >= 10000L) should be > negs.length / 2
+    // decile frequencies uniform to ±10% (Poisson sd at ~1.2k/bucket is ~3%)
+    val byDecile = negs.groupBy(v => v * 10 / n).map(_._2.length)
+    val exp = negs.length / 10.0
+    byDecile.foreach(c => math.abs(c - exp) / exp should be < 0.10)
+  }
+
+  test("negativeSample: catalog cap and non-castable keys fail fast") {
+    import spark.implicits._
+    val inter = Seq((1L, 2L)).toDF("user_id", "item_id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.negativeSample(inter, "user_id", "item_id",
+        nItems = Sampling.MaxNegCatalog + 1, k = 1)
+    }
+    e.getMessage should include("catalog size")
+    // the cap itself is accepted (the require is inclusive)
+    Sampling.negativeSample(inter, "user_id", "item_id",
+      nItems = Sampling.MaxNegCatalog, k = 1).count() shouldBe 1L
+    // Non-castable key fails fast on EITHER path: under ANSI (Spark 4
+    // default) the cast itself throws CAST_INVALID_INPUT; under
+    // non-ANSI the longKey raise_error guard fires ("not castable").
+    val bad = Seq(("u-1", 2L)).toDF("user_id", "item_id")
+    val err = intercept[Exception] {
+      Sampling.negativeSample(bad, "user_id", "item_id", nItems = 100L, k = 1).collect()
+    }
+    err.getMessage.toLowerCase should include("cast")
+  }
 }
