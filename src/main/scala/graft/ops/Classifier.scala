@@ -31,26 +31,20 @@ object Classifier {
     round(lit(1.0) / (lit(1.0) + exp(-s.cast("double"))), 6)
       .cast("decimal(28,6)")
 
-  /** Train `iters` full-batch GD steps on (`labelCol` ∈ {0,1}) and
-    * score every document with the final weights. Output:
-    * (id, label, score) — score is the 6-dp calibrated probability.
-    * Documents with no tokens carry no features and are dropped
-    * (unclassifiable by a bag-of-buckets model).
-    */
-  def trainScoreLogistic(
+  // "Broadcast by construction" only holds while 16^hexChars is
+  // driver-sized: at hexChars ≥ 5 the weight table is bounded by
+  // min(vocab, ≥1M) rows and a FORCED broadcast can OOM the driver —
+  // past that, leave strategy choice to AQE (the join stays a plain
+  // equi-join on `b`).
+  private def weightHint(hexChars: Int): DataFrame => DataFrame =
+    if (hexChars <= 4) broadcast(_) else identity
+
+  /** Binary features: DISTINCT (doc, label, bucket). Feeds every GD
+    * iteration twice (scoring + gradient) — materialized once. */
+  private def featurize(
       df: DataFrame, idCol: String, textCol: String, labelCol: Column,
-      hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
-    // "Broadcast by construction" only holds while 16^hexChars is
-    // driver-sized: at hexChars ≥ 5 the weight table is bounded by
-    // min(vocab, ≥1M) rows and a FORCED broadcast can OOM the driver —
-    // past that, leave strategy choice to AQE (the join stays a plain
-    // equi-join on `b`).
-    val hintW: DataFrame => DataFrame =
-      if (hexChars <= 4) broadcast(_) else identity
-    // Binary features: DISTINCT (doc, label, bucket). Feeds every
-    // iteration twice (scoring + gradient) — materialized once.
-    val feats = OpsUtil.widen(df)
+      hexChars: Int): DataFrame =
+    OpsUtil.widen(df)
       .select(col(idCol), labelCol.cast("int").as("y"),
         explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
       .filter(col("tk") =!= "") // empty text → [""] under split; not a feature
@@ -58,55 +52,15 @@ object Classifier {
         substring(md5(col("tk")), 1, hexChars).as("b"))
       .distinct()
       .localCheckpoint(false)
-    val nDocs = feats.select(col(idCol)).distinct().count()
-    require(nDocs > 0, "empty corpus")
-    var w = feats.select(col("b")).distinct()
-      .withColumn("w", lit(0).cast("decimal(28,6)"))
-    for (_ <- 1 to iters) {
-      val scored = feats.join(hintW(w), Seq("b"))
-        .groupBy(col(idCol), col("y"))
-        .agg(sum(col("w")).as("s"))
-        .withColumn("p", sigmoid6(col("s")))
-        .withColumn("r", col("y").cast("decimal(28,6)") - col("p"))
-      val grad = feats
-        .join(scored.select(col(idCol), col("r")), Seq(idCol))
-        .groupBy(col("b"))
-        .agg(sum(col("r")).as("g"))
-      w = w.join(grad, Seq("b"))
-        .withColumn("w",
-          col("w") + round(lit(lr) * col("g").cast("double") / nDocs, 6)
-            .cast("decimal(28,6)"))
-        .select("b", "w")
-    }
-    feats.join(hintW(w), Seq("b"))
-      .groupBy(col(idCol), col("y"))
-      .agg(sum(col("w")).as("s"))
-      .select(col(idCol), col("y").as("label"),
-        sigmoid6(col("s")).cast("double").as("score"))
-  }
 
-  /** Train and return the WEIGHT TABLE (b, w) instead of scores — the
-    * fit-once half of fit-once/serve-many (the [[graft.ops.Similarity.AnnIndex]]
-    * pattern for the classifier): a production pipeline trains on a
-    * labeled slice, persists the weights ([[saveWeights]]), and scores
-    * arbitrary unlabeled corpora later with [[scoreLogistic]]. Same
-    * relational GD loop as [[trainScoreLogistic]] (shared by
-    * construction: that op's final scoring over these exact weights
-    * reproduces its output bit-for-bit — spec-asserted). */
-  def trainLogistic(
-      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
-      hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
-    val hintW: DataFrame => DataFrame =
-      if (hexChars <= 4) broadcast(_) else identity
-    val feats = OpsUtil.widen(df)
-      .select(col(idCol), labelCol.cast("int").as("y"),
-        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
-      .filter(col("tk") =!= "")
-      .select(col(idCol), col("y"),
-        substring(md5(col("tk")), 1, hexChars).as("b"))
-      .distinct()
-      .localCheckpoint(false)
+  /** The full-batch GD loop over a featurized frame → final weight
+    * table (b, w). THE single copy of the training arithmetic: both
+    * train entry points call this, so train/serve parity cannot drift
+    * through a one-sided edit. */
+  private def gdWeights(
+      feats: DataFrame, idCol: String, hexChars: Int,
+      iters: Int, lr: Double): DataFrame = {
+    val hintW = weightHint(hexChars)
     val nDocs = feats.select(col(idCol)).distinct().count()
     require(nDocs > 0, "empty corpus")
     var w = feats.select(col("b")).distinct()
@@ -128,6 +82,41 @@ object Classifier {
         .select("b", "w")
     }
     w
+  }
+
+  /** Train `iters` full-batch GD steps on (`labelCol` ∈ {0,1}) and
+    * score every document with the final weights. Output:
+    * (id, label, score) — score is the 6-dp calibrated probability.
+    * Documents with no tokens carry no features and are dropped
+    * (unclassifiable by a bag-of-buckets model).
+    */
+  def trainScoreLogistic(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
+    val feats = featurize(df, idCol, textCol, labelCol, hexChars)
+    val w = gdWeights(feats, idCol, hexChars, iters, lr)
+    feats.join(weightHint(hexChars)(w), Seq("b"))
+      .groupBy(col(idCol), col("y"))
+      .agg(sum(col("w")).as("s"))
+      .select(col(idCol), col("y").as("label"),
+        sigmoid6(col("s")).cast("double").as("score"))
+  }
+
+  /** Train and return the WEIGHT TABLE (b, w) instead of scores — the
+    * fit-once half of fit-once/serve-many (the [[graft.ops.Similarity.AnnIndex]]
+    * pattern for the classifier): a production pipeline trains on a
+    * labeled slice, persists the weights ([[saveWeights]]), and scores
+    * arbitrary unlabeled corpora later with [[scoreLogistic]]. Same
+    * relational GD loop as [[trainScoreLogistic]] — literally [[gdWeights]],
+    * not a copy — so that op's final scoring over these exact weights
+    * reproduces its output bit-for-bit (spec-asserted). */
+  def trainLogistic(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
+    gdWeights(featurize(df, idCol, textCol, labelCol, hexChars),
+      idCol, hexChars, iters, lr)
   }
 
   /** Inference-only scoring with a frozen weight table — the

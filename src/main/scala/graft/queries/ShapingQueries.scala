@@ -577,7 +577,13 @@ object ShapingQueries {
         val docs = table(s, dir, "documents")
         val w = Classifier.trainLogistic(docs, "doc_id", "text",
           labelCol = (col("lang") === "en"), hexChars = 2, iters = 2, lr = 0.5)
-        val path = s"/tmp/graft-clf-weights-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // Keyed by (dataset, THIS Spark app): a dataset-only path let
+        // two concurrent harness runs on one host race saveWeights'
+        // mode("overwrite") directory delete against the other run's
+        // loadWeights read. Within one app the path is stable, so the
+        // bench's two timed passes still overwrite in place.
+        val path = s"/tmp/graft-clf-weights-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${s.sparkContext.applicationId}"
         Classifier.saveWeights(w, path)
         Classifier.scoreLogistic(docs, "doc_id", "text",
           Classifier.loadWeights(s, path), hexChars = 2)
