@@ -63,12 +63,19 @@ object Multimodal {
   /** Deterministic RGB value of pixel (x, y) of image `id` — the shared
     * contract between [[encodeImage]], the roundtrip oracle SQL (plain
     * BIGINT arithmetic any engine reproduces on the non-negative ids
-    * there), and the spec. floorMod, NOT `%`, for the same reason as
-    * [[sampleValue]]: a signed remainder on a negative id would go
-    * negative, setRGB would mask it to 24 bits, and the decode-side
-    * `& 0xffffff` checksum would diverge from the contract. */
+    * there), and the spec. The id reduces mod 2^24 BEFORE the multiply
+    * (congruent result — the folded-away part is a multiple of 2^24),
+    * so the product tops out near 2^56 and the arithmetic is exact in
+    * ANY engine for ANY id: a raw id·2654435761 passes 2^63 at
+    * id ≈ 3.5e9, where DuckDB errors and Scala silently wraps.
+    * floorMod, NOT `%`, for the same reason as [[sampleValue]]: a
+    * signed remainder on a negative id would go negative, setRGB would
+    * mask it to 24 bits, and the decode-side `& 0xffffff` checksum
+    * would diverge from the contract. */
   private[graft] def pixelValue(id: Long, x: Int, y: Int): Int =
-    java.lang.Math.floorMod(id * 2654435761L + x * 40503L + y * 69061L,
+    java.lang.Math.floorMod(
+      java.lang.Math.floorMod(id, 16777216L) * 2654435761L +
+        x * 40503L + y * 69061L,
       16777216L).toInt
 
   /** Output contract of the REAL decode stage ([[decodeImage]]). */
@@ -172,12 +179,16 @@ object Multimodal {
   /** Deterministic 16-bit PCM sample `i` of clip `id` — the shared
     * contract between [[encodeAudio]], the roundtrip oracle SQL (plain
     * BIGINT arithmetic; SQL `%` on the non-negative ids there equals
-    * floorMod), and the spec. floorMod, NOT `%`: Scala's signed
-    * remainder would push negative ids below -32768 and the low-16-bit
-    * PCM write would silently wrap them. Range [-32768, 32767] for
-    * every (id, i). */
+    * floorMod), and the spec. The id reduces mod 2^16 before the
+    * multiply (congruent, and overflow-proof for any id — see
+    * [[pixelValue]]). floorMod, NOT `%`: Scala's signed remainder
+    * would push negative ids below -32768 and the low-16-bit PCM
+    * write would silently wrap them. Range [-32768, 32767] for every
+    * (id, i). */
   private[graft] def sampleValue(id: Long, i: Int): Int =
-    (java.lang.Math.floorMod(id * 31L + i * 2654435761L, 65536L) - 32768L).toInt
+    (java.lang.Math.floorMod(
+      java.lang.Math.floorMod(id, 65536L) * 31L + i * 2654435761L,
+      65536L) - 32768L).toInt
 
   /** Output contract of the REAL audio decode stage ([[decodeAudio]]). */
   val audioSchema: StructType = StructType(Seq(
@@ -282,7 +293,96 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(audioSchema))
   }
 
-  /** Output contract of the resize stage. */
+  /** Output contract of the REAL resize stage ([[resizeImage]]). */
+  val resizedImageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("src_w", IntegerType),
+    StructField("src_h", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("pix_sum", LongType)))
+
+  /** Aspect-preserving fit of (w, h) into (targetW, targetH) in PURE
+    * INTEGER arithmetic, so any engine reproduces it exactly: the
+    * binding side is decided by cross-multiplication (targetW·h ≤
+    * targetH·w ⇔ width binds) and the other side floors through
+    * integer division — no float scale whose w·(tw/w) could land an
+    * ulp under tw and floor to tw−1. Degenerate aspects clamp at 1px. */
+  private[graft] def fitDims(
+      w: Int, h: Int, targetW: Int, targetH: Int): (Int, Int) =
+    if (targetW.toLong * h <= targetH.toLong * w)
+      (targetW, math.max(1, (h.toLong * targetW / w).toInt))
+    else (math.max(1, (w.toLong * targetH / h).toInt), targetH)
+
+  /** REAL raster resize: decode the payload (same `javax.imageio` path
+    * as [[decodeImage]]), resample it nearest-neighbor into the
+    * aspect-preserving [[fitDims]] geometry — output pixel (ox, oy)
+    * reads source pixel (ox·w DIV outW, oy·h DIV outH), the standard
+    * top-left-anchored NN kernel in integer arithmetic — and reduce
+    * the RESIZED raster to the Σ 24-bit-RGB checksum. The transformed
+    * pixel buffer is materialized (setRGB into a new image, checksum
+    * read back from it), so the oracle verifies an actual resample,
+    * not geometry math. Undecodable payloads degrade to NULL fields;
+    * per-partition projection — payload bytes never shuffle. */
+  def resizeImage(
+      df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"resizeImage: non-positive target ${targetW}x$targetH")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id: java.lang.Long =
+          if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
+        try {
+          val bytes = r.getAs[Array[Byte]](payIdx)
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Row(id, null, null, null, null, null, null)
+            else {
+              val reader = readers.next()
+              try {
+                val fmt = reader.getFormatName.toLowerCase
+                reader.setInput(iis)
+                val img = reader.read(0)
+                val (w, h) = (img.getWidth, img.getHeight)
+                val (ow, oh) = fitDims(w, h, targetW, targetH)
+                val out = new java.awt.image.BufferedImage(
+                  ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var oy = 0
+                while (oy < oh) {
+                  val sy = (oy.toLong * h / oh).toInt
+                  var ox = 0
+                  while (ox < ow) {
+                    out.setRGB(ox, oy,
+                      img.getRGB((ox.toLong * w / ow).toInt, sy))
+                    ox += 1
+                  }
+                  oy += 1
+                }
+                var sum = 0L
+                oy = 0
+                while (oy < oh) {
+                  var ox = 0
+                  while (ox < ow) { sum += (out.getRGB(ox, oy) & 0xffffff); ox += 1 }
+                  oy += 1
+                }
+                Row(id, fmt, w, h, ow, oh, sum)
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch {
+          case _: Exception => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(resizedImageSchema))
+  }
+
+  /** Output contract of the metadata-only resize-geometry stage. */
   val resizedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("out_w", IntegerType),
@@ -290,10 +390,10 @@ object Multimodal {
     StructField("scale_x", DoubleType),
     StructField("scale_y", DoubleType)))
 
-  /** Resize stub over decoded metadata: computes the aspect-preserving
-    * fit into `targetW x targetH` (the real op would also transform the
-    * pixel buffer; the geometry, schema, and per-partition batch shape
-    * are the production plumbing). Pure column math — stays in codegen. */
+  /** Resize GEOMETRY over decoded metadata — the planning half of the
+    * resize stage (what dims/scale would the fit produce), kept as
+    * pure column math so it stays in codegen and runs without payloads.
+    * The raster transform itself is [[resizeImage]]. */
   def stubResize(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val sx = lit(targetW.toDouble) / col("width").cast("double")
     val sy = lit(targetH.toDouble) / col("height").cast("double")

@@ -783,11 +783,55 @@ object PipelineQueries {
                  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
           FROM documents)
         SELECT p.doc_id AS media_id, p.fmt AS format, p.w AS width, p.h AS height,
-               CAST(SUM((p.doc_id * 2654435761 + xs.x * 40503 + ys.y * 69061)
+               CAST(SUM(((p.doc_id % 16777216) * 2654435761 + xs.x * 40503 + ys.y * 69061)
                  % 16777216) AS BIGINT) AS pix_sum
         FROM p, generate_series(0, 10) AS xs(x), generate_series(0, 10) AS ys(y)
         WHERE xs.x < p.w AND ys.y < p.h
         GROUP BY 1, 2, 3, 4""")),
+
+    // REAL raster resize: the encoded images resample nearest-neighbor
+    // into an 8x8 aspect fit. Geometry is pure integer (cross-multiplied
+    // binding side + integer division), and NN reads source pixel
+    // (ox*w DIV out_w, oy*h DIV out_h) — so the oracle rebuilds the
+    // RESIZED raster's checksum from the pixelValue contract alone in
+    // BIGINT arithmetic: a value-level proof the pixel buffer was
+    // actually transformed (upscale and downscale both occur: src dims
+    // span [4,11] against the 8x8 target).
+    QueryDef(
+      "multimodal_resize_real",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(4) + pmod(col("doc_id"), lit(8))).cast("int").as("w"),
+          (lit(4) + pmod(floor(col("doc_id") / lit(8.0)).cast("long"), lit(8)))
+            .cast("int").as("h"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("bmp").as("fmt"))
+        Multimodal.resizeImage(
+          Multimodal.encodeImage(params, "doc_id", "w", "h", "fmt"),
+          "media_id", "payload", targetW = 8, targetH = 8)
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS w,
+                 CAST(4 + (doc_id // 8) % 8 AS INT) AS h,
+                 CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+          FROM documents),
+        g AS (
+          SELECT doc_id, w, h, fmt,
+                 CASE WHEN 8 * h <= 8 * w THEN 8
+                      ELSE GREATEST(1, (w * 8) // h) END AS out_w,
+                 CASE WHEN 8 * h <= 8 * w THEN GREATEST(1, (h * 8) // w)
+                      ELSE 8 END AS out_h
+          FROM p)
+        SELECT g.doc_id AS media_id, g.fmt AS format,
+               g.w AS src_w, g.h AS src_h,
+               CAST(g.out_w AS INT) AS out_w, CAST(g.out_h AS INT) AS out_h,
+               CAST(SUM(((g.doc_id % 16777216) * 2654435761
+                         + ((xs.x * g.w) // g.out_w) * 40503
+                         + ((ys.y * g.h) // g.out_h) * 69061) % 16777216) AS BIGINT) AS pix_sum
+        FROM g, generate_series(0, 7) AS xs(x), generate_series(0, 7) AS ys(y)
+        WHERE xs.x < g.out_w AND ys.y < g.out_h
+        GROUP BY 1, 2, 3, 4, 5, 6""")),
 
     // REAL audio codec roundtrip (javax.sound.sampled, JDK-resident):
     // 16-bit mono PCM clips generated from doc_id via the shared
@@ -811,7 +855,7 @@ object PipelineQueries {
         SELECT p.doc_id AS media_id, 'PCM_SIGNED' AS encoding,
                CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
                p.n AS n_samples,
-               CAST(SUM((p.doc_id * 31 + i.i * 2654435761) % 65536 - 32768) AS BIGINT) AS sample_sum
+               CAST(SUM(((p.doc_id % 65536) * 31 + i.i * 2654435761) % 65536 - 32768) AS BIGINT) AS sample_sum
         FROM p, generate_series(0, 191) AS i(i)
         WHERE i.i < p.n
         GROUP BY 1, 2, 3, 4, 5""")),

@@ -117,4 +117,47 @@ class MultimodalSpec extends SparkSpec with Matchers {
     dec.getString(1) shouldBe "png"
     dec.getInt(2) shouldBe 6
   }
+
+  test("fitDims: integer aspect fit binds the right side and clamps degenerate aspects") {
+    Multimodal.fitDims(10, 5, 8, 8) shouldBe ((8, 4))   // width binds
+    Multimodal.fitDims(5, 10, 8, 8) shouldBe ((4, 8))   // height binds
+    Multimodal.fitDims(8, 8, 8, 8) shouldBe ((8, 8))    // exact
+    Multimodal.fitDims(4, 4, 8, 8) shouldBe ((8, 8))    // upscale
+    Multimodal.fitDims(1000, 1, 8, 8) shouldBe ((8, 1)) // clamp at 1px
+    Multimodal.fitDims(1, 1000, 8, 8) shouldBe ((1, 8))
+  }
+
+  test("resizeImage: NN resample checksum matches the pixelValue contract, up and down") {
+    val params = Seq(
+      (1L, 16, 4, "png"),  // downscale, width binds
+      (2L, 4, 16, "bmp"),  // downscale, height binds
+      (3L, 3, 5, "png"),   // upscale
+      (4L, 8, 8, "bmp"))   // identity fit
+    val out = Multimodal.resizeImage(
+      Multimodal.encodeImage(paramsDf(params), "id", "w", "h", "fmt"),
+      "media_id", "payload", targetW = 8, targetH = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getLong(6))).toMap
+    for ((id, w, h, fmt) <- params) {
+      val (ow, oh) = Multimodal.fitDims(w, h, 8, 8)
+      // NN kernel replayed from the contract: resized (ox, oy) reads
+      // source (ox*w DIV ow, oy*h DIV oh), whose RGB is pixelValue
+      val expSum = (for (oy <- 0 until oh; ox <- 0 until ow) yield
+        Multimodal.pixelValue(id, ox * w / ow, oy * h / oh).toLong).sum
+      out(id) shouldBe ((fmt, w, h, ow, oh, expSum))
+    }
+  }
+
+  test("resizeImage: undecodable payloads degrade to NULL fields") {
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(
+      Seq(Row(7L, Array[Byte](9, 9, 9))).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val r = Multimodal.resizeImage(df, "media_id", "payload", 8, 8).head()
+    r.getLong(0) shouldBe 7L
+    (1 to 6).foreach(i => r.isNullAt(i) shouldBe true)
+  }
 }
