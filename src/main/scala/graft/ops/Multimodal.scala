@@ -6,12 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with typed metadata alongside. IMAGE decode
-  * is REAL — [[encodeImage]]/[[decodeImage]] run the JDK-resident
-  * `javax.imageio` codecs (PNG/BMP/JPEG/GIF) — and so is AUDIO —
-  * [[encodeAudio]]/[[decodeAudio]] run `javax.sound.sampled`
-  * (WAV/AIFF/AU containers, PCM frames) — both with lossless-roundtrip
-  * oracles. Only COMPRESSED audio and video genuinely lack a JDK
-  * codec, so those stages keep the deterministic stub ([[stubDecode]],
+  * AND transform are REAL — [[encodeImage]]/[[decodeImage]] run the
+  * JDK-resident `javax.imageio` codecs (PNG/BMP/JPEG/GIF) and
+  * [[resizeImage]] nearest-neighbor-resamples the decoded raster — and
+  * so are AUDIO's — [[encodeAudio]]/[[decodeAudio]] run
+  * `javax.sound.sampled` (WAV/AIFF/AU containers, PCM frames) and
+  * [[convertAudio]] runs the JDK converter chain (rate / channel
+  * count) — all with lossless-roundtrip or exact-transform oracles.
+  * Only COMPRESSED audio and video genuinely lack a JDK codec, so
+  * those stages keep the deterministic stub ([[stubDecode]],
   * [[stubFrameSample]]) — the Spark-side plumbing (schema contract,
   * partition-preserving `mapPartitions` batch shape, the Scala
   * analogue of `mapInPandas`, projection-friendly metadata extraction)
@@ -291,6 +294,80 @@ object Multimodal {
         }
       }
     }(org.apache.spark.sql.Encoders.row(audioSchema))
+  }
+
+  /** Output contract of the REAL audio conversion stage ([[convertAudio]]). */
+  val convertedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("sample_sum", LongType)))
+
+  /** REAL audio format conversion via the JDK's
+    * `AudioSystem.getAudioInputStream(targetFormat, stream)` converter
+    * chain: decode the container, convert the PCM stream to 16-bit
+    * signed little-endian at (`targetRate`, `targetChannels`), and
+    * reduce the CONVERTED stream to (frame count, Σ signed samples
+    * across all channels) — the transform stage the codec roundtrip
+    * ([[decodeAudio]]) didn't exercise. Channel conversion is exact
+    * and engine-mirrorable (mono→stereo duplicates each sample, so the
+    * checksum is exactly 2× the mono sum — probe-verified; N→mono
+    * mixes down deterministically), which is what the value oracle
+    * pins; sample-RATE conversion runs the JDK's interpolating
+    * resampler, whose values are implementation-defined — spec-covered
+    * by invariants (frame count, header, determinism), not the SQL
+    * oracle. Unsupported conversions and undecodable payloads degrade
+    * to NULL fields. Per-partition projection; payload bytes never
+    * shuffle. */
+  def convertAudio(
+      df: DataFrame, idCol: String, payloadCol: String,
+      targetRate: Int, targetChannels: Int): DataFrame = {
+    require(targetRate > 0 && targetChannels > 0,
+      s"convertAudio: non-positive target rate/channels $targetRate/$targetChannels")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id: java.lang.Long =
+          if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
+        try {
+          val bytes = r.getAs[Array[Byte]](payIdx)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val tgt = new javax.sound.sampled.AudioFormat(
+              targetRate.toFloat, 16, targetChannels, true, false)
+            // One-hop when the provider supports the combined jump;
+            // otherwise convert channels at the source rate first, then
+            // resample — the JDK registers those as separate providers.
+            val conv =
+              if (javax.sound.sampled.AudioSystem.isConversionSupported(
+                tgt, ais.getFormat)) {
+                javax.sound.sampled.AudioSystem.getAudioInputStream(tgt, ais)
+              } else {
+                val mid = new javax.sound.sampled.AudioFormat(
+                  ais.getFormat.getSampleRate, 16, targetChannels, true, false)
+                javax.sound.sampled.AudioSystem.getAudioInputStream(tgt,
+                  javax.sound.sampled.AudioSystem.getAudioInputStream(mid, ais))
+              }
+            try {
+              val data = conv.readAllBytes()
+              var s = 0L
+              var i = 0
+              while (i + 1 < data.length) {
+                s += ((data(i + 1).toInt << 8) | (data(i).toInt & 0xff)).toShort.toLong
+                i += 2
+              }
+              Row(id, targetRate, targetChannels,
+                (data.length / (2L * targetChannels)), s)
+            } finally conv.close()
+          } finally ais.close()
+        } catch {
+          case _: Exception => Row(id, null, null, null, null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(convertedAudioSchema))
   }
 
   /** Output contract of the REAL resize stage ([[resizeImage]]). */

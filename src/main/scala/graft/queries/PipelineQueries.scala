@@ -860,6 +860,35 @@ object PipelineQueries {
         WHERE i.i < p.n
         GROUP BY 1, 2, 3, 4, 5""")),
 
+    // REAL audio format conversion (the transform stage on top of the
+    // codec roundtrip): mono clips convert to stereo through the JDK's
+    // AudioSystem converter chain. Channel duplication is exact —
+    // every frame carries the mono sample twice — so the oracle pins
+    // the CONVERTED stream's checksum to exactly 2x the sampleValue
+    // sum in BIGINT arithmetic. (Sample-RATE conversion runs the
+    // JDK's interpolating resampler — implementation-defined values,
+    // covered by spec invariants instead.)
+    QueryDef(
+      "multimodal_audio_convert",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(64) + pmod(col("doc_id"), lit(128))).cast("int").as("n"))
+        Multimodal.convertAudio(
+          Multimodal.encodeAudio(params, "doc_id", "n", sampleRate = 8000),
+          "media_id", "payload", targetRate = 8000, targetChannels = 2)
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(64 + doc_id % 128 AS BIGINT) AS n FROM documents)
+        SELECT p.doc_id AS media_id,
+               CAST(8000 AS INTEGER) AS sample_rate, CAST(2 AS INTEGER) AS channels,
+               p.n AS n_frames,
+               CAST(2 * SUM(((p.doc_id % 65536) * 31 + i.i * 2654435761) % 65536 - 32768) AS BIGINT) AS sample_sum
+        FROM p, generate_series(0, 191) AS i(i)
+        WHERE i.i < p.n
+        GROUP BY 1, 2, 3, 4""")),
+
     // SequenceExample wire-format round-trip: embeddings encoded with
     // scalar context + per-element FeatureList steps, decoded back and
     // re-projected (proves the format the reference declared but never

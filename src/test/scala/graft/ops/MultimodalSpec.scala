@@ -118,6 +118,57 @@ class MultimodalSpec extends SparkSpec with Matchers {
     dec.getInt(2) shouldBe 6
   }
 
+  private def clipsDf(rows: Seq[(Long, Int)]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      rows.map { case (i, n) => Row(i, n) }.asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType, nullable = false),
+        T.StructField("n", T.IntegerType, nullable = false))))
+  }
+
+  test("convertAudio: mono→stereo duplicates samples — checksum exactly 2x, frames kept") {
+    val params = Seq((1L, 64), (2L, 191), (3L, 1))
+    val out = Multimodal.convertAudio(
+      Multimodal.encodeAudio(clipsDf(params), "id", "n", sampleRate = 8000),
+      "media_id", "payload", targetRate = 8000, targetChannels = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    for ((id, n) <- params) {
+      val monoSum = (0 until n).map(Multimodal.sampleValue(id, _).toLong).sum
+      out(id) shouldBe ((8000, 2, n.toLong, 2 * monoSum))
+    }
+  }
+
+  test("convertAudio: rate downconversion resamples deterministically with sane framing") {
+    val n = 800
+    val conv = Multimodal.convertAudio(
+      Multimodal.encodeAudio(clipsDf(Seq((5L, n))), "id", "n", sampleRate = 8000),
+      "media_id", "payload", targetRate = 4000, targetChannels = 1)
+    val r1 = conv.head()
+    r1.getInt(1) shouldBe 4000
+    r1.getInt(2) shouldBe 1
+    // the JDK resampler interpolates — frame count lands at ~n/2,
+    // not exactly (observed n/2 + 1); values are impl-defined but
+    // must be deterministic across evaluations
+    r1.getLong(3) should (be >= (n / 2).toLong and be <= (n / 2 + 2).toLong)
+    val r2 = conv.head()
+    r2.getLong(3) shouldBe r1.getLong(3)
+    r2.getLong(4) shouldBe r1.getLong(4)
+  }
+
+  test("convertAudio: garbage payloads degrade to NULL fields") {
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(
+      Seq(Row(9L, Array[Byte](1, 2, 3))).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val r = Multimodal.convertAudio(df, "media_id", "payload", 8000, 2).head()
+    r.getLong(0) shouldBe 9L
+    (1 to 4).foreach(i => r.isNullAt(i) shouldBe true)
+  }
+
   test("fitDims: integer aspect fit binds the right side and clamps degenerate aspects") {
     Multimodal.fitDims(10, 5, 8, 8) shouldBe ((8, 4))   // width binds
     Multimodal.fitDims(5, 10, 8, 8) shouldBe ((4, 8))   // height binds
