@@ -67,7 +67,12 @@ object Bpe {
   def train(
       df: DataFrame, textCol: String, nMerges: Int,
       maxVocab: Int = 1 << 22): Seq[(String, String)] = {
-    require(nMerges > 0 && maxVocab > 0)
+    // maxVocab < Int.MaxValue: the probe below scans limit(maxVocab+1),
+    // which would overflow to a negative limit at Int.MaxValue and die
+    // with a confusing analysis error instead of this message.
+    require(nMerges > 0 && maxVocab > 0 && maxVocab < Int.MaxValue,
+      s"Bpe.train: nMerges must be > 0 and maxVocab in [1, ${Int.MaxValue - 1}] " +
+        s"(got nMerges=$nMerges, maxVocab=$maxVocab)")
     val words = OpsUtil.widen(df)
       .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
       .filter(col("w") =!= "")

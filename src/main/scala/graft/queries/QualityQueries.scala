@@ -310,6 +310,43 @@ object QualityQueries {
           WHERE length(word) >= 2)
         SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair""")),
 
+    // BPE SERVING path (the codegen'd BpeSegment expression) under a
+    // fixed merge table whose rule letters are pairwise disjoint: a
+    // merged symbol then never matches a char of another rule, so each
+    // rule's merge count over a word equals left-to-right
+    // non-overlapping substring counting on the ORIGINAL text —
+    // exactly DuckDB replace() semantics. Token counts and the md5 of
+    // the position-ordered reassembled stream are therefore pinned
+    // cross-engine without replaying the segmenter: n_tokens =
+    // chars − Σ merges, reassembled == space-stripped normalized text
+    // (BPE is lossless). Docs that normalize to empty emit no tokens
+    // and drop from both sides.
+    QueryDef(
+      "bpe_tokenize",
+      (s, dir) => graft.ops.Bpe.tokenize(
+        table(s, dir, "documents"), "doc_id", "text",
+        rules = Seq("t" -> "h", "e" -> "r", "o" -> "n", "a" -> "s"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("token_pos"), col("token")))),
+              x => x.getField("token")), "")).as("reassembled_md5")),
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, $Norm AS norm, replace($Norm, ' ', '') AS compact
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(compact)
+                 - (length(norm) - length(replace(norm, 'th', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'er', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'on', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'as', ''))) // 2 AS BIGINT) AS n_tokens,
+               md5(compact) AS reassembled_md5
+        FROM c
+        WHERE compact != ''""")),
+
     // Johnson-Lindenstrauss random projection 64 → 4 dims: integer
     // plane literals embedded in both engines; the division order
     // (dot / 1e6 / sqrt(k)) matches exactly.

@@ -100,6 +100,12 @@ class BpeSpec extends SparkSpec with Matchers {
     e.getMessage should include("distinct words")
     // at the cap exactly, training proceeds and stays classic-exact
     Bpe.train(df, "text", 2, maxVocab = 5) shouldBe naiveTrain(df, 2)
+    // Int.MaxValue would overflow the limit(maxVocab+1) probe to a
+    // negative limit — the precondition must own that input
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.train(df, "text", 2, maxVocab = Int.MaxValue)
+    }
+    e2.getMessage should include("maxVocab")
   }
 
   test("disjoint top pairs batch into one round: job count independent of merge count") {
