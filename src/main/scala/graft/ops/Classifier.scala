@@ -39,19 +39,24 @@ object Classifier {
   private def weightHint(hexChars: Int): DataFrame => DataFrame =
     if (hexChars <= 4) broadcast(_) else identity
 
-  /** Binary features: DISTINCT (doc, label, bucket). Feeds every GD
-    * iteration twice (scoring + gradient) — materialized once. */
+  /** Binary features: DISTINCT (doc, [label,] bucket) — THE single
+    * copy of the feature extraction, shared by training (label
+    * present) and inference ([[scoreLogistic]], label absent) so the
+    * tokenize→md5-bucket pipeline cannot drift one-sided. Callers that
+    * read it more than once (the GD loop: scoring + gradient per
+    * iteration) add their own localCheckpoint. */
   private def featurize(
-      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
-      hexChars: Int): DataFrame =
-    OpsUtil.widen(df)
-      .select(col(idCol), labelCol.cast("int").as("y"),
-        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
+      df: DataFrame, idCol: String, textCol: String, label: Option[Column],
+      hexChars: Int): DataFrame = {
+    val tokens = OpsUtil.widen(df)
+      .select(col(idCol) +: label.map(_.cast("int").as("y")).toSeq :+
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"): _*)
       .filter(col("tk") =!= "") // empty text → [""] under split; not a feature
-      .select(col(idCol), col("y"),
-        substring(md5(col("tk")), 1, hexChars).as("b"))
+    tokens
+      .select(col(idCol) +: label.map(_ => col("y")).toSeq :+
+        substring(md5(col("tk")), 1, hexChars).as("b"): _*)
       .distinct()
-      .localCheckpoint(false)
+  }
 
   /** The full-batch GD loop over a featurized frame → final weight
     * table (b, w). THE single copy of the training arithmetic: both
@@ -94,7 +99,8 @@ object Classifier {
       df: DataFrame, idCol: String, textCol: String, labelCol: Column,
       hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
-    val feats = featurize(df, idCol, textCol, labelCol, hexChars)
+    val feats = featurize(df, idCol, textCol, Some(labelCol), hexChars)
+      .localCheckpoint(false)
     val w = gdWeights(feats, idCol, hexChars, iters, lr)
     feats.join(weightHint(hexChars)(w), Seq("b"))
       .groupBy(col(idCol), col("y"))
@@ -115,7 +121,9 @@ object Classifier {
       df: DataFrame, idCol: String, textCol: String, labelCol: Column,
       hexChars: Int = 2, iters: Int = 2, lr: Double = 0.5): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8 && iters >= 1)
-    gdWeights(featurize(df, idCol, textCol, labelCol, hexChars),
+    gdWeights(
+      featurize(df, idCol, textCol, Some(labelCol), hexChars)
+        .localCheckpoint(false),
       idCol, hexChars, iters, lr)
   }
 
@@ -130,15 +138,9 @@ object Classifier {
       df: DataFrame, idCol: String, textCol: String, weights: DataFrame,
       hexChars: Int = 2): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8)
-    val hintW: DataFrame => DataFrame =
-      if (hexChars <= 4) broadcast(_) else identity
-    OpsUtil.widen(df)
-      .select(col(idCol),
-        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
-      .filter(col("tk") =!= "")
-      .select(col(idCol), substring(md5(col("tk")), 1, hexChars).as("b"))
-      .distinct()
-      .join(hintW(weights.select(col("b"), col("w").cast("decimal(28,6)"))), Seq("b"))
+    featurize(df, idCol, textCol, None, hexChars) // single consumer — no checkpoint
+      .join(weightHint(hexChars)(
+        weights.select(col("b"), col("w").cast("decimal(28,6)"))), Seq("b"))
       .groupBy(col(idCol))
       .agg(sum(col("w")).as("s"))
       .select(col(idCol), sigmoid6(col("s")).cast("double").as("score"))

@@ -161,9 +161,14 @@ object TemporalQueries {
         WITH inter AS (
           SELECT DISTINCT user_id, ((event_id % 50) + 50) % 50 AS item_id FROM events),
         drawn AS (
+          -- mirrors the operator's NULL-key row exclusion (rows with a
+          -- NULL user/item have no defined draw); the NOT EXISTS below
+          -- may keep the full positives set — NULL rows never match
           SELECT user_id, item_id, j.j AS neg_idx,
                  (c1.s * 2147483549 + c2.s) % 1000000 AS neg_item
-          FROM inter, generate_series(0, 2) AS j(j),
+          FROM (SELECT * FROM inter
+                WHERE user_id IS NOT NULL AND item_id IS NOT NULL) inter,
+               generate_series(0, 2) AS j(j),
                LATERAL (SELECT (((((user_id % 2147483579) + 2147483579) % 2147483579) * 2654435761
                                 + ((((item_id % 2147483579) + 2147483579) % 2147483579) * 40503)
                                 + j.j * 69061) % 2147483579) AS v) AS h1,

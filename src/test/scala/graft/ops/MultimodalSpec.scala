@@ -148,10 +148,12 @@ class MultimodalSpec extends SparkSpec with Matchers {
     val r1 = conv.head()
     r1.getInt(1) shouldBe 4000
     r1.getInt(2) shouldBe 1
-    // the JDK resampler interpolates — frame count lands at ~n/2,
-    // not exactly (observed n/2 + 1); values are impl-defined but
-    // must be deterministic across evaluations
-    r1.getLong(3) should (be >= (n / 2).toLong and be <= (n / 2 + 2).toLong)
+    // the JDK resampler interpolates — frame count lands NEAR n/2
+    // (observed n/2 + 1 on this JDK) but the exact tail handling is
+    // vendor-defined: assert a generous ~2:1 band so a JDK upgrade
+    // can't fail the suite without an actual behavior break; values
+    // must still be deterministic across evaluations
+    r1.getLong(3) should (be >= (n / 2 - 16).toLong and be <= (n / 2 + 16).toLong)
     val r2 = conv.head()
     r2.getLong(3) shouldBe r1.getLong(3)
     r2.getLong(4) shouldBe r1.getLong(4)
