@@ -238,6 +238,53 @@ object Sampling {
       .drop("cluster")
   }
 
+  /** Leakage-safe TEMPORAL train/eval split with an embargo gap and
+    * optional cold-start purging — the time-series counterpart of
+    * [[leakageSafeSplit]] (which guards against near-duplicate leakage;
+    * this guards against future-information and entity-memorization
+    * leakage). Every row is labeled, never silently dropped:
+    *
+    *   - `train`: ts < `trainEnd`
+    *   - `eval`:  ts ≥ `evalStart`
+    *   - `embargo`: the gap between the two (and NULL timestamps —
+    *     a row with no event time belongs to neither side), excluded
+    *     from both sides so labels/features whose windows straddle the
+    *     boundary cannot leak (the purged-split idea from financial
+    *     ML; pass `evalStart = trainEnd` for no gap)
+    *   - `purged` (only when `coldStartEval`): eval rows of entities
+    *     that also appear in train — keeping them would score the
+    *     model on entities it memorized, so cold-start evaluation
+    *     labels them out; callers filter on `split`.
+    *
+    * Callers must pass `evalStart` ≥ `trainEnd` (column-level bounds
+    * are not checkable at build time; an inverted pair would label
+    * the overlap `train` — rows match the FIRST branch).
+    *
+    * Scale shape: the labeling is one scan + projection (no shuffle).
+    * `coldStartEval` adds one DISTINCT over train entities (map-side
+    * combined, bounded by entity cardinality) and one null-safe
+    * equi-join back on the entity key — AQE broadcasts the entity set
+    * while it is small; there is no window and no global sort. */
+  def temporalSplit(
+      df: DataFrame, entityCol: String, tsCol: String,
+      trainEnd: Column, evalStart: Column,
+      coldStartEval: Boolean = false): DataFrame = {
+    val base = df.withColumn("split",
+      when(col(tsCol) < trainEnd, lit("train"))
+        .when(col(tsCol) >= evalStart, lit("eval"))
+        .otherwise(lit("embargo")))
+    if (!coldStartEval) base
+    else {
+      val trainEntities = base.filter(col("split") === "train")
+        .select(col(entityCol).as("__graft_te")).distinct()
+      base.join(trainEntities, base(entityCol) <=> col("__graft_te"), "left")
+        .withColumn("split",
+          when(col("split") === "eval" && col("__graft_te").isNotNull,
+            lit("purged")).otherwise(col("split")))
+        .drop("__graft_te")
+    }
+  }
+
   /** Deterministic negative sampling for recommendation / contrastive
     * training: every (user, positive item) interaction emits up to `k`
     * pseudo-random negative item ids from `[0, nItems)`, derived by

@@ -146,6 +146,38 @@ object TemporalQueries {
 
     // Deterministic negative sampling over (user, item=event_type-id)
     // interactions: portable-hash draws, positives dropped by anti-join.
+    // Leakage-safe temporal split: 7-day train, 2-day embargo, the
+    // rest eval; entity = (user, event_type) so genuinely cold
+    // entities exist at sf0.01 (~320 eval vs ~6.7k purged rows) and
+    // every label materializes. All four labels are value-checked.
+    QueryDef(
+      "events_temporal_split",
+      (s, dir) => Sampling.temporalSplit(
+        table(s, dir, "events")
+          .select(col("event_id"),
+            concat(col("user_id"), lit(":"), col("event_type")).as("entity"),
+            col("ts")),
+        "entity", "ts",
+        trainEnd = to_timestamp(lit("2024-01-08 00:00:00")),
+        evalStart = to_timestamp(lit("2024-01-10 00:00:00")),
+        coldStartEval = true)
+        .select(col("event_id"), col("entity"), col("split")),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id || ':' || event_type AS entity, ts FROM events),
+        s AS (
+          SELECT event_id, entity,
+                 CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'train'
+                      WHEN ts >= TIMESTAMP '2024-01-10 00:00:00' THEN 'eval'
+                      ELSE 'embargo' END AS split
+          FROM e)
+        SELECT event_id, entity,
+               CASE WHEN split = 'eval' AND EXISTS (
+                      SELECT 1 FROM s t
+                      WHERE t.split = 'train' AND t.entity = s.entity)
+                    THEN 'purged' ELSE split END AS split
+        FROM s""")),
+
     // nItems = 1M exercises the 64-bit two-prime cube draw (catalog cap
     // ≈ 2^52); the oracle replays the exact CRT-combine arithmetic.
     QueryDef(

@@ -311,4 +311,39 @@ class SamplingSpec extends SparkSpec with Matchers
     }
     err.getMessage.toLowerCase should include("cast")
   }
+
+  test("temporalSplit: boundaries are half-open, embargo absorbs the gap and NULL ts") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-12 00:00:00")
+    val rows = Seq(
+      ("a", Option(java.sql.Timestamp.valueOf("2024-01-09 23:59:59"))), // train
+      ("b", Option(t0)),                                                // embargo (ts == trainEnd)
+      ("c", Option(java.sql.Timestamp.valueOf("2024-01-11 12:00:00"))), // embargo
+      ("d", Option(t1)),                                                // eval (ts == evalStart)
+      ("e", None))                                                      // NULL ts -> embargo
+      .toDF("entity", "ts")
+    val out = Sampling.temporalSplit(rows, "entity", "ts", lit(t0), lit(t1))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    out shouldBe Map("a" -> "train", "b" -> "embargo", "c" -> "embargo",
+      "d" -> "eval", "e" -> "embargo")
+  }
+
+  test("temporalSplit: coldStartEval purges eval rows of train-seen entities only") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val rows = Seq(
+      ("u1", ts(2)), ("u1", ts(20)), // seen in train -> eval row purged
+      ("u2", ts(20)),                // cold entity -> eval survives
+      ("u3", ts(9)))                 // embargo only -> NOT a train sighting
+      .toDF("entity", "ts")
+    val out = Sampling.temporalSplit(rows, "entity", "ts",
+      lit(ts(8)), lit(ts(10)), coldStartEval = true)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+    out.toSet shouldBe Set(
+      ("u1", ts(2), "train"), ("u1", ts(20), "purged"),
+      ("u2", ts(20), "eval"), ("u3", ts(9), "embargo"))
+    // no silent drops: every input row comes back labeled
+    out.length shouldBe 4
+  }
 }
