@@ -66,14 +66,17 @@ object Dedup {
     * collapse and would contribute width² candidate pairs on one
     * shuffle key. Mass-identical documents belong to [[exact]] dedup,
     * which catches them in one agg; run it first. */
-  def minhashLsh(
+  /** The persistable MinHash "index": DISTINCT-shingle signatures
+    * (id, sig: array<k longs>) — THE single copy of the
+    * shingle→signature pipeline, shared by the one-shot [[minhashLsh]]
+    * and the fit-once/serve-many incremental path
+    * ([[saveSignatures]]/[[loadSignatures]]/[[minhashLshAgainst]]:
+    * dedup a daily ingest batch against yesterday's corpus WITHOUT
+    * re-shingling the historical text — at 100 TB the signature table
+    * is the only artifact the historical side ever re-reads). */
+  def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5, portable: Boolean = false,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    val src = OpsUtil.widen(df)
+      shingleN: Int = 3, k: Int = 16, portable: Boolean = false): DataFrame = {
     // Stage token/shingle arrays as real columns: lambda element access
     // then touches a materialized array instead of re-running the whole
     // normalize→split chain per element (CollapseProject keeps these
@@ -84,18 +87,60 @@ object Dedup {
     // projection by Catalyst, collapsing the staging and re-running
     // the tokenize chain per lambda element access (the HOF
     // re-evaluation trap — measured 10× on this exact pipeline).
-    val shingled = src
+    val shingled = OpsUtil.widen(df)
       .filter(size(TextOps.tokens(TextOps.normalized(col(textCol)))) >= shingleN)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), TextOps.shingles(col("ws"), shingleN).as("sh"))
-    val sigs =
-      if (portable)
-        shingled.select(col("id"),
-          graft.functions.HashFunctions
-            .portableMinhashSignature(col("sh"), k, PortableMinhashMod).as("sig"))
-      else
-        shingled.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    if (portable)
+      shingled.select(col("id"),
+        graft.functions.HashFunctions
+          .portableMinhashSignature(col("sh"), k, PortableMinhashMod).as("sig"))
+    else
+      shingled.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+  }
+
+  /** Persist a signature table as parquet — engine-agnostic,
+    * versionable beside the corpus it indexes (the
+    * [[graft.ops.Classifier.saveWeights]] pattern). */
+  def saveSignatures(sigs: DataFrame, path: String): Unit =
+    sigs.select(col("id"), col("sig")).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted signature table (inverse of [[saveSignatures]]). */
+  def loadSignatures(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("id"), col("sig"))
+
+  /** LSH band rows (id, sig, band, band_hash) for a signature table,
+    * with hot buckets wider than `maxBucket` dropped — shared between
+    * the self-join and two-sided candidate generation. */
+  private def bandRows(
+      sigs: DataFrame, k: Int, bands: Int, portable: Boolean,
+      maxBucket: Int): DataFrame = {
+    val r = k / bands
+    def bandHash(b: Column): Column = {
+      val key = concat_ws(",", slice(col("sig"), b * r + 1, lit(r)), b.cast("string"))
+      if (portable) md5(key) else xxhash64(key)
+    }
+    val bandedRaw = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandHash(_))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    if (maxBucket == Int.MaxValue) bandedRaw
+    else {
+      val hot = bandedRaw.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
+        .select("band", "band_hash")
+      bandedRaw.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    }
+  }
+
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, portable: Boolean = false,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
     // The signature table is the LSH index: tiny relative to the corpus
     // (id + k longs per doc) but consumed by BOTH candidate-join sides
     // (and the bucket-width aggregate when capped) — materialize once
@@ -104,25 +149,9 @@ object Dedup {
     // action, so plan CONSTRUCTION stays side-effect free; signature
     // values are pure functions of the input, so a concurrent first
     // compute by two stages is harmless.
-    val sigsOnce = sigs.localCheckpoint(false)
-
-    // band rows: (band index, hash of that band's slice, id, sig)
-    def bandHash(b: Column): Column = {
-      val key = concat_ws(",", slice(col("sig"), b * r + 1, lit(r)), b.cast("string"))
-      if (portable) md5(key) else xxhash64(key)
-    }
-    val bandedRaw = sigsOnce.select(
-      col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandHash(_))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val banded =
-      if (maxBucket == Int.MaxValue) bandedRaw
-      else {
-        val hot = bandedRaw.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
-          .select("band", "band_hash")
-        bandedRaw.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
-      }
+    val sigsOnce = minhashSignatures(df, idCol, textCol, shingleN, k, portable)
+      .localCheckpoint(false)
+    val banded = bandRows(sigsOnce, k, bands, portable, maxBucket)
 
     // Candidate join carries ids only — signatures re-attach from the
     // checkpointed table after pair dedup, so the bucket-join shuffle
@@ -144,6 +173,42 @@ object Dedup {
           .cast("double") / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** INCREMENTAL MinHash-LSH: near-duplicate pairs between a NEW batch
+    * and an already-indexed BASE corpus — the serve-many half of the
+    * signature index ([[minhashSignatures]] → [[saveSignatures]] once;
+    * each ingest then computes signatures for its batch only and joins
+    * against the loaded base table). The historical corpus text is
+    * never re-shingled: at 100 TB the base side ships k longs + id per
+    * document, and both band streams shuffle on the same (band,
+    * band_hash) key. `maxBucket` caps bucket width PER SIDE (bounding
+    * candidates per bucket at maxBucket², the same template-collapse
+    * guard as [[minhashLsh]]). Output: (new_id, base_id, est_jaccard ≥
+    * threshold). Sides are expected disjoint (an id present in both
+    * pairs with itself at jaccard 1.0 — harmless but redundant). */
+  def minhashLshAgainst(
+      newSigs: DataFrame, baseSigs: DataFrame,
+      k: Int = 16, bands: Int = 8, threshold: Double = 0.5,
+      portable: Boolean = false, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val newOnce = newSigs.localCheckpoint(false)
+    val baseOnce = baseSigs.localCheckpoint(false)
+    val a = bandRows(newOnce, k, bands, portable, maxBucket)
+      .select(col("band"), col("band_hash"), col("id").as("new_id"))
+    val b = bandRows(baseOnce, k, bands, portable, maxBucket)
+      .select(col("band"), col("band_hash"), col("id").as("base_id"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .select("new_id", "base_id")
+      .dropDuplicates("new_id", "base_id")
+    cand
+      .join(newOnce.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(baseOnce.select(col("id").as("base_id"), col("sig").as("sig_b")), Seq("base_id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "base_id", "est_jaccard")
   }
 
   /** Near-duplicate pairs by SimHash banding + Hamming distance. */

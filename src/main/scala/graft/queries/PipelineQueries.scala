@@ -182,6 +182,73 @@ object PipelineQueries {
           JOIN sig sb ON sb.id = c.id_b)
         SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= 0.125""")),
 
+    // INCREMENTAL dedup (fit-once/serve-many for MinHash): the corpus
+    // splits into a "historical" base (doc_id % 5 != 4) whose
+    // signatures persist through parquet, and a "new batch"
+    // (doc_id % 5 = 4) deduped against the LOADED base without
+    // re-shingling it — the daily-ingest workflow. Portable family, so
+    // the oracle replays signatures for both sides and the two-sided
+    // band join in SQL.
+    QueryDef(
+      "dedup_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+        val path = s"/tmp/graft-minhash-sigs-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${s.sparkContext.applicationId}"
+        Dedup.saveSignatures(
+          Dedup.minhashSignatures(hist, "doc_id", "text",
+            shingleN = 3, k = 16, portable = true), path)
+        Dedup.minhashLshAgainst(
+          Dedup.minhashSignatures(batch, "doc_id", "text",
+            shingleN = 3, k = 16, portable = true),
+          Dedup.loadSignatures(s, path),
+          k = 16, bands = 8, threshold = 0.125, portable = true,
+          maxBucket = 200)
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+          FROM w),
+        hp AS (
+          SELECT id,
+                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647) AS h2
+          FROM sh WHERE len(shs) > 0),
+        sig AS (
+          SELECT id, list_transform(range(0, 16),
+                   j -> list_min(list_transform(range(1, len(h1) + 1),
+                          x -> (h1[x] + j * h2[x]) % 2147483647))) AS sig
+          FROM hp),
+        banded AS (
+          SELECT id, b,
+                 md5(array_to_string(sig[b*2+1 : b*2+2], ',') || ',' || b) AS band_hash
+          FROM sig, unnest(range(0, 8)) t(b)),
+        bn AS (SELECT * FROM banded WHERE id % 5 = 4),
+        bb AS (SELECT * FROM banded WHERE id % 5 != 4),
+        bszn AS (SELECT b, band_hash, COUNT(*) AS m FROM bn GROUP BY 1, 2),
+        bszb AS (SELECT b, band_hash, COUNT(*) AS m FROM bb GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT x.id AS new_id, y.id AS base_id
+          FROM bn x
+          JOIN bb y ON x.b = y.b AND x.band_hash = y.band_hash
+          JOIN bszn zn ON zn.b = x.b AND zn.band_hash = x.band_hash AND zn.m <= 200
+          JOIN bszb zb ON zb.b = x.b AND zb.band_hash = x.band_hash AND zb.m <= 200),
+        scored AS (
+          SELECT c.new_id, c.base_id,
+                 CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.id = c.new_id
+          JOIN sig sb ON sb.id = c.base_id)
+        SELECT new_id, base_id, est_jaccard FROM scored WHERE est_jaccard >= 0.125""")),
+
     QueryDef(
       "dedup_simhash",
       (s, dir) => Dedup.simhashPairs(

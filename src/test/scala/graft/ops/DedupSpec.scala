@@ -70,6 +70,39 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs should not contain ((2L, 3L))
   }
 
+  test("incremental minhash: batch-vs-base pairs equal the full run's cross pairs, through parquet") {
+    // corpus with known near-dups straddling the batch/base boundary
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    def vary(j: Int) = (1 to 40).map(i => if (i == j) "CHANGED" else s"token$i").mkString(" ")
+    val docs = Seq(
+      1L -> base, 2L -> vary(7), 3L -> vary(9),          // near-dup family
+      4L -> (100 to 140).map(i => s"other$i").mkString(" "),
+      5L -> (100 to 140).map(i => if (i == 120) "X" else s"other$i").mkString(" "),
+      6L -> "entirely unrelated text that stands alone in this corpus today ok")
+    val df = docsDf(docs)
+    val batchIds = Set(2L, 5L)
+    val batch = df.filter(col("doc_id").isin(batchIds.toSeq: _*))
+    val hist = df.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+    val path = java.nio.file.Files.createTempDirectory("graft-sigs").toString + "/sigs"
+    Dedup.saveSignatures(
+      Dedup.minhashSignatures(hist, "doc_id", "text", shingleN = 3, k = 16), path)
+    val inc = Dedup.minhashLshAgainst(
+      Dedup.minhashSignatures(batch, "doc_id", "text", shingleN = 3, k = 16),
+      Dedup.loadSignatures(spark, path), k = 16, bands = 8, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // oracle: the one-shot full-corpus run, restricted to pairs that
+    // cross the batch/base boundary (id order normalized)
+    val full = Dedup.minhashLsh(df, "doc_id", "text", shingleN = 3, k = 16,
+      bands = 8, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((a, b), _) => batchIds.contains(a) ^ batchIds.contains(b) }
+      .map { case ((a, b), j) =>
+        (if (batchIds.contains(a)) (a, b) else (b, a)) -> j }
+      .toMap
+    inc shouldBe full
+    inc.keySet should contain((2L, 1L)) // a real cross-boundary near-dup found
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val df = docsDf(Seq(1L -> "a b c d e f g h", 2L -> "a b c d e f g h"))
     val sigs = df.select(TextOps.tokens(TextOps.normalized(col("text"))).as("ws"))
