@@ -257,6 +257,33 @@ object StreamingOps {
       sink(PointInTimeJoin.join(batch, entityTs, views), batchId)
     }
 
+  /** Streaming incremental near-dup detection: each micro-batch of
+    * arriving documents dedups against a STATIC signature index via
+    * the batch engine's [[graft.ops.Dedup.minhashLshAgainst]] — the
+    * streaming face of the fit-once/serve-many dedup path (build the
+    * index once with [[graft.ops.Dedup.minhashSignatures]] →
+    * `saveSignatures`; the ingest stream then checks every arrival
+    * batch against it, shipping only id + k longs per base doc).
+    * Per-batch semantics are the batch operator's BY CONSTRUCTION
+    * (same code path — the dedup_incremental oracle covers it), and
+    * there is no streaming state at all: the index IS the state, and
+    * it lives in parquet. Pairs are per micro-batch; near-dups WITHIN
+    * the stream are the index-refresh cadence's concern (append each
+    * accepted batch's signatures to the base, the standard ingest
+    * loop). The returned writer still needs `.start()`. */
+  def nearDupStream(
+      docs: DataFrame, idCol: String, textCol: String, baseSigs: DataFrame,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, portable: Boolean = false,
+      maxBucket: Int = Int.MaxValue)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Dedup.minhashLshAgainst(
+        graft.ops.Dedup.minhashSignatures(
+          batch, idCol, textCol, shingleN, k, portable),
+        baseSigs, k, bands, threshold, portable, maxBucket), batchId)
+    }
+
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running
     * per-bucket token total — the incremental form of

@@ -291,6 +291,45 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("nearDupStream: per-batch pairs against the static index match the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    def vary(j: Int) = (1 to 40).map(i => if (i == j) "CHANGED" else s"token$i").mkString(" ")
+    val corpus = Seq(
+      Doc(1L, base), Doc(4L, (100 to 140).map(i => s"other$i").mkString(" ")),
+      Doc(6L, "entirely unrelated text that stands alone in this corpus today ok"))
+    val arriving = Seq(
+      Doc(2L, vary(7)),                                              // near-dup of 1
+      Doc(5L, (100 to 140).map(i => if (i == 120) "X" else s"other$i").mkString(" ")),
+      Doc(7L, "totally new content sharing nothing with the base corpus at all"))
+    val baseSigs = Dedup.minhashSignatures(
+      corpus.toDF(), "doc_id", "text", shingleN = 3, k = 16)
+    val stream = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamingOps.nearDupStream(
+      stream.toDF(), "doc_id", "text", baseSigs,
+      shingleN = 3, k = 16, bands = 8, threshold = 0.3) { (pairs, _) =>
+      got.synchronized {
+        got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }.start()
+    try {
+      stream.addData(arriving.take(1))
+      q.processAllAvailable()
+      stream.addData(arriving.drop(1))
+      q.processAllAvailable()
+      val batchTwin = Dedup.minhashLshAgainst(
+        Dedup.minhashSignatures(arriving.toDF(), "doc_id", "text", shingleN = 3, k = 16),
+        baseSigs, k = 16, bands = 8, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      got.sorted shouldBe batchTwin.toSeq.sorted
+      got.map(t => (t._1, t._2)) should contain((2L, 1L)) // the planted near-dup
+      got.map(_._1) should not contain 7L                 // novel content passes
+    } finally q.stop()
+  }
+
   test("stateless corpus-quality ops run identically on streams (widen passes through)") {
     import spark.implicits._
     import graft.ops.TextOps
