@@ -51,21 +51,6 @@ object Dedup {
     * [[graft.functions.PortableMinHashSignature]]. */
   val PortableMinhashMod = 2147483647L
 
-  /** MinHash + LSH banding near-duplicate candidates.
-    *
-    * @param bands number of LSH bands; each band hashes `k/bands`
-    *              signature components; pairs colliding in >=1 band are
-    *              candidates (P ~ 1-(1-j^r)^bands)
-    * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
-    *         fraction of matching signature components, filtered to
-    *         `threshold`
-    *
-    * `maxBucket` caps LSH bucket width: (band, band_hash) buckets
-    * holding more than `maxBucket` documents are dropped before the
-    * candidate join — a bucket that wide is template/boilerplate
-    * collapse and would contribute width² candidate pairs on one
-    * shuffle key. Mass-identical documents belong to [[exact]] dedup,
-    * which catches them in one agg; run it first. */
   /** The persistable MinHash "index": DISTINCT-shingle signatures
     * (id, sig: array<k longs>) — THE single copy of the
     * shingle→signature pipeline, shared by the one-shot [[minhashLsh]]
@@ -135,6 +120,21 @@ object Dedup {
     }
   }
 
+  /** MinHash + LSH banding near-duplicate candidates.
+    *
+    * @param bands number of LSH bands; each band hashes `k/bands`
+    *              signature components; pairs colliding in >=1 band are
+    *              candidates (P ~ 1-(1-j^r)^bands)
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    *         fraction of matching signature components, filtered to
+    *         `threshold`
+    *
+    * `maxBucket` caps LSH bucket width: (band, band_hash) buckets
+    * holding more than `maxBucket` documents are dropped before the
+    * candidate join — a bucket that wide is template/boilerplate
+    * collapse and would contribute width² candidate pairs on one
+    * shuffle key. Mass-identical documents belong to [[exact]] dedup,
+    * which catches them in one agg; run it first. */
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,
@@ -190,11 +190,34 @@ object Dedup {
   def minhashLshAgainst(
       newSigs: DataFrame, baseSigs: DataFrame,
       k: Int = 16, bands: Int = 8, threshold: Double = 0.5,
-      portable: Boolean = false, maxBucket: Int = Int.MaxValue): DataFrame = {
+      portable: Boolean = false, maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashLshAgainstPrepared(
+      newSigs.localCheckpoint(false), baseSigs.localCheckpoint(false),
+      k, bands, threshold, portable, maxBucket)
+
+  /** A loaded index can carry a DIFFERENT k than the serve call: band
+    * slices would then hash the wrong components and est_jaccard would
+    * divide a foreign match count by this k — confidently wrong pairs
+    * with no error. Fail fast per row instead (fail-fast over silent
+    * truncation, the house rule). */
+  private def sigLengthGuard(df: DataFrame, k: Int, side: String): DataFrame =
+    df.withColumn("sig",
+      when(size(col("sig")) === k, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"minhashLshAgainst: $side signature has "),
+          size(col("sig")).cast("string"),
+          lit(s" components, expected k=$k — the index was built with a different k")))))
+
+  /** [[minhashLshAgainst]] over ALREADY-materialized signature frames —
+    * the streaming serve path calls this so the base index checkpoints
+    * ONCE for the query's lifetime instead of once per micro-batch. */
+  private[graft] def minhashLshAgainstPrepared(
+      newOnce: DataFrame, baseOnce0: DataFrame,
+      k: Int, bands: Int, threshold: Double,
+      portable: Boolean, maxBucket: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val newOnce = newSigs.localCheckpoint(false)
-    val baseOnce = baseSigs.localCheckpoint(false)
-    val a = bandRows(newOnce, k, bands, portable, maxBucket)
+    val baseOnce = sigLengthGuard(baseOnce0, k, "base")
+    val a = bandRows(sigLengthGuard(newOnce, k, "new"), k, bands, portable, maxBucket)
       .select(col("band"), col("band_hash"), col("id").as("new_id"))
     val b = bandRows(baseOnce, k, bands, portable, maxBucket)
       .select(col("band"), col("band_hash"), col("id").as("base_id"))

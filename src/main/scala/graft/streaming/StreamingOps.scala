@@ -270,19 +270,31 @@ object StreamingOps {
     * it lives in parquet. Pairs are per micro-batch; near-dups WITHIN
     * the stream are the index-refresh cadence's concern (append each
     * accepted batch's signatures to the base, the standard ingest
-    * loop). The returned writer still needs `.start()`. */
+    * loop). The base index checkpoints ONCE for the query's lifetime,
+    * not per micro-batch. Caveat: with a finite `maxBucket` the
+    * NEW-side hot-bucket cap is evaluated per micro-batch, so bucket
+    * widths — and therefore which template buckets drop — depend on
+    * trigger cadence; exact batch-twin parity holds for the default
+    * uncapped new side (the base-side cap is cadence-independent).
+    * The returned writer still needs `.start()`. */
   def nearDupStream(
       docs: DataFrame, idCol: String, textCol: String, baseSigs: DataFrame,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,
       threshold: Double = 0.5, portable: Boolean = false,
       maxBucket: Int = Int.MaxValue)(
-      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // Checkpointed here, OUTSIDE foreachBatch: a per-batch
+    // localCheckpoint would re-materialize the whole base index every
+    // trigger and pin a fresh block copy until driver GC.
+    val baseOnce = baseSigs.localCheckpoint(false)
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sink(graft.ops.Dedup.minhashLshAgainst(
+      sink(graft.ops.Dedup.minhashLshAgainstPrepared(
         graft.ops.Dedup.minhashSignatures(
-          batch, idCol, textCol, shingleN, k, portable),
-        baseSigs, k, bands, threshold, portable, maxBucket), batchId)
+          batch, idCol, textCol, shingleN, k, portable)
+          .localCheckpoint(false),
+        baseOnce, k, bands, threshold, portable, maxBucket), batchId)
     }
+  }
 
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running
