@@ -956,6 +956,78 @@ object PipelineQueries {
         WHERE i.i < p.n
         GROUP BY 1, 2, 3, 4""")),
 
+    // REAL video demux + frame sampling: RIFF-AVI containers built
+    // in-engine with uncompressed bottom-up 24-bit DIB frames (the
+    // framePixel contract), demuxed by the from-scratch RIFF chunk
+    // walker and sampled every 2nd frame. DIB involves no codec, so
+    // the oracle rebuilds per-frame top-left pixel AND checksum in
+    // plain BIGINT SQL — a value-level proof that a real container
+    // parse, frame explode, and bottom-up un-flip ran (pix00 pins the
+    // row order; the checksum alone is orientation-blind).
+    QueryDef(
+      "multimodal_video_frames",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(4) + pmod(col("doc_id"), lit(5))).cast("int").as("n"),
+          (lit(4) + pmod(col("doc_id"), lit(6))).cast("int").as("w"),
+          (lit(3) + pmod(floor(col("doc_id") / lit(6.0)).cast("long"), lit(5)))
+            .cast("int").as("h"),
+          lit("dib").as("codec"))
+        Multimodal.sampleVideoFrames(
+          Multimodal.encodeVideo(params, "doc_id", "n", "w", "h", "codec"),
+          "media_id", "payload", stride = 2)
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, 4 + doc_id % 5 AS n,
+                 CAST(4 + doc_id % 6 AS INT) AS w,
+                 CAST(3 + (doc_id // 6) % 5 AS INT) AS h
+          FROM documents),
+        fr AS (
+          SELECT p.doc_id, p.w, p.h, fs.f,
+                 ((p.doc_id % 16777216) * 1000003 + fs.f) % 16777216 AS fid
+          FROM p, generate_series(0, 7) AS fs(f)
+          WHERE fs.f < p.n AND fs.f % 2 = 0)
+        SELECT fr.doc_id AS media_id, CAST(fr.f AS BIGINT) AS frame_idx,
+               'dib' AS codec, fr.w AS width, fr.h AS height,
+               CAST((fr.fid * 2654435761) % 16777216 AS INT) AS pix00,
+               CAST(SUM((fr.fid * 2654435761 + xs.x * 40503 + ys.y * 69061)
+                 % 16777216) AS BIGINT) AS pix_sum
+        FROM fr, generate_series(0, 8) AS xs(x), generate_series(0, 6) AS ys(y)
+        WHERE xs.x < fr.w AND ys.y < fr.h
+        GROUP BY 1, 2, 3, 4, 5, 6""")),
+
+    // Motion-JPEG flavor of the same demux: each '00dc' frame is a
+    // real JPEG decoded by the JDK reader. JPEG is lossy, so pixel
+    // VALUES are codec-defined — the oracle checks the invariant
+    // surface (frame fan-out, dims from the decoded raster, codec
+    // detection from the container header, a raster actually decoded)
+    // the way the ANN-recall oracles do; value determinism is
+    // spec-pinned (MultimodalSpec).
+    QueryDef(
+      "multimodal_video_mjpeg",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(2) + pmod(col("doc_id"), lit(3))).cast("int").as("n"),
+          lit(16).cast("int").as("w"), lit(8).cast("int").as("h"),
+          lit("mjpg").as("codec"))
+        Multimodal.sampleVideoFrames(
+          Multimodal.encodeVideo(params, "doc_id", "n", "w", "h", "codec"),
+          "media_id", "payload", stride = 1)
+          .select(col("media_id"), col("frame_idx"), col("codec"),
+            col("width"), col("height"),
+            (col("pix_sum").isNotNull &&
+              col("pix_sum") <= lit(16L * 8L * 0xffffffL)).as("decoded_ok"))
+      },
+      Some("""
+        SELECT doc_id AS media_id, CAST(fs.f AS BIGINT) AS frame_idx,
+               'mjpg' AS codec, CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+               true AS decoded_ok
+        FROM documents, generate_series(0, 3) AS fs(f)
+        WHERE fs.f < 2 + doc_id % 3""")),
+
     // SequenceExample wire-format round-trip: embeddings encoded with
     // scalar context + per-element FeatureList steps, decoded back and
     // re-projected (proves the format the reference declared but never

@@ -213,4 +213,94 @@ class MultimodalSpec extends SparkSpec with Matchers {
     r.getLong(0) shouldBe 7L
     (1 to 6).foreach(i => r.isNullAt(i) shouldBe true)
   }
+
+  private def videoParamsDf(rows: Seq[(Long, Int, Int, Int, String)]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      rows.map { case (i, n, w, h, c) => Row(i, n, w, h, c) }.asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType, nullable = false),
+        T.StructField("n", T.IntegerType, nullable = false),
+        T.StructField("w", T.IntegerType, nullable = false),
+        T.StructField("h", T.IntegerType, nullable = false),
+        T.StructField("codec", T.StringType, nullable = false))))
+  }
+
+  test("encodeVideo→sampleVideoFrames: DIB demux matches the framePixel contract, incl. un-flip") {
+    // odd widths exercise the 4-byte DIB row padding; (0,0) pins the
+    // bottom-up un-flip that the orientation-blind checksum cannot
+    val params = Seq(
+      (1L, 5, 5, 3, "dib"), (2L, 1, 4, 4, "dib"),
+      (3L, 8, 7, 2, "dib"), (4L, 3, 1, 6, "dib"))
+    val out = Multimodal.sampleVideoFrames(
+      Multimodal.encodeVideo(videoParamsDf(params), "id", "n", "w", "h", "codec"),
+      "media_id", "payload", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6))).toMap
+    val expKeys = params.flatMap { case (id, n, _, _, _) =>
+      (0 until n by 2).map(f => (id, f.toLong)) }
+    out.keySet shouldBe expKeys.toSet
+    for ((id, n, w, h, _) <- params; f <- 0 until n by 2) {
+      val expSum = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.framePixel(id, f, x, y).toLong).sum
+      out((id, f.toLong)) shouldBe
+        (("dib", w, h, Multimodal.framePixel(id, f, 0, 0), expSum))
+    }
+  }
+
+  test("sampleVideoFrames: MJPG frames decode through the real JDK JPEG reader") {
+    val params = Seq((11L, 4, 16, 8, "mjpg"), (12L, 2, 24, 24, "mjpg"))
+    val run = () => Multimodal.sampleVideoFrames(
+      Multimodal.encodeVideo(videoParamsDf(params), "id", "n", "w", "h", "codec"),
+      "media_id", "payload", stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getLong(6))).toMap
+    val out = run()
+    out.size shouldBe 6 // every frame, stride 1
+    for ((id, n, w, h, _) <- params; f <- 0 until n) {
+      val (codec, ow, oh, sum) = out((id, f.toLong))
+      codec shouldBe "mjpg"
+      ow shouldBe w
+      oh shouldBe h
+      // JPEG is lossy — the value is unpinned, but it must be a real
+      // decoded raster (bounded by 24-bit range) and deterministic
+      sum should (be >= 0L and be <= w.toLong * h * 0xffffff)
+    }
+    run() shouldBe out
+  }
+
+  test("sampleVideoFrames: non-AVI and truncated payloads degrade to one NULL row") {
+    import org.apache.spark.sql.{Row, types => T}
+    val good = Multimodal.encodeVideo(
+      videoParamsDf(Seq((5L, 3, 4, 4, "dib"))), "id", "n", "w", "h", "codec")
+      .head().getAs[Array[Byte]]("payload")
+    val df = spark.createDataFrame(
+      Seq(Row(7L, Array[Byte](1, 2, 3, 4)),
+        Row(8L, java.util.Arrays.copyOfRange(good, 0, good.length / 2)),
+        Row(9L, good)).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val out = Multimodal.sampleVideoFrames(df, "media_id", "payload", 1)
+      .collect().groupBy(_.getLong(0))
+    out(7L).length shouldBe 1
+    out(7L).head.isNullAt(1) shouldBe true // frame_idx NULL marks corrupt
+    out(8L).length shouldBe 1
+    out(8L).head.isNullAt(6) shouldBe true
+    out(9L).length shouldBe 3              // the intact sibling still demuxes
+    out(9L).map(_.getLong(1)).sorted shouldBe Array(0L, 1L, 2L)
+  }
+
+  test("encodeVideo rejects unknown codecs and non-positive geometry") {
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.encodeVideo(
+        videoParamsDf(Seq((1L, 2, 4, 4, "h264"))), "id", "n", "w", "h", "codec")
+        .head()
+    }
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.encodeVideo(
+        videoParamsDf(Seq((1L, 0, 4, 4, "dib"))), "id", "n", "w", "h", "codec")
+        .head()
+    }
+  }
 }
