@@ -408,13 +408,60 @@ object Dedup {
   def contamination(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minShared: Int = 3): DataFrame = {
-    def sh(d: DataFrame) = OpsUtil.widen(d)
+    val evalShingles = contaminationShingles(eval, idCol, textCol, shingleN)
+      .select("sh").distinct()
+    contaminationShingles(train, idCol, textCol, shingleN)
+      .join(evalShingles, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** The (id, distinct shingle) explode shared by [[contamination]]
+    * and [[contaminationBloom]] — ONE copy of the normalize → tokenize
+    * → shingle pipeline so the two variants cannot drift. */
+  private def contaminationShingles(
+      d: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    OpsUtil.widen(d)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"),
         explode(array_distinct(TextOps.shingles(col("ws"), shingleN))).as("sh"))
-    val evalShingles = sh(eval).select("sh").distinct()
-    sh(train).join(evalShingles, Seq("sh"), "left_semi")
+
+  /** [[contamination]] behind a broadcast Bloom prefilter — the 100 TB
+    * scale path. The plain form broadcast-semi-joins the distinct eval
+    * shingle STRINGS; once a benchmark suite accumulates tens of
+    * millions of distinct shingles that hash relation outgrows the
+    * broadcast threshold and the semi-join degrades to a full shuffle
+    * of the exploded training corpus — the thing that must never
+    * happen at scale. Here the eval shingles reduce to a Bloom sketch
+    * (~1.2 bytes/item at 1% fpp vs tens of bytes per broadcast-hash
+    * entry), the corpus streams through the sketch MAP-SIDE, and only
+    * the survivors — true matches plus the fpp tail — reach the exact
+    * semi-join, which broadcasts by construction. Bloom filters have
+    * no false negatives and every candidate is re-checked exactly, so
+    * the output is bit-identical to [[contamination]] and shares its
+    * exact SQL oracle; `fpp` only moves prefilter cost. The probe is a
+    * Scala UDF by necessity (it consults a driver-broadcast sketch no
+    * built-in columnar expression can reach) and sits OUTSIDE the
+    * value path — everything it passes is re-verified relationally. */
+  def contaminationBloom(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minShared: Int = 3, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"contaminationBloom: fpp not in (0,1): $fpp")
+    // Materialized once, reused thrice (sizing count, sketch build,
+    // exact re-check) — all on the already-distinct SMALL side; the
+    // corpus is never counted.
+    val evalShingles = contaminationShingles(eval, idCol, textCol, shingleN)
+      .select("sh").distinct().localCheckpoint(false)
+    val nEval = math.max(1L, evalShingles.count())
+    val bloom = evalShingles.stat.bloomFilter("sh", nEval, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bc.value.mightContainString(s))
+    contaminationShingles(train, idCol, textCol, shingleN)
+      .filter(mightContain(col("sh")))            // map-side, zero shuffle
+      .join(evalShingles, Seq("sh"), "left_semi") // exact re-check of survivors
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .withColumnRenamed("id", "doc_id")

@@ -429,6 +429,38 @@ object PipelineQueries {
         FROM tr JOIN ev ON ev.sh = tr.sh
         GROUP BY tr.id HAVING COUNT(*) >= 3""")),
 
+    // The same decontamination through the broadcast-Bloom prefilter
+    // (the 100 TB path: eval shingles reduce to a sketch the corpus
+    // streams through map-side; survivors re-check exactly). Bloom has
+    // no false negatives and candidates re-verify relationally, so the
+    // output — and therefore the oracle — is IDENTICAL to
+    // `decontaminate`: passing both proves the prefilter changed the
+    // plan, not the answer. fpp = 0.2 on purpose: a leaky sketch
+    // exercises the false-positive re-check path at oracle scale.
+    QueryDef(
+      "decontaminate_bloom",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val evalSet = docs.filter(graft.ops.Sampling.hashBucket(col("doc_id")) < 5)
+        val train = docs.filter(graft.ops.Sampling.hashBucket(col("doc_id")) >= 5)
+        Dedup.contaminationBloom(train, evalSet, "doc_id", "text",
+          shingleN = 3, minShared = 3, fpp = 0.2)
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM w),
+        ev AS (SELECT DISTINCT sh FROM sh WHERE ((((id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 5),
+        tr AS (SELECT id, sh FROM sh WHERE ((((id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 >= 5)
+        SELECT tr.id AS doc_id, COUNT(*) AS n_shared
+        FROM tr JOIN ev ON ev.sh = tr.sh
+        GROUP BY tr.id HAVING COUNT(*) >= 3""")),
+
     QueryDef(
       "text_token_counts",
       (s, dir) => table(s, dir, "documents")

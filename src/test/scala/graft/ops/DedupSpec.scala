@@ -244,6 +244,24 @@ class DedupSpec extends SparkSpec with Matchers {
     got(3L) shouldBe 7L
   }
 
+  test("contaminationBloom is bit-identical to contamination, even with a leaky sketch") {
+    val rnd = new scala.util.Random(41)
+    def sentence() = Seq.fill(12)("w" + rnd.nextInt(40)).mkString(" ")
+    val evalSet = docsDf((1000L to 1019L).map(i => i -> sentence()))
+    val train = docsDf((1L to 200L).map(i => i -> sentence()))
+    val exact = Dedup.contamination(train, evalSet, "doc_id", "text",
+      shingleN = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty // the 40-word vocab guarantees collisions
+    // tight fpp AND a deliberately leaky 50% sketch: false positives
+    // must die in the exact re-check, never reach the output
+    for (fpp <- Seq(0.01, 0.5)) {
+      Dedup.contaminationBloom(train, evalSet, "doc_id", "text",
+        shingleN = 3, minShared = 2, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe exact
+    }
+  }
+
   test("fuzzyLevenshtein: blocked pairs within distance; hot block capped away") {
     val docs = docsDf(Seq(
       1L -> "shared opening line with a small typo at the end xx",
