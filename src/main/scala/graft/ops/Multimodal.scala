@@ -518,6 +518,68 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(framesSchema))
   }
 
+  /** REAL image feature extraction over the decoded raster — the
+    * feature-extract verb with an actual codec behind it (the fake
+    * 4-float vector of [[stubDecode]] remains only for opaque
+    * payloads). Emits per-channel integer sums and a `pool`×`pool`
+    * average-pool grid of grayscale (r+g+b) sums — the classic
+    * tiny-embedding shape — all in integer arithmetic (no float means,
+    * no division), so the whole feature vector is exactly
+    * reproducible in SQL from the pixel contract. Pixel x maps to grid
+    * cell `x·pool DIV w` (same for y). Cells are unpacked to scalar
+    * columns `g_<i>_<j>` (i = x-cell, j = y-cell) because array cells
+    * defeat the driver's comparator; normalize downstream where floats
+    * belong.
+    * Undecodable payloads degrade to NULL fields; per-partition
+    * projection — payload bytes never shuffle. */
+  def imageFeatures(
+      df: DataFrame, idCol: String, payloadCol: String,
+      pool: Int = 2): DataFrame = {
+    require(pool > 0, s"imageFeatures: non-positive pool $pool")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(
+      Seq(StructField("media_id", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("r_sum", LongType),
+        StructField("g_sum", LongType),
+        StructField("b_sum", LongType)) ++
+        (for (i <- 0 until pool; j <- 0 until pool)
+          yield StructField(s"g_${i}_$j", LongType)))
+    val nulls = Array.fill[Any](5 + pool * pool)(null)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id: java.lang.Long =
+          if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
+        try {
+          val bytes = r.getAs[Array[Byte]](payIdx)
+          val img = readImageBytes(bytes, 0, bytes.length)
+          require(img != null, "no image reader for payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          val cells = new Array[Long](pool * pool)
+          var y = 0
+          while (y < h) {
+            val cy = y * pool / h
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              val cr = (v >> 16) & 0xff; val cg = (v >> 8) & 0xff; val cb = v & 0xff
+              rs += cr; gs += cg; bs += cb
+              cells((x * pool / w) * pool + cy) += (cr + cg + cb).toLong
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(Seq(id, w, h, rs, gs, bs) ++ cells)
+        } catch {
+          case _: Exception => Row.fromSeq(id +: nulls.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   // ------------------------------------------------------------ video
 
   /** Deterministic RGB of pixel (x, y) in FRAME `f` of video `id` —

@@ -988,6 +988,47 @@ object PipelineQueries {
         WHERE i.i < p.n
         GROUP BY 1, 2, 3, 4""")),
 
+    // REAL image feature extraction (decode → channel sums + 2x2
+    // pooled-grayscale grid): every value is an integer sum over the
+    // decoded raster, so the oracle rebuilds the full feature vector
+    // from the pixelValue contract — r/g/b by integer div/mod, pool
+    // cells by the x*2 DIV w bucket — in exact BIGINT SQL.
+    QueryDef(
+      "multimodal_features",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(4) + pmod(col("doc_id"), lit(8))).cast("int").as("w"),
+          (lit(4) + pmod(floor(col("doc_id") / lit(8.0)).cast("long"), lit(8)))
+            .cast("int").as("h"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("bmp").as("fmt"))
+        Multimodal.imageFeatures(
+          Multimodal.encodeImage(params, "doc_id", "w", "h", "fmt"),
+          "media_id", "payload", pool = 2)
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS w,
+                 CAST(4 + (doc_id // 8) % 8 AS INT) AS h
+          FROM documents),
+        px AS (
+          SELECT p.doc_id, p.w, p.h, xs.x, ys.y,
+                 ((p.doc_id % 16777216) * 2654435761
+                   + xs.x * 40503 + ys.y * 69061) % 16777216 AS v,
+                 (xs.x * 2) // p.w AS ci, (ys.y * 2) // p.h AS cj
+          FROM p, generate_series(0, 10) AS xs(x), generate_series(0, 10) AS ys(y)
+          WHERE xs.x < p.w AND ys.y < p.h)
+        SELECT doc_id AS media_id, w AS width, h AS height,
+               CAST(SUM(v // 65536) AS BIGINT) AS r_sum,
+               CAST(SUM((v // 256) % 256) AS BIGINT) AS g_sum,
+               CAST(SUM(v % 256) AS BIGINT) AS b_sum,
+               CAST(SUM(CASE WHEN ci = 0 AND cj = 0 THEN v // 65536 + (v // 256) % 256 + v % 256 END) AS BIGINT) AS g_0_0,
+               CAST(SUM(CASE WHEN ci = 0 AND cj = 1 THEN v // 65536 + (v // 256) % 256 + v % 256 END) AS BIGINT) AS g_0_1,
+               CAST(SUM(CASE WHEN ci = 1 AND cj = 0 THEN v // 65536 + (v // 256) % 256 + v % 256 END) AS BIGINT) AS g_1_0,
+               CAST(SUM(CASE WHEN ci = 1 AND cj = 1 THEN v // 65536 + (v // 256) % 256 + v % 256 END) AS BIGINT) AS g_1_1
+        FROM px
+        GROUP BY 1, 2, 3""")),
+
     // REAL video demux + frame sampling: RIFF-AVI containers built
     // in-engine with uncompressed bottom-up 24-bit DIB frames (the
     // framePixel contract), demuxed by the from-scratch RIFF chunk

@@ -291,6 +291,39 @@ class MultimodalSpec extends SparkSpec with Matchers {
     out(9L).map(_.getLong(1)).sorted shouldBe Array(0L, 1L, 2L)
   }
 
+  test("imageFeatures: channel sums and pooled grid match the pixelValue contract") {
+    val params = Seq((1L, 5, 9, "png"), (2L, 16, 4, "bmp"), (3L, 2, 2, "png"))
+    val out = Multimodal.imageFeatures(
+      Multimodal.encodeImage(paramsDf(params), "id", "w", "h", "fmt"),
+      "media_id", "payload", pool = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, w, h, _) <- params) {
+      var rs = 0L; var gs = 0L; var bs = 0L
+      val cells = Array.fill(4)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.pixelValue(id, x, y)
+        rs += (v >> 16) & 0xff; gs += (v >> 8) & 0xff; bs += v & 0xff
+        cells((x * 2 / w) * 2 + (y * 2 / h)) += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+      }
+      val r = out(id)
+      (r.getInt(1), r.getInt(2)) shouldBe ((w, h))
+      (r.getLong(3), r.getLong(4), r.getLong(5)) shouldBe ((rs, gs, bs))
+      (0 until 4).map(i => r.getLong(6 + i)) shouldBe cells.toSeq
+    }
+  }
+
+  test("imageFeatures: undecodable payloads degrade to NULL fields") {
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(
+      Seq(Row(7L, Array[Byte](1, 2, 3))).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val r = Multimodal.imageFeatures(df, "media_id", "payload", pool = 2).head()
+    r.getLong(0) shouldBe 7L
+    (1 to 9).foreach(i => r.isNullAt(i) shouldBe true)
+  }
+
   test("encodeVideo rejects unknown codecs and non-positive geometry") {
     intercept[org.apache.spark.SparkException] {
       Multimodal.encodeVideo(
