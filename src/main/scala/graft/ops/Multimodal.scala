@@ -375,6 +375,74 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(convertedAudioSchema))
   }
 
+  /** Output contract of the REAL audio feature stage
+    * ([[audioFeatures]]): one row per analysis window — long format,
+    * so `windows` is a knob, not a schema change. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("win", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_s", LongType),
+    StructField("sum_abs", LongType),
+    StructField("sum_sq", LongType)))
+
+  /** REAL audio feature extraction — the feature-extract verb over the
+    * decoded PCM stream (audio twin of [[imageFeatures]]): the clip
+    * splits into `windows` equal spans (sample i → window
+    * `i·windows DIV n`) and each span reduces to integer sums — Σs
+    * (DC offset), Σ|s| (mean-abs energy), Σs² (power/RMS numerator) —
+    * the classic VAD/loudness features, kept as exact integers so the
+    * whole vector is SQL-reproducible from the sample contract
+    * (Σs² ≤ 32768²·n stays far under 2^63). The checksum contract is
+    * 16-bit PCM, like [[decodeAudio]]: other widths degrade to NULL
+    * fields, as do undecodable payloads. Channels interleave into the
+    * sample stream in frame order. Explode-per-window dataflow;
+    * payload bytes never shuffle. */
+  def audioFeatures(
+      df: DataFrame, idCol: String, payloadCol: String,
+      windows: Int = 4): DataFrame = {
+    require(windows > 0, s"audioFeatures: non-positive windows $windows")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id: java.lang.Long =
+          if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
+        try {
+          val bytes = r.getAs[Array[Byte]](payIdx)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16, "feature contract is 16-bit PCM")
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            require(n > 0, "empty PCM stream")
+            val bigEndian = fmt.isBigEndian
+            val nS = new Array[Long](windows)
+            val sS = new Array[Long](windows)
+            val sA = new Array[Long](windows)
+            val sQ = new Array[Long](windows)
+            var i = 0
+            while (i < n) {
+              val lo = if (bigEndian) data(2 * i + 1) else data(2 * i)
+              val hi = if (bigEndian) data(2 * i) else data(2 * i + 1)
+              val s = (((hi.toInt << 8) | (lo.toInt & 0xff)).toShort).toLong
+              val w = (i.toLong * windows / n).toInt
+              nS(w) += 1; sS(w) += s; sA(w) += math.abs(s); sQ(w) += s * s
+              i += 1
+            }
+            (0 until windows).map(w =>
+              Row(id, w, nS(w), sS(w), sA(w), sQ(w)))
+          } finally ais.close()
+        } catch {
+          case _: Exception =>
+            Iterator.single(Row(id, null, null, null, null, null))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(audioFeatureSchema))
+  }
+
   /** Output contract of the REAL resize stage ([[resizeImage]]). */
   val resizedImageSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),

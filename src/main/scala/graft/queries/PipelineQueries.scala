@@ -1101,6 +1101,37 @@ object PipelineQueries {
         FROM documents, generate_series(0, 3) AS fs(f)
         WHERE fs.f < 2 + doc_id % 3""")),
 
+    // REAL audio feature extraction (decode → 4 windowed spans →
+    // integer DC/energy/power sums): every value is an integer sum
+    // over the decoded PCM, so the oracle rebuilds the full feature
+    // set from the sampleValue contract in exact BIGINT SQL (window
+    // of sample i is i*4 DIV n).
+    QueryDef(
+      "multimodal_audio_features",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(64) + pmod(col("doc_id"), lit(128))).cast("int").as("n"))
+        Multimodal.audioFeatures(
+          Multimodal.encodeAudio(params, "doc_id", "n", sampleRate = 8000),
+          "media_id", "payload", windows = 4)
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(64 + doc_id % 128 AS BIGINT) AS n FROM documents),
+        sm AS (
+          SELECT p.doc_id, CAST((i.i * 4) // p.n AS INT) AS win,
+                 ((p.doc_id % 65536) * 31 + i.i * 2654435761) % 65536 - 32768 AS s
+          FROM p, generate_series(0, 191) AS i(i)
+          WHERE i.i < p.n)
+        SELECT doc_id AS media_id, win,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(s) AS BIGINT) AS sum_s,
+               CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+               CAST(SUM(s * s) AS BIGINT) AS sum_sq
+        FROM sm
+        GROUP BY 1, 2""")),
+
     // SequenceExample wire-format round-trip: embeddings encoded with
     // scalar context + per-element FeatureList steps, decoded back and
     // re-projected (proves the format the reference declared but never

@@ -324,6 +324,42 @@ class MultimodalSpec extends SparkSpec with Matchers {
     (1 to 9).foreach(i => r.isNullAt(i) shouldBe true)
   }
 
+  test("audioFeatures: windowed DC/energy/power sums match the sampleValue contract") {
+    val params = Seq((1L, 37), (2L, 256), (9L, 4))
+    val out = Multimodal.audioFeatures(
+      Multimodal.encodeAudio(clipsDf(params), "id", "n", sampleRate = 8000),
+      "media_id", "payload", windows = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for ((id, n) <- params; w <- 0 until 4) {
+      val ss = (0 until n).filter(i => i.toLong * 4 / n == w)
+        .map(Multimodal.sampleValue(id, _).toLong)
+      out((id, w)) shouldBe
+        ((ss.size.toLong, ss.sum, ss.map(math.abs).sum, ss.map(s => s * s).sum))
+    }
+  }
+
+  test("audioFeatures: non-16-bit and garbage payloads degrade to one NULL row") {
+    import org.apache.spark.sql.{Row, types => T}
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm = Array.tabulate[Byte](40)(i => (i * 3).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 40L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = spark.createDataFrame(
+      Seq(Row(6L, bos.toByteArray), Row(7L, Array[Byte](1, 2))).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val out = Multimodal.audioFeatures(df, "media_id", "payload", 4)
+      .collect().groupBy(_.getLong(0))
+    out(6L).length shouldBe 1  // 8-bit clip: contract is 16-bit only
+    out(6L).head.isNullAt(1) shouldBe true
+    out(7L).head.isNullAt(5) shouldBe true
+  }
+
   test("encodeVideo rejects unknown codecs and non-positive geometry") {
     intercept[org.apache.spark.SparkException] {
       Multimodal.encodeVideo(
