@@ -438,7 +438,9 @@ object Dedup {
     * (~1.2 bytes/item at 1% fpp vs tens of bytes per broadcast-hash
     * entry), the corpus streams through the sketch MAP-SIDE, and only
     * the survivors — true matches plus the fpp tail — reach the exact
-    * semi-join, which broadcasts by construction. Bloom filters have
+    * semi-join: it broadcasts while the eval table fits, and past
+    * that threshold it shuffles ~1/fpp less volume than the plain
+    * form's full-corpus shuffle. Bloom filters have
     * no false negatives and every candidate is re-checked exactly, so
     * the output is bit-identical to [[contamination]] and shares its
     * exact SQL oracle; `fpp` only moves prefilter cost. The probe is a

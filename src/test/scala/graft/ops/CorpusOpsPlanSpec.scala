@@ -50,6 +50,45 @@ class CorpusOpsPlanSpec extends SparkSpec with Matchers
     collect(plan) { case s: org.apache.spark.sql.execution.SortExec => s } shouldBe empty
   }
 
+  test("contaminationBloom: the sketch probe is map-side — below every key shuffle") {
+    // Corpus docs genuinely share trigrams with eval: an empty result
+    // would let AQE collapse the final plan to EmptyRelation and erase
+    // every node this test asserts on.
+    val contaminated = (1L to 200L).map(i =>
+      i -> s"doc $i the quick brown fox jumps over doc $i")
+    val evalSet = docsDf(Seq(
+      1000L -> "the quick brown fox jumps over the lazy dog"))
+    val out = Dedup.contaminationBloom(
+      docsDf(contaminated), evalSet, "doc_id", "text", shingleN = 3, minShared = 1)
+    out.collect() should not be empty // also finalizes the AQE plan
+    val plan = out.queryExecution.executedPlan
+    // The exact re-check semi-join builds on the small eval side.
+    collect(plan) { case j: BroadcastHashJoinExec => j } should not be empty
+    // The Bloom probe is the UDF filter; the scale claim is POSITION:
+    // it runs on the exploded corpus BEFORE any key-partitioned
+    // exchange, so only ~fpp survivors ever shuffle into the exact
+    // re-check. (The widen round-robin of the tiny test input is not
+    // a key shuffle and legitimately sits below it.)
+    val probes = collect(plan) {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]) => f
+    }
+    probes should not be empty
+    probes.foreach { probe =>
+      val keyShufflesBelow = collect(probe) {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      keyShufflesBelow shouldBe empty
+    }
+    // And the corpus side is never sort-merge-joined against eval.
+    collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    } shouldBe empty
+  }
+
   test("duplicateSpans: frequency count and join-back key on the window hash") {
     val out = CorpusOps.duplicateSpans(docsDf(corpus), "doc_id", "text",
       windowChars = 20, stride = 10)
