@@ -808,16 +808,32 @@ object Multimodal {
 
   private val MjpgFourcc = 0x47504A4DL // 'MJPG' read little-endian
 
-  /** Parsed AVI: video geometry from the first 'vids' stream's
-    * BITMAPINFOHEADER plus the in-order (offset, length) list of movi
-    * frame chunks ('00db' uncompressed / '00dc' compressed). */
-  private def parseAvi(
-      bytes: Array[Byte]): (Int, Int, Int, Long, IndexedSeq[(Int, Int)]) = {
+  /** Parsed AVI container: geometry/format of the first 'vids' and
+    * first 'auds' stream plus the in-order movi chunk lists for each,
+    * mapped by ACTUAL stream index — movi chunk ids are `NNdb`/`NNdc`
+    * (video) and `NNwb` (audio) where NN is the decimal index of the
+    * owning strl, so an audio-first container routes exactly like a
+    * video-first one. Absent streams keep comp/tag = -1. */
+  private final case class AviMeta(
+      vidW: Int, vidH: Int, vidBits: Int, vidComp: Long,
+      frames: IndexedSeq[(Int, Int)],
+      audTag: Int, audChannels: Int, audRate: Int, audBits: Int,
+      audio: IndexedSeq[(Int, Int)]) {
+    def hasVideo: Boolean = vidComp != -1L
+    def hasAudio: Boolean = audTag != -1
+  }
+
+  private def parseAvi(bytes: Array[Byte]): AviMeta = {
     require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
       fourcc(bytes, 8) == "AVI ", "not a RIFF/AVI container")
     var w = 0; var h = 0; var bits = 0; var comp = -1L
-    var strlIsVids = false
+    var audTag = -1; var audCh = 0; var audRate = 0; var audBits = 0
+    var strlCount = 0        // index of the NEXT strl list
+    var curStrl = -1         // index of the strl being walked
+    var curType = ""         // fccType its strh declared
+    var vidStream = -1; var audStream = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val audio = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
       var p = start
       while (p + 8 <= end) {
@@ -827,24 +843,161 @@ object Multimodal {
         require(len >= 0 && body + len <= end, s"truncated chunk '$id'")
         if (id == "LIST") {
           val typ = fourcc(bytes, body)
-          if (typ == "strl") strlIsVids = false // each strl redeclares its type
+          if (typ == "strl") { curStrl = strlCount; strlCount += 1; curType = "" }
           walk(body + 4, body + len, inMovi || typ == "movi", inStrl || typ == "strl")
         } else if (inStrl && id == "strh") {
-          strlIsVids = fourcc(bytes, body) == "vids"
-        } else if (inStrl && id == "strf" && strlIsVids && comp == -1L) {
+          curType = fourcc(bytes, body)
+        } else if (inStrl && id == "strf" && curType == "vids" && comp == -1L) {
           w = leU32(bytes, body + 4).toInt
           h = leU32(bytes, body + 8).toInt
           bits = leU16(bytes, body + 14)
           comp = leU32(bytes, body + 16)
-        } else if (inMovi && (id == "00db" || id == "00dc")) {
-          frames += ((body, len))
+          vidStream = curStrl
+        } else if (inStrl && id == "strf" && curType == "auds" && audTag == -1) {
+          audTag = leU16(bytes, body)      // PCMWAVEFORMAT: wFormatTag
+          audCh = leU16(bytes, body + 2)
+          audRate = leU32(bytes, body + 4).toInt
+          audBits = leU16(bytes, body + 14)
+          audStream = curStrl
+        } else if (inMovi && id.length == 4 &&
+            id.charAt(0).isDigit && id.charAt(1).isDigit) {
+          val idx = (id.charAt(0) - '0') * 10 + (id.charAt(1) - '0')
+          val suffix = id.substring(2)
+          if (idx == vidStream && (suffix == "db" || suffix == "dc"))
+            frames += ((body, len))
+          else if (idx == audStream && suffix == "wb")
+            audio += ((body, len))
         }
         p = body + len + (len & 1) // skip the alignment pad byte
       }
     }
     walk(12, bytes.length, inMovi = false, inStrl = false)
-    require(comp != -1L, "no 'vids' stream header in container")
-    (w, h, bits, comp, frames.toIndexedSeq)
+    AviMeta(w, h, bits, comp, frames.toIndexedSeq,
+      audTag, audCh, audRate, audBits, audio.toIndexedSeq)
+  }
+
+  /** Generate an INTERLEAVED two-stream RIFF-AVI container — video
+    * (uncompressed DIB, the [[framePixel]] contract) as stream 0 and
+    * 16-bit LE mono PCM audio (the [[sampleValue]] contract, same as
+    * the WAV work) as stream 1, each frame's `01wb` audio slice
+    * following its `00db` chunk the way real muxers interleave for
+    * streaming playback. Audio sample i of the clip lives in frame
+    * i·nFrames DIV nSamples's slice. Input: (id, nFrames, w, h,
+    * nSamples); output: (media_id, payload). Correctness is asserted
+    * on the demuxed roundtrip of BOTH streams ([[sampleVideoFrames]] /
+    * [[demuxAviAudio]]). */
+  def encodeAv(
+      df: DataFrame, idCol: String, nFramesCol: String,
+      wCol: String, hCol: String, nSamplesCol: String,
+      sampleRate: Int = 8000): DataFrame = {
+    require(sampleRate > 0)
+    val src = df.select(col(idCol).cast("long").as("media_id"),
+      col(nFramesCol).cast("int").as("nf"),
+      col(wCol).cast("int").as("w"), col(hCol).cast("int").as("h"),
+      col(nSamplesCol).cast("int").as("ns"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val (id, nf, w, h, ns) =
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        require(nf > 0 && w > 0 && h > 0 && ns > 0,
+          s"encodeAv: non-positive geometry nf=$nf ${w}x$h ns=$ns")
+        val dibSize = ((w * 3 + 3) & ~3) * h
+        val avih = riffChunk("avih", Array.concat(
+          le32(33333L), le32(0L), le32(0L), le32(0L),
+          le32(nf.toLong), le32(0L), le32(2L), le32(0L), // TWO streams
+          le32(w.toLong), le32(h.toLong),
+          le32(0L), le32(0L), le32(0L), le32(0L)))
+        val strhV = riffChunk("strh", Array.concat(
+          cc("vids"), cc("DIB "),
+          le32(0L), le16(0), le16(0),
+          le32(0L), le32(1L), le32(30L), le32(0L),
+          le32(nf.toLong), le32(0L), le32(0L), le32(0L),
+          le16(0), le16(0), le16(w), le16(h)))
+        val strfV = riffChunk("strf", Array.concat(
+          le32(40L), le32(w.toLong), le32(h.toLong),
+          le16(1), le16(24), le32(0L), le32(dibSize.toLong),
+          le32(0L), le32(0L), le32(0L), le32(0L)))
+        val strhA = riffChunk("strh", Array.concat(
+          cc("auds"), le32(0L),
+          le32(0L), le16(0), le16(0),
+          le32(0L), le32(1L), le32(sampleRate.toLong), le32(0L),
+          le32(ns.toLong), le32(0L), le32(0L), le32(2L), // dwSampleSize = block
+          le16(0), le16(0), le16(0), le16(0)))
+        val strfA = riffChunk("strf", Array.concat( // PCMWAVEFORMAT + bits
+          le16(1), le16(1), le32(sampleRate.toLong),
+          le32(sampleRate.toLong * 2), le16(2), le16(16)))
+        val hdrl = riffList("hdrl", Seq(avih,
+          riffList("strl", Seq(strhV, strfV)),
+          riffList("strl", Seq(strhA, strfA))))
+        val chunks = (0 until nf).flatMap { f =>
+          val lo = (f.toLong * ns / nf).toInt
+          val hi = ((f + 1).toLong * ns / nf).toInt
+          val pcm = new Array[Byte]((hi - lo) * 2)
+          var i = lo
+          while (i < hi) {
+            val v = sampleValue(id, i)
+            pcm(2 * (i - lo)) = (v & 0xff).toByte
+            pcm(2 * (i - lo) + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          Seq(riffChunk("00db", dibFrame(id, f, w, h)),
+            riffChunk("01wb", pcm))
+        }
+        val movi = riffList("movi", chunks)
+        Row(id, riffChunk("RIFF", Array.concat(cc("AVI "), hdrl, movi)))
+      }
+    }(org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))))
+  }
+
+  /** Output contract of the AVI audio demux ([[demuxAviAudio]]). */
+  val aviAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sample_sum", LongType)))
+
+  /** Demux the AUDIO stream out of a RIFF-AVI container: route the
+    * `NNwb` movi chunks of the first 'auds' stream (by actual stream
+    * index — interleaved with video frames), concatenate the PCM in
+    * chunk order, and reduce to the 16-bit sample checksum — the same
+    * contract as [[decodeAudio]], proving A/V interleave handling, not
+    * just single-stream parsing. Non-PCM / non-16-bit audio and
+    * containers without an audio stream degrade to NULL fields, as do
+    * corrupt payloads. Per-partition projection; payload bytes never
+    * shuffle. */
+  def demuxAviAudio(
+      df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id: java.lang.Long =
+          if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
+        try {
+          val bytes = r.getAs[Array[Byte]](payIdx)
+          val meta = parseAvi(bytes)
+          require(meta.hasAudio, "no 'auds' stream header in container")
+          require(meta.audTag == 1 && meta.audBits == 16,
+            s"checksum contract is 16-bit PCM (tag=${meta.audTag} bits=${meta.audBits})")
+          var n = 0L
+          var sum = 0L
+          meta.audio.foreach { case (off, len) =>
+            var i = off
+            while (i + 1 < off + len) {
+              sum += (((bytes(i + 1).toInt << 8) | (bytes(i).toInt & 0xff)).toShort).toLong
+              n += 1
+              i += 2
+            }
+          }
+          Row(id, meta.audRate, meta.audChannels, n, sum)
+        } catch {
+          case _: Exception => Row(id, null, null, null, null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(aviAudioSchema))
   }
 
   /** Output contract of the REAL frame-sample stage
@@ -884,7 +1037,10 @@ object Multimodal {
           if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
         try {
           val bytes = r.getAs[Array[Byte]](payIdx)
-          val (w, h, bits, comp, frames) = parseAvi(bytes)
+          val meta = parseAvi(bytes)
+          require(meta.hasVideo, "no 'vids' stream header in container")
+          val (w, h, bits, comp, frames) =
+            (meta.vidW, meta.vidH, meta.vidBits, meta.vidComp, meta.frames)
           val mjpg = comp == MjpgFourcc
           require(mjpg || (comp == 0L && bits == 24),
             s"unsupported video format comp=$comp bits=$bits")

@@ -1071,6 +1071,37 @@ object PipelineQueries {
         WHERE xs.x < fr.w AND ys.y < fr.h
         GROUP BY 1, 2, 3, 4, 5, 6""")),
 
+    // Interleaved A/V container demux: two-stream AVI (DIB video +
+    // 16-bit PCM audio, each frame's 01wb slice following its 00db
+    // chunk, as real muxers interleave), audio stream demuxed back OUT
+    // of the interleave by stream index and reassembled in chunk
+    // order. The PCM carries the same sampleValue contract as the WAV
+    // work, so the oracle pins the reassembled checksum exactly — a
+    // value-level proof of multi-stream routing, not just chunk
+    // walking (any slice misrouted or reordered breaks the sum).
+    QueryDef(
+      "multimodal_video_audio",
+      (s, dir) => {
+        val params = table(s, dir, "documents").select(
+          col("doc_id"),
+          (lit(2) + pmod(col("doc_id"), lit(3))).cast("int").as("nf"),
+          lit(4).cast("int").as("w"), lit(4).cast("int").as("h"),
+          (lit(64) + pmod(col("doc_id"), lit(128))).cast("int").as("ns"))
+        Multimodal.demuxAviAudio(
+          Multimodal.encodeAv(params, "doc_id", "nf", "w", "h", "ns"),
+          "media_id", "payload")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(64 + doc_id % 128 AS BIGINT) AS n FROM documents)
+        SELECT p.doc_id AS media_id,
+               CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+               p.n AS n_samples,
+               CAST(SUM(((p.doc_id % 65536) * 31 + i.i * 2654435761) % 65536 - 32768) AS BIGINT) AS sample_sum
+        FROM p, generate_series(0, 191) AS i(i)
+        WHERE i.i < p.n
+        GROUP BY 1, 2, 3, 4""")),
+
     // Motion-JPEG flavor of the same demux: each '00dc' frame is a
     // real JPEG decoded by the JDK reader. JPEG is lossy, so pixel
     // VALUES are codec-defined — the oracle checks the invariant

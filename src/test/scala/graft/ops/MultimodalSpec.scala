@@ -360,6 +360,53 @@ class MultimodalSpec extends SparkSpec with Matchers {
     out(7L).head.isNullAt(5) shouldBe true
   }
 
+  test("encodeAv→demux: both interleaved streams roundtrip — audio sums, video frames") {
+    import org.apache.spark.sql.{Row, types => T}
+    val params = Seq((1L, 3, 5, 4, 37), (2L, 2, 4, 4, 256), (9L, 5, 3, 3, 5))
+    val df = spark.createDataFrame(
+      params.map { case (i, nf, w, h, ns) => Row(i, nf, w, h, ns) }.asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType, nullable = false),
+        T.StructField("nf", T.IntegerType, nullable = false),
+        T.StructField("w", T.IntegerType, nullable = false),
+        T.StructField("h", T.IntegerType, nullable = false),
+        T.StructField("ns", T.IntegerType, nullable = false))))
+    val av = Multimodal.encodeAv(df, "id", "nf", "w", "h", "ns")
+      .localCheckpoint(true)
+    // audio: full PCM reassembles across the interleaved 01wb slices
+    val audio = Multimodal.demuxAviAudio(av, "media_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    for ((id, _, _, _, ns) <- params) {
+      val expSum = (0 until ns).map(Multimodal.sampleValue(id, _).toLong).sum
+      audio(id) shouldBe ((8000, 1, ns.toLong, expSum))
+    }
+    // video: frame demux ignores the audio chunks between frames
+    val frames = Multimodal.sampleVideoFrames(av, "media_id", "payload", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    for ((id, nf, w, h, _) <- params; f <- 0 until nf) {
+      val expSum = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.framePixel(id, f, x, y).toLong).sum
+      frames((id, f.toLong)) shouldBe expSum
+    }
+  }
+
+  test("demuxAviAudio: video-only and corrupt containers degrade to NULL fields") {
+    import org.apache.spark.sql.{Row, types => T}
+    val videoOnly = Multimodal.encodeVideo(
+      videoParamsDf(Seq((5L, 2, 4, 4, "dib"))), "id", "n", "w", "h", "codec")
+      .select(col("media_id"), col("payload"))
+    val garbage = spark.createDataFrame(
+      Seq(Row(7L, Array[Byte](1, 2, 3))).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val out = Multimodal.demuxAviAudio(videoOnly.union(garbage), "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(5L).isNullAt(4) shouldBe true // no auds stream → NULL, not a crash
+    out(7L).isNullAt(1) shouldBe true
+  }
+
   test("encodeVideo rejects unknown codecs and non-positive geometry") {
     intercept[org.apache.spark.SparkException] {
       Multimodal.encodeVideo(
