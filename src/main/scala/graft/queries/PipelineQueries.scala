@@ -461,6 +461,48 @@ object PipelineQueries {
         FROM tr JOIN ev ON ev.sh = tr.sh
         GROUP BY tr.id HAVING COUNT(*) >= 3""")),
 
+    // Semi-structured ingestion with corrupt-record quarantine: JSON
+    // payloads built by identical concat in both engines, every 7th
+    // truncated mid-object; Spark parses with from_json PERMISSIVE +
+    // corrupt side channel, the oracle parses INDEPENDENTLY with
+    // DuckDB's JSON functions (json_valid/json_extract) — a genuine
+    // two-parser agreement check: every row comes out exactly once,
+    // corrupt rows carry their raw payload and contribute no field
+    // values, missing fields are NULL-not-quarantined.
+    QueryDef(
+      "json_quarantine",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val docs = table(s, dir, "documents")
+        val json = docs.select(col("doc_id"),
+          concat(lit("{\"id\":"), col("doc_id"),
+            lit(",\"lang\":\""), col("lang"),
+            lit("\",\"n\":"), length(col("text")), lit("}")).as("js"))
+        val corrupted = json.withColumn("js",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            expr("substring(js, 1, length(js)-1)")).otherwise(col("js")))
+        graft.sources.JsonQuarantine.parse(corrupted, "js",
+          StructType(Seq(StructField("id", LongType),
+            StructField("lang", StringType), StructField("n", LongType))))
+      },
+      Some("""
+        WITH j AS (
+          SELECT doc_id,
+                 '{"id":' || doc_id || ',"lang":"' || lang || '","n":' || length(text) || '}' AS js0
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN substr(js0, 1, length(js0) - 1)
+                      ELSE js0 END AS js
+          FROM j)
+        SELECT doc_id,
+               CASE WHEN json_valid(js) THEN CAST(json_extract(js, '$.id') AS BIGINT) END AS id,
+               CASE WHEN json_valid(js) THEN json_extract_string(js, '$.lang') END AS lang,
+               CASE WHEN json_valid(js) THEN CAST(json_extract(js, '$.n') AS BIGINT) END AS n,
+               NOT json_valid(js) AS quarantined,
+               CASE WHEN NOT json_valid(js) THEN js END AS raw
+        FROM c""")),
+
     QueryDef(
       "text_token_counts",
       (s, dir) => table(s, dir, "documents")
