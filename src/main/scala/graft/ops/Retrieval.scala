@@ -118,4 +118,43 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion — the hybrid-retrieval merge (BM25 arm +
+    * dense/ANN arm + any other ranker): every run contributes
+    * 1/(k + rank) per (query, candidate) and candidates absent from a
+    * run contribute nothing, so partial fusion is the normal case (a
+    * lexical-only hit has no dense rank). Each run must carry
+    * (queryIdCol, idCol, rank) with rank unique per query WITHIN the
+    * run. Score arithmetic is the standard RRF of Cormack et al.;
+    * contributions round to 9 dp and sum as DECIMAL so the fused score
+    * is order-independent and bit-identical across engines and
+    * partitionings (a rank boundary between near-tied candidates must
+    * fall identically everywhere); the fused rank tie-breaks by
+    * candidate id. Output: (query, id, n_runs, fused_score,
+    * fused_rank ≤ topK).
+    *
+    * Scale shape: a union of NARROW rank frames (query, id, rank —
+    * never text or vectors), one hash agg on (query, id), and a
+    * per-query window — no global sort; each run's own cost stays in
+    * that run's plan. */
+  def rrfFuse(
+      runs: Seq[DataFrame], queryIdCol: String, idCol: String,
+      k: Int = 60, topK: Int = 10): DataFrame = {
+    require(runs.nonEmpty && k >= 0 && topK > 0)
+    val unioned = runs
+      .map(_.select(col(queryIdCol), col(idCol),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    val contrib =
+      round(lit(1.0) / (lit(k) + col("rank")), 9).cast("decimal(20,9)")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(desc("__graft_s"), col(idCol))
+    unioned.withColumn("__graft_c", contrib)
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_runs"), sum(col("__graft_c")).as("__graft_s"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+      .withColumn("fused_score", col("__graft_s").cast("double"))
+      .drop("__graft_s")
+  }
 }

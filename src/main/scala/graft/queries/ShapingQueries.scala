@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cdc, Classifier, CorpusOps, Dedup, FeatureStats, Layout, Retrieval, Sampling, Similarity}
+import graft.ops.{Cdc, Classifier, CorpusOps, Dedup, FeatureStats, Layout, Retrieval, Sampling, Similarity, TextOps}
 
 /** Round-4 dataset-shaping operators as verifiable queries: BM25
   * retrieval, temperature-based domain rebalancing, token-budget greedy
@@ -130,6 +130,98 @@ object ShapingQueries {
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         FROM agg QUALIFY rank <= 20""")),
+
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 arm fused
+    // with a bigram-overlap arm (a second, independent ranker over the
+    // same corpus — standing in for the dense arm, whose ANN ranks the
+    // sim_topk_* queries already oracle separately). Partial fusion is
+    // exercised for real: 'spark vector' yields one bigram, the
+    // 3-token queries two, and many BM25 hits have no bigram rank at
+    // all. The oracle replays BOTH arms end-to-end in SQL and fuses
+    // with the same 9-dp DECIMAL contributions, so every fused score
+    // and rank boundary is exact.
+    QueryDef(
+      "retrieval_rrf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(s, dir, "documents")
+        val queries = Seq(
+          ("q1", "spark vector"),
+          ("q2", "merge customer table"),
+          ("q3", "window agg scan")).toDF("query_id", "query_text")
+        val bm25 = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+          queries, "query_id", "query_text", k = 20)
+          .select("query_id", "doc_id", "rank")
+        val qsh = queries.select(col("query_id"),
+          explode(array_distinct(TextOps.shingles(
+            TextOps.tokens(TextOps.normalized(col("query_text"))), 2))).as("sh"))
+          .distinct()
+        val dsh = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.shingles(
+            TextOps.tokens(TextOps.normalized(col("text"))), 2))).as("sh"))
+        val w2 = Window.partitionBy(col("query_id"))
+          .orderBy(desc("ov"), col("doc_id"))
+        val overlap = dsh.join(broadcast(qsh), Seq("sh"))
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ov"))
+          .withColumn("rank", row_number().over(w2).cast("long"))
+          .filter(col("rank") <= 20)
+          .select("query_id", "doc_id", "rank")
+        Retrieval.rrfFuse(Seq(bm25, overlap), "query_id", "doc_id",
+          k = 60, topK = 10)
+      },
+      Some(s"""
+        WITH q AS (SELECT * FROM (VALUES
+                     ('q1', 'spark vector'),
+                     ('q2', 'merge customer table'),
+                     ('q3', 'window agg scan')) AS t(query_id, query_text)),
+        qt AS (SELECT DISTINCT query_id, term FROM (
+                 SELECT query_id,
+                        unnest(string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
+                 FROM q) WHERE term != ''),
+        d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+        dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        hits AS (SELECT doc_id, dl, unnest(ws) AS term FROM dl),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits
+               WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+        dfx AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+                 ln(1.0 + ((SELECT n FROM stats) - term_df + 0.5) / (term_df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats))) AS s
+               FROM tf JOIN dfx USING (term) JOIN qt USING (term)),
+        agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+                FROM sc GROUP BY 1, 2),
+        r1 AS (SELECT query_id, doc_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+               FROM agg QUALIFY rank <= 20),
+        qws AS (SELECT query_id, string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ') AS ws FROM q),
+        qsh AS (SELECT DISTINCT query_id,
+                       unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                              i -> ws[i] || ' ' || ws[i+1])) AS sh
+                FROM qws),
+        dsh AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                              i -> ws[i] || ' ' || ws[i+1])) AS sh
+                FROM d),
+        ov AS (SELECT qsh.query_id, dsh.doc_id, count(*) AS ov
+               FROM dsh JOIN qsh USING (sh) GROUP BY 1, 2),
+        r2 AS (SELECT query_id, doc_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ov DESC, doc_id) AS BIGINT) AS rank
+               FROM ov QUALIFY rank <= 20),
+        u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        f AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+                     SUM(CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9))) AS s
+              FROM u GROUP BY 1, 2)
+        SELECT query_id, doc_id, n_runs,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, doc_id) AS BIGINT) AS fused_rank,
+               CAST(s AS DOUBLE) AS fused_score
+        FROM f QUALIFY fused_rank <= 10""")),
 
     // Exact duplicate-span removal: cut every character covered by a
     // 40-char window shared across >= 2 documents (the synthesized

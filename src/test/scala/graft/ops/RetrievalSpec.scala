@@ -80,6 +80,33 @@ class RetrievalSpec extends SparkSpec with Matchers {
     single.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
   }
 
+  test("rrfFuse: partial membership, hand-computed scores, id tie-break, topK cut") {
+    import spark.implicits._
+    val run1 = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val run2 = Seq(("q", 2L, 1L), ("q", 4L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(run1, run2), "query_id", "doc_id", k = 60, topK = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // hand-computed: d2 in both runs wins; d1 (1/61) edges d4 (1/62)
+    out.keySet shouldBe Set(1L, 2L, 4L) // topK = 3 cuts d3
+    out(2L) shouldBe ((2L, 1L, 0.032522475))
+    out(1L) shouldBe ((1L, 2L, 0.016393443))
+    out(4L) shouldBe ((1L, 3L, 0.016129032))
+  }
+
+  test("rrfFuse: exact ties break by candidate id") {
+    import spark.implicits._
+    val run1 = Seq(("q", 9L, 1L), ("q", 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val run2 = Seq(("q", 3L, 1L), ("q", 9L, 2L)).toDF("query_id", "doc_id", "rank")
+    // both docs score 1/61 + 1/62 exactly — DECIMAL equality, id order
+    val ranks = Retrieval.rrfFuse(Seq(run1, run2), "query_id", "doc_id", topK = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    ranks(3L) shouldBe 1L
+    ranks(9L) shouldBe 2L
+  }
+
   test("bm25 on an empty corpus returns empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
