@@ -503,6 +503,52 @@ object PipelineQueries {
                CASE WHEN NOT json_valid(js) THEN js END AS raw
         FROM c""")),
 
+    // CSV flavor of the quarantine ingestion: lines built by identical
+    // concat in both engines, every 9th given a non-numeric typed
+    // field and every (9k+5)th an extra trailing field. The oracle
+    // parses INDEPENDENTLY (string_split + try_cast arity/type
+    // checks — a faithful parser for this quote-free dialect), so
+    // Spark's univocity semantics and the relational mirror must
+    // agree row by row: corrupt rows keep raw and contribute no
+    // salvaged values.
+    QueryDef(
+      "csv_quarantine",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val docs = table(s, dir, "documents")
+        val clean = concat(col("doc_id"), lit(","), col("lang"), lit(","),
+          length(col("text")))
+        val corrupted = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(col("doc_id"), lit(","), col("lang"), lit(",xx")))
+            .when(pmod(col("doc_id"), lit(9)) === 5, concat(clean, lit(",EXTRA")))
+            .otherwise(clean).as("line"))
+        graft.sources.CsvQuarantine.parse(corrupted, "line",
+          StructType(Seq(StructField("id", LongType),
+            StructField("lang", StringType), StructField("n", LongType))))
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 0 THEN doc_id || ',' || lang || ',xx'
+                      WHEN doc_id % 9 = 5 THEN doc_id || ',' || lang || ',' || length(text) || ',EXTRA'
+                      ELSE doc_id || ',' || lang || ',' || length(text) END AS line
+          FROM documents),
+        p AS (
+          SELECT doc_id, line, string_split(line, ',') AS f FROM c),
+        v AS (
+          SELECT doc_id, line, f,
+                 len(f) = 3 AND try_cast(f[1] AS BIGINT) IS NOT NULL
+                   AND try_cast(f[3] AS BIGINT) IS NOT NULL AS ok
+          FROM p)
+        SELECT doc_id,
+               CASE WHEN ok THEN CAST(f[1] AS BIGINT) END AS id,
+               CASE WHEN ok THEN f[2] END AS lang,
+               CASE WHEN ok THEN CAST(f[3] AS BIGINT) END AS n,
+               NOT ok AS quarantined,
+               CASE WHEN NOT ok THEN line END AS raw
+        FROM v""")),
+
     QueryDef(
       "text_token_counts",
       (s, dir) => table(s, dir, "documents")

@@ -10,7 +10,7 @@ import graft.SparkSpec
   * rows labeled with their raw payload and NO salvaged field values;
   * missing fields are NULL-not-quarantined (schema-on-read absence,
   * not corruption). */
-class JsonQuarantineSpec extends SparkSpec with Matchers {
+class QuarantineSpec extends SparkSpec with Matchers {
   import scala.jdk.CollectionConverters._
 
   private val schema = StructType(Seq(
@@ -60,5 +60,45 @@ class JsonQuarantineSpec extends SparkSpec with Matchers {
     intercept[IllegalArgumentException] {
       JsonQuarantine.parse(bad, "js", schema)
     }
+  }
+
+  private val csvSchema = StructType(Seq(
+    StructField("a", LongType), StructField("b", StringType),
+    StructField("n", LongType)))
+
+  test("csv: clean, under-arity, type-error, over-arity, empty-line, empty-field routing") {
+    val rows = Seq(
+      1L -> "7,en,123",      // clean
+      2L -> "8,fr",          // UNDER-arity: torn record → quarantined
+      3L -> "9,de,xx",       // type error; salvaged prefix must NOT leak
+      4L -> "10,it,5,EXTRA", // over-arity → quarantined
+      5L -> "",              // empty line → quarantined (no silent all-NULL row)
+      6L -> "11,,9")         // empty FIELD: absence, good path
+    val out = CsvQuarantine.parse(df(rows), "js", csvSchema)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out should have size 6
+
+    out(1L).getLong(1) shouldBe 7L
+    out(1L).getString(2) shouldBe "en"
+    out(1L).getLong(3) shouldBe 123L
+    out(1L).getBoolean(4) shouldBe false
+
+    for (k <- Seq(2L, 3L, 4L, 5L)) {
+      (1 to 3).foreach(i => out(k).isNullAt(i) shouldBe true)
+      out(k).getBoolean(4) shouldBe true
+      if (k != 5L) out(k).getString(5) shouldBe rows.toMap.apply(k)
+    }
+    out(6L).getLong(1) shouldBe 11L
+    out(6L).isNullAt(2) shouldBe true // empty field is NULL, not corruption
+    out(6L).getLong(3) shouldBe 9L
+    out(6L).getBoolean(4) shouldBe false
+  }
+
+  test("csv: custom separator") {
+    val out = CsvQuarantine.parse(
+      df(Seq(1L -> "7|en|123")), "js", csvSchema, sep = "|").head()
+    out.getLong(1) shouldBe 7L
+    out.getString(2) shouldBe "en"
+    out.getBoolean(4) shouldBe false
   }
 }

@@ -358,6 +358,36 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("JsonQuarantine.parse runs identically on streams — quarantined rows survive append mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1L, """{"a":7,"b":"x"}"""),
+      Doc(2L, """{"a":8,"b":"y"""),  // truncated mid-object
+      Doc(3L, """{"a":9}"""))
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.JsonQuarantine.parse(
+        df.withColumnRenamed("text", "js"), "js", schema)
+    val stream = MemoryStream[Doc]
+    val q = transform(stream.toDF()).writeStream.format("memory")
+      .queryName("jsonq").outputMode("append").start()
+    try {
+      stream.addData(docs)
+      q.processAllAvailable()
+      val got = spark.table("jsonq").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          r.getBoolean(3), Option(r.get(4)))).toSet
+      val batch = transform(docs.toDF()).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          r.getBoolean(3), Option(r.get(4)))).toSet
+      got shouldBe batch
+      got.count(_._4) shouldBe 1 // the dead-letter row flows, not drops
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: repeated ids within horizon are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
