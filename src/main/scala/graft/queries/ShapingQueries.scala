@@ -153,13 +153,21 @@ object ShapingQueries {
         val bm25 = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
           queries, "query_id", "query_text", k = 20)
           .select("query_id", "doc_id", "rank")
-        val qsh = queries.select(col("query_id"),
-          explode(array_distinct(TextOps.shingles(
-            TextOps.tokens(TextOps.normalized(col("query_text"))), 2))).as("sh"))
+        // Token arrays MUST stage as columns before shingling: an
+        // inlined tokens(normalized(text)) inside the shingle
+        // transform re-evaluates the whole normalize+split per element
+        // access (the measured 100x higher-order-function trap).
+        val qsh = queries
+          .select(col("query_id"),
+            TextOps.tokens(TextOps.normalized(col("query_text"))).as("ws"))
+          .select(col("query_id"),
+            explode(array_distinct(TextOps.shingles(col("ws"), 2))).as("sh"))
           .distinct()
-        val dsh = docs.select(col("doc_id"),
-          explode(array_distinct(TextOps.shingles(
-            TextOps.tokens(TextOps.normalized(col("text"))), 2))).as("sh"))
+        val dsh = docs
+          .select(col("doc_id"),
+            TextOps.tokens(TextOps.normalized(col("text"))).as("ws"))
+          .select(col("doc_id"),
+            explode(array_distinct(TextOps.shingles(col("ws"), 2))).as("sh"))
         val w2 = Window.partitionBy(col("query_id"))
           .orderBy(desc("ov"), col("doc_id"))
         val overlap = dsh.join(broadcast(qsh), Seq("sh"))
