@@ -199,10 +199,16 @@ object Dedup {
     * slices would then hash the wrong components and est_jaccard would
     * divide a foreign match count by this k — confidently wrong pairs
     * with no error. Fail fast per row instead (fail-fast over silent
-    * truncation, the house rule). */
+    * truncation, the house rule). NULL signatures are index corruption
+    * too (every writer in this engine produces non-NULL arrays) and
+    * fail with their own message — without the explicit branch the
+    * diagnostic itself would NULL-propagate into raise_error(NULL)
+    * exactly when it is needed. */
   private def sigLengthGuard(df: DataFrame, k: Int, side: String): DataFrame =
     df.withColumn("sig",
-      when(size(col("sig")) === k, col("sig"))
+      when(col("sig").isNull, raise_error(lit(
+        s"minhashLshAgainst: $side signature is NULL — corrupt index row")))
+        .when(size(col("sig")) === k, col("sig"))
         .otherwise(raise_error(concat(
           lit(s"minhashLshAgainst: $side signature has "),
           size(col("sig")).cast("string"),

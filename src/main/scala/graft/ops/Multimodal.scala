@@ -149,34 +149,25 @@ object Multimodal {
           if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
         try {
           val bytes = r.getAs[Array[Byte]](payIdx)
-          // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
-          // the default factory (useCache=true) backs every stream with a
-          // temp FILE + open descriptor — one per row would exhaust
-          // ulimit/tmpdir on a large partition between GC cycles.
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) Row(id, null, null, null, null)
-            else {
-              val reader = readers.next()
-              try {
-                val fmt = reader.getFormatName.toLowerCase
-                reader.setInput(iis)
-                val img = reader.read(0)
-                var sum = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    sum += (img.getRGB(x, y) & 0xffffff); x += 1
-                  }
-                  y += 1
-                }
-                Row(id, fmt, img.getWidth, img.getHeight, sum)
-              } finally reader.dispose()
+          // readImageWithFormat holds the FD-safety discipline:
+          // MemoryCacheImageInputStream, never the temp-file-backed
+          // default factory (one temp FILE + descriptor per row would
+          // exhaust ulimit/tmpdir on a large partition between GCs).
+          val fi = readImageWithFormat(bytes, 0, bytes.length)
+          if (fi == null) Row(id, null, null, null, null)
+          else {
+            val (fmt, img) = fi
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) & 0xffffff); x += 1
+              }
+              y += 1
             }
-          } finally iis.close()
+            Row(id, fmt, img.getWidth, img.getHeight, sum)
+          }
         } catch {
           case _: Exception => Row(id, null, null, null, null)
         }
@@ -396,8 +387,13 @@ object Multimodal {
     * (Σs² ≤ 32768²·n stays far under 2^63). The checksum contract is
     * 16-bit PCM, like [[decodeAudio]]: other widths degrade to NULL
     * fields, as do undecodable payloads. Channels interleave into the
-    * sample stream in frame order. Explode-per-window dataflow;
-    * payload bytes never shuffle. */
+    * sample stream in frame order. Every window emits a row — a clip
+    * SHORTER than `windows` yields (n_samples=0, sums 0) rows for its
+    * empty spans, keeping the feature vector fixed-shape for ML
+    * consumers; a GROUP-BY SQL mirror reproduces those rows only with
+    * a window-spine LEFT JOIN (the shipped oracle's clips are all
+    * ≥ `windows` samples, where plain GROUP BY suffices).
+    * Explode-per-window dataflow; payload bytes never shuffle. */
   def audioFeatures(
       df: DataFrame, idCol: String, payloadCol: String,
       windows: Int = 4): DataFrame = {
@@ -488,43 +484,34 @@ object Multimodal {
           if (r.isNullAt(idIdx)) null else Long.box(r.getLong(idIdx))
         try {
           val bytes = r.getAs[Array[Byte]](payIdx)
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) Row(id, null, null, null, null, null, null)
-            else {
-              val reader = readers.next()
-              try {
-                val fmt = reader.getFormatName.toLowerCase
-                reader.setInput(iis)
-                val img = reader.read(0)
-                val (w, h) = (img.getWidth, img.getHeight)
-                val (ow, oh) = fitDims(w, h, targetW, targetH)
-                val out = new java.awt.image.BufferedImage(
-                  ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-                var oy = 0
-                while (oy < oh) {
-                  val sy = (oy.toLong * h / oh).toInt
-                  var ox = 0
-                  while (ox < ow) {
-                    out.setRGB(ox, oy,
-                      img.getRGB((ox.toLong * w / ow).toInt, sy))
-                    ox += 1
-                  }
-                  oy += 1
-                }
-                var sum = 0L
-                oy = 0
-                while (oy < oh) {
-                  var ox = 0
-                  while (ox < ow) { sum += (out.getRGB(ox, oy) & 0xffffff); ox += 1 }
-                  oy += 1
-                }
-                Row(id, fmt, w, h, ow, oh, sum)
-              } finally reader.dispose()
+          val fi = readImageWithFormat(bytes, 0, bytes.length)
+          if (fi == null) Row(id, null, null, null, null, null, null)
+          else {
+            val (fmt, img) = fi
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (ow, oh) = fitDims(w, h, targetW, targetH)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var oy = 0
+            while (oy < oh) {
+              val sy = (oy.toLong * h / oh).toInt
+              var ox = 0
+              while (ox < ow) {
+                out.setRGB(ox, oy,
+                  img.getRGB((ox.toLong * w / ow).toInt, sy))
+                ox += 1
+              }
+              oy += 1
             }
-          } finally iis.close()
+            var sum = 0L
+            oy = 0
+            while (oy < oh) {
+              var ox = 0
+              while (ox < ow) { sum += (out.getRGB(ox, oy) & 0xffffff); ox += 1 }
+              oy += 1
+            }
+            Row(id, fmt, w, h, ow, oh, sum)
+          }
         } catch {
           case _: Exception => Row(id, null, null, null, null, null, null)
         }
@@ -597,7 +584,10 @@ object Multimodal {
     * cell `x·pool DIV w` (same for y). Cells are unpacked to scalar
     * columns `g_<i>_<j>` (i = x-cell, j = y-cell) because array cells
     * defeat the driver's comparator; normalize downstream where floats
-    * belong.
+    * belong. Every cell column is always present — an image narrower
+    * or shorter than `pool` leaves its unreachable cells at 0 (the
+    * fixed-shape contract; a GROUP-BY SQL mirror needs a cell spine
+    * for such images — the shipped oracle's dims are all ≥ pool).
     * Undecodable payloads degrade to NULL fields; per-partition
     * projection — payload bytes never shuffle. */
   def imageFeatures(
@@ -704,12 +694,14 @@ object Multimodal {
     out
   }
 
-  /** Decode image bytes with the same FD-safe reader discipline as
-    * [[decodeImage]] (MemoryCacheImageInputStream — never the
-    * temp-file-backed default factory). Null when no reader claims the
-    * bytes. */
-  private def readImageBytes(
-      bytes: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage = {
+  /** THE image-reader acquisition discipline, in one place
+    * (MemoryCacheImageInputStream — never the temp-file-backed default
+    * factory — finally-disposed reader, finally-closed stream), shared
+    * by [[decodeImage]], [[resizeImage]], [[imageFeatures]], and the
+    * MJPG frame path. Null when no reader claims the bytes. */
+  private def readImageWithFormat(
+      bytes: Array[Byte], off: Int,
+      len: Int): (String, java.awt.image.BufferedImage) = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes, off, len))
     try {
@@ -717,9 +709,19 @@ object Multimodal {
       if (!readers.hasNext) null
       else {
         val reader = readers.next()
-        try { reader.setInput(iis); reader.read(0) } finally reader.dispose()
+        try {
+          val fmt = reader.getFormatName.toLowerCase
+          reader.setInput(iis)
+          (fmt, reader.read(0))
+        } finally reader.dispose()
       }
     } finally iis.close()
+  }
+
+  private def readImageBytes(
+      bytes: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage = {
+    val fi = readImageWithFormat(bytes, off, len)
+    if (fi == null) null else fi._2
   }
 
   /** Generate a REAL RIFF-AVI container in-engine — video's

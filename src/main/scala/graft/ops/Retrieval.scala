@@ -130,8 +130,8 @@ object Retrieval {
     * is order-independent and bit-identical across engines and
     * partitionings (a rank boundary between near-tied candidates must
     * fall identically everywhere); the fused rank tie-breaks by
-    * candidate id. Output: (query, id, n_runs, fused_score,
-    * fused_rank ≤ topK).
+    * candidate id. Output columns, in order: (query, id, n_runs,
+    * fused_rank ≤ topK, fused_score).
     *
     * Scale shape: a union of NARROW rank frames (query, id, rank —
     * never text or vectors), one hash agg on (query, id), and a

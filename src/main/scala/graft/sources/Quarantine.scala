@@ -34,8 +34,16 @@ private[sources] object QuarantineParse {
   def apply(
       df: DataFrame, payloadCol: String, schema: StructType,
       mkParsed: StructType => Column, alsoBad: Column): DataFrame = {
-    require(!df.columns.contains("quarantined") && !df.columns.contains("raw"),
-      "quarantine parse: input already has quarantined/raw columns")
+    // Collisions produce silently duplicated output columns (any
+    // downstream col() then throws AMBIGUOUS_REFERENCE — or a
+    // positional writer persists both); reject them all up front.
+    val reserved = Set("quarantined", "raw", "__graft_p") ++
+      schema.fieldNames.toSet
+    val kept = df.columns.filter(_ != payloadCol)
+    val clash = kept.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"quarantine parse: input columns ${clash.mkString(", ")} collide " +
+        "with output/schema/internal column names")
     val withCorrupt = StructType(schema.fields :+
       StructField("_corrupt", StringType))
     val bad: Column = col(payloadCol).isNull || col("__graft_p").isNull ||

@@ -270,7 +270,7 @@ object StreamingOps {
     * it lives in parquet. Pairs are per micro-batch; near-dups WITHIN
     * the stream are the index-refresh cadence's concern (append each
     * accepted batch's signatures to the base, the standard ingest
-    * loop). The base index checkpoints ONCE for the query's lifetime,
+    * loop). The base index is cached ONCE for the query's lifetime,
     * not per micro-batch. Caveat: with a finite `maxBucket` the
     * NEW-side hot-bucket cap is evaluated per micro-batch, so bucket
     * widths — and therefore which template buckets drop — depend on
@@ -283,10 +283,16 @@ object StreamingOps {
       threshold: Double = 0.5, portable: Boolean = false,
       maxBucket: Int = Int.MaxValue)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    // Checkpointed here, OUTSIDE foreachBatch: a per-batch
-    // localCheckpoint would re-materialize the whole base index every
-    // trigger and pin a fresh block copy until driver GC.
-    val baseOnce = baseSigs.localCheckpoint(false)
+    // Cached here, OUTSIDE foreachBatch: a per-batch materialization
+    // would re-shingle the whole base index every trigger. persist,
+    // NOT localCheckpoint — checkpoint blocks are non-replicated and
+    // truncate lineage, so one executor loss would break every later
+    // micro-batch of a long-running query; persist keeps the
+    // parquet-backed lineage and recomputes lost blocks transparently.
+    // (The query owns the cache for its lifetime; callers sharing
+    // baseSigs across queries can unpersist after the last stop().)
+    val baseOnce = baseSigs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       sink(graft.ops.Dedup.minhashLshAgainstPrepared(
         graft.ops.Dedup.minhashSignatures(

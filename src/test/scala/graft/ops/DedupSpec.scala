@@ -103,6 +103,28 @@ class DedupSpec extends SparkSpec with Matchers {
     inc.keySet should contain((2L, 1L)) // a real cross-boundary near-dup found
   }
 
+  test("minhashLshAgainst fails fast on wrong-k and NULL signatures, with real messages") {
+    import org.apache.spark.sql.{Row, types => T}
+    val sigSchema = T.StructType(Seq(
+      T.StructField("id", T.LongType, nullable = false),
+      T.StructField("sig", T.ArrayType(T.LongType), nullable = true)))
+    def sigs(rows: Seq[(Long, Seq[Long])]) = spark.createDataFrame(
+      rows.map { case (i, s) =>
+        Row(i, if (s == null) null else s)
+      }.asJava, sigSchema)
+    val good = sigs(Seq(1L -> Seq.tabulate(16)(_.toLong)))
+    val wrongK = sigs(Seq(2L -> Seq.tabulate(8)(_.toLong)))
+    val withNull = sigs(Seq(3L -> null))
+    val eK = intercept[Exception] {
+      Dedup.minhashLshAgainst(good, wrongK, k = 16, bands = 8).collect()
+    }
+    eK.getMessage should include("different k")
+    val eN = intercept[Exception] {
+      Dedup.minhashLshAgainst(good, withNull, k = 16, bands = 8).collect()
+    }
+    eN.getMessage should include("NULL") // not raise_error(NULL)'s empty message
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val df = docsDf(Seq(1L -> "a b c d e f g h", 2L -> "a b c d e f g h"))
     val sigs = df.select(TextOps.tokens(TextOps.normalized(col("text"))).as("ws"))

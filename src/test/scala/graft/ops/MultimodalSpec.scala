@@ -339,6 +339,22 @@ class MultimodalSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("audioFeatures: clips shorter than `windows` emit fixed-shape zero rows for empty spans") {
+    val out = Multimodal.audioFeatures(
+      Multimodal.encodeAudio(clipsDf(Seq((3L, 2))), "id", "n", sampleRate = 8000),
+      "media_id", "payload", windows = 4)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    out.keySet shouldBe Set(0, 1, 2, 3) // ALL windows present — fixed shape
+    // 2 samples land in windows 0 and 2 (i*4 DIV 2); 1 and 3 are empty
+    val s0 = Multimodal.sampleValue(3L, 0).toLong
+    val s1 = Multimodal.sampleValue(3L, 1).toLong
+    out(0) shouldBe ((1L, s0, math.abs(s0), s0 * s0))
+    out(2) shouldBe ((1L, s1, math.abs(s1), s1 * s1))
+    out(1) shouldBe ((0L, 0L, 0L, 0L))
+    out(3) shouldBe ((0L, 0L, 0L, 0L))
+  }
+
   test("audioFeatures: non-16-bit and garbage payloads degrade to one NULL row") {
     import org.apache.spark.sql.{Row, types => T}
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)

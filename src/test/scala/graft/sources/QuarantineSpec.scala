@@ -62,6 +62,15 @@ class QuarantineSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("rejects kept input columns that collide with schema fields") {
+    // an input column named like a parsed field would emit TWO columns
+    // named "a" — ambiguous downstream, or doubly persisted
+    val bad = df(Seq(1L -> """{"a":1}""")).withColumn("a", lit(99L))
+    intercept[IllegalArgumentException] {
+      JsonQuarantine.parse(bad, "js", schema)
+    }
+  }
+
   private val csvSchema = StructType(Seq(
     StructField("a", LongType), StructField("b", StringType),
     StructField("n", LongType)))
