@@ -423,6 +423,48 @@ class MultimodalSpec extends SparkSpec with Matchers {
     out(7L).isNullAt(1) shouldBe true
   }
 
+  test("AVI roundtrip property: 60 random geometries demux exactly, both streams, odd strides") {
+    import org.apache.spark.sql.{Row, types => T}
+    // seeded sweep across the layout branches: odd widths (DIB row
+    // padding), 1-pixel edges, frame counts vs stride remainders,
+    // audio slices that don't divide evenly across frames
+    val rnd = new scala.util.Random(2026)
+    val params = (1L to 60L).map { id =>
+      (id, 1 + rnd.nextInt(12), 1 + rnd.nextInt(33),
+        1 + rnd.nextInt(17), 1 + rnd.nextInt(300))
+    }
+    val df = spark.createDataFrame(
+      params.map { case (i, nf, w, h, ns) => Row(i, nf, w, h, ns) }.asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType, nullable = false),
+        T.StructField("nf", T.IntegerType, nullable = false),
+        T.StructField("w", T.IntegerType, nullable = false),
+        T.StructField("h", T.IntegerType, nullable = false),
+        T.StructField("ns", T.IntegerType, nullable = false))))
+    val av = Multimodal.encodeAv(df, "id", "nf", "w", "h", "ns")
+      .localCheckpoint(true)
+    for (stride <- Seq(1, 3)) {
+      val frames = Multimodal.sampleVideoFrames(av, "media_id", "payload", stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6))).toMap
+      val expKeys = params.flatMap { case (id, nf, _, _, _) =>
+        (0 until nf by stride).map(f => (id, f.toLong)) }.toSet
+      frames.keySet shouldBe expKeys
+      for ((id, nf, w, h, _) <- params; f <- 0 until nf by stride) {
+        val expSum = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.framePixel(id, f, x, y).toLong).sum
+        frames((id, f.toLong)) shouldBe
+          ((w, h, Multimodal.framePixel(id, f, 0, 0), expSum))
+      }
+    }
+    val audio = Multimodal.demuxAviAudio(av, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    for ((id, _, _, _, ns) <- params) {
+      val expSum = (0 until ns).map(Multimodal.sampleValue(id, _).toLong).sum
+      audio(id) shouldBe ((ns.toLong, expSum))
+    }
+  }
+
   test("encodeVideo rejects unknown codecs and non-positive geometry") {
     intercept[org.apache.spark.SparkException] {
       Multimodal.encodeVideo(
