@@ -239,6 +239,49 @@ case class Md5Prefix60Array(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Bloom-sketch membership probe over a string key — the
+  * native-Expression form of a driver-built
+  * `org.apache.spark.util.sketch.BloomFilter` probe (the same
+  * embed-the-sketch-in-the-plan mechanism Spark's runtime row-level
+  * filtering uses). The serialized sketch rides in the expression,
+  * ships to executors once per stage with the task binary, and each
+  * executor deserializes it once (@transient lazy). Probing hashes
+  * the key's UTF-8 bytes — identical to `mightContainString`. This
+  * replaces a Scala UDF probe: the filter stays inside whole-stage
+  * codegen with no per-row closure dispatch. NULL input → NULL. */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  def probe(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    filter.mightContainBinary(s.getBytes)
+
+  override def nullSafeEval(v: Any): Any =
+    probe(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj(
+      "bloomProbe", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.probe($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContain = copy(child = newChild)
+}
+
 object HashFunctions {
   /** Codegen'd SimHash over an `array<bigint>` of token hashes. */
   def simhash64(tokenHashes: Column): Column =
@@ -251,4 +294,12 @@ object HashFunctions {
   /** Codegen'd portable 60-bit md5-prefix hash per array element. */
   def md5Prefix60Array(tokens: Column): Column =
     Bridge.column(Md5Prefix60Array(Bridge.expression(tokens)))
+
+  /** Codegen'd Bloom membership probe against a driver-built sketch. */
+  def bloomMightContain(
+      key: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    Bridge.column(BloomMightContain(Bridge.expression(key), bos.toByteArray))
+  }
 }

@@ -449,10 +449,11 @@ object Dedup {
     * form's full-corpus shuffle. Bloom filters have
     * no false negatives and every candidate is re-checked exactly, so
     * the output is bit-identical to [[contamination]] and shares its
-    * exact SQL oracle; `fpp` only moves prefilter cost. The probe is a
-    * Scala UDF by necessity (it consults a driver-broadcast sketch no
-    * built-in columnar expression can reach) and sits OUTSIDE the
-    * value path — everything it passes is re-verified relationally. */
+    * exact SQL oracle; `fpp` only moves prefilter cost. The probe is
+    * the codegen'd [[graft.functions.BloomMightContain]] expression
+    * (the sketch rides in the plan, Spark's own runtime-filter
+    * mechanism) and sits OUTSIDE the value path — everything it
+    * passes is re-verified relationally. */
   def contaminationBloom(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minShared: Int = 3, fpp: Double = 0.01): DataFrame = {
@@ -464,11 +465,9 @@ object Dedup {
       .select("sh").distinct().localCheckpoint(false)
     val nEval = math.max(1L, evalShingles.count())
     val bloom = evalShingles.stat.bloomFilter("sh", nEval, fpp)
-    val bc = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((s: String) => s != null && bc.value.mightContainString(s))
     contaminationShingles(train, idCol, textCol, shingleN)
-      .filter(mightContain(col("sh")))            // map-side, zero shuffle
+      .filter(graft.functions.HashFunctions // map-side, zero shuffle, codegen'd
+        .bloomMightContain(col("sh"), bloom))
       .join(evalShingles, Seq("sh"), "left_semi") // exact re-check of survivors
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -64,15 +64,16 @@ class CorpusOpsPlanSpec extends SparkSpec with Matchers
     val plan = out.queryExecution.executedPlan
     // The exact re-check semi-join builds on the small eval side.
     collect(plan) { case j: BroadcastHashJoinExec => j } should not be empty
-    // The Bloom probe is the UDF filter; the scale claim is POSITION:
-    // it runs on the exploded corpus BEFORE any key-partitioned
-    // exchange, so only ~fpp survivors ever shuffle into the exact
-    // re-check. (The widen round-robin of the tiny test input is not
-    // a key shuffle and legitimately sits below it.)
+    // The Bloom probe is the codegen'd BloomMightContain filter; the
+    // scale claim is POSITION: it runs on the exploded corpus BEFORE
+    // any key-partitioned exchange, so only ~fpp survivors ever
+    // shuffle into the exact re-check. (The widen round-robin of the
+    // tiny test input is not a key shuffle and legitimately sits
+    // below it.)
     val probes = collect(plan) {
       case f: org.apache.spark.sql.execution.FilterExec
         if f.condition.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]) => f
+          _.isInstanceOf[graft.functions.BloomMightContain]) => f
     }
     probes should not be empty
     probes.foreach { probe =>
