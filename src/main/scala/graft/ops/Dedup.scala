@@ -569,22 +569,27 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
-  def ngramJaccard(
+  /** Shared exact pair core for [[ngramJaccard]] and
+    * [[ngramContainment]]: (id_a < id_b, n_inter, n_a, n_b) for every
+    * co-shingled pair over the df-capped shingle space — ONE copy of
+    * the tokenize/shingle/cap/self-join machinery so the two scores
+    * cannot drift.
+    *
+    * The exploded shingle table is consumed by the two self-join
+    * sides, the per-doc sizes, and (when capped) the df aggregate —
+    * materialize it once rather than re-tokenizing the corpus per
+    * consumer. (Exact pairwise scoring is the verification-scale
+    * operator; minhashLsh is the 100 TB path, whose materialized
+    * intermediate is the far smaller signature table.)
+    * Shingle TEXT never leaves the scan stage: every downstream key
+    * (df-cap aggregate, both self-join sides) is the 8-byte xxhash64
+    * of the shingle — distinct-per-doc first, so a hash collision
+    * could only merge two different shingles corpus-wide (~n²/2⁶⁴,
+    * negligible even at 100 TB), and the shuffle carries fixed-width
+    * keys at a third of the raw-string wire size. */
+  private def ngramPairCounts(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5,
-      maxDf: Int = Int.MaxValue): DataFrame = {
-    // The exploded shingle table is consumed by the two self-join
-    // sides, the per-doc sizes, and (when capped) the df aggregate —
-    // materialize it once rather than re-tokenizing the corpus per
-    // consumer. (Exact pairwise Jaccard is the verification-scale
-    // operator; minhashLsh is the 100 TB path, whose materialized
-    // intermediate is the far smaller signature table.)
-    // Shingle TEXT never leaves the scan stage: every downstream key
-    // (df-cap aggregate, both self-join sides) is the 8-byte xxhash64
-    // of the shingle — distinct-per-doc first, so a hash collision
-    // could only merge two different shingles corpus-wide (~n²/2⁶⁴,
-    // negligible even at 100 TB), and the shuffle carries fixed-width
-    // keys at a third of the raw-string wire size.
+      shingleN: Int, maxDf: Int): DataFrame = {
     val shRaw = OpsUtil.widen(df)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
@@ -600,17 +605,42 @@ object Dedup {
         shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
       }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
+    sh.as("x").join(sh.as("y"), Seq("sh"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+  }
+
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = Int.MaxValue): DataFrame =
+    ngramPairCounts(df, idCol, textCol, shingleN, maxDf)
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** Max-containment near-dup pairs (Broder's containment, taken in
+    * the subsumption direction): |A∩B| / min(|A|, |B|) over distinct
+    * n-gram shingles — 1.0 exactly when the smaller document's
+    * shingles are a subset of the larger's. This is the score that
+    * catches QUOTED and SUBSUMED documents (a 50-shingle doc embedded
+    * verbatim in a 5000-shingle doc has Jaccard ≈ 0.01 — invisible at
+    * any sane Jaccard threshold — but containment 1.0). Same shingle
+    * space, df-cap, and hash-blocked self-join as [[ngramJaccard]]
+    * (one shared core); same scale posture. */
+  def ngramContainment(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = Int.MaxValue): DataFrame =
+    ngramPairCounts(df, idCol, textCol, shingleN, maxDf)
+      .withColumn("containment",
+        col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
 }

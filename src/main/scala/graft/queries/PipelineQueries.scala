@@ -101,6 +101,52 @@ object PipelineQueries {
         JOIN sizes sb ON sb.id = i.id_b
         WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.08""")),
 
+    // Max-containment pairs: the subsumption score Jaccard cannot see
+    // (a short doc quoted verbatim inside a long one has Jaccard ~0.01
+    // but containment 1.0). Quote/host pairs are synthesized
+    // deterministically in both engines: every (40k+7) doc IS the
+    // quoted sentence, every 40k doc embeds it.
+    QueryDef(
+      "dedup_containment",
+      (s, dir) => {
+        val quote =
+          "common quoted disclaimer sentence appears here verbatim today"
+        val docs = table(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(40)) === 7, lit(quote))
+            .when(pmod(col("doc_id"), lit(40)) === 0,
+              concat(col("text"), lit(" " + quote)))
+            .otherwise(col("text")).as("t"))
+        Dedup.ngramContainment(docs, "doc_id", "t",
+          shingleN = 3, threshold = 0.8)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 40 = 7 THEN 'common quoted disclaimer sentence appears here verbatim today'
+                      WHEN doc_id % 40 = 0 THEN text || ' common quoted disclaimer sentence appears here verbatim today'
+                      ELSE text END AS t
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(t), '\s+', ' ', 'g')), ' ') AS ws
+          FROM d),
+        sh AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM w),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+        inter AS (
+          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8""")),
+
     QueryDef(
       "dedup_clusters",
       (s, dir) => Dedup.clusters(

@@ -325,6 +325,24 @@ class DedupSpec extends SparkSpec with Matchers {
     sem shouldBe exact // subset AND recall 1.0 when clusters are separable
   }
 
+  test("ngramContainment sees the quoted-subsumption pairs Jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = docsDf(Seq(
+      1L -> quote,                       // the quote itself
+      2L -> (filler + " " + quote),      // host embedding it verbatim
+      3L -> (1 to 40).map(i => s"other$i").mkString(" "))) // unrelated
+    val cont = Dedup.ngramContainment(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cont.keySet shouldBe Set((1L, 2L))
+    cont((1L, 2L)) shouldBe 1.0 // every quote shingle appears in the host
+    // the same pair is invisible to Jaccard at any sane threshold:
+    // 6 shared shingles over ~67 union shingles
+    Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .count() shouldBe 0L
+  }
+
   test("ngram jaccard property: random doc pairs match naive oracle") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 30).map(i => s"w$i")
