@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -243,20 +243,32 @@ case class Md5Prefix60Array(child: Expression) extends UnaryExpression {
   * native-Expression form of a driver-built
   * `org.apache.spark.util.sketch.BloomFilter` probe (the same
   * embed-the-sketch-in-the-plan mechanism Spark's runtime row-level
-  * filtering uses). The serialized sketch rides in the expression,
-  * ships to executors once per stage with the task binary, and each
+  * filtering uses). The serialized sketch rides as a foldable BINARY
+  * child — a `Literal`, so two probes over bit-identical sketches
+  * compare equal and plan canonicalization / cache / exchange reuse
+  * still work (an `Array[Byte]` case-class field would be
+  * reference-equal only, the same reason Spark's own
+  * BloomFilterMightContain carries its sketch as a child expression).
+  * It ships to executors once per stage with the task binary and each
   * executor deserializes it once (@transient lazy). Probing hashes
   * the key's UTF-8 bytes — identical to `mightContainString`. This
   * replaces a Scala UDF probe: the filter stays inside whole-stage
   * codegen with no per-row closure dispatch. NULL input → NULL. */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
-    extends UnaryExpression {
+case class BloomMightContain(valueExpr: Expression, bloomExpr: Expression)
+    extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string input, got ${t.sql}")
-  }
+  override def left: Expression = valueExpr
+  override def right: Expression = bloomExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueExpr.dataType, bloomExpr.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.BinaryType) if bloomExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable binary) inputs, got " +
+          s"${v.sql} and ${b.sql}")
+    }
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
@@ -264,22 +276,24 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 
   @transient private lazy val filter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(filterBytes))
+      new java.io.ByteArrayInputStream(
+        bloomExpr.eval().asInstanceOf[Array[Byte]]))
 
   def probe(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
     filter.mightContainBinary(s.getBytes)
 
-  override def nullSafeEval(v: Any): Any =
+  override def nullSafeEval(v: Any, b: Any): Any =
     probe(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj(
       "bloomProbe", this, classOf[BloomMightContain].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.probe($c);")
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = $self.probe($v);")
   }
 
-  override protected def withNewChildInternal(
-      newChild: Expression): BloomMightContain = copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(valueExpr = newLeft, bloomExpr = newRight)
 }
 
 object HashFunctions {
@@ -300,6 +314,8 @@ object HashFunctions {
       key: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column = {
     val bos = new java.io.ByteArrayOutputStream()
     filter.writeTo(bos)
-    Bridge.column(BloomMightContain(Bridge.expression(key), bos.toByteArray))
+    Bridge.column(BloomMightContain(Bridge.expression(key),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        bos.toByteArray, org.apache.spark.sql.types.BinaryType)))
   }
 }

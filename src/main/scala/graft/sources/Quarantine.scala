@@ -36,9 +36,15 @@ private[sources] object QuarantineParse {
       mkParsed: StructType => Column, alsoBad: Column): DataFrame = {
     // Collisions produce silently duplicated output columns (any
     // downstream col() then throws AMBIGUOUS_REFERENCE — or a
-    // positional writer persists both); reject them all up front.
-    val reserved = Set("quarantined", "raw", "__graft_p") ++
-      schema.fieldNames.toSet
+    // positional writer persists both); reject them all up front, on
+    // BOTH sides: kept input columns vs the output surface, and
+    // schema fields vs the operator's own output/internal names.
+    val ownNames = Set("quarantined", "raw", "_corrupt", "__graft_p")
+    val schemaClash = schema.fieldNames.filter(ownNames.contains)
+    require(schemaClash.isEmpty,
+      s"quarantine parse: schema fields ${schemaClash.mkString(", ")} " +
+        "collide with the operator's output/internal column names")
+    val reserved = ownNames ++ schema.fieldNames.toSet
     val kept = df.columns.filter(_ != payloadCol)
     val clash = kept.filter(reserved.contains)
     require(clash.isEmpty,
@@ -48,7 +54,7 @@ private[sources] object QuarantineParse {
       StructField("_corrupt", StringType))
     val bad: Column = col(payloadCol).isNull || col("__graft_p").isNull ||
       col("__graft_p").getField("_corrupt").isNotNull || alsoBad
-    val keep = df.columns.filter(_ != payloadCol).map(col).toSeq
+    val keep = kept.map(col).toSeq
     val fields = schema.fields.map { f =>
       when(!bad, col("__graft_p").getField(f.name)).as(f.name)
     }.toSeq

@@ -270,8 +270,15 @@ object StreamingOps {
     * it lives in parquet. Pairs are per micro-batch; near-dups WITHIN
     * the stream are the index-refresh cadence's concern (append each
     * accepted batch's signatures to the base, the standard ingest
-    * loop). The base index is cached ONCE for the query's lifetime,
-    * not per micro-batch. Caveat: with a finite `maxBucket` the
+    * loop). The base index is persisted ONCE for the query's
+    * lifetime, not per micro-batch — OWNERSHIP CAVEAT: nothing can
+    * unpersist at query stop (the writer API has no termination
+    * hook), so `baseSigs` stays registered in the cache manager after
+    * `stop()`, and any other query over the same logical plan reads
+    * the cached copy. Callers cycling indexes (the refresh loop)
+    * must `baseSigs.unpersist()` after the last `stop()` on each
+    * retired index, or stale copies accumulate in executor storage.
+    * Caveat 2: with a finite `maxBucket` the
     * NEW-side hot-bucket cap is evaluated per micro-batch, so bucket
     * widths — and therefore which template buckets drop — depend on
     * trigger cadence; exact batch-twin parity holds for the default

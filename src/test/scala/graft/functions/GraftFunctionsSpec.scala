@@ -95,4 +95,30 @@ class GraftFunctionsSpec extends SparkSpec with Matchers {
     val d = s2.sql("SELECT graft_dot(array(2.0d), array(3.0d)) AS d").collect().head.getDouble(0)
     d shouldBe 6.0 +- 1e-12
   }
+
+  test("BloomMightContain: correct probes, and value-equal plans canonicalize equal") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.Bridge
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq("alpha", "beta", "gamma").foreach(bf.putString)
+    import spark.implicits._
+    val out = Seq("alpha", "delta", "gamma").toDF("s")
+      .filter(HashFunctions.bloomMightContain(col("s"), bf))
+      .collect().map(_.getString(0)).toSet
+    out should contain allOf ("alpha", "gamma") // no false negatives, ever
+    // the sketch rides as a BINARY Literal child, so two probes built
+    // from bit-identical sketches are semantically equal — plan
+    // canonicalization / cache reuse would break on an Array[Byte]
+    // case-class field (reference equality). The value child is held
+    // FIXED here: pre-analysis col("s") conversions carry Origins
+    // that never compare equal; after analysis they resolve by exprId.
+    val v = Bridge.expression(col("s"))
+    def mk() = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      BloomMightContain(v, org.apache.spark.sql.catalyst.expressions
+        .Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType))
+    }
+    mk().semanticEquals(mk()) shouldBe true // distinct byte arrays, equal plans
+  }
 }

@@ -62,6 +62,15 @@ class QuarantineSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("rejects schema fields that collide with the operator's own output names") {
+    for (bad <- Seq("quarantined", "raw", "_corrupt")) {
+      val s = StructType(Seq(StructField(bad, StringType)))
+      intercept[IllegalArgumentException] {
+        JsonQuarantine.parse(df(Seq(1L -> "{}")), "js", s)
+      }
+    }
+  }
+
   test("rejects kept input columns that collide with schema fields") {
     // an input column named like a parsed field would emit TWO columns
     // named "a" — ambiguous downstream, or doubly persisted

@@ -29,8 +29,16 @@ def load(path):
         pass
     for line in text.splitlines():  # raw Bench stdout
         if line.startswith('{"metric"'):
-            return json.loads(line)
-    raise SystemExit(f"{path}: no bench JSON found")
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                # the driver keeps only a ~2KB stdout tail — a clipped
+                # metric line should diagnose, not traceback
+                raise SystemExit(
+                    f"{path}: bench JSON line is truncated/corrupt")
+            if "queries" in doc:
+                return doc
+    raise SystemExit(f"{path}: no bench JSON with a 'queries' map found")
 
 
 def main():
@@ -42,7 +50,10 @@ def main():
     common = sorted(set(oq) & set(nq))
     print(f"totals: {old.get('value')} s ({len(oq)} reported) -> "
           f"{new.get('value')} s ({len(nq)} reported); {len(common)} comparable")
-    rows = [(nq[k] / oq[k], k, oq[k], nq[k]) for k in common if oq[k] > 0]
+    # a 0.00s OLD time is the worst possible regression baseline —
+    # never drop it silently; treat it as an arbitrarily large ratio
+    rows = [((nq[k] / oq[k]) if oq[k] > 0 else float("inf"),
+             k, oq[k], nq[k]) for k in common]
     regs = sorted((r for r in rows if r[0] >= thresh), reverse=True)
     imps = sorted(r for r in rows if r[0] <= 1 / thresh)
     for title, rs in ((f"regressions >= {thresh}x", regs),
