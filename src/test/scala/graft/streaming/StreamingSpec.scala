@@ -388,6 +388,34 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("CsvQuarantine.parse runs identically on streams — torn records flow labeled") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1L, "7,en,123"),
+      Doc(2L, "8,fr"),        // torn record (under-arity)
+      Doc(3L, "9,de,55"))
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType), StructField("n", LongType)))
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.CsvQuarantine.parse(
+        df.withColumnRenamed("text", "line"), "line", schema)
+    val stream = MemoryStream[Doc]
+    val q = transform(stream.toDF()).writeStream.format("memory")
+      .queryName("csvq").outputMode("append").start()
+    try {
+      stream.addData(docs)
+      q.processAllAvailable()
+      val got = spark.table("csvq").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(4))).toSet
+      val batch = transform(docs.toDF()).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(4))).toSet
+      got shouldBe batch
+      got.count(_._3) shouldBe 1
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: repeated ids within horizon are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
