@@ -497,13 +497,88 @@ object FeatureStats {
         count(vDec).over(rollW))
   }
 
+  /** Mergeable numeric PROFILE — the incremental-profiling pattern: a
+    * 100 TB corpus is profiled shard-by-shard (per day, per source,
+    * per ingest batch) and the shard profiles combine ASSOCIATIVELY
+    * without rescanning anything. Components per feature — row count,
+    * null count, Σx and Σx·x as exact DECIMALs (the [[exactD6]]
+    * domain, |x| < 1e12 fail-fast), min, max — all merge by plain
+    * sum/min/max ([[mergeProfiles]]) and finalize to
+    * mean/var_pop/min/max in one double pass ([[finalizeProfile]])
+    * with the same moment arithmetic as [[zscore]], so
+    * profile-then-merge is BIT-IDENTICAL to profiling the union in
+    * one pass under any sharding. Distinct counts are deliberately
+    * absent: they do not merge from scalars (use [[summarize]] for
+    * single-pass profiling, or carry an HLL sketch column for
+    * mergeable uniques). Long format: (feature, n, n_null, sum_x,
+    * sum_xx, min_val, max_val); one map-side-combined aggregate per
+    * shard, no shuffle of the data itself. */
+  def profile(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty)
+    def d6(v: Column): Column = exactD6(v, "profile")
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++
+      numericCols.flatMap { c =>
+        val x = col(c)
+        Seq(count(x).as(s"__${c}_cnt"),
+          sum(d6(x)).as(s"__${c}_sx"),
+          sum(d6(x) * d6(x)).as(s"__${c}_sxx"),
+          min(x.cast("double")).as(s"__${c}_min"),
+          max(x.cast("double")).as(s"__${c}_max"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = numericCols.map { c =>
+      struct(lit(c).as("feature"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__${c}_cnt")).as("n_null"),
+        col(s"__${c}_sx").as("sum_x"),
+        col(s"__${c}_sxx").as("sum_xx"),
+        col(s"__${c}_min").as("min_val"),
+        col(s"__${c}_max").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Merge any number of [[profile]] frames over the same feature set:
+    * counts and exact DECIMAL moments add, extrema min/max — every
+    * component is associative and commutative, so merge order and
+    * sharding are irrelevant. */
+  def mergeProfiles(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty)
+    profiles.reduce(_ unionByName _)
+      .groupBy("feature")
+      .agg(sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+        sum(col("sum_x")).as("sum_x"), sum(col("sum_xx")).as("sum_xx"),
+        min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
+  }
+
+  /** Reduce a (possibly merged) profile to presentation stats:
+    * mean and population variance from the exact components, double
+    * arithmetic ordered identically to [[zscore]]'s combination so
+    * every engine and sharding lands the same bits; all-NULL features
+    * yield NULL mean/variance (0/0 is absence, not zero). */
+  def finalizeProfile(profile: DataFrame): DataFrame = {
+    val cnt = (col("n") - col("n_null")).cast("double")
+    val mean = col("sum_x").cast("double") / cnt
+    val variance = (col("sum_xx").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double") / cnt) / cnt
+    profile.select(col("feature"), col("n"), col("n_null"),
+      when(cnt > 0, mean).as("mean"),
+      when(cnt > 0, variance).as("var_pop"),
+      col("min_val"), col("max_val"))
+  }
+
   /** decimal(18,6) is the WIDEST cast whose product still fits an
     * exact decimal(37,12) — wider casts make Spark round the product
     * (precision cap at 38). That bounds the domain to |x| < 1e12;
     * values beyond it would cast to NULL and silently skew the
-    * moments, so they fail fast instead. */
+    * moments, so they fail fast instead. NULL input stays NULL
+    * (absence — aggregate sums skip it): without the explicit branch a
+    * NULL would fall into the otherwise and fire raise_error with a
+    * NULL-propagated message. [[zscore]]/[[pearson]] pre-filter NULLs,
+    * but [[profile]] aggregates over the raw column. */
   private def exactD6(c: Column, op: String): Column =
-    when(abs(c) < lit(1e12), c.cast("decimal(18,6)"))
+    when(c.isNull, lit(null).cast("decimal(18,6)"))
+      .when(abs(c) < lit(1e12), c.cast("decimal(18,6)"))
       .otherwise(raise_error(concat(
         lit(s"$op: |value| >= 1e12 overflows the exact decimal "),
         lit("co-moments; rescale the feature first (got "),

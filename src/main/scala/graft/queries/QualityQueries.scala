@@ -472,6 +472,59 @@ object QualityQueries {
 
     // TFT scale_to_z_score: standardize a feature against its own
     // population moments (exact DECIMAL sums, one double combine).
+    // Incremental profiling: two disjoint hash-shards profiled
+    // independently, merged, finalized — and the result must equal the
+    // whole table profiled at once, which is what the oracle computes
+    // directly over the full lineitem (exact DECIMAL moments make the
+    // merge bit-identical, not approximately equal).
+    QueryDef(
+      "stats_profile_merge",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val a = li.filter(graft.ops.Sampling.hashBucket(col("l_orderkey")) < 50)
+        val b = li.filter(graft.ops.Sampling.hashBucket(col("l_orderkey")) >= 50)
+        graft.ops.FeatureStats.finalizeProfile(
+          graft.ops.FeatureStats.mergeProfiles(Seq(
+            graft.ops.FeatureStats.profile(a, cols),
+            graft.ops.FeatureStats.profile(b, cols))))
+      },
+      Some("""
+        WITH f AS (
+          SELECT 'l_quantity' AS feature, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+                 COUNT(l_quantity) AS cnt,
+                 SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+                 SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+                 MIN(CAST(l_quantity AS DOUBLE)) AS min_val,
+                 MAX(CAST(l_quantity AS DOUBLE)) AS max_val
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                 COUNT(l_extendedprice),
+                 SUM(CAST(l_extendedprice AS DECIMAL(28,6))),
+                 SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))),
+                 MIN(CAST(l_extendedprice AS DOUBLE)),
+                 MAX(CAST(l_extendedprice AS DOUBLE))
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+                 COUNT(l_discount),
+                 SUM(CAST(l_discount AS DECIMAL(28,6))),
+                 SUM(CAST(l_discount AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(28,6))),
+                 MIN(CAST(l_discount AS DOUBLE)),
+                 MAX(CAST(l_discount AS DOUBLE))
+          FROM lineitem)
+        SELECT feature, n, n_null,
+               CASE WHEN cnt > 0 THEN CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) END AS mean,
+               CASE WHEN cnt > 0 THEN
+                 (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                   / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) END AS var_pop,
+               min_val, max_val
+        FROM f""")),
+
     QueryDef(
       "transform_zscore",
       (s, dir) => graft.ops.FeatureStats.zscore(

@@ -375,4 +375,48 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }.length shouldBe 1
     collectWithSubqueries(plan) { case s: SortExec => s }.length shouldBe 1
   }
+
+  test("profile merge is bit-identical to one-pass profiling, under any sharding") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 300L).map { i =>
+      Row(i, if (i % 17 == 0) null else rnd.nextInt(1000) / 4.0,
+        rnd.nextInt(50).toDouble)
+    }
+    val df = spark.createDataFrame(rows.asJava, T.StructType(Seq(
+      T.StructField("k", T.LongType, nullable = false),
+      T.StructField("x", T.DoubleType, nullable = true),
+      T.StructField("y", T.DoubleType, nullable = false))))
+    val cols = Seq("x", "y")
+    def fin(p: org.apache.spark.sql.DataFrame) =
+      FeatureStats.finalizeProfile(p).collect()
+        .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val onePass = fin(FeatureStats.profile(df, cols))
+    // 2-way and 3-way shardings, merged in different orders
+    val s3 = Seq(0, 1, 2).map(m => FeatureStats.profile(df.filter(col("k") % 3 === m), cols))
+    fin(FeatureStats.mergeProfiles(s3)) shouldBe onePass
+    fin(FeatureStats.mergeProfiles(s3.reverse)) shouldBe onePass
+    val s2 = Seq(FeatureStats.profile(df.filter(col("k") <= 100), cols),
+      FeatureStats.profile(df.filter(col("k") > 100), cols))
+    fin(FeatureStats.mergeProfiles(s2)) shouldBe onePass
+    // and the NULLs were actually counted
+    onePass("x")(1) shouldBe (300L / 17L) // n_null
+  }
+
+  test("profile: an all-NULL feature finalizes to NULL mean/variance, not 0/0") {
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, null), Row(2L, null)).asJava,
+      T.StructType(Seq(
+        T.StructField("k", T.LongType, nullable = false),
+        T.StructField("x", T.DoubleType, nullable = true))))
+    val r = FeatureStats.finalizeProfile(FeatureStats.profile(df, Seq("x"))).head()
+    r.getLong(1) shouldBe 2L  // n
+    r.getLong(2) shouldBe 2L  // n_null
+    r.isNullAt(3) shouldBe true
+    r.isNullAt(4) shouldBe true
+  }
 }
