@@ -567,6 +567,38 @@ object FeatureStats {
       col("min_val"), col("max_val"))
   }
 
+  /** Mergeable DISTINCT-count profile — the companion [[profile]]
+    * deliberately omits (scalar distinct counts cannot merge):
+    * per-shard Datasketches HLL sketches (`hll_sketch_agg`, binary,
+    * persistable), merged register-wise with `hll_union_agg`,
+    * estimated at read time. Union over a partition of the data
+    * reproduces the one-pass sketch state, so shard-then-merge
+    * estimates EQUAL the one-pass estimate (spec-asserted equality,
+    * not tolerance); accuracy vs exact is the sketch's documented
+    * ~1.04/√2^lgK. Long format: (feature, nd_sketch). */
+  def profileDistinct(
+      df: DataFrame, cols: Seq[String], lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.map(c => hll_sketch_agg(col(c), lit(lgK)).as(s"__${c}_nd"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c =>
+      struct(lit(c).as("feature"), col(s"__${c}_nd").as("nd_sketch")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Merge [[profileDistinct]] frames (same lgK per column family). */
+  def mergeDistinctProfiles(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty)
+    profiles.reduce(_ unionByName _)
+      .groupBy("feature")
+      .agg(hll_union_agg(col("nd_sketch"), lit(false)).as("nd_sketch"))
+  }
+
+  /** Read a distinct profile: (feature, n_distinct_est). */
+  def estimateDistinct(profile: DataFrame): DataFrame =
+    profile.select(col("feature"),
+      hll_sketch_estimate(col("nd_sketch")).as("n_distinct_est"))
+
   /** decimal(18,6) is the WIDEST cast whose product still fits an
     * exact decimal(37,12) — wider casts make Spark round the product
     * (precision cap at 38). That bounds the domain to |x| < 1e12;

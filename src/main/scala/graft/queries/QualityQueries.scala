@@ -525,6 +525,43 @@ object QualityQueries {
                min_val, max_val
         FROM f""")),
 
+    // Mergeable distinct counts: shard HLL sketches union into the
+    // full-corpus sketch; the oracle checks the invariant surface
+    // (q16/ANN-recall style) — the exact distinct count is computed
+    // IN-QUERY as the baseline, and the merged-sketch estimate must
+    // land within the sketch's error envelope.
+    QueryDef(
+      "stats_profile_distinct",
+      (s, dir) => {
+        import graft.ops.FeatureStats
+        val li = table(s, dir, "lineitem")
+        val cols = Seq("l_orderkey", "l_partkey")
+        val shards = Seq(
+          li.filter(graft.ops.Sampling.hashBucket(col("l_orderkey")) < 50),
+          li.filter(graft.ops.Sampling.hashBucket(col("l_orderkey")) >= 50))
+          .map(FeatureStats.profileDistinct(_, cols))
+        val est = FeatureStats.estimateDistinct(
+          FeatureStats.mergeDistinctProfiles(shards))
+        val exact = li.agg(
+          countDistinct(col("l_orderkey")).as("l_orderkey"),
+          countDistinct(col("l_partkey")).as("l_partkey"))
+          .select(explode(array(cols.map(c =>
+            struct(lit(c).as("feature"), col(c).as("n_distinct"))): _*)).as("e"))
+          .select("e.*")
+        exact.join(est, Seq("feature"))
+          .select(col("feature"), col("n_distinct"),
+            (abs(col("n_distinct_est") - col("n_distinct")) <=
+              col("n_distinct") * 0.05).as("nd_ok"))
+      },
+      Some("""
+        SELECT 'l_orderkey' AS feature,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+               true AS nd_ok
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), true
+        FROM lineitem""")),
+
     QueryDef(
       "transform_zscore",
       (s, dir) => graft.ops.FeatureStats.zscore(

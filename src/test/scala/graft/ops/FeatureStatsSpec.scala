@@ -405,6 +405,28 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     onePass("x")(1) shouldBe (300L / 17L) // n_null
   }
 
+  test("profileDistinct: merged shard sketches estimate EQUAL to the one-pass sketch") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val rows = (1L to 5000L).map(i => Row(i, i % 1357, (i % 89).toString))
+    val df = spark.createDataFrame(rows.asJava, T.StructType(Seq(
+      T.StructField("k", T.LongType, nullable = false),
+      T.StructField("x", T.LongType, nullable = false),
+      T.StructField("s", T.StringType, nullable = false))))
+    val cols = Seq("x", "s")
+    def est(p: org.apache.spark.sql.DataFrame) =
+      FeatureStats.estimateDistinct(p).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val onePass = est(FeatureStats.profileDistinct(df, cols))
+    val merged = est(FeatureStats.mergeDistinctProfiles(
+      Seq(0, 1, 2).map(m => FeatureStats.profileDistinct(df.filter(col("k") % 3 === m), cols))))
+    merged shouldBe onePass // register-wise union == one-pass state
+    // and the estimates sit inside the documented error envelope
+    math.abs(onePass("x") - 1357L).toDouble / 1357 should be < 0.05
+    onePass("s") shouldBe 89L // small cardinalities are exact in HLL
+  }
+
   test("profile: an all-NULL feature finalizes to NULL mean/variance, not 0/0") {
     import org.apache.spark.sql.{Row, types => T}
     import scala.jdk.CollectionConverters._
