@@ -249,11 +249,16 @@ case class Md5Prefix60Array(child: Expression) extends UnaryExpression {
   * still work (an `Array[Byte]` case-class field would be
   * reference-equal only, the same reason Spark's own
   * BloomFilterMightContain carries its sketch as a child expression).
-  * It ships to executors once per stage with the task binary and each
-  * executor deserializes it once (@transient lazy). Probing hashes
-  * the key's UTF-8 bytes — identical to `mightContainString`. This
-  * replaces a Scala UDF probe: the filter stays inside whole-stage
-  * codegen with no per-row closure dispatch. NULL input → NULL. */
+  * It ships to executors once per stage with the task binary; the
+  * deserialized filter is memoized in a per-JVM cache keyed by the
+  * sketch bytes ([[BloomMightContain.cached]]) — the @transient lazy
+  * alone would re-deserialize per TASK, since each task deserializes
+  * its own copy of the plan (and the expression instance holding the
+  * lazy val) from the task binary, and a production-shingle-count
+  * sketch is MBs. Probing hashes the key's UTF-8 bytes — identical
+  * to `mightContainString`. This replaces a Scala UDF probe: the
+  * filter stays inside whole-stage codegen with no per-row closure
+  * dispatch. NULL input → NULL. */
 case class BloomMightContain(valueExpr: Expression, bloomExpr: Expression)
     extends BinaryExpression {
 
@@ -275,9 +280,7 @@ case class BloomMightContain(valueExpr: Expression, bloomExpr: Expression)
   override def prettyName: String = "graft_bloom_might_contain"
 
   @transient private lazy val filter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(
-        bloomExpr.eval().asInstanceOf[Array[Byte]]))
+    BloomMightContain.cached(bloomExpr.eval().asInstanceOf[Array[Byte]])
 
   def probe(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
     filter.mightContainBinary(s.getBytes)
@@ -294,6 +297,27 @@ case class BloomMightContain(valueExpr: Expression, bloomExpr: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(valueExpr = newLeft, bloomExpr = newRight)
+}
+
+object BloomMightContain {
+  /** Per-JVM cache of deserialized Bloom sketches, keyed by sketch
+    * CONTENT (ByteBuffer equals/hashCode compare bytes): every task
+    * on an executor deserializes its own plan copy, so without this
+    * an MB-scale sketch is parsed once per task instead of once per
+    * JVM. Bounded — distinct sketches are per-query driver builds,
+    * but a long-lived executor crossing many queries must not leak. */
+  private val MaxCached = 16
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[
+      java.nio.ByteBuffer, org.apache.spark.util.sketch.BloomFilter]()
+
+  private[graft] def cached(
+      bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter = {
+    if (cache.size > MaxCached) cache.clear()
+    cache.computeIfAbsent(java.nio.ByteBuffer.wrap(bytes), _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
+  }
 }
 
 object HashFunctions {

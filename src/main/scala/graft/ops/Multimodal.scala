@@ -411,6 +411,12 @@ object Multimodal {
           try {
             val fmt = ais.getFormat
             require(fmt.getSampleSizeInBits == 16, "feature contract is 16-bit PCM")
+            // Unsigned 16-bit would be summed as two's-complement and
+            // silently skew DC/energy — degrade to NULL like every
+            // other non-conforming payload instead.
+            require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              "feature contract is SIGNED PCM")
             val data = ais.readAllBytes()
             val n = data.length / 2
             require(n > 0, "empty PCM stream")
@@ -836,7 +842,14 @@ object Multimodal {
     var vidStream = -1; var audStream = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     val audio = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+    def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean,
+        depth: Int): Unit = {
+      // Depth cap so a crafted container of nested 12-byte LISTs
+      // (~1 MB buys tens of thousands of levels) hits the per-row
+      // Exception degrade path instead of a StackOverflowError —
+      // an Error would escape `catch { case _: Exception }` in the
+      // callers and kill the task. Real AVI nests 3-4 levels.
+      require(depth <= 64, "LIST nesting too deep")
       var p = start
       while (p + 8 <= end) {
         val id = fourcc(bytes, p)
@@ -846,7 +859,8 @@ object Multimodal {
         if (id == "LIST") {
           val typ = fourcc(bytes, body)
           if (typ == "strl") { curStrl = strlCount; strlCount += 1; curType = "" }
-          walk(body + 4, body + len, inMovi || typ == "movi", inStrl || typ == "strl")
+          walk(body + 4, body + len, inMovi || typ == "movi",
+            inStrl || typ == "strl", depth + 1)
         } else if (inStrl && id == "strh") {
           curType = fourcc(bytes, body)
         } else if (inStrl && id == "strf" && curType == "vids" && comp == -1L) {
@@ -873,7 +887,7 @@ object Multimodal {
         p = body + len + (len & 1) // skip the alignment pad byte
       }
     }
-    walk(12, bytes.length, inMovi = false, inStrl = false)
+    walk(12, bytes.length, inMovi = false, inStrl = false, depth = 0)
     AviMeta(w, h, bits, comp, frames.toIndexedSeq,
       audTag, audCh, audRate, audBits, audio.toIndexedSeq)
   }

@@ -256,9 +256,13 @@ object Sampling {
     *     model on entities it memorized, so cold-start evaluation
     *     labels them out; callers filter on `split`.
     *
-    * Callers must pass `evalStart` ≥ `trainEnd` (column-level bounds
-    * are not checkable at build time; an inverted pair would label
-    * the overlap `train` — rows match the FIRST branch).
+    * Callers must pass `evalStart` ≥ `trainEnd`. Bounds are columns,
+    * so the check cannot run at build time; instead the split
+    * expression leads with a `raise_error` branch that fails the job
+    * on an inverted pair — for the common literal bounds Catalyst
+    * constant-folds the guard away, and for column bounds a silently
+    * mislabeled leakage-sensitive split would be worse than a failed
+    * one (the repo-wide fail-fast rule: sigLengthGuard, longKey).
     *
     * Scale shape: the labeling is one scan + projection (no shuffle).
     * `coldStartEval` adds one DISTINCT over train entities (map-side
@@ -270,7 +274,11 @@ object Sampling {
       trainEnd: Column, evalStart: Column,
       coldStartEval: Boolean = false): DataFrame = {
     val base = df.withColumn("split",
-      when(col(tsCol) < trainEnd, lit("train"))
+      when(evalStart < trainEnd, raise_error(concat(
+          lit("temporalSplit: evalStart < trainEnd ("),
+          evalStart.cast("string"), lit(" < "),
+          trainEnd.cast("string"), lit(")"))).cast("string"))
+        .when(col(tsCol) < trainEnd, lit("train"))
         .when(col(tsCol) >= evalStart, lit("eval"))
         .otherwise(lit("embargo")))
     if (!coldStartEval) base

@@ -291,6 +291,32 @@ class MultimodalSpec extends SparkSpec with Matchers {
     out(9L).map(_.getLong(1)).sorted shouldBe Array(0L, 1L, 2L)
   }
 
+  test("sampleVideoFrames: a deeply-nested LIST bomb degrades to NULL, not StackOverflowError") {
+    import org.apache.spark.sql.{Row, types => T}
+    // ~100k nested 12-byte LIST chunks in a valid RIFF envelope: the
+    // recursion this depth would overflow the task stack as an Error,
+    // escaping the Exception degrade guard; the depth cap must turn
+    // it into the one-NULL-row contract instead.
+    val levels = 100000
+    val total = 12 + levels * 12
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until levels)
+      buf.put("LIST".getBytes("US-ASCII")).putInt((levels - i) * 12 - 8)
+        .put("hdrl".getBytes("US-ASCII"))
+    val df = spark.createDataFrame(
+      Seq(Row(42L, buf.array())).asJava,
+      T.StructType(Seq(
+        T.StructField("media_id", T.LongType, nullable = false),
+        T.StructField("payload", T.BinaryType, nullable = true))))
+    val out = Multimodal.sampleVideoFrames(df, "media_id", "payload", 1).collect()
+    out.length shouldBe 1
+    out.head.getLong(0) shouldBe 42L
+    out.head.isNullAt(1) shouldBe true
+  }
+
   test("imageFeatures: channel sums and pooled grid match the pixelValue contract") {
     val params = Seq((1L, 5, 9, "png"), (2L, 16, 4, "bmp"), (3L, 2, 2, "png"))
     val out = Multimodal.imageFeatures(

@@ -346,4 +346,17 @@ class SamplingSpec extends SparkSpec with Matchers
     // no silent drops: every input row comes back labeled
     out.length shouldBe 4
   }
+
+  test("temporalSplit: inverted bounds fail fast instead of mislabeling the overlap") {
+    import spark.implicits._
+    val rows = Seq(("a", java.sql.Timestamp.valueOf("2024-01-11 00:00:00")))
+      .toDF("entity", "ts")
+    val err = intercept[Exception] {
+      Sampling.temporalSplit(rows, "entity", "ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")),   // trainEnd
+        lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))   // evalStart < trainEnd
+        .collect()
+    }
+    err.getMessage should include("temporalSplit")
+  }
 }
