@@ -10,6 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Self-diagnosis: count task failures (retries) per query via a
+    // listener. A retried task silently inflates that query's wall
+    // time — r6's bench tail showed a mid-run stack trace with no
+    // record of which query it hit; now the JSON line itself says
+    // whether the run was retry-contaminated. Attribution rides a
+    // volatile query-name tag; listener delivery is async, so counts
+    // are attributed best-effort (the totals are exact after the
+    // post-run drain sleep below).
+    val taskFailures = new java.util.concurrent.atomic.AtomicLong(0)
+    val queryErrors = new java.util.concurrent.atomic.AtomicLong(0)
+    val failuresBy = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    @volatile var currentQuery = "warmup"
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.reason != org.apache.spark.Success) {
+          taskFailures.incrementAndGet()
+          failuresBy.merge(currentQuery, 1L, (a, b) => a + b)
+        }
+    })
     // Untimed warmup: touch every table (footers + page cache) and run
     // one representative job so JIT/codegen startup cost doesn't land
     // on whichever query happens to run first.
@@ -22,13 +42,23 @@ object Bench {
     // benches on shared hosts see multi-second noise spikes (GC, host
     // contention); min-of-2 keeps the measurement about the plan, not
     // the weather.
-    def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // Optional name filter (args) for targeted re-benching — pinning a
+    // flagged query min-of-N on an idle host without the full sweep.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    def timeAll(): Map[String, Double] = selected.map { case (name, fn) =>
+      currentQuery = name
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => queryErrors.incrementAndGet(); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (pass1, pass2) = (timeAll(), timeAll())
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    // Drain the async listener bus before reading the counters (there
+    // is no public waitUntilEmpty; queries are done, 1 s is plenty).
+    Thread.sleep(1000)
     // The harness reading this line keeps only the last ~2000 chars of
     // stdout, and sbt appends its own "[success] Total time: …" line
     // after ours — so the JSON must fit well under the window or its
@@ -42,10 +72,23 @@ object Bench {
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val budget = 1600
     val slowestFirst = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    // Failure diagnostics: total always; per-query attribution only
+    // when nonzero (top 5 by count — it shares the line budget).
+    val failDiag = {
+      val tf = taskFailures.get(); val qe = queryErrors.get()
+      val base = s""""task_failures":$tf,"query_errors":$qe"""
+      if (tf == 0) base
+      else {
+        import scala.jdk.CollectionConverters._
+        val by = failuresBy.asScala.toSeq.sortBy { case (k, v) => (-v.longValue, k) }
+          .take(5).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s"""$base,"task_failures_by":$by"""
+      }
+    }
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failDiag,"queries":$qs,"sf":"$sfDir"}"""
     }
     var keep = slowestFirst
     while (keep.nonEmpty && line(keep).length > budget) keep = keep.dropRight(1)

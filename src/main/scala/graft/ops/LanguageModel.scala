@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained n-gram language-model scoring — the CCNet/Gopher
@@ -87,6 +87,100 @@ object LanguageModel {
         // end — both engines perform the identical IEEE operation.
         (sum(term.cast("decimal(28,12)")).cast("double") /
           count(lit(1)).cast("double")).as("cross_entropy"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Char-n-gram Naive Bayes language identification, trained
+    * IN-ENGINE from labeled rows — the real replacement for a
+    * stopword-marker heuristic ([[TextOps.langId]]): markers need a
+    * hand-curated word list per language and return "und" the moment
+    * a document avoids those exact words, while char n-grams are the
+    * classic textcat/CLD signal that any language's orthography leaks
+    * into every substring. Multinomial NB with add-k smoothing over
+    * the training trigram vocabulary:
+    *
+    *   score(doc, L) = ln P(L) + Σ_g count_doc(g) · ln P(g | L)
+    *   P(g | L)      = (c_L(g) + k) / (N_L + k·V)
+    *
+    * and `lang_pred = argmax_L score` (ties broken by language code,
+    * ascending — deterministic). Documents shorter than `n` chars have
+    * no grams and predict NULL (nothing to score — the caller decides
+    * a fallback; silently guessing the prior would hide data bugs).
+    *
+    * Engine-portable exactness: each ln term is computed in double,
+    * rounded to 9 dp, fixed to DECIMAL and summed exactly — the argmax
+    * compares identical decimals in any engine under any partitioning
+    * (the repo-wide recipe; libm `ln` agrees far below 1e-9).
+    *
+    * Scale shape: the model IS a distributed table — (lang, gram)
+    * counts from one hash aggregate over the exploded training grams,
+    * per-language totals and priors from tiny follow-up aggregates
+    * that broadcast. Scoring joins per-doc gram counts against the
+    * count table on the gram key (AQE broadcasts it while small — V
+    * is bounded by |charset|ⁿ, not corpus size), after a ×L fan-out
+    * over the language list (L is single digits). One final hash
+    * aggregate per (doc, lang), one per-doc window for the argmax.
+    * Nothing collects to the driver; no UDF. */
+  def charNgramLangId(
+      score: DataFrame, train: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int = 3, k: Double = 1.0): DataFrame = {
+    require(n > 0, s"charNgramLangId: non-positive gram size $n")
+    require(k > 0, "add-k smoothing needs k > 0")
+    def grams(t: Column): Column = {
+      val norm = TextOps.normalized(t)
+      // Guard: Spark's sequence(1, m) DESCENDS when m < 1 — short docs
+      // must yield an empty gram list, not [1, 0]-indexed garbage.
+      when(length(norm) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), length(norm) - lit(n - 1)),
+          i => norm.substr(i, lit(n))))
+    }
+    // Model: occurrence counts per (lang, gram) — one shuffle with
+    // map-side partial aggregation over the exploded train grams.
+    val cL = OpsUtil.widen(train)
+      .select(col(langCol).as("lang"), explode(grams(col(textCol))).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val nL = cL.groupBy("lang").agg(sum(col("c")).as("n_l"))
+    val vocab = cL.agg(countDistinct(col("g")).as("v"))
+    // Doc priors: ln(docs_L / docs_total), same rounded-decimal fix.
+    val docsL = train.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("docs_l"))
+    val docsTotal = train.agg(count(lit(1)).as("docs_total"))
+    val priors = docsL.crossJoin(broadcast(docsTotal))
+      .select(col("lang"),
+        round(log(col("docs_l").cast("double") / col("docs_total").cast("double")), 9)
+          .cast("decimal(12,9)").as("lp_prior"))
+    // Per-doc gram counts × the language list, LEFT-joined to the
+    // model so unseen grams score through the smoothing mass
+    // k / (N_L + kV) instead of silently dropping out.
+    val docG = OpsUtil.widen(score)
+      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+    val langs = cL.select("lang").distinct()
+    val term = round(log(
+      (coalesce(col("c"), lit(0L)).cast("double") + lit(k)) /
+        (col("n_l").cast("double") + lit(k) * col("v").cast("double"))), 9)
+      .cast("decimal(12,9)") * col("cnt").cast("decimal(10,0)")
+    val loglik = docG
+      .crossJoin(broadcast(langs))
+      .join(cL, Seq("lang", "g"), "left")
+      .join(broadcast(nL), Seq("lang"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("id", "lang")
+      .agg(sum(term).as("ll_grams"))
+      .join(broadcast(priors), Seq("lang"))
+      .select(col("id"), col("lang"),
+        (col("ll_grams") + col("lp_prior")).as("ll"))
+    val best = loglik
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("ll").desc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("lang").as("lang_pred"))
+    // Every scored row comes back — gram-less docs with a NULL pred.
+    score.select(col(idCol).as("id")).distinct()
+      .join(best, Seq("id"), "left")
       .withColumnRenamed("id", idCol)
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, LanguageModel, Multimodal, Similarity, TextOps}
 
 /** North-star LLM-data-pipeline operators as verifiable queries over
   * the `documents` and `embeddings` tables: dedup (exact / MinHash-LSH /
@@ -818,6 +818,64 @@ object PipelineQueries {
             ELSE 'es'
           END AS lang_pred
         FROM scored""")),
+
+    // Real language ID: char-trigram Naive Bayes trained IN-ENGINE on
+    // the labeled half of the corpus (even doc_ids), scoring the
+    // held-out odd half — the full train+score loop replayed in SQL.
+    QueryDef(
+      "text_langid_ngram",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        LanguageModel.charNgramLangId(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", "lang")
+      },
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents),
+        trg AS (
+          SELECT lang,
+                 unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                        i -> substr(t, CAST(i AS INTEGER), 3))) AS g
+          FROM norm WHERE doc_id % 2 = 0),
+        cl AS (SELECT lang, g, COUNT(*) AS c FROM trg GROUP BY 1, 2),
+        nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM cl GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT g) AS v FROM cl),
+        dl AS (SELECT lang, COUNT(*) AS docs_l FROM norm WHERE doc_id % 2 = 0 GROUP BY 1),
+        dt AS (SELECT COUNT(*) AS docs_total FROM norm WHERE doc_id % 2 = 0),
+        pri AS (
+          SELECT lang, CAST(round(ln(CAST(docs_l AS DOUBLE) / CAST(docs_total AS DOUBLE)), 9)
+                 AS DECIMAL(12,9)) AS lp_prior
+          FROM dl, dt),
+        docg AS (
+          SELECT id, g, COUNT(*) AS cnt FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                          i -> substr(t, CAST(i AS INTEGER), 3))) AS g
+            FROM norm WHERE doc_id % 2 = 1)
+          GROUP BY 1, 2),
+        langs AS (SELECT DISTINCT lang FROM cl),
+        ll AS (
+          SELECT d.id, L.lang,
+                 SUM(CAST(round(ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0) /
+                       (CAST(n.n_l AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE))), 9)
+                     AS DECIMAL(12,9)) * CAST(d.cnt AS DECIMAL(10,0))) AS ll_grams
+          FROM docg d CROSS JOIN langs L
+          LEFT JOIN cl c ON c.lang = L.lang AND c.g = d.g
+          JOIN nl n ON n.lang = L.lang
+          CROSS JOIN v
+          GROUP BY 1, 2),
+        best AS (
+          SELECT ll.id, ll.lang,
+                 row_number() OVER (PARTITION BY ll.id
+                   ORDER BY ll.ll_grams + p.lp_prior DESC, ll.lang ASC) AS rk
+          FROM ll JOIN pri p ON p.lang = ll.lang)
+        SELECT n.doc_id, b.lang AS lang_pred
+        FROM (SELECT DISTINCT doc_id FROM norm WHERE doc_id % 2 = 1) n
+        LEFT JOIN (SELECT id, lang FROM best WHERE rk = 1) b ON b.id = n.doc_id""")),
 
     QueryDef(
       "doc_fingerprint",
