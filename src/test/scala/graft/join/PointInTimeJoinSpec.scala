@@ -110,6 +110,38 @@ class PointInTimeJoinSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("many-view stitch stays linear: no cross-view fan-out, bounded exchanges") {
+    // The 8-view canary (6 time-varying + 2 static): the stitch is a
+    // foldLeft of row-id left joins, so exchanges must grow linearly
+    // in view count — per time-varying view at most 2 hash exchanges
+    // (the view-side shuffle for the dedup window + the stitch join),
+    // and zero nested-loop/cartesian joins anywhere.
+    val df = graft.SparkEntry.queries("pit_manyviews")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    val timeVarying = 6
+    val stitchJoins =
+      "SortMergeJoin \\[__graft_row_id".r.findAllMatchIn(plan).size +
+        "BroadcastHashJoin \\[__graft_row_id".r.findAllMatchIn(plan).size
+    withClue(s"hashExchanges=$hashEx stitchJoins=$stitchJoins\n" + plan.take(4000)) {
+      // measured: 9 = 1 spine shuffle + 1 final-agg shuffle per
+      // time-varying view + 2 static-view stitches; the bound leaves
+      // room for AQE variance but forbids quadratic blowup
+      assert(hashEx <= 2 * timeVarying + 3)
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      // exactly one stitch join per view — linear in view count
+      assert(stitchJoins == 8)
+      // per-view candidate generation broadcasts the pruned side
+      assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 2)
+    }
+    val n = df.count()
+    assert(n > 0)
+    // left-join semantics: spine cardinality preserved exactly
+    assert(n ==
+      graft.sources.ParquetTables.load(spark, sf() + "/events.parquet").count())
+  }
+
   test("empty entity spine yields empty result with full schema") {
     val out = PointInTimeJoin.join(
       entity.filter($"eid" < 0), "event_ts", Seq(view(None)), rowIdCol = Some("eid"))
