@@ -108,6 +108,62 @@ object CorpusOps {
         col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
   }
 
+  /** Stride-robust duplicate-span audit: the alignment-proof sibling of
+    * [[duplicateSpans]]. The strided form hashes windows at offsets
+    * 0, stride, 2·stride, … — a span duplicated across documents at
+    * offsets that differ by a non-multiple of the stride lands windows
+    * at different phases and is missed entirely (no window of one doc
+    * byte-equals any window of the other). This form instead rolls a
+    * `windowChars`-gram hash at stride 1 and keeps only the winnowed
+    * selection (the minimum of every `winnowW` consecutive hashes —
+    * Schleimer/Wilkerson/Aiken), which carries the winnowing
+    * GUARANTEE: any span of ≥ `windowChars + winnowW − 1` chars shared
+    * by two documents contributes at least one shared fingerprint, at
+    * ANY relative alignment — while keeping only ~2/(winnowW+1) of the
+    * stride-1 hashes, i.e. the same rows-per-doc budget as the strided
+    * audit at stride ≈ winnowW/2.
+    *
+    * Output mirrors [[duplicateSpans]]: per-doc fingerprint count, how
+    * many of those fingerprints also occur in another document, and
+    * the duplicated fraction. Empty documents emit no row (they have
+    * no fingerprints); sub-window documents fingerprint their full
+    * text (length-capped k, as [[graft.functions.WinnowedFingerprints]]
+    * defines).
+    *
+    * Scale shape: identical to the strided form — the fingerprint
+    * projection is a codegen'd single pass over the scan (O(n) rolling
+    * hash + monotonic-deque minima, no shuffle), and the corpus-wide
+    * frequency count + join-back shuffle only 8-byte hashes. Raw text
+    * never leaves the scan stage, and winnowing caps the exploded
+    * row count the same way the stride does. `portable = true` uses
+    * mod-(2³¹−1) char-fold arithmetic whose SQL mirror the oracle
+    * replays verbatim. */
+  def duplicateSpansRobust(
+      df: DataFrame, idCol: String, textCol: String,
+      windowChars: Int, winnowW: Int = 16, portable: Boolean = false): DataFrame = {
+    import graft.functions.RollingHashFunctions
+    val fpCol =
+      if (portable)
+        RollingHashFunctions.winnowedFingerprintsPortable(col(textCol), windowChars, winnowW)
+      else RollingHashFunctions.winnowedFingerprints(col(textCol), windowChars, winnowW)
+    // Consumed by the frequency count and the join-back — materialized
+    // once (lazily) instead of re-winnowing the corpus per consumer.
+    val fps = OpsUtil.widen(df)
+      .select(col(idCol), explode(fpCol).as("fp"))
+      .localCheckpoint(false)
+    val fpDf = fps
+      .groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("fp_df"))
+    fps
+      .join(fpDf, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        sum(when(col("fp_df") >= 2, 1L).otherwise(0L)).as("n_dup_fingerprints"))
+      .withColumn("dup_fp_frac",
+        col("n_dup_fingerprints").cast("double") / col("n_fingerprints").cast("double"))
+  }
+
   /** Per-document top-k TF-IDF terms (keyword extraction). TF is the
     * in-document term count, IDF the smoothed `ln((N+1)/(df+1)) + 1`
     * over distinct-document frequency; ties break lexicographically.

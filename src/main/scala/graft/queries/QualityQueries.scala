@@ -175,6 +175,55 @@ object QualityQueries {
         FROM h JOIN f USING (win_hash)
         GROUP BY doc_id""")),
 
+    // Stride-robust duplicate-span audit: winnowed stride-1 rolling
+    // hashes instead of strided windows. The fixture MISALIGNS the
+    // shared footer per document (doc_id % 13 chars of padding before
+    // it) — the strided audit's phase-match blind spot — and the
+    // winnowing guarantee (shared span >= 40+16-1 = 55 chars => shared
+    // fingerprint at any alignment) still flags every footer carrier.
+    QueryDef(
+      "dedup_substring_robust",
+      (s, dir) => CorpusOps.duplicateSpansRobust(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"),
+                expr("repeat('x', cast(doc_id % 13 as int))"),
+                lit(" standard legal disclaimer boilerplate repeated across many documents verbatim")))
+              .otherwise(col("text")).as("t")),
+        "doc_id", "t", windowChars = 40, winnowW = 16, portable = true),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || repeat('x', CAST(doc_id % 13 AS INTEGER)) || ' standard legal disclaimer boilerplate repeated across many documents verbatim'
+                      ELSE text END AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS BIGINT[])
+                 ELSE list_transform(
+                   range(1, greatest(length(t) - least(40, length(t)) + 1, 1) + 1),
+                   i -> list_reduce(
+                          list_transform(range(i, i + least(40, length(t))),
+                            j -> CAST(ascii(substr(t, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                          (acc, x) -> (acc * 257 + x) % 2147483647))
+                 END AS hs
+          FROM d),
+        s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - least(16, len(hs)) + 1, 1) + 1),
+                   j -> list_min(hs[CAST(j AS INTEGER):CAST(j + least(16, len(hs)) - 1 AS INTEGER)])))) AS fp
+          FROM g WHERE len(hs) > 0),
+        f AS (SELECT fp, count(DISTINCT doc_id) AS fp_df FROM s GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_fingerprints,
+               CAST(SUM(CASE WHEN f.fp_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fingerprints,
+               CAST(SUM(CASE WHEN f.fp_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fp_frac
+        FROM s JOIN f USING (fp)
+        GROUP BY doc_id""")),
+
     // Per-document top-3 TF-IDF keywords.
     QueryDef(
       "tfidf_keywords",

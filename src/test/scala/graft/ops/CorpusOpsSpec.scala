@@ -70,6 +70,42 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
     out(2L) shouldBe ((1L, 0L))
   }
 
+  test("duplicateSpansRobust catches misaligned cross-doc duplicates the strided audit misses") {
+    // 85-char non-periodic span shared by both docs, offset by 7 chars
+    // in doc 2 — NOT a multiple of stride 20, so every strided window
+    // of doc 1 sits at a different phase of the span than every window
+    // of doc 2 and the strided audit sees zero duplication. The
+    // winnowed stride-1 form has the alignment-free guarantee
+    // (span 85 >= windowChars + winnowW - 1 = 55) and must flag both.
+    val span = "the quick brown fox jumps over the lazy dog while seven wizards brew strong black tea"
+    val docs = Seq(1L -> span, 2L -> ("z" * 7 + span))
+    val strided = CorpusOps.duplicateSpans(docsDf(docs), "doc_id", "text",
+        windowChars = 40, stride = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows")).toMap
+    strided.values.sum shouldBe 0L // the blind spot, pinned
+    for (portable <- Seq(false, true)) {
+      val robust = CorpusOps.duplicateSpansRobust(docsDf(docs), "doc_id", "text",
+          windowChars = 40, winnowW = 16, portable = portable)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_fingerprints"), r.getAs[Long]("n_dup_fingerprints"))).toMap
+      withClue(s"portable=$portable: ") {
+        robust(1L)._2 should be >= 1L
+        robust(2L)._2 should be >= 1L
+        // sanity: dup fingerprints never exceed total fingerprints
+        robust.values.foreach { case (n, d) => d should be <= n }
+      }
+    }
+  }
+
+  test("duplicateSpansRobust: empty docs emit no row; disjoint docs share nothing") {
+    val out = CorpusOps.duplicateSpansRobust(
+      docsDf(Seq(1L -> ("a" * 60 + "b" * 30), 2L -> ("c" * 90), 3L -> "")),
+      "doc_id", "text", windowChars = 40, winnowW = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_fingerprints")).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out.values.foreach(_ shouldBe 0L)
+  }
+
   test("tfidfTopTerms: corpus-common terms rank below doc-specific ones") {
     val docs = Seq(
       1L -> "shared shared apple apple apple",
