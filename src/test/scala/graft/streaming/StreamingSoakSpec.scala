@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Multi-batch streaming SOAK at sf0.1 volume: the real tables are fed
+  * through MemoryStream in many micro-batches, and each query must
+  * (a) keep up — per-batch wall times are recorded and printed as one
+  * `[soak]` line per query for SCALE.md — and (b) hold BOUNDED state:
+  * `StreamingQueryProgress.stateOperators` row counts must stay
+  * proportional to keys / open sessions, never to rows ingested. The
+  * per-batch parity of these operators is oracled elsewhere
+  * (pack_stream_batch, dedup_incremental, events_sessionize); this
+  * suite is the state-growth / throughput regression canary the
+  * parity specs can't be.
+  */
+class StreamingSoakSpec extends SparkSpec with Matchers {
+
+  /** (batchId, wallMs, stateRows-per-operator) for every progress of q. */
+  private def progressLog(q: StreamingQuery): Seq[(Long, Long, Seq[Long])] =
+    q.recentProgress.toSeq.map { p =>
+      (p.batchId, p.durationMs.asScala.values.map(_.toLong).sum,
+        p.stateOperators.toSeq.map(_.numRowsTotal))
+    }
+  private implicit class JMap[K, V](m: java.util.Map[K, V]) {
+    def asScala: scala.collection.mutable.Map[K, V] =
+      scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+  }
+
+  private def soakLine(name: String, rows: Long, log: Seq[(Long, Long, Seq[Long])]): Unit = {
+    val times = log.map(_._2)
+    val states = log.flatMap(_._3)
+    info(s"[soak] $name rows=$rows batches=${log.size} " +
+      s"batchMs=${times.mkString("[", ",", "]")} " +
+      s"stateRows=${log.map(_._3.sum).mkString("[", ",", "]")} " +
+      s"maxState=${if (states.isEmpty) 0L else states.max}")
+  }
+
+  test("packStream soak: 5k docs in 10 batches, state pinned at bucket count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val buckets = 8
+    val docs = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"), (col("n_chars") / 4).cast("long").as("n_tokens"))
+      .as[PackDoc].collect().toSeq
+    val stream = MemoryStream[PackDoc]
+    val q = StreamingOps.packStream(stream.toDF(), "doc_id", "n_tokens", 2048, buckets)
+      .writeStream.format("memory").queryName("pack_soak").outputMode("append").start()
+    try {
+      docs.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q).filter(_._3.nonEmpty)
+      log.size should be >= 10
+      // The whole point of the running-total design: state is ONE long
+      // per bucket — 8 rows forever, at any corpus size.
+      log.foreach { case (_, _, st) => st.sum should be <= buckets.toLong }
+      spark.table("pack_soak").count() shouldBe docs.size.toLong
+      soakLine("packStream", docs.size.toLong, log)
+    } finally q.stop()
+  }
+
+  test("sessionWindowAgg soak: 100k events in 10 batches, state ~ open sessions, not stream length") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.ParquetTables.load(spark, sf("sf0.1") + "/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy("ts") // arrival in event-time order, as a replayed log would
+      .as[Ev].collect().toSeq
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.sessionWindowAgg(
+        stream.toDF(), "ts", "user_id", gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_soak").outputMode("append").start()
+    try {
+      events.grouped(10000).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q).filter(_._3.nonEmpty)
+      log.size should be >= 10
+      val stateBy = log.map(_._3.sum)
+      // Bounded-state contract: eviction uses the watermark computed
+      // from the PREVIOUS batch, so steady-state holds ~one
+      // micro-batch worth of sessions (evicted next trigger) plus the
+      // open tail — bounded by the batch size, NEVER by the stream
+      // length. Growth across batches (state trending toward the
+      // cumulative session count, ~90k here) is the regression this
+      // soak exists to catch.
+      stateBy.max should be <= (10000 * 13) / 10L // ≤1.3× batch rows
+      stateBy.last.toDouble should be <= stateBy.head * 1.3
+      // Sessions finalize as the watermark advances: by the last batch
+      // the query has emitted most closed sessions downstream.
+      spark.table("sess_soak").count() should be > 0L
+      soakLine("sessionWindowAgg", events.size.toLong, log)
+    } finally q.stop()
+  }
+
+  test("nearDupStream soak: 5k docs in 10 batches against a 5k-doc index, parity with batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).as[Doc].collect().toSeq
+    // Stream a re-keyed copy of the corpus (ids offset) so every
+    // arriving doc has at least its own base twin to collide with —
+    // the serving-time "is this new doc a dup of the corpus?" shape.
+    val arriving = corpus.map(d => Doc(d.doc_id + 1000000L, d.text))
+    val baseSigs = Dedup.minhashSignatures(
+      corpus.toDF(), "doc_id", "text", shingleN = 3, k = 16)
+    val stream = MemoryStream[Doc]
+    val gotCount = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.nearDupStream(
+      stream.toDF(), "doc_id", "text", baseSigs,
+      shingleN = 3, k = 16, bands = 8, threshold = 0.5) { (pairs, _) =>
+      gotCount.addAndGet(pairs.count())
+    }.start()
+    try {
+      arriving.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      // foreachBatch against a persisted index is STATELESS — nothing
+      // may accumulate in streaming state across batches.
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L }
+      val batchTwin = Dedup.minhashLshAgainst(
+        Dedup.minhashSignatures(arriving.toDF(), "doc_id", "text", shingleN = 3, k = 16),
+        baseSigs, k = 16, bands = 8, threshold = 0.5).count()
+      gotCount.get() shouldBe batchTwin
+      gotCount.get() should be >= corpus.size.toLong // every doc finds its twin
+      soakLine("nearDupStream", arriving.size.toLong, log)
+    } finally q.stop()
+  }
+}
