@@ -47,13 +47,20 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    def timeAll(): Map[String, Double] = selected.map { case (name, fn) =>
+    // Sweep in NAME order, not Map iteration order: HashMap order
+    // reshuffles whenever a round adds queries, which moves every
+    // query's in-sweep neighborhood (JIT/GC/block-manager context) and
+    // showed up in r7 as phantom 3× "regressions" on queries whose
+    // code hadn't changed. Sorted order is stable round-over-round, so
+    // per-query diffs compare like against like.
+    val sweepOrder = selected.toSeq.sortBy(_._1)
+    def timeAll(): Map[String, Double] = sweepOrder.map { case (name, fn) =>
       currentQuery = name
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => queryErrors.incrementAndGet(); -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val (pass1, pass2) = (timeAll(), timeAll())
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     // Drain the async listener bus before reading the counters (there
