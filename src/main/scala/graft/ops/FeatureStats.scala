@@ -599,6 +599,191 @@ object FeatureStats {
     profile.select(col("feature"),
       hll_sketch_estimate(col("nd_sketch")).as("n_distinct_est"))
 
+  /** TFDV SchemaGen: infer a schema TABLE from a reference batch — the
+    * stage between statistics and validation in the TFX triad this
+    * engine's stats family mirrors (stats → schema → validate). One
+    * row per column: declared Spark type, row/null/distinct counts,
+    * numeric range, and the observed categorical DOMAIN (sorted
+    * distinct values, `|`-joined) when the column has at most
+    * `maxDomain` distinct values.
+    *
+    * Scale shape: two aggregation passes. (1) a wide single-row agg
+    * for counts/ranges (map-side combined, same as [[summarize]]);
+    * (2) the domain pass explodes to (feature, value) pairs, hash-aggs
+    * them (map-side combine collapses repeats before the wire), and —
+    * the part that must not melt at 100 TB — RANK-CAPS each feature's
+    * values (`row_number ≤ maxDomain+1`) BEFORE any collect_list, so
+    * an ID column can never materialize its billions of distinct
+    * values into one array row; features past the cap yield a NULL
+    * domain from bounded state. Distinct counts come from the same
+    * pair frame (exact, no extra scan). */
+  def inferSchema(
+      df: DataFrame, cols: Seq[String], maxDomain: Int = 32): DataFrame = {
+    require(cols.nonEmpty && maxDomain > 0)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(types.contains(c), s"inferSchema: no column '$c'"))
+    def isNum(c: String): Boolean =
+      types(c).isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // Pass 1: one wide row — totals, per-column null counts, numeric ranges.
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__${c}_cnt")) ++
+        (if (isNum(c)) Seq(min(col(c).cast("double")).as(s"__${c}_min"),
+          max(col(c).cast("double")).as(s"__${c}_max")) else Nil)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wideRows = cols.map { c =>
+      struct(lit(c).as("feature"),
+        lit(types(c).simpleString).as("data_type"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__${c}_cnt")).as("n_null"),
+        (if (isNum(c)) col(s"__${c}_min") else lit(null).cast("double")).as("min_val"),
+        (if (isNum(c)) col(s"__${c}_max") else lit(null).cast("double")).as("max_val"))
+    }
+    val base = wide.select(explode(array(wideRows: _*)).as("s")).select("s.*")
+    // Pass 2: distinct values per feature, rank-capped before collection.
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("feature"), col(c).cast("string").as("value"))): _*)).as("fv"))
+      .select("fv.*")
+      .filter(col("value").isNotNull)
+      .groupBy("feature", "value").agg(count(lit(1)).as("__vn"))
+      .localCheckpoint(false) // feeds the distinct count AND the domain
+    val nd = pairs.groupBy("feature").agg(count(lit(1)).as("n_distinct"))
+    val dom = pairs
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("feature")).orderBy(col("value"))))
+      .filter(col("__rk") <= maxDomain + 1)
+      .groupBy("feature")
+      .agg(count(lit(1)).as("__kept"),
+        array_join(array_sort(collect_list(col("value"))), "|").as("__dom"))
+      .select(col("feature"),
+        when(col("__kept") <= maxDomain, col("__dom")).as("domain"))
+    base.join(nd, Seq("feature"), "left")
+      .join(dom, Seq("feature"), "left")
+      .select(col("feature"), col("data_type"), col("n"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_val"), col("max_val"), col("domain"))
+  }
+
+  /** TFDV ExampleValidator: anomalies of a serving/eval batch against
+    * an [[inferSchema]] table. Per schema feature:
+    *   - `unexpected_null` — NULLs where the reference batch had none;
+    *   - `out_of_range` — numeric values outside the reference
+    *     [min_val, max_val] (features with a numeric range only);
+    *   - `new_category` — values outside the reference domain
+    *     (features with a closed domain only).
+    * Every applicable (feature, anomaly) row is emitted with its bad
+    * count (0 = clean), plus the lexicographically smallest offending
+    * value as the debugging example — deterministic, not "first seen".
+    *
+    * Scale shape: the schema table is COLUMN-count-sized metadata
+    * (collected driver-side, the index-metadata pattern); checks
+    * compile to ONE conditional-aggregation pass over the batch — no
+    * joins, no shuffle beyond the single-row agg; domain membership is
+    * an `isin` over ≤ maxDomain literals inside codegen. */
+  def validateSchema(df: DataFrame, schema: DataFrame): DataFrame = {
+    val specs = schema
+      .select("feature", "n_null", "min_val", "max_val", "domain")
+      .collect() // bounded by schema WIDTH — metadata, not data
+      .map(r => (r.getAs[String]("feature"), r.getAs[Long]("n_null"),
+        Option(r.getAs[java.lang.Double]("min_val")),
+        Option(r.getAs[java.lang.Double]("max_val")),
+        Option(r.getAs[String]("domain"))))
+      .sortBy(_._1)
+    require(specs.nonEmpty, "validateSchema: empty schema table")
+    val present = df.columns.toSet
+    def minStr(pred: Column, v: Column): Column =
+      min(when(pred, v.cast("string")))
+    val checks: Seq[(String, String, Column, Column)] = specs.flatMap {
+      case (f, nNull, mn, mx, dom) =>
+        require(present.contains(f), s"validateSchema: batch lacks column '$f'")
+        val c = col(f)
+        val nullCheck =
+          if (nNull == 0L)
+            (f, "unexpected_null",
+              sum(when(c.isNull, 1L).otherwise(0L)),
+              lit(null).cast("string"))
+          else (f, "unexpected_null", sum(lit(0L)), lit(null).cast("string"))
+        val rangeCheck = for (lo <- mn; hi <- mx) yield {
+          val bad = c.isNotNull &&
+            (c.cast("double") < lit(lo) || c.cast("double") > lit(hi))
+          (f, "out_of_range", sum(when(bad, 1L).otherwise(0L)), minStr(bad, c))
+        }
+        val domCheck = dom.map { d =>
+          val allowed = d.split('|').toSeq
+          val bad = c.isNotNull && !c.cast("string").isin(allowed: _*)
+          (f, "new_category", sum(when(bad, 1L).otherwise(0L)), minStr(bad, c))
+        }
+        Seq(nullCheck) ++ rangeCheck ++ domCheck
+    }
+    val aggs = checks.zipWithIndex.flatMap { case ((_, _, cnt, ex), i) =>
+      Seq(cnt.as(s"__c$i"), ex.as(s"__e$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.zipWithIndex.map { case ((f, kind, _, _), i) =>
+      struct(lit(f).as("feature"), lit(kind).as("anomaly"),
+        col(s"__c$i").as("n_bad"), col(s"__e$i").as("example"))
+    }
+    one.select(explode(array(rows: _*)).as("a")).select("a.*")
+  }
+
+  /** Numeric drift between a BASELINE batch and a CURRENT batch — the
+    * TFDV drift comparator for numeric features ([[skewCheck]] covers
+    * the categorical/mean L∞ gate). Bins are equal-width from the
+    * baseline's [min, max] (current values outside clamp into the edge
+    * bins); both sides' bin masses are add-half smoothed
+    * (`(nᵢ + 0.5) / (N + nBins/2)` — no zero bins), and the row
+    * reports the two standard divergences: PSI
+    * `Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ)` (industry drift gate: <0.1 stable, >0.25
+    * investigate) and Jensen–Shannon `½Σ pᵢ ln(pᵢ/mᵢ) + ½Σ qᵢ ln(qᵢ/mᵢ)`
+    * in nats (TFDV's numeric comparator). Per-bin contributions are
+    * rounded to 9 dp and summed as DECIMAL, so the reduction is
+    * order-independent — bit-identical on any partitioning or engine.
+    *
+    * Scale shape: the baseline range is a 2-value driver aggregate
+    * (the PIT-join min/max-bounds pattern); each side then runs one
+    * map-side-combined hash-agg onto ≤ nBins 4-byte keys, and the
+    * divergence reduces over ≤ nBins rows. NULLs are excluded (drift
+    * in missingness is [[skewCheck]]'s `miss_drift`). */
+  def driftCheck(
+      base: DataFrame, cur: DataFrame, c: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"driftCheck: nBins must be >= 2, got $nBins")
+    val bounds = base.agg(
+      min(col(c).cast("double")), max(col(c).cast("double"))).head()
+    require(!bounds.isNullAt(0),
+      s"driftCheck: baseline has no non-NULL '$c' values")
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val w = if (mx > mn) (mx - mn) / nBins else 1.0
+    def binned(d: DataFrame, tag: String): DataFrame =
+      d.filter(col(c).isNotNull)
+        .select(least(lit(nBins - 1), greatest(lit(0),
+          floor((col(c).cast("double") - lit(mn)) / lit(w)))).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"n_$tag"))
+    val bins = base.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
+    // nBins rows — checkpointed so the totals probe and the divergence
+    // reduction don't each re-run the two heavy side aggregations.
+    val joined = bins
+      .join(binned(base, "b"), Seq("bin"), "left")
+      .join(binned(cur, "q"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+      .localCheckpoint(false)
+    val totals = joined.agg(sum("n_b").as("tb"), sum("n_q").as("tq")).head()
+    val (tb, tq) = (totals.getLong(0), totals.getLong(1))
+    val p = (col("n_b").cast("double") + 0.5) / lit(tb + nBins * 0.5)
+    val q = (col("n_q").cast("double") + 0.5) / lit(tq + nBins * 0.5)
+    val m = (p + q) / 2.0
+    def d9(v: Column): Column = round(v, 9).cast("decimal(28,9)")
+    joined
+      .agg(
+        sum(d9((p - q) * log(p / q))).cast("double").as("psi"),
+        sum(d9(p * log(p / m) / 2.0 + q * log(q / m) / 2.0))
+          .cast("double").as("js_div"))
+      .select(lit(c).as("feature"), lit(tb).as("n_base"), lit(tq).as("n_cur"),
+        lit(mn).as("bin_min"), lit(mx).as("bin_max"),
+        col("psi"), col("js_div"))
+  }
+
   /** decimal(18,6) is the WIDEST cast whose product still fits an
     * exact decimal(37,12) — wider casts make Spark round the product
     * (precision cap at 38). That bounds the domain to |x| < 1e12;

@@ -611,6 +611,190 @@ object QualityQueries {
         SELECT 'l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), true
         FROM lineitem""")),
 
+    // TFDV SchemaGen: infer a schema table from the orders batch — a
+    // closed 3-value status domain, a 5-value priority domain, two
+    // high-cardinality columns (domain NULL past maxDomain=32), and a
+    // synthesized nullable column so n_null > 0 occurs. Domain strings
+    // are '|'-joined sorted distinct values.
+    QueryDef(
+      "stats_infer_schema",
+      (s, dir) => graft.ops.FeatureStats.inferSchema(
+        table(s, dir, "orders")
+          .withColumn("prio_n",
+            when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("string"))
+              .otherwise(col("o_orderpriority"))),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice", "prio_n"),
+        maxDomain = 32),
+      Some("""
+        WITH d AS (
+          SELECT o.*, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderpriority END AS prio_n
+          FROM orders o),
+        fv AS (
+          SELECT 'o_orderstatus' AS feature, CAST(o_orderstatus AS VARCHAR) AS value FROM d
+          UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM d
+          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM d
+          UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM d
+          UNION ALL SELECT 'prio_n', CAST(prio_n AS VARCHAR) FROM d),
+        pv AS (SELECT feature, value FROM fv WHERE value IS NOT NULL GROUP BY 1, 2),
+        pf AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                      CASE WHEN COUNT(*) <= 32
+                           THEN string_agg(value, '|' ORDER BY value) END AS domain
+               FROM pv GROUP BY 1),
+        base AS (
+          SELECT 'o_orderstatus' AS feature, 'string' AS data_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_null,
+                 CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val
+          FROM d
+          UNION ALL
+          SELECT 'o_orderpriority', 'string', CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT), NULL, NULL
+          FROM d
+          UNION ALL
+          SELECT 'o_custkey', 'bigint', CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+                 MIN(CAST(o_custkey AS DOUBLE)), MAX(CAST(o_custkey AS DOUBLE))
+          FROM d
+          UNION ALL
+          SELECT 'o_totalprice', 'double', CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+                 MIN(CAST(o_totalprice AS DOUBLE)), MAX(CAST(o_totalprice AS DOUBLE))
+          FROM d
+          UNION ALL
+          SELECT 'prio_n', 'string', CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) - COUNT(prio_n) AS BIGINT), NULL, NULL
+          FROM d)
+        SELECT b.feature, b.data_type, b.n, b.n_null,
+               COALESCE(pf.n_distinct, 0) AS n_distinct, b.min_val, b.max_val,
+               CASE WHEN pf.n_distinct <= 32 THEN pf.domain END AS domain
+        FROM base b LEFT JOIN pf ON pf.feature = b.feature""")),
+
+    // TFDV ExampleValidator: schema inferred on a RESTRICTED baseline
+    // (prices < 200k, '5-LOW' priority excluded, no NULLs), validated
+    // against the full batch with synthesized NULL statuses — every
+    // anomaly family fires deterministically: new_category ('5-LOW'),
+    // out_of_range (prices past the baseline max), unexpected_null.
+    QueryDef(
+      "stats_validate_schema",
+      (s, dir) => {
+        import graft.ops.FeatureStats
+        val orders = table(s, dir, "orders")
+        val baseline = orders
+          .filter(col("o_totalprice") < 200000 && col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        val serving = orders
+          .withColumn("o_orderstatus",
+            when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null).cast("string"))
+              .otherwise(col("o_orderstatus")))
+          .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        FeatureStats.validateSchema(serving, FeatureStats.inferSchema(
+          baseline, Seq("o_orderstatus", "o_orderpriority", "o_totalprice")))
+      },
+      Some("""
+        WITH bl AS (
+          SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+          WHERE o_totalprice < 200000 AND o_orderpriority != '5-LOW'),
+        sv AS (
+          SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                      ELSE o_orderstatus END AS o_orderstatus,
+                 o_orderpriority, o_totalprice
+          FROM orders),
+        rng AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+                       MAX(CAST(o_totalprice AS DOUBLE)) AS mx FROM bl),
+        sdom AS (SELECT string_agg(DISTINCT o_orderstatus, '|') AS ds FROM bl),
+        pdom AS (SELECT string_agg(DISTINCT o_orderpriority, '|') AS ds FROM bl)
+        SELECT 'o_orderpriority' AS feature, 'new_category' AS anomaly,
+               CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT EXISTS (SELECT 1 FROM bl b
+                                WHERE b.o_orderpriority = sv.o_orderpriority)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+               MIN(CASE WHEN o_orderpriority IS NOT NULL
+                         AND NOT EXISTS (SELECT 1 FROM bl b
+                           WHERE b.o_orderpriority = sv.o_orderpriority)
+                        THEN o_orderpriority END) AS example
+        FROM sv
+        UNION ALL
+        SELECT 'o_orderpriority', 'unexpected_null',
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               NULL
+        FROM sv
+        UNION ALL
+        SELECT 'o_orderstatus', 'new_category',
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND NOT EXISTS (SELECT 1 FROM bl b
+                                WHERE b.o_orderstatus = sv.o_orderstatus)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(CASE WHEN o_orderstatus IS NOT NULL
+                         AND NOT EXISTS (SELECT 1 FROM bl b
+                           WHERE b.o_orderstatus = sv.o_orderstatus)
+                        THEN o_orderstatus END)
+        FROM sv
+        UNION ALL
+        SELECT 'o_orderstatus', 'unexpected_null',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               NULL
+        FROM sv
+        UNION ALL
+        SELECT 'o_totalprice', 'out_of_range',
+               CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) < rng.mn
+                              OR CAST(o_totalprice AS DOUBLE) > rng.mx
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(CASE WHEN CAST(o_totalprice AS DOUBLE) < rng.mn
+                         OR CAST(o_totalprice AS DOUBLE) > rng.mx
+                        THEN CAST(o_totalprice AS VARCHAR) END)
+        FROM sv, rng
+        UNION ALL
+        SELECT 'o_totalprice', 'unexpected_null',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               NULL
+        FROM sv""")),
+
+    // TFDV numeric drift: PSI + Jensen-Shannon between an early-window
+    // baseline and the later window, equal-width bins from the
+    // BASELINE range (later out-of-range values clamp into edge bins),
+    // add-half smoothing, per-bin contributions rounded to 9 dp and
+    // DECIMAL-summed (order-independent on both engines).
+    QueryDef(
+      "stats_drift_psi",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        graft.ops.FeatureStats.driftCheck(
+          li.filter(col("l_shipdate") < cut),
+          li.filter(col("l_shipdate") >= cut),
+          "l_extendedprice", nBins = 10)
+      },
+      Some("""
+        WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                   WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_extendedprice IS NOT NULL),
+        c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_extendedprice IS NOT NULL),
+        rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx,
+                       (MAX(x) - MIN(x)) / 10.0 AS w FROM b),
+        bb AS (SELECT least(9, greatest(0, CAST(floor((x - rng.mn) / rng.w) AS INTEGER))) AS bin,
+                      COUNT(*) AS n FROM b, rng GROUP BY 1),
+        cb AS (SELECT least(9, greatest(0, CAST(floor((x - rng.mn) / rng.w) AS INTEGER))) AS bin,
+                      COUNT(*) AS n FROM c, rng GROUP BY 1),
+        bins AS (SELECT unnest(range(0, 10)) AS bin),
+        j AS (SELECT bins.bin, COALESCE(bb.n, 0) AS n_b, COALESCE(cb.n, 0) AS n_q
+              FROM bins LEFT JOIN bb ON bb.bin = bins.bin
+                        LEFT JOIN cb ON cb.bin = bins.bin),
+        t AS (SELECT SUM(n_b) AS tb, SUM(n_q) AS tq FROM j),
+        contrib AS (
+          SELECT (CAST(n_b AS DOUBLE) + 0.5) / (t.tb + 5.0) AS p,
+                 (CAST(n_q AS DOUBLE) + 0.5) / (t.tq + 5.0) AS q
+          FROM j, t)
+        SELECT 'l_extendedprice' AS feature,
+               (SELECT CAST(tb AS BIGINT) FROM t) AS n_base,
+               (SELECT CAST(tq AS BIGINT) FROM t) AS n_cur,
+               (SELECT mn FROM rng) AS bin_min, (SELECT mx FROM rng) AS bin_max,
+               CAST(SUM(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi,
+               CAST(SUM(CAST(round(p * ln(p / ((p + q) / 2.0)) / 2.0 +
+                                   q * ln(q / ((p + q) / 2.0)) / 2.0, 9)
+                        AS DECIMAL(28,9))) AS DOUBLE) AS js_div
+        FROM contrib""")),
+
     QueryDef(
       "transform_zscore",
       (s, dir) => graft.ops.FeatureStats.zscore(

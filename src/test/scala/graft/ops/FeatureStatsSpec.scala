@@ -441,4 +441,103 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     r.isNullAt(3) shouldBe true
     r.isNullAt(4) shouldBe true
   }
+
+  private def schemaFixture = {
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(
+        Row(1L, "a", 10.0), Row(2L, "b", 20.0), Row(3L, "a", 30.0),
+        Row(4L, "c", 40.0), Row(5L, null, 50.0)).asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType, nullable = false),
+        T.StructField("cat", T.StringType, nullable = true),
+        T.StructField("x", T.DoubleType, nullable = true))))
+  }
+
+  test("inferSchema: types, counts, ranges, and rank-capped domains") {
+    val s = statsMap(FeatureStats.inferSchema(
+      schemaFixture, Seq("id", "cat", "x"), maxDomain = 3).collect())
+    s.keySet shouldBe Set("id", "cat", "x")
+    val cat = s("cat")
+    cat.getAs[String]("data_type") shouldBe "string"
+    cat.getAs[Long]("n") shouldBe 5L
+    cat.getAs[Long]("n_null") shouldBe 1L
+    cat.getAs[Long]("n_distinct") shouldBe 3L
+    cat.getAs[String]("domain") shouldBe "a|b|c"
+    cat.isNullAt(cat.fieldIndex("min_val")) shouldBe true
+    val id = s("id")
+    id.getAs[String]("data_type") shouldBe "bigint"
+    id.getAs[Long]("n_distinct") shouldBe 5L
+    // 5 distinct > maxDomain=3: the domain must be NULL — and the
+    // rank-cap means it was never fully collected either.
+    id.isNullAt(id.fieldIndex("domain")) shouldBe true
+    id.getAs[Double]("min_val") shouldBe 1.0
+    id.getAs[Double]("max_val") shouldBe 5.0
+    val x = s("x")
+    x.getAs[String]("data_type") shouldBe "double"
+    x.getAs[Double]("max_val") shouldBe 50.0
+  }
+
+  test("validateSchema: every anomaly family fires with exact counts and deterministic examples") {
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val schema = FeatureStats.inferSchema(schemaFixture.filter("cat IS NOT NULL"),
+      Seq("cat", "x"), maxDomain = 8)
+    val serving = spark.createDataFrame(
+      Seq(
+        Row("a", 25.0),          // clean
+        Row("zz", 5.0),          // new category AND below range
+        Row("yy", 45.0),         // new category, above range
+        Row(null, 100.0),        // unexpected null (baseline cat had none), above range
+        Row("b", null)).asJava,  // x null: baseline x had none -> unexpected_null
+      T.StructType(Seq(
+        T.StructField("cat", T.StringType, nullable = true),
+        T.StructField("x", T.DoubleType, nullable = true))))
+    val out = FeatureStats.validateSchema(serving, schema).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.getString(3)))).toMap
+    out(("cat", "new_category")) shouldBe ((2L, Some("yy"))) // min("zz","yy")
+    out(("cat", "unexpected_null")) shouldBe ((1L, None))
+    out(("x", "out_of_range")) shouldBe ((3L, Some("100.0")))
+    out(("x", "unexpected_null")) shouldBe ((1L, None))
+    // cat is non-numeric: no range check row exists for it
+    out.keySet should not contain (("cat", "out_of_range"))
+  }
+
+  test("validateSchema: a baseline that itself had nulls suppresses unexpected_null") {
+    val schema = FeatureStats.inferSchema(schemaFixture, Seq("cat"), maxDomain = 8)
+    val out = FeatureStats.validateSchema(
+      schemaFixture.filter("cat IS NULL"), schema).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out(("cat", "unexpected_null")) shouldBe 0L
+  }
+
+  test("driftCheck: identical frames are driftless; a shift moves PSI past the gate") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = FeatureStats.driftCheck(base, base, "v", nBins = 10).head()
+    same.getAs[Double]("psi") shouldBe 0.0 +- 1e-9
+    same.getAs[Double]("js_div") shouldBe 0.0 +- 1e-9
+    same.getAs[Long]("n_base") shouldBe 1000L
+    // Shifted + widened current: mass moves across bins and beyond the
+    // baseline range (clamps into the top bin) — PSI must clear the
+    // standard 0.25 "investigate" gate.
+    val cur = (1 to 1000).map(i => (i % 100).toDouble + 80.0).toDF("v")
+    val drift = FeatureStats.driftCheck(base, cur, "v", nBins = 10).head()
+    drift.getAs[Double]("psi") should be > 0.25
+    drift.getAs[Double]("js_div") should be > 0.05
+    // clamping: every current row landed in SOME bin (none dropped)
+    drift.getAs[Long]("n_cur") shouldBe 1000L
+  }
+
+  test("driftCheck is partition-invariant (DECIMAL-summed contributions)") {
+    import spark.implicits._
+    val base = (1 to 500).map(i => (i % 37).toDouble).toDF("v")
+    val cur = (1 to 500).map(i => ((i * 7) % 53).toDouble).toDF("v")
+    val a = FeatureStats.driftCheck(base.repartition(1), cur.repartition(1), "v").head()
+    val b = FeatureStats.driftCheck(base.repartition(13), cur.repartition(13), "v").head()
+    a.getAs[Double]("psi") shouldBe b.getAs[Double]("psi")
+    a.getAs[Double]("js_div") shouldBe b.getAs[Double]("js_div")
+  }
 }
