@@ -755,8 +755,7 @@ object FeatureStats {
     val w = if (mx > mn) (mx - mn) / nBins else 1.0
     def binned(d: DataFrame, tag: String): DataFrame =
       d.filter(col(c).isNotNull)
-        .select(least(lit(nBins - 1), greatest(lit(0),
-          floor((col(c).cast("double") - lit(mn)) / lit(w)))).cast("int").as("bin"))
+        .select(binExpr(col(c), mn, w, nBins).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(s"n_$tag"))
     val bins = base.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
     // nBins rows — checkpointed so the totals probe and the divergence
@@ -769,7 +768,22 @@ object FeatureStats {
         coalesce(col("n_q"), lit(0L)).as("n_q"))
       .localCheckpoint(false)
     val totals = joined.agg(sum("n_b").as("tb"), sum("n_q").as("tq")).head()
-    val (tb, tq) = (totals.getLong(0), totals.getLong(1))
+    divergenceRow(joined, c, totals.getLong(0), totals.getLong(1), mn, mx, nBins)
+  }
+
+  /** Shared bin assignment: equal-width from [mn, mn + nBins·w], out-of-
+    * range values clamp into the edge bins. One copy so [[driftCheck]]
+    * and the fitted [[scoreDrift]] path cannot drift apart. */
+  private def binExpr(c: Column, mn: Double, w: Double, nBins: Int): Column =
+    least(lit(nBins - 1), greatest(lit(0),
+      floor((c.cast("double") - lit(mn)) / lit(w)))).cast("int")
+
+  /** Shared divergence reduction over the (bin, n_b, n_q) frame:
+    * add-half smoothing, per-bin PSI/JS contributions rounded to 9 dp
+    * and DECIMAL-summed (order-independent). */
+  private def divergenceRow(
+      joined: DataFrame, feature: String, tb: Long, tq: Long,
+      mn: Double, mx: Double, nBins: Int): DataFrame = {
     val p = (col("n_b").cast("double") + 0.5) / lit(tb + nBins * 0.5)
     val q = (col("n_q").cast("double") + 0.5) / lit(tq + nBins * 0.5)
     val m = (p + q) / 2.0
@@ -779,9 +793,110 @@ object FeatureStats {
         sum(d9((p - q) * log(p / q))).cast("double").as("psi"),
         sum(d9(p * log(p / m) / 2.0 + q * log(q / m) / 2.0))
           .cast("double").as("js_div"))
-      .select(lit(c).as("feature"), lit(tb).as("n_base"), lit(tq).as("n_cur"),
+      .select(lit(feature).as("feature"), lit(tb).as("n_base"), lit(tq).as("n_cur"),
         lit(mn).as("bin_min"), lit(mx).as("bin_max"),
         col("psi"), col("js_div"))
+  }
+
+  /** Fitted drift baseline: bin geometry plus the baseline's bin
+    * counts — nBins longs of driver-held metadata (the
+    * classifier-weights pattern), so serving batches and streaming
+    * micro-batches score against it WITHOUT ever re-aggregating the
+    * baseline data. Serializable; persist alongside the model that
+    * consumes the feature. */
+  final case class DriftModel(
+      feature: String, nBins: Int, binMin: Double, binMax: Double,
+      baseCounts: IndexedSeq[Long]) {
+    require(baseCounts.length == nBins)
+    def binWidth: Double =
+      if (binMax > binMin) (binMax - binMin) / nBins else 1.0
+    def nBase: Long = baseCounts.sum
+  }
+
+  /** Fit a [[DriftModel]] from the baseline batch — one pass: the
+    * 2-value bounds probe plus one map-side-combined hash-agg onto
+    * ≤ nBins keys, collected as metadata. */
+  def fitDrift(base: DataFrame, c: String, nBins: Int = 10): DriftModel = {
+    require(nBins >= 2, s"fitDrift: nBins must be >= 2, got $nBins")
+    val bounds = base.agg(
+      min(col(c).cast("double")), max(col(c).cast("double"))).head()
+    require(!bounds.isNullAt(0),
+      s"fitDrift: baseline has no non-NULL '$c' values")
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val w = if (mx > mn) (mx - mn) / nBins else 1.0
+    val counts = base.filter(col(c).isNotNull)
+      .select(binExpr(col(c), mn, w, nBins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    DriftModel(c, nBins, mn, mx,
+      (0 until nBins).map(b => counts.getOrElse(b, 0L)))
+  }
+
+  /** Score a serving/eval batch against a fitted [[DriftModel]] —
+    * BIT-IDENTICAL to [[driftCheck]](baseline, cur) by construction
+    * (same binExpr, same divergence reduction; spec-asserted), but the
+    * baseline side is a literal array riding the plan: one hash-agg
+    * over the batch, zero baseline scans. This is the fit-once/
+    * serve-many and streaming path. */
+  def scoreDrift(model: DriftModel, cur: DataFrame): DataFrame = {
+    val curBinned = cur.filter(col(model.feature).isNotNull)
+      .select(binExpr(col(model.feature), model.binMin, model.binWidth,
+        model.nBins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_q"))
+    val bins = cur.sparkSession.range(model.nBins)
+      .select(col("id").cast("int").as("bin"))
+    val baseArr = array(model.baseCounts.map(lit(_)): _*)
+    val joined = bins
+      .join(curBinned, Seq("bin"), "left")
+      .select(col("bin"),
+        element_at(baseArr, col("bin") + 1).as("n_b"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+      .localCheckpoint(false)
+    val tq = joined.agg(sum("n_q")).head().getLong(0)
+    divergenceRow(joined, model.feature, model.nBase, tq,
+      model.binMin, model.binMax, model.nBins)
+  }
+
+  /** Mergeable QUANTILE profile — the third leg of the incremental
+    * profiling story ([[profile]]: exact moments; [[profileDistinct]]:
+    * HLL uniques; this: KLL quantile sketches). Per-shard DataSketches
+    * KLL doubles sketches (binary, persistable) merge losslessly in
+    * any order with [[mergeQuantileProfiles]] and answer any quantile
+    * at read time with ~1.65% normalized rank error at k = 200 —
+    * exact medians over 100 TB need a full sort; this needs one
+    * map-side-combined aggregate per shard. Long format:
+    * (feature, q_sketch). NULLs are skipped by the aggregate. */
+  def profileQuantiles(
+      df: DataFrame, cols: Seq[String], k: Int = 200): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.map(c =>
+      kll_sketch_agg_double(col(c).cast("double"), lit(k)).as(s"__${c}_q"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c =>
+      struct(lit(c).as("feature"), col(s"__${c}_q").as("q_sketch")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Merge [[profileQuantiles]] frames (same k per column family). */
+  def mergeQuantileProfiles(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty)
+    profiles.reduce(_ unionByName _)
+      .groupBy("feature")
+      .agg(kll_merge_agg_double(col("q_sketch")).as("q_sketch"))
+  }
+
+  /** Read quantiles out of a (possibly merged) quantile profile: one
+    * row per (feature, prob). */
+  def estimateQuantiles(profile: DataFrame, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    // One literal probe per prob (the expression requires a foldable
+    // rank), exploded into long format.
+    val rows = probs.map(p => struct(lit(p).as("prob"),
+      kll_sketch_get_quantile_double(col("q_sketch"), lit(p))
+        .as("quantile_est")))
+    profile
+      .select(col("feature"), explode(array(rows: _*)).as("q"))
+      .select(col("feature"), col("q.prob"), col("q.quantile_est"))
   }
 
   /** decimal(18,6) is the WIDEST cast whose product still fits an

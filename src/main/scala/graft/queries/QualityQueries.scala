@@ -795,6 +795,95 @@ object QualityQueries {
                         AS DECIMAL(28,9))) AS DOUBLE) AS js_div
         FROM contrib""")),
 
+    // The fit-once/serve-many drift path: fitDrift collects the
+    // baseline's nBins bin counts as driver metadata, scoreDrift scores
+    // the later window against the literal array — by construction
+    // (shared binExpr + divergence reduction) the output is
+    // BIT-IDENTICAL to driftCheck, so this query shares
+    // stats_drift_psi's exact SQL mirror. This is also the per-batch
+    // arithmetic of StreamingOps.driftStream.
+    QueryDef(
+      "stats_drift_serve",
+      (s, dir) => {
+        import graft.ops.FeatureStats
+        val li = table(s, dir, "lineitem")
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        FeatureStats.scoreDrift(
+          FeatureStats.fitDrift(
+            li.filter(col("l_shipdate") < cut), "l_extendedprice", nBins = 10),
+          li.filter(col("l_shipdate") >= cut))
+      },
+      Some("""
+        WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                   WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_extendedprice IS NOT NULL),
+        c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_extendedprice IS NOT NULL),
+        rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx,
+                       (MAX(x) - MIN(x)) / 10.0 AS w FROM b),
+        bb AS (SELECT least(9, greatest(0, CAST(floor((x - rng.mn) / rng.w) AS INTEGER))) AS bin,
+                      COUNT(*) AS n FROM b, rng GROUP BY 1),
+        cb AS (SELECT least(9, greatest(0, CAST(floor((x - rng.mn) / rng.w) AS INTEGER))) AS bin,
+                      COUNT(*) AS n FROM c, rng GROUP BY 1),
+        bins AS (SELECT unnest(range(0, 10)) AS bin),
+        j AS (SELECT bins.bin, COALESCE(bb.n, 0) AS n_b, COALESCE(cb.n, 0) AS n_q
+              FROM bins LEFT JOIN bb ON bb.bin = bins.bin
+                        LEFT JOIN cb ON cb.bin = bins.bin),
+        t AS (SELECT SUM(n_b) AS tb, SUM(n_q) AS tq FROM j),
+        contrib AS (
+          SELECT (CAST(n_b AS DOUBLE) + 0.5) / (t.tb + 5.0) AS p,
+                 (CAST(n_q AS DOUBLE) + 0.5) / (t.tq + 5.0) AS q
+          FROM j, t)
+        SELECT 'l_extendedprice' AS feature,
+               (SELECT CAST(tb AS BIGINT) FROM t) AS n_base,
+               (SELECT CAST(tq AS BIGINT) FROM t) AS n_cur,
+               (SELECT mn FROM rng) AS bin_min, (SELECT mx FROM rng) AS bin_max,
+               CAST(SUM(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi,
+               CAST(SUM(CAST(round(p * ln(p / ((p + q) / 2.0)) / 2.0 +
+                                   q * ln(q / ((p + q) / 2.0)) / 2.0, 9)
+                        AS DECIMAL(28,9))) AS DOUBLE) AS js_div
+        FROM contrib""")),
+
+    // Mergeable quantile profiles: two disjoint hash-shards sketched
+    // with KLL (k=400), merged, and read at three probabilities; the
+    // invariant surface (q16/ANN-recall style) is the REALIZED RANK of
+    // each estimate, computed in-query against the full column — it
+    // must sit within ±0.05 of the requested probability (KLL k=400
+    // rank error ≈ 0.9% at 99% conf; the margin also covers the value
+    // mass of discrete-ish columns). The oracle pins the exact ranks'
+    // validity as literal booleans plus the exact row counts.
+    QueryDef(
+      "stats_profile_quantiles",
+      (s, dir) => {
+        import graft.ops.FeatureStats
+        val li = table(s, dir, "lineitem")
+        val cols = Seq("l_extendedprice", "l_partkey")
+        val shards = Seq(
+          li.filter(graft.ops.Sampling.hashBucket(col("l_orderkey")) < 50),
+          li.filter(graft.ops.Sampling.hashBucket(col("l_orderkey")) >= 50))
+          .map(FeatureStats.profileQuantiles(_, cols, k = 400))
+        val est = FeatureStats.estimateQuantiles(
+          FeatureStats.mergeQuantileProfiles(shards), Seq(0.25, 0.5, 0.9))
+        val data = li.select(explode(array(cols.map(c =>
+            struct(lit(c).as("feature"), col(c).cast("double").as("x"))): _*)).as("d"))
+          .select("d.*").filter(col("x").isNotNull)
+        data.join(broadcast(est), Seq("feature"))
+          .groupBy(col("feature"), col("prob"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("x") <= col("quantile_est"), 1L).otherwise(0L)).as("n_le"))
+          .select(col("feature"), col("prob"), col("n"),
+            (abs(col("n_le").cast("double") / col("n").cast("double") - col("prob"))
+              <= 0.05).as("rank_ok"))
+      },
+      Some("""
+        SELECT 'l_extendedprice' AS feature, p AS prob,
+               (SELECT CAST(COUNT(l_extendedprice) AS BIGINT) FROM lineitem) AS n,
+               true AS rank_ok
+        FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p)
+        UNION ALL
+        SELECT 'l_partkey', p,
+               (SELECT CAST(COUNT(l_partkey) AS BIGINT) FROM lineitem), true
+        FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p)""")),
+
     QueryDef(
       "transform_zscore",
       (s, dir) => graft.ops.FeatureStats.zscore(

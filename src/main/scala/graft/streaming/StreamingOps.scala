@@ -284,6 +284,24 @@ object StreamingOps {
     * trigger cadence; exact batch-twin parity holds for the default
     * uncapped new side (the base-side cap is cadence-independent).
     * The returned writer still needs `.start()`. */
+  /** Streaming drift monitor: every micro-batch is scored against a
+    * fitted [[graft.ops.FeatureStats.DriftModel]] — the baseline is
+    * nBins longs of driver metadata riding the plan as a literal
+    * array, so NOTHING is re-aggregated per trigger (the fit-once/
+    * serve-many contract [[nearDupStream]] has for its index). Each
+    * batch's (feature, n_base, n_cur, psi, js_div, …) row reaches the
+    * sink; per-batch results are BIT-identical to
+    * `FeatureStats.scoreDrift(model, batchDf)` on the same rows (one
+    * shared code path — spec-asserted), which in turn is bit-identical
+    * to the batch `driftCheck`. Alert wiring (PSI > 0.25 paging, say)
+    * belongs in the sink. */
+  def driftStream(
+      df: DataFrame, model: graft.ops.FeatureStats.DriftModel)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.FeatureStats.scoreDrift(model, batch), batchId)
+    }
+
   def nearDupStream(
       docs: DataFrame, idCol: String, textCol: String, baseSigs: DataFrame,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,

@@ -540,4 +540,62 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     a.getAs[Double]("psi") shouldBe b.getAs[Double]("psi")
     a.getAs[Double]("js_div") shouldBe b.getAs[Double]("js_div")
   }
+
+  test("scoreDrift(fitDrift) is bit-identical to driftCheck — the serve path cannot diverge") {
+    import spark.implicits._
+    val base = (1 to 800).map(i => ((i * 31) % 97).toDouble).toDF("v")
+    val cur = (1 to 900).map(i => ((i * 13) % 120).toDouble - 5.0).toDF("v")
+    val direct = FeatureStats.driftCheck(base, cur, "v", nBins = 12).head()
+    val model = FeatureStats.fitDrift(base, "v", nBins = 12)
+    model.nBase shouldBe 800L
+    model.baseCounts.length shouldBe 12
+    val served = FeatureStats.scoreDrift(model, cur).head()
+    served shouldBe direct // every column, bitwise
+  }
+
+  test("driftStream: per-batch rows equal scoreDrift on the same batch rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = (1 to 600).map(i => (i % 50).toDouble).toDF("v")
+    val model = FeatureStats.fitDrift(base, "v", nBins = 8)
+    val batches = Seq(
+      (1 to 200).map(i => (i % 60).toDouble),
+      (1 to 300).map(i => (i % 20).toDouble + 40.0))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    val stream = MemoryStream[Double]
+    val q = graft.streaming.StreamingOps.driftStream(
+      stream.toDF().withColumnRenamed("value", "v"), model) { (row, id) =>
+      got.synchronized { got += ((id, row.head())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val batchTwin = FeatureStats.scoreDrift(model, rows.toDF("v")).head()
+        streamed shouldBe batchTwin
+      }
+    } finally q.stop()
+  }
+
+  test("quantile profiles: merged shard sketches answer within rank tolerance; sketch survives parquet") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => ((i * 2654435761L) % 10007).toDouble).toDF("x")
+    val shards = Seq(df.filter($"x" < 5000), df.filter($"x" >= 5000))
+      .map(FeatureStats.profileQuantiles(_, Seq("x"), k = 400))
+    // Parquet roundtrip: the sketch is persistable binary state.
+    val dir = java.nio.file.Files.createTempDirectory("kllprof").toString
+    shards.head.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val merged = FeatureStats.mergeQuantileProfiles(Seq(reloaded, shards(1)))
+    val probs = Seq(0.1, 0.5, 0.9)
+    val est = FeatureStats.estimateQuantiles(merged, probs).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    est.size shouldBe 3
+    val xs = df.collect().map(_.getDouble(0)).sorted
+    probs.foreach { p =>
+      val realizedRank = xs.count(_ <= est(p)).toDouble / xs.length
+      realizedRank shouldBe p +- 0.03 // KLL k=400 rank error << 3%
+    }
+  }
 }
