@@ -884,6 +884,150 @@ object QualityQueries {
                (SELECT CAST(COUNT(l_partkey) AS BIGINT) FROM lineitem), true
         FROM (SELECT unnest([0.25, 0.5, 0.9]) AS p)""")),
 
+    // Deequ-style key-uniqueness audit: the composite lineitem key is
+    // unique, the bare orderkey is not, and a synthesized NULL-bearing
+    // key exercises the NULL-opt-out path — one row per checked key.
+    QueryDef(
+      "check_uniqueness",
+      (s, dir) => {
+        import graft.ops.Constraints
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+          .withColumn("ck_n",
+            when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null).cast("long"))
+              .otherwise(col("o_custkey")))
+        Constraints.uniqueness(li, Seq("l_orderkey", "l_linenumber"))
+          .unionByName(Constraints.uniqueness(li, Seq("l_orderkey")))
+          .unionByName(Constraints.uniqueness(ord, Seq("ck_n")))
+      },
+      Some("""
+        WITH u1 AS (
+          SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS k,
+                 COUNT(*) AS n
+          FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+          GROUP BY l_orderkey, l_linenumber),
+        u2 AS (
+          SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+          FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey),
+        o AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS ck_n
+              FROM orders),
+        u3 AS (
+          SELECT CAST(ck_n AS VARCHAR) AS k, COUNT(*) AS n
+          FROM o WHERE ck_n IS NOT NULL GROUP BY ck_n)
+        SELECT 'l_orderkey|l_linenumber' AS key_cols,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               (SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS n_null_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+               CAST(SUM(n - 1) AS BIGINT) AS n_dup_rows,
+               SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS is_unique,
+               MIN(CASE WHEN n > 1 THEN k END) AS example_dup_key
+        FROM u1
+        UNION ALL
+        SELECT 'l_orderkey', CAST(SUM(n) AS BIGINT),
+               (SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                FROM lineitem),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(n - 1) AS BIGINT),
+               SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0,
+               MIN(CASE WHEN n > 1 THEN k END)
+        FROM u2
+        UNION ALL
+        SELECT 'ck_n', CAST(SUM(n) AS BIGINT),
+               (SELECT CAST(SUM(CASE WHEN ck_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM o),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(n - 1) AS BIGINT),
+               SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0,
+               MIN(CASE WHEN n > 1 THEN k END)
+        FROM u3""")),
+
+    // Referential integrity: lineitem->orders holds; orders->a
+    // deterministically thinned customer table does not (every tenth
+    // custkey removed from the parent), with synthesized NULL child
+    // keys opting out per SQL FK semantics.
+    QueryDef(
+      "check_ref_integrity",
+      (s, dir) => {
+        import graft.ops.Constraints
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        val cust = table(s, dir, "customer")
+        val ordN = ord.withColumn("ck_n",
+          when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")))
+        Constraints.referentialIntegrity(
+            li, Seq("l_orderkey"), ord, Seq("o_orderkey"))
+          .unionByName(Constraints.referentialIntegrity(
+            ordN, Seq("ck_n"),
+            cust.filter(pmod(col("c_custkey"), lit(10)) =!= 0), Seq("c_custkey")))
+      },
+      Some("""
+        WITH lk AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem
+                    WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        orph1 AS (SELECT k, n FROM lk
+                  WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = lk.k)),
+        o AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS ck_n
+              FROM orders),
+        ok2 AS (SELECT ck_n AS k, COUNT(*) AS n FROM o WHERE ck_n IS NOT NULL GROUP BY 1),
+        par2 AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 10 != 0),
+        orph2 AS (SELECT k, n FROM ok2
+                  WHERE NOT EXISTS (SELECT 1 FROM par2 p WHERE p.k = ok2.k))
+        SELECT 'l_orderkey' AS key_cols,
+               (SELECT CAST(COUNT(l_orderkey) AS BIGINT) FROM lineitem) AS n_child_rows,
+               (SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                FROM lineitem) AS n_null_rows,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_orphan_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_orphan_keys,
+               COALESCE(SUM(n), 0) = 0 AS is_valid,
+               MIN(CAST(k AS VARCHAR)) AS example_orphan_key
+        FROM orph1
+        UNION ALL
+        SELECT 'ck_n',
+               (SELECT CAST(COUNT(ck_n) AS BIGINT) FROM o),
+               (SELECT CAST(SUM(CASE WHEN ck_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM o),
+               CAST(COALESCE(SUM(n), 0) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               COALESCE(SUM(n), 0) = 0,
+               MIN(CAST(k AS VARCHAR))
+        FROM orph2""")),
+
+    // Functional dependencies: the key determines its row
+    // (o_orderkey -> o_orderstatus holds); a customer places many
+    // orders in many states (o_custkey -> o_orderstatus violated).
+    QueryDef(
+      "check_fd",
+      (s, dir) => {
+        import graft.ops.Constraints
+        val ord = table(s, dir, "orders")
+        Constraints.functionalDependency(ord, Seq("o_orderkey"), Seq("o_orderstatus"))
+          .unionByName(
+            Constraints.functionalDependency(ord, Seq("o_custkey"), Seq("o_orderstatus")))
+      },
+      Some("""
+        WITH p1 AS (SELECT o_orderkey AS k, COUNT(DISTINCT o_orderstatus) AS n_rhs,
+                           COUNT(*) AS n_rows
+                    FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        p2 AS (SELECT o_custkey AS k, COUNT(DISTINCT o_orderstatus) AS n_rhs,
+                      COUNT(*) AS n_rows
+               FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+        SELECT 'o_orderkey->o_orderstatus' AS dependency,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT) AS n_violating_rows,
+               SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+               MIN(CASE WHEN n_rhs > 1 THEN CAST(k AS VARCHAR) END) AS example_violating_key
+        FROM p1
+        UNION ALL
+        SELECT 'o_custkey->o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0,
+               MIN(CASE WHEN n_rhs > 1 THEN CAST(k AS VARCHAR) END)
+        FROM p2""")),
+
     QueryDef(
       "transform_zscore",
       (s, dir) => graft.ops.FeatureStats.zscore(
