@@ -1421,6 +1421,25 @@ object PipelineQueries {
       },
       Some("SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents")),
 
+    // Columnar-format interchange beyond parquet: write → read back
+    // through Spark's native ORC source (zlib), identity oracle — the
+    // lake-format flexibility a 100 TB deployment needs when the
+    // surrounding warehouse standardized on ORC. Path is
+    // applicationId-suffixed (the classifier-weights de-race pattern:
+    // stable within one app, distinct across concurrent harness runs).
+    QueryDef(
+      "orc_roundtrip",
+      (s, dir) => {
+        val src = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-orc-" +
+          s.sparkContext.applicationId
+        src.write.mode("overwrite").format("orc")
+          .option("compression", "zlib").save(out)
+        s.read.format("orc").load(out)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
+
     QueryDef(
       "multimodal_resize",
       (s, dir) => Multimodal.stubResize(

@@ -88,7 +88,9 @@ object Transforms {
     "sample_temperature" -> Seq("key", "strata", "alpha", "target"),
     "budget_select" -> Seq("key", "score", "cost", "budget"),
     "sample_weighted" -> Seq("key", "weight", "n"),
-    "classifier_filter" -> Seq("key", "col", "label", "min_score"))
+    "classifier_filter" -> Seq("key", "col", "label", "min_score"),
+    "expect_unique" -> Seq("cols"),
+    "expect_fd" -> Seq("lhs", "rhs"))
 
   /** Transform name → integer-typed argument names, validated at parse
     * time when present (same fail-fast contract as Required: `pct=abc`
@@ -214,6 +216,38 @@ object Transforms {
         .select(col(key))
       scorable.join(keep, Seq(key), "left_semi")
         .unionByName(staged.filter(col(key).isNull))
+    case "expect_unique" =>
+      // Constraint GATE (Deequ shape): rows pass through unchanged, but
+      // the job FAILS with counts + an example if the key is not
+      // unique — wrong data should kill the run, not flow downstream.
+      // The 1-row check broadcasts onto every row; the frame is staged
+      // once so the check agg and the pass-through don't re-run the
+      // upstream plan twice.
+      val cols = t.argCols("cols")
+      val staged = df.localCheckpoint(false)
+      val chk = graft.ops.Constraints.uniqueness(staged, cols)
+        .select(col("is_unique"), col("n_dup_keys"), col("example_dup_key"))
+      staged.crossJoin(broadcast(chk))
+        .filter(when(!col("is_unique"), raise_error(concat(
+            lit(s"expect_unique(${cols.mkString("|")}): "),
+            col("n_dup_keys").cast("string"),
+            lit(" duplicated keys, e.g. "), col("example_dup_key"))))
+          .otherwise(lit(true)))
+        .drop("is_unique", "n_dup_keys", "example_dup_key")
+    case "expect_fd" =>
+      // Functional-dependency gate: lhs must determine rhs or the job
+      // dies with the violating count + smallest violating key.
+      val lhs = t.argCols("lhs"); val rhs = t.argCols("rhs")
+      val staged = df.localCheckpoint(false)
+      val chk = graft.ops.Constraints.functionalDependency(staged, lhs, rhs)
+        .select(col("holds"), col("n_violating_lhs"), col("example_violating_key"))
+      staged.crossJoin(broadcast(chk))
+        .filter(when(!col("holds"), raise_error(concat(
+            lit(s"expect_fd(${lhs.mkString("|")}->${rhs.mkString("|")}): "),
+            col("n_violating_lhs").cast("string"),
+            lit(" violating keys, e.g. "), col("example_violating_key"))))
+          .otherwise(lit(true)))
+        .drop("holds", "n_violating_lhs", "example_violating_key")
     case other =>
       throw new IllegalArgumentException(s"unknown transform '$other'")
   }

@@ -162,6 +162,29 @@ class RunnerSpec extends SparkSpec {
     assert(out(1L) == "mail <EMAIL> here we go now")
   }
 
+  test("expect_unique / expect_fd gates: clean frames pass untouched, violations kill the job") {
+    import spark.implicits._
+    val clean = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z"))
+      .toDF("id", "cat", "v")
+    // Clean key: identical rows and schema out.
+    val passed = Transforms.applyAll(clean,
+      Transforms.parse("expect_unique(cols=id);expect_fd(lhs=id,rhs=cat)"))
+    assert(passed.columns.toSeq == clean.columns.toSeq)
+    assert(passed.collect().map(_.toString).sorted.toSeq ==
+      clean.collect().map(_.toString).sorted.toSeq)
+    // Duplicate key: the job must die with counts + example in the message.
+    val dup = clean.unionByName(Seq((2L, "q", "w")).toDF("id", "cat", "v"))
+    val e1 = intercept[Exception] {
+      Transforms.applyAll(dup, Transforms.parse("expect_unique(cols=id)")).collect()
+    }
+    assert(e1.getMessage.contains("expect_unique(id): 1 duplicated keys, e.g. 2"))
+    // FD violation: id 2 maps to cats {b, q}.
+    val e2 = intercept[Exception] {
+      Transforms.applyAll(dup, Transforms.parse("expect_fd(lhs=id,rhs=cat)")).collect()
+    }
+    assert(e2.getMessage.contains("expect_fd(id->cat): 1 violating keys, e.g. 2"))
+  }
+
   test("dedup_exact transform passes NULL-text rows through instead of dropping them") {
     import spark.implicits._
     val df = Seq(
