@@ -609,14 +609,16 @@ object FeatureStats {
     *
     * Scale shape: two aggregation passes. (1) a wide single-row agg
     * for counts/ranges (map-side combined, same as [[summarize]]);
-    * (2) the domain pass explodes to (feature, value) pairs, hash-aggs
-    * them (map-side combine collapses repeats before the wire), and —
-    * the part that must not melt at 100 TB — RANK-CAPS each feature's
-    * values (`row_number ≤ maxDomain+1`) BEFORE any collect_list, so
-    * an ID column can never materialize its billions of distinct
-    * values into one array row; features past the cap yield a NULL
-    * domain from bounded state. Distinct counts come from the same
-    * pair frame (exact, no extra scan). */
+    * (2) the domain pass explodes to (feature, value) pairs and
+    * hash-aggs them (map-side combine collapses repeats before the
+    * wire) — and, the part that must not melt at 100 TB, domains are
+    * collected ONLY for features the distinct count already proved
+    * small: a broadcast semi-join against the ≤ #cols qualifying
+    * features gates collect_list to at most maxDomain rows per
+    * feature, so an ID column's billions of distinct values are never
+    * sorted, windowed, or collected anywhere; it just gets a NULL
+    * domain. Distinct counts come from the same pair frame (exact, no
+    * extra scan). */
   def inferSchema(
       df: DataFrame, cols: Seq[String], maxDomain: Int = 32): DataFrame = {
     require(cols.nonEmpty && maxDomain > 0)
@@ -640,7 +642,16 @@ object FeatureStats {
         (if (isNum(c)) col(s"__${c}_max") else lit(null).cast("double")).as("max_val"))
     }
     val base = wide.select(explode(array(wideRows: _*)).as("s")).select("s.*")
-    // Pass 2: distinct values per feature, rank-capped before collection.
+    // Pass 2: distinct values per feature. The distinct count is a
+    // skew-free hash-agg (partial aggregation collapses repeats of a
+    // hot value map-side). Domains are computed ONLY for features the
+    // count already proved small (semi-join against the ≤ #cols
+    // qualifying-feature list, broadcast by construction) — so
+    // collect_list sees at most maxDomain rows per feature and an ID
+    // column's distinct set is never sorted, windowed, or collected
+    // anywhere. (A per-feature row_number window would funnel every
+    // distinct value of one feature through one task — the bomb this
+    // shape exists to avoid.)
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("feature"), col(c).cast("string").as("value"))): _*)).as("fv"))
       .select("fv.*")
@@ -649,14 +660,10 @@ object FeatureStats {
       .localCheckpoint(false) // feeds the distinct count AND the domain
     val nd = pairs.groupBy("feature").agg(count(lit(1)).as("n_distinct"))
     val dom = pairs
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("feature")).orderBy(col("value"))))
-      .filter(col("__rk") <= maxDomain + 1)
+      .join(broadcast(nd.filter(col("n_distinct") <= maxDomain)
+        .select("feature")), Seq("feature"), "left_semi")
       .groupBy("feature")
-      .agg(count(lit(1)).as("__kept"),
-        array_join(array_sort(collect_list(col("value"))), "|").as("__dom"))
-      .select(col("feature"),
-        when(col("__kept") <= maxDomain, col("__dom")).as("domain"))
+      .agg(array_join(array_sort(collect_list(col("value"))), "|").as("domain"))
     base.join(nd, Seq("feature"), "left")
       .join(dom, Seq("feature"), "left")
       .select(col("feature"), col("data_type"), col("n"), col("n_null"),

@@ -470,7 +470,7 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     id.getAs[String]("data_type") shouldBe "bigint"
     id.getAs[Long]("n_distinct") shouldBe 5L
     // 5 distinct > maxDomain=3: the domain must be NULL — and the
-    // rank-cap means it was never fully collected either.
+    // count gate means it was never sorted or collected either.
     id.isNullAt(id.fieldIndex("domain")) shouldBe true
     id.getAs[Double]("min_val") shouldBe 1.0
     id.getAs[Double]("max_val") shouldBe 5.0
