@@ -687,15 +687,34 @@ object FeatureStats {
     * compile to ONE conditional-aggregation pass over the batch — no
     * joins, no shuffle beyond the single-row agg; domain membership is
     * an `isin` over ≤ maxDomain literals inside codegen. */
-  def validateSchema(df: DataFrame, schema: DataFrame): DataFrame = {
-    val specs = schema
+  /** One column's expectations, collected off an [[inferSchema]] table
+    * — column-count-sized driver metadata (the [[DriftModel]] shape),
+    * serializable, so streaming monitors collect the schema ONCE and
+    * validate every micro-batch against it without re-running the
+    * schema plan per trigger. */
+  final case class ColumnSpec(
+      feature: String, nNull: Long, minVal: Option[Double],
+      maxVal: Option[Double], domain: Option[String])
+
+  /** Collect an [[inferSchema]] table into [[ColumnSpec]] metadata. */
+  def collectSchema(schema: DataFrame): Seq[ColumnSpec] =
+    schema
       .select("feature", "n_null", "min_val", "max_val", "domain")
       .collect() // bounded by schema WIDTH — metadata, not data
-      .map(r => (r.getAs[String]("feature"), r.getAs[Long]("n_null"),
-        Option(r.getAs[java.lang.Double]("min_val")),
-        Option(r.getAs[java.lang.Double]("max_val")),
+      .map(r => ColumnSpec(r.getAs[String]("feature"), r.getAs[Long]("n_null"),
+        Option(r.getAs[java.lang.Double]("min_val")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("max_val")).map(_.doubleValue),
         Option(r.getAs[String]("domain"))))
-      .sortBy(_._1)
+      .sortBy(_.feature).toSeq
+
+  def validateSchema(df: DataFrame, schema: DataFrame): DataFrame =
+    validateWith(df, collectSchema(schema))
+
+  /** [[validateSchema]] against pre-collected specs — the fit-once/
+    * serve-many and streaming form. */
+  def validateWith(df: DataFrame, colSpecs: Seq[ColumnSpec]): DataFrame = {
+    val specs = colSpecs.sortBy(_.feature)
+      .map(s => (s.feature, s.nNull, s.minVal, s.maxVal, s.domain))
     require(specs.nonEmpty, "validateSchema: empty schema table")
     val present = df.columns.toSet
     def minStr(pred: Column, v: Column): Column =
@@ -862,6 +881,54 @@ object FeatureStats {
     val tq = joined.agg(sum("n_q")).head().getLong(0)
     divergenceRow(joined, model.feature, model.nBase, tq,
       model.binMin, model.binMax, model.nBins)
+  }
+
+  /** Categorical drift between a baseline and a current batch — the
+    * L∞ companion to [[driftCheck]]'s numeric PSI (TFDV's comparator
+    * pairing: L-infinity for categorical features, divergence for
+    * numeric). Per distinct value, the frequency gap |pᵥ − qᵥ| over
+    * the two sides' non-NULL rows; the row reports the maximum gap
+    * (`linf`, TFDV's drift statistic), the add-half-smoothed PSI over
+    * the value space (9-dp DECIMAL-summed, order-independent), and the
+    * lexicographically-smallest value attaining the max gap.
+    *
+    * Scale shape: one map-side-combined hash-agg per side on the value
+    * key, a full-outer join of two value-cardinality count tables, one
+    * reduction. A hot value is collapsed by partial aggregation before
+    * the wire; nothing driver-side but the two totals (index-metadata
+    * probe over the checkpointed value table). */
+  def categoricalDrift(
+      base: DataFrame, cur: DataFrame, c: String): DataFrame = {
+    def counts(d: DataFrame, tag: String): DataFrame =
+      d.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as(s"n_$tag"))
+    // Value-cardinality rows — checkpointed so the totals probe, the
+    // L∞ reduction, and the argmax scan share one computation.
+    val joined = counts(base, "b").join(counts(cur, "q"), Seq("value"), "full_outer")
+      .select(col("value"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+      .localCheckpoint(false)
+    val totals = joined.agg(sum("n_b"), sum("n_q")).head()
+    val (tb, tq) = (totals.getLong(0), totals.getLong(1))
+    require(tb > 0 && tq > 0,
+      s"categoricalDrift: a side has no non-NULL '$c' values")
+    val p = col("n_b").cast("double") / lit(tb.toDouble)
+    val q = col("n_q").cast("double") / lit(tq.toDouble)
+    val gap = abs(p - q)
+    val nVals = joined.count()
+    val ps = (col("n_b").cast("double") + 0.5) / lit(tb + nVals * 0.5)
+    val qs = (col("n_q").cast("double") + 0.5) / lit(tq + nVals * 0.5)
+    def d9(v: Column): Column = round(v, 9).cast("decimal(28,9)")
+    val linfRow = joined.agg(max(gap).as("linf"),
+      sum(d9((ps - qs) * log(ps / qs))).cast("double").as("psi")).head()
+    val linf = linfRow.getDouble(0)
+    joined.filter(gap === lit(linf))
+      .agg(min(col("value")).as("example_value"))
+      .select(lit(c).as("feature"), lit(tb).as("n_base"), lit(tq).as("n_cur"),
+        lit(nVals).as("n_values"), lit(linf).as("linf"),
+        lit(linfRow.getDouble(1)).as("psi"), col("example_value"))
   }
 
   /** Mergeable QUANTILE profile — the third leg of the incremental

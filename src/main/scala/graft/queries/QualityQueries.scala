@@ -843,6 +843,56 @@ object QualityQueries {
                         AS DECIMAL(28,9))) AS DOUBLE) AS js_div
         FROM contrib""")),
 
+    // Categorical drift (TFDV's L-infinity comparator): priority
+    // distribution of early vs late orders, with a deterministic mass
+    // shift synthesized into the late window (every fourth order
+    // remapped to 1-URGENT) so the drift statistic is meaningfully
+    // nonzero. linf, smoothed PSI over the value space, and the
+    // smallest value attaining the max gap — all exactly mirrored.
+    QueryDef(
+      "stats_drift_categorical",
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        graft.ops.FeatureStats.categoricalDrift(
+          ord.filter(col("o_orderdate") < cut),
+          ord.filter(col("o_orderdate") >= cut)
+            .withColumn("o_orderpriority",
+              when(pmod(col("o_orderkey"), lit(4)) === 0, lit("1-URGENT"))
+                .otherwise(col("o_orderpriority"))),
+          "o_orderpriority")
+      },
+      Some("""
+        WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS v FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderpriority IS NOT NULL),
+        c AS (SELECT CASE WHEN o_orderkey % 4 = 0 THEN '1-URGENT'
+                          ELSE CAST(o_orderpriority AS VARCHAR) END AS v
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderpriority IS NOT NULL),
+        bc AS (SELECT v, COUNT(*) AS n FROM b GROUP BY 1),
+        cc AS (SELECT v, COUNT(*) AS n FROM c GROUP BY 1),
+        j AS (SELECT COALESCE(bc.v, cc.v) AS value,
+                     COALESCE(bc.n, 0) AS n_b, COALESCE(cc.n, 0) AS n_q
+              FROM bc FULL OUTER JOIN cc ON bc.v = cc.v),
+        t AS (SELECT SUM(n_b) AS tb, SUM(n_q) AS tq, COUNT(*) AS nv FROM j),
+        g AS (SELECT value,
+                     abs(CAST(n_b AS DOUBLE) / t.tb - CAST(n_q AS DOUBLE) / t.tq) AS gap,
+                     (CAST(n_b AS DOUBLE) + 0.5) / (t.tb + t.nv * 0.5) AS ps,
+                     (CAST(n_q AS DOUBLE) + 0.5) / (t.tq + t.nv * 0.5) AS qs
+              FROM j, t),
+        m AS (SELECT MAX(gap) AS linf,
+                     CAST(SUM(CAST(round((ps - qs) * ln(ps / qs), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE) AS psi
+              FROM g)
+        SELECT 'o_orderpriority' AS feature,
+               (SELECT CAST(tb AS BIGINT) FROM t) AS n_base,
+               (SELECT CAST(tq AS BIGINT) FROM t) AS n_cur,
+               (SELECT CAST(nv AS BIGINT) FROM t) AS n_values,
+               (SELECT linf FROM m) AS linf,
+               (SELECT psi FROM m) AS psi,
+               MIN(CASE WHEN g.gap = (SELECT linf FROM m) THEN g.value END) AS example_value
+        FROM g""")),
+
     // Mergeable quantile profiles: two disjoint hash-shards sketched
     // with KLL (k=400), merged, and read at three probabilities; the
     // invariant surface (q16/ANN-recall style) is the REALIZED RANK of

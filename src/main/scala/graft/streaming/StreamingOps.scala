@@ -302,6 +302,21 @@ object StreamingOps {
       sink(graft.ops.FeatureStats.scoreDrift(model, batch), batchId)
     }
 
+  /** Streaming schema-validation monitor: every micro-batch runs the
+    * ExampleValidator pass against pre-collected
+    * [[graft.ops.FeatureStats.ColumnSpec]] expectations (collect the
+    * [[graft.ops.FeatureStats.inferSchema]] table ONCE via
+    * `collectSchema` — column-count metadata, nothing re-aggregated
+    * per trigger). Per-batch anomaly rows are bit-identical to
+    * `validateWith(batchDf, specs)` (same code path). Alert wiring
+    * (nonzero n_bad paging) belongs in the sink. */
+  def validateStream(
+      df: DataFrame, specs: Seq[graft.ops.FeatureStats.ColumnSpec])(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.FeatureStats.validateWith(batch, specs), batchId)
+    }
+
   def nearDupStream(
       docs: DataFrame, idCol: String, textCol: String, baseSigs: DataFrame,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,

@@ -578,6 +578,52 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     } finally q.stop()
   }
 
+  test("categoricalDrift: hand-computed L-infinity, value-space union, deterministic example") {
+    import spark.implicits._
+    val base = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")).toDF("v")
+    val cur = (Seq.fill(2)("a") ++ Seq.fill(6)("b") ++ Seq.fill(2)("d")).toDF("v")
+    val r = FeatureStats.categoricalDrift(base, cur, "v").head()
+    r.getAs[Long]("n_base") shouldBe 10L
+    r.getAs[Long]("n_cur") shouldBe 10L
+    r.getAs[Long]("n_values") shouldBe 4L // union {a,b,c,d}
+    // gaps: a |0.6-0.2|=0.4, b |0.3-0.6|=0.3, c 0.1, d 0.2 -> linf 0.4 at 'a'
+    r.getAs[Double]("linf") shouldBe 0.4 +- 1e-12
+    r.getAs[String]("example_value") shouldBe "a"
+    // identical sides: zero drift
+    val same = FeatureStats.categoricalDrift(base, base, "v").head()
+    same.getAs[Double]("linf") shouldBe 0.0 +- 1e-12
+    same.getAs[Double]("psi") shouldBe 0.0 +- 1e-9
+  }
+
+  test("validateStream: per-batch anomaly rows equal validateWith on the same batch rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val specs = FeatureStats.collectSchema(FeatureStats.inferSchema(
+      schemaFixture.filter("cat IS NOT NULL"), Seq("cat", "x"), maxDomain = 8))
+    val batches = Seq(
+      Seq(("a", 25.0), ("zz", 5.0)),   // new category + below range
+      Seq(("b", 100.0), ("c", 30.0)))  // above range
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[org.apache.spark.sql.Row])]
+    val stream = MemoryStream[(String, Double)]
+    val q = graft.streaming.StreamingOps.validateStream(
+      stream.toDF().toDF("cat", "x"), specs) { (rows, id) =>
+      got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = FeatureStats.validateWith(rows.toDF("cat", "x"), specs).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      // the planted anomalies actually fired
+      val all = got.flatMap(_._2).map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      all should contain(("cat", "new_category", 1L))
+      all should contain(("x", "out_of_range", 1L))
+    } finally q.stop()
+  }
+
   test("quantile profiles: merged shard sketches answer within rank tolerance; sketch survives parquet") {
     import spark.implicits._
     val df = (1 to 4000).map(i => ((i * 2654435761L) % 10007).toDouble).toDF("x")
