@@ -223,31 +223,37 @@ object Transforms {
       // The 1-row check broadcasts onto every row; the frame is staged
       // once so the check agg and the pass-through don't re-run the
       // upstream plan twice.
+      // Check columns carry the internal prefix so a user column named
+      // is_unique / n_dup_keys can never collide (or be dropped).
       val cols = t.argCols("cols")
       val staged = df.localCheckpoint(false)
       val chk = graft.ops.Constraints.uniqueness(staged, cols)
-        .select(col("is_unique"), col("n_dup_keys"), col("example_dup_key"))
+        .select(col("is_unique").as("__graft_ok"),
+          col("n_dup_keys").as("__graft_n"),
+          col("example_dup_key").as("__graft_ex"))
       staged.crossJoin(broadcast(chk))
-        .filter(when(!col("is_unique"), raise_error(concat(
+        .filter(when(!col("__graft_ok"), raise_error(concat(
             lit(s"expect_unique(${cols.mkString("|")}): "),
-            col("n_dup_keys").cast("string"),
-            lit(" duplicated keys, e.g. "), col("example_dup_key"))))
+            col("__graft_n").cast("string"),
+            lit(" duplicated keys, e.g. "), col("__graft_ex"))))
           .otherwise(lit(true)))
-        .drop("is_unique", "n_dup_keys", "example_dup_key")
+        .drop("__graft_ok", "__graft_n", "__graft_ex")
     case "expect_fd" =>
       // Functional-dependency gate: lhs must determine rhs or the job
       // dies with the violating count + smallest violating key.
       val lhs = t.argCols("lhs"); val rhs = t.argCols("rhs")
       val staged = df.localCheckpoint(false)
       val chk = graft.ops.Constraints.functionalDependency(staged, lhs, rhs)
-        .select(col("holds"), col("n_violating_lhs"), col("example_violating_key"))
+        .select(col("holds").as("__graft_ok"),
+          col("n_violating_lhs").as("__graft_n"),
+          col("example_violating_key").as("__graft_ex"))
       staged.crossJoin(broadcast(chk))
-        .filter(when(!col("holds"), raise_error(concat(
+        .filter(when(!col("__graft_ok"), raise_error(concat(
             lit(s"expect_fd(${lhs.mkString("|")}->${rhs.mkString("|")}): "),
-            col("n_violating_lhs").cast("string"),
-            lit(" violating keys, e.g. "), col("example_violating_key"))))
+            col("__graft_n").cast("string"),
+            lit(" violating keys, e.g. "), col("__graft_ex"))))
           .otherwise(lit(true)))
-        .drop("holds", "n_violating_lhs", "example_violating_key")
+        .drop("__graft_ok", "__graft_n", "__graft_ex")
     case other =>
       throw new IllegalArgumentException(s"unknown transform '$other'")
   }

@@ -183,6 +183,12 @@ class RunnerSpec extends SparkSpec {
       Transforms.applyAll(dup, Transforms.parse("expect_fd(lhs=id,rhs=cat)")).collect()
     }
     assert(e2.getMessage.contains("expect_fd(id->cat): 1 violating keys, e.g. 2"))
+    // A user column named like a check output survives the gate
+    // (internal-prefix check columns, the quarantine collision rule).
+    val shadowed = clean.withColumn("is_unique", org.apache.spark.sql.functions.lit(false))
+    val kept = Transforms.applyAll(shadowed, Transforms.parse("expect_unique(cols=id)"))
+    assert(kept.columns.contains("is_unique"))
+    assert(kept.count() == 3L)
   }
 
   test("dedup_exact transform passes NULL-text rows through instead of dropping them") {
