@@ -604,8 +604,9 @@ object FeatureStats {
     * engine's stats family mirrors (stats → schema → validate). One
     * row per column: declared Spark type, row/null/distinct counts,
     * numeric range, and the observed categorical DOMAIN (sorted
-    * distinct values, `|`-joined) when the column has at most
-    * `maxDomain` distinct values.
+    * distinct values, `|`-joined with `\`-escaping so values that
+    * themselves contain `|` or `\` round-trip — see [[splitDomain]])
+    * when the column has at most `maxDomain` distinct values.
     *
     * Scale shape: two aggregation passes. (1) a wide single-row agg
     * for counts/ranges (map-side combined, same as [[summarize]]);
@@ -659,11 +660,22 @@ object FeatureStats {
       .groupBy("feature", "value").agg(count(lit(1)).as("__vn"))
       .localCheckpoint(false) // feeds the distinct count AND the domain
     val nd = pairs.groupBy("feature").agg(count(lit(1)).as("n_distinct"))
+    // Values are delimiter-escaped ('\' → '\\', '|' → '\|') so a
+    // legitimate category containing '|' round-trips through
+    // [[splitDomain]] instead of splitting into two tokens; the sort
+    // key stays the RAW value (struct sort) so domain ordering is
+    // independent of the escaping.
+    val escaped = replace(replace(col("value"), lit("\\"), lit("\\\\")),
+      lit("|"), lit("\\|"))
     val dom = pairs
       .join(broadcast(nd.filter(col("n_distinct") <= maxDomain)
         .select("feature")), Seq("feature"), "left_semi")
       .groupBy("feature")
-      .agg(array_join(array_sort(collect_list(col("value"))), "|").as("domain"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("value").as("v"), escaped.as("e")))),
+          x => x.getField("e")),
+        "|").as("domain"))
     base.join(nd, Seq("feature"), "left")
       .join(dom, Seq("feature"), "left")
       .select(col("feature"), col("data_type"), col("n"), col("n_null"),
@@ -735,7 +747,7 @@ object FeatureStats {
           (f, "out_of_range", sum(when(bad, 1L).otherwise(0L)), minStr(bad, c))
         }
         val domCheck = dom.map { d =>
-          val allowed = d.split('|').toSeq
+          val allowed = splitDomain(d)
           val bad = c.isNotNull && !c.cast("string").isin(allowed: _*)
           (f, "new_category", sum(when(bad, 1L).otherwise(0L)), minStr(bad, c))
         }
@@ -745,11 +757,35 @@ object FeatureStats {
       Seq(cnt.as(s"__c$i"), ex.as(s"__e$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // sum() over a ZERO-ROW batch returns NULL — and streaming
+    // monitors see empty micro-batches. A NULL n_bad would make any
+    // sink gate (n_bad == 0, n_bad > 0) evaluate to NULL and silently
+    // never fire, so empty batches must report n_bad = 0 explicitly.
     val rows = checks.zipWithIndex.map { case ((f, kind, _, _), i) =>
       struct(lit(f).as("feature"), lit(kind).as("anomaly"),
-        col(s"__c$i").as("n_bad"), col(s"__e$i").as("example"))
+        coalesce(col(s"__c$i"), lit(0L)).as("n_bad"), col(s"__e$i").as("example"))
     }
     one.select(explode(array(rows: _*)).as("a")).select("a.*")
+  }
+
+  /** Inverse of the domain escaping in [[inferSchema]]: split a
+    * '|'-joined domain on UNESCAPED delimiters and unescape tokens
+    * ('\\' → '\', '\|' → '|'). A manual scan — `String.split` would
+    * both honor escaped pipes wrongly and drop trailing empty
+    * tokens. */
+  private[graft] def splitDomain(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length => sb.append(s.charAt(i + 1)); i += 2
+        case '|' => out += sb.result(); sb.clear(); i += 1
+        case ch => sb.append(ch); i += 1
+      }
+    }
+    out += sb.result()
+    out.result()
   }
 
   /** Numeric drift between a BASELINE batch and a CURRENT batch — the
@@ -910,8 +946,12 @@ object FeatureStats {
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("n_q"), lit(0L)).as("n_q"))
       .localCheckpoint(false)
+    // When BOTH sides are all-NULL the joined frame is EMPTY and the
+    // sums come back NULL — read them null-safely so the require
+    // message below fires instead of an opaque NullPointerException.
     val totals = joined.agg(sum("n_b"), sum("n_q")).head()
-    val (tb, tq) = (totals.getLong(0), totals.getLong(1))
+    val tb = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val tq = if (totals.isNullAt(1)) 0L else totals.getLong(1)
     require(tb > 0 && tq > 0,
       s"categoricalDrift: a side has no non-NULL '$c' values")
     val p = col("n_b").cast("double") / lit(tb.toDouble)

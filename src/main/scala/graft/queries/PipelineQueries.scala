@@ -241,8 +241,9 @@ object PipelineQueries {
         val docs = table(s, dir, "documents")
         val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
         val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
-        val path = s"/tmp/graft-minhash-sigs-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-          s"-${s.sparkContext.applicationId}"
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-minhash-sigs-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
         Dedup.saveSignatures(
           Dedup.minhashSignatures(hist, "doc_id", "text",
             shingleN = 3, k = 16, portable = true), path)
@@ -1432,8 +1433,9 @@ object PipelineQueries {
       (s, dir) => {
         val src = table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-orc-" +
-          s.sparkContext.applicationId
+        val out = QueryDef.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/graft-orc-" +
+            s.sparkContext.applicationId)
         src.write.mode("overwrite").format("orc")
           .option("compression", "zlib").save(out)
         s.read.format("orc").load(out)

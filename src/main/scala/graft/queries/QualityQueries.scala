@@ -615,7 +615,9 @@ object QualityQueries {
     // closed 3-value status domain, a 5-value priority domain, two
     // high-cardinality columns (domain NULL past maxDomain=32), and a
     // synthesized nullable column so n_null > 0 occurs. Domain strings
-    // are '|'-joined sorted distinct values.
+    // are '|'-joined sorted distinct values, '\'-escaped so values
+    // containing the delimiter round-trip (none do in this data — the
+    // escaping is exercised by FeatureStatsSpec's adversarial domain).
     QueryDef(
       "stats_infer_schema",
       (s, dir) => graft.ops.FeatureStats.inferSchema(
@@ -639,7 +641,9 @@ object QualityQueries {
         pv AS (SELECT feature, value FROM fv WHERE value IS NOT NULL GROUP BY 1, 2),
         pf AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_distinct,
                       CASE WHEN COUNT(*) <= 32
-                           THEN string_agg(value, '|' ORDER BY value) END AS domain
+                           THEN string_agg(replace(replace(value, '\', '\\'),
+                                                   '|', '\|'),
+                                           '|' ORDER BY value) END AS domain
                FROM pv GROUP BY 1),
         base AS (
           SELECT 'o_orderstatus' AS feature, 'string' AS data_type,

@@ -24,4 +24,26 @@ object QueryDef {
   /** Load `<dir>/<name>.parquet` with schema normalization. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     ParquetTables.load(spark, s"$dir/$name.parquet")
+
+  private val exitDeletes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register `path` for recursive deletion at JVM exit and return it.
+    * ApplicationId-suffixed scratch dirs de-race concurrent harness
+    * runs but by the same token can never be reused/overwritten by a
+    * later run — without this hook every run leaks its suffix-unique
+    * directory into java.io.tmpdir forever. Idempotent per path. */
+  def deleteOnExit(path: String): String = {
+    if (exitDeletes.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+    path
+  }
 }

@@ -682,8 +682,9 @@ object ShapingQueries {
         // mode("overwrite") directory delete against the other run's
         // loadWeights read. Within one app the path is stable, so the
         // bench's two timed passes still overwrite in place.
-        val path = s"/tmp/graft-clf-weights-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-          s"-${s.sparkContext.applicationId}"
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-clf-weights-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
         Classifier.saveWeights(w, path)
         Classifier.scoreLogistic(docs, "doc_id", "text",
           Classifier.loadWeights(s, path), hexChars = 2)

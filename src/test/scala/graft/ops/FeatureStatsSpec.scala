@@ -513,6 +513,50 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     out(("cat", "unexpected_null")) shouldBe 0L
   }
 
+  test("domain values containing the '|' delimiter round-trip through escape/split") {
+    import spark.implicits._
+    // 'a|b' is ONE category; 'c\d' exercises the escape char itself.
+    val base = Seq("a|b", "a|b", "c\\d", "e").toDF("cat")
+    val schema = FeatureStats.inferSchema(base, Seq("cat"), maxDomain = 8)
+    val row = schema.head()
+    row.getAs[Long]("n_distinct") shouldBe 3L
+    row.getAs[String]("domain") shouldBe "a\\|b|c\\\\d|e" // escaped display form
+    FeatureStats.splitDomain(row.getAs[String]("domain")) shouldBe
+      Seq("a|b", "c\\d", "e")
+    // 'a|b' is in-domain (NOT two tokens 'a','b'); bare 'a' is new.
+    val out = FeatureStats.validateSchema(
+      Seq("a|b", "a", "e").toDF("cat"), schema).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out(("cat", "new_category")) shouldBe 1L
+  }
+
+  test("validateWith on a ZERO-ROW batch reports n_bad = 0, never NULL") {
+    import spark.implicits._
+    val specs = FeatureStats.collectSchema(FeatureStats.inferSchema(
+      schemaFixture.filter("cat IS NOT NULL"), Seq("cat", "x"), maxDomain = 8))
+    val empty = spark.emptyDataset[(String, Double)].toDF("cat", "x")
+    val out = FeatureStats.validateWith(empty, specs).collect()
+    out should not be empty
+    // A streaming gate like n_bad > 0 must see 0, not NULL, on an
+    // empty micro-batch — NULL would silently never fire the sink.
+    out.foreach { r =>
+      r.isNullAt(r.fieldIndex("n_bad")) shouldBe false
+      r.getAs[Long]("n_bad") shouldBe 0L
+    }
+  }
+
+  test("categoricalDrift fails fast with the intended message when both sides are all-NULL") {
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val allNull = spark.createDataFrame(
+      Seq(Row(null), Row(null)).asJava,
+      T.StructType(Seq(T.StructField("v", T.StringType, nullable = true))))
+    val e = intercept[IllegalArgumentException] {
+      FeatureStats.categoricalDrift(allNull, allNull, "v").head()
+    }
+    e.getMessage should include ("no non-NULL 'v' values")
+  }
+
   test("driftCheck: identical frames are driftless; a shift moves PSI past the gate") {
     import spark.implicits._
     val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
