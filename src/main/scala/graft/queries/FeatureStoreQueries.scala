@@ -449,6 +449,61 @@ object FeatureStoreQueries {
                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%fZ') AS odate_iso
         FROM orders WHERE o_orderkey <= 500""")),
 
+    // Nested-feature extension (§7.6): STRUCT columns flatten into
+    // dotted-name leaf features at encode time (Runner.flattenStructs)
+    // — depth 2, a NULL inner struct (leaves become present-but-empty
+    // features), and an array<struct> flattened to the tf.Example
+    // parallel-list convention. The hash match proves both the
+    // flattening projection and the encoder agree with a DuckDB mirror
+    // that extracts the same struct paths.
+    QueryDef(
+      "tfexample_nested",
+      (s, dir) => {
+        val src = table(s, dir, "orders").filter(col("o_orderkey") <= 500)
+          .select(
+            col("o_orderkey"),
+            struct(
+              col("o_totalprice").as("price"),
+              struct(col("o_orderstatus").as("status")).as("meta")).as("ord"),
+            when(col("o_orderkey") % 7 === 0,
+              lit(null).cast("struct<cust:bigint>"))
+              .otherwise(struct(col("o_custkey").as("cust"))).as("opt"),
+            array(
+              struct(col("o_totalprice").cast("double").as("v")),
+              struct((col("o_totalprice") * 2).cast("double").as("v")))
+              .as("amts"))
+        val out = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("price_f32", FloatType),
+          StructField("status", StringType),
+          StructField("cust", LongType, nullable = true),
+          StructField("amt0", FloatType),
+          StructField("amt1", FloatType)))
+        val enc = org.apache.spark.sql.Encoders.row(out)
+        graft.run.Runner.encode(src).mapPartitions { it =>
+          it.map { bytes =>
+            val m = TfExample.decode(bytes)
+            val TfExample.Int64s(Seq(k)) = m("o_orderkey")
+            val TfExample.Floats(Seq(p)) = m("ord.price")
+            val TfExample.Bytes(Seq(st)) = m("ord.meta.status")
+            val cust: java.lang.Long = m("opt.cust") match {
+              case TfExample.Int64s(Seq(c)) => c
+              case _ => null // NULL inner struct -> Empty feature
+            }
+            val TfExample.Floats(Seq(a0, a1)) = m("amts.v")
+            org.apache.spark.sql.Row(k, p, new String(st, "UTF-8"), cust, a0, a1)
+          }
+        }(enc)
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(o_totalprice AS FLOAT) AS price_f32,
+               o_orderstatus AS status,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS cust,
+               CAST(o_totalprice AS FLOAT) AS amt0,
+               CAST(o_totalprice * 2 AS FLOAT) AS amt1
+        FROM orders WHERE o_orderkey <= 500""")),
+
     // Forward as-of join (label construction): for each purchase event,
     // the FIRST event by the same user strictly within the next 48 h.
     // The backward PIT join answers "what was known at t"; this answers

@@ -110,11 +110,58 @@ object Runner {
     PointInTimeJoin.join(entity, job.entityTs, views)
   }
 
-  /** Encode rows → serialized payload bytes in the job's format. */
+  /** Flatten STRUCT columns into dotted-name leaf columns so nested
+    * feature values become encodable tf.Example features — the first
+    * thing a Feast user with a struct-valued feature hits otherwise
+    * (the reference maps such types to a runtime error,
+    * `converters.py:50-53` via the tfx type table; SURVEY §1.2).
+    * One projection, fully codegen (`getField`/`transform` only):
+    *   - struct<a, b>            → leaves `name.a`, `name.b` (recursive)
+    *   - array<struct<a, b>>     → parallel lists `name.a`, `name.b`
+    *     (the tf.Example parallel-list convention; order preserved)
+    *   - NULL inner struct       → NULL leaves (encoded as the same
+    *     present-but-empty features a NULL primitive produces)
+    * Map/decimal and nested-array leaves still fail with the encoder's
+    * clear error — flattening only rewrites what tf.Example CAN carry.
+    * No-op (reference-identical plan) when no struct columns exist. */
+  def flattenStructs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{types => T}
+    import org.apache.spark.sql.Column
+    def hasStruct(dt: T.DataType): Boolean = dt match {
+      case _: T.StructType => true
+      case T.ArrayType(e, _) => hasStruct(e)
+      case _ => false
+    }
+    if (!df.schema.fields.exists(f => hasStruct(f.dataType))) return df
+    def leaves(c: Column, name: String, dt: T.DataType): Seq[(String, Column)] =
+      dt match {
+        case st: T.StructType =>
+          st.fields.toSeq.flatMap(f =>
+            leaves(c.getField(f.name), s"$name.${f.name}", f.dataType))
+        case T.ArrayType(st: T.StructType, _) =>
+          st.fields.toSeq.flatMap(f =>
+            leaves(transform(c, x => x.getField(f.name)),
+              s"$name.${f.name}", T.ArrayType(f.dataType)))
+        case _ => Seq(name -> c)
+      }
+    val out = df.schema.fields.toSeq.flatMap(f =>
+      // backquoted: a pre-existing dotted top-level name must resolve
+      // as one column, not a struct path
+      leaves(col(s"`${f.name}`"), f.name, f.dataType))
+    val dup = out.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty,
+      s"flattenStructs: dotted leaf name collision: ${dup.mkString(", ")}")
+    df.select(out.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Encode rows → serialized payload bytes in the job's format.
+    * Struct-valued columns are flattened to dotted-name features first
+    * (see [[flattenStructs]]). */
   def encode(df: DataFrame, format: OutputFormat = TfExampleFormat): Dataset[Array[Byte]] = {
-    val schema = df.schema
+    val flat = flattenStructs(df)
+    val schema = flat.schema
     val enc = format.encoder
-    df.mapPartitions(rows => rows.map(enc.encode(schema, _)))(
+    flat.mapPartitions(rows => rows.map(enc.encode(schema, _)))(
       org.apache.spark.sql.Encoders.BINARY)
   }
 

@@ -99,3 +99,83 @@ class TfExampleEncoderSpec extends SparkSpec {
     assert(e.getMessage.contains("not representable"))
   }
 }
+
+/** Struct flattening at the encode boundary (Runner.flattenStructs +
+  * Runner.encode): depth ≥ 2, NULL inner structs, array<struct>
+  * parallel lists, collision detection, and the preserved clear-error
+  * path for maps. */
+class FlattenStructsSpec extends SparkSpec
+    with org.scalatest.matchers.should.Matchers {
+  import org.apache.spark.sql.functions._
+  import graft.run.Runner
+  import TfExample._
+
+  private def firstExample(df: org.apache.spark.sql.DataFrame) =
+    TfExample.decode(Runner.encode(df).head())
+
+  test("depth-2 struct flattens to dotted leaves; values survive the wire") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5, "ok", 9L)).toDF("id", "p", "st", "c")
+      .select(col("id"),
+        struct(col("p").as("price"),
+          struct(col("st").as("status"), col("c").as("cust")).as("meta"))
+          .as("ord"))
+    val flat = Runner.flattenStructs(df)
+    flat.columns.toSeq shouldBe Seq("id", "ord.price", "ord.meta.status", "ord.meta.cust")
+    val m = firstExample(df)
+    m("id") shouldBe Int64s(Seq(1L))
+    m("ord.price") shouldBe Floats(Seq(2.5f))
+    val Bytes(s) = m("ord.meta.status"); new String(s.head) shouldBe "ok"
+    m("ord.meta.cust") shouldBe Int64s(Seq(9L))
+  }
+
+  test("NULL inner struct yields present-but-empty leaf features") {
+    import spark.implicits._
+    val df = Seq((1L, false), (2L, true)).toDF("id", "isNull")
+      .select(col("id"),
+        when(col("isNull"), lit(null).cast("struct<a:bigint,b:string>"))
+          .otherwise(struct(col("id").as("a"), lit("x").as("b"))).as("opt"))
+    val rows = Runner.encode(df).collect().map(TfExample.decode)
+      .map(m => (m("id"), m)).sortBy(_._1.toString)
+    val withVal = rows.find(_._1 == Int64s(Seq(1L))).get._2
+    withVal("opt.a") shouldBe Int64s(Seq(1L))
+    val nulled = rows.find(_._1 == Int64s(Seq(2L))).get._2
+    nulled.keySet should contain allOf ("opt.a", "opt.b")
+    nulled("opt.a") shouldBe Empty
+    nulled("opt.b") shouldBe Empty
+  }
+
+  test("array<struct> flattens to parallel lists in element order") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("id")
+      .select(col("id"), array(
+        struct(lit(10L).as("q"), lit("a").as("t")),
+        struct(lit(20L).as("q"), lit("b").as("t"))).as("items"))
+    Runner.flattenStructs(df).columns.toSeq shouldBe Seq("id", "items.q", "items.t")
+    val m = firstExample(df)
+    m("items.q") shouldBe Int64s(Seq(10L, 20L))
+    val Bytes(ts) = m("items.t"); ts.map(new String(_)).toSeq shouldBe Seq("a", "b")
+  }
+
+  test("dotted-name collision fails fast") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("x", "y")
+      .select(col("x").as("a.b"), struct(col("y").as("b")).as("a"))
+    val e = intercept[IllegalArgumentException](Runner.flattenStructs(df))
+    e.getMessage should include ("a.b")
+  }
+
+  test("map inside a struct still hits the encoder's clear error") {
+    import spark.implicits._
+    val df = Seq((1L, Map("k" -> 2L))).toDF("id", "m")
+      .select(col("id"), struct(col("m").as("inner")).as("st"))
+    val e = intercept[Exception](Runner.encode(df).collect())
+    e.getMessage should include ("not representable")
+  }
+
+  test("struct-free frames pass through flattenStructs unchanged") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "s")
+    Runner.flattenStructs(df) should be theSameInstanceAs df
+  }
+}
