@@ -35,6 +35,115 @@ object FeatureStoreQueries {
       |    features: ["order_features:o_totalprice", "order_features:o_orderstatus"]
       |""".stripMargin
 
+  // Many-view canary input: 8 views on one spine — six time-varying
+  // order-derived views (distinct predicates, mixed TTLs) plus two
+  // static customer dimension views, all with outputPrefix so the
+  // Feast-style `p__feature` naming is oracle-pinned. Shared by the
+  // natural-key and synthetic-id variants below.
+  private def manyViewsInput(s: SparkSession, dir: String): (DataFrame, Seq[ResolvedView]) = {
+    val entity = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = table(s, dir, "orders")
+    def ov(nm: String, pfx: String, pred: Column, ttlDays: Option[Long],
+           feats: Seq[String]) = ResolvedView(
+      name = nm,
+      source = orders.filter(pred),
+      joinKeys = Seq("user_id" -> "o_custkey"),
+      tsCol = "o_orderdate",
+      features = feats,
+      ttlSeconds = ttlDays.map(_ * 86400),
+      outputPrefix = Some(pfx))
+    val customer = table(s, dir, "customer")
+      .withColumn("static_ts", lit("1970-01-01 00:00:00").cast("timestamp"))
+    def cv(nm: String, pfx: String, feats: Seq[String]) = ResolvedView(
+      name = nm, source = customer,
+      joinKeys = Seq("user_id" -> "c_custkey"),
+      tsCol = "static_ts", features = feats, outputPrefix = Some(pfx))
+    val views = Seq(
+      ov("ord_all", "a", lit(true), None, Seq("o_totalprice")),
+      ov("ord_urgent", "u", col("o_orderpriority") === "1-URGENT",
+        Some(180L), Seq("o_totalprice")),
+      ov("ord_open", "o", col("o_orderstatus") === "O",
+        Some(90L), Seq("o_totalprice", "o_orderpriority")),
+      ov("ord_big", "b", col("o_totalprice") > 100000.0,
+        Some(365L), Seq("o_totalprice")),
+      ov("ord_done", "f", col("o_orderstatus") === "F",
+        None, Seq("o_orderpriority")),
+      ov("ord_low", "lo", col("o_orderpriority") === "5-LOW",
+        Some(120L), Seq("o_totalprice")),
+      cv("cust_bal", "c", Seq("c_acctbal")),
+      cv("cust_seg", "c2", Seq("c_mktsegment", "c_nationkey")))
+    (entity, views)
+  }
+
+  private val ManyViewsSql = """
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      va AS (
+        SELECT e.event_id, o.o_totalprice AS a__o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts),
+      vu AS (
+        SELECT e.event_id, o.o_totalprice AS u__o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderpriority = '1-URGENT'
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 180 DAY),
+      vo AS (
+        SELECT e.event_id, o.o_totalprice AS o__o_totalprice,
+               o.o_orderpriority AS o__o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_totalprice DESC,
+                          o.o_orderpriority DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderstatus = 'O'
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 90 DAY),
+      vb AS (
+        SELECT e.event_id, o.o_totalprice AS b__o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_totalprice > 100000.0
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 365 DAY),
+      vf AS (
+        SELECT e.event_id, o.o_orderpriority AS f__o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderpriority DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderstatus = 'F'
+         AND o.o_orderdate <= e.ts),
+      vlo AS (
+        SELECT e.event_id, o.o_totalprice AS lo__o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderpriority = '5-LOW'
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 120 DAY)
+      SELECT e.event_id, e.user_id, e.ts,
+             va.a__o_totalprice, vu.u__o_totalprice,
+             vo.o__o_totalprice, vo.o__o_orderpriority,
+             vb.b__o_totalprice, vf.f__o_orderpriority,
+             vlo.lo__o_totalprice,
+             c.c_acctbal AS c__c_acctbal,
+             c2.c_mktsegment AS c2__c_mktsegment,
+             c2.c_nationkey AS c2__c_nationkey
+      FROM e
+      LEFT JOIN (SELECT * FROM va WHERE rn = 1) va ON va.event_id = e.event_id
+      LEFT JOIN (SELECT * FROM vu WHERE rn = 1) vu ON vu.event_id = e.event_id
+      LEFT JOIN (SELECT * FROM vo WHERE rn = 1) vo ON vo.event_id = e.event_id
+      LEFT JOIN (SELECT * FROM vb WHERE rn = 1) vb ON vb.event_id = e.event_id
+      LEFT JOIN (SELECT * FROM vf WHERE rn = 1) vf ON vf.event_id = e.event_id
+      LEFT JOIN (SELECT * FROM vlo WHERE rn = 1) vlo ON vlo.event_id = e.event_id
+      LEFT JOIN customer c ON c.c_custkey = e.user_id
+      LEFT JOIN customer c2 ON c2.c_custkey = e.user_id"""
+
   val all: Seq[QueryDef] = Seq(
     // Entities = events(user_id, ts); features = latest order per customer
     // as of the event time, unbounded TTL. Tie-break mirrors MaxByAgg's
@@ -223,119 +332,34 @@ object FeatureStoreQueries {
         LEFT JOIN supplier s ON s.s_suppkey = c.l_suppkey
         WHERE c.rn = 1""")),
 
-    // Many-view canary: 8 views stitched on one spine — six
-    // time-varying order-derived views (distinct predicates, mixed
-    // TTLs) plus two static customer dimension views, all with
-    // outputPrefix so the Feast-style `p__feature` naming is
-    // oracle-pinned. The stitch is a foldLeft of left joins on the
-    // spine row id — linear in view count by design; this query is
-    // the evidence (SCALE.md logs the exchange count: 2 per
-    // time-varying view, broadcast for the static dims, no
-    // cross-view fan-out).
+
+
+    // The stitch is a foldLeft of left joins on the spine row id —
+    // linear in view count by design; this query is the evidence
+    // (SCALE.md logs the exchange count: 2 per time-varying view,
+    // broadcast for the static dims, no cross-view fan-out). Natural
+    // unique key (event_id): no spine materialization needed.
     QueryDef(
       "pit_manyviews",
       (s, dir) => {
-        val entity = table(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("ts"))
-        val orders = table(s, dir, "orders")
-        def ov(nm: String, pfx: String, pred: Column, ttlDays: Option[Long],
-               feats: Seq[String]) = ResolvedView(
-          name = nm,
-          source = orders.filter(pred),
-          joinKeys = Seq("user_id" -> "o_custkey"),
-          tsCol = "o_orderdate",
-          features = feats,
-          ttlSeconds = ttlDays.map(_ * 86400),
-          outputPrefix = Some(pfx))
-        val customer = table(s, dir, "customer")
-          .withColumn("static_ts", lit("1970-01-01 00:00:00").cast("timestamp"))
-        def cv(nm: String, pfx: String, feats: Seq[String]) = ResolvedView(
-          name = nm, source = customer,
-          joinKeys = Seq("user_id" -> "c_custkey"),
-          tsCol = "static_ts", features = feats, outputPrefix = Some(pfx))
-        val views = Seq(
-          ov("ord_all", "a", lit(true), None, Seq("o_totalprice")),
-          ov("ord_urgent", "u", col("o_orderpriority") === "1-URGENT",
-            Some(180L), Seq("o_totalprice")),
-          ov("ord_open", "o", col("o_orderstatus") === "O",
-            Some(90L), Seq("o_totalprice", "o_orderpriority")),
-          ov("ord_big", "b", col("o_totalprice") > 100000.0,
-            Some(365L), Seq("o_totalprice")),
-          ov("ord_done", "f", col("o_orderstatus") === "F",
-            None, Seq("o_orderpriority")),
-          ov("ord_low", "lo", col("o_orderpriority") === "5-LOW",
-            Some(120L), Seq("o_totalprice")),
-          cv("cust_bal", "c", Seq("c_acctbal")),
-          cv("cust_seg", "c2", Seq("c_mktsegment", "c_nationkey")))
+        val (entity, views) = manyViewsInput(s, dir)
         PointInTimeJoin.join(entity, "ts", views, rowIdCol = Some("event_id"))
       },
-      Some("""
-        WITH e AS (
-          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        va AS (
-          SELECT e.event_id, o.o_totalprice AS a__o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
-          FROM e JOIN orders o
-            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts),
-        vu AS (
-          SELECT e.event_id, o.o_totalprice AS u__o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
-          FROM e JOIN orders o
-            ON o.o_custkey = e.user_id AND o.o_orderpriority = '1-URGENT'
-           AND o.o_orderdate <= e.ts
-           AND o.o_orderdate >= e.ts - INTERVAL 180 DAY),
-        vo AS (
-          SELECT e.event_id, o.o_totalprice AS o__o_totalprice,
-                 o.o_orderpriority AS o__o_orderpriority,
-                 ROW_NUMBER() OVER (PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC,
-                            o.o_orderpriority DESC) AS rn
-          FROM e JOIN orders o
-            ON o.o_custkey = e.user_id AND o.o_orderstatus = 'O'
-           AND o.o_orderdate <= e.ts
-           AND o.o_orderdate >= e.ts - INTERVAL 90 DAY),
-        vb AS (
-          SELECT e.event_id, o.o_totalprice AS b__o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
-          FROM e JOIN orders o
-            ON o.o_custkey = e.user_id AND o.o_totalprice > 100000.0
-           AND o.o_orderdate <= e.ts
-           AND o.o_orderdate >= e.ts - INTERVAL 365 DAY),
-        vf AS (
-          SELECT e.event_id, o.o_orderpriority AS f__o_orderpriority,
-                 ROW_NUMBER() OVER (PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_orderpriority DESC) AS rn
-          FROM e JOIN orders o
-            ON o.o_custkey = e.user_id AND o.o_orderstatus = 'F'
-           AND o.o_orderdate <= e.ts),
-        vlo AS (
-          SELECT e.event_id, o.o_totalprice AS lo__o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
-          FROM e JOIN orders o
-            ON o.o_custkey = e.user_id AND o.o_orderpriority = '5-LOW'
-           AND o.o_orderdate <= e.ts
-           AND o.o_orderdate >= e.ts - INTERVAL 120 DAY)
-        SELECT e.event_id, e.user_id, e.ts,
-               va.a__o_totalprice, vu.u__o_totalprice,
-               vo.o__o_totalprice, vo.o__o_orderpriority,
-               vb.b__o_totalprice, vf.f__o_orderpriority,
-               vlo.lo__o_totalprice,
-               c.c_acctbal AS c__c_acctbal,
-               c2.c_mktsegment AS c2__c_mktsegment,
-               c2.c_nationkey AS c2__c_nationkey
-        FROM e
-        LEFT JOIN (SELECT * FROM va WHERE rn = 1) va ON va.event_id = e.event_id
-        LEFT JOIN (SELECT * FROM vu WHERE rn = 1) vu ON vu.event_id = e.event_id
-        LEFT JOIN (SELECT * FROM vo WHERE rn = 1) vo ON vo.event_id = e.event_id
-        LEFT JOIN (SELECT * FROM vb WHERE rn = 1) vb ON vb.event_id = e.event_id
-        LEFT JOIN (SELECT * FROM vf WHERE rn = 1) vf ON vf.event_id = e.event_id
-        LEFT JOIN (SELECT * FROM vlo WHERE rn = 1) vlo ON vlo.event_id = e.event_id
-        LEFT JOIN customer c ON c.c_custkey = e.user_id
-        LEFT JOIN customer c2 ON c2.c_custkey = e.user_id""")),
+      Some(ManyViewsSql)),
+
+    // Synthetic-id twin: the path a spine WITHOUT a natural unique key
+    // takes (Runner default). The join materializes the id-stamped
+    // spine once via localCheckpoint so every view consumer reads the
+    // same ids — identical output, one extra materialization; the
+    // exchange/materialization delta vs pit_manyviews is the measured
+    // cost of lacking a natural key at scale (SCALE.md).
+    QueryDef(
+      "pit_manyviews_synth",
+      (s, dir) => {
+        val (entity, views) = manyViewsInput(s, dir)
+        PointInTimeJoin.join(entity, "ts", views)
+      },
+      Some(ManyViewsSql)),
 
     // Latest-value dedup standalone (A1): one row per order = the last
     // shipped lineitem, argmax on (l_shipdate, l_linenumber).

@@ -22,6 +22,10 @@ import graft.registry.{FeatureRef, Registry}
   *                      entity SQL before execution (X3; the inherited
   *                      TFX driver does this at
   *                      `example/usage_prototype.py:46-48`)
+  * @param entityRowId   a column of the entity SQL result that is
+  *                      already unique per row; when set the PIT join
+  *                      uses it as the stitch key and skips the
+  *                      synthetic-id spine materialization
   */
 final case class JobConfig(
     registry: Registry,
@@ -37,7 +41,8 @@ final case class JobConfig(
     outputFormat: OutputFormat = TfExampleFormat,
     span: Long = 0,
     artifactVersion: Long = 0,
-    transforms: Seq[Transforms.TransformSpec] = Nil)
+    transforms: Seq[Transforms.TransformSpec] = Nil,
+    entityRowId: Option[String] = None)
 
 /** Payload-format dispatch — total, unlike the reference's C5 dispatch
   * (`executor.py:141-153`) whose SequenceExample branch raised. */
@@ -107,7 +112,10 @@ object Runner {
     val views = resolveViews(spark, job)
     // Entity-side join keys: by convention the entity SQL exposes
     // columns named like the view's entity keys.
-    PointInTimeJoin.join(entity, job.entityTs, views)
+    // A natural unique entity key (entityRowId) lets the join skip the
+    // synthetic-id spine materialization — at 100 TB that checkpoint
+    // write/read is the cost of not having one.
+    PointInTimeJoin.join(entity, job.entityTs, views, rowIdCol = job.entityRowId)
   }
 
   /** Flatten STRUCT columns into dotted-name leaf columns so nested

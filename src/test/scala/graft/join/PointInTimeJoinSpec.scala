@@ -142,6 +142,35 @@ class PointInTimeJoinSpec extends SparkSpec {
       graft.sources.ParquetTables.load(spark, sf() + "/events.parquet").count())
   }
 
+  test("natural-key spine skips the materialization the synthetic-id path needs") {
+    // With rowIdCol the spine feeds every consumer as a plain scan; the
+    // synthetic-id path must localCheckpoint (ExistingRDD in the plan)
+    // so monotonically_increasing_id comes out identical in all
+    // consumers. Same output either way — the delta is one spine
+    // materialization write + read per job, which at 100 TB is the
+    // argument for having a natural unique key (SCALE.md).
+    val natural = graft.SparkEntry.queries("pit_manyviews")(spark, sf())
+    val synth = graft.SparkEntry.queries("pit_manyviews_synth")(spark, sf())
+    val pNat = natural.queryExecution.executedPlan.toString
+    val pSyn = synth.queryExecution.executedPlan.toString
+    withClue(pNat.take(2000)) {
+      // natural path: no checkpointed-RDD scan, events parquet read directly
+      assert(!pNat.contains("ExistingRDD"))
+      assert(pNat.contains("events.parquet"))
+    }
+    withClue(pSyn.take(2000)) {
+      // synthetic path: every spine consumer reads the checkpointed RDD
+      assert(pSyn.contains("ExistingRDD"))
+      assert(!pSyn.contains("events.parquet"))
+    }
+    // both stay linear: one stitch join per view, no fan-out
+    Seq(pNat, pSyn).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+    // identical results row-for-row (the twin shares the oracle too)
+    assert(natural.exceptAll(synth).isEmpty && synth.exceptAll(natural).isEmpty)
+  }
+
   test("empty entity spine yields empty result with full schema") {
     val out = PointInTimeJoin.join(
       entity.filter($"eid" < 0), "event_ts", Seq(view(None)), rowIdCol = Some("eid"))
