@@ -797,6 +797,13 @@ object PipelineQueries {
           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
         FROM documents""")),
 
+    // DECISION (r8): kept as the CHEAP-TIER language ID — a single
+    // codegen projection with zero model state, the right tool for a
+    // coarse first-pass filter over 100 TB. For accuracy,
+    // text_langid_ngram's in-engine char-trigram Naive Bayes is the
+    // primary path (spec-shown to beat these markers on held-out
+    // multilingual docs); nothing downstream consumes the marker
+    // scores, so no re-pointing was needed.
     QueryDef(
       "text_langid",
       (s, dir) => table(s, dir, "documents")

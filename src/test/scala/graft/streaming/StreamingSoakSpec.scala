@@ -134,4 +134,69 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
       soakLine("nearDupStream", arriving.size.toLong, log)
     } finally q.stop()
   }
+
+  test("driftStream soak: 600k lineitem prices in 10 batches, stateless, every batch scored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.FeatureStats
+    val prices = spark.read.parquet(sf("sf0.1") + "/lineitem.parquet")
+      .select(col("l_extendedprice").cast("double")).as[Double].collect().toSeq
+    // Model fit ONCE on the first half; the full stream scores against
+    // the fitted literal — nothing re-aggregates the baseline.
+    val model = FeatureStats.fitDrift(
+      prices.take(prices.size / 2).toDF("v"), "v", nBins = 10)
+    val stream = MemoryStream[Double]
+    val scored = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.driftStream(
+      stream.toDF().withColumnRenamed("value", "v"), model) { (row, _) =>
+      val r = row.head()
+      r.getAs[Long]("n_cur") should be > 0L
+      scored.incrementAndGet()
+    }.start()
+    try {
+      prices.grouped(60000).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      scored.get() should be >= 10L // one drift row per micro-batch
+      // foreachBatch scoring against a literal baseline is STATELESS —
+      // the monitor must hold zero rows at any stream length.
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L }
+      soakLine("driftStream", prices.size.toLong, log)
+    } finally q.stop()
+  }
+
+  test("validateStream soak: 150k orders in 10 batches, stateless, gates always fire-able") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.FeatureStats
+    val orders = spark.read.parquet(sf("sf0.1") + "/orders.parquet")
+      .select(col("o_orderstatus"), col("o_totalprice").cast("double"))
+      .as[(String, Double)].collect().toSeq
+    val specs = FeatureStats.collectSchema(FeatureStats.inferSchema(
+      orders.take(orders.size / 2).toDF("o_orderstatus", "o_totalprice"),
+      Seq("o_orderstatus", "o_totalprice"), maxDomain = 8))
+    val stream = MemoryStream[(String, Double)]
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.validateStream(
+      stream.toDF().toDF("o_orderstatus", "o_totalprice"), specs) { (rows, _) =>
+      // Every anomaly row must carry a non-NULL n_bad so sink gates
+      // (n_bad > 0) always evaluate — the empty-batch NULL regression
+      // this round fixed would break exactly here.
+      rows.collect().foreach(r => r.isNullAt(r.fieldIndex("n_bad")) shouldBe false)
+      batches.incrementAndGet()
+    }.start()
+    try {
+      orders.grouped(15000).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      batches.get() should be >= 10L
+      // one conditional-agg pass per batch, no streaming state
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L }
+      soakLine("validateStream", orders.size.toLong, log)
+    } finally q.stop()
+  }
 }
