@@ -919,6 +919,99 @@ object FeatureStats {
       model.binMin, model.binMax, model.nBins)
   }
 
+  /** Equal-MASS drift baseline: interior quantile edges (i/nBins,
+    * i = 1..nBins-1) plus the baseline's per-bucket counts — the bin
+    * geometry TFDV's drift comparator actually uses (quantile buckets,
+    * so every bin carries comparable baseline mass and the statistic
+    * isn't dominated by sparse range tails the way equal-width bins
+    * are when the feature is skewed). Edges are 9-dp-rounded so fit
+    * replays identically across engines. Driver-held metadata like
+    * [[DriftModel]]. */
+  final case class QuantileDriftModel(
+      feature: String, edges: IndexedSeq[Double], baseCounts: IndexedSeq[Long]) {
+    require(edges.nonEmpty && baseCounts.length == edges.length + 1)
+    def nBins: Int = baseCounts.length
+    def nBase: Long = baseCounts.sum
+  }
+
+  /** Bucket = number of edges ≤ x — a ≤nBins-step fold over the edge
+    * literal array, codegen-friendly, clamping implicit (everything
+    * below the first edge is bucket 0, at-or-above the last is bucket
+    * nBins−1; a constant baseline collapses every edge to one value
+    * and both sides land in one bucket together). */
+  private def quantileBinExpr(c: Column, edges: Seq[Double]): Column =
+    aggregate(
+      array(edges.map(lit(_)): _*),
+      lit(0),
+      (acc, e) => acc + when(c.cast("double") >= e, 1).otherwise(0))
+
+  /** Fit a [[QuantileDriftModel]]. `exact = true` computes edges with
+    * the exact (sort-based) percentile — the oracle-able reference
+    * mode, one global sort of the column; `exact = false` reads them
+    * from a mergeable KLL sketch ([[profileQuantiles]]'s aggregate,
+    * ~1.65% rank error at k = 200) — the 100 TB mode: one
+    * map-side-combined pass, no sort. Same model shape either way, so
+    * serving code cannot tell which fit produced it. */
+  def fitDriftQuantile(
+      base: DataFrame, c: String, nBins: Int = 10,
+      exact: Boolean = false): QuantileDriftModel = {
+    require(nBins >= 2, s"fitDriftQuantile: nBins must be >= 2, got $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val x = col(c).cast("double")
+    val edgesRow =
+      if (exact)
+        base.agg(percentile(x, typedLit(probs)).as("qs")).head()
+      else
+        // All-NULL baseline: the sketch agg emits an EMPTY buffer (not
+        // NULL) and the quantile reader throws on it — gate the probes
+        // on the non-NULL count so the require below gets its turn
+        base.agg(kll_sketch_agg_double(x, lit(200)).as("sk"), count(x).as("n"))
+          .select(when(col("n") > 0,
+            array(probs.map(p =>
+              kll_sketch_get_quantile_double(col("sk"), lit(p))): _*)).as("qs"))
+          .head()
+    // All-NULL baseline: the exact path returns a NULL array, the
+    // sketch path an array OF nulls — reject both with the message.
+    val raw = if (edgesRow.isNullAt(0)) null else edgesRow.getSeq[Any](0)
+    require(raw != null && raw.forall(_ != null),
+      s"fitDriftQuantile: baseline has no non-NULL '$c' values")
+    // 9-dp rounding: both engines (and both fit modes' consumers)
+    // bucket against identical edge literals — interpolation formula
+    // ulps can't flip a bucket boundary.
+    val edges = raw.map(v => BigDecimal(v.asInstanceOf[Double])
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toIndexedSeq
+    val counts = base.filter(x.isNotNull)
+      .select(quantileBinExpr(col(c), edges).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    QuantileDriftModel(c, edges, (0 until nBins).map(b => counts.getOrElse(b, 0L)))
+  }
+
+  /** Score a batch against a fitted [[QuantileDriftModel]] — the
+    * equal-mass sibling of [[scoreDrift]]: same add-half smoothing,
+    * same 9-dp DECIMAL-summed PSI/JS reduction (partition-invariant),
+    * baseline riding the plan as literals. Reports the edge span as
+    * bin_min/bin_max. Streaming: wrap in the same foreachBatch shape
+    * as `driftStream` — the plan is identically stateless. */
+  def scoreDriftQuantile(model: QuantileDriftModel, cur: DataFrame): DataFrame = {
+    val curBinned = cur.filter(col(model.feature).isNotNull)
+      .select(quantileBinExpr(col(model.feature), model.edges).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_q"))
+    val bins = cur.sparkSession.range(model.nBins)
+      .select(col("id").cast("int").as("bin"))
+    val baseArr = array(model.baseCounts.map(lit(_)): _*)
+    val joined = bins
+      .join(curBinned, Seq("bin"), "left")
+      .select(col("bin"),
+        element_at(baseArr, col("bin") + 1).as("n_b"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+      .localCheckpoint(false)
+    val tq = joined.agg(sum("n_q")).head().getLong(0)
+    divergenceRow(joined, model.feature, model.nBase, tq,
+      model.edges.head, model.edges.last, model.nBins)
+  }
+
   /** Categorical drift between a baseline and a current batch — the
     * L∞ companion to [[driftCheck]]'s numeric PSI (TFDV's comparator
     * pairing: L-infinity for categorical features, divergence for

@@ -847,6 +847,58 @@ object QualityQueries {
                         AS DECIMAL(28,9))) AS DOUBLE) AS js_div
         FROM contrib""")),
 
+    // Equal-MASS drift bins — the geometry TFDV's comparator actually
+    // uses: interior quantile edges from the BASELINE (exact percentile
+    // here, the oracle-able mode; the KLL-sketch fit is the 100 TB
+    // mode, spec-held to agree), 9-dp-rounded on both engines so
+    // interpolation ulps cannot flip a bucket, then the same add-half
+    // smoothing + 9-dp DECIMAL-summed PSI/JS reduction as
+    // stats_drift_psi.
+    QueryDef(
+      "stats_drift_quantile",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        val model = graft.ops.FeatureStats.fitDriftQuantile(
+          li.filter(col("l_shipdate") < cut), "l_extendedprice",
+          nBins = 10, exact = true)
+        graft.ops.FeatureStats.scoreDriftQuantile(
+          model, li.filter(col("l_shipdate") >= cut))
+      },
+      Some("""
+        WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                   WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_extendedprice IS NOT NULL),
+        c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_extendedprice IS NOT NULL),
+        e AS (SELECT list_transform(
+                       quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                       v -> CAST(CAST(v AS DECIMAL(28,9)) AS DOUBLE)) AS edges
+              FROM b),
+        bb AS (SELECT len(list_filter(e.edges, ed -> b.x >= ed)) AS bin,
+                      COUNT(*) AS n FROM b, e GROUP BY 1),
+        cb AS (SELECT len(list_filter(e.edges, ed -> c.x >= ed)) AS bin,
+                      COUNT(*) AS n FROM c, e GROUP BY 1),
+        bins AS (SELECT unnest(range(0, 10)) AS bin),
+        j AS (SELECT bins.bin, COALESCE(bb.n, 0) AS n_b, COALESCE(cb.n, 0) AS n_q
+              FROM bins LEFT JOIN bb ON bb.bin = bins.bin
+                        LEFT JOIN cb ON cb.bin = bins.bin),
+        t AS (SELECT SUM(n_b) AS tb, SUM(n_q) AS tq FROM j),
+        contrib AS (
+          SELECT (CAST(n_b AS DOUBLE) + 0.5) / (t.tb + 5.0) AS p,
+                 (CAST(n_q AS DOUBLE) + 0.5) / (t.tq + 5.0) AS q
+          FROM j, t)
+        SELECT 'l_extendedprice' AS feature,
+               (SELECT CAST(tb AS BIGINT) FROM t) AS n_base,
+               (SELECT CAST(tq AS BIGINT) FROM t) AS n_cur,
+               (SELECT edges[1] FROM e) AS bin_min,
+               (SELECT edges[9] FROM e) AS bin_max,
+               CAST(SUM(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi,
+               CAST(SUM(CAST(round(p * ln(p / ((p + q) / 2.0)) / 2.0 +
+                                   q * ln(q / ((p + q) / 2.0)) / 2.0, 9)
+                        AS DECIMAL(28,9))) AS DOUBLE) AS js_div
+        FROM contrib""")),
+
+
     // Categorical drift (TFDV's L-infinity comparator): priority
     // distribution of early vs late orders, with a deterministic mass
     // shift synthesized into the late window (every fourth order

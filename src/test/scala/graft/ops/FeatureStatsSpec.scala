@@ -597,6 +597,62 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     served shouldBe direct // every column, bitwise
   }
 
+  test("fitDriftQuantile(exact): equal-mass buckets; identical frames are driftless") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => ((i * 37) % 1009).toDouble).toDF("v")
+    val m = FeatureStats.fitDriftQuantile(base, "v", nBins = 10, exact = true)
+    m.edges.length shouldBe 9
+    m.edges shouldBe sorted
+    // distinct-ish values: every bucket holds ~n/nBins of the baseline
+    m.baseCounts.sum shouldBe 1000L
+    m.baseCounts.foreach(_ shouldBe 100L +- 5L)
+    val same = FeatureStats.scoreDriftQuantile(m, base).head()
+    same.getAs[Double]("psi") shouldBe 0.0 +- 1e-9
+    same.getAs[Double]("js_div") shouldBe 0.0 +- 1e-9
+    // a shifted window moves mass across the equal-mass bins
+    val cur = (1 to 1000).map(i => ((i * 37) % 1009).toDouble + 700.0).toDF("v")
+    FeatureStats.scoreDriftQuantile(m, cur).head()
+      .getAs[Double]("psi") should be > 0.25
+  }
+
+  test("fitDriftQuantile: KLL-sketch fit agrees with the exact fit within rank tolerance") {
+    import spark.implicits._
+    val base = (1 to 5000).map(i => ((i * 131) % 9973).toDouble).toDF("v")
+    val exact = FeatureStats.fitDriftQuantile(base, "v", nBins = 10, exact = true)
+    val sketch = FeatureStats.fitDriftQuantile(base, "v", nBins = 10, exact = false)
+    // k=200 KLL: ~1.65% normalized rank error -> bucket masses within
+    // a few percent of exact; the statistic must not change materially
+    sketch.baseCounts.sum shouldBe 5000L
+    exact.edges.zip(sketch.edges).foreach { case (e, s) =>
+      math.abs(e - s) should be < 9973.0 * 0.05
+    }
+    val cur = (1 to 5000).map(i => ((i * 131) % 9973).toDouble * 0.5).toDF("v")
+    val pe = FeatureStats.scoreDriftQuantile(exact, cur).head().getAs[Double]("psi")
+    val ps = FeatureStats.scoreDriftQuantile(sketch, cur).head().getAs[Double]("psi")
+    math.abs(pe - ps) should be < 0.15 * math.max(pe, ps)
+  }
+
+  test("fitDriftQuantile degenerate cases: constant column and all-NULL baseline") {
+    import spark.implicits._
+    val const = Seq.fill(100)(7.0).toDF("v")
+    val m = FeatureStats.fitDriftQuantile(const, "v", nBins = 4, exact = true)
+    m.edges.foreach(_ shouldBe 7.0)
+    // all mass collapses into ONE bucket on both sides -> zero drift
+    FeatureStats.scoreDriftQuantile(m, const).head()
+      .getAs[Double]("psi") shouldBe 0.0 +- 1e-9
+    import org.apache.spark.sql.{Row, types => T}
+    import scala.jdk.CollectionConverters._
+    val allNull = spark.createDataFrame(
+      Seq(Row(null), Row(null)).asJava,
+      T.StructType(Seq(T.StructField("v", T.DoubleType, nullable = true))))
+    Seq(true, false).foreach { ex =>
+      val e = intercept[IllegalArgumentException] {
+        FeatureStats.fitDriftQuantile(allNull, "v", nBins = 4, exact = ex)
+      }
+      e.getMessage should include ("no non-NULL 'v' values")
+    }
+  }
+
   test("driftStream: per-batch rows equal scoreDrift on the same batch rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
