@@ -302,6 +302,17 @@ object StreamingOps {
       sink(graft.ops.FeatureStats.scoreDrift(model, batch), batchId)
     }
 
+  /** [[driftStream]] with equal-mass (quantile-bucket) bins — the
+    * TFDV-geometry sibling; per-batch rows equal
+    * `scoreDriftQuantile(model, batchDf)` (shared code path), same
+    * stateless foreachBatch shape. */
+  def driftQuantileStream(
+      df: DataFrame, model: graft.ops.FeatureStats.QuantileDriftModel)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.FeatureStats.scoreDriftQuantile(model, batch), batchId)
+    }
+
   /** Streaming schema-validation monitor: every micro-batch runs the
     * ExampleValidator pass against pre-collected
     * [[graft.ops.FeatureStats.ColumnSpec]] expectations (collect the

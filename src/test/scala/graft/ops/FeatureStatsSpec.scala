@@ -678,6 +678,30 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     } finally q.stop()
   }
 
+  test("driftQuantileStream: per-batch rows equal scoreDriftQuantile on the same batch rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = (1 to 600).map(i => ((i * 53) % 701).toDouble).toDF("v")
+    val model = FeatureStats.fitDriftQuantile(base, "v", nBins = 8, exact = true)
+    val batches = Seq(
+      (1 to 200).map(i => ((i * 53) % 701).toDouble),
+      (1 to 300).map(i => ((i * 53) % 701).toDouble + 300.0))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    val stream = MemoryStream[Double]
+    val q = graft.streaming.StreamingOps.driftQuantileStream(
+      stream.toDF().withColumnRenamed("value", "v"), model) { (row, id) =>
+      got.synchronized { got += ((id, row.head())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        streamed shouldBe FeatureStats.scoreDriftQuantile(model, rows.toDF("v")).head()
+      }
+    } finally q.stop()
+  }
+
   test("categoricalDrift: hand-computed L-infinity, value-space union, deterministic example") {
     import spark.implicits._
     val base = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")).toDF("v")
