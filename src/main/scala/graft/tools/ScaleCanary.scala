@@ -161,6 +161,29 @@ object ScaleCanary {
       Sampling.leakageSafeSplit(
         docs.select("doc_id", "source"), "doc_id", clusters, trainPct = 80)
     },
+    "pit_skew_hotkey" -> { (s, dir, k) =>
+      // Skew GROWS with scale: 10% of every replica's events route to
+      // ONE un-offset hot user (hot key volume k×) while its order
+      // history stays 1× (only replica 0 carries o_custkey = 1) and
+      // every other key keeps constant per-key work. Total work is
+      // still linear — what the canary measures is whether the
+      // runtime keeps it parallel (AQE skew-split) as one sort-merge
+      // partition grows k× denser than its neighbors.
+      val entity = Amplify.offsetIds(
+          tbl(s, dir, "events").select("event_id", "user_id", "ts"), k,
+          Seq("event_id", "user_id"))
+        .withColumn("user_id",
+          when(pmod(col("event_id") % Amplify.IdOffset, lit(10)) === 0, lit(1L))
+            .otherwise(col("user_id")))
+      val view = ResolvedView(
+        name = "order_features",
+        source = Amplify.offsetIds(
+          tbl(s, dir, "orders"), k, Seq("o_orderkey", "o_custkey")),
+        joinKeys = Seq("user_id" -> "o_custkey"),
+        tsCol = "o_orderdate",
+        features = Seq("o_totalprice", "o_orderstatus"))
+      PointInTimeJoin.join(entity, "ts", Seq(view), rowIdCol = Some("event_id"))
+    },
     "pit_manyviews" -> { (s, dir, k) =>
       // The 8-view PIT stitch from the bench, entity spaces k×: per-key
       // order history is identical in every replica, so the argmax

@@ -99,5 +99,8 @@ class ScaleCanarySpec extends SparkSpec with Matchers {
     // PIT: spine cardinality preserved per replica
     byName("pit_manyviews")(spark, sf(), 2).count() shouldBe
       byName("pit_manyviews")(spark, sf(), 1).count() * 2
+    // skew variant: left-join semantics hold as the hot key densifies
+    byName("pit_skew_hotkey")(spark, sf(), 2).count() shouldBe
+      byName("pit_skew_hotkey")(spark, sf(), 1).count() * 2
   }
 }
