@@ -1012,6 +1012,102 @@ object FeatureStats {
       model.edges.head, model.edges.last, model.nBins)
   }
 
+  /** Per-SLICE drift baseline (TFDV's sliced statistics): the global
+    * equal-width bin geometry of [[DriftModel]] plus per-slice bin
+    * counts — geometry is fit on the FULL baseline so PSI values are
+    * comparable across slices; counts are per slice so each slice
+    * drifts against its own history. Driver-held metadata, bounded by
+    * `maxSlices` at fit time. NULL slice values are excluded (slice
+    * membership is a value, not an absence — validateSchema owns NULL
+    * anomalies). */
+  final case class SlicedDriftModel(
+      feature: String, sliceCol: String, nBins: Int,
+      binMin: Double, binMax: Double,
+      baseCounts: Map[String, IndexedSeq[Long]]) {
+    require(baseCounts.nonEmpty && baseCounts.values.forall(_.length == nBins))
+    def binWidth: Double =
+      if (binMax > binMin) (binMax - binMin) / nBins else 1.0
+  }
+
+  /** Fit a [[SlicedDriftModel]]: one global 2-value bounds probe plus
+    * one map-side-combined hash-agg onto ≤ slices×nBins keys,
+    * collected as metadata (capped by `maxSlices` — a slice column is
+    * a low-cardinality dimension by definition; an ID-like slice
+    * column fails fast instead of collecting a corpus). */
+  def fitDriftSliced(
+      base: DataFrame, c: String, sliceCol: String, nBins: Int = 10,
+      maxSlices: Int = 1000): SlicedDriftModel = {
+    require(nBins >= 2, s"fitDriftSliced: nBins must be >= 2, got $nBins")
+    val bounds = base.agg(
+      min(col(c).cast("double")), max(col(c).cast("double"))).head()
+    require(!bounds.isNullAt(0),
+      s"fitDriftSliced: baseline has no non-NULL '$c' values")
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val w = if (mx > mn) (mx - mn) / nBins else 1.0
+    val rows = base
+      .filter(col(c).isNotNull && col(sliceCol).isNotNull)
+      .select(col(sliceCol).cast("string").as("slice"),
+        binExpr(col(c), mn, w, nBins).as("bin"))
+      .groupBy("slice", "bin").agg(count(lit(1)).as("n"))
+      .collect()
+    val bySlice = rows.groupBy(_.getString(0))
+    require(bySlice.size <= maxSlices,
+      s"fitDriftSliced: '$sliceCol' has ${bySlice.size} slices (max $maxSlices) " +
+        "— a slice column must be a low-cardinality dimension")
+    val counts = bySlice.map { case (sl, rs) =>
+      val m = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      sl -> (0 until nBins).map(b => m.getOrElse(b, 0L))
+    }
+    SlicedDriftModel(c, sliceCol, nBins, mn, mx, counts)
+  }
+
+  /** Score a batch per slice against a fitted [[SlicedDriftModel]] —
+    * one row per baseline slice: (feature, slice, n_base, n_cur, psi,
+    * js_div), same add-half smoothing and 9-dp DECIMAL-summed
+    * reduction as [[scoreDrift]] applied slice-wise. Fully
+    * distributed: the baseline rides as a slices×nBins literal frame
+    * (broadcast), the batch contributes ONE map-side-combined hash-agg
+    * onto (slice, bin); per-slice totals and the divergence reduction
+    * are aggs over the small joined frame. Slices absent from the
+    * batch score against an all-smoothed empty side (their PSI flags
+    * the disappearance); batch slices unknown to the baseline are
+    * dropped here — new-category detection is [[validateWith]]'s and
+    * [[categoricalDrift]]'s job. */
+  def scoreDriftSliced(model: SlicedDriftModel, cur: DataFrame): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val slices = model.baseCounts.keys.toSeq.sorted
+    val baseDf = slices.flatMap { sl =>
+      model.baseCounts(sl).zipWithIndex.map { case (n, b) => (sl, b, n) }
+    }.toDF("slice", "bin", "n_b") // slices×nBins literal rows
+    val curBinned = cur
+      .filter(col(model.feature).isNotNull && col(model.sliceCol).isNotNull)
+      .select(col(model.sliceCol).cast("string").as("slice"),
+        binExpr(col(model.feature), model.binMin, model.binWidth,
+          model.nBins).as("bin"))
+      .groupBy("slice", "bin").agg(count(lit(1)).as("n_q"))
+    val joined = broadcast(baseDf)
+      .join(curBinned, Seq("slice", "bin"), "left")
+      .select(col("slice"), col("bin"), col("n_b"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+    val totals = joined.groupBy("slice")
+      .agg(sum("n_b").as("tb"), sum("n_q").as("tq"))
+    val half = model.nBins * 0.5
+    val p = (col("n_b").cast("double") + 0.5) / (col("tb").cast("double") + half)
+    val q = (col("n_q").cast("double") + 0.5) / (col("tq").cast("double") + half)
+    val m = (p + q) / 2.0
+    def d9(v: Column): Column = round(v, 9).cast("decimal(28,9)")
+    joined.join(broadcast(totals), Seq("slice"))
+      .groupBy("slice")
+      .agg(
+        first(col("tb")).as("n_base"), first(col("tq")).as("n_cur"),
+        sum(d9((p - q) * log(p / q))).cast("double").as("psi"),
+        sum(d9(p * log(p / m) / 2.0 + q * log(q / m) / 2.0))
+          .cast("double").as("js_div"))
+      .select(lit(model.feature).as("feature"), col("slice"),
+        col("n_base"), col("n_cur"), col("psi"), col("js_div"))
+  }
+
   /** Categorical drift between a baseline and a current batch — the
     * L∞ companion to [[driftCheck]]'s numeric PSI (TFDV's comparator
     * pairing: L-infinity for categorical features, divergence for

@@ -898,6 +898,61 @@ object QualityQueries {
                         AS DECIMAL(28,9))) AS DOUBLE) AS js_div
         FROM contrib""")),
 
+    // Per-slice drift (TFDV sliced statistics): global bin geometry
+    // fit on the FULL baseline (PSI comparable across slices),
+    // per-slice counts so each slice drifts against its own history —
+    // lineitem sliced by l_returnflag across the same date cut. Same
+    // smoothing + 9-dp DECIMAL reduction, applied slice-wise.
+    QueryDef(
+      "stats_drift_sliced",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        val model = graft.ops.FeatureStats.fitDriftSliced(
+          li.filter(col("l_shipdate") < cut), "l_extendedprice",
+          "l_returnflag", nBins = 10)
+        graft.ops.FeatureStats.scoreDriftSliced(
+          model, li.filter(col("l_shipdate") >= cut))
+      },
+      Some("""
+        WITH b AS (SELECT l_returnflag AS slice, CAST(l_extendedprice AS DOUBLE) AS x
+                   FROM lineitem
+                   WHERE l_shipdate < TIMESTAMP '1997-01-01'
+                     AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        c AS (SELECT l_returnflag AS slice, CAST(l_extendedprice AS DOUBLE) AS x
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx,
+                       (MAX(x) - MIN(x)) / 10.0 AS w FROM b),
+        bb AS (SELECT slice,
+                      least(9, greatest(0, CAST(floor((x - rng.mn) / rng.w) AS INTEGER))) AS bin,
+                      COUNT(*) AS n FROM b, rng GROUP BY 1, 2),
+        cb AS (SELECT slice,
+                      least(9, greatest(0, CAST(floor((x - rng.mn) / rng.w) AS INTEGER))) AS bin,
+                      COUNT(*) AS n FROM c, rng GROUP BY 1, 2),
+        sl AS (SELECT DISTINCT slice FROM b),
+        bins AS (SELECT sl.slice, unnest(range(0, 10)) AS bin FROM sl),
+        j AS (SELECT bins.slice, bins.bin, COALESCE(bb.n, 0) AS n_b, COALESCE(cb.n, 0) AS n_q
+              FROM bins LEFT JOIN bb ON bb.slice = bins.slice AND bb.bin = bins.bin
+                        LEFT JOIN cb ON cb.slice = bins.slice AND cb.bin = bins.bin),
+        t AS (SELECT slice, SUM(n_b) AS tb, SUM(n_q) AS tq FROM j GROUP BY 1),
+        contrib AS (
+          SELECT j.slice,
+                 (CAST(n_b AS DOUBLE) + 0.5) / (t.tb + 5.0) AS p,
+                 (CAST(n_q AS DOUBLE) + 0.5) / (t.tq + 5.0) AS q
+          FROM j JOIN t ON t.slice = j.slice)
+        SELECT 'l_extendedprice' AS feature, contrib.slice,
+               (SELECT CAST(tb AS BIGINT) FROM t WHERE t.slice = contrib.slice) AS n_base,
+               (SELECT CAST(tq AS BIGINT) FROM t WHERE t.slice = contrib.slice) AS n_cur,
+               CAST(SUM(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi,
+               CAST(SUM(CAST(round(p * ln(p / ((p + q) / 2.0)) / 2.0 +
+                                   q * ln(q / ((p + q) / 2.0)) / 2.0, 9)
+                        AS DECIMAL(28,9))) AS DOUBLE) AS js_div
+        FROM contrib
+        GROUP BY contrib.slice""")),
+
+
 
     // Categorical drift (TFDV's L-infinity comparator): priority
     // distribution of early vs late orders, with a deterministic mass

@@ -678,6 +678,55 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     } finally q.stop()
   }
 
+  test("scoreDriftSliced: per-slice PSI equals scoreDrift on each slice's own rows") {
+    import spark.implicits._
+    val base = (1 to 900).map { i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", (i % 100).toDouble)
+    }.toDF("s", "v")
+    // slice 'a' shifts, 'b' stays, 'c' disappears
+    val cur = (1 to 600).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) (i % 100).toDouble + 80.0 else (i % 100).toDouble)
+    }.toDF("s", "v")
+    val model = FeatureStats.fitDriftSliced(base, "v", "s", nBins = 10)
+    model.baseCounts.keySet shouldBe Set("a", "b", "c")
+    val out = FeatureStats.scoreDriftSliced(model, cur).collect()
+      .map(r => r.getString(1) -> r).toMap
+    out.keySet shouldBe Set("a", "b", "c")
+    // cross-check each slice against the unsliced path USING THE
+    // GLOBAL geometry: fit a global model per slice's baseline rows
+    // with identical bounds by construction? No — per-slice equality
+    // holds against a hand-built DriftModel carrying the global
+    // geometry and that slice's counts.
+    Seq("a", "b", "c").foreach { sl =>
+      val single = FeatureStats.DriftModel("v", 10, model.binMin, model.binMax,
+        model.baseCounts(sl))
+      val expect = FeatureStats.scoreDrift(single, cur.filter(cur("s") === sl))
+        .head()
+      val got = out(sl)
+      got.getAs[Long]("n_base") shouldBe single.nBase
+      got.getAs[Double]("psi") shouldBe expect.getAs[Double]("psi") +- 1e-15
+      got.getAs[Double]("js_div") shouldBe expect.getAs[Double]("js_div") +- 1e-15
+    }
+    // the shifted slice drifts, the stable slice does not; the
+    // vanished slice signals through n_cur = 0 (its PSI can be ~0:
+    // the all-smoothed empty side mimics uniform, and this slice's
+    // baseline IS uniform — absence is a count alarm, not a shape one)
+    out("a").getAs[Double]("psi") should be > 0.25
+    out("b").getAs[Double]("psi") should be < 0.05
+    out("c").getAs[Long]("n_cur") shouldBe 0L
+    out("c").getAs[Double]("psi") should be >= 0.0
+  }
+
+  test("fitDriftSliced fails fast on a high-cardinality slice column") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toString, i.toDouble)).toDF("s", "v")
+    val e = intercept[IllegalArgumentException] {
+      FeatureStats.fitDriftSliced(df, "v", "s", nBins = 4, maxSlices = 100)
+    }
+    e.getMessage should include ("low-cardinality")
+  }
+
   test("driftQuantileStream: per-batch rows equal scoreDriftQuantile on the same batch rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
