@@ -1012,6 +1012,66 @@ object FeatureStats {
       model.edges.head, model.edges.last, model.nBins)
   }
 
+  /** TFDV-style schema EVOLUTION diff: compare two [[inferSchema]]
+    * tables (a committed reference schema vs a freshly inferred
+    * candidate) and emit one row per change — the review surface for
+    * "the data changed shape" before anyone updates the serving
+    * contract. Change kinds, in the order a reviewer triages them:
+    *   - `added` / `removed` — feature present on one side only
+    *     (detail: its declared type);
+    *   - `type_changed` — declared type differs (detail: `old -> new`;
+    *     suppresses the remaining comparisons for that feature —
+    *     range/domain across types are meaningless);
+    *   - `null_introduced` — reference had zero NULLs, candidate has
+    *     some (detail: the candidate NULL count);
+    *   - `range_widened` — candidate numeric min/max exceeds the
+    *     reference envelope (detail: `min`, `max`, or `min,max`);
+    *   - `domain_new_values` — candidate's closed domain holds values
+    *     the reference domain lacks (detail: the new values, sorted,
+    *     '|'-joined; compared as VALUE SETS via [[splitDomain]], so
+    *     delimiter escaping never fabricates a diff).
+    * Unchanged features emit nothing. Schema tables are column-count
+    * metadata, so the diff itself is driver-side (the collectSchema
+    * pattern); the returned frame is sorted for stable review. */
+  def diffSchemas(ref: DataFrame, cand: DataFrame): DataFrame = {
+    val spark = ref.sparkSession
+    def rows(df: DataFrame) = df
+      .select("feature", "data_type", "n_null", "n_distinct",
+        "min_val", "max_val", "domain")
+      .collect() // bounded by schema WIDTH — metadata, not data
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows(ref)
+    val b = rows(cand)
+    val out = Seq.newBuilder[(String, String, String)]
+    for ((f, rb) <- b if !a.contains(f)) out += ((f, "added", rb.getString(1)))
+    for ((f, ra) <- a if !b.contains(f)) out += ((f, "removed", ra.getString(1)))
+    for (f <- a.keySet intersect b.keySet) {
+      val (ra, rb) = (a(f), b(f))
+      val (ta, tb) = (ra.getString(1), rb.getString(1))
+      if (ta != tb) out += ((f, "type_changed", s"$ta -> $tb"))
+      else {
+        if (ra.getLong(2) == 0L && rb.getLong(2) > 0L)
+          out += ((f, "null_introduced", rb.getLong(2).toString))
+        if (!ra.isNullAt(4) && !rb.isNullAt(4)) {
+          val widenMin = rb.getDouble(4) < ra.getDouble(4)
+          val widenMax = rb.getDouble(5) > ra.getDouble(5)
+          if (widenMin || widenMax)
+            out += ((f, "range_widened",
+              Seq("min" -> widenMin, "max" -> widenMax)
+                .collect { case (k, true) => k }.mkString(",")))
+        }
+        if (!ra.isNullAt(6) && !rb.isNullAt(6)) {
+          val refDom = splitDomain(ra.getString(6)).toSet
+          val newVals = splitDomain(rb.getString(6)).filterNot(refDom)
+          if (newVals.nonEmpty)
+            out += ((f, "domain_new_values", newVals.sorted.mkString("|")))
+        }
+      }
+    }
+    import spark.implicits._
+    out.result().sorted.toDF("feature", "change", "detail")
+  }
+
   /** Per-SLICE drift baseline (TFDV's sliced statistics): the global
     * equal-width bin geometry of [[DriftModel]] plus per-slice bin
     * counts — geometry is fit on the FULL baseline so PSI values are

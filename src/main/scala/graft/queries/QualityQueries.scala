@@ -952,6 +952,70 @@ object QualityQueries {
         FROM contrib
         GROUP BY contrib.slice""")),
 
+    // Schema evolution diff: a reference schema inferred on a
+    // RESTRICTED baseline (prices < 200k, no '5-LOW', with the date
+    // column) vs a candidate inferred on the full batch with
+    // synthesized changes — every change kind fires deterministically:
+    // removed (o_orderdate), added (prio2), type_changed (o_custkey
+    // cast to string), null_introduced (statuses nulled every 11th),
+    // domain_new_values ('5-LOW' reappears), range_widened (prices
+    // past the baseline envelope). The oracle recomputes the
+    // data-dependent rows from the raw tables.
+    QueryDef(
+      "stats_schema_diff",
+      (s, dir) => {
+        import graft.ops.FeatureStats
+        val orders = table(s, dir, "orders")
+        val ref = FeatureStats.inferSchema(
+          orders.filter(col("o_totalprice") < 200000 &&
+            col("o_orderpriority") =!= "5-LOW"),
+          Seq("o_orderstatus", "o_orderpriority", "o_totalprice",
+            "o_custkey", "o_orderdate"))
+        val cand = FeatureStats.inferSchema(
+          orders
+            .withColumn("o_orderstatus",
+              when(pmod(col("o_orderkey"), lit(11)) === 0,
+                lit(null).cast("string")).otherwise(col("o_orderstatus")))
+            .withColumn("o_custkey", col("o_custkey").cast("string"))
+            .withColumn("prio2", col("o_orderpriority")),
+          Seq("o_orderstatus", "o_orderpriority", "o_totalprice",
+            "o_custkey", "prio2"))
+        FeatureStats.diffSchemas(ref, cand)
+      },
+      Some("""
+        WITH r AS (SELECT * FROM orders
+                   WHERE o_totalprice < 200000 AND o_orderpriority != '5-LOW'),
+        newdom AS (
+          SELECT string_agg(v, '|' ORDER BY v) AS vs FROM (
+            SELECT DISTINCT o_orderpriority AS v FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderpriority NOT IN (SELECT DISTINCT o_orderpriority FROM r))),
+        rng AS (SELECT
+            (SELECT MIN(CAST(o_totalprice AS DOUBLE)) FROM orders) <
+              (SELECT MIN(CAST(o_totalprice AS DOUBLE)) FROM r) AS wmin,
+            (SELECT MAX(CAST(o_totalprice AS DOUBLE)) FROM orders) >
+              (SELECT MAX(CAST(o_totalprice AS DOUBLE)) FROM r) AS wmax)
+        SELECT 'o_orderdate' AS feature, 'removed' AS change,
+               'timestamp' AS detail
+        UNION ALL
+        SELECT 'prio2', 'added', 'string'
+        UNION ALL
+        SELECT 'o_custkey', 'type_changed', 'bigint -> string'
+        UNION ALL
+        SELECT 'o_orderstatus', 'null_introduced',
+               CAST(CAST(SUM(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', 'domain_new_values', vs FROM newdom
+        WHERE vs IS NOT NULL
+        UNION ALL
+        SELECT 'o_totalprice', 'range_widened',
+               concat_ws(',', CASE WHEN wmin THEN 'min' END,
+                              CASE WHEN wmax THEN 'max' END)
+        FROM rng WHERE wmin OR wmax""")),
+
+
 
 
     // Categorical drift (TFDV's L-infinity comparator): priority

@@ -678,6 +678,58 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     } finally q.stop()
   }
 
+  test("diffSchemas: identical schemas diff to empty; every change kind fires once") {
+    import spark.implicits._
+    val ref = FeatureStats.inferSchema(
+      Seq((1L, "a", 10.0, "x"), (2L, "b", 20.0, "y"))
+        .toDF("id", "cat", "x", "gone"),
+      Seq("id", "cat", "x", "gone"), maxDomain = 8)
+    FeatureStats.diffSchemas(ref, ref).count() shouldBe 0L
+    val cand = FeatureStats.inferSchema(
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("1", "a", 30.0, null, "n"),
+          org.apache.spark.sql.Row("2", "c", 5.0, "p", "n")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),      // type change
+          org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType),     // new value 'c'
+          org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),       // range widened both ways
+          org.apache.spark.sql.types.StructField("nulled", org.apache.spark.sql.types.StringType),  // added + has nulls
+          org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.StringType)))),// added
+      Seq("id", "cat", "x", "nulled", "extra"), maxDomain = 8)
+    val out = FeatureStats.diffSchemas(ref, cand).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    out(("gone", "removed")) shouldBe "string"
+    out(("nulled", "added")) shouldBe "string"
+    out(("extra", "added")) shouldBe "string"
+    out(("id", "type_changed")) shouldBe "bigint -> string"
+    out(("cat", "domain_new_values")) shouldBe "c"
+    out(("x", "range_widened")) shouldBe "min,max"
+    // low-cardinality numerics carry domains too (enum-like ints) —
+    // both the range and the domain change report
+    out(("x", "domain_new_values")) shouldBe "30.0|5.0"
+    // type change SUPPRESSES further comparison for that feature
+    out.keySet should not contain (("id", "domain_new_values"))
+    out.size shouldBe 7
+  }
+
+  test("diffSchemas: domain escaping never fabricates a diff") {
+    import spark.implicits._
+    // 'a|b' in both schemas: compared as VALUE SETS via splitDomain,
+    // a naive string-split would see tokens {a, b} vs {a, b} too —
+    // but 'a' alone on the candidate side must diff as a REAL subset
+    // change, and 'a|b' must not match a literal 'a' + 'b' pair.
+    val ref = FeatureStats.inferSchema(
+      Seq("a|b", "e").toDF("cat"), Seq("cat"), maxDomain = 8)
+    val sameButSplit = FeatureStats.inferSchema(
+      Seq("a", "b", "e").toDF("cat"), Seq("cat"), maxDomain = 8)
+    val out = FeatureStats.diffSchemas(ref, sameButSplit).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // 'a' and 'b' are NEW values (the ref category was the single
+    // token 'a|b'); the diff must say so, pipes notwithstanding
+    out should contain (("domain_new_values", "a|b"))
+  }
+
   test("scoreDriftSliced: per-slice PSI equals scoreDrift on each slice's own rows") {
     import spark.implicits._
     val base = (1 to 900).map { i =>
