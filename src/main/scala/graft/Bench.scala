@@ -59,7 +59,18 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => queryErrors.incrementAndGet(); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Query isolation: localCheckpoint/persist blocks live for the
+      // JVM, so a long sweep accumulates every prior query's blocks
+      // and later queries time under growing memory/GC pressure that
+      // no standalone run has (corpus_prep_pipeline measured 3.1 s
+      // targeted vs 12 s late in a 156-query sweep, BOTH passes — the
+      // r7 "phantom regression" mechanism, memory edition). Dropping
+      // them after the measurement keeps each timing about the query,
+      // not its predecessors' leftovers.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sqlContext.clearCache()
+      name -> t
     }.toMap
     val (pass1, pass2) = (timeAll(), timeAll())
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
