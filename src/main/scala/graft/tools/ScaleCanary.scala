@@ -245,7 +245,14 @@ object ScaleCanary {
     def run(fn: (SparkSession, String, Int) => DataFrame, rep: Int): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir, rep).count()
-      ((System.nanoTime() - t0) / 1e9, rows)
+      val t = (System.nanoTime() - t0) / 1e9
+      // Same isolation as Bench: drop this run's localCheckpoint/
+      // persist blocks so the next op's timing isn't squeezed by
+      // accumulated memory pressure (which would inflate ratios of
+      // whatever happens to run late).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sqlContext.clearCache()
+      (t, rows)
     }
     val selected = ops.filter { case (n, _) => only.isEmpty || only(n) }
     var worst = 0.0
