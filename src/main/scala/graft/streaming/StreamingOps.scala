@@ -313,6 +313,19 @@ object StreamingOps {
       sink(graft.ops.FeatureStats.scoreDriftQuantile(model, batch), batchId)
     }
 
+  /** Per-SLICE drift monitor: each micro-batch scored slice-wise
+    * against the fitted [[graft.ops.FeatureStats.SlicedDriftModel]].
+    * scoreDriftSliced is fully distributed (no driver reads), so an
+    * EMPTY micro-batch still emits one row per baseline slice with
+    * n_cur = 0 — absence alarms keep firing when a slice's traffic
+    * stops, which is exactly when they matter. */
+  def driftSlicedStream(
+      df: DataFrame, model: graft.ops.FeatureStats.SlicedDriftModel)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.FeatureStats.scoreDriftSliced(model, batch), batchId)
+    }
+
   /** Streaming schema-validation monitor: every micro-batch runs the
     * ExampleValidator pass against pre-collected
     * [[graft.ops.FeatureStats.ColumnSpec]] expectations (collect the

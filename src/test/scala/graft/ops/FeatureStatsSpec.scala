@@ -779,6 +779,36 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     e.getMessage should include ("low-cardinality")
   }
 
+  test("driftSlicedStream: per-batch slice rows equal scoreDriftSliced; a silent slice keeps alarming") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = (1 to 600).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i % 50).toDouble)).toDF("s", "v")
+    val model = FeatureStats.fitDriftSliced(base, "v", "s", nBins = 8)
+    val batches = Seq(
+      Seq(("a", 10.0), ("b", 20.0), ("a", 30.0)),
+      Seq(("a", 5.0), ("a", 45.0))) // slice 'b' goes silent
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Row])]
+    val stream = MemoryStream[(String, Double)]
+    val q = graft.streaming.StreamingOps.driftSlicedStream(
+      stream.toDF().toDF("s", "v"), model) { (rows, id) =>
+      got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = FeatureStats.scoreDriftSliced(model, rows.toDF("s", "v")).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      // the silent slice still emits its row, n_cur = 0
+      val last = got.sortBy(_._1).last._2
+        .map(r => r.getString(1) -> r.getAs[Long]("n_cur")).toMap
+      last("b") shouldBe 0L
+    } finally q.stop()
+  }
+
   test("driftQuantileStream: per-batch rows equal scoreDriftQuantile on the same batch rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
