@@ -79,6 +79,159 @@ object Embeddings {
     out.drop("__graft_vd")
   }
 
+  /** Fitted PCA basis: mean vector, top-k orthonormal components
+    * (rows), and their eigenvalues (descending) — O(dim·k) driver
+    * metadata (the classifier-weights pattern). Components are
+    * sign-canonicalized (largest-|coordinate| positive) so the fit is
+    * reproducible run to run. */
+  final case class PcaModel(
+      dim: Int, k: Int, mean: IndexedSeq[Double],
+      components: IndexedSeq[IndexedSeq[Double]],
+      eigenvalues: IndexedSeq[Double]) {
+    require(components.length == k && eigenvalues.length == k)
+    require(mean.length == dim && components.forall(_.length == dim))
+  }
+
+  /** Fit PCA with ONE pass over the data: each partition accumulates
+    * (count, Σv, upper-triangular Σvvᵀ) in a dense local buffer —
+    * genuine per-partition imperative hot-loop work, the documented
+    * exception to expression-only style — and the ≤ #partitions
+    * summary rows (dim + dim²/2 doubles each) reduce on the driver.
+    * The d×d eigenproblem is driver math (cyclic Jacobi; d is an
+    * embedding dimension, not data). Nothing shuffles; at 100 TB the
+    * cost is exactly one scan with a dense per-core accumulator — the
+    * JL projection's data-driven sibling ([[randomProject]] trades
+    * optimality for zero fitting; this spends one pass to cut
+    * dimensions along the data's actual variance). NULL and
+    * wrong-dimension vectors are skipped by the fit (the serving
+    * contract rejects them loudly instead — see [[pcaProject]]). */
+  def pcaFit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
+    require(dim > 0 && k > 0 && k <= dim, s"pcaFit: need 0 < k <= dim, got k=$k dim=$dim")
+    val tri = dim * (dim + 1) / 2
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .mapPartitions { it =>
+        var n = 0L
+        val s = new Array[Double](dim)
+        val g = new Array[Double](tri)
+        it.foreach { row =>
+          val v = row.getSeq[Double](0)
+          n += 1
+          var i = 0
+          var t = 0
+          while (i < dim) {
+            val vi = v(i)
+            s(i) += vi
+            var j = i
+            while (j < dim) { g(t) += vi * v(j); t += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty else Iterator((n, s.toSeq, g.toSeq))
+      }
+      .collect() // ≤ #partitions summary rows — metadata, not data
+    require(parts.nonEmpty, s"pcaFit: no valid $dim-dimensional vectors")
+    val n = parts.map(_._1).sum
+    val sum = new Array[Double](dim)
+    val gram = new Array[Double](tri)
+    parts.foreach { case (_, s, g) =>
+      var i = 0
+      while (i < dim) { sum(i) += s(i); i += 1 }
+      var t = 0
+      while (t < tri) { gram(t) += g(t); t += 1 }
+    }
+    val mean = sum.map(_ / n)
+    // population covariance C = Gram/n − μμᵀ
+    val c = Array.ofDim[Double](dim, dim)
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = gram(t) / n - mean(i) * mean(j)
+      c(i)(j) = v; c(j)(i) = v; t += 1
+    }
+    val (evals, evecs) = jacobiEigen(c)
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    val comps = order.map { i =>
+      val w = evecs.map(_(i))
+      // sign canon: the largest-|coordinate| entry is positive
+      val lead = w.indices.maxBy(j => (math.abs(w(j)), -j))
+      (if (w(lead) < 0) w.map(-_) else w).toIndexedSeq
+    }
+    PcaModel(dim, k, mean.toIndexedSeq, comps.toIndexedSeq,
+      order.map(i => math.max(evals(i), 0.0)).toIndexedSeq)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, column-eigenvector matrix). Driver-side d×d math. */
+  private def jacobiEigen(c: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = c.length
+    val a = c.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += a(i)(j) * a(i)(j)
+      s
+    }
+    val scale = math.max(off(), 1e-300)
+    var sweep = 0
+    while (sweep < 100 && off() > 1e-24 * scale) {
+      for (p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > 0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val tSign = if (theta >= 0) 1.0 else -1.0
+        val tt = tSign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val cc = 1.0 / math.sqrt(tt * tt + 1.0)
+        val ss = tt * cc
+        for (i <- 0 until n) {
+          val (aip, aiq) = (a(i)(p), a(i)(q))
+          a(i)(p) = cc * aip - ss * aiq
+          a(i)(q) = ss * aip + cc * aiq
+        }
+        for (i <- 0 until n) {
+          val (api, aqi) = (a(p)(i), a(q)(i))
+          a(p)(i) = cc * api - ss * aqi
+          a(q)(i) = ss * api + cc * aqi
+        }
+        for (i <- 0 until n) {
+          val (vip, viq) = (v(i)(p), v(i)(q))
+          v(i)(p) = cc * vip - ss * viq
+          v(i)(q) = ss * vip + cc * viq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Project onto a fitted [[PcaModel]]: emits `k` scalar columns
+    * `{prefix}0..{prefix}{k-1}` = (v − μ)·Wⱼ, computed as
+    * v·Wⱼ − μ·Wⱼ with the centering dot folded into a literal — pure
+    * codegen ([[graft.functions.VectorFunctions.dot]] against
+    * component literals), zero shuffle, the same serving shape as
+    * [[randomProject]]. NULL vectors yield NULL coordinates;
+    * wrong-dimension vectors fail loudly. */
+  def pcaProject(
+      df: DataFrame, vecCol: String, model: PcaModel,
+      prefix: String = "pc"): DataFrame = {
+    val vd = col("__graft_vd")
+    val guarded = when(col(vecCol).isNull, lit(null).cast("array<double>"))
+      .when(size(col(vecCol)) === model.dim,
+        transform(col(vecCol), x => x.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"pcaProject: expected vector dim ${model.dim}, got "),
+        size(col(vecCol)).cast("string"))))
+    val out = (0 until model.k).foldLeft(df.withColumn("__graft_vd", guarded)) {
+      (d, j) =>
+        val w = model.components(j)
+        val offset = w.zip(model.mean).map { case (a, b) => a * b }.sum
+        d.withColumn(s"$prefix$j",
+          graft.functions.VectorFunctions.dot(vd, array(w.map(lit(_)): _*)) -
+            lit(offset))
+    }
+    out.drop("__graft_vd")
+  }
+
   /** L2-normalize a vector column into `outCol` (unit-norm embeddings
     * make cosine a plain dot product downstream). Zero vectors pass
     * through as-is. DataFrame-shaped, not a bare Column: the norm must

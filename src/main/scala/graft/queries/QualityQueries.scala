@@ -418,6 +418,48 @@ object QualityQueries {
         FROM v"""
       }),
 
+    // PCA 64 → 4: the data-driven sibling of the JL projection (one
+    // in-engine fitting pass + codegen serving). The eigenbasis is
+    // not SQL-expressible, so the oracle is the q16-style invariant
+    // surface computed IN-QUERY over the same data the model was fit
+    // on: each projected coordinate's population variance must equal
+    // its eigenvalue (they are the same quantity by definition —
+    // var_pop(pcj) = wⱼᵀCwⱼ = λⱼ), adjacent coordinates must be
+    // uncorrelated (eigenvector orthogonality through the data), and
+    // eigenvalues must come out descending.
+    QueryDef(
+      "embed_pca",
+      (s, dir) => {
+        import graft.ops.Embeddings
+        val emb = table(s, dir, "embeddings")
+        val m = Embeddings.pcaFit(emb, "embedding", dim = 64, k = 4)
+        val proj = Embeddings.pcaProject(
+          emb.filter(col("embedding").isNotNull), "embedding", m)
+        val a = proj.agg(
+          var_pop(col("pc0")).as("v0"), var_pop(col("pc1")).as("v1"),
+          var_pop(col("pc2")).as("v2"), var_pop(col("pc3")).as("v3"),
+          covar_pop(col("pc0"), col("pc1")).as("c01"),
+          covar_pop(col("pc1"), col("pc2")).as("c12"),
+          covar_pop(col("pc2"), col("pc3")).as("c23"))
+        val ev = m.eigenvalues
+        val rows = (0 until 4).map { j =>
+          val varOk = abs(col(s"v$j") / lit(ev(j)) - 1.0) < 1e-6
+          val crossOk =
+            if (j < 3)
+              abs(col(s"c$j${j + 1}")) / lit(math.sqrt(ev(j) * ev(j + 1))) < 1e-6
+            else lit(true)
+          struct(lit(j.toLong).as("component"), varOk.as("var_matches_eigenvalue"),
+            crossOk.as("orthogonal_to_next"),
+            lit(j == 3 || ev(j) >= ev(j + 1)).as("eigen_decreasing"))
+        }
+        a.select(explode(array(rows: _*)).as("r")).select("r.*")
+      },
+      Some("""
+        SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS component,
+               true AS var_matches_eigenvalue,
+               true AS orthogonal_to_next,
+               true AS eigen_decreasing""")),
+
     // StatisticsGen over the examplegen output's source table: one
     // aggregation pass, one row per feature (the TFX stage that
     // consumes an example-gen component downstream).

@@ -111,4 +111,55 @@ class EmbeddingsSpec extends SparkSpec with Matchers {
     out(1L) shouldBe false
     out(2L) shouldBe true
   }
+
+  test("pcaFit recovers planted principal axes; projection variance equals eigenvalues") {
+    // Points on a tilted plane in 4-d: x = a*(1,1,0,0)/sqrt2 * 10 +
+    // b*(0,0,1,-1)/sqrt2 * 2 — two planted axes with variance ratio 25.
+    val r2 = math.sqrt(2.0)
+    val pts = (0 until 400).map { i =>
+      val a = ((i * 37) % 41).toDouble - 20.0   // spread ~[-20,20]
+      val b = ((i * 53) % 11).toDouble - 5.0    // spread ~[-5,5]
+      (i.toLong, Seq(
+        (a * 10 / r2 + b * 0).toFloat, (a * 10 / r2).toFloat,
+        (b * 2 / r2).toFloat, (-b * 2 / r2).toFloat))
+    }
+    val df = vecsDf(pts)
+    val m = Embeddings.pcaFit(df, "embedding", dim = 4, k = 2)
+    // top component aligns with the high-variance planted axis
+    val w0 = m.components(0)
+    val planted0 = Seq(1 / r2, 1 / r2, 0.0, 0.0)
+    math.abs(w0.zip(planted0).map { case (x, y) => x * y }.sum) shouldBe 1.0 +- 1e-6
+    val w1 = m.components(1)
+    val planted1 = Seq(0.0, 0.0, 1 / r2, -1 / r2)
+    math.abs(w1.zip(planted1).map { case (x, y) => x * y }.sum) shouldBe 1.0 +- 1e-6
+    // orthonormal basis
+    w0.map(x => x * x).sum shouldBe 1.0 +- 1e-9
+    w1.map(x => x * x).sum shouldBe 1.0 +- 1e-9
+    w0.zip(w1).map { case (x, y) => x * y }.sum shouldBe 0.0 +- 1e-9
+    m.eigenvalues(0) should be > m.eigenvalues(1)
+    // population variance of each projected coordinate = its eigenvalue
+    val proj = Embeddings.pcaProject(df, "embedding", m)
+    val vars = proj.agg(
+      org.apache.spark.sql.functions.var_pop(org.apache.spark.sql.functions.col("pc0")),
+      org.apache.spark.sql.functions.var_pop(org.apache.spark.sql.functions.col("pc1"))).head()
+    vars.getDouble(0) shouldBe m.eigenvalues(0) +- 1e-3 * m.eigenvalues(0)
+    vars.getDouble(1) shouldBe m.eigenvalues(1) +- 1e-3 * math.max(m.eigenvalues(1), 1e-9)
+    // fit is invariant to partitioning (within float slack)
+    val m13 = Embeddings.pcaFit(df.repartition(13), "embedding", dim = 4, k = 2)
+    m13.components(0).zip(w0).foreach { case (x, y) => x shouldBe y +- 1e-9 }
+  }
+
+  test("pcaProject: NULL vectors yield NULL coordinates; wrong dim fails loudly") {
+    val df = vecsDf(Seq(1L -> Seq(1f, 2f, 3f, 4f))).union(
+      vecsDf(Seq(2L -> Seq(1f, 2f, 3f, 4f))).withColumn("embedding",
+        org.apache.spark.sql.functions.lit(null).cast("array<float>")))
+    val m = Embeddings.pcaFit(df, "embedding", dim = 4, k = 1)
+    val out = Embeddings.pcaProject(df, "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("pc0"))).toMap
+    out(1L) shouldBe false
+    out(2L) shouldBe true
+    val bad = vecsDf(Seq(3L -> Seq(1f, 2f)))
+    val e = intercept[Exception](Embeddings.pcaProject(bad, "embedding", m).collect())
+    e.getMessage should include ("expected vector dim 4")
+  }
 }
