@@ -67,12 +67,18 @@ object Amplify {
       }
       .otherwise(text)
 
-  def documents(df: DataFrame, k: Int, rotate: Boolean): DataFrame =
+  def documents(df: DataFrame, k: Int, rotate: Boolean): DataFrame = {
+    // Rotation distinctness holds for replicas 1..9 (digit rotation
+    // 3r mod 10 returns to identity at r = 10) — past that, replicas
+    // would silently share shingles and the linearity argument breaks.
+    require(!rotate || k <= 10,
+      s"Amplify.documents: rotation supports k <= 10, got $k")
     withRep(df.select("doc_id", "text", "lang", "source"), k).select(
       (col("doc_id") + col("__rep") * IdOffset).as("doc_id"),
       (if (rotate) rotateText(col("text"), col("__rep"), k) else col("text"))
         .as("text"),
       col("lang"), col("source"))
+  }
 
   def embeddings(df: DataFrame, k: Int): DataFrame = {
     val e = col("embedding")
