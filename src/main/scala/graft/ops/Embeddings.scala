@@ -102,9 +102,10 @@ object Embeddings {
     * cost is exactly one scan with a dense per-core accumulator — the
     * JL projection's data-driven sibling ([[randomProject]] trades
     * optimality for zero fitting; this spends one pass to cut
-    * dimensions along the data's actual variance). NULL and
-    * wrong-dimension vectors are skipped by the fit (the serving
-    * contract rejects them loudly instead — see [[pcaProject]]). */
+    * dimensions along the data's actual variance). NULL,
+    * wrong-dimension, and null-element vectors are skipped by the fit
+    * (the serving contract rejects them loudly instead — see
+    * [[pcaProject]]). */
   def pcaFit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
     require(dim > 0 && k > 0 && k <= dim, s"pcaFit: need 0 < k <= dim, got k=$k dim=$dim")
     val tri = dim * (dim + 1) / 2
@@ -112,7 +113,10 @@ object Embeddings {
     import spark.implicits._
     val parts = df
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
-      .filter(col("v").isNotNull && size(col("v")) === dim)
+      // NULL ELEMENTS are a skip too: getSeq would unbox each null to
+      // 0.0 and silently bias the mean/covariance.
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !exists(col("v"), _.isNull))
       .mapPartitions { it =>
         var n = 0L
         val s = new Array[Double](dim)

@@ -820,17 +820,34 @@ object FeatureStats {
         .select(binExpr(col(c), mn, w, nBins).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(s"n_$tag"))
     val bins = base.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
-    // nBins rows — checkpointed so the totals probe and the divergence
-    // reduction don't each re-run the two heavy side aggregations.
+    // nBins rows — collected once so the totals probe and the
+    // divergence reduction don't each re-run the heavy side aggs.
     val joined = bins
       .join(binned(base, "b"), Seq("bin"), "left")
       .join(binned(cur, "q"), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("n_q"), lit(0L)).as("n_q"))
-      .localCheckpoint(false)
-    val totals = joined.agg(sum("n_b").as("tb"), sum("n_q").as("tq")).head()
-    divergenceRow(joined, c, totals.getLong(0), totals.getLong(1), mn, mx, nBins)
+    val (local, tb, tq) = collectBins(joined)
+    divergenceRow(local, c, tb, tq, mn, mx, nBins)
+  }
+
+  /** Materialize the ≤nBins-row (bin, n_b, n_q) frame as driver
+    * metadata and rebase it onto a local relation: ONE job runs the
+    * side aggregations; the totals and the divergence reduction then
+    * evaluate over literals. No localCheckpoint — a checkpointed frame
+    * whose returned plan is evaluated later leaves a persisted block
+    * per call until driver GC, which in a foreachBatch monitor
+    * accumulates every micro-batch (the same mechanism Bench isolates
+    * between timings). The reduction is 9-dp DECIMAL-summed and
+    * order-independent, so rebasing is bit-identical. */
+  private def collectBins(joined: DataFrame): (DataFrame, Long, Long) = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    val rows = joined.collect() // ≤ nBins rows — metadata, not data
+    val local = rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toDF("bin", "n_b", "n_q")
+    (local, rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
   }
 
   /** Shared bin assignment: equal-width from [mn, mn + nBins·w], out-of-
@@ -913,9 +930,8 @@ object FeatureStats {
       .select(col("bin"),
         element_at(baseArr, col("bin") + 1).as("n_b"),
         coalesce(col("n_q"), lit(0L)).as("n_q"))
-      .localCheckpoint(false)
-    val tq = joined.agg(sum("n_q")).head().getLong(0)
-    divergenceRow(joined, model.feature, model.nBase, tq,
+    val (local, _, tq) = collectBins(joined)
+    divergenceRow(local, model.feature, model.nBase, tq,
       model.binMin, model.binMax, model.nBins)
   }
 
@@ -956,6 +972,21 @@ object FeatureStats {
       base: DataFrame, c: String, nBins: Int = 10,
       exact: Boolean = false): QuantileDriftModel = {
     require(nBins >= 2, s"fitDriftQuantile: nBins must be >= 2, got $nBins")
+    val edges = fitQuantileEdges(base, c, nBins, exact)
+    val counts = base.filter(col(c).cast("double").isNotNull)
+      .select(quantileBinExpr(col(c), edges).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    QuantileDriftModel(c, edges, (0 until nBins).map(b => counts.getOrElse(b, 0L)))
+  }
+
+  /** The shared equal-mass edge fit (exact percentile or KLL sketch),
+    * 9-dp-rounded — one pass over the FULL baseline, reused by the
+    * global and the per-slice quantile-drift fits so their geometries
+    * cannot diverge. */
+  private def fitQuantileEdges(
+      base: DataFrame, c: String, nBins: Int,
+      exact: Boolean): IndexedSeq[Double] = {
     val probs = (1 until nBins).map(_.toDouble / nBins)
     val x = col(c).cast("double")
     val edgesRow =
@@ -978,14 +1009,9 @@ object FeatureStats {
     // 9-dp rounding: both engines (and both fit modes' consumers)
     // bucket against identical edge literals — interpolation formula
     // ulps can't flip a bucket boundary.
-    val edges = raw.map(v => BigDecimal(v.asInstanceOf[Double])
+    raw.map(v => BigDecimal(v.asInstanceOf[Double])
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
       .toIndexedSeq
-    val counts = base.filter(x.isNotNull)
-      .select(quantileBinExpr(col(c), edges).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    QuantileDriftModel(c, edges, (0 until nBins).map(b => counts.getOrElse(b, 0L)))
   }
 
   /** Score a batch against a fitted [[QuantileDriftModel]] — the
@@ -1006,9 +1032,8 @@ object FeatureStats {
       .select(col("bin"),
         element_at(baseArr, col("bin") + 1).as("n_b"),
         coalesce(col("n_q"), lit(0L)).as("n_q"))
-      .localCheckpoint(false)
-    val tq = joined.agg(sum("n_q")).head().getLong(0)
-    divergenceRow(joined, model.feature, model.nBase, tq,
+    val (local, _, tq) = collectBins(joined)
+    divergenceRow(local, model.feature, model.nBase, tq,
       model.edges.head, model.edges.last, model.nBins)
   }
 
@@ -1104,12 +1129,22 @@ object FeatureStats {
       s"fitDriftSliced: baseline has no non-NULL '$c' values")
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     val w = if (mx > mn) (mx - mn) / nBins else 1.0
+    // The guard must bound the driver BEFORE it can see the overflow:
+    // an ID-like slice column groups onto a corpus-sized key space, so
+    // the collect is LIMIT-capped at maxSlices×nBins+1 rows — overflow
+    // is detected from the cap being hit, never from materializing the
+    // full frame (the sibling count-gated domain guard in inferSchema).
+    val cap = maxSlices * nBins + 1
     val rows = base
       .filter(col(c).isNotNull && col(sliceCol).isNotNull)
       .select(col(sliceCol).cast("string").as("slice"),
         binExpr(col(c), mn, w, nBins).as("bin"))
       .groupBy("slice", "bin").agg(count(lit(1)).as("n"))
+      .limit(cap)
       .collect()
+    require(rows.length < cap,
+      s"fitDriftSliced: '$sliceCol' exceeds $maxSlices slices " +
+        "— a slice column must be a low-cardinality dimension")
     val bySlice = rows.groupBy(_.getString(0))
     require(bySlice.size <= maxSlices,
       s"fitDriftSliced: '$sliceCol' has ${bySlice.size} slices (max $maxSlices) " +
@@ -1134,25 +1169,36 @@ object FeatureStats {
     * dropped here — new-category detection is [[validateWith]]'s and
     * [[categoricalDrift]]'s job. */
   def scoreDriftSliced(model: SlicedDriftModel, cur: DataFrame): DataFrame = {
-    val spark = cur.sparkSession
-    import spark.implicits._
-    val slices = model.baseCounts.keys.toSeq.sorted
-    val baseDf = slices.flatMap { sl =>
-      model.baseCounts(sl).zipWithIndex.map { case (n, b) => (sl, b, n) }
-    }.toDF("slice", "bin", "n_b") // slices×nBins literal rows
     val curBinned = cur
       .filter(col(model.feature).isNotNull && col(model.sliceCol).isNotNull)
       .select(col(model.sliceCol).cast("string").as("slice"),
         binExpr(col(model.feature), model.binMin, model.binWidth,
           model.nBins).as("bin"))
       .groupBy("slice", "bin").agg(count(lit(1)).as("n_q"))
+    slicedDivergence(model.feature, model.baseCounts, model.nBins, curBinned)
+  }
+
+  /** Shared slice-wise divergence reduction over a (slice, bin, n_q)
+    * batch agg: the baseline rides as a broadcast slices×nBins literal
+    * frame; per-slice totals and the 9-dp DECIMAL PSI/JS reduction are
+    * aggs over the small joined frame. One copy so the equal-width and
+    * equal-mass sliced scorers cannot drift apart. */
+  private def slicedDivergence(
+      feature: String, baseCounts: Map[String, IndexedSeq[Long]],
+      nBins: Int, curBinned: DataFrame): DataFrame = {
+    val spark = curBinned.sparkSession
+    import spark.implicits._
+    val slices = baseCounts.keys.toSeq.sorted
+    val baseDf = slices.flatMap { sl =>
+      baseCounts(sl).zipWithIndex.map { case (n, b) => (sl, b, n) }
+    }.toDF("slice", "bin", "n_b") // slices×nBins literal rows
     val joined = broadcast(baseDf)
       .join(curBinned, Seq("slice", "bin"), "left")
       .select(col("slice"), col("bin"), col("n_b"),
         coalesce(col("n_q"), lit(0L)).as("n_q"))
     val totals = joined.groupBy("slice")
       .agg(sum("n_b").as("tb"), sum("n_q").as("tq"))
-    val half = model.nBins * 0.5
+    val half = nBins * 0.5
     val p = (col("n_b").cast("double") + 0.5) / (col("tb").cast("double") + half)
     val q = (col("n_q").cast("double") + 0.5) / (col("tq").cast("double") + half)
     val m = (p + q) / 2.0
@@ -1164,8 +1210,69 @@ object FeatureStats {
         sum(d9((p - q) * log(p / q))).cast("double").as("psi"),
         sum(d9(p * log(p / m) / 2.0 + q * log(q / m) / 2.0))
           .cast("double").as("js_div"))
-      .select(lit(model.feature).as("feature"), col("slice"),
+      .select(lit(feature).as("feature"), col("slice"),
         col("n_base"), col("n_cur"), col("psi"), col("js_div"))
+  }
+
+  /** Per-slice EQUAL-MASS drift baseline: the global quantile-edge
+    * geometry of [[QuantileDriftModel]] (edges fit ONCE on the full
+    * baseline, so PSI is comparable across slices and TFDV's default
+    * bucket geometry applies slice-wise) plus per-slice bucket counts.
+    * Driver-held metadata, capped by `maxSlices` at fit time like
+    * [[SlicedDriftModel]]. */
+  final case class SlicedQuantileDriftModel(
+      feature: String, sliceCol: String, edges: IndexedSeq[Double],
+      baseCounts: Map[String, IndexedSeq[Long]]) {
+    require(edges.nonEmpty && baseCounts.nonEmpty &&
+      baseCounts.values.forall(_.length == edges.length + 1))
+    def nBins: Int = edges.length + 1
+  }
+
+  /** Fit a [[SlicedQuantileDriftModel]]: one global edge fit (exact
+    * percentile, or the KLL sketch in the 100 TB mode — same shape,
+    * [[fitQuantileEdges]]) plus one map-side-combined hash-agg onto
+    * ≤ slices×nBins keys, LIMIT-capped before the collect so an
+    * ID-like slice column fails fast without materializing a
+    * corpus-sized frame. */
+  def fitDriftSlicedQuantile(
+      base: DataFrame, c: String, sliceCol: String, nBins: Int = 10,
+      maxSlices: Int = 1000, exact: Boolean = false): SlicedQuantileDriftModel = {
+    require(nBins >= 2, s"fitDriftSlicedQuantile: nBins must be >= 2, got $nBins")
+    val edges = fitQuantileEdges(base, c, nBins, exact)
+    val cap = maxSlices * nBins + 1
+    val rows = base
+      .filter(col(c).isNotNull && col(sliceCol).isNotNull)
+      .select(col(sliceCol).cast("string").as("slice"),
+        quantileBinExpr(col(c), edges).as("bin"))
+      .groupBy("slice", "bin").agg(count(lit(1)).as("n"))
+      .limit(cap)
+      .collect()
+    require(rows.length < cap,
+      s"fitDriftSlicedQuantile: '$sliceCol' exceeds $maxSlices slices " +
+        "— a slice column must be a low-cardinality dimension")
+    val bySlice = rows.groupBy(_.getString(0))
+    require(bySlice.size <= maxSlices,
+      s"fitDriftSlicedQuantile: '$sliceCol' has ${bySlice.size} slices " +
+        s"(max $maxSlices) — a slice column must be a low-cardinality dimension")
+    val counts = bySlice.map { case (sl, rs) =>
+      val m = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      sl -> (0 until nBins).map(b => m.getOrElse(b, 0L))
+    }
+    SlicedQuantileDriftModel(c, sliceCol, edges, counts)
+  }
+
+  /** Score a batch per slice against a fitted
+    * [[SlicedQuantileDriftModel]] — [[scoreDriftSliced]]'s plan shape
+    * (broadcast literal baseline, one hash-agg over the batch, small
+    * joined reduction) with the equal-mass bucket assignment. */
+  def scoreDriftSlicedQuantile(
+      model: SlicedQuantileDriftModel, cur: DataFrame): DataFrame = {
+    val curBinned = cur
+      .filter(col(model.feature).isNotNull && col(model.sliceCol).isNotNull)
+      .select(col(model.sliceCol).cast("string").as("slice"),
+        quantileBinExpr(col(model.feature), model.edges).as("bin"))
+      .groupBy("slice", "bin").agg(count(lit(1)).as("n_q"))
+    slicedDivergence(model.feature, model.baseCounts, model.nBins, curBinned)
   }
 
   /** Categorical drift between a baseline and a current batch — the

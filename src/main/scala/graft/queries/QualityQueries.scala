@@ -994,6 +994,64 @@ object QualityQueries {
         FROM contrib
         GROUP BY contrib.slice""")),
 
+    // Per-slice EQUAL-MASS drift — the two round-8 drift geometries
+    // composed: global quantile edges fit ONCE on the full baseline
+    // (exact-percentile oracle mode; the KLL fit is the 100 TB mode,
+    // spec-held to agree) so sliced PSI gets TFDV's default bucket
+    // geometry too, per-slice bucket counts so each slice drifts
+    // against its own history. Same smoothing + 9-dp DECIMAL
+    // reduction, applied slice-wise.
+    QueryDef(
+      "stats_drift_sliced_quantile",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        val model = graft.ops.FeatureStats.fitDriftSlicedQuantile(
+          li.filter(col("l_shipdate") < cut), "l_extendedprice",
+          "l_returnflag", nBins = 10, exact = true)
+        graft.ops.FeatureStats.scoreDriftSlicedQuantile(
+          model, li.filter(col("l_shipdate") >= cut))
+      },
+      Some("""
+        WITH b AS (SELECT l_returnflag AS slice, CAST(l_extendedprice AS DOUBLE) AS x
+                   FROM lineitem
+                   WHERE l_shipdate < TIMESTAMP '1997-01-01'
+                     AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        c AS (SELECT l_returnflag AS slice, CAST(l_extendedprice AS DOUBLE) AS x
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        eb AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+               WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_extendedprice IS NOT NULL),
+        e AS (SELECT list_transform(
+                       quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                       v -> CAST(CAST(v AS DECIMAL(28,9)) AS DOUBLE)) AS edges
+              FROM eb),
+        bb AS (SELECT slice, len(list_filter(e.edges, ed -> b.x >= ed)) AS bin,
+                      COUNT(*) AS n FROM b, e GROUP BY 1, 2),
+        cb AS (SELECT slice, len(list_filter(e.edges, ed -> c.x >= ed)) AS bin,
+                      COUNT(*) AS n FROM c, e GROUP BY 1, 2),
+        sl AS (SELECT DISTINCT slice FROM b),
+        bins AS (SELECT sl.slice, unnest(range(0, 10)) AS bin FROM sl),
+        j AS (SELECT bins.slice, bins.bin, COALESCE(bb.n, 0) AS n_b, COALESCE(cb.n, 0) AS n_q
+              FROM bins LEFT JOIN bb ON bb.slice = bins.slice AND bb.bin = bins.bin
+                        LEFT JOIN cb ON cb.slice = bins.slice AND cb.bin = bins.bin),
+        t AS (SELECT slice, SUM(n_b) AS tb, SUM(n_q) AS tq FROM j GROUP BY 1),
+        contrib AS (
+          SELECT j.slice,
+                 (CAST(n_b AS DOUBLE) + 0.5) / (t.tb + 5.0) AS p,
+                 (CAST(n_q AS DOUBLE) + 0.5) / (t.tq + 5.0) AS q
+          FROM j JOIN t ON t.slice = j.slice)
+        SELECT 'l_extendedprice' AS feature, contrib.slice,
+               (SELECT CAST(tb AS BIGINT) FROM t WHERE t.slice = contrib.slice) AS n_base,
+               (SELECT CAST(tq AS BIGINT) FROM t WHERE t.slice = contrib.slice) AS n_cur,
+               CAST(SUM(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi,
+               CAST(SUM(CAST(round(p * ln(p / ((p + q) / 2.0)) / 2.0 +
+                                   q * ln(q / ((p + q) / 2.0)) / 2.0, 9)
+                        AS DECIMAL(28,9))) AS DOUBLE) AS js_div
+        FROM contrib
+        GROUP BY contrib.slice""")),
+
     // Schema evolution diff: a reference schema inferred on a
     // RESTRICTED baseline (prices < 200k, no '5-LOW', with the date
     // column) vs a candidate inferred on the full batch with

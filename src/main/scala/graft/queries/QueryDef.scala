@@ -28,22 +28,28 @@ object QueryDef {
   private val exitDeletes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // ONE shutdown hook iterating the set — a hook thread per registered
+  // path would grow the JVM's hook table linearly with scratch dirs
+  // and run them all concurrently at exit.
+  private lazy val exitHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      exitDeletes.forEach(p => rm(new java.io.File(p)))
+    }))
+  }
+
   /** Register `path` for recursive deletion at JVM exit and return it.
     * ApplicationId-suffixed scratch dirs de-race concurrent harness
     * runs but by the same token can never be reused/overwritten by a
     * later run — without this hook every run leaks its suffix-unique
     * directory into java.io.tmpdir forever. Idempotent per path. */
   def deleteOnExit(path: String): String = {
-    if (exitDeletes.add(path)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(path))
-      }))
-    }
+    exitHook
+    exitDeletes.add(path)
     path
   }
 }

@@ -154,8 +154,9 @@ object Runner {
       }
     val out = df.schema.fields.toSeq.flatMap(f =>
       // backquoted: a pre-existing dotted top-level name must resolve
-      // as one column, not a struct path
-      leaves(col(s"`${f.name}`"), f.name, f.dataType))
+      // as one column, not a struct path; embedded backquotes escape by
+      // doubling, else the quoted ref itself is malformed
+      leaves(col(s"`${f.name.replace("`", "``")}`"), f.name, f.dataType))
     val dup = out.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
     require(dup.isEmpty,
       s"flattenStructs: dotted leaf name collision: ${dup.mkString(", ")}")

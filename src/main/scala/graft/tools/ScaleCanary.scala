@@ -81,8 +81,11 @@ object Amplify {
   }
 
   def embeddings(df: DataFrame, k: Int): DataFrame = {
+    // Rotation by __rep < k positions needs k − 1 < dim, or the slice
+    // length goes non-positive and fails with an opaque runtime error
+    // — fail fast like documents() does (testdata dim is 64 >> k).
+    require(k <= 64, s"Amplify.embeddings: rotation supports k <= dim (64), got $k")
     val e = col("embedding")
-    // Rotation by __rep < k positions; testdata dim is 64 >> k.
     val rotatedVec = when(col("__rep") === 0, e).otherwise(concat(
       slice(e, col("__rep") + 1, size(e) - col("__rep")),
       slice(e, lit(1), col("__rep"))))

@@ -776,7 +776,56 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     val e = intercept[IllegalArgumentException] {
       FeatureStats.fitDriftSliced(df, "v", "s", nBins = 4, maxSlices = 100)
     }
+    // "exceeds" is the LIMIT-capped branch's message: the collect was
+    // bounded at maxSlices*nBins+1 rows and overflow detected from the
+    // cap being hit — the driver never materialized the 500-slice
+    // frame (an ID-like slice column over 100 TB would OOM it).
+    e.getMessage should include ("exceeds")
     e.getMessage should include ("low-cardinality")
+  }
+
+  test("scoreDriftSlicedQuantile: per-slice PSI equals scoreDriftQuantile on each slice's own rows") {
+    import spark.implicits._
+    val base = (1 to 900).map { i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", (i % 100).toDouble)
+    }.toDF("s", "v")
+    val cur = (1 to 600).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) (i % 100).toDouble + 80.0 else (i % 100).toDouble)
+    }.toDF("s", "v")
+    val model = FeatureStats.fitDriftSlicedQuantile(
+      base, "v", "s", nBins = 10, exact = true)
+    model.baseCounts.keySet shouldBe Set("a", "b", "c")
+    // edges are GLOBAL (fit on the full baseline): identical to the
+    // unsliced fit's, so sliced PSI is comparable across slices
+    model.edges shouldBe FeatureStats.fitDriftQuantile(
+      base, "v", nBins = 10, exact = true).edges
+    val out = FeatureStats.scoreDriftSlicedQuantile(model, cur).collect()
+      .map(r => r.getString(1) -> r).toMap
+    out.keySet shouldBe Set("a", "b", "c")
+    Seq("a", "b", "c").foreach { sl =>
+      val single = FeatureStats.QuantileDriftModel(
+        "v", model.edges, model.baseCounts(sl))
+      val expect = FeatureStats.scoreDriftQuantile(single, cur.filter(cur("s") === sl))
+        .head()
+      val got = out(sl)
+      got.getAs[Long]("n_base") shouldBe single.nBase
+      got.getAs[Double]("psi") shouldBe expect.getAs[Double]("psi") +- 1e-15
+      got.getAs[Double]("js_div") shouldBe expect.getAs[Double]("js_div") +- 1e-15
+    }
+    out("a").getAs[Double]("psi") should be > 0.25
+    out("b").getAs[Double]("psi") should be < 0.05
+    out("c").getAs[Long]("n_cur") shouldBe 0L
+  }
+
+  test("fitDriftSlicedQuantile fails fast on a high-cardinality slice column") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toString, i.toDouble)).toDF("s", "v")
+    val e = intercept[IllegalArgumentException] {
+      FeatureStats.fitDriftSlicedQuantile(
+        df, "v", "s", nBins = 4, maxSlices = 100, exact = true)
+    }
+    e.getMessage should include ("exceeds")
   }
 
   test("driftSlicedStream: per-batch slice rows equal scoreDriftSliced; a silent slice keeps alarming") {
