@@ -528,6 +528,72 @@ object FeatureStoreQueries {
                CAST(o_totalprice * 2 AS FLOAT) AS amt1
         FROM orders WHERE o_orderkey <= 500""")),
 
+    // Map-feature extension (§7.6): map<string, primitive> columns
+    // flatten into dotted-name leaf features at encode time
+    // (Runner.flattenMaps — key discovery is one capped distinct scan,
+    // since map keys are DATA, not schema). Exercises: a two-key
+    // double map, a NULL map (leaves become present-but-empty
+    // features), and per-row PARTIAL key coverage (each row carries
+    // exactly one of 'even'/'odd'; the other leaf is empty). The hash
+    // match proves discovery + projection + encoder against a DuckDB
+    // mirror that builds and extracts the same maps with ITS map
+    // functions (extraction yields a list; [1] takes the scalar, empty
+    // list -> NULL).
+    QueryDef(
+      "tfexample_map",
+      (s, dir) => {
+        val src = table(s, dir, "orders").filter(col("o_orderkey") <= 500)
+          .select(
+            col("o_orderkey"),
+            map(lit("price"), col("o_totalprice").cast("double"),
+              lit("x2"), (col("o_totalprice") * 2).cast("double")).as("m"),
+            when(col("o_orderkey") % 7 === 0,
+              lit(null).cast("map<string,bigint>"))
+              .otherwise(map(lit("cust"), col("o_custkey"))).as("opt"),
+            when(col("o_orderkey") % 2 === 0,
+              map(lit("even"), col("o_orderkey")))
+              .otherwise(map(lit("odd"), col("o_orderkey"))).as("po"))
+        val out = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("price_f32", FloatType),
+          StructField("x2_f32", FloatType),
+          StructField("cust", LongType, nullable = true),
+          StructField("even", LongType, nullable = true),
+          StructField("odd", LongType, nullable = true)))
+        val enc = org.apache.spark.sql.Encoders.row(out)
+        graft.run.Runner.encode(src).mapPartitions { it =>
+          it.map { bytes =>
+            val m = TfExample.decode(bytes)
+            val TfExample.Int64s(Seq(k)) = m("o_orderkey")
+            val TfExample.Floats(Seq(p)) = m("m.price")
+            val TfExample.Floats(Seq(x2)) = m("m.x2")
+            def optL(name: String): java.lang.Long = m(name) match {
+              case TfExample.Int64s(Seq(v)) => v
+              case _ => null // NULL map / absent key -> Empty feature
+            }
+            org.apache.spark.sql.Row(
+              k, p, x2, optL("opt.cust"), optL("po.even"), optL("po.odd"))
+          }
+        }(enc)
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey,
+                 MAP(['price','x2'], [CAST(o_totalprice AS DOUBLE),
+                                      CAST(o_totalprice * 2 AS DOUBLE)]) AS m,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE MAP(['cust'], [o_custkey]) END AS opt,
+                 CASE WHEN o_orderkey % 2 = 0 THEN MAP(['even'], [o_orderkey])
+                      ELSE MAP(['odd'], [o_orderkey]) END AS po
+          FROM orders WHERE o_orderkey <= 500)
+        SELECT o_orderkey,
+               CAST(m['price'][1] AS FLOAT) AS price_f32,
+               CAST(m['x2'][1] AS FLOAT) AS x2_f32,
+               opt['cust'][1] AS cust,
+               po['even'][1] AS even,
+               po['odd'][1] AS odd
+        FROM src""")),
+
     // Forward as-of join (label construction): for each purchase event,
     // the FIRST event by the same user strictly within the next 48 h.
     // The backward PIT join answers "what was known at t"; this answers

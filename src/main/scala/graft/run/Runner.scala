@@ -163,11 +163,80 @@ object Runner {
     df.select(out.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Flatten `map<string, primitive-or-array>` columns into dotted-name
+    * leaf columns so map-valued features become encodable tf.Example
+    * features — the last encoder type gap a Feast user hits (the
+    * reference maps such types to a runtime error, `converters.py:50-53`
+    * via the tfx type table; SURVEY §1.2). Unlike struct fields, map
+    * keys are DATA: one key-discovery job (a single scan, distinct onto
+    * the (column, key) space, LIMIT-capped at `maxKeys`+1 so an ID-like
+    * key space fails fast without a corpus-sized collect — the
+    * fitDriftSliced guard pattern) fixes the leaf schema; then one
+    * codegen projection emits `name.key` = `element_at(name, key)`:
+    *   - a key absent from a row's map → NULL leaf (present-but-empty
+    *     feature, the NULL-primitive convention)
+    *   - NULL map                     → every leaf NULL
+    *   - a map column empty/NULL in EVERY row contributes no leaves
+    *     (there is no key set to name features after)
+    * Non-STRING keys and nested map/struct values still fail with a
+    * clear error — flattening only rewrites what tf.Example CAN carry
+    * (decimal values keep the encoder's own clear error). No-op
+    * (zero extra jobs, reference-identical plan) when no map columns
+    * exist. */
+  def flattenMaps(df: DataFrame, maxKeys: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.{types => T}
+    def q(name: String): org.apache.spark.sql.Column =
+      col(s"`${name.replace("`", "``")}`")
+    val mapCols = df.schema.fields.filter(_.dataType.isInstanceOf[T.MapType]).toSeq
+    if (mapCols.isEmpty) return df
+    mapCols.foreach { f =>
+      val mt = f.dataType.asInstanceOf[T.MapType]
+      require(mt.keyType == T.StringType,
+        s"flattenMaps: column '${f.name}': map keys must be STRING " +
+          s"(feature names), got ${mt.keyType.simpleString}")
+      def flat(dt: T.DataType): Boolean = dt match {
+        case _: T.MapType | _: T.StructType => false
+        case T.ArrayType(e, _) => flat(e)
+        case _ => true
+      }
+      require(flat(mt.valueType),
+        s"flattenMaps: column '${f.name}': map values of type " +
+          s"${mt.valueType.simpleString} are not representable as " +
+          "tf.train.Feature (need a primitive or array of primitives)")
+    }
+    // ONE key-discovery scan for all map columns: (column, key) pairs
+    // distinct'd (map-side combined), capped before the collect.
+    val cap = maxKeys + 1
+    val pairs = df
+      .select(explode(flatten(array(mapCols.map(f =>
+        transform(coalesce(map_keys(q(f.name)), array()),
+          k => struct(lit(f.name).as("c"), k.as("k")))): _*))).as("ck"))
+      .select(col("ck.c").as("c"), col("ck.k").as("k"))
+      .filter(col("k").isNotNull)
+      .distinct()
+      .limit(cap)
+      .collect()
+    require(pairs.length < cap,
+      s"flattenMaps: map columns carry more than $maxKeys distinct keys " +
+        "in total — map features need a bounded, dimension-like key set")
+    val keysByCol = pairs.groupBy(_.getString(0))
+      .map { case (c, rs) => c -> rs.map(_.getString(1)).sorted.toSeq }
+    val out = df.schema.fields.toSeq.flatMap { f =>
+      if (!f.dataType.isInstanceOf[T.MapType]) Seq(f.name -> q(f.name))
+      else keysByCol.getOrElse(f.name, Seq.empty).map(k =>
+        s"${f.name}.$k" -> element_at(q(f.name), k))
+    }
+    val dup = out.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty,
+      s"flattenMaps: dotted leaf name collision: ${dup.mkString(", ")}")
+    df.select(out.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** Encode rows → serialized payload bytes in the job's format.
-    * Struct-valued columns are flattened to dotted-name features first
-    * (see [[flattenStructs]]). */
+    * Struct- and map-valued columns are flattened to dotted-name
+    * features first (see [[flattenStructs]], [[flattenMaps]]). */
   def encode(df: DataFrame, format: OutputFormat = TfExampleFormat): Dataset[Array[Byte]] = {
-    val flat = flattenStructs(df)
+    val flat = flattenMaps(flattenStructs(df))
     val schema = flat.schema
     val enc = format.encoder
     flat.mapPartitions(rows => rows.map(enc.encode(schema, _)))(

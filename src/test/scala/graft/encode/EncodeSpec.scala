@@ -100,10 +100,12 @@ class TfExampleEncoderSpec extends SparkSpec {
   }
 }
 
-/** Struct flattening at the encode boundary (Runner.flattenStructs +
-  * Runner.encode): depth ≥ 2, NULL inner structs, array<struct>
-  * parallel lists, collision detection, and the preserved clear-error
-  * path for maps. */
+/** Struct and map flattening at the encode boundary
+  * (Runner.flattenStructs + Runner.flattenMaps + Runner.encode):
+  * depth ≥ 2, NULL inner structs, array<struct> parallel lists,
+  * data-driven map-key discovery (NULL maps, partial keys, the
+  * maxKeys cap), collision detection, and the preserved clear-error
+  * paths (non-string keys, nested map values, decimal values). */
 class FlattenStructsSpec extends SparkSpec
     with org.scalatest.matchers.should.Matchers {
   import org.apache.spark.sql.functions._
@@ -165,17 +167,76 @@ class FlattenStructsSpec extends SparkSpec
     e.getMessage should include ("a.b")
   }
 
-  test("map inside a struct still hits the encoder's clear error") {
+  test("map inside a struct flattens through both passes to dotted leaves") {
     import spark.implicits._
     val df = Seq((1L, Map("k" -> 2L))).toDF("id", "m")
       .select(col("id"), struct(col("m").as("inner")).as("st"))
-    val e = intercept[Exception](Runner.encode(df).collect())
-    e.getMessage should include ("not representable")
+    val m = firstExample(df)
+    m("st.inner.k") shouldBe Int64s(Seq(2L))
   }
 
   test("struct-free frames pass through flattenStructs unchanged") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("id", "s")
     Runner.flattenStructs(df) should be theSameInstanceAs df
+  }
+
+  test("map<string,primitive> flattens to discovered dotted keys; NULL maps and absent keys go Empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Map("a" -> 10L, "b" -> 20L)),
+      (2L, Map("b" -> 30L)),           // 'a' absent for this row
+      (3L, null.asInstanceOf[Map[String, Long]])) // NULL map
+      .toDF("id", "m")
+    val flat = Runner.flattenMaps(df)
+    flat.columns.toSeq shouldBe Seq("id", "m.a", "m.b") // keys sorted
+    val rows = Runner.encode(df).collect().map(TfExample.decode)
+      .map(m => m("id") -> m).toMap
+    rows(Int64s(Seq(1L)))("m.a") shouldBe Int64s(Seq(10L))
+    rows(Int64s(Seq(1L)))("m.b") shouldBe Int64s(Seq(20L))
+    rows(Int64s(Seq(2L)))("m.a") shouldBe Empty
+    rows(Int64s(Seq(2L)))("m.b") shouldBe Int64s(Seq(30L))
+    rows(Int64s(Seq(3L))).keySet should contain allOf ("m.a", "m.b")
+    rows(Int64s(Seq(3L)))("m.a") shouldBe Empty
+    rows(Int64s(Seq(3L)))("m.b") shouldBe Empty
+  }
+
+  test("flattenMaps: a key colliding with an existing column fails fast") {
+    import spark.implicits._
+    val df = Seq((1L, Map("b" -> 2L))).toDF("a.b", "a")
+    val e = intercept[IllegalArgumentException](Runner.flattenMaps(df))
+    e.getMessage should include ("a.b")
+  }
+
+  test("flattenMaps: non-string keys and nested map values keep clear errors") {
+    import spark.implicits._
+    val intKeys = Seq((1L, Map(1 -> 2L))).toDF("id", "m")
+    intercept[IllegalArgumentException](Runner.flattenMaps(intKeys))
+      .getMessage should include ("must be STRING")
+    val nested = Seq((1L, Map("k" -> Map("x" -> 1L)))).toDF("id", "m")
+    intercept[IllegalArgumentException](Runner.flattenMaps(nested))
+      .getMessage should include ("not representable")
+  }
+
+  test("flattenMaps: an unbounded (ID-like) key space fails fast at the cap") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, Map(s"k$i" -> i.toLong))).toDF("id", "m")
+    val e = intercept[IllegalArgumentException](Runner.flattenMaps(df, maxKeys = 10))
+    e.getMessage should include ("bounded")
+  }
+
+  test("flattenMaps: decimal map values keep the encoder's clear error") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("id")
+      .select(col("id"),
+        map(lit("d"), col("id").cast("decimal(10,2)")).as("m"))
+    val e = intercept[Exception](Runner.encode(df).collect())
+    e.getMessage should include ("not representable")
+  }
+
+  test("map-free frames pass through flattenMaps unchanged") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "s")
+    Runner.flattenMaps(df) should be theSameInstanceAs df
   }
 }
