@@ -79,13 +79,30 @@ object PointInTimeJoin {
     * @param rowIdCol a column of `entity` that is already unique per row
     *                 (used as the stitch key and kept in the output);
     *                 when None a synthetic id is generated and dropped
+    * @param spineScratchDir when a synthetic id must be materialized,
+    *                 write the id-stamped spine HERE as parquet and
+    *                 read it back, instead of localCheckpoint. This is
+    *                 a DURABILITY trade, not a speed one:
+    *                 localCheckpoint blocks are non-replicated, so on
+    *                 a 1000-executor cluster ANY executor loss kills
+    *                 the job mid-flight, while scratch parquet on the
+    *                 job's storage survives it — but it pays a full
+    *                 codec write plus one read per consumer (measured
+    *                 ~2× slower end-to-end than localCheckpoint on a
+    *                 1.4 GB padded spine with ample RAM, SCALE.md
+    *                 round 9). Prefer `rowIdCol` over either: a
+    *                 natural key skips the materialization entirely
+    *                 (same measurement: 2.5× faster than the
+    *                 checkpoint path at 10×). Ignored when `rowIdCol`
+    *                 is set.
     */
   def join(
       entity: DataFrame,
       entityTs: String,
       views: Seq[ResolvedView],
       strategy: DedupStrategy = MaxByAgg,
-      rowIdCol: Option[String] = None): DataFrame = {
+      rowIdCol: Option[String] = None,
+      spineScratchDir: Option[String] = None): DataFrame = {
     require(views.nonEmpty, "at least one feature view required")
 
     val spine = rowIdCol match {
@@ -97,12 +114,19 @@ object PointInTimeJoin {
         // partition layout and the spine subtree would otherwise
         // re-execute once per consumer — shuffle fetch order can
         // reorder rows between executions and silently reassign ids
-        // (misjoined features at cluster scale). localCheckpoint
-        // materializes the ids once and every consumer reads the
-        // stored partitions, which also removes the V+1 recomputes of
-        // the upstream entity scan. Callers with a natural unique key
-        // should pass rowIdCol and skip the materialization.
-        entity.withColumn(RowId, monotonically_increasing_id()).localCheckpoint(true)
+        // (misjoined features at cluster scale). Materializing the ids
+        // once lets every consumer read stored partitions, which also
+        // removes the V+1 recomputes of the upstream entity scan.
+        // Callers with a natural unique key should pass rowIdCol and
+        // skip the materialization entirely.
+        val withId = entity.withColumn(RowId, monotonically_increasing_id())
+        spineScratchDir match {
+          case Some(dir) =>
+            val p = s"$dir/__graft_spine_${java.util.UUID.randomUUID()}"
+            withId.write.mode("overwrite").parquet(p)
+            entity.sparkSession.read.parquet(p)
+          case None => withId.localCheckpoint(true)
+        }
     }
     // Bounded-scan pruning: one tiny job, two values on the driver
     // (reads the checkpointed spine when one was just materialized).

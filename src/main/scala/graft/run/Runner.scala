@@ -42,7 +42,8 @@ final case class JobConfig(
     span: Long = 0,
     artifactVersion: Long = 0,
     transforms: Seq[Transforms.TransformSpec] = Nil,
-    entityRowId: Option[String] = None)
+    entityRowId: Option[String] = None,
+    spineScratchDir: Option[String] = None)
 
 /** Payload-format dispatch — total, unlike the reference's C5 dispatch
   * (`executor.py:141-153`) whose SequenceExample branch raised. */
@@ -113,9 +114,12 @@ object Runner {
     // Entity-side join keys: by convention the entity SQL exposes
     // columns named like the view's entity keys.
     // A natural unique entity key (entityRowId) lets the join skip the
-    // synthetic-id spine materialization — at 100 TB that checkpoint
-    // write/read is the cost of not having one.
-    PointInTimeJoin.join(entity, job.entityTs, views, rowIdCol = job.entityRowId)
+    // synthetic-id spine materialization — at 100 TB that
+    // materialization is the cost of not having one. Without a natural
+    // key, spineScratchDir trades localCheckpoint's block-manager rows
+    // for compressed, durable scratch parquet (see PointInTimeJoin).
+    PointInTimeJoin.join(entity, job.entityTs, views,
+      rowIdCol = job.entityRowId, spineScratchDir = job.spineScratchDir)
   }
 
   /** Flatten STRUCT columns into dotted-name leaf columns so nested

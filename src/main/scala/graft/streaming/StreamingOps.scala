@@ -326,6 +326,18 @@ object StreamingOps {
       sink(graft.ops.FeatureStats.scoreDriftSliced(model, batch), batchId)
     }
 
+  /** [[driftSlicedStream]] with equal-mass (quantile-bucket) bins —
+    * the sliced×quantile corner of the monitor matrix. Same stateless
+    * foreachBatch shape, same empty-batch absence-alarm semantics;
+    * per-batch rows equal `scoreDriftSlicedQuantile(model, batchDf)`
+    * (shared code path). */
+  def driftSlicedQuantileStream(
+      df: DataFrame, model: graft.ops.FeatureStats.SlicedQuantileDriftModel)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.FeatureStats.scoreDriftSlicedQuantile(model, batch), batchId)
+    }
+
   /** Streaming schema-validation monitor: every micro-batch runs the
     * ExampleValidator pass against pre-collected
     * [[graft.ops.FeatureStats.ColumnSpec]] expectations (collect the

@@ -38,17 +38,35 @@ object Amplify {
   private val upper = lower.toUpperCase
   private val digits = "0123456789"
 
-  private def rot(s: String, by: Int): String = {
-    val n = ((by % s.length) + s.length) % s.length
-    s.drop(n) + s.take(n)
+  private def affine(alpha: String, a: Int, b: Int): String = {
+    val n = alpha.length
+    (0 until n).map(i => alpha((a * i + b) % n)).mkString
   }
 
-  /** Per-replica substitution alphabet: lower/upper rotate by 7r mod
-    * 26, digits by 3r mod 10 — nonzero and pairwise distinct for every
-    * r in 1..9, and case-parallel so lowercasing in downstream text
-    * normalization cannot re-collide two replicas. */
-  private[tools] def rotated(r: Int): String =
-    rot(lower, r * 7) + rot(upper, r * 7) + rot(digits, r * 3)
+  /** Distinct-permutation bound for the substitution family below:
+    * digits run out of distinct (a, b) affine pairs first, at
+    * 4 units × 10 offsets. */
+  private[tools] val MaxReplicas = 40
+
+  /** Per-replica substitution alphabet: case-parallel AFFINE character
+    * maps i → a·i + b (mod |alphabet|) on each alphabet, replica 0 the
+    * identity. Rotations alone (a = 1) are pairwise-distinct only up
+    * to the alphabet size — the old digit bound of 10 replicas; with
+    * the multiplier cycling through units of the modulus the (a, b)
+    * pairs stay distinct through [[MaxReplicas]]. Two distinct affine
+    * maps agree on at most gcd(a_r − a_s, n) characters, so a
+    * cross-replica 3-shingle collision needs all three characters in
+    * that set — a ≲(2/26)³ sliver, preserving the disjoint-vocabulary
+    * linearity argument through the second decade. Case-parallel so
+    * lowercasing in downstream text normalization cannot re-collide
+    * two replicas. */
+  private[tools] def substituted(r: Int): String = {
+    val la = Seq(1, 3, 5, 7)((r / 26) % 4)
+    val lb = (r * 7) % 26
+    val da = Seq(1, 3, 7, 9)((r / 10) % 4)
+    val db = r % 10
+    affine(lower, la, lb) + affine(upper, la, lb) + affine(digits, da, db)
+  }
 
   private val matching = lower + upper + digits
 
@@ -63,16 +81,16 @@ object Amplify {
   private def rotateText(text: Column, rep: Column, k: Int): Column =
     (1 until k)
       .foldLeft(when(rep === 0, text)) { (acc, r) =>
-        acc.when(rep === r, translate(text, matching, rotated(r)))
+        acc.when(rep === r, translate(text, matching, substituted(r)))
       }
       .otherwise(text)
 
   def documents(df: DataFrame, k: Int, rotate: Boolean): DataFrame = {
-    // Rotation distinctness holds for replicas 1..9 (digit rotation
-    // 3r mod 10 returns to identity at r = 10) — past that, replicas
-    // would silently share shingles and the linearity argument breaks.
-    require(!rotate || k <= 10,
-      s"Amplify.documents: rotation supports k <= 10, got $k")
+    // Substitution distinctness holds through MaxReplicas (the affine
+    // (a, b) pair space) — past that, replicas would silently share
+    // shingles and the linearity argument breaks.
+    require(!rotate || k <= MaxReplicas,
+      s"Amplify.documents: substitution supports k <= $MaxReplicas, got $k")
     withRep(df.select("doc_id", "text", "lang", "source"), k).select(
       (col("doc_id") + col("__rep") * IdOffset).as("doc_id"),
       (if (rotate) rotateText(col("text"), col("__rep"), k) else col("text"))

@@ -171,6 +171,32 @@ class PointInTimeJoinSpec extends SparkSpec {
     assert(natural.exceptAll(synth).isEmpty && synth.exceptAll(natural).isEmpty)
   }
 
+  test("scratch-parquet spine: identical results, spine read from scratch, one write-out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spine-spec").toString
+    val viaCheckpoint = PointInTimeJoin.join(
+      entity, "event_ts", Seq(view(Some(30L * 86400))))
+    val viaScratch = PointInTimeJoin.join(
+      entity, "event_ts", Seq(view(Some(30L * 86400))),
+      spineScratchDir = Some(dir))
+    // identical rows (synthetic ids are internal either way)
+    assert(viaScratch.exceptAll(viaCheckpoint).isEmpty &&
+      viaCheckpoint.exceptAll(viaScratch).isEmpty)
+    // the spine was written once under the scratch dir and every
+    // consumer scans it back as parquet (no checkpointed-RDD scan)
+    val spines = new java.io.File(dir).listFiles()
+    assert(spines != null && spines.count(_.getName.startsWith("__graft_spine_")) == 1)
+    val p = viaScratch.queryExecution.executedPlan.toString
+    withClue(p.take(2000)) {
+      assert(p.contains("__graft_spine_"))
+      assert(!p.contains("ExistingRDD"))
+    }
+    // ignored when a natural key is present: nothing new written
+    PointInTimeJoin.join(entity, "event_ts", Seq(view(None)),
+      rowIdCol = Some("eid"), spineScratchDir = Some(dir)).count()
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("__graft_spine_")) == 1)
+  }
+
   test("empty entity spine yields empty result with full schema") {
     val out = PointInTimeJoin.join(
       entity.filter($"eid" < 0), "event_ts", Seq(view(None)), rowIdCol = Some("eid"))

@@ -882,6 +882,37 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     } finally q.stop()
   }
 
+  test("driftSlicedQuantileStream: per-batch slice rows equal scoreDriftSlicedQuantile; silent slice keeps alarming") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = (1 to 600).map(i =>
+      (if (i % 2 == 0) "a" else "b", ((i * 53) % 701).toDouble)).toDF("s", "v")
+    val model = FeatureStats.fitDriftSlicedQuantile(
+      base, "v", "s", nBins = 8, exact = true)
+    val batches = Seq(
+      Seq(("a", 10.0), ("b", 200.0), ("a", 300.0)),
+      Seq(("a", 5.0), ("a", 450.0))) // slice 'b' goes silent
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Row])]
+    val stream = MemoryStream[(String, Double)]
+    val q = graft.streaming.StreamingOps.driftSlicedQuantileStream(
+      stream.toDF().toDF("s", "v"), model) { (rows, id) =>
+      got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = FeatureStats.scoreDriftSlicedQuantile(
+          model, rows.toDF("s", "v")).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      val last = got.sortBy(_._1).last._2
+        .map(r => r.getString(1) -> r.getAs[Long]("n_cur")).toMap
+      last("b") shouldBe 0L
+    } finally q.stop()
+  }
+
   test("categoricalDrift: hand-computed L-infinity, value-space union, deterministic example") {
     import spark.implicits._
     val base = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")).toDF("v")

@@ -52,6 +52,35 @@ class ScaleCanarySpec extends SparkSpec with Matchers {
     collisions.toDouble / total.toDouble should be < 0.01
   }
 
+  test("substitution alphabets: permutations, identity at 0, pairwise distinct through MaxReplicas") {
+    val matching = ('a' to 'z').mkString + ('A' to 'Z').mkString + ('0' to '9').mkString
+    val alphas = (0 until Amplify.MaxReplicas).map(Amplify.substituted)
+    alphas.head shouldBe matching // replica 0 = identity
+    alphas.distinct.size shouldBe Amplify.MaxReplicas
+    alphas.foreach(_.sorted shouldBe matching.sorted) // true permutations
+    // case-parallel: the upper block is the lower block uppercased
+    alphas.foreach(a => a.slice(26, 52) shouldBe a.take(26).toUpperCase)
+  }
+
+  test("documents substitution stays shingle-disjoint in the second decade (k = 12)") {
+    val amp = Amplify.documents(docs.limit(120), 12, rotate = true)
+      .withColumn("rep", (col("doc_id") / Amplify.IdOffset).cast("int"))
+    val shingles = amp.select(col("rep"),
+        explode(expr(
+          """transform(
+               sequence(1, greatest(size(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) - 2, 0)),
+               i -> concat_ws(' ',
+                 slice(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), i, 3)))"""))
+          .as("sh"))
+      .distinct()
+    val collisions = shingles.groupBy("sh")
+      .agg(countDistinct("rep").as("nrep"))
+      .filter(col("nrep") > 1)
+      .count()
+    val total = shingles.select("sh").distinct().count()
+    collisions.toDouble / total.toDouble should be < 0.01
+  }
+
   test("embeddings: rotation preserves norms exactly, ids disjoint, replica 0 verbatim") {
     val base = graft.sources.ParquetTables
       .load(spark, sf() + "/embeddings.parquet")
