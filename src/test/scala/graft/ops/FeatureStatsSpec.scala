@@ -632,6 +632,36 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     math.abs(pe - ps) should be < 0.15 * math.max(pe, ps)
   }
 
+  test("fitDriftSlicedQuantile: KLL-sketch fit agrees with the exact fit within rank tolerance") {
+    import spark.implicits._
+    val base = (1 to 5000).map(i =>
+      (if (i % 2 == 0) "a" else "b", ((i * 131) % 9973).toDouble)).toDF("s", "v")
+    val exact = FeatureStats.fitDriftSlicedQuantile(
+      base, "v", "s", nBins = 10, exact = true)
+    val sketch = FeatureStats.fitDriftSlicedQuantile(
+      base, "v", "s", nBins = 10, exact = false)
+    // edges are GLOBAL either way (shared fitQuantileEdges) — the
+    // sketch's differ from exact only by KLL rank error
+    exact.edges.zip(sketch.edges).foreach { case (e, s) =>
+      math.abs(e - s) should be < 9973.0 * 0.05
+    }
+    // per-slice masses are exact counts against whichever edges were
+    // fit, so they always sum to the slice populations
+    Seq(exact, sketch).foreach { m =>
+      m.baseCounts("a").sum shouldBe 2500L
+      m.baseCounts("b").sum shouldBe 2500L
+    }
+    val cur = (1 to 5000).map(i =>
+      (if (i % 2 == 0) "a" else "b", ((i * 131) % 9973).toDouble * 0.5)).toDF("s", "v")
+    val pe = FeatureStats.scoreDriftSlicedQuantile(exact, cur).collect()
+      .map(r => r.getString(1) -> r.getAs[Double]("psi")).toMap
+    val ps = FeatureStats.scoreDriftSlicedQuantile(sketch, cur).collect()
+      .map(r => r.getString(1) -> r.getAs[Double]("psi")).toMap
+    Seq("a", "b").foreach { sl =>
+      math.abs(pe(sl) - ps(sl)) should be < 0.15 * math.max(pe(sl), ps(sl))
+    }
+  }
+
   test("fitDriftQuantile degenerate cases: constant column and all-NULL baseline") {
     import spark.implicits._
     val const = Seq.fill(100)(7.0).toDF("v")
