@@ -628,36 +628,86 @@ object Similarity {
       refine: Int = 0, queryPred: Option[Column] = None,
       prebuilt: Option[AnnIndex] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
-    val refineN = if (refine > 0) refine else math.max(4 * k, 32)
     // NULL vectors: unsearchable, and the fit's driver-side collects
     // would NPE on them — excluded from index and queries alike.
     val base = OpsUtil.widen(df)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
       .localCheckpoint(false)
-    val AnnIndex(cents, books) = prebuilt.getOrElse(
+    val index = prebuilt.getOrElse(
       fitIndexPrepared(base, nCentroids, m, kSub, iters))
-    val kFit = cents.length
-    val probeN = math.min(nProbe, kFit)
+    searchEncodedPrepared(base, encodeCorpusPrepared(base, index), df,
+      idCol, index, k, nProbe, refine, queryPred)
+  }
+
+  /** Encode a corpus against a FIXED [[AnnIndex]] into the searchable
+    * inverted-index table (cid, neighbor_id, pq_codes, est_n) — one
+    * stateless codegen projection per row. Because the index is fixed,
+    * encoding is APPEND-COMPOSABLE: encode(A) ∪ encode(B) equals
+    * encode(A ∪ B) row-for-row (oracle sim_topk_pq_incremental), so
+    * incremental index maintenance is a plain append of each new
+    * batch's encoding — persist as parquet (partitioned by cid at
+    * scale) and never re-touch the existing corpus. `est_n` is the
+    * reconstructed-vector norm from codes alone (subspaces are
+    * orthogonal coordinate blocks: ‖x̂‖² = Σ_j ‖codeword_j‖²) — a
+    * lookup into m tiny literal arrays, no vector access at search
+    * time. */
+  def encodeCorpus(
+      df: DataFrame, idCol: String, vecCol: String,
+      index: AnnIndex): DataFrame =
+    encodeCorpusPrepared(
+      OpsUtil.widen(df)
+        .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull),
+      index)
+
+  private def encodeCorpusPrepared(base: DataFrame, index: AnnIndex): DataFrame = {
+    val AnnIndex(cents, books) = index
     val scored = base.withColumn("scores", centroidScores(col("v"), cents))
-    // Reconstructed-vector norm from codes alone: subspaces are
-    // orthogonal coordinate blocks, so ‖x̂‖² = Σ_j ‖codeword_j‖² — a
-    // lookup into m tiny literal arrays, no vector access.
     val normSqArrs = books.map(b => array(b.map(cw =>
       lit(cw.map(x => x * x).sum)): _*))
     val estNorm = sqrt(books.indices.map { j =>
       element_at(normSqArrs(j), col("pq_codes")(j) + 1)
     }.reduce(_ + _))
-    val index = pqEncode(scored, "v", books)
+    pqEncode(scored, "v", books)
       .withColumn("cid", argmaxIdx(col("scores")))
       .select(col("cid"), col("id").as("neighbor_id"), col("pq_codes"),
         estNorm.as("est_n"))
+  }
+
+  /** Search a PRE-ENCODED corpus table ([[encodeCorpus]] rows — built
+    * in one shot or incrementally appended) with [[ivfpqTopK]]'s exact
+    * plan: probe → ADC-score from codes → shortlist → exact-cosine
+    * refinement. `df` supplies the query vectors and the raw vectors
+    * the refinement stage re-joins by id, so at scale it is the vector
+    * table the corpus was encoded from (including appends). */
+  def searchEncoded(
+      df: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      index: AnnIndex, k: Int, nProbe: Int = 4, refine: Int = 0,
+      queryPred: Option[Column] = None): DataFrame = {
+    val base = OpsUtil.widen(df)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(false)
+    searchEncodedPrepared(base, corpus, df, idCol, index, k, nProbe,
+      refine, queryPred)
+  }
+
+  private def searchEncodedPrepared(
+      base: DataFrame, corpus: DataFrame, origDf: DataFrame, idCol: String,
+      index: AnnIndex, k: Int, nProbe: Int, refine: Int,
+      queryPred: Option[Column]): DataFrame = {
+    val AnnIndex(cents, books) = index
+    val refineN = if (refine > 0) refine else math.max(4 * k, 32)
+    val kFit = cents.length
+    val probeN = math.min(nProbe, kFit)
+    val scored = base.withColumn("scores", centroidScores(col("v"), cents))
     // queryPred restricts the QUERY side only (candidate corpus stays
     // full) — evaluated on the original frame's columns, applied here
     // as a semi-join on the unique id.
     val scoredQ = queryPred.fold(scored) { p =>
       scored.join(
-        OpsUtil.widen(df).filter(p).select(col(idCol).as("id")),
+        OpsUtil.widen(origDf).filter(p).select(col(idCol).as("id")),
         Seq("id"), "left_semi")
     }
     val queries = scoredQ
@@ -668,7 +718,7 @@ object Similarity {
     // vector: the dedup and ranking shuffles then carry 3 narrow
     // columns per candidate, not dim doubles — the PQ payload win
     // applies to every shuffle, not just the bucket join.
-    val cand = queries.join(index, Seq("cid"))
+    val cand = queries.join(corpus, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("est_dot",
         graft.functions.VectorFunctions.adcScore(col("qv"), col("pq_codes"), books))

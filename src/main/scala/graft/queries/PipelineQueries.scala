@@ -1027,6 +1027,43 @@ object PipelineQueries {
         FROM embeddings
         WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10""")),
 
+    // Incremental IVF-PQ index maintenance: under a FIXED index the
+    // encoded-corpus table is append-composable — encode(evens) ∪
+    // encode(odds) must search IDENTICALLY to encode(all) built in one
+    // shot (same probes, same ADC estimates, same refined ranks). The
+    // in-query parity check is exact (exceptAll both ways over the
+    // full ranked results); the oracle pins the sampled query count
+    // via the portable hash and parity at zero. This is the freshness
+    // story at 100 TB: appending a day's embeddings re-touches nothing.
+    QueryDef(
+      "sim_topk_pq_incremental",
+      (s, dir) => {
+        import graft.ops.Similarity
+        val emb = table(s, dir, "embeddings")
+        val idx = Similarity.fitIndex(emb, "vec_id", "embedding",
+          nCentroids = 64, m = 8, kSub = 16)
+        val full = Similarity.encodeCorpus(emb, "vec_id", "embedding", idx)
+        val merged = Similarity.encodeCorpus(
+            emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx)
+          .unionAll(Similarity.encodeCorpus(
+            emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx))
+        val pred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10)
+        val rFull = Similarity.searchEncoded(emb, full, "vec_id", "embedding",
+          idx, k = 5, nProbe = 24, refine = 256, queryPred = pred)
+        val rInc = Similarity.searchEncoded(emb, merged, "vec_id", "embedding",
+          idx, k = 5, nProbe = 24, refine = 256, queryPred = pred)
+        val diff = rFull.exceptAll(rInc).unionAll(rInc.exceptAll(rFull))
+        rFull.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
+          .crossJoin(diff.agg(count(lit(1)).cast("long").as("n_diff")))
+          .select(col("n_queries"), col("n_diff"),
+            (col("n_diff") === 0).as("parity_ok"))
+      },
+      Some("""
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               CAST(0 AS BIGINT) AS n_diff, true AS parity_ok
+        FROM embeddings
+        WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10""")),
+
     QueryDef(
       "multimodal_decode",
       // Feature vector unpacked to scalar columns: the correctness

@@ -353,6 +353,26 @@ object StreamingOps {
       sink(graft.ops.FeatureStats.validateWith(batch, specs), batchId)
     }
 
+  /** Streaming IVF-PQ index MAINTENANCE: each micro-batch of new
+    * vectors is encoded against a FIXED [[graft.ops.Similarity.AnnIndex]]
+    * (a stateless codegen projection — the index rides as plan
+    * literals, nothing re-fits) and handed to the sink for appending
+    * to the persisted corpus table. Append-composability is the
+    * correctness contract: encode(A) ∪ encode(B) == encode(A ∪ B)
+    * row-for-row under a fixed index (oracle sim_topk_pq_incremental),
+    * so the incrementally-maintained corpus searches identically to a
+    * one-shot build. Re-fitting the index (centroid drift) is a
+    * separate batch job that re-encodes — versioning indexes, not
+    * mutating them. */
+  def pqIndexStream(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      index: graft.ops.Similarity.AnnIndex)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Similarity.encodeCorpus(
+        batch.toDF(), idCol, vecCol, index), batchId)
+    }
+
   def nearDupStream(
       docs: DataFrame, idCol: String, textCol: String, baseSigs: DataFrame,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,

@@ -239,4 +239,32 @@ class FlattenStructsSpec extends SparkSpec
     val df = Seq((1L, "x")).toDF("id", "s")
     Runner.flattenMaps(df) should be theSameInstanceAs df
   }
+
+  test("property: random map<string,long> frames survive flattenMaps + the wire") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val keys = Vector("k1", "k2", "k3", "k4", "k5")
+    val rows = (1 to 300).map { i =>
+      val m =
+        if (rng.nextInt(10) == 0) null
+        else keys.filter(_ => rng.nextBoolean()).map(k => k -> rng.nextLong()).toMap
+      (i.toLong, m)
+    }
+    val df = rows.toDF("id", "m")
+    // every key was seen somewhere, so the discovered schema is total
+    Runner.flattenMaps(df).columns.toSeq shouldBe "id" +: keys.map(k => s"m.$k")
+    val decoded = Runner.encode(df).collect().map(TfExample.decode)
+    // one fixed feature-key set across ALL rows (schema, not per-row)
+    decoded.map(_.keySet).distinct.length shouldBe 1
+    val got = decoded.map { ex =>
+      val Int64s(Seq(id)) = ex("id")
+      id -> keys.flatMap(k => ex(s"m.$k") match {
+        case Int64s(Seq(v)) => Some(k -> v)
+        case _ => None // absent key / NULL map -> Empty
+      }).toMap
+    }.toMap
+    rows.foreach { case (id, m) =>
+      got(id) shouldBe (if (m == null) Map.empty[String, Long] else m)
+    }
+  }
 }

@@ -386,4 +386,57 @@ class SimilaritySpec extends SparkSpec with Matchers {
       nCentroids = 6, nProbe = 2, m = 4, kSub = 8, prebuilt = Some(loaded)))
     served shouldBe fresh
   }
+
+  test("encodeCorpus/searchEncoded: append-composable corpus searches identically to one-shot + ivfpqTopK") {
+    val rnd = new scala.util.Random(91)
+    val centers = Array.fill(6, 16)(rnd.nextGaussian() * 5)
+    val df = vecsDf((1L to 400L).map { i =>
+      i -> centers(rnd.nextInt(6)).map(_ + rnd.nextGaussian() * 0.5).toSeq
+    })
+    val idx = Similarity.fitIndex(df, "vec_id", "embedding",
+      nCentroids = 6, m = 4, kSub = 8)
+    val full = Similarity.encodeCorpus(df, "vec_id", "embedding", idx)
+    // append-composability under a fixed index: encode per half, union
+    val merged = Similarity.encodeCorpus(
+        df.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx)
+      .unionAll(Similarity.encodeCorpus(
+        df.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx))
+    def res(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.searchEncoded(df, corpus, "vec_id", "embedding", idx,
+        k = 3, nProbe = 2, refine = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val oneShot = res(full)
+    res(merged) shouldBe oneShot
+    // ...and the composed path equals the monolithic operator
+    val mono = Similarity.ivfpqTopK(df, "vec_id", "embedding", k = 3,
+      nCentroids = 6, nProbe = 2, m = 4, kSub = 8, refine = 32,
+      prebuilt = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    mono shouldBe oneShot
+  }
+
+  test("pqIndexStream: per-batch encodings append to exactly the batch-encoded corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (1L to 200L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+    val df = vecsDf(vecs)
+    val idx = Similarity.fitIndex(df, "vec_id", "embedding",
+      nCentroids = 4, m = 4, kSub = 8)
+    val appended = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingOps.pqIndexStream(
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", idx) {
+      (enc, _) => appended.synchronized { appended ++= enc.collect() }
+    }.start()
+    try {
+      vecs.grouped(50).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val batchTwin = Similarity.encodeCorpus(df, "vec_id", "embedding", idx)
+        .collect().map(_.toString).sorted.toSeq
+      appended.map(_.toString).sorted.toSeq shouldBe batchTwin
+    } finally q.stop()
+  }
 }

@@ -167,6 +167,38 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("driftSlicedQuantileStream soak: 600k (flag, price) rows in 10 batches, stateless, every slice every batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.FeatureStats
+    val rows = spark.read.parquet(sf("sf0.1") + "/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect().toSeq
+    // Equal-mass edges + per-slice masses fit ONCE (KLL mode — the
+    // 100 TB fit); the stream scores against broadcast literals.
+    val model = FeatureStats.fitDriftSlicedQuantile(
+      rows.take(rows.size / 2).toDF("s", "v"), "v", "s", nBins = 10,
+      exact = false)
+    val nSlices = model.baseCounts.size
+    val stream = MemoryStream[(String, Double)]
+    val scored = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.driftSlicedQuantileStream(
+      stream.toDF().toDF("s", "v"), model) { (df, _) =>
+      df.count() shouldBe nSlices.toLong // one row per baseline slice
+      scored.incrementAndGet()
+    }.start()
+    try {
+      rows.grouped(60000).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      scored.get() should be >= 10L
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      soakLine("driftSlicedQuantileStream", rows.size.toLong, log)
+    } finally q.stop()
+  }
+
   test("validateStream soak: 150k orders in 10 batches, stateless, gates always fire-able") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
