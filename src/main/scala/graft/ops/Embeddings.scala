@@ -236,6 +236,40 @@ object Embeddings {
     out.drop("__graft_vd")
   }
 
+  /** PCA WHITENING: [[pcaProject]] with each coordinate scaled by
+    * 1/√λⱼ, so output coordinates have unit variance (and are
+    * decorrelated, as PCA coordinates already are) — the standard
+    * preprocessing for downstream metric learning / k-means, where an
+    * unwhitened dominant axis drowns the rest of the geometry. Same
+    * serving shape: codegen dot products against folded literals
+    * (wⱼ/√λⱼ rides the plan; zero extra work at serve time).
+    * Degenerate axes (λⱼ ≤ `eps`, variance at numerical noise) pass
+    * through UNSCALED rather than exploding by 1/√~0 — the axis
+    * carries no signal to normalize. */
+  def pcaWhiten(
+      df: DataFrame, vecCol: String, model: PcaModel,
+      prefix: String = "wpc", eps: Double = 1e-9): DataFrame = {
+    val vd = col("__graft_vd")
+    val guarded = when(col(vecCol).isNull, lit(null).cast("array<double>"))
+      .when(size(col(vecCol)) === model.dim,
+        transform(col(vecCol), x => x.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"pcaWhiten: expected vector dim ${model.dim}, got "),
+        size(col(vecCol)).cast("string"))))
+    val out = (0 until model.k).foldLeft(df.withColumn("__graft_vd", guarded)) {
+      (d, j) =>
+        val scale =
+          if (model.eigenvalues(j) > eps) 1.0 / math.sqrt(model.eigenvalues(j))
+          else 1.0
+        val w = model.components(j).map(_ * scale)
+        val offset = w.zip(model.mean).map { case (a, b) => a * b }.sum
+        d.withColumn(s"$prefix$j",
+          graft.functions.VectorFunctions.dot(vd, array(w.map(lit(_)): _*)) -
+            lit(offset))
+    }
+    out.drop("__graft_vd")
+  }
+
   /** L2-normalize a vector column into `outCol` (unit-norm embeddings
     * make cosine a plain dot product downstream). Zero vectors pass
     * through as-is. DataFrame-shaped, not a bare Column: the norm must

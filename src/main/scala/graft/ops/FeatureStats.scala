@@ -1327,6 +1327,72 @@ object FeatureStats {
         lit(linfRow.getDouble(1)).as("psi"), col("example_value"))
   }
 
+  /** Per-SLICE categorical drift — [[categoricalDrift]]'s L∞/PSI
+    * applied slice-wise (TFDV sliced statistics, the categorical
+    * companion to [[scoreDriftSliced]]). One row per slice PRESENT IN
+    * THE BASELINE: (feature, slice, n_base, n_cur, n_values, linf,
+    * psi, example_value) with the same per-slice value-space union,
+    * add-half smoothing over that slice's union size, and the
+    * lexicographically-smallest value attaining the max gap. Slices
+    * absent from the batch score against an empty side (q = 0, their
+    * L∞ flags the disappearance); batch slices unknown to the
+    * baseline are dropped — new-category detection is
+    * [[validateWith]]'s job, here as everywhere.
+    *
+    * Scale shape: fully distributed — one map-side-combined hash-agg
+    * per side on (slice, value), a full-outer join of two
+    * slices×values count tables, per-slice totals broadcast back
+    * (bounded by `maxSlices`, guarded WITHOUT driver materialization),
+    * one window pass for the argmax value, one per-slice reduction.
+    * Nothing driver-side at all. */
+  def categoricalDriftSliced(
+      base: DataFrame, cur: DataFrame, c: String, sliceCol: String,
+      maxSlices: Int = 1000): DataFrame = {
+    def counts(d: DataFrame, tag: String): DataFrame =
+      d.filter(col(c).isNotNull && col(sliceCol).isNotNull)
+        .groupBy(col(sliceCol).cast("string").as("slice"),
+          col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as(s"n_$tag"))
+    val joined = counts(base, "b")
+      .join(counts(cur, "q"), Seq("slice", "value"), "full_outer")
+      .select(col("slice"), col("value"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+      .localCheckpoint(false)
+    val totals = joined.groupBy("slice")
+      .agg(sum("n_b").as("tb"), sum("n_q").as("tq"),
+        count(lit(1)).as("n_values"))
+      .filter(col("tb") > 0) // baseline-absent slices: not ours to score
+    // Cardinality guard without materialization: LIMIT-capped count.
+    require(totals.limit(maxSlices + 1).count() <= maxSlices,
+      s"categoricalDriftSliced: '$sliceCol' exceeds $maxSlices slices " +
+        "— a slice column must be a low-cardinality dimension")
+    val withT = joined.join(broadcast(totals), Seq("slice"))
+    val p = col("n_b").cast("double") / col("tb").cast("double")
+    val q = when(col("tq") > 0,
+      col("n_q").cast("double") / col("tq").cast("double")).otherwise(0.0)
+    val gap = abs(p - q)
+    val half = col("n_values").cast("double") * 0.5
+    val ps = (col("n_b").cast("double") + 0.5) / (col("tb").cast("double") + half)
+    val qs = (col("n_q").cast("double") + 0.5) / (col("tq").cast("double") + half)
+    def d9(v: Column): Column = round(v, 9).cast("decimal(28,9)")
+    val w = Window.partitionBy(col("slice"))
+      .orderBy(gap.desc, col("value").asc)
+    withT
+      .withColumn("__gap", gap)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("slice")
+      .agg(
+        first(col("tb")).as("n_base"), first(col("tq")).as("n_cur"),
+        first(col("n_values")).as("n_values"),
+        max(col("__gap")).as("linf"),
+        sum(d9((ps - qs) * log(ps / qs))).cast("double").as("psi"),
+        max(when(col("__rn") === 1, col("value"))).as("example_value"))
+      .select(lit(c).as("feature"), col("slice"), col("n_base"),
+        col("n_cur"), col("n_values"), col("linf"), col("psi"),
+        col("example_value"))
+  }
+
   /** Mergeable QUANTILE profile — the third leg of the incremental
     * profiling story ([[profile]]: exact moments; [[profileDistinct]]:
     * HLL uniques; this: KLL quantile sketches). Per-shard DataSketches

@@ -1047,7 +1047,7 @@ object PipelineQueries {
             emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx)
           .unionAll(Similarity.encodeCorpus(
             emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx))
-        val pred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10)
+        val pred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 5)
         val rFull = Similarity.searchEncoded(emb, full, "vec_id", "embedding",
           idx, k = 5, nProbe = 24, refine = 256, queryPred = pred)
         val rInc = Similarity.searchEncoded(emb, merged, "vec_id", "embedding",
@@ -1062,7 +1062,7 @@ object PipelineQueries {
         SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
                CAST(0 AS BIGINT) AS n_diff, true AS parity_ok
         FROM embeddings
-        WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 10""")),
+        WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 100 < 5""")),
 
     QueryDef(
       "multimodal_decode",

@@ -460,6 +460,39 @@ object QualityQueries {
                true AS orthogonal_to_next,
                true AS eigen_decreasing""")),
 
+    // PCA WHITENING: every output coordinate has UNIT variance (the
+    // 1/√λ scaling folded into the serving literals) and stays
+    // decorrelated, and each wpcⱼ is exactly pcⱼ/√λⱼ (spec-pinned);
+    // the in-query invariant proves the variance contract, the oracle
+    // pins it as literals (ANN-recall style).
+    QueryDef(
+      "embed_whiten",
+      (s, dir) => {
+        import graft.ops.Embeddings
+        val emb = table(s, dir, "embeddings")
+        val m = Embeddings.pcaFit(emb, "embedding", dim = 64, k = 4)
+        val proj = Embeddings.pcaWhiten(
+          emb.filter(col("embedding").isNotNull), "embedding", m)
+        val a = proj.agg(
+          var_pop(col("wpc0")).as("v0"), var_pop(col("wpc1")).as("v1"),
+          var_pop(col("wpc2")).as("v2"), var_pop(col("wpc3")).as("v3"),
+          covar_pop(col("wpc0"), col("wpc1")).as("c01"),
+          covar_pop(col("wpc1"), col("wpc2")).as("c12"),
+          covar_pop(col("wpc2"), col("wpc3")).as("c23"))
+        val rows = (0 until 4).map { j =>
+          val varOk = abs(col(s"v$j") - 1.0) < 1e-6
+          val crossOk =
+            if (j < 3) abs(col(s"c$j${j + 1}")) < 1e-6 else lit(true)
+          struct(lit(j.toLong).as("component"),
+            varOk.as("unit_variance"), crossOk.as("decorrelated"))
+        }
+        a.select(explode(array(rows: _*)).as("r")).select("r.*")
+      },
+      Some("""
+        SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS component,
+               true AS unit_variance,
+               true AS decorrelated""")),
+
     // StatisticsGen over the examplegen output's source table: one
     // aggregation pass, one row per feature (the TFX stage that
     // consumes an example-gen component downstream).
@@ -1051,6 +1084,62 @@ object QualityQueries {
                         AS DECIMAL(28,9))) AS DOUBLE) AS js_div
         FROM contrib
         GROUP BY contrib.slice""")),
+
+    // Per-slice CATEGORICAL drift (TFDV sliced statistics, L∞
+    // comparator): per-slice value-space union, per-slice add-half
+    // smoothing over that slice's union size, max-gap value with
+    // lexicographic tie-break — orders' o_orderpriority sliced by
+    // o_orderstatus across the date cut. Fully distributed (window
+    // argmax, broadcast per-slice totals); mirrors categoricalDrift
+    // slice-for-slice (spec-pinned).
+    QueryDef(
+      "stats_drift_categorical_sliced",
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        graft.ops.FeatureStats.categoricalDriftSliced(
+          ord.filter(col("o_orderdate") < cut),
+          ord.filter(col("o_orderdate") >= cut),
+          "o_orderpriority", "o_orderstatus")
+      },
+      Some("""
+        WITH b AS (SELECT o_orderstatus AS slice, CAST(o_orderpriority AS VARCHAR) AS v
+                   FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1997-01-01'
+                     AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        c AS (SELECT o_orderstatus AS slice, CAST(o_orderpriority AS VARCHAR) AS v
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        bc AS (SELECT slice, v, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        cc AS (SELECT slice, v, COUNT(*) AS n FROM c GROUP BY 1, 2),
+        j AS (SELECT COALESCE(bc.slice, cc.slice) AS slice,
+                     COALESCE(bc.v, cc.v) AS value,
+                     COALESCE(bc.n, 0) AS n_b, COALESCE(cc.n, 0) AS n_q
+              FROM bc FULL OUTER JOIN cc
+                ON bc.slice = cc.slice AND bc.v = cc.v),
+        t AS (SELECT slice, SUM(n_b) AS tb, SUM(n_q) AS tq, COUNT(*) AS nv
+              FROM j GROUP BY 1 HAVING SUM(n_b) > 0),
+        g AS (SELECT j.slice, j.value,
+                     abs(CAST(n_b AS DOUBLE) / t.tb -
+                         CASE WHEN t.tq > 0 THEN CAST(n_q AS DOUBLE) / t.tq
+                              ELSE 0.0 END) AS gap,
+                     (CAST(n_b AS DOUBLE) + 0.5) / (t.tb + t.nv * 0.5) AS ps,
+                     (CAST(n_q AS DOUBLE) + 0.5) / (t.tq + t.nv * 0.5) AS qs,
+                     t.tb, t.tq, t.nv
+              FROM j JOIN t ON t.slice = j.slice),
+        m AS (SELECT slice, MAX(gap) AS linf,
+                     CAST(SUM(CAST(round((ps - qs) * ln(ps / qs), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE) AS psi,
+                     CAST(MAX(tb) AS BIGINT) AS n_base,
+                     CAST(MAX(tq) AS BIGINT) AS n_cur,
+                     CAST(MAX(nv) AS BIGINT) AS n_values
+              FROM g GROUP BY 1)
+        SELECT 'o_orderpriority' AS feature, m.slice, m.n_base, m.n_cur,
+               m.n_values, m.linf, m.psi,
+               (SELECT MIN(g.value) FROM g
+                WHERE g.slice = m.slice AND g.gap = m.linf) AS example_value
+        FROM m""")),
 
     // Schema evolution diff: a reference schema inferred on a
     // RESTRICTED baseline (prices < 200k, no '5-LOW', with the date

@@ -149,6 +149,37 @@ class EmbeddingsSpec extends SparkSpec with Matchers {
     m13.components(0).zip(w0).foreach { case (x, y) => x shouldBe y +- 1e-9 }
   }
 
+  test("pcaWhiten: coordinates are pc_j/sqrt(eigenvalue_j); unit variance; degenerate axes pass unscaled") {
+    val r2 = math.sqrt(2.0)
+    val pts = (0 until 400).map { i =>
+      val a = ((i * 37) % 41).toDouble - 20.0
+      val b = ((i * 53) % 11).toDouble - 5.0
+      (i.toLong, Seq(
+        (a * 10 / r2).toFloat, (a * 10 / r2).toFloat,
+        (b * 2 / r2).toFloat, (-b * 2 / r2).toFloat))
+    }
+    val df = vecsDf(pts)
+    val m = Embeddings.pcaFit(df, "embedding", dim = 4, k = 3)
+    val both = Embeddings.pcaWhiten(
+      Embeddings.pcaProject(df, "embedding", m), "embedding", m)
+    // row-for-row: wpc_j == pc_j / sqrt(lambda_j) for signal axes
+    both.collect().foreach { r =>
+      (0 until 2).foreach { j =>
+        r.getAs[Double](s"wpc$j") shouldBe
+          (r.getAs[Double](s"pc$j") / math.sqrt(m.eigenvalues(j))) +- 1e-9
+      }
+      // 3rd axis is degenerate (points live on a 2-d plane): lambda ~ 0
+      // -> UNSCALED passthrough, no 1/sqrt(~0) explosion
+      r.getAs[Double]("wpc2") shouldBe r.getAs[Double]("pc2") +- 1e-9
+    }
+    m.eigenvalues(2) should be < 1e-9
+    // unit variance on the signal axes
+    import org.apache.spark.sql.functions.{col, var_pop}
+    val vars = both.agg(var_pop(col("wpc0")), var_pop(col("wpc1"))).head()
+    vars.getDouble(0) shouldBe 1.0 +- 1e-6
+    vars.getDouble(1) shouldBe 1.0 +- 1e-6
+  }
+
   test("pcaProject: NULL vectors yield NULL coordinates; wrong dim fails loudly") {
     val df = vecsDf(Seq(1L -> Seq(1f, 2f, 3f, 4f))).union(
       vecsDf(Seq(2L -> Seq(1f, 2f, 3f, 4f))).withColumn("embedding",

@@ -960,6 +960,48 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     same.getAs[Double]("psi") shouldBe 0.0 +- 1e-9
   }
 
+  test("categoricalDriftSliced: per-slice rows equal categoricalDrift; vanished slice alarms, unknown slice dropped") {
+    import spark.implicits._
+    val base = (
+      Seq.fill(6)(("A", "a")) ++ Seq.fill(3)(("A", "b")) ++ Seq(("A", "c")) ++
+      Seq.fill(2)(("B", "a")) ++ Seq.fill(8)(("B", "b")) ++
+      Seq.fill(4)(("C", "d"))                       // slice C vanishes from cur
+    ).toDF("s", "v")
+    val cur = (
+      Seq.fill(2)(("A", "a")) ++ Seq.fill(6)(("A", "b")) ++ Seq.fill(2)(("A", "d")) ++
+      Seq.fill(5)(("B", "a")) ++ Seq.fill(5)(("B", "b")) ++
+      Seq.fill(3)(("D", "z"))                       // slice D unknown to baseline
+    ).toDF("s", "v")
+    val out = FeatureStats.categoricalDriftSliced(base, cur, "v", "s")
+      .collect().map(r => r.getString(1) -> r).toMap
+    out.keySet shouldBe Set("A", "B", "C") // D dropped, C kept
+    Seq("A", "B").foreach { sl =>
+      val single = FeatureStats.categoricalDrift(
+        base.filter(base("s") === sl), cur.filter(cur("s") === sl), "v").head()
+      val got = out(sl)
+      got.getAs[Long]("n_base") shouldBe single.getAs[Long]("n_base")
+      got.getAs[Long]("n_cur") shouldBe single.getAs[Long]("n_cur")
+      got.getAs[Long]("n_values") shouldBe single.getAs[Long]("n_values")
+      got.getAs[Double]("linf") shouldBe single.getAs[Double]("linf") +- 1e-12
+      got.getAs[Double]("psi") shouldBe single.getAs[Double]("psi") +- 1e-9
+      got.getAs[String]("example_value") shouldBe single.getAs[String]("example_value")
+    }
+    // vanished slice: empty current side -> q = 0 everywhere, L-inf is
+    // the largest baseline share (here 'd' at 1.0)
+    out("C").getAs[Long]("n_cur") shouldBe 0L
+    out("C").getAs[Double]("linf") shouldBe 1.0 +- 1e-12
+    out("C").getAs[String]("example_value") shouldBe "d"
+  }
+
+  test("categoricalDriftSliced fails fast on a high-cardinality slice column") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toString, "x")).toDF("s", "v")
+    val e = intercept[IllegalArgumentException] {
+      FeatureStats.categoricalDriftSliced(df, df, "v", "s", maxSlices = 100)
+    }
+    e.getMessage should include ("exceeds")
+  }
+
   test("validateStream: per-batch anomaly rows equal validateWith on the same batch rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
