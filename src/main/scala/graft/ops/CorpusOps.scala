@@ -371,4 +371,38 @@ object CorpusOps {
       .orderBy(col("freq").desc, col("ngram"))
       .limit(k)
   }
+
+  /** Per-document OUT-OF-VOCABULARY rate against a reference
+    * vocabulary — the corpus-QA statistic behind "does the tokenizer/
+    * vocab trained yesterday still cover today's data" (its drift over
+    * ingestion batches is the retraining signal). Same normalization +
+    * whitespace tokens as [[vocabTopK]], so a vocab built there scores
+    * here without convention drift. Shape: one explode, one BROADCAST
+    * left join on the token string (a vocabulary is dimension-sized by
+    * definition), one per-doc map-side-combined hash-agg — no
+    * corpus-sized shuffle. Every input document emits a row; a
+    * token-less (empty/whitespace) document reports n_tokens = 0 with
+    * a NULL oov_rate (there is nothing to cover). */
+  def oovRate(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, termCol: String): DataFrame = {
+    val toks = OpsUtil.widen(df)
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val inVocab = broadcast(
+      vocab.select(col(termCol).cast("string").as("tok")).distinct()
+        .withColumn("__graft_v", lit(1)))
+    val perDoc = toks.join(inVocab, Seq("tok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__graft_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    OpsUtil.widen(df).select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
 }

@@ -259,6 +259,46 @@ object QualityQueries {
         SELECT ngram, count(*) AS freq FROM bg
         GROUP BY 1 ORDER BY freq DESC, ngram LIMIT 100""")),
 
+    // OOV-rate corpus QA: a 500-term unigram vocabulary fit on the
+    // EVEN half (the "yesterday's tokenizer" artifact — the fit does
+    // not grow with scoring volume), every ODD document scored for
+    // out-of-vocabulary token share. One explode + broadcast token
+    // join + per-doc hash-agg; identical normalization/tokens contract
+    // as vocab_topk so the two compose without convention drift.
+    QueryDef(
+      "text_oov",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        CorpusOps.oovRate(
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text",
+          CorpusOps.vocabTopK(
+            docs.filter(col("doc_id") % 2 === 0), "text", n = 1, k = 500),
+          "ngram")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT ngram FROM (
+            SELECT unnest(string_split($Norm, ' ')) AS ngram
+            FROM documents WHERE doc_id % 2 = 0)
+          WHERE len(ngram) > 0
+          GROUP BY 1 ORDER BY count(*) DESC, ngram LIMIT 500),
+        t AS (
+          SELECT doc_id AS id, unnest(string_split($Norm, ' ')) AS tok
+          FROM documents WHERE doc_id % 2 = 1),
+        agg AS (
+          SELECT id, COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN v.ngram IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM t LEFT JOIN v ON v.ngram = t.tok
+          WHERE len(tok) > 0
+          GROUP BY 1)
+        SELECT d.doc_id AS id,
+               CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(agg.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(agg.n_oov AS DOUBLE) / agg.n_tokens AS oov_rate
+        FROM documents d LEFT JOIN agg ON agg.id = d.doc_id
+        WHERE d.doc_id % 2 = 1""")),
+
     // The whole prep pipeline as ONE plan: clean → redact → normalize →
     // quality gate → exact dedup → mixture sample. Catalyst fuses the
     // per-row stages into a single codegen'd projection; the only

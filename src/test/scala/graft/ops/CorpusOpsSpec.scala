@@ -216,4 +216,22 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     out shouldBe Array(("a b", 3L), ("b a", 2L), ("c d", 2L))
   }
+
+  test("oovRate: hand-computed rates; token-less doc keeps its row with NULL rate; composes with vocabTopK") {
+    val vocabDocs = docsDf(Seq(10L -> "the cat sat", 11L -> "the dog sat"))
+    val vocab = CorpusOps.vocabTopK(vocabDocs, "text", n = 1, k = 10)
+    val scored = docsDf(Seq(
+      1L -> "the cat ran",  // ran is OOV -> 1/3
+      2L -> "zebra quokka", // all OOV -> 2/2
+      3L -> "THE   DOG",    // normalization: lowercase + collapse -> 0/2
+      4L -> "   "))         // token-less -> n_tokens 0, NULL rate
+    val out = CorpusOps.oovRate(scored, "doc_id", "text", vocab, "ngram")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    out(1L) shouldBe ((3L, 1L, Some(1.0 / 3)))
+    out(2L) shouldBe ((2L, 2L, Some(1.0)))
+    out(3L) shouldBe ((2L, 0L, Some(0.0)))
+    out(4L) shouldBe ((0L, 0L, None))
+  }
 }
