@@ -115,9 +115,18 @@ object Runner {
     // columns named like the view's entity keys.
     // A natural unique entity key (entityRowId) lets the join skip the
     // synthetic-id spine materialization — at 100 TB that
-    // materialization is the cost of not having one. Without a natural
-    // key, spineScratchDir trades localCheckpoint's block-manager rows
-    // for compressed, durable scratch parquet (see PointInTimeJoin).
+    // materialization is the cost of not having one (measured 2.5×
+    // end-to-end on a wide payload, SCALE.md round 9). Without a
+    // natural key, spineScratchDir trades localCheckpoint's
+    // block-manager rows for durable scratch parquet (see
+    // PointInTimeJoin). Surface the cost when it will actually bite:
+    // a wide entity row makes the materialization O(payload bytes).
+    if (job.entityRowId.isEmpty && entity.schema.fields.length > 8)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"PIT spine has ${entity.schema.fields.length} columns and no " +
+          "entityRowId: the synthetic-id path materializes the FULL wide " +
+          "spine (O(payload bytes)). Pass a unique entity column as " +
+          "entityRowId to skip it (measured 2.5x end-to-end on wide payloads).")
     PointInTimeJoin.join(entity, job.entityTs, views,
       rowIdCol = job.entityRowId, spineScratchDir = job.spineScratchDir)
   }
