@@ -725,13 +725,64 @@ object FeatureStats {
   /** [[validateSchema]] against pre-collected specs — the fit-once/
     * serve-many and streaming form. */
   def validateWith(df: DataFrame, colSpecs: Seq[ColumnSpec]): DataFrame = {
+    val checks = anomalyChecks(df, colSpecs)
+    val aggs = checks.zipWithIndex.flatMap { case ((_, _, cnt, ex), i) =>
+      Seq(cnt.as(s"__c$i"), ex.as(s"__e$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // sum() over a ZERO-ROW batch returns NULL — and streaming
+    // monitors see empty micro-batches. A NULL n_bad would make any
+    // sink gate (n_bad == 0, n_bad > 0) evaluate to NULL and silently
+    // never fire, so empty batches must report n_bad = 0 explicitly.
+    val rows = checks.zipWithIndex.map { case ((f, kind, _, _), i) =>
+      struct(lit(f).as("feature"), lit(kind).as("anomaly"),
+        coalesce(col(s"__c$i"), lit(0L)).as("n_bad"), col(s"__e$i").as("example"))
+    }
+    one.select(explode(array(rows: _*)).as("a")).select("a.*")
+  }
+
+  /** Per-SLICE schema validation — [[validateWith]]'s anomaly pass
+    * grouped by a slice column (TFDV sliced validation: a gate that
+    * passes globally can still hide a slice whose rows are ALL bad).
+    * One row per (slice, check); same conditional-agg checks, ONE
+    * map-side-combined hash-agg on the slice key instead of a global
+    * agg — per-slice validation costs exactly what global validation
+    * costs. Slices come from the batch itself (validation covers what
+    * arrived; slice-absence alarms are the drift monitors' job); NULL
+    * slice values are excluded, like the sliced drift fits. */
+  def validateWithSliced(
+      df: DataFrame, sliceCol: String,
+      colSpecs: Seq[ColumnSpec]): DataFrame = {
+    val checks = anomalyChecks(df, colSpecs)
+    val aggs = checks.zipWithIndex.flatMap { case ((_, _, cnt, ex), i) =>
+      Seq(cnt.as(s"__c$i"), ex.as(s"__e$i"))
+    }
+    val per = df.filter(col(sliceCol).isNotNull)
+      .groupBy(col(sliceCol).cast("string").as("slice"))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = checks.zipWithIndex.map { case ((f, kind, _, _), i) =>
+      struct(lit(f).as("feature"), lit(kind).as("anomaly"),
+        coalesce(col(s"__c$i"), lit(0L)).as("n_bad"), col(s"__e$i").as("example"))
+    }
+    per.select(col("slice"), explode(array(rows: _*)).as("a"))
+      .select(col("slice"), col("a.feature"), col("a.anomaly"),
+        col("a.n_bad"), col("a.example"))
+  }
+
+  /** The shared anomaly-check construction behind [[validateWith]] and
+    * [[validateWithSliced]]: per spec'd feature, the (feature, kind,
+    * count-agg, example-agg) quadruple for unexpected NULLs,
+    * out-of-range numerics, and new categorical values. */
+  private def anomalyChecks(
+      df: DataFrame,
+      colSpecs: Seq[ColumnSpec]): Seq[(String, String, Column, Column)] = {
     val specs = colSpecs.sortBy(_.feature)
       .map(s => (s.feature, s.nNull, s.minVal, s.maxVal, s.domain))
     require(specs.nonEmpty, "validateSchema: empty schema table")
     val present = df.columns.toSet
     def minStr(pred: Column, v: Column): Column =
       min(when(pred, v.cast("string")))
-    val checks: Seq[(String, String, Column, Column)] = specs.flatMap {
+    specs.flatMap {
       case (f, nNull, mn, mx, dom) =>
         require(present.contains(f), s"validateSchema: batch lacks column '$f'")
         val c = col(f)
@@ -753,19 +804,6 @@ object FeatureStats {
         }
         Seq(nullCheck) ++ rangeCheck ++ domCheck
     }
-    val aggs = checks.zipWithIndex.flatMap { case ((_, _, cnt, ex), i) =>
-      Seq(cnt.as(s"__c$i"), ex.as(s"__e$i"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    // sum() over a ZERO-ROW batch returns NULL — and streaming
-    // monitors see empty micro-batches. A NULL n_bad would make any
-    // sink gate (n_bad == 0, n_bad > 0) evaluate to NULL and silently
-    // never fire, so empty batches must report n_bad = 0 explicitly.
-    val rows = checks.zipWithIndex.map { case ((f, kind, _, _), i) =>
-      struct(lit(f).as("feature"), lit(kind).as("anomaly"),
-        coalesce(col(s"__c$i"), lit(0L)).as("n_bad"), col(s"__e$i").as("example"))
-    }
-    one.select(explode(array(rows: _*)).as("a")).select("a.*")
   }
 
   /** Inverse of the domain escaping in [[inferSchema]]: split a

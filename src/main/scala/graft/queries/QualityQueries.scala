@@ -869,6 +869,73 @@ object QualityQueries {
                NULL
         FROM sv""")),
 
+    // Per-slice schema validation (TFDV sliced validation): the same
+    // anomaly pass grouped by o_orderstatus — a gate that passes
+    // globally can still hide a slice whose rows are all bad, and
+    // per-slice validation costs exactly one hash-agg on the slice
+    // key. Anomalies injected: '5-LOW' priorities (new_category,
+    // baseline excluded them), every-13th priority nulled
+    // (unexpected_null), full price range (out_of_range beyond the
+    // baseline's <200k envelope).
+    QueryDef(
+      "stats_validate_sliced",
+      (s, dir) => {
+        import graft.ops.FeatureStats
+        val orders = table(s, dir, "orders")
+        val baseline = orders
+          .filter(col("o_totalprice") < 200000 && col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderpriority", "o_totalprice")
+        val serving = orders
+          .withColumn("o_orderpriority",
+            when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null).cast("string"))
+              .otherwise(col("o_orderpriority")))
+          .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        FeatureStats.validateWithSliced(serving, "o_orderstatus",
+          FeatureStats.collectSchema(FeatureStats.inferSchema(
+            baseline, Seq("o_orderpriority", "o_totalprice"))))
+      },
+      Some("""
+        WITH bl AS (
+          SELECT o_orderpriority, o_totalprice FROM orders
+          WHERE o_totalprice < 200000 AND o_orderpriority != '5-LOW'),
+        sv AS (
+          SELECT o_orderstatus AS slice,
+                 CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_totalprice
+          FROM orders WHERE o_orderstatus IS NOT NULL),
+        rng AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+                       MAX(CAST(o_totalprice AS DOUBLE)) AS mx FROM bl)
+        SELECT slice, 'o_orderpriority' AS feature, 'new_category' AS anomaly,
+               CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT EXISTS (SELECT 1 FROM bl b
+                                WHERE b.o_orderpriority = sv.o_orderpriority)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+               MIN(CASE WHEN o_orderpriority IS NOT NULL
+                         AND NOT EXISTS (SELECT 1 FROM bl b
+                           WHERE b.o_orderpriority = sv.o_orderpriority)
+                        THEN o_orderpriority END) AS example
+        FROM sv GROUP BY 1
+        UNION ALL
+        SELECT slice, 'o_orderpriority', 'unexpected_null',
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               NULL
+        FROM sv GROUP BY 1
+        UNION ALL
+        SELECT slice, 'o_totalprice', 'out_of_range',
+               CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) < rng.mn
+                              OR CAST(o_totalprice AS DOUBLE) > rng.mx
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(CASE WHEN CAST(o_totalprice AS DOUBLE) < rng.mn
+                         OR CAST(o_totalprice AS DOUBLE) > rng.mx
+                        THEN CAST(o_totalprice AS VARCHAR) END)
+        FROM sv, rng GROUP BY 1
+        UNION ALL
+        SELECT slice, 'o_totalprice', 'unexpected_null',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               NULL
+        FROM sv GROUP BY 1""")),
+
     // TFDV numeric drift: PSI + Jensen-Shannon between an early-window
     // baseline and the later window, equal-width bins from the
     // BASELINE range (later out-of-range values clamp into edge bins),

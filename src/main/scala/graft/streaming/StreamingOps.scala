@@ -353,6 +353,21 @@ object StreamingOps {
       sink(graft.ops.FeatureStats.validateWith(batch, specs), batchId)
     }
 
+  /** [[validateStream]] grouped by a slice column (TFDV sliced
+    * validation) — per-batch rows equal
+    * `validateWithSliced(batchDf, sliceCol, specs)` (shared code
+    * path); an empty micro-batch emits zero rows (there are no slices
+    * to validate — slice-absence alarms are the drift monitors'
+    * job). */
+  def validateSlicedStream(
+      df: DataFrame, sliceCol: String,
+      specs: Seq[graft.ops.FeatureStats.ColumnSpec])(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.FeatureStats.validateWithSliced(batch, sliceCol, specs),
+        batchId)
+    }
+
   /** Streaming IVF-PQ index MAINTENANCE: each micro-batch of new
     * vectors is encoded against a FIXED [[graft.ops.Similarity.AnnIndex]]
     * (a stateless codegen projection — the index rides as plan

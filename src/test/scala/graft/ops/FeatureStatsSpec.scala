@@ -1002,6 +1002,60 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     e.getMessage should include ("exceeds")
   }
 
+  test("validateWithSliced: per-slice rows equal validateWith on each slice's rows; NULL slices excluded") {
+    import spark.implicits._
+    val baseline = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("cat", "x")
+    val specs = FeatureStats.collectSchema(
+      FeatureStats.inferSchema(baseline, Seq("cat", "x"), maxDomain = 8))
+    val batch = Seq(
+      ("S1", "a", 1.5), ("S1", "z", 9.0),          // z new, 9 out of range
+      ("S2", "b", 2.0), ("S2", null, 1.0),          // null cat
+      (null, "q", 99.0))                            // NULL slice: excluded
+      .toDF("s", "cat", "x")
+    val out = FeatureStats.validateWithSliced(batch, "s", specs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r).toMap
+    out.keys.map(_._1).toSet shouldBe Set("S1", "S2") // NULL slice gone
+    Seq("S1", "S2").foreach { sl =>
+      val twin = FeatureStats.validateWith(
+        batch.filter(batch("s") === sl).drop("s"), specs)
+        .collect().map(r => (sl, r.getString(0), r.getString(1)) -> r).toMap
+      twin.foreach { case (k, exp) =>
+        out(k).getAs[Long]("n_bad") shouldBe exp.getAs[Long]("n_bad")
+        out(k).getAs[String]("example") shouldBe exp.getAs[String]("example")
+      }
+    }
+    out(("S1", "cat", "new_category")).getAs[Long]("n_bad") shouldBe 1L
+    out(("S1", "x", "out_of_range")).getAs[Long]("n_bad") shouldBe 1L
+    out(("S2", "cat", "unexpected_null")).getAs[Long]("n_bad") shouldBe 1L
+  }
+
+  test("validateSlicedStream: per-batch rows equal validateWithSliced; empty batch emits zero rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val baseline = Seq(("a", 1.0), ("b", 2.0)).toDF("cat", "x")
+    val specs = FeatureStats.collectSchema(
+      FeatureStats.inferSchema(baseline, Seq("cat", "x"), maxDomain = 8))
+    val batches = Seq(
+      Seq(("S1", "a", 1.5), ("S1", "z", 9.0), ("S2", "b", 2.0)),
+      Seq(("S2", "w", 0.5)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Row])]
+    val stream = MemoryStream[(String, String, Double)]
+    val q = graft.streaming.StreamingOps.validateSlicedStream(
+      stream.toDF().toDF("s", "cat", "x"), "s", specs) { (rows, id) =>
+      got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = FeatureStats.validateWithSliced(
+          rows.toDF("s", "cat", "x"), "s", specs).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+    } finally q.stop()
+  }
+
   test("validateStream: per-batch anomaly rows equal validateWith on the same batch rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
