@@ -405,4 +405,31 @@ object CorpusOps {
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .as("oov_rate"))
   }
+
+  /** Corpus-level OOV summary — ONE row (n_docs, n_tokens, n_oov,
+    * oov_rate) over [[oovRate]]'s tokenization contract: the number a
+    * coverage gate actually thresholds, and the per-micro-batch row of
+    * the streaming monitor. A batch with zero tokens reports 0/0 with
+    * a NULL rate (nothing to cover), never NULL counts — sink gates
+    * must stay fire-able on empty micro-batches. */
+  def oovSummary(
+      df: DataFrame, textCol: String,
+      vocab: DataFrame, termCol: String): DataFrame = {
+    val toks = OpsUtil.widen(df)
+      .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val inVocab = broadcast(
+      vocab.select(col(termCol).cast("string").as("tok")).distinct()
+        .withColumn("__graft_v", lit(1)))
+    val nDocs = df.count() // one cheap count; the agg below owns tokens
+    toks.join(inVocab, Seq("tok"), "left")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__graft_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(lit(nDocs).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") /
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            col("n_tokens").cast("double"))).as("oov_rate"))
+  }
 }

@@ -299,6 +299,38 @@ object QualityQueries {
         FROM documents d LEFT JOIN agg ON agg.id = d.doc_id
         WHERE d.doc_id % 2 = 1""")),
 
+    // Corpus-level OOV summary — the coverage-gate number (and the
+    // per-micro-batch row of StreamingOps.oovStream): same vocab +
+    // split as text_oov, one row.
+    QueryDef(
+      "text_oov_summary",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        CorpusOps.oovSummary(
+          docs.filter(col("doc_id") % 2 === 1), "text",
+          CorpusOps.vocabTopK(
+            docs.filter(col("doc_id") % 2 === 0), "text", n = 1, k = 500),
+          "ngram")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT ngram FROM (
+            SELECT unnest(string_split($Norm, ' ')) AS ngram
+            FROM documents WHERE doc_id % 2 = 0)
+          WHERE len(ngram) > 0
+          GROUP BY 1 ORDER BY count(*) DESC, ngram LIMIT 500),
+        t AS (
+          SELECT unnest(string_split($Norm, ' ')) AS tok
+          FROM documents WHERE doc_id % 2 = 1)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id % 2 = 1) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.ngram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN v.ngram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS oov_rate
+        FROM t LEFT JOIN v ON v.ngram = t.tok
+        WHERE len(tok) > 0""")),
+
     // The whole prep pipeline as ONE plan: clean → redact → normalize →
     // quality gate → exact dedup → mixture sample. Catalyst fuses the
     // per-row stages into a single codegen'd projection; the only

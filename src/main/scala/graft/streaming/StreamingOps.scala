@@ -368,6 +368,20 @@ object StreamingOps {
         batchId)
     }
 
+  /** Streaming OOV-coverage monitor: each micro-batch of documents is
+    * summarized against a FIXED vocabulary ([[graft.ops.CorpusOps
+    * .oovSummary]] — the vocab broadcasts, nothing re-fits) into one
+    * (n_docs, n_tokens, n_oov, oov_rate) row per batch. Rising
+    * oov_rate over ingestion batches is the tokenizer-retraining
+    * signal; the alert threshold belongs in the sink. Stateless. */
+  def oovStream(
+      docs: DataFrame, textCol: String, vocab: DataFrame, termCol: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.CorpusOps.oovSummary(
+        batch.toDF(), textCol, vocab, termCol), batchId)
+    }
+
   /** Streaming IVF-PQ index MAINTENANCE: each micro-batch of new
     * vectors is encoded against a FIXED [[graft.ops.Similarity.AnnIndex]]
     * (a stateless codegen projection — the index rides as plan

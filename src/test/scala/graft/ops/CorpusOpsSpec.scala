@@ -234,4 +234,46 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
     out(3L) shouldBe ((2L, 0L, Some(0.0)))
     out(4L) shouldBe ((0L, 0L, None))
   }
+
+  test("oovSummary: one row matching oovRate's totals; zero-token frame reports 0/0 with NULL rate") {
+    val vocab = CorpusOps.vocabTopK(
+      docsDf(Seq(10L -> "the cat sat")), "text", n = 1, k = 10)
+    val docs = docsDf(Seq(1L -> "the cat ran", 2L -> "zebra", 3L -> "   "))
+    val r = CorpusOps.oovSummary(docs, "text", vocab, "ngram").head()
+    r.getLong(0) shouldBe 3L  // n_docs (incl. the token-less one)
+    r.getLong(1) shouldBe 4L  // the cat ran zebra
+    r.getLong(2) shouldBe 2L  // ran, zebra
+    r.getDouble(3) shouldBe 0.5 +- 1e-12
+    val empty = CorpusOps.oovSummary(
+      docsDf(Seq(9L -> "   ")), "text", vocab, "ngram").head()
+    empty.getLong(0) shouldBe 1L
+    empty.getLong(1) shouldBe 0L
+    empty.getLong(2) shouldBe 0L
+    empty.isNullAt(3) shouldBe true
+  }
+
+  test("oovStream: per-batch summary equals oovSummary on the same batch rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val vocab = CorpusOps.vocabTopK(
+      docsDf(Seq(10L -> "the cat sat on the mat")), "text", n = 1, k = 10)
+    val batches = Seq(
+      Seq((1L, "the cat ran"), (2L, "on the mat")),
+      Seq((3L, "quokka zebra wombat")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, org.apache.spark.sql.Row)]
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.oovStream(
+      stream.toDF().toDF("doc_id", "text"), "text", vocab, "ngram") { (row, id) =>
+      got.synchronized { got += ((id, row.head())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        streamed shouldBe CorpusOps.oovSummary(
+          rows.toDF("doc_id", "text"), "text", vocab, "ngram").head()
+      }
+    } finally q.stop()
+  }
 }
