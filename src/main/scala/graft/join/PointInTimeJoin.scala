@@ -94,7 +94,11 @@ object PointInTimeJoin {
     *                 natural key skips the materialization entirely
     *                 (same measurement: 2.5× faster than the
     *                 checkpoint path at 10×). Ignored when `rowIdCol`
-    *                 is set.
+    *                 is set. Each run's UUID-named spine dir is
+    *                 registered for deletion at JVM exit (Hadoop
+    *                 `FileSystem.deleteOnExit`, any scheme); a crashed
+    *                 driver can still orphan it, so prefer a TTL'd /
+    *                 lifecycle-managed scratch location.
     */
   def join(
       entity: DataFrame,
@@ -122,9 +126,27 @@ object PointInTimeJoin {
         val withId = entity.withColumn(RowId, monotonically_increasing_id())
         spineScratchDir match {
           case Some(dir) =>
-            val p = s"$dir/__graft_spine_${java.util.UUID.randomUUID()}"
+            // NOT underscore-prefixed: Hadoop's default path filter
+            // treats `_`/`.`-led names as hidden metadata, so an
+            // underscore-named spine dir is invisible to any listing
+            // of the scratch dir (Spark WARNs "All paths were
+            // ignored" even on the direct read).
+            val p = s"$dir/graft-spine-${java.util.UUID.randomUUID()}"
             withId.write.mode("overwrite").parquet(p)
-            entity.sparkSession.read.parquet(p)
+            val sess = entity.sparkSession
+            // The UUID-named spine is only consumed within this JVM
+            // (every consumer is a lazy scan of it), so register it for
+            // deletion at JVM exit — via Hadoop FileSystem.deleteOnExit,
+            // which is scheme-agnostic (local, HDFS, object stores) and
+            // runs inside the FS cache's own ordered shutdown hook,
+            // unlike java.io.File. Without this, every run leaks a
+            // GB-scale suffix-unique dir into the scratch location. A
+            // crashed driver can still orphan the dir: point
+            // spineScratchDir at a TTL'd / lifecycle-managed path.
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(sess.sparkContext.hadoopConfiguration)
+              .deleteOnExit(hp): Unit
+            sess.read.parquet(p)
           case None => withId.localCheckpoint(true)
         }
     }

@@ -1377,15 +1377,27 @@ object FeatureStats {
     * baseline are dropped — new-category detection is
     * [[validateWith]]'s job, here as everywhere.
     *
-    * Scale shape: fully distributed — one map-side-combined hash-agg
-    * per side on (slice, value), a full-outer join of two
-    * slices×values count tables, per-slice totals broadcast back
-    * (bounded by `maxSlices`, guarded WITHOUT driver materialization),
-    * one window pass for the argmax value, one per-slice reduction.
+    * Scale shape: fully distributed — the slice-cardinality guard runs
+    * FIRST as a LIMIT-capped distinct count on the baseline's slice
+    * column alone (an ID-like slice fails after one cheap hash-agg,
+    * before any corpus-sized (slice, value) frame exists); then one
+    * map-side-combined hash-agg per side on (slice, value), a
+    * full-outer join of the two count tables, per-slice totals via
+    * window aggregates over the SAME slice partitioning (the window
+    * and the argmax window share one exchange, so the frame is
+    * consumed once — no checkpoint, no lingering block-manager state,
+    * safe to wrap in a foreachBatch monitor), one per-slice reduction.
     * Nothing driver-side at all. */
   def categoricalDriftSliced(
       base: DataFrame, cur: DataFrame, c: String, sliceCol: String,
       maxSlices: Int = 1000): DataFrame = {
+    // Pre-guard BEFORE constructing the joined frame: distinct slices
+    // in the baseline (the only side whose slices are scored), capped.
+    require(base.filter(col(sliceCol).isNotNull && col(c).isNotNull)
+        .select(col(sliceCol).cast("string")).distinct()
+        .limit(maxSlices + 1).count() <= maxSlices,
+      s"categoricalDriftSliced: '$sliceCol' exceeds $maxSlices slices " +
+        "— a slice column must be a low-cardinality dimension")
     def counts(d: DataFrame, tag: String): DataFrame =
       d.filter(col(c).isNotNull && col(sliceCol).isNotNull)
         .groupBy(col(sliceCol).cast("string").as("slice"),
@@ -1396,16 +1408,16 @@ object FeatureStats {
       .select(col("slice"), col("value"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("n_q"), lit(0L)).as("n_q"))
-      .localCheckpoint(false)
-    val totals = joined.groupBy("slice")
-      .agg(sum("n_b").as("tb"), sum("n_q").as("tq"),
-        count(lit(1)).as("n_values"))
+    // Per-slice totals as window aggregates: same partitioning as the
+    // argmax window below → one exchange, single consumption of
+    // `joined` (this replaced a localCheckpoint + self-join that
+    // leaked a block per call until driver GC).
+    val ws = Window.partitionBy(col("slice"))
+    val withT = joined
+      .withColumn("tb", sum(col("n_b")).over(ws))
+      .withColumn("tq", sum(col("n_q")).over(ws))
+      .withColumn("n_values", count(lit(1)).over(ws))
       .filter(col("tb") > 0) // baseline-absent slices: not ours to score
-    // Cardinality guard without materialization: LIMIT-capped count.
-    require(totals.limit(maxSlices + 1).count() <= maxSlices,
-      s"categoricalDriftSliced: '$sliceCol' exceeds $maxSlices slices " +
-        "— a slice column must be a low-cardinality dimension")
-    val withT = joined.join(broadcast(totals), Seq("slice"))
     val p = col("n_b").cast("double") / col("tb").cast("double")
     val q = when(col("tq") > 0,
       col("n_q").cast("double") / col("tq").cast("double")).otherwise(0.0)

@@ -198,10 +198,101 @@ object Runner {
     * exist. */
   def flattenMaps(df: DataFrame, maxKeys: Int = 1000): DataFrame = {
     import org.apache.spark.sql.{types => T}
+    val mapNames = df.schema.fields
+      .filter(_.dataType.isInstanceOf[T.MapType]).map(_.name).toSeq
+    if (mapNames.isEmpty) df
+    else {
+      // all-empty map columns are absent from discovery: pin them to
+      // the empty key set (no leaves — there is no key to name one)
+      val found = discoverMapKeys(df, maxKeys)
+      flattenMaps(df,
+        mapNames.map(n => n -> found.getOrElse(n, Seq.empty)).toMap)
+    }
+  }
+
+  /** Key-discovery half of [[flattenMaps]], exposed so the discovered
+    * key set can be PINNED: discovered once at training time, persisted
+    * with the model/schema, and replayed at serving via the pinned
+    * overload. One scan, (column, key) distinct'd map-side, LIMIT-capped
+    * at `maxKeys`+1 so an ID-like key space fails fast without a
+    * corpus-sized collect. Returns column → sorted distinct keys; map
+    * columns empty/NULL in every row are absent from the result. */
+  def discoverMapKeys(
+      df: DataFrame, maxKeys: Int = 1000): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.{types => T}
     def q(name: String): org.apache.spark.sql.Column =
       col(s"`${name.replace("`", "``")}`")
     val mapCols = df.schema.fields.filter(_.dataType.isInstanceOf[T.MapType]).toSeq
-    if (mapCols.isEmpty) return df
+    if (mapCols.isEmpty) return Map.empty
+    validateMapCols(mapCols)
+    val cap = maxKeys + 1
+    val pairs = df
+      .select(explode(flatten(array(mapCols.map(f =>
+        transform(coalesce(map_keys(q(f.name)), array()),
+          k => struct(lit(f.name).as("c"), k.as("k")))): _*))).as("ck"))
+      .select(col("ck.c").as("c"), col("ck.k").as("k"))
+      .filter(col("k").isNotNull)
+      .distinct()
+      .limit(cap)
+      .collect()
+    require(pairs.length < cap,
+      s"flattenMaps: map columns carry more than $maxKeys distinct keys " +
+        "in total — map features need a bounded, dimension-like key set")
+    pairs.groupBy(_.getString(0))
+      .map { case (c, rs) => c -> rs.map(_.getString(1)).sorted.toSeq }
+  }
+
+  /** Pinned-key [[flattenMaps]]: the leaf schema comes from `keysByCol`
+    * (column → keys), NOT from the data — so two encodes of the same
+    * logical pipeline (different batches, train vs serve) emit the
+    * IDENTICAL feature set, where the discovering overload would emit
+    * whatever keys each batch happens to carry (a key absent from a
+    * whole batch: no leaf; absent from one row: present-but-empty — a
+    * silent train/serve feature-set mismatch for schema-pinning
+    * consumers). A pinned key absent from a row (or from the whole
+    * batch) yields a NULL leaf = present-but-empty feature; keys in the
+    * data but not pinned are DROPPED (the training schema is the
+    * contract). Every map column must have an entry (use `Seq.empty` to
+    * drop one deliberately); entries for non-map columns are rejected.
+    * Zero extra jobs — the discovery scan only runs where discovery is
+    * asked for. */
+  def flattenMaps(
+      df: DataFrame, keysByCol: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.{types => T}
+    def q(name: String): org.apache.spark.sql.Column =
+      col(s"`${name.replace("`", "``")}`")
+    val mapCols = df.schema.fields.filter(_.dataType.isInstanceOf[T.MapType]).toSeq
+    if (mapCols.isEmpty && keysByCol.isEmpty) return df
+    validateMapCols(mapCols)
+    val mapNames = mapCols.map(_.name).toSet
+    val missing = mapNames -- keysByCol.keySet
+    require(missing.isEmpty,
+      s"flattenMaps: pinned key set has no entry for map column(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")} — pin every map column " +
+        "(Seq.empty drops one deliberately)")
+    val extra = keysByCol.keySet -- mapNames
+    require(extra.isEmpty,
+      s"flattenMaps: pinned keys name non-map/absent column(s) " +
+        s"${extra.toSeq.sorted.mkString(", ")} — the serving schema " +
+        "differs from the one the keys were discovered on")
+    keysByCol.foreach { case (c, ks) =>
+      require(ks.distinct.size == ks.size,
+        s"flattenMaps: pinned keys for '$c' contain duplicates")
+    }
+    val out = df.schema.fields.toSeq.flatMap { f =>
+      if (!f.dataType.isInstanceOf[T.MapType]) Seq(f.name -> q(f.name))
+      else keysByCol(f.name).sorted.map(k =>
+        s"${f.name}.$k" -> element_at(q(f.name), k))
+    }
+    val dup = out.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty,
+      s"flattenMaps: dotted leaf name collision: ${dup.mkString(", ")}")
+    df.select(out.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  private def validateMapCols(
+      mapCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    import org.apache.spark.sql.{types => T}
     mapCols.foreach { f =>
       val mt = f.dataType.asInstanceOf[T.MapType]
       require(mt.keyType == T.StringType,
@@ -217,39 +308,27 @@ object Runner {
           s"${mt.valueType.simpleString} are not representable as " +
           "tf.train.Feature (need a primitive or array of primitives)")
     }
-    // ONE key-discovery scan for all map columns: (column, key) pairs
-    // distinct'd (map-side combined), capped before the collect.
-    val cap = maxKeys + 1
-    val pairs = df
-      .select(explode(flatten(array(mapCols.map(f =>
-        transform(coalesce(map_keys(q(f.name)), array()),
-          k => struct(lit(f.name).as("c"), k.as("k")))): _*))).as("ck"))
-      .select(col("ck.c").as("c"), col("ck.k").as("k"))
-      .filter(col("k").isNotNull)
-      .distinct()
-      .limit(cap)
-      .collect()
-    require(pairs.length < cap,
-      s"flattenMaps: map columns carry more than $maxKeys distinct keys " +
-        "in total — map features need a bounded, dimension-like key set")
-    val keysByCol = pairs.groupBy(_.getString(0))
-      .map { case (c, rs) => c -> rs.map(_.getString(1)).sorted.toSeq }
-    val out = df.schema.fields.toSeq.flatMap { f =>
-      if (!f.dataType.isInstanceOf[T.MapType]) Seq(f.name -> q(f.name))
-      else keysByCol.getOrElse(f.name, Seq.empty).map(k =>
-        s"${f.name}.$k" -> element_at(q(f.name), k))
-    }
-    val dup = out.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
-    require(dup.isEmpty,
-      s"flattenMaps: dotted leaf name collision: ${dup.mkString(", ")}")
-    df.select(out.map { case (n, c) => c.as(n) }: _*)
   }
 
   /** Encode rows → serialized payload bytes in the job's format.
     * Struct- and map-valued columns are flattened to dotted-name
-    * features first (see [[flattenStructs]], [[flattenMaps]]). */
-  def encode(df: DataFrame, format: OutputFormat = TfExampleFormat): Dataset[Array[Byte]] = {
-    val flat = flattenMaps(flattenStructs(df))
+    * features first (see [[flattenStructs]], [[flattenMaps]]).
+    *
+    * SCHEMA CAVEAT for map columns: without `mapKeys`, the feature set
+    * is discovered from THIS batch's data, so different batches (or
+    * train vs serve) can emit different feature sets — a key absent
+    * from an entire batch produces no leaf at all. Consumers that pin
+    * a schema should discover once with [[discoverMapKeys]] at
+    * training time and pass the result here ever after. */
+  def encode(
+      df: DataFrame,
+      format: OutputFormat = TfExampleFormat,
+      mapKeys: Option[Map[String, Seq[String]]] = None): Dataset[Array[Byte]] = {
+    val structFlat = flattenStructs(df)
+    val flat = mapKeys match {
+      case Some(ks) => flattenMaps(structFlat, ks)
+      case None => flattenMaps(structFlat)
+    }
     val schema = flat.schema
     val enc = format.encoder
     flat.mapPartitions(rows => rows.map(enc.encode(schema, _)))(

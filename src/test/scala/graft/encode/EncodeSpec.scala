@@ -267,4 +267,49 @@ class FlattenStructsSpec extends SparkSpec
       got(id) shouldBe (if (m == null) Map.empty[String, Long] else m)
     }
   }
+
+  test("pinned map keys: identical feature set across batches that carry different keys") {
+    import spark.implicits._
+    // train batch sees {a, b}; serve batch sees only {b, c}: with
+    // discovery the two encodes disagree on the feature set (the
+    // train/serve mismatch ADVICE r9 flagged); with pinned keys both
+    // emit exactly the training schema.
+    val train = Seq((1L, Map("a" -> 1L, "b" -> 2L))).toDF("id", "m")
+    val serve = Seq((2L, Map("b" -> 3L, "c" -> 9L))).toDF("id", "m")
+    val pinned = Runner.discoverMapKeys(train)
+    pinned shouldBe Map("m" -> Seq("a", "b"))
+    Runner.flattenMaps(serve, pinned).columns.toSeq shouldBe Seq("id", "m.a", "m.b")
+    val ex = Runner.encode(serve, mapKeys = Some(pinned))
+      .collect().map(TfExample.decode).head
+    ex.keySet shouldBe Set("id", "m.a", "m.b") // 'c' dropped, 'a' present-but-empty
+    ex("m.a") shouldBe Empty
+    ex("m.b") shouldBe Int64s(Seq(3L))
+    // the discovering encode of the same serve batch emits a DIFFERENT
+    // set — the caveat the pinned path exists to remove
+    Runner.encode(serve).collect().map(TfExample.decode)
+      .head.keySet shouldBe Set("id", "m.b", "m.c")
+  }
+
+  test("pinned map keys: uncovered map column, unknown column, and duplicate keys fail fast") {
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 1L))).toDF("id", "m")
+    intercept[IllegalArgumentException](
+      Runner.flattenMaps(df, Map.empty[String, Seq[String]]))
+      .getMessage should include ("no entry for map column")
+    intercept[IllegalArgumentException](
+      Runner.flattenMaps(df, Map("m" -> Seq("a"), "ghost" -> Seq("x"))))
+      .getMessage should include ("non-map/absent")
+    intercept[IllegalArgumentException](
+      Runner.flattenMaps(df, Map("m" -> Seq("a", "a"))))
+      .getMessage should include ("duplicates")
+    // Seq.empty drops a column deliberately
+    Runner.flattenMaps(df, Map("m" -> Seq.empty)).columns.toSeq shouldBe Seq("id")
+  }
+
+  test("all-empty map column contributes no leaves under discovery") {
+    import spark.implicits._
+    val df = Seq((1L, Map.empty[String, Long]), (2L, Map.empty[String, Long]))
+      .toDF("id", "m")
+    Runner.flattenMaps(df).columns.toSeq shouldBe Seq("id")
+  }
 }

@@ -182,19 +182,22 @@ class PointInTimeJoinSpec extends SparkSpec {
     assert(viaScratch.exceptAll(viaCheckpoint).isEmpty &&
       viaCheckpoint.exceptAll(viaScratch).isEmpty)
     // the spine was written once under the scratch dir and every
-    // consumer scans it back as parquet (no checkpointed-RDD scan)
+    // consumer scans it back as parquet (no checkpointed-RDD scan).
+    // It must SURVIVE for the JVM's lifetime (consumers are lazy
+    // scans) — cleanup is registered for JVM exit via Hadoop
+    // FileSystem.deleteOnExit, which a running spec cannot observe.
     val spines = new java.io.File(dir).listFiles()
-    assert(spines != null && spines.count(_.getName.startsWith("__graft_spine_")) == 1)
+    assert(spines != null && spines.count(_.getName.startsWith("graft-spine-")) == 1)
     val p = viaScratch.queryExecution.executedPlan.toString
     withClue(p.take(2000)) {
-      assert(p.contains("__graft_spine_"))
+      assert(p.contains("graft-spine-"))
       assert(!p.contains("ExistingRDD"))
     }
     // ignored when a natural key is present: nothing new written
     PointInTimeJoin.join(entity, "event_ts", Seq(view(None)),
       rowIdCol = Some("eid"), spineScratchDir = Some(dir)).count()
     assert(new java.io.File(dir).listFiles()
-      .count(_.getName.startsWith("__graft_spine_")) == 1)
+      .count(_.getName.startsWith("graft-spine-")) == 1)
   }
 
   test("empty entity spine yields empty result with full schema") {

@@ -1002,6 +1002,21 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     e.getMessage should include ("exceeds")
   }
 
+  test("categoricalDriftSliced leaves no persisted/checkpointed blocks behind (monitor-safe)") {
+    import spark.implicits._
+    // Set difference, not a count: the ContextCleaner may reclaim
+    // OTHER tests' stale blocks concurrently; only NEW ids are ours.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val base = Seq(("A", "a"), ("A", "b"), ("B", "a")).toDF("s", "v")
+    val cur = Seq(("A", "a"), ("B", "b")).toDF("s", "v")
+    FeatureStats.categoricalDriftSliced(base, cur, "v", "s").collect()
+    // The r9 implementation localCheckpoint'ed the joined count frame,
+    // leaking one block-manager RDD per call until driver GC — fatal
+    // inside a foreachBatch monitor (a block per micro-batch). The
+    // window-aggregate rewrite consumes the frame once, unpersisted.
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+  }
+
   test("validateWithSliced: per-slice rows equal validateWith on each slice's rows; NULL slices excluded") {
     import spark.implicits._
     val baseline = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("cat", "x")

@@ -199,6 +199,45 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("pqIndexStream soak: sf0.1 embeddings in 10 batches, stateless encode, parity with batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    // Index fit ONCE on the corpus (same params as the
+    // sim_topk_pq_incremental oracle); the stream encodes against its
+    // broadcast literals — a stateless codegen projection, so state
+    // must hold ZERO rows at any stream length and per-batch wall must
+    // stay flat (nothing accumulates, nothing re-fits).
+    val emb = graft.sources.ParquetTables
+      .load(spark, sf("sf0.1") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val idx = Similarity.fitIndex(emb, "vec_id", "embedding",
+      nCentroids = 64, m = 8, kSub = 16)
+    val vecs = emb.as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val appended = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.pqIndexStream(
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", idx) {
+      (enc, _) => appended.addAndGet(enc.count()): Unit
+    }.start()
+    try {
+      vecs.grouped(200).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      // stateless: the monitor holds zero streaming state forever
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L }
+      // append-composability: the incrementally-built corpus is
+      // row-for-row the one-shot encode (the oracle proves search
+      // parity; here the soak proves nothing was dropped/duplicated)
+      appended.get() shouldBe vecs.size.toLong
+      appended.get() shouldBe
+        Similarity.encodeCorpus(emb, "vec_id", "embedding", idx).count()
+      soakLine("pqIndexStream", vecs.size.toLong, log)
+    } finally q.stop()
+  }
+
   test("validateStream soak: 150k orders in 10 batches, stateless, gates always fire-able") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
