@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   * @param ttlSeconds feature freshness window; None/0 = unbounded
   * @param outputPrefix when Some(p), features emit as `p__name`
   *                  (Feast's `full_feature_names=True` shape)
+  * @param predicate optional row filter over `source` columns.
+  *                  Semantically identical to pre-filtering `source`,
+  *                  but keeping it SEPARATE lets [[PointInTimeJoin
+  *                  .joinFused]] recognize views that differ only by
+  *                  predicate as sharing one source and fuse their
+  *                  candidate joins into a single scan — at 100 TB,
+  *                  "scan the feature table once however many views
+  *                  are defined over it" is the dominant saving.
   */
 final case class ResolvedView(
     name: String,
@@ -32,7 +40,8 @@ final case class ResolvedView(
     createdTs: Option[String] = None,
     features: Seq[String] = Nil,
     ttlSeconds: Option[Long] = None,
-    outputPrefix: Option[String] = None) {
+    outputPrefix: Option[String] = None,
+    predicate: Option[Column] = None) {
   def outName(f: String): String = outputPrefix.fold(f)(p => s"${p}__$f")
 }
 
@@ -108,8 +117,161 @@ object PointInTimeJoin {
       rowIdCol: Option[String] = None,
       spineScratchDir: Option[String] = None): DataFrame = {
     require(views.nonEmpty, "at least one feature view required")
+    val spine = buildSpine(entity, rowIdCol, spineScratchDir)
+    // Bounded-scan pruning: one tiny job, two values on the driver
+    // (reads the checkpointed spine when one was just materialized).
+    val bounds = spine.agg(min(col(entityTs)), max(col(entityTs))).head()
+    val empty = bounds.isNullAt(0)
 
-    val spine = rowIdCol match {
+    val withFeatures = views.foldLeft(spine) { (acc, v) =>
+      val reduced =
+        if (empty) emptyViewResult(spine, v)
+        else reduceView(spine, entityTs, v, strategy, bounds.get(0), bounds.get(1))
+      acc.join(reduced, Seq(RowId), "left")
+    }
+    withFeatures.drop(RowId)
+  }
+
+  /** Fused multi-view as-of join — IDENTICAL semantics to [[join]]
+    * under [[MaxByAgg]] (the default), collapsed physical shape.
+    * Two fusions stack:
+    *
+    *  1. **Candidate fusion** (the big one): views sharing
+    *     (source, joinKeys, tsCol, createdTs) — e.g. N views over one
+    *     feature table differing only by [[ResolvedView.predicate]] /
+    *     TTL / feature list — run ONE candidate join over one scan,
+    *     under the weakest admission window of the group; each view's
+    *     own predicate + TTL gate its ordered struct inside a `when`.
+    *     At 100 TB the feature-table scan+join dominates everything:
+    *     this makes it O(distinct sources), not O(views).
+    *  2. **Aggregation/stitch fusion**: each group runs ONE
+    *     `groupBy(rowId)` computing every member view's argmax as a
+    *     `max(when(pred && ttl, orderedStruct))` aggregate — the
+    *     structs are built INSIDE the aggregate expressions, so the
+    *     agg's sort/shuffle moves the NARROW joined row, not N
+    *     pre-projected struct copies (`max` skips the `when`'s NULLs,
+    *     so each view reduces over exactly its admissible rows).
+    *     Aggs and stitch joins are O(groups), not O(views).
+    *
+    * Views keep fully independent predicates / TTLs / feature lists /
+    * created-ts tie-breaks; only the (source, keys, ts) identity
+    * (compared on the CANONICALIZED logical plan, so re-loads of the
+    * same table fuse too) decides grouping. The unfused [[join]]
+    * remains the oracle-checked reference implementation (and the
+    * only home of [[WindowRowNumber]], whose per-view sort cannot
+    * fuse). */
+  def joinFused(
+      entity: DataFrame,
+      entityTs: String,
+      views: Seq[ResolvedView],
+      rowIdCol: Option[String] = None,
+      spineScratchDir: Option[String] = None): DataFrame = {
+    require(views.nonEmpty, "at least one feature view required")
+    val spine = buildSpine(entity, rowIdCol, spineScratchDir)
+    val bounds = spine.agg(min(col(entityTs)), max(col(entityTs))).head()
+    if (bounds.isNullAt(0)) {
+      // empty spine: the unfused fold already emits the right schema
+      val withFeatures = views.foldLeft(spine) { (acc, v) =>
+        acc.join(emptyViewResult(spine, v), Seq(RowId), "left")
+      }
+      return withFeatures.drop(RowId)
+    }
+    val (loTs, hiTs) = (bounds.get(0), bounds.get(1))
+    val vCol = views.indices.map(i => s"__graft_v$i")
+    // Group views by source identity (canonicalized plan — reference
+    // equality would miss separate loads of the same table), join
+    // keys, and timestamp semantics; group order is deterministic.
+    val groups: Seq[Seq[Int]] = views.zipWithIndex
+      .groupBy { case (v, _) =>
+        (v.source.queryExecution.logical.canonicalized,
+          v.joinKeys, v.tsCol, v.createdTs)
+      }
+      .values.map(_.map(_._2).toSeq).toSeq.sortBy(_.head)
+
+    val groupAggs: Seq[DataFrame] = groups.map { idxs =>
+      val rep = views(idxs.head)
+      val keyAliases =
+        rep.joinKeys.zipWithIndex.map { case (_, i) => s"__graft_k_$i" }
+      val tsCol0 = col(rep.tsCol)
+      val ttls = idxs.map(i => views(i).ttlSeconds.filter(_ > 0))
+      // Weakest admission across the group: any unbounded member ⇒ no
+      // lower bound; else the LARGEST ttl. Stricter per-view TTLs are
+      // re-checked inside the when() gates below.
+      val groupTtl: Option[Long] =
+        if (ttls.forall(_.isDefined)) Some(ttls.flatten.max) else None
+      val rangeFilter = groupTtl match {
+        case Some(ttl) =>
+          tsCol0 <= lit(hiTs) && tsCol0 >= (lit(loTs) - expr(s"INTERVAL $ttl SECONDS"))
+        case None => tsCol0 <= lit(hiTs)
+      }
+      // Scan-level predicate pre-filter: only sound when EVERY member
+      // has one (a predicate-free member admits all rows).
+      val anyPred: Option[Column] = {
+        val ps = idxs.map(i => views(i).predicate)
+        if (ps.forall(_.isDefined))
+          Some(ps.flatten.map(p => coalesce(p, lit(false))).reduce(_ || _))
+        else None
+      }
+      val rawFeats = idxs.flatMap(i => views(i).features).distinct
+      val predCols = idxs.flatMap(i => views(i).predicate.map(p =>
+        coalesce(p, lit(false)).as(s"__graft_p_$i")))
+      val viewCols =
+        rep.joinKeys.map(_._2).zip(keyAliases).map { case (c, a) => col(c).as(a) } ++
+          Seq(tsCol0.as(Vts)) ++
+          rep.createdTs.map(c => col(c).as(Vcts)).toSeq ++
+          rawFeats.map(f => col(f)) ++ predCols
+      val base = anyPred.fold(rep.source)(p => rep.source.filter(p))
+      val pruned = base.filter(rangeFilter).select(viewCols: _*)
+
+      val left = spine.select(
+        col(RowId) +: col(entityTs).as(Ets) +: rep.joinKeys.map(k => col(k._1)): _*)
+      val keyCond = rep.joinKeys.zip(keyAliases)
+        .map { case ((e, _), a) => left(e) === pruned(a) }
+        .reduce(_ && _)
+      val asOfCond = pruned(Vts) <= left(Ets)
+      val ttlCond = groupTtl match {
+        case Some(ttl) => pruned(Vts) >= (left(Ets) - expr(s"INTERVAL $ttl SECONDS"))
+        case None      => lit(true)
+      }
+      val joined = left.join(pruned, keyCond && asOfCond && ttlCond, "inner")
+
+      // Every member view's argmax in ONE aggregation over the NARROW
+      // joined row — the ordered structs exist only inside the
+      // aggregate buffers, never as pre-projected row columns (a
+      // union-then-aggregate variant measured 2-3× slower: its
+      // aggregation sorted rows carrying one struct copy per view).
+      val aggExprs = idxs.map { j =>
+        val w = views(j)
+        val ordered = struct(
+          (col(Vts) +: w.createdTs.map(_ => col(Vcts)).toSeq) ++
+            w.features.map(f => col(f).as(w.outName(f))): _*)
+        val vTtl = w.ttlSeconds.filter(_ > 0)
+          .map(t => col(Vts) >= (col(Ets) - expr(s"INTERVAL $t SECONDS")))
+          .getOrElse(lit(true))
+        val vPred = w.predicate.map(_ => col(s"__graft_p_$j")).getOrElse(lit(true))
+        max(when(vPred && vTtl, ordered)).as(vCol(j))
+      }
+      joined.groupBy(col(RowId)).agg(aggExprs.head, aggExprs.tail: _*)
+    }
+
+    // One stitch join per GROUP (= per distinct source), each already
+    // hash-partitioned on the row id by its aggregation.
+    val stitched = groupAggs.foldLeft(spine) { (acc, g) =>
+      acc.join(g, Seq(RowId), "left")
+    }
+    def q(name: String): Column = col(s"`${name.replace("`", "``")}`")
+    val spineCols = spine.columns.toSeq.filter(_ != RowId)
+    stitched.select(spineCols.map(q) ++ views.zipWithIndex.flatMap { case (v, i) =>
+      v.features.map(f => col(vCol(i)).getField(v.outName(f)).as(v.outName(f)))
+    }: _*)
+  }
+
+  /** Id-stamped spine, materialized once when the id is synthetic. */
+  private def buildSpine(
+      entity: DataFrame,
+      rowIdCol: Option[String],
+      spineScratchDir: Option[String]): DataFrame =
+    rowIdCol match {
       case Some(c) => entity.withColumn(RowId, col(c))
       case None =>
         // Synthetic ids must come out IDENTICAL in every consumer of
@@ -150,26 +312,15 @@ object PointInTimeJoin {
           case None => withId.localCheckpoint(true)
         }
     }
-    // Bounded-scan pruning: one tiny job, two values on the driver
-    // (reads the checkpointed spine when one was just materialized).
-    val bounds = spine.agg(min(col(entityTs)), max(col(entityTs))).head()
-    val empty = bounds.isNullAt(0)
 
-    val withFeatures = views.foldLeft(spine) { (acc, v) =>
-      val reduced =
-        if (empty) emptyViewResult(spine, v)
-        else reduceView(spine, entityTs, v, strategy, bounds.get(0), bounds.get(1))
-      acc.join(reduced, Seq(RowId), "left")
-    }
-    withFeatures.drop(RowId)
-  }
-
-  /** One row per spine id carrying this view's latest admissible features. */
-  private def reduceView(
+  /** Spine × one view under the key + as-of + TTL conditions: the
+    * pre-reduction candidate frame (RowId, Ets, entity keys, key
+    * aliases, Vts, [Vcts], out-named features). Shared by the per-view
+    * reduction and the fused multi-view aggregation. */
+  private def joinedView(
       spine: DataFrame,
       entityTs: String,
       v: ResolvedView,
-      strategy: DedupStrategy,
       loTs: Any,
       hiTs: Any): DataFrame = {
     val keyAliases = v.joinKeys.zipWithIndex.map { case (_, i) => s"__graft_k_$i" }
@@ -187,7 +338,8 @@ object PointInTimeJoin {
         Seq(tsCol0.as(Vts)) ++
         v.createdTs.map(c => col(c).as(Vcts)).toSeq ++
         v.features.map(f => col(f).as(v.outName(f)))
-    val pruned = v.source.filter(rangeFilter).select(viewCols: _*)
+    val src = v.predicate.fold(v.source)(p => v.source.filter(p))
+    val pruned = src.filter(rangeFilter).select(viewCols: _*)
 
     val left = spine.select(
       col(RowId) +: col(entityTs).as(Ets) +: v.joinKeys.map(k => col(k._1)): _*)
@@ -200,8 +352,18 @@ object PointInTimeJoin {
       case Some(ttl) => pruned(Vts) >= (left(Ets) - expr(s"INTERVAL $ttl SECONDS"))
       case None      => lit(true)
     }
-    val joined = left.join(pruned, keyCond && asOfCond && ttlCond, "inner")
+    left.join(pruned, keyCond && asOfCond && ttlCond, "inner")
+  }
 
+  /** One row per spine id carrying this view's latest admissible features. */
+  private def reduceView(
+      spine: DataFrame,
+      entityTs: String,
+      v: ResolvedView,
+      strategy: DedupStrategy,
+      loTs: Any,
+      hiTs: Any): DataFrame = {
+    val joined = joinedView(spine, entityTs, v, loTs, hiTs)
     val outCols = v.features.map(v.outName)
     strategy match {
       case MaxByAgg =>

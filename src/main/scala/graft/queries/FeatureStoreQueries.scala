@@ -44,15 +44,19 @@ object FeatureStoreQueries {
     val entity = table(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
     val orders = table(s, dir, "orders")
+    // predicate passed SEPARATELY from the source (same semantics as
+    // source.filter(pred)) so joinFused can recognize the six order
+    // views as one-scan fusable — see ResolvedView.predicate.
     def ov(nm: String, pfx: String, pred: Column, ttlDays: Option[Long],
            feats: Seq[String]) = ResolvedView(
       name = nm,
-      source = orders.filter(pred),
+      source = orders,
       joinKeys = Seq("user_id" -> "o_custkey"),
       tsCol = "o_orderdate",
       features = feats,
       ttlSeconds = ttlDays.map(_ * 86400),
-      outputPrefix = Some(pfx))
+      outputPrefix = Some(pfx),
+      predicate = Some(pred))
     val customer = table(s, dir, "customer")
       .withColumn("static_ts", lit("1970-01-01 00:00:00").cast("timestamp"))
     def cv(nm: String, pfx: String, feats: Seq[String]) = ResolvedView(
@@ -358,6 +362,20 @@ object FeatureStoreQueries {
       (s, dir) => {
         val (entity, views) = manyViewsInput(s, dir)
         PointInTimeJoin.join(entity, "ts", views)
+      },
+      Some(ManyViewsSql)),
+
+    // Fused twin: the SAME 8 views through joinFused — all per-view
+    // argmaxes in ONE aggregation over a tagged union, one stitch join
+    // total (vs one agg + one stitch per view in the foldLeft path).
+    // Shares the oracle verbatim: identical semantics, collapsed
+    // physical shape (PointInTimeJoinSpec asserts the plan: one
+    // row-id stitch join, bounded exchanges independent of N).
+    QueryDef(
+      "pit_manyviews_fused",
+      (s, dir) => {
+        val (entity, views) = manyViewsInput(s, dir)
+        PointInTimeJoin.joinFused(entity, "ts", views, rowIdCol = Some("event_id"))
       },
       Some(ManyViewsSql)),
 

@@ -26,6 +26,12 @@ import graft.registry.{FeatureRef, Registry}
   *                      already unique per row; when set the PIT join
   *                      uses it as the stitch key and skips the
   *                      synthetic-id spine materialization
+  * @param fusedJoin     use [[graft.join.PointInTimeJoin.joinFused]]:
+  *                      views sharing a source table run ONE candidate
+  *                      join / aggregation / stitch per source instead
+  *                      of per view — the right shape when many views
+  *                      are defined over few feature tables (identical
+  *                      results; oracle-twinned by pit_manyviews_fused)
   */
 final case class JobConfig(
     registry: Registry,
@@ -43,7 +49,8 @@ final case class JobConfig(
     artifactVersion: Long = 0,
     transforms: Seq[Transforms.TransformSpec] = Nil,
     entityRowId: Option[String] = None,
-    spineScratchDir: Option[String] = None)
+    spineScratchDir: Option[String] = None,
+    fusedJoin: Boolean = false)
 
 /** Payload-format dispatch — total, unlike the reference's C5 dispatch
   * (`executor.py:141-153`) whose SequenceExample branch raised. */
@@ -127,8 +134,12 @@ object Runner {
           "entityRowId: the synthetic-id path materializes the FULL wide " +
           "spine (O(payload bytes)). Pass a unique entity column as " +
           "entityRowId to skip it (measured 2.5x end-to-end on wide payloads).")
-    PointInTimeJoin.join(entity, job.entityTs, views,
-      rowIdCol = job.entityRowId, spineScratchDir = job.spineScratchDir)
+    if (job.fusedJoin)
+      PointInTimeJoin.joinFused(entity, job.entityTs, views,
+        rowIdCol = job.entityRowId, spineScratchDir = job.spineScratchDir)
+    else
+      PointInTimeJoin.join(entity, job.entityTs, views,
+        rowIdCol = job.entityRowId, spineScratchDir = job.spineScratchDir)
   }
 
   /** Flatten STRUCT columns into dotted-name leaf columns so nested

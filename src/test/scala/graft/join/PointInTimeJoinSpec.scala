@@ -249,4 +249,94 @@ class PointInTimeJoinSpec extends SparkSpec {
       }
     }
   }
+
+  test("joinFused: handcrafted semantics identical to the unfused reference") {
+    val v1 = view(Some(30L * 86400))
+    val extra = Seq(
+      (10L, ts("2024-01-02 00:00:00"), 1.5),
+      (10L, ts("2024-01-09 00:00:00"), 2.5),
+      (20L, ts("2024-01-09 00:00:00"), 9.9)
+    ).toDF("key", "fts2", "score")
+    val v2 = ResolvedView("v2", extra, Seq("key" -> "key"), "fts2",
+      None, Seq("score"), None, outputPrefix = Some("v2"))
+    val fused = PointInTimeJoin.joinFused(
+      entity, "event_ts", Seq(v1, v2), rowIdCol = Some("eid"))
+    val ref = PointInTimeJoin.join(
+      entity, "event_ts", Seq(v1, v2), rowIdCol = Some("eid"))
+    assert(fused.columns.toSeq == ref.columns.toSeq) // schema parity incl. order
+    assert(fused.exceptAll(ref).isEmpty && ref.exceptAll(fused).isEmpty)
+    // spot semantics (ttl NULL, tie-break, per-view independence)
+    val r = fused.collect().map(x => x.getAs[Long]("eid") -> x).toMap
+    assert(r(1L).getAs[String]("val") == "b2")
+    assert(r(3L).getAs[String]("val") == null)
+    assert(r(3L).getAs[Double]("v2__score") == 9.9)
+    assert(fused.count() == 5)
+  }
+
+  test("joinFused: empty spine yields empty result with the full fused schema") {
+    val out = PointInTimeJoin.joinFused(
+      entity.filter($"eid" < 0), "event_ts", Seq(view(None)), rowIdCol = Some("eid"))
+    assert(out.columns.contains("val"))
+    assert(out.count() == 0)
+  }
+
+  test("joinFused: random-data parity with the unfused reference across mixed views") {
+    val rng = new scala.util.Random(7)
+    val e = (1 to 300).map { i =>
+      (i.toLong, rng.nextInt(8).toLong,
+        ts(f"2024-01-${1 + rng.nextInt(28)}%02d ${rng.nextInt(24)}%02d:00:00"))
+    }
+    val f = (1 to 400).map { i =>
+      (rng.nextInt(8).toLong,
+        ts(f"2024-01-${1 + rng.nextInt(28)}%02d ${rng.nextInt(24)}%02d:00:00"),
+        ts(f"2024-01-01 00:${i % 60}%02d:00"), i.toLong)
+    }
+    val eDf = e.toDF("eid", "key", "event_ts")
+    val fDf = f.toDF("key", "fts", "created", "val")
+    // mixed shapes: ttl'd + unbounded + no created-ts + prefixed
+    val views = Seq(
+      ResolvedView("a", fDf, Seq("key" -> "key"), "fts", Some("created"),
+        Seq("val"), Some(7L * 86400), outputPrefix = Some("a")),
+      ResolvedView("b", fDf, Seq("key" -> "key"), "fts", None,
+        Seq("val"), None, outputPrefix = Some("b")),
+      ResolvedView("c", fDf.filter($"val" % 2 === 0), Seq("key" -> "key"),
+        "fts", Some("created"), Seq("val"), Some(86400L),
+        outputPrefix = Some("c")))
+    val fused = PointInTimeJoin.joinFused(eDf, "event_ts", views, rowIdCol = Some("eid"))
+    val ref = PointInTimeJoin.join(eDf, "event_ts", views, rowIdCol = Some("eid"))
+    assert(fused.columns.toSeq == ref.columns.toSeq)
+    assert(fused.exceptAll(ref).isEmpty && ref.exceptAll(fused).isEmpty)
+    assert(fused.count() == 300)
+  }
+
+  test("joinFused 8-view plan: per-SOURCE candidate joins, aggs, and stitches (2 groups, not 8 views)") {
+    val fused = graft.SparkEntry.queries("pit_manyviews_fused")(spark, sf())
+    val ref = graft.SparkEntry.queries("pit_manyviews")(spark, sf())
+    // row-for-row identical to the foldLeft reference (which the
+    // DuckDB oracle checks independently)
+    assert(fused.columns.toSeq == ref.columns.toSeq)
+    assert(fused.exceptAll(ref).isEmpty && ref.exceptAll(fused).isEmpty)
+    val plan = fused.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    val stitchJoins =
+      "SortMergeJoin \\[__graft_row_id".r.findAllMatchIn(plan).size +
+        "BroadcastHashJoin \\[__graft_row_id".r.findAllMatchIn(plan).size
+    // the 8 views span exactly TWO sources (orders, customer): the
+    // fused shape is per-source, independent of view count
+    withClue(s"hashExchanges=$hashEx stitchJoins=$stitchJoins\n" + plan.take(4000)) {
+      // one candidate join + one agg + one stitch per GROUP: the
+      // unfused plan has 8 stitch joins and ~9 hash exchanges (see the
+      // many-view test above); fused is 2 of each, at ANY view count
+      assert(stitchJoins == 2)
+      assert(hashEx <= 5)
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      // per-group candidate joins still broadcast the pruned side
+      assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 2)
+      // candidate fusion: the orders table is scanned ONCE for all six
+      // order views (the foldLeft plan scans it six times)
+      assert(plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("orders.parquet")) == 1)
+    }
+  }
 }

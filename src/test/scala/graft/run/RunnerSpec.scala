@@ -85,6 +85,25 @@ class RunnerSpec extends SparkSpec {
     assert(manifest.contains("\"span\":0"))
   }
 
+  test("fusedJoin job flag: retrieve emits identical rows and schema to the foldLeft path") {
+    val entitySql =
+      """SELECT event_id, user_id AS o_custkey, ts AS event_timestamp, event_type
+        |FROM events""".stripMargin
+    def job(fused: Boolean) = JobConfig(
+      registry = YamlRegistry.load(registryYaml),
+      dataDir = sf(),
+      features = Right("training_service"),
+      entityQuery = entitySql,
+      entityTs = "event_timestamp",
+      entityRowId = Some("event_id"),
+      fusedJoin = fused)
+    val ref = Runner.retrieve(spark, job(false), entitySql)
+    val fus = Runner.retrieve(spark, job(true), entitySql)
+    assert(fus.columns.toSeq == ref.columns.toSeq)
+    assert(fus.exceptAll(ref).isEmpty && ref.exceptAll(fus).isEmpty)
+    assert(fus.count() > 0)
+  }
+
   test("writeSplits executes the upstream pipeline once for N splits") {
     val out = java.nio.file.Files.createTempDirectory("graft-1pass").toString
     val acc = spark.sparkContext.longAccumulator("upstream-evals")
