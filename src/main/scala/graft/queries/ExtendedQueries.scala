@@ -115,13 +115,23 @@ object ExtendedQueries {
       "q16_approx_sketches",
       (s, dir) => {
         val o = table(s, dir, "orders")
-        o.groupBy(col("o_orderpriority"))
+        // The sketches and the exact distinct count run as SEPARATE
+        // aggregations joined on the 5-row group key: mixing
+        // countDistinct into the sketch agg makes Spark rewrite to a
+        // two-level aggregate keyed on (priority, custkey), building
+        // an HLL + two percentile OBJECT buffers per distinct
+        // customer (~100k buffers) instead of per priority (5) —
+        // measured 12.7 s vs ~1 s at sf0.1 once the bench stopped
+        // letting count() prune the agg list.
+        val sketches = o.groupBy(col("o_orderpriority"))
           .agg(
             approx_count_distinct(col("o_custkey"), rsd = 0.02).as("ac"),
             percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50a"),
-            countDistinct(col("o_custkey")).as("exact_custs"),
             expr("percentile(o_totalprice, 0.5)").as("p50e"),
             count(lit(1)).as("n"))
+        val exact = o.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+        sketches.join(exact, Seq("o_orderpriority"))
           .select(
             col("o_orderpriority"),
             (abs(col("ac") - col("exact_custs")).cast("double") /

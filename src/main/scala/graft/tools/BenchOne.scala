@@ -22,18 +22,24 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    // Time build + count together (matching Bench): some operators do
-    // eager work at DataFrame construction (index fits, checkpoints).
-    // In explain mode the one built DataFrame serves both the plan dump
-    // and the count, so eager-at-build queries run their job once
-    // (timing then excludes the build — use non-explain mode to time).
+    // Time build + full materialization together (matching Bench's
+    // noop-sink harness — count() would let Catalyst prune agg lists
+    // and join payloads, underpricing the query; see SURVEY §8.9.1).
+    // Some operators do eager work at DataFrame construction (index
+    // fits, checkpoints). In explain mode the one built DataFrame
+    // serves both the plan dump and the run, so eager-at-build queries
+    // run their job once (timing then excludes the build — use
+    // non-explain mode to time).
+    def materialize(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); -1L
+    }
     val t0 = System.nanoTime()
     val n = if (doExplain || args.contains("show")) {
       val df = fn(spark, sfDir)
       if (doExplain) df.explain("formatted")
       if (args.contains("show")) df.show(50, false)
-      df.count()
-    } else fn(spark, sfDir).count()
+      materialize(df)
+    } else materialize(fn(spark, sfDir))
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"query":"$name","rows":$n,"sec":$sec%.3f}""")
     spark.stop()
