@@ -249,12 +249,34 @@ object StreamingOps {
     * analogue of the reference's retrieval. Late-arriving FEATURE rows
     * would require buffering both streams on event time
     * (a stream-stream as-of join); feature views here are batch tables,
-    * matching the reference's offline-store model. */
+    * matching the reference's offline-store model.
+    *
+    * Pass `rowIdCol` whenever the stream HAS a unique event id (it
+    * almost always does): without one, the join must materialize a
+    * synthetic-id spine per micro-batch via localCheckpoint — this
+    * wrapper releases those blocks after the sink consumes the batch
+    * (otherwise one persisted block accumulates PER MICRO-BATCH until
+    * driver GC, the monitor-leak class the drift scorers were purged
+    * of in r9), but the natural key skips the materialization
+    * entirely. `fused` routes through [[PointInTimeJoin.joinFused]]
+    * (one candidate join per distinct source — right when many views
+    * share few feature tables). */
   def pitEnrichStream(
-      entities: DataFrame, entityTs: String, views: Seq[ResolvedView])(
+      entities: DataFrame, entityTs: String, views: Seq[ResolvedView],
+      rowIdCol: Option[String] = None, fused: Boolean = false)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     entities.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sink(PointInTimeJoin.join(batch, entityTs, views), batchId)
+      val sc = batch.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val joined =
+        if (fused) PointInTimeJoin.joinFused(batch.toDF(), entityTs, views, rowIdCol)
+        else PointInTimeJoin.join(batch.toDF(), entityTs, views, rowIdCol = rowIdCol)
+      // ids persisted DURING join construction = this batch's spine
+      // checkpoint (empty when rowIdCol is set) — never the sink's own
+      val spineBlocks = sc.getPersistentRDDs.keySet -- before
+      sink(joined, batchId)
+      spineBlocks.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
 
   /** Streaming incremental near-dup detection: each micro-batch of
@@ -419,11 +441,21 @@ object StreamingOps {
     val baseOnce = baseSigs.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      // The batch's signatures are checkpointed (consumed once per
+      // band by the LSH join) but must be RELEASED after the sink —
+      // a lingering block per micro-batch is the r9 monitor-leak
+      // class (same fix as pitEnrichStream). baseOnce is excluded by
+      // the before-snapshot: it persists for the query's lifetime.
+      val sc = batch.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val sigs = graft.ops.Dedup.minhashSignatures(
+        batch, idCol, textCol, shingleN, k, portable)
+        .localCheckpoint(false)
+      val sigBlocks = sc.getPersistentRDDs.keySet -- before
       sink(graft.ops.Dedup.minhashLshAgainstPrepared(
-        graft.ops.Dedup.minhashSignatures(
-          batch, idCol, textCol, shingleN, k, portable)
-          .localCheckpoint(false),
-        baseOnce, k, bands, threshold, portable, maxBucket), batchId)
+        sigs, baseOnce, k, bands, threshold, portable, maxBucket), batchId)
+      sigBlocks.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
   }
 

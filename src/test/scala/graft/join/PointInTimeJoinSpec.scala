@@ -309,6 +309,36 @@ class PointInTimeJoinSpec extends SparkSpec {
     assert(fused.count() == 300)
   }
 
+  test("joinFused groups on the CANONICAL source plan: re-loads of one table fuse, different join keys do not") {
+    val dir = sf()
+    val entity = graft.sources.ParquetTables.load(spark, dir + "/events.parquet")
+      .select($"event_id", $"user_id", $"ts")
+    def ordersLoad() = graft.sources.ParquetTables.load(spark, dir + "/orders.parquet")
+    // v1 and v2: SEPARATE load() calls of the same path, same keys/ts
+    // — must fuse (reference equality would miss this); v3: same
+    // table but joined on a different entity column — must NOT fuse.
+    val v1 = ResolvedView("a", ordersLoad(), Seq("user_id" -> "o_custkey"),
+      "o_orderdate", features = Seq("o_totalprice"), outputPrefix = Some("a"))
+    val v2 = ResolvedView("b", ordersLoad(), Seq("user_id" -> "o_custkey"),
+      "o_orderdate", features = Seq("o_orderstatus"), outputPrefix = Some("b"),
+      predicate = Some($"o_orderstatus" =!= "X"))
+    val v3 = ResolvedView("c", ordersLoad(), Seq("event_id" -> "o_orderkey"),
+      "o_orderdate", features = Seq("o_totalprice"), outputPrefix = Some("c"))
+    val df = PointInTimeJoin.joinFused(
+      entity, "ts", Seq(v1, v2, v3), rowIdCol = Some("event_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    val ordersScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet"))
+    withClue(plan.take(3000)) {
+      assert(ordersScans == 2) // {v1,v2} fused into one scan; v3 separate
+    }
+    // and the fused result still matches the foldLeft reference
+    val ref = PointInTimeJoin.join(
+      entity, "ts", Seq(v1, v2, v3), rowIdCol = Some("event_id"))
+    assert(df.columns.toSeq == ref.columns.toSeq)
+    assert(df.exceptAll(ref).isEmpty && ref.exceptAll(df).isEmpty)
+  }
+
   test("joinFused 8-view plan: per-SOURCE candidate joins, aggs, and stitches (2 groups, not 8 views)") {
     val fused = graft.SparkEntry.queries("pit_manyviews_fused")(spark, sf())
     val ref = graft.SparkEntry.queries("pit_manyviews")(spark, sf())

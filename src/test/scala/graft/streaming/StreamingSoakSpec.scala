@@ -110,6 +110,7 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
     val arriving = corpus.map(d => Doc(d.doc_id + 1000000L, d.text))
     val baseSigs = Dedup.minhashSignatures(
       corpus.toDF(), "doc_id", "text", shingleN = 3, k = 16)
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
     val stream = MemoryStream[Doc]
     val gotCount = new java.util.concurrent.atomic.AtomicLong(0)
     val q = StreamingOps.nearDupStream(
@@ -126,6 +127,13 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
       // foreachBatch against a persisted index is STATELESS — nothing
       // may accumulate in streaming state across batches.
       log.foreach { case (_, _, st) => st.sum shouldBe 0L }
+      // block-manager hygiene, asserted BEFORE the batch twin (which
+      // legitimately checkpoints its own two signature frames):
+      // per-batch signature checkpoints are released after each sink;
+      // only the query-lifetime base index may remain persisted
+      // across the 10 batches.
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore)
+        .size should be <= 1
       val batchTwin = Dedup.minhashLshAgainst(
         Dedup.minhashSignatures(arriving.toDF(), "doc_id", "text", shingleN = 3, k = 16),
         baseSigs, k = 16, bands = 8, threshold = 0.5).count()

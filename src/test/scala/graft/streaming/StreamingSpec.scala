@@ -291,6 +291,46 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("pitEnrichStream: synthetic-spine blocks are released per batch; fused variant agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.join.ResolvedView
+    val features = Seq(
+      (1L, t("2024-01-01 09:00:00"), 10.0),
+      (2L, t("2024-01-01 10:00:00"), 20.0))
+      .toDF("user_id", "f_ts", "score")
+    def view = ResolvedView(
+      name = "scores", source = features,
+      joinKeys = Seq("user_id" -> "user_id"),
+      tsCol = "f_ts", features = Seq("score"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[Ev]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    // synthetic spine (no rowIdCol), fused path: each micro-batch
+    // localCheckpoints a spine; the wrapper must unpersist it after
+    // the sink — across 3 batches NOTHING may accumulate (one block
+    // per micro-batch was the r9 monitor-leak class).
+    val q = StreamingOps.pitEnrichStream(
+      stream.toDF().select("user_id", "ts"), "ts", Seq(view), fused = true) {
+      (batch, _) =>
+        got.synchronized {
+          got ++= batch.collect().map(r =>
+            (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        }
+    }.start()
+    try {
+      events.grouped(2).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+      val batchTwin = graft.join.PointInTimeJoin
+        .join(events.toDF().select("user_id", "ts"), "ts", Seq(view))
+        .collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      got.sorted shouldBe batchTwin.toSeq.sorted
+    } finally q.stop()
+  }
+
   test("nearDupStream: per-batch pairs against the static index match the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
