@@ -1408,6 +1408,16 @@ object FeatureStats {
       .select(col("slice"), col("value"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("n_q"), lit(0L)).as("n_q"))
+    categoricalSlicedReduction(c, joined)
+  }
+
+  /** The per-slice L∞/PSI reduction over a joined
+    * (slice, value, n_b, n_q) count frame — shared by
+    * [[categoricalDriftSliced]] (both sides aggregated in-query) and
+    * [[scoreCategoricalDrift]] (baseline side replayed from a fitted
+    * model), so the two paths cannot drift apart. */
+  private def categoricalSlicedReduction(
+      c: String, joined: DataFrame): DataFrame = {
     // Per-slice totals as window aggregates: same partitioning as the
     // argmax window below → one exchange, single consumption of
     // `joined` (this replaced a localCheckpoint + self-join that
@@ -1441,6 +1451,82 @@ object FeatureStats {
       .select(lit(c).as("feature"), col("slice"), col("n_base"),
         col("n_cur"), col("n_values"), col("linf"), col("psi"),
         col("example_value"))
+  }
+
+  /** Fitted baseline for fit-once/serve-many categorical drift: the
+    * baseline's per-(slice, value) non-NULL counts, driver-collected
+    * under a hard cap (categorical drift only makes sense over
+    * low-cardinality dimensions — the cap is the contract, not a
+    * truncation). The GLOBAL (unsliced) comparator is the degenerate
+    * model over a constant slice column. */
+  final case class CategoricalDriftModel(
+      feature: String, sliceCol: String,
+      baseCounts: Seq[(String, String, Long)])
+
+  /** Fit a [[CategoricalDriftModel]] on a baseline — the categorical
+    * companion to [[fitDriftSliced]], closing the fit/score split for
+    * the L∞ comparator so streaming monitors replay the baseline from
+    * literals instead of re-aggregating it every micro-batch.
+    *
+    * Same guard discipline as [[fitDriftSliced]]: the collect is
+    * LIMIT-capped at maxSlices×maxValues+1 rows BEFORE
+    * materialization, so an ID-like slice (or value) column is
+    * detected from the cap being hit, never by materializing a
+    * corpus-sized frame on the driver. */
+  def fitCategoricalDrift(
+      base: DataFrame, c: String, sliceCol: String,
+      maxSlices: Int = 1000, maxValues: Int = 10000): CategoricalDriftModel = {
+    val cap = maxSlices * maxValues + 1
+    val rows = base
+      .filter(col(c).isNotNull && col(sliceCol).isNotNull)
+      .groupBy(col(sliceCol).cast("string").as("slice"),
+        col(c).cast("string").as("value"))
+      .agg(count(lit(1)).as("n_b"))
+      .limit(cap)
+      .collect()
+    require(rows.nonEmpty,
+      s"fitCategoricalDrift: baseline has no rows with non-NULL " +
+        s"'$c' and '$sliceCol'")
+    require(rows.length < cap,
+      s"fitCategoricalDrift: '$sliceCol' × '$c' exceeds " +
+        s"${cap - 1} (slice, value) pairs — both must be " +
+        "low-cardinality dimensions")
+    val slices = rows.map(_.getString(0)).distinct
+    require(slices.length <= maxSlices,
+      s"fitCategoricalDrift: '$sliceCol' has ${slices.length} slices " +
+        s"(max $maxSlices) — a slice column must be a low-cardinality " +
+        "dimension")
+    CategoricalDriftModel(c, sliceCol,
+      rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
+  /** Score a batch against a fitted [[CategoricalDriftModel]] —
+    * row-for-row equal to
+    * `categoricalDriftSliced(base, cur, c, sliceCol)` (the reduction
+    * is literally shared), but the baseline side is a broadcast-sized
+    * local relation replayed from the model: nothing re-aggregated
+    * per call, no driver reads, monitor-safe. Same semantics:
+    * baseline slices absent from the batch score q = 0 (the vanished-
+    * slice alarm — an EMPTY batch emits one such row per baseline
+    * slice), batch slices unknown to the baseline are dropped, batch
+    * values unknown WITHIN a known slice widen that slice's value
+    * union. */
+  def scoreCategoricalDrift(
+      model: CategoricalDriftModel, cur: DataFrame): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val baseDf = model.baseCounts.toDF("slice", "value", "n_b")
+    val curCounts = cur
+      .filter(col(model.feature).isNotNull && col(model.sliceCol).isNotNull)
+      .groupBy(col(model.sliceCol).cast("string").as("slice"),
+        col(model.feature).cast("string").as("value"))
+      .agg(count(lit(1)).as("n_q"))
+    val joined = baseDf
+      .join(curCounts, Seq("slice", "value"), "full_outer")
+      .select(col("slice"), col("value"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+    categoricalSlicedReduction(model.feature, joined)
   }
 
   /** Mergeable QUANTILE profile — the third leg of the incremental

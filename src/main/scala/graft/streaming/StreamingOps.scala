@@ -360,6 +360,25 @@ object StreamingOps {
       sink(graft.ops.FeatureStats.scoreDriftSlicedQuantile(model, batch), batchId)
     }
 
+  /** Streaming categorical-drift monitor (L∞ + smoothed PSI), the
+    * categorical corner of the monitor matrix: each micro-batch is
+    * scored against a fitted
+    * [[graft.ops.FeatureStats.CategoricalDriftModel]] — the baseline
+    * replays from model literals, nothing re-aggregated per trigger
+    * (the numeric monitors' fit-once/serve-many contract). Per-batch
+    * rows equal `scoreCategoricalDrift(model, batchDf)` (shared code
+    * path, itself reduction-shared with `categoricalDriftSliced`). An
+    * EMPTY micro-batch still emits one q = 0 row per baseline slice —
+    * the vanished-slice alarm fires exactly when a slice's traffic
+    * stops. Stateless; the GLOBAL comparator is a model fitted over a
+    * constant slice column. */
+  def categoricalDriftStream(
+      df: DataFrame, model: graft.ops.FeatureStats.CategoricalDriftModel)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.FeatureStats.scoreCategoricalDrift(model, batch), batchId)
+    }
+
   /** Streaming schema-validation monitor: every micro-batch runs the
     * ExampleValidator pass against pre-collected
     * [[graft.ops.FeatureStats.ColumnSpec]] expectations (collect the

@@ -1017,6 +1017,77 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
   }
 
+  test("fitCategoricalDrift/scoreCategoricalDrift: row-for-row equal to categoricalDriftSliced; no baseline re-agg artifacts") {
+    import spark.implicits._
+    val base = (
+      Seq.fill(6)(("A", "a")) ++ Seq.fill(3)(("A", "b")) ++ Seq(("A", "c")) ++
+      Seq.fill(2)(("B", "a")) ++ Seq.fill(8)(("B", "b")) ++
+      Seq.fill(4)(("C", "d"))                       // slice C vanishes from cur
+    ).toDF("s", "v")
+    val cur = (
+      Seq.fill(2)(("A", "a")) ++ Seq.fill(6)(("A", "b")) ++ Seq.fill(2)(("A", "d")) ++
+      Seq.fill(5)(("B", "a")) ++ Seq.fill(5)(("B", "b")) ++
+      Seq.fill(3)(("D", "z"))                       // slice D unknown to baseline
+    ).toDF("s", "v")
+    val model = FeatureStats.fitCategoricalDrift(base, "v", "s")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scored = FeatureStats.scoreCategoricalDrift(model, cur)
+    val twin = FeatureStats.categoricalDriftSliced(base, cur, "v", "s")
+    scored.exceptAll(twin).count() shouldBe 0L
+    twin.exceptAll(scored).count() shouldBe 0L
+    // monitor contract: scoring leaves no persisted/checkpointed blocks
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+    // an empty batch emits one q = 0 absence row per baseline slice
+    val silent = FeatureStats.scoreCategoricalDrift(model, cur.limit(0))
+      .collect().map(r => r.getString(1) -> r.getAs[Long]("n_cur")).toMap
+    silent.keySet shouldBe Set("A", "B", "C")
+    silent.values.toSet shouldBe Set(0L)
+  }
+
+  test("fitCategoricalDrift fails fast on high-cardinality slice/value columns") {
+    import spark.implicits._
+    val wide = (1 to 500).map(i => (i.toString, "x")).toDF("s", "v")
+    intercept[IllegalArgumentException] {
+      FeatureStats.fitCategoricalDrift(wide, "v", "s", maxSlices = 100)
+    }.getMessage should include ("slices")
+    val wideVals = (1 to 500).map(i => ("A", i.toString)).toDF("s", "v")
+    intercept[IllegalArgumentException] {
+      FeatureStats.fitCategoricalDrift(
+        wideVals, "v", "s", maxSlices = 10, maxValues = 20)
+    }.getMessage should include ("pairs")
+  }
+
+  test("categoricalDriftStream: per-batch rows equal scoreCategoricalDrift; a silent slice keeps alarming") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = (1 to 200).map(i =>
+      (if (i % 2 == 0) "a" else "b", "v" + (i % 5))).toDF("s", "v")
+    val model = FeatureStats.fitCategoricalDrift(base, "v", "s")
+    val batches = Seq(
+      Seq(("a", "v1"), ("b", "v2"), ("a", "v3")),
+      Seq(("a", "v0"), ("a", "v9"))) // slice 'b' goes silent; v9 is new
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Row])]
+    val stream = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingOps.categoricalDriftStream(
+      stream.toDF().toDF("s", "v"), model) { (rows, id) =>
+      got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = FeatureStats.scoreCategoricalDrift(
+          model, rows.toDF("s", "v")).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      // the silent slice still emits its row, n_cur = 0
+      val last = got.sortBy(_._1).last._2
+        .map(r => r.getString(1) -> r.getAs[Long]("n_cur")).toMap
+      last("b") shouldBe 0L
+    } finally q.stop()
+  }
+
   test("validateWithSliced: per-slice rows equal validateWith on each slice's rows; NULL slices excluded") {
     import spark.implicits._
     val baseline = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("cat", "x")
