@@ -1152,6 +1152,17 @@ object FeatureStats {
       if (binMax > binMin) (binMax - binMin) / nBins else 1.0
   }
 
+  /** Validate a driver-collect LIMIT cap computed in Long: the fit
+    * guards multiply user-supplied Ints, and Int arithmetic would wrap
+    * (50000 × 50000 → negative) — turning the fail-fast into an opaque
+    * `limit()` analysis error or, worse, a silently weakened cap. */
+  private def limitCap(cap: Long, what: String): Int = {
+    require(cap > 0 && cap <= Int.MaxValue,
+      s"$what: computed LIMIT cap $cap is outside (0, Int.MaxValue] — " +
+        "lower the limit arguments so their product fits in Int")
+    cap.toInt
+  }
+
   /** Fit a [[SlicedDriftModel]]: one global 2-value bounds probe plus
     * one map-side-combined hash-agg onto ≤ slices×nBins keys,
     * collected as metadata (capped by `maxSlices` — a slice column is
@@ -1172,7 +1183,7 @@ object FeatureStats {
     // the collect is LIMIT-capped at maxSlices×nBins+1 rows — overflow
     // is detected from the cap being hit, never from materializing the
     // full frame (the sibling count-gated domain guard in inferSchema).
-    val cap = maxSlices * nBins + 1
+    val cap = limitCap(maxSlices.toLong * nBins + 1, "fitDriftSliced")
     val rows = base
       .filter(col(c).isNotNull && col(sliceCol).isNotNull)
       .select(col(sliceCol).cast("string").as("slice"),
@@ -1277,7 +1288,7 @@ object FeatureStats {
       maxSlices: Int = 1000, exact: Boolean = false): SlicedQuantileDriftModel = {
     require(nBins >= 2, s"fitDriftSlicedQuantile: nBins must be >= 2, got $nBins")
     val edges = fitQuantileEdges(base, c, nBins, exact)
-    val cap = maxSlices * nBins + 1
+    val cap = limitCap(maxSlices.toLong * nBins + 1, "fitDriftSlicedQuantile")
     val rows = base
       .filter(col(c).isNotNull && col(sliceCol).isNotNull)
       .select(col(sliceCol).cast("string").as("slice"),
@@ -1469,14 +1480,26 @@ object FeatureStats {
     * literals instead of re-aggregating it every micro-batch.
     *
     * Same guard discipline as [[fitDriftSliced]]: the collect is
-    * LIMIT-capped at maxSlices×maxValues+1 rows BEFORE
-    * materialization, so an ID-like slice (or value) column is
-    * detected from the cap being hit, never by materializing a
-    * corpus-sized frame on the driver. */
+    * LIMIT-capped BEFORE materialization, so an ID-like slice (or
+    * value) column is detected from the cap being hit, never by
+    * materializing a corpus-sized frame on the driver. The cap is
+    * min(maxSlices × maxValues, maxPairs) + 1: the per-axis limits
+    * bound WHICH columns qualify, while `maxPairs` bounds the TOTAL
+    * driver-held model so it stays genuinely broadcast-sized even
+    * when both axes are individually plausible (1000 slices × 10000
+    * values would otherwise admit a 10M-row "model"). All arithmetic
+    * in Long — two user-supplied Ints multiplied in Int wrap silently
+    * and would weaken the guard instead of enforcing it. */
   def fitCategoricalDrift(
       base: DataFrame, c: String, sliceCol: String,
-      maxSlices: Int = 1000, maxValues: Int = 10000): CategoricalDriftModel = {
-    val cap = maxSlices * maxValues + 1
+      maxSlices: Int = 1000, maxValues: Int = 10000,
+      maxPairs: Int = 100000): CategoricalDriftModel = {
+    require(maxSlices > 0 && maxValues > 0 && maxPairs > 0,
+      s"fitCategoricalDrift: maxSlices/maxValues/maxPairs must be " +
+        s"positive (got $maxSlices/$maxValues/$maxPairs)")
+    val cap = limitCap(
+      math.min(maxSlices.toLong * maxValues, maxPairs.toLong) + 1,
+      "fitCategoricalDrift")
     val rows = base
       .filter(col(c).isNotNull && col(sliceCol).isNotNull)
       .groupBy(col(sliceCol).cast("string").as("slice"),

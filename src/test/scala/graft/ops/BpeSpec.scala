@@ -108,6 +108,27 @@ class BpeSpec extends SparkSpec with Matchers {
     e2.getMessage should include("maxVocab")
   }
 
+  test("train's approx pre-probe fires before the dict collect on a clearly-over corpus") {
+    // 2000 distinct words vs cap 100: the HLL estimate (2% rsd) is far
+    // beyond the 1.1× misfire margin, so the cheap pre-probe raises —
+    // its "~" estimate wording distinguishes it from the exact backstop
+    val big = docsDf((0 until 100).map(i =>
+      i.toLong -> (0 until 20).map(j => s"w${i}x$j").mkString(" ")))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(big, "text", 2, maxVocab = 100)
+    }
+    e.getMessage should include("~")
+    e.getMessage should include("distinct words")
+    // marginal band (estimate within 1.1× of the cap): the pre-probe
+    // must NOT misfire; the exact backstop decides. 105 words, cap 100.
+    val marginal = docsDf(Seq(
+      1L -> (0 until 105).map(j => s"m$j").mkString(" ")))
+    val e3 = intercept[IllegalArgumentException] {
+      Bpe.train(marginal, "text", 2, maxVocab = 100)
+    }
+    e3.getMessage should include("more than 100 distinct words")
+  }
+
   test("disjoint top pairs batch into one round: job count independent of merge count") {
     // the dictionary reduction makes training ONE job for any merge
     // count; this corpus keeps the classic sequence trivially ordered

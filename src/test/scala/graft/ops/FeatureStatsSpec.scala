@@ -1057,6 +1057,37 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     }.getMessage should include ("pairs")
   }
 
+  test("fitCategoricalDrift: maxPairs bounds the TOTAL model; Long cap math never wraps") {
+    import spark.implicits._
+    // 30 slices × 20 values = 600 pairs: each axis is under its limit,
+    // but the total exceeds maxPairs — the r10 advisory's exact gap
+    // (default per-axis limits admitted a 10M-row "broadcast" model).
+    val grid = for { s <- 1 to 30; v <- 1 to 20 } yield (s"s$s", s"v$v")
+    intercept[IllegalArgumentException] {
+      FeatureStats.fitCategoricalDrift(
+        grid.toDF("s", "v"), "v", "s",
+        maxSlices = 100, maxValues = 100, maxPairs = 500)
+    }.getMessage should include ("pairs")
+    // under the total cap the same fit succeeds
+    FeatureStats.fitCategoricalDrift(
+      grid.toDF("s", "v"), "v", "s",
+      maxSlices = 100, maxValues = 100, maxPairs = 1000)
+      .baseCounts.length shouldBe 600
+    // Int-wrapping arguments (50000×50000 overflows Int to a negative)
+    // hit the explicit Long-math guard, not an opaque limit() failure
+    val tiny = Seq(("A", "a")).toDF("s", "v")
+    intercept[IllegalArgumentException] {
+      FeatureStats.fitCategoricalDrift(
+        tiny, "v", "s",
+        maxSlices = 50000, maxValues = 50000, maxPairs = Int.MaxValue)
+    }.getMessage should (include ("cap") and include ("Int"))
+    intercept[IllegalArgumentException] {
+      FeatureStats.fitDriftSliced(
+        (1 to 5).map(i => ("A", i.toDouble)).toDF("s", "x"),
+        "x", "s", nBins = 1000000, maxSlices = 1000000)
+    }.getMessage should (include ("cap") and include ("Int"))
+  }
+
   test("categoricalDriftStream: per-batch rows equal scoreCategoricalDrift; a silent slice keeps alarming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -38,6 +38,33 @@ class GraphSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("pageRank durable scratch mode: bit-identical ranks at any checkpointEvery; run dir registered for exit cleanup") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L),
+      ("c", "a", 1L), ("d", "c", 3L)).toDF("src", "dst", "w")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-pr-scratch").toString
+    val baseline = Graph.pageRank(edges, "src", "dst", "w", 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (k <- Seq(1, 2, 7)) { // k > iterations: only the final truncation
+      val durable = Graph.pageRank(edges, "src", "dst", "w", 5,
+        scratchDir = Some(scratch), checkpointEvery = k)
+      val got = durable.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      got shouldBe baseline // bit-identical, not approximate
+      // the returned frame reads durable parquet, not block-manager rows
+      durable.inputFiles.exists(_.contains("rank-5")) shouldBe true
+    }
+    // the k=2 run truncated mid-loop at rank-2/rank-4 and at the end
+    val runDirs = new java.io.File(scratch).listFiles().map(_.getName)
+    runDirs.foreach(_ should startWith ("graft-pagerank-"))
+    val k2 = runDirs.flatMap(d =>
+      new java.io.File(s"$scratch/$d").listFiles().map(_.getName))
+    k2 should contain allOf ("nodes", "outw", "rank-0", "rank-5")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", "w", 5, checkpointEvery = 0)
+    }.getMessage should include ("checkpointEvery")
+  }
+
   test("pageRank: sink nodes keep teleport mass; ranks order by link weight") {
     // everyone points at 'hub'; hub points nowhere (dangling)
     val edges = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L))
