@@ -176,17 +176,14 @@ object PointInTimeJoin {
       }
       return withFeatures.drop(RowId)
     }
+    val incompatible = views.filterNot(maxByAggCompatible)
+    require(incompatible.isEmpty,
+      s"joinFused requires MaxByAgg-orderable feature types; views " +
+        s"${incompatible.map(_.name).mkString(", ")} carry an unorderable " +
+        "feature (e.g. MAP) — use the unfused join with WindowRowNumber")
     val (loTs, hiTs) = (bounds.get(0), bounds.get(1))
     val vCol = views.indices.map(i => s"__graft_v$i")
-    // Group views by source identity (canonicalized plan — reference
-    // equality would miss separate loads of the same table), join
-    // keys, and timestamp semantics; group order is deterministic.
-    val groups: Seq[Seq[Int]] = views.zipWithIndex
-      .groupBy { case (v, _) =>
-        (v.source.queryExecution.logical.canonicalized,
-          v.joinKeys, v.tsCol, v.createdTs)
-      }
-      .values.map(_.map(_._2).toSeq).toSeq.sortBy(_.head)
+    val groups = fusionGroups(views)
 
     val groupAggs: Seq[DataFrame] = groups.map { idxs =>
       val rep = views(idxs.head)
@@ -265,6 +262,41 @@ object PointInTimeJoin {
       v.features.map(f => col(vCol(i)).getField(v.outName(f)).as(v.outName(f)))
     }: _*)
   }
+
+  /** Group views by source identity (canonicalized plan — reference
+    * equality would miss separate loads of the same table), join keys,
+    * and timestamp semantics; group order is deterministic. The
+    * grouping key is the fusion contract: members of one group run ONE
+    * candidate join over one scan in [[joinFused]]. */
+  private def fusionGroups(views: Seq[ResolvedView]): Seq[Seq[Int]] =
+    views.zipWithIndex
+      .groupBy { case (v, _) =>
+        (v.source.queryExecution.logical.canonicalized,
+          v.joinKeys, v.tsCol, v.createdTs)
+      }
+      .values.map(_.map(_._2).toSeq).toSeq.sortBy(_.head)
+
+  /** Whether a view's dedup can run as `max(struct(ts, createdTs,
+    * features…))` — [[MaxByAgg]] and every [[joinFused]] aggregate
+    * need the struct to be ORDERABLE, which each feature's type
+    * decides (maps, for instance, are not; such views need the
+    * unfused [[WindowRowNumber]] path). */
+  private[join] def maxByAggCompatible(v: ResolvedView): Boolean =
+    v.features.forall { f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(v.source.schema(f).dataType)
+    }
+
+  /** Does fusing pay for this view set? — the Auto heuristic
+    * ([[graft.run.FuseAuto]]): TRUE exactly when every view is
+    * [[MaxByAgg]]-compatible (the only dedup [[joinFused]] speaks) and
+    * at least one fusion group has ≥ 2 members, i.e. distinct sources
+    * < views — the regime where "scan each feature table once, however
+    * many views are defined over it" actually saves scans. Singleton
+    * groups fuse into exactly the unfused per-view shape, so fusing a
+    * qualifying set never pessimizes the non-shared views. */
+  def shouldFuse(views: Seq[ResolvedView]): Boolean =
+    views.forall(maxByAggCompatible) && fusionGroups(views).exists(_.size >= 2)
 
   /** Id-stamped spine, materialized once when the id is synthetic. */
   private def buildSpine(

@@ -26,11 +26,14 @@ import graft.registry.{FeatureRef, Registry}
   *                      already unique per row; when set the PIT join
   *                      uses it as the stitch key and skips the
   *                      synthetic-id spine materialization
-  * @param fusedJoin     use [[graft.join.PointInTimeJoin.joinFused]]:
+  * @param fusedJoin     [[FusionMode]] dial for the PIT join. Default
+  *                      [[FuseAuto]]: route through
+  *                      [[graft.join.PointInTimeJoin.joinFused]] —
   *                      views sharing a source table run ONE candidate
   *                      join / aggregation / stitch per source instead
-  *                      of per view — the right shape when many views
-  *                      are defined over few feature tables (identical
+  *                      of per view — exactly when the resolved view
+  *                      set qualifies (some views share a source and
+  *                      all are MaxByAgg-compatible; identical
   *                      results; oracle-twinned by pit_manyviews_fused)
   */
 final case class JobConfig(
@@ -50,7 +53,22 @@ final case class JobConfig(
     transforms: Seq[Transforms.TransformSpec] = Nil,
     entityRowId: Option[String] = None,
     spineScratchDir: Option[String] = None,
-    fusedJoin: Boolean = false)
+    fusedJoin: FusionMode = FuseAuto)
+
+/** Physical dial for the point-in-time join ([[JobConfig.fusedJoin]]).
+  * Semantics are identical in every mode — this only picks the plan
+  * shape; `pit_manyviews_fused` shares the unfused oracle verbatim. */
+sealed trait FusionMode
+/** Fuse exactly when it pays ([[graft.join.PointInTimeJoin.shouldFuse]]):
+  * ≥ 2 views share a (canonicalized source, keys, timestamp) identity
+  * and every view's features are MaxByAgg-orderable. Otherwise the
+  * foldLeft reference path runs — so a registry with one view per
+  * table keeps its exact historical plan. */
+case object FuseAuto extends FusionMode
+/** Always fuse (fails fast on unorderable feature types). */
+case object FuseOn extends FusionMode
+/** Never fuse: the per-view foldLeft reference path. */
+case object FuseOff extends FusionMode
 
 /** Payload-format dispatch — total, unlike the reference's C5 dispatch
   * (`executor.py:141-153`) whose SequenceExample branch raised. */
@@ -134,7 +152,12 @@ object Runner {
           "entityRowId: the synthetic-id path materializes the FULL wide " +
           "spine (O(payload bytes)). Pass a unique entity column as " +
           "entityRowId to skip it (measured 2.5x end-to-end on wide payloads).")
-    if (job.fusedJoin)
+    val fuse = job.fusedJoin match {
+      case FuseOn   => true
+      case FuseOff  => false
+      case FuseAuto => PointInTimeJoin.shouldFuse(views)
+    }
+    if (fuse)
       PointInTimeJoin.joinFused(entity, job.entityTs, views,
         rowIdCol = job.entityRowId, spineScratchDir = job.spineScratchDir)
     else

@@ -339,6 +339,31 @@ class PointInTimeJoinSpec extends SparkSpec {
     assert(df.exceptAll(ref).isEmpty && ref.exceptAll(df).isEmpty)
   }
 
+  test("shouldFuse: true only when a source is shared AND all features are MaxByAgg-orderable") {
+    val f = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("key", "fts", "x")
+    def v(name: String, src: org.apache.spark.sql.DataFrame, feat: String) =
+      ResolvedView(name, src, Seq("key" -> "key"), "fts", features = Seq(feat))
+    // two views over the SAME frame share a canonical source → fuse
+    assert(PointInTimeJoin.shouldFuse(Seq(v("a", f, "x"), v("b", f, "x"))))
+    // disjoint sources: fusing buys nothing → foldLeft path
+    val g = Seq((1L, ts("2024-01-01 00:00:00"), 2.0)).toDF("key", "fts", "x")
+      .filter($"x" > 0)
+    assert(!PointInTimeJoin.shouldFuse(Seq(v("a", f, "x"), v("b", g, "x"))))
+    // a single view never fuses
+    assert(!PointInTimeJoin.shouldFuse(Seq(v("a", f, "x"))))
+    // an unorderable (map-typed) feature disqualifies the whole set —
+    // max(struct(..., map)) cannot run; joinFused also fails fast on it
+    val m = f.withColumn("mv",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"), $"x"))
+    val withMap = Seq(v("a", m, "x"), v("b", m, "mv"))
+    assert(!PointInTimeJoin.shouldFuse(withMap))
+    val err = intercept[IllegalArgumentException] {
+      PointInTimeJoin.joinFused(entity, "event_ts", withMap, rowIdCol = Some("eid"))
+    }
+    assert(err.getMessage.contains("unorderable"))
+  }
+
   test("joinFused 8-view plan: per-SOURCE candidate joins, aggs, and stitches (2 groups, not 8 views)") {
     val fused = graft.SparkEntry.queries("pit_manyviews_fused")(spark, sf())
     val ref = graft.SparkEntry.queries("pit_manyviews")(spark, sf())

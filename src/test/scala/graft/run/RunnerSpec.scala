@@ -89,7 +89,7 @@ class RunnerSpec extends SparkSpec {
     val entitySql =
       """SELECT event_id, user_id AS o_custkey, ts AS event_timestamp, event_type
         |FROM events""".stripMargin
-    def job(fused: Boolean) = JobConfig(
+    def job(fused: FusionMode) = JobConfig(
       registry = YamlRegistry.load(registryYaml),
       dataDir = sf(),
       features = Right("training_service"),
@@ -97,11 +97,68 @@ class RunnerSpec extends SparkSpec {
       entityTs = "event_timestamp",
       entityRowId = Some("event_id"),
       fusedJoin = fused)
-    val ref = Runner.retrieve(spark, job(false), entitySql)
-    val fus = Runner.retrieve(spark, job(true), entitySql)
+    val ref = Runner.retrieve(spark, job(FuseOff), entitySql)
+    val fus = Runner.retrieve(spark, job(FuseOn), entitySql)
     assert(fus.columns.toSeq == ref.columns.toSeq)
     assert(fus.exceptAll(ref).isEmpty && ref.exceptAll(fus).isEmpty)
     assert(fus.count() > 0)
+  }
+
+  test("FuseAuto: fuses exactly when views share a source — Auto plan == On plan on a manyviews registry, == Off plan otherwise") {
+    // three order views + one customer view: orders is shared, so the
+    // Auto heuristic (distinct sources < views) must pick the fused plan
+    val manyViewsYaml =
+      """project: graft-test
+        |views:
+        |  - name: ord_price
+        |    source: orders.parquet
+        |    entities: [o_custkey]
+        |    timestamp: o_orderdate
+        |    features: [o_totalprice]
+        |  - name: ord_status
+        |    source: orders.parquet
+        |    entities: [o_custkey]
+        |    timestamp: o_orderdate
+        |    features: [o_orderstatus]
+        |  - name: ord_prio
+        |    source: orders.parquet
+        |    entities: [o_custkey]
+        |    timestamp: o_orderdate
+        |    features: [o_orderpriority]
+        |  - name: customer_features
+        |    source: customer.parquet
+        |    entities: [c_custkey]
+        |    timestamp: __static__
+        |    features: [c_acctbal]
+        |""".stripMargin
+    val entitySql =
+      """SELECT event_id, user_id AS o_custkey, user_id AS c_custkey,
+        |       ts AS event_timestamp FROM events""".stripMargin
+    val feats = Left(Seq(
+      "ord_price:o_totalprice", "ord_status:o_orderstatus",
+      "ord_prio:o_orderpriority", "customer_features:c_acctbal"))
+    def job(yaml: String, f: Either[Seq[String], String], mode: FusionMode) =
+      JobConfig(
+        registry = YamlRegistry.load(yaml), dataDir = sf(), features = f,
+        entityQuery = entitySql, entityTs = "event_timestamp",
+        entityRowId = Some("event_id"), fusedJoin = mode)
+    def plan(mode: FusionMode, yaml: String = manyViewsYaml,
+             f: Either[Seq[String], String] = feats) =
+      Runner.retrieve(spark, job(yaml, f, mode), entitySql)
+        .queryExecution.optimizedPlan
+    val auto = plan(FuseAuto)
+    assert(auto.sameResult(plan(FuseOn)), "Auto must pick the fused plan here")
+    assert(!auto.sameResult(plan(FuseOff)), "fused and foldLeft plans must differ")
+    // a registry with one view per source keeps the exact historical
+    // (unfused) plan under Auto — fusion only triggers when it pays
+    val single = Left(Seq(
+      "ord_price:o_totalprice", "customer_features:c_acctbal"))
+    assert(plan(FuseAuto, f = single).sameResult(plan(FuseOff, f = single)))
+    // and the Auto result is row-identical to the Off result regardless
+    val a = Runner.retrieve(spark, job(manyViewsYaml, feats, FuseAuto), entitySql)
+    val o = Runner.retrieve(spark, job(manyViewsYaml, feats, FuseOff), entitySql)
+    assert(a.columns.toSeq == o.columns.toSeq)
+    assert(a.exceptAll(o).isEmpty && o.exceptAll(a).isEmpty)
   }
 
   test("writeSplits executes the upstream pipeline once for N splits") {
