@@ -366,18 +366,43 @@ object Dedup {
     * Scale: converges in O(component diameter) rounds and near-dup
     * clusters are shallow (pairs come from blocking, so components are
     * small cliques); each round is one join + one aggregate, with
-    * `localCheckpoint` truncating the growing plan lineage. For graphs
-    * with long chains, switch to the alternating large-star/small-star
-    * formulation — same per-round shuffle structure, O(log n) rounds.
+    * per-round lineage truncation (plus a pointer-jump step, so long
+    * chains close in O(log diameter) rounds — the same effect the
+    * alternating large-star/small-star formulation buys).
+    *
+    * Durability dial (`scratchDir`) — identical to
+    * [[graft.ops.Graph.pageRank]]'s: the default per-round
+    * `localCheckpoint(true)` blocks are non-replicated, so on a real
+    * cluster any executor loss mid-run kills the iteration chain.
+    * With `scratchDir` set, edges and every round's label table are
+    * written as scratch parquet under a UUID run dir (deleted at JVM
+    * exit via Hadoop `FileSystem.deleteOnExit`) and read back —
+    * label tables are 2 columns × |nodes|, tiny next to the pair
+    * generation that feeds this, so the write amplification is noise.
+    * Identical clusters in both modes.
     */
   def clusters(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+      maxIter: Int = 25, scratchDir: Option[String] = None): DataFrame = {
+    val persist: (DataFrame, String) => DataFrame = scratchDir match {
+      case Some(dir) =>
+        val base = s"$dir/graft-clusters-${java.util.UUID.randomUUID()}"
+        val sess = pairs.sparkSession
+        val hp = new org.apache.hadoop.fs.Path(base)
+        hp.getFileSystem(sess.sparkContext.hadoopConfiguration)
+          .deleteOnExit(hp): Unit
+        (df, tag) => {
+          df.write.mode("overwrite").parquet(s"$base/$tag")
+          sess.read.parquet(s"$base/$tag")
+        }
+      case None => (df, _) => df.localCheckpoint(true)
+    }
+    val edges = persist(
+      pairs.select(col(idA).as("a"), col(idB).as("b"))
+        .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+        .distinct(), "edges")
+    var labels = persist(edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")), "labels-0")
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -392,11 +417,12 @@ object Dedup {
       // distance to the component min each round (O(log diameter) total,
       // which matters for chain-shaped components)
       val parents = stepped.select(col("id").as("pid"), col("cluster").as("pcluster"))
-      val jumped = stepped.join(parents, stepped("cluster") === parents("pid"), "left")
-        .select(stepped("id"),
-          least(stepped("cluster"), coalesce(col("pcluster"), stepped("cluster"))).as("cluster"),
-          col("__graft_old"))
-        .localCheckpoint(true)
+      val jumped = persist(
+        stepped.join(parents, stepped("cluster") === parents("pid"), "left")
+          .select(stepped("id"),
+            least(stepped("cluster"), coalesce(col("pcluster"), stepped("cluster"))).as("cluster"),
+            col("__graft_old")),
+        s"labels-${it + 1}")
       changed = jumped.filter(col("cluster") =!= col("__graft_old")).count()
       labels = jumped.select("id", "cluster")
       it += 1

@@ -179,6 +179,24 @@ class DedupSpec extends SparkSpec with Matchers {
       val got = Dedup.clusters(pairsDf)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       withClue(s"trial $trial: ") { got shouldBe expected }
+      // durable scratch mode (the pageRank dial): identical clusters,
+      // labels read back from scratch parquet instead of checkpoint
+      // blocks; a long chain exercises multiple persisted rounds
+      if (trial == 1) {
+        val scratch =
+          java.nio.file.Files.createTempDirectory("graft-cc-scratch").toString
+        val durable = Dedup.clusters(pairsDf, scratchDir = Some(scratch))
+        durable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+        durable.inputFiles.exists(_.contains("labels-")) shouldBe true
+        val chain = spark.createDataFrame(
+          (0L until 20L).map(i => Row(i, i + 1)).asJava,
+          T.StructType(Seq(
+            T.StructField("id_a", T.LongType, nullable = false),
+            T.StructField("id_b", T.LongType, nullable = false))))
+        val chained = Dedup.clusters(chain, scratchDir = Some(scratch))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        chained shouldBe (0L to 20L).map(_ -> 0L).toMap
+      }
     }
   }
 
