@@ -45,6 +45,23 @@ final case class ResolvedView(
   def outName(f: String): String = outputPrefix.fold(f)(p => s"${p}__$f")
 }
 
+/** Physical dial for the point-in-time join: [[PointInTimeJoin.join]]
+  * (foldLeft reference) vs [[PointInTimeJoin.joinFused]]. Semantics
+  * are identical in every mode — this only picks the plan shape;
+  * `pit_manyviews_fused` shares the unfused oracle verbatim. Consumed
+  * by `JobConfig.fusedJoin` and the streaming PIT wrapper. */
+sealed trait FusionMode
+/** Fuse exactly when it pays ([[PointInTimeJoin.shouldFuse]]):
+  * ≥ 2 views share a (canonicalized source, keys, timestamp) identity
+  * and every view's features are MaxByAgg-orderable. Otherwise the
+  * foldLeft reference path runs — so a registry with one view per
+  * table keeps its exact historical plan. */
+case object FuseAuto extends FusionMode
+/** Always fuse (fails fast on unorderable feature types). */
+case object FuseOn extends FusionMode
+/** Never fuse: the per-view foldLeft reference path. */
+case object FuseOff extends FusionMode
+
 /** Point-in-time (as-of) left join of an entity spine against N feature
   * views — the engine's core operator (SURVEY.md §2.3 J1).
   *
@@ -297,6 +314,16 @@ object PointInTimeJoin {
     * qualifying set never pessimizes the non-shared views. */
   def shouldFuse(views: Seq[ResolvedView]): Boolean =
     views.forall(maxByAggCompatible) && fusionGroups(views).exists(_.size >= 2)
+
+  /** Resolve a [[FusionMode]] against a concrete view set — the one
+    * place the mode → plan decision lives (batch runner and streaming
+    * wrapper both call this, so they cannot diverge). */
+  def resolveFusion(mode: FusionMode, views: Seq[ResolvedView]): Boolean =
+    mode match {
+      case FuseOn   => true
+      case FuseOff  => false
+      case FuseAuto => shouldFuse(views)
+    }
 
   /** Id-stamped spine, materialized once when the id is synthetic. */
   private def buildSpine(

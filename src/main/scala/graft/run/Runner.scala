@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.encode.{ExampleEncoder, TfExampleEncoder, TfSequenceExampleEncoder}
 import graft.io.TfRecordSink
-import graft.join.{PointInTimeJoin, ResolvedView}
+import graft.join.{FuseAuto, FusionMode, PointInTimeJoin, ResolvedView}
 import graft.registry.{FeatureRef, Registry}
 
 /** Job configuration — the typed equivalent of the reference's
@@ -54,21 +54,6 @@ final case class JobConfig(
     entityRowId: Option[String] = None,
     spineScratchDir: Option[String] = None,
     fusedJoin: FusionMode = FuseAuto)
-
-/** Physical dial for the point-in-time join ([[JobConfig.fusedJoin]]).
-  * Semantics are identical in every mode — this only picks the plan
-  * shape; `pit_manyviews_fused` shares the unfused oracle verbatim. */
-sealed trait FusionMode
-/** Fuse exactly when it pays ([[graft.join.PointInTimeJoin.shouldFuse]]):
-  * ≥ 2 views share a (canonicalized source, keys, timestamp) identity
-  * and every view's features are MaxByAgg-orderable. Otherwise the
-  * foldLeft reference path runs — so a registry with one view per
-  * table keeps its exact historical plan. */
-case object FuseAuto extends FusionMode
-/** Always fuse (fails fast on unorderable feature types). */
-case object FuseOn extends FusionMode
-/** Never fuse: the per-view foldLeft reference path. */
-case object FuseOff extends FusionMode
 
 /** Payload-format dispatch — total, unlike the reference's C5 dispatch
   * (`executor.py:141-153`) whose SequenceExample branch raised. */
@@ -152,12 +137,7 @@ object Runner {
           "entityRowId: the synthetic-id path materializes the FULL wide " +
           "spine (O(payload bytes)). Pass a unique entity column as " +
           "entityRowId to skip it (measured 2.5x end-to-end on wide payloads).")
-    val fuse = job.fusedJoin match {
-      case FuseOn   => true
-      case FuseOff  => false
-      case FuseAuto => PointInTimeJoin.shouldFuse(views)
-    }
-    if (fuse)
+    if (PointInTimeJoin.resolveFusion(job.fusedJoin, views))
       PointInTimeJoin.joinFused(entity, job.entityTs, views,
         rowIdCol = job.entityRowId, spineScratchDir = job.spineScratchDir)
     else

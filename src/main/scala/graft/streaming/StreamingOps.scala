@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout}
 
-import graft.join.{PointInTimeJoin, ResolvedView}
+import graft.join.{FuseAuto, FusionMode, PointInTimeJoin, ResolvedView}
 
 /** Structured-Streaming operators mirroring the batch engine's
   * semantics on unbounded inputs. The reference pipeline is batch-only
@@ -258,18 +258,22 @@ object StreamingOps {
     * (otherwise one persisted block accumulates PER MICRO-BATCH until
     * driver GC, the monitor-leak class the drift scorers were purged
     * of in r9), but the natural key skips the materialization
-    * entirely. `fused` routes through [[PointInTimeJoin.joinFused]]
-    * (one candidate join per distinct source — right when many views
-    * share few feature tables). */
+    * entirely. `fused` is the batch runner's [[graft.join.FusionMode]]
+    * dial — default [[graft.join.FuseAuto]] routes through
+    * [[PointInTimeJoin.joinFused]] (one candidate join per distinct
+    * source) exactly when the view set qualifies, resolved ONCE at
+    * stream definition (views are fixed for the stream's lifetime). */
   def pitEnrichStream(
       entities: DataFrame, entityTs: String, views: Seq[ResolvedView],
-      rowIdCol: Option[String] = None, fused: Boolean = false)(
-      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      rowIdCol: Option[String] = None,
+      fused: FusionMode = FuseAuto)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val fuse = PointInTimeJoin.resolveFusion(fused, views)
     entities.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val sc = batch.sparkSession.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val joined =
-        if (fused) PointInTimeJoin.joinFused(batch.toDF(), entityTs, views, rowIdCol)
+        if (fuse) PointInTimeJoin.joinFused(batch.toDF(), entityTs, views, rowIdCol)
         else PointInTimeJoin.join(batch.toDF(), entityTs, views, rowIdCol = rowIdCol)
       // ids persisted DURING join construction = this batch's spine
       // checkpoint (empty when rowIdCol is set) — never the sink's own
@@ -278,6 +282,7 @@ object StreamingOps {
       spineBlocks.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
+  }
 
   /** Streaming incremental near-dup detection: each micro-batch of
     * arriving documents dedups against a STATIC signature index via

@@ -3,6 +3,7 @@ package graft.run
 import graft.SparkSpec
 import graft.encode.TfExample
 import graft.io.TfRecordSink
+import graft.join.{FuseAuto, FuseOff, FuseOn, FusionMode}
 import graft.registry.YamlRegistry
 
 /** End-to-end smoke (SURVEY.md §7.3 slice): entity query over `events`,

@@ -311,7 +311,8 @@ class StreamingSpec extends SparkSpec with Matchers {
     // the sink — across 3 batches NOTHING may accumulate (one block
     // per micro-batch was the r9 monitor-leak class).
     val q = StreamingOps.pitEnrichStream(
-      stream.toDF().select("user_id", "ts"), "ts", Seq(view), fused = true) {
+      stream.toDF().select("user_id", "ts"), "ts", Seq(view),
+      fused = graft.join.FuseOn) {
       (batch, _) =>
         got.synchronized {
           got ++= batch.collect().map(r =>
