@@ -291,6 +291,39 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("pitEnrichStream FuseAuto default: shared-source views fuse at stream definition and match the batch fused twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.join.ResolvedView
+    val features = Seq(
+      (1L, t("2024-01-01 09:00:00"), 10.0, 1.0),
+      (2L, t("2024-01-01 10:00:00"), 20.0, 2.0))
+      .toDF("user_id", "f_ts", "score", "rank")
+    // two views over the SAME source frame: Auto (the default) must
+    // resolve to the fused path once, at stream definition
+    val views = Seq(
+      ResolvedView("s1", features, Seq("user_id" -> "user_id"), "f_ts",
+        features = Seq("score"), outputPrefix = Some("s1")),
+      ResolvedView("s2", features, Seq("user_id" -> "user_id"), "f_ts",
+        features = Seq("rank"), outputPrefix = Some("s2")))
+    assert(graft.join.PointInTimeJoin.shouldFuse(views))
+    val stream = MemoryStream[Ev]
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = StreamingOps.pitEnrichStream(
+      stream.toDF().select("user_id", "ts"), "ts", views) { (batch, _) =>
+      got.synchronized { got ++= batch.collect().map(_.toString) }
+    }.start()
+    try {
+      events.grouped(3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val twin = graft.join.PointInTimeJoin
+        .joinFused(events.toDF().select("user_id", "ts"), "ts", views)
+        .collect().map(_.toString)
+      got.sorted.toSeq shouldBe twin.toSeq.sorted
+    } finally q.stop()
+  }
+
   test("pitEnrichStream: synthetic-spine blocks are released per batch; fused variant agrees") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
