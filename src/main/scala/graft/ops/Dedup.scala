@@ -23,11 +23,83 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicates on whitespace/case-normalized text: one row per
-    * distinct content hash with the survivor (min id) and count. */
+    * distinct content hash with the survivor (min id) and count.
+    *
+    * The result doubles as the persistable EXACT-dedup index of the
+    * fit-once/serve-many ingest path — the content-hash twin of the
+    * minhash signature table ([[minhashSignatures]]): persist it with
+    * [[saveExactIndex]], check each ingest batch against it with
+    * [[exactAgainst]] (or the streaming
+    * [[graft.streaming.StreamingOps.exactDedupStream]]), and fold the
+    * batch back in with [[mergeExactIndexes]]. At 100 TB the index —
+    * one (hash, id, count) row per DISTINCT document — is the only
+    * artifact the historical side ever re-reads; the corpus text is
+    * never re-hashed. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(TextOps.normalized(col(textCol))).as("text_hash"))
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Persist an [[exact]] index as parquet (the [[saveSignatures]]
+    * pattern: engine-agnostic, versionable beside the corpus). */
+  def saveExactIndex(index: DataFrame, path: String): Unit =
+    index.select(col("text_hash"), col("keep_id"), col("dup_count"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted exact index (inverse of [[saveExactIndex]]). */
+  def loadExactIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("text_hash"), col("keep_id"), col("dup_count"))
+
+  /** Classify an ingest batch against a persisted [[exact]] index:
+    * one row per arrival, `dup_of` = the id it duplicates, NULL for
+    * survivors (genuinely new content). Semantics are FIRST-SEEN-WINS
+    * — the real ingest contract, because history is immutable:
+    *   - content already in the index → `dup_of` = the index's
+    *     `keep_id`, even if the arrival's id is smaller (the
+    *     historical survivor cannot be retroactively deleted);
+    *   - content new to the index but repeated WITHIN the batch →
+    *     min-id arrival survives, its batch twins point at it;
+    *   - content seen nowhere → `dup_of` NULL.
+    * Scale shape: one hash projection over the batch, one hash-agg on
+    * the batch's hashes, one equi-join against the index on the
+    * 32-hex-char hash (broadcast when the batch or index is small;
+    * shuffle hash join otherwise — either way no text ever moves, only
+    * hashes). Survivors' `(text_hash, id)` rows are exactly what
+    * [[mergeExactIndexes]] folds back into the index. */
+  def exactAgainst(
+      newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val hashed = newDocs.select(col(idCol).as("id"),
+      md5(TextOps.normalized(col(textCol))).as("text_hash"))
+    val batchKeep = hashed.groupBy("text_hash")
+      .agg(min(col("id")).as("__graft_batch_keep"))
+    hashed
+      .join(index.select(col("text_hash"), col("keep_id")),
+        Seq("text_hash"), "left")
+      .join(batchKeep, Seq("text_hash"))
+      .select(col("id"), col("text_hash"),
+        when(col("keep_id").isNotNull, col("keep_id"))
+          .when(col("__graft_batch_keep") =!= col("id"),
+            col("__graft_batch_keep"))
+          .as("dup_of"))
+  }
+
+  /** Merge [[exact]] indexes — the append-composability law of the
+    * incremental path: `mergeExactIndexes(Seq(exact(a), exact(b)))`
+    * is ROW-IDENTICAL to `exact(a ∪ b)` (min of survivor mins = the
+    * union's survivor; counts sum), so daily index maintenance is one
+    * hash-agg over (yesterday's index ∪ today's batch index) — the
+    * corpus itself is never touched. Oracle-pinned by
+    * `dedup_exact_merged`, which shares dedup_exact's SQL verbatim. */
+  def mergeExactIndexes(indexes: Seq[DataFrame]): DataFrame = {
+    require(indexes.nonEmpty, "mergeExactIndexes needs at least one index")
+    indexes.reduce(_ unionByName _)
+      .groupBy("text_hash")
+      .agg(min(col("keep_id")).as("keep_id"),
+        sum(col("dup_count")).as("dup_count"))
+  }
 
   /** Deterministic MinHash signature family: sig_i = min over shingles
     * of xxhash64(shingle, i) — one independent seeded hash per

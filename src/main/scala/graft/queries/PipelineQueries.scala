@@ -47,6 +47,56 @@ object PipelineQueries {
                MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         FROM documents GROUP BY 1""")),
 
+    // Incremental exact dedup: the even-id half is the persisted
+    // index, the odd-id half the ingest batch. First-seen-wins:
+    // arrivals hashing into the index point at the historical
+    // survivor; within-batch repeats point at the batch min id; fresh
+    // content survives (dup_of NULL). The streaming twin
+    // (exactDedupStream) shares this code path.
+    QueryDef(
+      "dedup_exact_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.exactAgainst(
+          docs.filter(col("doc_id") % 2 =!= 0),
+          Dedup.exact(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+          "doc_id", "text")
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+          FROM documents),
+        idx AS (
+          SELECT h, MIN(doc_id) AS keep_id FROM n
+          WHERE doc_id % 2 = 0 GROUP BY h),
+        arr AS (SELECT doc_id, h FROM n WHERE doc_id % 2 = 1),
+        batch AS (SELECT h, MIN(doc_id) AS bkeep FROM arr GROUP BY h)
+        SELECT a.doc_id AS id, a.h AS text_hash,
+               CASE WHEN i.keep_id IS NOT NULL THEN i.keep_id
+                    WHEN b.bkeep <> a.doc_id THEN b.bkeep
+                    ELSE NULL END AS dup_of
+        FROM arr a
+        LEFT JOIN idx i ON i.h = a.h
+        JOIN batch b ON b.h = a.h""")),
+
+    // Append-composability law of the exact index: merging the two
+    // halves' indexes is ROW-IDENTICAL to indexing the whole corpus —
+    // the oracle is dedup_exact's SQL verbatim (the pit_manyviews_fused
+    // trick: strongest possible parity pin).
+    QueryDef(
+      "dedup_exact_merged",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.mergeExactIndexes(Seq(
+          Dedup.exact(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+          Dedup.exact(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")))
+      },
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+               MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY 1""")),
+
     // Typo-level near-dups: equi-join blocking on the 16-char normalized
     // prefix, banded thresholded levenshtein on 80-char prefixes, block
     // cap 50 (a hotter block is boilerplate, same guard as stop-shingles).

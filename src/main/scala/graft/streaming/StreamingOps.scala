@@ -483,6 +483,31 @@ object StreamingOps {
     }
   }
 
+  /** Streaming EXACT dedup against a persisted content-hash index —
+    * the exact-hash sibling of [[nearDupStream]] and the streaming
+    * face of [[graft.ops.Dedup.exactAgainst]] (shared code path, so
+    * per-batch rows are the batch operator's by construction; the
+    * dedup_exact_incremental oracle covers it). First-seen-wins
+    * semantics per batch: arrivals hashing into the index point at
+    * the historical survivor, within-batch repeats point at the
+    * batch's min-id arrival, fresh content gets dup_of NULL. No
+    * streaming state — the index IS the state, it lives in parquet,
+    * and refreshing it is [[graft.ops.Dedup.mergeExactIndexes]] over
+    * (index ∪ accepted batches) at whatever cadence the ingest loop
+    * chooses. Same lifetime-persist ownership caveat as
+    * [[nearDupStream]]: callers cycling indexes must unpersist the
+    * retired index after the last `stop()`. */
+  def exactDedupStream(
+      docs: DataFrame, idCol: String, textCol: String, index: DataFrame)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val indexOnce = index.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Dedup.exactAgainst(
+        batch.toDF(), indexOnce, idCol, textCol), batchId)
+    }
+  }
+
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running
     * per-bucket token total — the incremental form of

@@ -40,6 +40,45 @@ class DedupSpec extends SparkSpec with Matchers {
     out shouldBe Set((1L, 3L), (3L, 1L)) // (keep_id, dup_count) pairs
   }
 
+  test("exactAgainst: first-seen-wins vs the index, batch min within the batch, NULL for fresh; through parquet") {
+    val history = docsDf(Seq(
+      10L -> "Hello   World", 11L -> "old news here", 12L -> "hello world"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-xidx").toString
+    Dedup.saveExactIndex(Dedup.exact(history, "doc_id", "text"), s"$scratch/idx")
+    val index = Dedup.loadExactIndex(spark, s"$scratch/idx")
+    val arrivals = docsDf(Seq(
+      2L -> "HELLO WORLD",      // in the index, arrival id SMALLER than keep_id
+      20L -> "fresh content a", // new to everyone: survivor
+      21L -> "repeated inside", // within-batch dup pair: 21 survives
+      22L -> "Repeated   Inside",
+      23L -> "old news here"))  // plain index hit
+    val got = Dedup.exactAgainst(arrivals, index, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    got shouldBe Map(
+      2L -> Some(10L), // history is immutable: 10 stays survivor despite 2 < 10
+      20L -> None,
+      21L -> None,
+      22L -> Some(21L),
+      23L -> Some(11L))
+  }
+
+  test("mergeExactIndexes law: merge of split-half indexes is row-identical to indexing the union") {
+    val rnd = new scala.util.Random(41)
+    val texts = Seq("alpha beta", "gamma delta", "epsilon zeta", "eta theta")
+    val docs = (1L to 120L).map(i => i -> texts(rnd.nextInt(texts.size)))
+    val df = docsDf(docs)
+    val whole = Dedup.exact(df, "doc_id", "text")
+    val merged = Dedup.mergeExactIndexes(Seq(
+      Dedup.exact(df.filter(col("doc_id") % 3 === 0), "doc_id", "text"),
+      Dedup.exact(df.filter(col("doc_id") % 3 === 1), "doc_id", "text"),
+      Dedup.exact(df.filter(col("doc_id") % 3 === 2), "doc_id", "text")))
+    merged.columns.toSeq shouldBe whole.columns.toSeq
+    merged.exceptAll(whole).count() shouldBe 0L
+    whole.exceptAll(merged).count() shouldBe 0L
+  }
+
   test("ngram jaccard matches a naive oracle exactly") {
     val docs = Seq(
       1L -> "the quick brown fox jumps over the lazy dog",

@@ -404,6 +404,42 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("exactDedupStream: per-batch rows match exactAgainst on the same rows; index survivor is stable across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val history = Seq(
+      Doc(10L, "Hello   World"), Doc(11L, "old news here"),
+      Doc(12L, "hello world"))
+    val index = Dedup.exact(history.toDF(), "doc_id", "text")
+    val batches = Seq(
+      Seq(Doc(2L, "HELLO WORLD"), Doc(20L, "fresh content a")),
+      // batch 2 repeats batch 1's fresh content: the STATIC index
+      // doesn't know it (refresh cadence is the caller's loop), so it
+      // survives again — and the index hit keeps pointing at 10
+      Seq(Doc(21L, "fresh content a"), Doc(22L, "hello  world")))
+    val stream = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = StreamingOps.exactDedupStream(
+      stream.toDF(), "doc_id", "text", index) { (rows, id) =>
+      got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = Dedup.exactAgainst(rows.toDF(), index, "doc_id", "text").collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      val flat = got.sortBy(_._1).flatMap(_._2)
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      flat(2L) shouldBe Some(10L)  // first-seen survivor, not min id
+      flat(20L) shouldBe None
+      flat(21L) shouldBe None      // static index: batch-1 content unknown
+      flat(22L) shouldBe Some(10L)
+    } finally q.stop()
+  }
+
   test("stateless corpus-quality ops run identically on streams (widen passes through)") {
     import spark.implicits._
     import graft.ops.TextOps
