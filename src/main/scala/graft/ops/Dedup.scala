@@ -322,11 +322,7 @@ object Dedup {
     // 4 bands of 16 bits: pairs within Hamming<=maxHamming must share
     // >=1 exact band when maxHamming < 4 per the pigeonhole at 16-bit
     // chunks; used as a candidate filter, then verified exactly.
-    val banded = withSim.select(
-      col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftrightunsigned", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = simhashBands(withSim)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band", "chunk"))
@@ -336,6 +332,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dups of an arrival batch against a PERSISTED
+    * fingerprint table — the third fit-once/serve-many dedup index
+    * beside the minhash signatures and the exact content-hash index,
+    * and by far the cheapest: 8 BYTES per historical document (the
+    * `(id, simhash)` table from [[withSimhash]], persisted via
+    * [[saveSimhashes]]). Output (new_id, base_id, hamming), one row
+    * per cross pair within the Hamming budget. Same candidate shape as
+    * [[simhashPairs]]: 4 bands of 16 bits equi-joined (complete recall
+    * for maxHamming < 4 by pigeonhole, heuristic beyond), then exact
+    * Hamming verification — arrivals are hashed once, history is
+    * never re-read. Index freshness = append the accepted batch's
+    * fingerprints (the [[graft.ops.Similarity.encodeCorpus]] pattern:
+    * fingerprints under a fixed hash family are append-composable). */
+  def simhashAgainst(
+      newDocs: DataFrame, baseSim: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, portable: Boolean = false): DataFrame = {
+    val a = simhashBands(withSimhash(newDocs, idCol, textCol, portable))
+      .select(col("band"), col("chunk"),
+        col("id").as("new_id"), col("simhash").as("__graft_sim_n"))
+    val b = simhashBands(baseSim.select(col("id"), col("simhash")))
+      .select(col("band"), col("chunk"),
+        col("id").as("base_id"), col("simhash").as("__graft_sim_b"))
+    a.join(b, Seq("band", "chunk"))
+      .dropDuplicates("new_id", "base_id")
+      .withColumn("hamming",
+        bit_count(col("__graft_sim_n").bitwiseXOR(col("__graft_sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "base_id", "hamming")
+  }
+
+  /** Persist a [[withSimhash]] fingerprint table (8 bytes + id per doc). */
+  def saveSimhashes(sim: DataFrame, path: String): Unit =
+    sim.select(col("id"), col("simhash")).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted fingerprint table (inverse of [[saveSimhashes]]). */
+  def loadSimhashes(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("id"), col("simhash"))
+
+  /** 16-bit band rows (id, simhash, band, chunk) — shared by the
+    * self-join ([[simhashPairs]]) and two-sided ([[simhashAgainst]])
+    * candidate generation. */
+  private def simhashBands(sim: DataFrame): DataFrame =
+    sim.select(
+      col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("simhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
 
   /** (id, simhash) — 64-bit fingerprint per document: xxhash64 per
     * token (one pass), then the codegen'd 64-bit majority-vote fold

@@ -377,6 +377,48 @@ object PipelineQueries {
         SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 14""")),
 
+    // Incremental SimHash: even ids are the persisted 8-byte-per-doc
+    // fingerprint index, odd ids the ingest batch — cross pairs only,
+    // same banding + Hamming verify as dedup_simhash (shared
+    // simhashBands helper). The streaming twin (simhashDedupStream)
+    // shares this code path.
+    QueryDef(
+      "dedup_simhash_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.simhashAgainst(
+          docs.filter(col("doc_id") % 2 =!= 0),
+          Dedup.withSimhash(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            portable = true),
+          "doc_id", "text", maxHamming = 14, portable = true)
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        th AS (
+          SELECT doc_id AS id,
+                 list_transform(ws, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+          FROM w),
+        sim AS (
+          SELECT id,
+                 CAST(list_sum(list_transform(range(0, 60), p ->
+                   CASE WHEN 2 * len(list_filter(hs, h -> ((h >> p) & 1) = 1)) > len(hs)
+                        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM th),
+        banded AS (
+          SELECT id, simhash, b, (simhash >> CAST(b*16 AS INTEGER)) & 65535 AS chunk
+          FROM sim, unnest(range(0, 4)) t(b)),
+        cand AS (
+          SELECT DISTINCT x.id AS new_id, y.id AS base_id,
+                 x.simhash AS sim_n, y.simhash AS sim_b
+          FROM banded x JOIN banded y ON x.b = y.b AND x.chunk = y.chunk
+          WHERE x.id % 2 = 1 AND y.id % 2 = 0)
+        SELECT new_id, base_id, CAST(bit_count(xor(sim_n, sim_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_n, sim_b)) <= 14""")),
+
     QueryDef(
       "dedup_embedding_cosine",
       (s, dir) => Dedup.embeddingCosinePairs(

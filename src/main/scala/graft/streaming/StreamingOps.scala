@@ -508,6 +508,26 @@ object StreamingOps {
     }
   }
 
+  /** Streaming SimHash near-dup against a persisted fingerprint table
+    * — [[exactDedupStream]]'s typo-tolerant sibling over the cheapest
+    * index form (8 bytes per historical doc,
+    * [[graft.ops.Dedup.saveSimhashes]]). Shares
+    * [[graft.ops.Dedup.simhashAgainst]] verbatim, so per-batch rows
+    * are the batch operator's by construction (the
+    * dedup_simhash_incremental oracle covers it). Stateless; same
+    * index-lifetime persist + ownership caveat as [[nearDupStream]]. */
+  def simhashDedupStream(
+      docs: DataFrame, idCol: String, textCol: String, baseSim: DataFrame,
+      maxHamming: Int = 8, portable: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val baseOnce = baseSim.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Dedup.simhashAgainst(
+        batch.toDF(), baseOnce, idCol, textCol, maxHamming, portable), batchId)
+    }
+  }
+
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running
     * per-bucket token total — the incremental form of

@@ -189,6 +189,34 @@ class DedupSpec extends SparkSpec with Matchers {
     pairs should contain((1L, 2L))
   }
 
+  test("simhashAgainst: cross pairs equal the self-join's cross slice, through a parquet index") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    def vary(j: Int) =
+      (1 to 30).map(i => if (i == j) "CHANGED" else s"token$i").mkString(" ")
+    val docs = docsDf(Seq(
+      2L -> base, 4L -> vary(3), 6L -> "some wholly different text here now",
+      1L -> vary(5), 3L -> base, 5L -> "unrelated content about other things"))
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 =!= 0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-simidx").toString
+    Dedup.saveSimhashes(
+      Dedup.withSimhash(history, "doc_id", "text"), s"$scratch/idx")
+    val got = Dedup.simhashAgainst(
+      arrivals, Dedup.loadSimhashes(spark, s"$scratch/idx"),
+      "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: the self-join over the union, restricted to cross pairs
+    val self = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val crossRef = self.collect {
+      case (a, b, h) if a % 2 == 0 && b % 2 != 0 => (b, a, h)
+      case (a, b, h) if a % 2 != 0 && b % 2 == 0 => (a, b, h)
+    }.toSet
+    got shouldBe crossRef
+    got.map(t => (t._1, t._2)) should contain (3L -> 2L) // exact dup, hamming 0
+    got.map(_._1) should not contain 5L                  // novel content passes
+  }
+
   test("clusters: connected components match a naive union-find on random graphs") {
     import org.apache.spark.sql.{Row, types => T}
     val rnd = new scala.util.Random(13)

@@ -440,6 +440,40 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("simhashDedupStream: per-batch cross pairs match simhashAgainst on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    def vary(j: Int) =
+      (1 to 30).map(i => if (i == j) "CHANGED" else s"token$i").mkString(" ")
+    val history = Seq(
+      Doc(2L, base), Doc(4L, "some wholly different text here now"))
+    val index = Dedup.withSimhash(history.toDF(), "doc_id", "text")
+    val batches = Seq(
+      Seq(Doc(1L, vary(5))),
+      Seq(Doc(3L, base), Doc(5L, "unrelated content about other things")))
+    val stream = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = StreamingOps.simhashDedupStream(
+      stream.toDF(), "doc_id", "text", index, maxHamming = 10) { (rows, id) =>
+      got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = Dedup.simhashAgainst(
+          rows.toDF(), index, "doc_id", "text", maxHamming = 10).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      val pairs = got.flatMap(_._2).map(r => r.getLong(0) -> r.getLong(1))
+      pairs should contain (1L -> 2L) // near-dup of history
+      pairs should contain (3L -> 2L) // exact dup across batches
+      pairs.map(_._1) should not contain 5L
+    } finally q.stop()
+  }
+
   test("stateless corpus-quality ops run identically on streams (widen passes through)") {
     import spark.implicits._
     import graft.ops.TextOps
