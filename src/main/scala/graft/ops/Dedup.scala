@@ -52,6 +52,32 @@ object Dedup {
     spark.read.parquet(path)
       .select(col("text_hash"), col("keep_id"), col("dup_count"))
 
+  /** Persist an [[exact]] index as a BUCKETED catalog table — the
+    * at-scale layout for the serve side. At 100 TB the index is one
+    * row per DISTINCT document (billions); a plain parquet index
+    * makes every daily [[exactAgainst]] shuffle those billions on
+    * `text_hash` before the join, every day. Bucketing the table by
+    * `text_hash` at write time pre-partitions it ONCE: the join then
+    * reads index buckets in place and only the arrival batch — the
+    * small side — shuffles (spec-asserted: the bucketed plan carries
+    * strictly fewer exchanges, identical rows). Pick `nBuckets` so a
+    * bucket is a few hundred MB at full index size; the sort within
+    * buckets makes the join's index side sort-free too. */
+  def saveExactIndexBucketed(
+      index: DataFrame, tableName: String, nBuckets: Int): Unit =
+    index.select(col("text_hash"), col("keep_id"), col("dup_count"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "text_hash").sortBy("text_hash")
+      .format("parquet").saveAsTable(tableName)
+
+  /** Load a bucketed exact index (inverse of
+    * [[saveExactIndexBucketed]]; bucket metadata rides the catalog
+    * entry, so the exchange-free join shape survives the round trip). */
+  def loadExactIndexBucketed(
+      spark: org.apache.spark.sql.SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+      .select(col("text_hash"), col("keep_id"), col("dup_count"))
+
   /** Classify an ingest batch against a persisted [[exact]] index:
     * one row per arrival, `dup_of` = the id it duplicates, NULL for
     * survivors (genuinely new content). Semantics are FIRST-SEEN-WINS
