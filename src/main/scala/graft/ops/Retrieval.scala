@@ -21,41 +21,64 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Shared BM25 core: tokenize the corpus once (staged — it feeds the
-    * stats aggregate AND the scoring explode), restrict exploded terms
-    * to the query vocabulary via `restrictHits`, and return the
-    * per-(doc, term) frame with its `term_score` column. Corpus
-    * statistics (N, avgdl) are one 1-row driver aggregate embedded as
-    * literals (index metadata — the PIT-bounds / tf-idf-N pattern).
-    * Both public entry points wrap this, so tokenization, the IDF
-    * form (Lucene `ln(1 + (N - df + 0.5)/(df + 0.5))`, never
-    * negative), and the saturation arithmetic cannot drift apart. */
-  private def termScores(
-      df: DataFrame, idCol: String, textCol: String,
-      k1: Double, b: Double,
-      restrictHits: DataFrame => DataFrame): DataFrame = {
-    val docs = OpsUtil.widen(df)
+  /** Tokenized corpus (id, __graft_ws, dl), staged — it feeds the
+    * stats aggregate AND the scoring explode. */
+  private def tokenizedDocs(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    OpsUtil.widen(df)
       .select(col(idCol),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("__graft_ws"))
       .select(col(idCol), col("__graft_ws"),
         size(col("__graft_ws")).cast("long").as("dl"))
       .localCheckpoint(false)
+
+  /** Corpus statistics (N, avgdl): one 1-row driver aggregate embedded
+    * as literals (index metadata — the PIT-bounds / tf-idf-N pattern). */
+  private def corpusStats(docs: DataFrame): (Long, Double) = {
     val statsRow = docs.agg(count(lit(1)), sum(col("dl"))).head()
     val nDocs = statsRow.getLong(0)
     // Empty corpus → no hits anyway; any avgdl avoids the 0/0 NaN.
-    val avgdl = if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs.toDouble
-    val hits = restrictHits(docs
+    (nDocs,
+      if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs.toDouble)
+  }
+
+  /** Posting rows (id, dl, term, tf) — one per distinct (doc, term)
+    * pair surviving `restrictHits`. */
+  private def postingsOf(
+      docs: DataFrame, idCol: String,
+      restrictHits: DataFrame => DataFrame): DataFrame =
+    restrictHits(docs
       .select(col(idCol), col("dl"), explode(col("__graft_ws")).as("term")))
-    val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  /** BM25 arithmetic over a posting frame: Lucene IDF
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` (never negative) and the
+    * k1/b saturation. EVERY scoring path — one-shot, batch, and the
+    * persisted-index serve — runs through here, so the formulas
+    * cannot drift apart. */
+  private def scorePostings(
+      postings: DataFrame, nDocs: Long, avgdl: Double,
+      k1: Double, b: Double): DataFrame = {
     // Per-term document frequency: |query-vocab|-row table, broadcast.
-    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("term_df"))
+    val dfTab = postings.groupBy(col("term")).agg(count(lit(1)).as("term_df"))
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("term_df") + 0.5) / (col("term_df") + 0.5))
     val termScore = idf * (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
-    tf.join(broadcast(dfTab), Seq("term"))
+    postings.join(broadcast(dfTab), Seq("term"))
       .withColumn("term_score", termScore)
+  }
+
+  /** Shared one-shot BM25 core: tokenize, restrict exploded terms to
+    * the query vocabulary via `restrictHits`, score. */
+  private def termScores(
+      df: DataFrame, idCol: String, textCol: String,
+      k1: Double, b: Double,
+      restrictHits: DataFrame => DataFrame): DataFrame = {
+    val docs = tokenizedDocs(df, idCol, textCol)
+    val (nDocs, avgdl) = corpusStats(docs)
+    scorePostings(postingsOf(docs, idCol, restrictHits), nDocs, avgdl, k1, b)
   }
 
   /** Per-doc reduction: hit count + the 6-dp-rounded score (the raw
@@ -104,19 +127,95 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0)
-    val qTerms = queries.select(col(queryIdCol).as("query_id"),
-        explode(TextOps.tokens(TextOps.normalized(col(queryTextCol)))).as("term"))
-      .filter(col("term") =!= "") // blank text → [""] under split; not a term
-      .distinct()
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
     val vocab = qTerms.select("term").distinct()
     val scored = termScores(df, idCol, textCol, k1, b,
       _.join(broadcast(vocab), Seq("term"))) // scan-side vocabulary prune
+    perQueryTopK(scored, qTerms, idCol, k)
+  }
+
+  /** (query_id, term) pairs of a query table — the empty-string
+    * pseudo-token a blank text splits into is never a term (it would
+    * otherwise "match" empty documents). Shared by the one-shot batch
+    * and the persisted-index serve so tokenization cannot drift. */
+  private def queryTerms(
+      queries: DataFrame, queryIdCol: String, queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+      explode(TextOps.tokens(TextOps.normalized(col(queryTextCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+
+  /** Per-(query, doc) reduction + per-query ranked top-k. */
+  private def perQueryTopK(
+      scored: DataFrame, qTerms: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), col(idCol))
     docScores(scored.join(broadcast(qTerms), Seq("term")),
         Seq(col("query_id"), col(idCol)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Persistable BM25 inverted index — the fit-once/serve-many face of
+    * lexical retrieval (the minhash-signature / exact-hash-index
+    * pattern): at 100 TB the corpus is tokenized ONCE into posting
+    * rows, and every subsequent query batch joins the (tiny,
+    * broadcast) query vocabulary against them — the corpus text is
+    * never re-read. `k1`/`b` stay SERVE-time knobs: postings store raw
+    * (tf, dl), so retuning saturation costs nothing. `nDocs`/`avgdl`
+    * are frozen at build time — exactly the semantics of serving
+    * against a snapshot; refresh by rebuilding over the appended
+    * corpus at the index-refresh cadence (postings are an agg result,
+    * so the rebuild is one job, not a re-design). */
+  final case class Bm25Index(
+      postings: DataFrame, idCol: String, nDocs: Long, avgdl: Double)
+
+  /** Build a [[Bm25Index]]: one tokenize + one map-side-combined
+    * hash-agg over the corpus; posting count = Σ per-doc distinct
+    * terms (the classic inverted-index size). */
+  def buildBm25Index(
+      df: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val docs = tokenizedDocs(df, idCol, textCol)
+    val (nDocs, avgdl) = corpusStats(docs)
+    Bm25Index(postingsOf(docs, idCol, identity), idCol, nDocs, avgdl)
+  }
+
+  /** Persist a [[Bm25Index]] (postings + 1-row stats) as parquet. */
+  def saveBm25Index(index: Bm25Index, path: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq((index.idCol, index.nDocs, index.avgdl))
+      .toDF("id_col", "n_docs", "avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted [[Bm25Index]] (inverse of [[saveBm25Index]]). */
+  def loadBm25Index(
+      spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    Bm25Index(spark.read.parquet(s"$path/postings"),
+      st.getString(0), st.getLong(1), st.getDouble(2))
+  }
+
+  /** Batch BM25 against a prebuilt [[Bm25Index]] — output contract
+    * IDENTICAL to [[bm25TopKBatch]] on the corpus the index was built
+    * from (row-for-row, oracle `bm25_serve` shares bm25_batch's SQL
+    * verbatim): same query tokenization ([[queryTerms]]), same
+    * scoring ([[scorePostings]]), same reduction/ranking
+    * ([[perQueryTopK]]) — only the corpus tokenize is replaced by a
+    * vocabulary-pruned posting scan, which is the entire point. */
+  def bm25ServeBatch(
+      index: Bm25Index, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0)
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
+    val vocab = qTerms.select("term").distinct()
+    val scored = scorePostings(
+      index.postings.join(broadcast(vocab), Seq("term")),
+      index.nDocs, index.avgdl, k1, b)
+    perQueryTopK(scored, qTerms, index.idCol, k)
   }
 
   /** Reciprocal-rank fusion — the hybrid-retrieval merge (BM25 arm +

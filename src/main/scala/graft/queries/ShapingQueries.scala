@@ -131,6 +131,53 @@ object ShapingQueries {
                  ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         FROM agg QUALIFY rank <= 20""")),
 
+    // Persisted-index BM25 serving: the SAME three queries through
+    // buildBm25Index → bm25ServeBatch — the fit-once/serve-many face
+    // of lexical retrieval. Shares bm25_batch's oracle SQL verbatim
+    // (the pit_manyviews_fused pin: identical semantics, the corpus
+    // tokenize replaced by a vocabulary-pruned posting scan).
+    QueryDef(
+      "bm25_serve",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", "spark vector"),
+          ("q2", "merge customer table"),
+          ("q3", "window agg scan")).toDF("query_id", "query_text")
+        Retrieval.bm25ServeBatch(
+          Retrieval.buildBm25Index(table(s, dir, "documents"), "doc_id", "text"),
+          queries, "query_id", "query_text", k = 20)
+      },
+      Some(s"""
+        WITH q AS (SELECT * FROM (VALUES
+                     ('q1', 'spark vector'),
+                     ('q2', 'merge customer table'),
+                     ('q3', 'window agg scan')) AS t(query_id, query_text)),
+        qt AS (SELECT DISTINCT query_id, term FROM (
+                 SELECT query_id,
+                        unnest(string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
+                 FROM q) WHERE term != ''),
+        d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+        dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        hits AS (SELECT doc_id, dl, unnest(ws) AS term FROM dl),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits
+               WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+        dfx AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+                 ln(1.0 + ((SELECT n FROM stats) - term_df + 0.5) / (term_df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats))) AS s
+               FROM tf JOIN dfx USING (term) JOIN qt USING (term)),
+        agg AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
+                       round(sum(s), 6) AS score
+                FROM sc GROUP BY 1, 2)
+        SELECT query_id, doc_id, n_hit_terms, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM agg QUALIFY rank <= 20""")),
+
     // Hybrid retrieval via reciprocal-rank fusion: the BM25 arm fused
     // with a bigram-overlap arm (a second, independent ranker over the
     // same corpus — standing in for the dense arm, whose ANN ranks the

@@ -112,4 +112,37 @@ class RetrievalSpec extends SparkSpec with Matchers {
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
     Retrieval.bm25TopK(empty, "id", "text", Seq("a"), k = 5).count() shouldBe 0L
   }
+
+  test("bm25 index serve: row-identical to the one-shot batch, through a parquet roundtrip; k1/b retune without rebuild") {
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      i -> (Seq.fill((i % 4).toInt + 1)("spark").mkString(" ") +
+        s" filler$i " + (if (i % 3 == 0) "vector merge" else "other words here"))
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      ("q1", "spark vector"), ("q2", "merge filler7"), ("q3", "")).toDF("qid", "qtext")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Retrieval.saveBm25Index(
+      Retrieval.buildBm25Index(docs, "doc_id", "text"), s"$scratch/idx")
+    val index = Retrieval.loadBm25Index(spark, s"$scratch/idx")
+    index.idCol shouldBe "doc_id"
+    index.nDocs shouldBe 60L
+    val served = Retrieval.bm25ServeBatch(index, queries, "qid", "qtext", k = 10)
+    val oneShot = Retrieval.bm25TopKBatch(
+      docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
+    served.columns.toSeq shouldBe oneShot.columns.toSeq
+    served.exceptAll(oneShot).count() shouldBe 0L
+    oneShot.exceptAll(served).count() shouldBe 0L
+    // saturation knobs stay serve-time: a different k1/b pair scores
+    // from the SAME postings and still matches its one-shot twin
+    val servedB = Retrieval.bm25ServeBatch(
+      index, queries, "qid", "qtext", k = 10, k1 = 0.9, b = 0.4)
+    val oneShotB = Retrieval.bm25TopKBatch(
+      docs, "doc_id", "text", queries, "qid", "qtext", k = 10, k1 = 0.9, b = 0.4)
+    servedB.exceptAll(oneShotB).count() shouldBe 0L
+    oneShotB.exceptAll(servedB).count() shouldBe 0L
+    // the serve plan reads only the index — never the corpus text
+    served.inputFiles should not be empty
+    served.inputFiles.foreach(_ should include ("idx"))
+  }
 }
