@@ -528,6 +528,28 @@ object StreamingOps {
     }
   }
 
+  /** Streaming BM25 serving: QUERY batches arrive on the stream and
+    * score against a prebuilt [[graft.ops.Retrieval.Bm25Index]] — the
+    * retrieval-serving face of the fit-once/serve-many family (shares
+    * [[graft.ops.Retrieval.bm25ServeBatch]] verbatim, so per-batch
+    * rows are the batch operator's by construction; the bm25_serve
+    * oracle covers it). Stateless — the posting table is the state,
+    * persisted once for the query's lifetime (same ownership caveat
+    * as [[nearDupStream]]: unpersist retired indexes after the last
+    * `stop()`). */
+  def bm25ServeStream(
+      queries: DataFrame, index: graft.ops.Retrieval.Bm25Index,
+      queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val servable = index.copy(postings = index.postings.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    queries.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Retrieval.bm25ServeBatch(
+        servable, batch.toDF(), queryIdCol, queryTextCol, k, k1, b), batchId)
+    }
+  }
+
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running
     * per-bucket token total — the incremental form of

@@ -474,6 +474,38 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("bm25ServeStream: per-batch ranked results match bm25ServeBatch on the same query rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    val docs = (1L to 40L).map { i =>
+      i -> (Seq.fill((i % 3).toInt + 1)("spark").mkString(" ") +
+        s" word$i " + (if (i % 2 == 0) "vector scan" else "merge window"))
+    }.toDF("doc_id", "text")
+    val index = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    val batches = Seq(
+      Seq(("q1", "spark vector")),
+      Seq(("q2", "merge window"), ("q3", "")))
+    val stream = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = StreamingOps.bm25ServeStream(
+      stream.toDF().toDF("qid", "qtext"), index, "qid", "qtext", k = 5) {
+      (rows, id) => got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = Retrieval.bm25ServeBatch(
+          index, rows.toDF("qid", "qtext"), "qid", "qtext", k = 5).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      // empty query text yields no rows; ranked hits arrive for q1/q2
+      val queries = got.flatMap(_._2).map(_.getString(0)).toSet
+      queries shouldBe Set("q1", "q2")
+    } finally q.stop()
+  }
+
   test("stateless corpus-quality ops run identically on streams (widen passes through)") {
     import spark.implicits._
     import graft.ops.TextOps
