@@ -678,25 +678,77 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 16, minShared: Int = 1,
       maxDf: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
+    // Consumed by the df-cap aggregate and both self-join sides —
+    // materialize the exploded fingerprints once.
+    val fps = capHotFps(
+      winnowFingerprints(df, idCol, textCol, k, w, portable)
+        .localCheckpoint(false),
+      maxDf)
+    fps.as("x").join(fps.as("y"), Seq("fp"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The persistable WINNOW fingerprint index: exploded (id, fp) rows
+    * of a corpus — the substring-level member of the
+    * fit-once/serve-many dedup family (minhash = document-level
+    * near-dup, exact = whole-document, SimHash = cheap token-level;
+    * this one carries the MOSS substring guarantee: any shared run of
+    * ≥ w+k−1 chars contributes a shared fingerprint). Persist with
+    * [[saveWinnowFingerprints]]; check arrivals with
+    * [[winnowAgainst]]. ~2/(w+1) of windows are keyed, so the index
+    * is a small fraction of corpus length × 8 bytes. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, portable: Boolean = false): DataFrame = {
     import graft.functions.RollingHashFunctions
     val fpCol =
       if (portable) RollingHashFunctions.winnowedFingerprintsPortable(col(textCol), k, w)
       else RollingHashFunctions.winnowedFingerprints(col(textCol), k, w)
-    // Consumed by the df-cap aggregate and both self-join sides —
-    // materialize the exploded fingerprints once.
-    val fpsRaw = OpsUtil.widen(df)
-      .select(col(idCol).as("id"), explode(fpCol).as("fp"))
-      .localCheckpoint(false)
-    val fps =
-      if (maxDf == Int.MaxValue) fpsRaw
-      else {
-        val hot = fpsRaw.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("fp")
-        fpsRaw.join(hot, Seq("fp"), "left_anti")
-      }
-    fps.as("x").join(fps.as("y"), Seq("fp"))
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    OpsUtil.widen(df).select(col(idCol).as("id"), explode(fpCol).as("fp"))
+  }
+
+  /** Persist a winnow fingerprint index as parquet. */
+  def saveWinnowFingerprints(fps: DataFrame, path: String): Unit =
+    fps.select(col("id"), col("fp")).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted winnow fingerprint index. */
+  def loadWinnowFingerprints(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("id"), col("fp"))
+
+  /** Drop fingerprints appearing in more than `maxDf` rows of `fps`
+    * (corpus-ubiquitous boilerplate — m occurrences → m² pairs on one
+    * shuffle key). Shared by the self-join and two-sided paths. */
+  private def capHotFps(fps: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) fps
+    else {
+      val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("fp")
+      fps.join(hot, Seq("fp"), "left_anti")
+    }
+
+  /** Substring-overlap report of an arrival batch against a PERSISTED
+    * winnow index — "which arrivals copy runs from the reference
+    * corpus, and how much": (new_id, base_id, n_shared) per cross
+    * pair with at least `minShared` shared fingerprints. The
+    * recall guarantee is [[winnowOverlap]]'s (any shared run of
+    * ≥ w+k−1 chars shows up), and `k`/`w` MUST match the values the
+    * index was built with (fingerprints from different (k, w) never
+    * collide meaningfully). The df-cap applies to the BASE side only
+    * — it is cadence-independent there (the
+    * [[minhashLshAgainst]] base-cap argument); arrival batches are
+    * small by definition. History is never re-fingerprinted. */
+  def winnowAgainst(
+      newDocs: DataFrame, baseFps: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, minShared: Int = 1,
+      maxDf: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
+    val base = capHotFps(baseFps.select(col("id"), col("fp")), maxDf)
+    winnowFingerprints(newDocs, idCol, textCol, k, w, portable).as("x")
+      .join(base.as("y"), Seq("fp"))
+      .groupBy(col("x.id").as("new_id"), col("y.id").as("base_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -783,6 +783,49 @@ object PipelineQueries {
         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
 
+    // Incremental winnow: even ids are the persisted substring
+    // fingerprint index, odd ids the arrival batch — the MOSS
+    // substring guarantee served against history. The df-cap applies
+    // to the BASE side only (cadence-independent, the
+    // minhashLshAgainst base-cap argument).
+    QueryDef(
+      "dedup_winnow_incremental",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.winnowAgainst(
+          docs.filter(col("doc_id") % 2 =!= 0),
+          Dedup.winnowFingerprints(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            k = 8, w = 16, portable = true),
+          "doc_id", "text", k = 8, w = 16, minShared = 2, maxDf = 100,
+          portable = true)
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+                 ELSE list_transform(
+                   range(1, greatest(length(text) - least(8, length(text)) + 1, 1) + 1),
+                   i -> list_reduce(
+                          list_transform(range(i, i + least(8, length(text))),
+                            j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                          (acc, x) -> (acc * 257 + x) % 2147483647))
+                 END AS hs
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - least(16, len(hs)) + 1, 1) + 1),
+                   j -> list_min(hs[CAST(j AS INTEGER):CAST(j + least(16, len(hs)) - 1 AS INTEGER)])))) AS fp
+          FROM g WHERE len(hs) > 0),
+        bs AS (SELECT doc_id, fp FROM s WHERE doc_id % 2 = 0),
+        keep AS (SELECT fp FROM bs GROUP BY fp HAVING COUNT(*) <= 100),
+        fb AS (SELECT bs.doc_id, bs.fp FROM bs JOIN keep USING (fp)),
+        fa AS (SELECT doc_id, fp FROM s WHERE doc_id % 2 = 1)
+        SELECT a.doc_id AS new_id, b.doc_id AS base_id, COUNT(*) AS n_shared
+        FROM fa a JOIN fb b ON a.fp = b.fp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
+
     // End-to-end dedup: pairs → clusters → drop non-canonical members.
     QueryDef(
       "dedup_survivors",

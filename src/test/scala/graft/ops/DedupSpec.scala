@@ -358,6 +358,38 @@ class DedupSpec extends SparkSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  test("winnowAgainst: cross overlaps equal the self-join's cross slice, through a parquet index") {
+    val boiler = "common shared boilerplate text appearing everywhere in this corpus"
+    val copied = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val docs = docsDf(Seq(
+      2L -> s"$copied and some base-only trailing content",
+      4L -> "a wholly different base document with its own words",
+      1L -> s"prefix stolen words: $copied",
+      3L -> "novel arrival content sharing nothing with the base at all",
+      5L -> boiler))
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 =!= 0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-wfp").toString
+    Dedup.saveWinnowFingerprints(
+      Dedup.winnowFingerprints(base, "doc_id", "text", k = 8, w = 16),
+      s"$scratch/idx")
+    val got = Dedup.winnowAgainst(
+      arrivals, Dedup.loadWinnowFingerprints(spark, s"$scratch/idx"),
+      "doc_id", "text", k = 8, w = 16, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: uncapped self-join over the union, cross slice only
+    val self = Dedup.winnowOverlap(docs, "doc_id", "text",
+      k = 8, w = 16, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val crossRef = self.collect {
+      case (a, b, n) if a % 2 == 0 && b % 2 != 0 => (b, a, n)
+      case (a, b, n) if a % 2 != 0 && b % 2 == 0 => (a, b, n)
+    }.toSet
+    got shouldBe crossRef
+    got.map(t => (t._1, t._2)) should contain (1L -> 2L) // the copied run
+    got.map(_._1) should not contain 3L                  // novel content passes
+  }
+
   test("contamination flags exactly the docs sharing enough eval shingles") {
     val evalSet = docsDf(Seq(
       1000L -> "the quick brown fox jumps over the lazy dog"))
