@@ -719,6 +719,13 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("id"), col("fp"))
 
+  /** [[capHotFps]] over a loaded index's (id, fp) projection — the
+    * base-side pre-cap [[winnowAgainst]] applies and
+    * [[graft.streaming.StreamingOps.winnowStream]] hoists out of the
+    * micro-batch loop (it depends only on the index). */
+  private[graft] def capBaseFps(baseFps: DataFrame, maxDf: Int): DataFrame =
+    capHotFps(baseFps.select(col("id"), col("fp")), maxDf)
+
   /** Drop fingerprints appearing in more than `maxDf` rows of `fps`
     * (corpus-ubiquitous boilerplate — m occurrences → m² pairs on one
     * shuffle key). Shared by the self-join and two-sided paths. */
@@ -745,7 +752,7 @@ object Dedup {
       newDocs: DataFrame, baseFps: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 16, minShared: Int = 1,
       maxDf: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
-    val base = capHotFps(baseFps.select(col("id"), col("fp")), maxDf)
+    val base = capBaseFps(baseFps, maxDf)
     winnowFingerprints(newDocs, idCol, textCol, k, w, portable).as("x")
       .join(base.as("y"), Seq("fp"))
       .groupBy(col("x.id").as("new_id"), col("y.id").as("base_id"))

@@ -528,6 +528,32 @@ object StreamingOps {
     }
   }
 
+  /** Streaming substring-overlap detection against a persisted winnow
+    * fingerprint index — the fourth face of the streaming dedup
+    * matrix (exact hash, SimHash, minhash LSH, and now the MOSS
+    * substring guarantee). Shares
+    * [[graft.ops.Dedup.winnowAgainst]] verbatim (per-batch rows are
+    * the batch operator's by construction; oracle
+    * dedup_winnow_incremental). `k`/`w` must match the index build.
+    * The BASE-side df-cap is applied ONCE here, outside the loop — it
+    * depends only on the index, so pre-capping keeps every micro-batch
+    * from re-aggregating the base and keeps results
+    * cadence-independent. Stateless; same index-lifetime persist +
+    * ownership caveat as [[nearDupStream]]. */
+  def winnowStream(
+      docs: DataFrame, idCol: String, textCol: String, baseFps: DataFrame,
+      k: Int = 8, w: Int = 16, minShared: Int = 1,
+      maxDf: Int = Int.MaxValue, portable: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val baseOnce = graft.ops.Dedup.capBaseFps(baseFps, maxDf).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Dedup.winnowAgainst(
+        batch.toDF(), baseOnce, idCol, textCol, k, w, minShared,
+        maxDf = Int.MaxValue, portable = portable), batchId)
+    }
+  }
+
   /** Streaming BM25 serving: QUERY batches arrive on the stream and
     * score against a prebuilt [[graft.ops.Retrieval.Bm25Index]] — the
     * retrieval-serving face of the fit-once/serve-many family (shares

@@ -474,6 +474,38 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("winnowStream: per-batch substring overlaps match winnowAgainst on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val copied = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val history = Seq(
+      Doc(2L, s"$copied and some base-only trailing content"),
+      Doc(4L, "a wholly different base document with its own words"))
+    val index = Dedup.winnowFingerprints(history.toDF(), "doc_id", "text", k = 8, w = 16)
+    val batches = Seq(
+      Seq(Doc(1L, s"prefix stolen words: $copied")),
+      Seq(Doc(3L, "novel arrival content sharing nothing with the base at all")))
+    val stream = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = StreamingOps.winnowStream(
+      stream.toDF(), "doc_id", "text", index, k = 8, w = 16, minShared = 2) {
+      (rows, id) => got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = Dedup.winnowAgainst(
+          rows.toDF(), index, "doc_id", "text", k = 8, w = 16, minShared = 2).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      val pairs = got.flatMap(_._2).map(r => r.getLong(0) -> r.getLong(1))
+      pairs should contain (1L -> 2L) // the copied run
+      pairs.map(_._1) should not contain 3L
+    } finally q.stop()
+  }
+
   test("bm25ServeStream: per-batch ranked results match bm25ServeBatch on the same query rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
