@@ -87,6 +87,38 @@ class DedupSpec extends SparkSpec with Matchers {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_xidx"): Unit
   }
 
+  test("sequential ingest property: a k-day merge loop converges to the batch index; daily classifications stay consistent") {
+    // The real ingest loop: day 0 seeds the index; each later day is
+    // classified against the running index, then folded in. After k
+    // days the running index must equal exact() over everything seen
+    // (per-day survivor semantics are first-seen, so a day's survivor
+    // is whoever the running index knew first).
+    val rnd = new scala.util.Random(97)
+    val texts = (1 to 12).map(i => s"content variant number $i")
+    val days = (0 until 4).map { d =>
+      docsDf((1L to 50L).map(i =>
+        (d * 1000L + i) -> texts(rnd.nextInt(texts.size))))
+    }
+    var index = Dedup.exact(days.head, "doc_id", "text")
+    days.tail.foreach { day =>
+      val classified = Dedup.exactAgainst(day, index, "doc_id", "text")
+      classified.count() shouldBe 50L // every arrival classified
+      // every dup_of target is a PRE-EXISTING survivor or a batch min
+      val keepIds = index.select("keep_id")
+        .collect().map(_.getLong(0)).toSet
+      val dayIds = day.select("doc_id").collect().map(_.getLong(0)).toSet
+      classified.filter(col("dup_of").isNotNull)
+        .select("dup_of").collect().map(_.getLong(0))
+        .foreach(t => assert(keepIds.contains(t) || dayIds.contains(t)))
+      index = Dedup.mergeExactIndexes(Seq(
+        index, Dedup.exact(day, "doc_id", "text")))
+    }
+    val whole = Dedup.exact(
+      days.reduce(_ unionByName _), "doc_id", "text")
+    index.exceptAll(whole).count() shouldBe 0L
+    whole.exceptAll(index).count() shouldBe 0L
+  }
+
   test("mergeExactIndexes law: merge of split-half indexes is row-identical to indexing the union") {
     val rnd = new scala.util.Random(41)
     val texts = Seq("alpha beta", "gamma delta", "epsilon zeta", "eta theta")
