@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Retrieval}
+import graft.sources.ParquetTables
+
+/** Serve-side scale canary for the fit-once/serve-many family: a
+  * FIXED arrival batch classified against a 1× and a k× persisted
+  * index — the deployment regime (batch size is a product property,
+  * index size a data property; the ANN-canary argument applied to
+  * dedup + retrieval serving). Four serve paths are timed, each
+  * through its REAL persisted form (parquet written, read back):
+  *
+  *   - exact:   [[Dedup.exactAgainst]]   vs the content-hash index
+  *   - simhash: [[Dedup.simhashAgainst]] vs the fingerprint table
+  *   - winnow:  [[Dedup.winnowAgainst]]  vs the substring fp index
+  *   - bm25:    [[Retrieval.bm25ServeBatch]] vs the posting index
+  *
+  * Amplification is [[Amplify.documents]] with per-replica character
+  * substitution: replica vocabularies are disjoint, so the replica-0
+  * arrival batch matches ONLY replica-0 content and serve OUTPUT stays
+  * constant while the index grows k× — any wall growth is the honest
+  * per-index-row serve cost, not result inflation. Join-side
+  * expectations at k×: exact/simhash/winnow serve as broadcast-batch
+  * joins streaming the index map-side (cost ∝ index scan, embarrassingly
+  * parallel); bm25 scans k× postings under the broadcast query
+  * vocabulary. Sub-linear ratios mean fixed costs still dominate —
+  * the finding that matters is the ABSENCE of a super-linear bend.
+  *
+  * Usage: runMain graft.tools.ServeCanary [sfDir] [k] [maxRatio]
+  * Prints one JSON line per op + a summary; exits 1 on ratio >
+  * maxRatio, wrong hit counts, or any task failure.
+  */
+object ServeCanary {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val maxRatio = if (args.length > 2) args(2).toDouble else 13.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val taskFailures = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.reason != org.apache.spark.Success) taskFailures.incrementAndGet()
+    })
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+    val scratch = java.nio.file.Files.createTempDirectory("graft-serve-canary").toString
+    val docs = ParquetTables.load(spark, s"$sfDir/documents.parquet")
+
+    // Fixed replica-0 arrival batch, re-id'd clear of every index id:
+    // half verbatim (exact + near hits), half suffixed (near-only).
+    val sampled = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+    val batch = sampled.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+        .otherwise(concat(col("text"),
+          lit(" arrival suffix "), col("doc_id").cast("string"))).as("text"))
+      .localCheckpoint(true) // tiny; frozen so every serve sees identical rows
+    val batchN = batch.count()
+    val queries = batch.select(col("doc_id").as("query_id"),
+      substring(col("text"), 1, 64).as("query_text")).localCheckpoint(true)
+
+    // Build + persist the four indexes per scale (fit cost, outside
+    // the serve clock — the whole point of fit-once/serve-many).
+    def buildIndexes(scale: Int): Map[String, () => DataFrame] = {
+      val d = s"$scratch/x$scale"
+      val corpus0 = Amplify.documents(docs, scale, rotate = true)
+      corpus0.write.mode("overwrite").parquet(s"$d/corpus.parquet")
+      val corpus = spark.read.parquet(s"$d/corpus.parquet")
+      Dedup.saveExactIndex(
+        Dedup.exact(corpus, "doc_id", "text"), s"$d/exact")
+      Dedup.saveSimhashes(
+        Dedup.withSimhash(corpus, "doc_id", "text"), s"$d/simhash")
+      Dedup.saveWinnowFingerprints(
+        Dedup.winnowFingerprints(corpus, "doc_id", "text"), s"$d/winnow")
+      Retrieval.saveBm25Index(
+        Retrieval.buildBm25Index(corpus, "doc_id", "text"), s"$d/bm25")
+      Map(
+        "exact_against" -> (() => Dedup.exactAgainst(
+          batch, Dedup.loadExactIndex(spark, s"$d/exact"), "doc_id", "text")),
+        "simhash_against" -> (() => Dedup.simhashAgainst(
+          batch, Dedup.loadSimhashes(spark, s"$d/simhash"),
+          "doc_id", "text", maxHamming = 6)),
+        "winnow_against" -> (() => Dedup.winnowAgainst(
+          batch, Dedup.loadWinnowFingerprints(spark, s"$d/winnow"),
+          "doc_id", "text", minShared = 2, maxDf = 200)),
+        "bm25_serve" -> (() => Retrieval.bm25ServeBatch(
+          Retrieval.loadBm25Index(spark, s"$d/bm25"),
+          queries, "query_id", "query_text", k = 10)))
+    }
+    val at1 = buildIndexes(1)
+    val atK = buildIndexes(k)
+
+    def time(f: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ops = Seq("exact_against", "simhash_against", "winnow_against", "bm25_serve")
+    // Disjoint replica vocabularies ⇒ identical hit sets at both
+    // scales for the dedup paths (bm25 scores CAN admit cross-replica
+    // hits: short substitution-image terms may collide; ranked top-10
+    // per query is bounded either way) — verified before any timing.
+    val gateOk = ops.take(3).forall { op =>
+      val a = at1(op)().count()
+      val b = atK(op)().count()
+      if (a != b) println(s"""{"gate":"$op","rows_1x":$a,"rows_kx":$b,"ok":false}""")
+      a == b
+    }
+    ops.foreach { op => time(at1(op)); time(atK(op)) } // untimed warmup
+    var results = Map.empty[String, (Double, Double)]
+    ops.foreach { op =>
+      var t1 = Double.MaxValue
+      var tk = Double.MaxValue
+      (1 to 3).foreach { _ => // interleaved min-of-3 (the 8.8.1 protocol)
+        t1 = math.min(t1, time(at1(op)))
+        tk = math.min(tk, time(atK(op)))
+      }
+      results += op -> (t1, tk)
+    }
+    Thread.sleep(1000)
+    val tf = taskFailures.get()
+    var worst = 0.0
+    results.foreach { case (op, (t1, tk)) =>
+      val ratio = tk / math.max(t1, 1e-9)
+      worst = math.max(worst, ratio)
+      println(s"""{"op":"$op","t1":${fmt(t1)},"tk":${fmt(tk)},"k":$k,""" +
+        s""""ratio":${fmt(ratio)},"batch_rows":$batchN}""")
+    }
+    val ok = gateOk && worst <= maxRatio && tf == 0
+    println(s"""{"metric":"serve_canary","k":$k,"worst_ratio":${fmt(worst)},""" +
+      s""""budget":${fmt(maxRatio)},"task_failures":$tf,"ok":$ok,"sf":"$sfDir"}""")
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(scratch), true): Unit
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
