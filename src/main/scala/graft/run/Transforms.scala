@@ -81,6 +81,7 @@ object Transforms {
     "redact_pii" -> Seq("cols"),
     "quality_filter" -> Seq("col"),
     "dedup_exact" -> Seq("key", "col"),
+    "dedup_against" -> Seq("key", "col", "index"),
     "sample_hash" -> Seq("key", "pct"),
     "mixture_sample" -> Seq("key", "strata", "rates"),
     "corpus_shuffle" -> Seq("key", "shards"),
@@ -154,6 +155,26 @@ object Transforms {
       dedupable.join(keepers, Seq("__graft_th", key))
         .unionByName(hashed.filter(col("__graft_th").isNull || col(key).isNull))
         .drop("__graft_th")
+    case "dedup_against" =>
+      // Incremental exact dedup against a PERSISTED content-hash index
+      // (graft.ops.Dedup.saveExactIndex — the daily-ingest loop as a
+      // job transform): rows whose normalized text already exists in
+      // history drop; within-frame repeats keep the min-key row
+      // (dedup_exact's semantics, via exactAgainst's first-seen-wins
+      // classification); NULL-text / NULL-key rows bypass untouched
+      // (same contract as dedup_exact — content-free rows are not
+      // this transform's to drop).
+      val key = t.arg("key"); val text = t.arg("col")
+      val staged = df.localCheckpoint(false)
+      val dedupable = staged.filter(col(text).isNotNull && col(key).isNotNull)
+      val survivors = graft.ops.Dedup.exactAgainst(
+          dedupable,
+          graft.ops.Dedup.loadExactIndex(df.sparkSession, t.arg("index")),
+          key, text)
+        .filter(col("dup_of").isNull)
+        .select(col("id").as(key))
+      dedupable.join(survivors, Seq(key), "left_semi")
+        .unionByName(staged.filter(col(text).isNull || col(key).isNull))
     case "sample_hash" =>
       Sampling.deterministicSample(df, t.arg("key"), t.argInt("pct"))
     case "corpus_shuffle" =>

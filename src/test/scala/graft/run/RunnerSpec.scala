@@ -302,6 +302,27 @@ class RunnerSpec extends SparkSpec {
     assert(out.contains((1L, "same text here"))) // dup collapsed to min key
   }
 
+  test("dedup_against transform: index dups drop, batch dups collapse, fresh and NULL rows survive") {
+    import spark.implicits._
+    val history = Seq(
+      (100L, "seen before text"), (101L, "other historical text")
+    ).toDF("id", "bio")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+    graft.ops.Dedup.saveExactIndex(
+      graft.ops.Dedup.exact(history, "id", "bio"), s"$scratch/idx")
+    val df = Seq(
+      (1L, Option("Seen   BEFORE text")),  // normalized index hit → drops
+      (2L, Option("fresh content a")),     // new → survives
+      (3L, Option("repeated in batch")),   // batch pair: min key 3 survives
+      (4L, Option("repeated  in batch")),
+      (5L, None: Option[String])           // NULL text bypasses untouched
+    ).toDF("id", "bio")
+    val out = Transforms.applyAll(df,
+      Transforms.parse(s"dedup_against(key=id,col=bio,index=$scratch/idx)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(2L, 3L, 5L), s"got ${out.toSeq}")
+  }
+
   test("transforms: missing args and malformed rates fail at parse time") {
     intercept[IllegalArgumentException](Transforms.parse("sample_hash(key=id)"))
     intercept[IllegalArgumentException](
