@@ -82,6 +82,8 @@ object Transforms {
     "quality_filter" -> Seq("col"),
     "dedup_exact" -> Seq("key", "col"),
     "dedup_against" -> Seq("key", "col", "index"),
+    "simhash_filter" -> Seq("key", "col", "index"),
+    "winnow_filter" -> Seq("key", "col", "index"),
     "sample_hash" -> Seq("key", "pct"),
     "mixture_sample" -> Seq("key", "strata", "rates"),
     "corpus_shuffle" -> Seq("key", "shards"),
@@ -99,12 +101,14 @@ object Transforms {
   val IntArgs: Map[String, Seq[String]] = Map(
     "quality_filter" -> Seq("min_tokens", "max_tokens"),
     "sample_hash" -> Seq("pct"),
+    "simhash_filter" -> Seq("max_hamming"),
     "mixture_sample" -> Seq("default_pct"))
 
   /** Arguments that must be STRICTLY positive ints (zero would die
     * mid-job in the operator's own require). */
   val PositiveIntArgs: Map[String, Seq[String]] = Map(
     "corpus_shuffle" -> Seq("shards"),
+    "winnow_filter" -> Seq("min_shared", "max_df"),
     "sample_weighted" -> Seq("n"))
 
   /** Long-typed strictly positive args (row targets / token budgets
@@ -174,6 +178,41 @@ object Transforms {
         .filter(col("dup_of").isNull)
         .select(col("id").as(key))
       dedupable.join(survivors, Seq(key), "left_semi")
+        .unionByName(staged.filter(col(text).isNull || col(key).isNull))
+    case "simhash_filter" =>
+      // Near-dup ingest gate: drop rows whose SimHash fingerprint is
+      // within max_hamming (default 8) of ANY document in a persisted
+      // fingerprint index (graft.ops.Dedup.saveSimhashes) — the
+      // typo-tolerant sibling of dedup_against. NULL-text / NULL-key
+      // rows bypass untouched (the shared contract).
+      val key = t.arg("key"); val text = t.arg("col")
+      val staged = df.localCheckpoint(false)
+      val filterable = staged.filter(col(text).isNotNull && col(key).isNotNull)
+      val hits = graft.ops.Dedup.simhashAgainst(
+          filterable,
+          graft.ops.Dedup.loadSimhashes(df.sparkSession, t.arg("index")),
+          key, text,
+          maxHamming = t.args.get("max_hamming").map(_.toInt).getOrElse(8))
+        .select(col("new_id").as(key)).distinct()
+      filterable.join(hits, Seq(key), "left_anti")
+        .unionByName(staged.filter(col(text).isNull || col(key).isNull))
+    case "winnow_filter" =>
+      // Substring-copy ingest gate: drop rows sharing >= min_shared
+      // (default 2) winnowed fingerprints with a persisted reference
+      // index (graft.ops.Dedup.saveWinnowFingerprints) — "copied a
+      // run of w+k-1 chars from history". max_df (default uncapped)
+      // is the base-side boilerplate cap. Same NULL-bypass contract.
+      val key = t.arg("key"); val text = t.arg("col")
+      val staged = df.localCheckpoint(false)
+      val filterable = staged.filter(col(text).isNotNull && col(key).isNotNull)
+      val hits = graft.ops.Dedup.winnowAgainst(
+          filterable,
+          graft.ops.Dedup.loadWinnowFingerprints(df.sparkSession, t.arg("index")),
+          key, text,
+          minShared = t.args.get("min_shared").map(_.toInt).getOrElse(2),
+          maxDf = t.args.get("max_df").map(_.toInt).getOrElse(Int.MaxValue))
+        .select(col("new_id").as(key)).distinct()
+      filterable.join(hits, Seq(key), "left_anti")
         .unionByName(staged.filter(col(text).isNull || col(key).isNull))
     case "sample_hash" =>
       Sampling.deterministicSample(df, t.arg("key"), t.argInt("pct"))

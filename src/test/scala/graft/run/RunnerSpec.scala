@@ -323,6 +323,44 @@ class RunnerSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 3L, 5L), s"got ${out.toSeq}")
   }
 
+  test("simhash_filter / winnow_filter transforms: near-dups of the persisted index drop, novel and NULL rows survive") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val copied = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val history = Seq(
+      (100L, base), (101L, s"$copied plus base trailing content here")
+    ).toDF("id", "bio")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-nidx").toString
+    graft.ops.Dedup.saveSimhashes(
+      graft.ops.Dedup.withSimhash(history, "id", "bio"), s"$scratch/sim")
+    graft.ops.Dedup.saveWinnowFingerprints(
+      graft.ops.Dedup.winnowFingerprints(history, "id", "bio"), s"$scratch/wfp")
+    val vary = (1 to 30).map(i => if (i == 5) "CHANGED" else s"token$i").mkString(" ")
+    val df = Seq(
+      (1L, Option(vary)),                            // near-dup of history
+      (2L, Option("wholly new content string here")),
+      (3L, None: Option[String])
+    ).toDF("id", "bio")
+    val simOut = Transforms.applyAll(df, Transforms.parse(
+      s"simhash_filter(key=id,col=bio,index=$scratch/sim,max_hamming=14)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(simOut.toSeq == Seq(2L, 3L), s"got ${simOut.toSeq}")
+    val wdf = Seq(
+      (1L, Option(s"prefix stolen words: $copied")),  // copied run
+      (2L, Option("original writing sharing nothing with the base corpus")),
+      (3L, None: Option[String])
+    ).toDF("id", "bio")
+    val winOut = Transforms.applyAll(wdf, Transforms.parse(
+      s"winnow_filter(key=id,col=bio,index=$scratch/wfp,min_shared=2)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(winOut.toSeq == Seq(2L, 3L), s"got ${winOut.toSeq}")
+    // parse-time arg typing: non-numeric max_hamming dies in parse()
+    intercept[IllegalArgumentException](Transforms.parse(
+      "simhash_filter(key=id,col=bio,index=/x,max_hamming=abc)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "winnow_filter(key=id,col=bio,index=/x,min_shared=0)"))
+  }
+
   test("transforms: missing args and malformed rates fail at parse time") {
     intercept[IllegalArgumentException](Transforms.parse("sample_hash(key=id)"))
     intercept[IllegalArgumentException](
