@@ -675,6 +675,67 @@ object Similarity {
         estNorm.as("est_n"))
   }
 
+  /** Embedding near-dup of an ARRIVAL batch against a persisted
+    * encoded history — the embedding modality's fit-once/serve-many
+    * face (the exact / SimHash / winnow *Against pattern applied to
+    * [[encodeCorpus]]'s append-composable index): probe each arrival
+    * vector's nProbe nearest centroids, ADC-score the probed buckets
+    * from codes alone, shortlist at `threshold - adcMargin` (the PQ
+    * estimate's slack — candidates the estimate puts clearly below
+    * the threshold are never exact-scored), then EXACT-cosine refine
+    * the shortlist against the historical vector table and keep
+    * `cos >= threshold`. Output (new_id, base_id, cos): every emitted
+    * pair is exactly scored; recall is bounded by the probes + margin
+    * (the standard IVF-PQ dial — raise nProbe/adcMargin toward the
+    * brute-force baseline). History is never re-encoded; shuffles
+    * carry m-byte codes until the shortlist, raw vectors only for the
+    * (tiny) refinement join. */
+  def nearDupAgainst(
+      newVecs: DataFrame, historyVecs: DataFrame, encoded: DataFrame,
+      idCol: String, vecCol: String, index: AnnIndex,
+      threshold: Double, nProbe: Int = 4,
+      adcMargin: Double = 0.15): DataFrame = {
+    require(adcMargin >= 0.0, "nearDupAgainst: adcMargin must be >= 0")
+    val AnnIndex(cents, books) = index
+    val kFit = cents.length
+    val probeN = math.min(nProbe, kFit)
+    val q = OpsUtil.widen(newVecs)
+      .select(col(idCol).as("new_id"), asDouble(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qn", norm(col("qv")))
+      .localCheckpoint(false) // feeds the probe AND the refinement join
+    val probed = q
+      .withColumn("scores", centroidScores(col("qv"), cents))
+      .withColumn("cid", explode(topIdx(col("scores"), kFit, probeN)))
+      .select(col("cid"), col("new_id"), col("qv"), col("qn"))
+    val shortlist = probed.join(encoded, Seq("cid"))
+      .withColumn("est_dot", graft.functions.VectorFunctions
+        .adcScore(col("qv"), col("pq_codes"), books))
+      .withColumn("est_cos",
+        when(col("qn") * col("est_n") > 0.0,
+          col("est_dot") / (col("qn") * col("est_n")))
+          .otherwise(lit(Double.MinValue)))
+      .filter(col("est_cos") >= threshold - adcMargin)
+      .select(col("new_id"), col("neighbor_id").as("base_id"))
+      // unique by construction: each neighbor lives in exactly ONE
+      // index bucket, so probing several buckets per query cannot
+      // duplicate a pair (the searchEncoded argument) — no dedup
+      // shuffle needed
+    val hist = OpsUtil.widen(historyVecs)
+      .select(col(idCol).as("base_id"), asDouble(col(vecCol)).as("bv"))
+      .filter(col("bv").isNotNull)
+      .withColumn("bn", norm(col("bv")))
+    shortlist
+      .join(hist, Seq("base_id"))
+      .join(q.select(col("new_id"), col("qv"), col("qn")), Seq("new_id"))
+      .withColumn("cos",
+        when(col("qn") * col("bn") > 0.0,
+          dot(col("qv"), col("bv")) / (col("qn") * col("bn")))
+          .otherwise(lit(Double.MinValue)))
+      .filter(col("cos") >= threshold)
+      .select("new_id", "base_id", "cos")
+  }
+
   /** Search a PRE-ENCODED corpus table ([[encodeCorpus]] rows — built
     * in one shot or incrementally appended) with [[ivfpqTopK]]'s exact
     * plan: probe → ADC-score from codes → shortlist → exact-cosine

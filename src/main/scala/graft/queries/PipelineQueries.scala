@@ -431,6 +431,49 @@ object PipelineQueries {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.42""")),
 
+    // Embedding near-dup SERVE: odds are the arrival batch, evens the
+    // persisted encoded history (IVF-PQ index + codes). Invariant gate
+    // in the dedup_semantic style: every served pair must be a SUBSET
+    // of the exact odd→even cross pairs (each pair is exact-cosine
+    // refined, so no false positives by construction) with >= 50%
+    // recall at these probe settings. n_exact is DuckDB-checkable.
+    QueryDef(
+      "dedup_semantic_incremental",
+      (s, dir) => {
+        import graft.ops.Similarity
+        val emb = table(s, dir, "embeddings")
+        val hist = emb.filter(col("vec_id") % 2 === 0)
+        val arr = emb.filter(col("vec_id") % 2 =!= 0)
+        val idx = Similarity.fitIndex(hist, "vec_id", "embedding",
+          nCentroids = 16, m = 8, kSub = 16)
+        val served = Similarity.nearDupAgainst(
+          arr, hist, Similarity.encodeCorpus(hist, "vec_id", "embedding", idx),
+          "vec_id", "embedding", idx, threshold = 0.42, nProbe = 6)
+        val exact = Dedup.embeddingCosinePairs(
+            emb, "vec_id", "embedding", threshold = 0.42)
+          .filter((col("id_a") % 2 =!= 0 && col("id_b") % 2 === 0) ||
+            (col("id_a") % 2 === 0 && col("id_b") % 2 =!= 0))
+          .select(
+            when(col("id_a") % 2 =!= 0, col("id_a")).otherwise(col("id_b")).as("new_id"),
+            when(col("id_a") % 2 === 0, col("id_a")).otherwise(col("id_b")).as("base_id"))
+        val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+        val bad = served.join(exact, Seq("new_id", "base_id"), "left_anti")
+          .agg(count(lit(1)).as("__nbad"))
+        val nSv = served.agg(count(lit(1)).as("__nsv"))
+        nEx.crossJoin(nSv).crossJoin(bad).select(
+          col("n_exact"),
+          (col("__nbad") === 0).as("subset_ok"),
+          (col("__nsv").cast("double") / col("n_exact").cast("double") >= 0.5)
+            .as("recall_ok"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+               true AS subset_ok, true AS recall_ok
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.42""")),
+
     // SemDeDup invariant gate: cluster-local cosine pairs must be a
     // SUBSET of the exact all-pairs result (same threshold) and keep
     // >= 50% recall. n_exact is DuckDB-checkable; the booleans assert

@@ -415,6 +415,46 @@ class SimilaritySpec extends SparkSpec with Matchers {
     mono shouldBe oneShot
   }
 
+  test("nearDupAgainst: full recall on separable clusters, every pair exactly scored, novel arrivals pass") {
+    val rnd = new scala.util.Random(53)
+    // three tight, far-apart clusters: near-dup pairs exist only
+    // within a cluster, so probe recall is structurally 1.0 and the
+    // serve result must EQUAL the exact cross-pair set
+    val centers = Array.fill(3, 16)(rnd.nextGaussian() * 20)
+    val all = (1L to 120L).map { i =>
+      i -> centers((i % 3).toInt).map(_ + rnd.nextGaussian() * 0.1).toSeq
+    } :+ (999L -> Seq.fill(16)(rnd.nextGaussian() * 0.01)) // near-origin: novel
+    val df = vecsDf(all)
+    val hist = df.filter(col("vec_id") % 2 === 0)
+    val arr = df.filter(col("vec_id") % 2 =!= 0)
+    val idx = Similarity.fitIndex(hist, "vec_id", "embedding",
+      nCentroids = 3, m = 4, kSub = 8)
+    val served = Similarity.nearDupAgainst(
+      arr, hist, Similarity.encodeCorpus(hist, "vec_id", "embedding", idx),
+      "vec_id", "embedding", idx, threshold = 0.9, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if a % 2 != 0 && b % 2 == 0 => (a, b)
+        case (a, b) if a % 2 == 0 && b % 2 != 0 => (b, a)
+      }.toSet
+    served shouldBe exact
+    served.map(_._1) should not contain 999L // the novel vector pairs with no one
+    // exact-refined scores: every emitted cos matches the direct cosine
+    val scored = Similarity.nearDupAgainst(
+      arr, hist, Similarity.encodeCorpus(hist, "vec_id", "embedding", idx),
+      "vec_id", "embedding", idx, threshold = 0.9, nProbe = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val vecs = all.toMap
+    scored.foreach { case ((n, b), cos) =>
+      val (qv, bv) = (vecs(n), vecs(b))
+      val direct = qv.zip(bv).map(t => t._1 * t._2).sum /
+        (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(bv.map(x => x * x).sum))
+      cos shouldBe direct +- 1e-9
+    }
+  }
+
   test("pqIndexStream: per-batch encodings append to exactly the batch-encoded corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
