@@ -554,6 +554,32 @@ object StreamingOps {
     }
   }
 
+  /** Streaming embedding near-dup against the persisted PQ-encoded
+    * history — the fifth and last face of the streaming dedup matrix
+    * (exact hash, SimHash, minhash LSH, winnow substring, embedding
+    * cosine). Shares [[graft.ops.Similarity.nearDupAgainst]] verbatim
+    * (per-batch rows are the batch operator's by construction; oracle
+    * dedup_semantic_incremental). The encoded code table AND the
+    * historical vector table (the exact-refinement side) persist once
+    * for the query's lifetime; same ownership caveat as
+    * [[nearDupStream]]. Index freshness is the [[pqIndexStream]]
+    * loop: append accepted batches' encodings at the refresh cadence. */
+  def semanticDedupStream(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      historyVecs: DataFrame, encoded: DataFrame,
+      index: graft.ops.Similarity.AnnIndex,
+      threshold: Double, nProbe: Int = 4, adcMargin: Double = 0.15)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val histOnce = historyVecs.persist(lvl)
+    val encodedOnce = encoded.persist(lvl)
+    vecs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Similarity.nearDupAgainst(
+        batch.toDF(), histOnce, encodedOnce, idCol, vecCol, index,
+        threshold, nProbe, adcMargin), batchId)
+    }
+  }
+
   /** Streaming BM25 serving: QUERY batches arrive on the stream and
     * score against a prebuilt [[graft.ops.Retrieval.Bm25Index]] — the
     * retrieval-serving face of the fit-once/serve-many family (shares

@@ -506,6 +506,42 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("semanticDedupStream: per-batch pairs match nearDupAgainst on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(71)
+    val centers = Array.fill(2, 8)(rnd.nextGaussian() * 20)
+    def near(c: Int) = centers(c).map(_ + rnd.nextGaussian() * 0.1).toSeq
+    val hist = (1L to 40L).map(i => (i * 2, near((i % 2).toInt))).toDF("vec_id", "embedding")
+    val idx = Similarity.fitIndex(hist, "vec_id", "embedding",
+      nCentroids = 2, m = 4, kSub = 8)
+    val encoded = Similarity.encodeCorpus(hist, "vec_id", "embedding", idx)
+    val batches = Seq(
+      Seq((101L, near(0))),
+      Seq((103L, near(1)), (105L, Seq.fill(8)(rnd.nextGaussian() * 0.01))))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = StreamingOps.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      hist, encoded, idx, threshold = 0.9, nProbe = 2) { (rows, id) =>
+      got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = Similarity.nearDupAgainst(
+          rows.toDF("vec_id", "embedding"), hist, encoded,
+          "vec_id", "embedding", idx, threshold = 0.9, nProbe = 2).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      val newIds = got.flatMap(_._2).map(_.getLong(0)).toSet
+      newIds should contain allOf (101L, 103L) // cluster members near-dup history
+      newIds should not contain 105L           // near-origin novel vector passes
+    } finally q.stop()
+  }
+
   test("bm25ServeStream: per-batch ranked results match bm25ServeBatch on the same query rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
