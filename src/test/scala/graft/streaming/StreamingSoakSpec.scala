@@ -143,6 +143,71 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("exactDedupStream soak: 5k docs in 10 batches against the corpus index, every arrival classified as a dup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).as[Doc].collect().toSeq
+    val arriving = corpus.map(d => Doc(d.doc_id + 1000000L, d.text))
+    val index = Dedup.exact(corpus.toDF(), "doc_id", "text")
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[Doc]
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val dups = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.exactDedupStream(
+      stream.toDF(), "doc_id", "text", index) { (batch, _) =>
+      rows.addAndGet(batch.count())
+      dups.addAndGet(batch.filter(col("dup_of").isNotNull).count())
+    }.start()
+    try {
+      arriving.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      // only the query-lifetime persisted index may remain
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore)
+        .size should be <= 1
+      rows.get() shouldBe arriving.size.toLong  // every arrival classified
+      dups.get() shouldBe arriving.size.toLong  // every text exists in history
+      soakLine("exactDedupStream", arriving.size.toLong, log)
+    } finally q.stop()
+  }
+
+  test("simhashDedupStream soak: 5k docs in 10 batches against the fingerprint index, parity with batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).as[Doc].collect().toSeq
+    val arriving = corpus.map(d => Doc(d.doc_id + 1000000L, d.text))
+    val index = Dedup.withSimhash(corpus.toDF(), "doc_id", "text")
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[Doc]
+    val pairs = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.simhashDedupStream(
+      stream.toDF(), "doc_id", "text", index, maxHamming = 2) { (batch, _) =>
+      pairs.addAndGet(batch.count())
+    }.start()
+    try {
+      arriving.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore)
+        .size should be <= 1
+      val twin = Dedup.simhashAgainst(
+        arriving.toDF(), index, "doc_id", "text", maxHamming = 2).count()
+      pairs.get() shouldBe twin
+      pairs.get() should be >= corpus.size.toLong // every doc hits its twin at hamming 0
+      soakLine("simhashDedupStream", arriving.size.toLong, log)
+    } finally q.stop()
+  }
+
   test("driftStream soak: 600k lineitem prices in 10 batches, stateless, every batch scored") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
