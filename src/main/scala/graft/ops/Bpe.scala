@@ -65,44 +65,35 @@ object Bpe {
     * UTF-8 byte order (Spark's string order), and segmentation is
     * codepoint-based — both identical to pairCounts.
     *
-    * Two guard layers keep the fail-fast CHEAP (r10 advisory: at a
-    * multi-million cap the LIMIT-bounded collect itself could pull
-    * hundreds of MB onto the driver before the require fired):
-    *   1. an `approx_count_distinct` pre-probe (2% rsd, no shuffle of
-    *      the dict — partial HLL sketches merge on the driver) raises
-    *      BEFORE any collect when the estimate clearly exceeds the cap
-    *      (>1.1×, far outside the sketch error, so it can never
-    *      misfire on a corpus that is actually under the cap);
-    *   2. the exact LIMIT(cap+1) collect remains the authoritative
-    *      backstop for the marginal band the sketch can't decide.
-    * The default cap is 2^20 (~1M words, tens of MB of driver heap) —
-    * a web-scale corpus wanting the old 2^22 can pass it explicitly
-    * and owns the correspondingly larger driver allocation. */
+    * The fail-fast is guarded BEFORE the driver collect (r10 advisory:
+    * at a multi-million cap the collect itself could pull hundreds of
+    * MB onto the driver before the require fired): the narrow
+    * (word, count) dict frame is staged once (lazily) so one
+    * tokenization pass feeds both the exact distributed `count()`
+    * guard and — only when the guard passes — the collect. An
+    * over-cap corpus therefore costs one aggregate in EXECUTOR
+    * memory/disk (spillable) and zero driver bytes; the happy path
+    * tokenizes once, not once per action. The default cap is 2^20
+    * (~1M words, tens of MB of driver heap) — a web-scale corpus
+    * wanting the old 2^22 can pass it explicitly and owns the
+    * correspondingly larger driver allocation. */
   def train(
       df: DataFrame, textCol: String, nMerges: Int,
       maxVocab: Int = 1 << 20): Seq[(String, String)] = {
-    // maxVocab < Int.MaxValue: the probe below scans limit(maxVocab+1),
-    // which would overflow to a negative limit at Int.MaxValue and die
-    // with a confusing analysis error instead of this message.
-    require(nMerges > 0 && maxVocab > 0 && maxVocab < Int.MaxValue,
-      s"Bpe.train: nMerges must be > 0 and maxVocab in [1, ${Int.MaxValue - 1}] " +
+    require(nMerges > 0 && maxVocab > 0,
+      s"Bpe.train: nMerges and maxVocab must be > 0 " +
         s"(got nMerges=$nMerges, maxVocab=$maxVocab)")
-    val wordCol = OpsUtil.widen(df)
+    val words = OpsUtil.widen(df)
       .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
-    val estimate = wordCol
-      .agg(approx_count_distinct(col("w"), 0.02)).head().getLong(0)
-    require(estimate <= maxVocab * 1.1,
-      s"Bpe.train: corpus has ~$estimate distinct words (cap $maxVocab) — " +
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the exact guard AND the collect
+    val n = words.count()
+    require(n <= maxVocab,
+      s"Bpe.train: corpus has $n distinct words (cap $maxVocab) — " +
         "train on a deterministic sample (Sampling.deterministicSample) " +
         "or raise maxVocab; silent truncation would change the merge sequence")
-    val words = wordCol.groupBy("w").agg(count(lit(1)).as("c"))
-    val dict = words.limit(maxVocab + 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(dict.length <= maxVocab,
-      s"Bpe.train: corpus has more than $maxVocab distinct words — " +
-        "train on a deterministic sample (Sampling.deterministicSample) " +
-        "or raise maxVocab; silent truncation would change the merge sequence")
+    val dict = words.collect().map(r => (r.getString(0), r.getLong(1)))
     trainOnDict(dict, nMerges)
   }
 

@@ -87,7 +87,11 @@ object Dedup {
     *     historical survivor cannot be retroactively deleted);
     *   - content new to the index but repeated WITHIN the batch →
     *     min-id arrival survives, its batch twins point at it;
-    *   - content seen nowhere → `dup_of` NULL.
+    *   - content seen nowhere → `dup_of` NULL;
+    *   - NULL text (no content to hash) → the row passes through as a
+    *     survivor with a NULL `text_hash` — content-free rows are not
+    *     this operator's to drop, and every arrival gets exactly one
+    *     output row (an equi-join would silently eat NULL hashes).
     * Scale shape: one hash projection over the batch, one hash-agg on
     * the batch's hashes, one equi-join against the index on the
     * 32-hex-char hash (broadcast when the batch or index is small;
@@ -99,9 +103,10 @@ object Dedup {
       idCol: String, textCol: String): DataFrame = {
     val hashed = newDocs.select(col(idCol).as("id"),
       md5(TextOps.normalized(col(textCol))).as("text_hash"))
-    val batchKeep = hashed.groupBy("text_hash")
+    val withHash = hashed.filter(col("text_hash").isNotNull)
+    val batchKeep = withHash.groupBy("text_hash")
       .agg(min(col("id")).as("__graft_batch_keep"))
-    hashed
+    val classified = withHash
       .join(index.select(col("text_hash"), col("keep_id")),
         Seq("text_hash"), "left")
       .join(batchKeep, Seq("text_hash"))
@@ -110,6 +115,9 @@ object Dedup {
           .when(col("__graft_batch_keep") =!= col("id"),
             col("__graft_batch_keep"))
           .as("dup_of"))
+    classified.unionByName(hashed.filter(col("text_hash").isNull)
+      .select(col("id"), col("text_hash"),
+        lit(null).cast(classified.schema("dup_of").dataType).as("dup_of")))
   }
 
   /** Merge [[exact]] indexes — the append-composability law of the
@@ -528,19 +536,7 @@ object Dedup {
   def clusters(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 25, scratchDir: Option[String] = None): DataFrame = {
-    val persist: (DataFrame, String) => DataFrame = scratchDir match {
-      case Some(dir) =>
-        val base = s"$dir/graft-clusters-${java.util.UUID.randomUUID()}"
-        val sess = pairs.sparkSession
-        val hp = new org.apache.hadoop.fs.Path(base)
-        hp.getFileSystem(sess.sparkContext.hadoopConfiguration)
-          .deleteOnExit(hp): Unit
-        (df, tag) => {
-          df.write.mode("overwrite").parquet(s"$base/$tag")
-          sess.read.parquet(s"$base/$tag")
-        }
-      case None => (df, _) => df.localCheckpoint(true)
-    }
+    val persist = OpsUtil.scratchPersist(pairs, scratchDir, "graft-clusters")
     val edges = persist(
       pairs.select(col(idA).as("a"), col(idB).as("b"))
         .union(pairs.select(col(idB).as("a"), col(idA).as("b")))

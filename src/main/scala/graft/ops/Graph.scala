@@ -55,24 +55,7 @@ object Graph {
       checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
-    // Durable-mode materializer: write-and-read-back scratch parquet
-    // under one UUID run dir (per-call, so concurrent runs never
-    // collide), deleted at JVM exit. `tag` keeps each materialization
-    // at its own path — overwriting a path a lazy downstream scan is
-    // still reading would corrupt the run.
-    val persist: (DataFrame, String) => DataFrame = scratchDir match {
-      case Some(dir) =>
-        val base = s"$dir/graft-pagerank-${java.util.UUID.randomUUID()}"
-        val sess = edges.sparkSession
-        val hp = new org.apache.hadoop.fs.Path(base)
-        hp.getFileSystem(sess.sparkContext.hadoopConfiguration)
-          .deleteOnExit(hp): Unit
-        (df, tag) => {
-          df.write.mode("overwrite").parquet(s"$base/$tag")
-          sess.read.parquet(s"$base/$tag")
-        }
-      case None => (df, _) => df.localCheckpoint(true)
-    }
+    val persist = OpsUtil.scratchPersist(edges, scratchDir, "graft-pagerank")
     // Weights and out-weight totals stay in exact DECIMAL (a double
     // sum would be partition-order-dependent); the per-edge ratio is
     // the single double op, identical on every engine.

@@ -58,6 +58,38 @@ private[graft] object OpsUtil {
     Some((rows, offsets))
   }
 
+  /** Materializer for iterative operators' per-round lineage
+    * truncation — the durability dial shared by [[Graph.pageRank]] and
+    * [[Dedup.clusters]] (one implementation so a cleanup/robustness
+    * fix can never land in only one of them). With `scratchDir` unset:
+    * eager non-replicated `localCheckpoint` (fast; an executor loss
+    * mid-run kills the chain — batch-local usage). With it set: each
+    * materialization writes scratch parquet under ONE UUID-named run
+    * dir (per call, so concurrent runs never collide) and reads it
+    * back — durable on the job's storage; `tag` keeps every
+    * materialization at its own path because overwriting a path a lazy
+    * downstream scan still reads would corrupt the run. The run dir is
+    * registered for deletion at JVM exit via Hadoop
+    * `FileSystem.deleteOnExit` (scheme-agnostic, ordered shutdown); a
+    * crashed driver can orphan it, so prefer a TTL'd scratch location.
+    */
+  def scratchPersist(
+      anchor: DataFrame, scratchDir: Option[String],
+      prefix: String): (DataFrame, String) => DataFrame =
+    scratchDir match {
+      case Some(dir) =>
+        val base = s"$dir/$prefix-${java.util.UUID.randomUUID()}"
+        val sess = anchor.sparkSession
+        val hp = new org.apache.hadoop.fs.Path(base)
+        hp.getFileSystem(sess.sparkContext.hadoopConfiguration)
+          .deleteOnExit(hp): Unit
+        (df, tag) => {
+          df.write.mode("overwrite").parquet(s"$base/$tag")
+          sess.read.parquet(s"$base/$tag")
+        }
+      case None => (df, _) => df.localCheckpoint(true)
+    }
+
   /** Decouple compute-bound projection parallelism from input-split
     * parallelism: when the scan yields fewer partitions than the
     * cluster has slots (small files, single row groups), redistribute

@@ -78,7 +78,7 @@ object PipelineQueries {
                     ELSE NULL END AS dup_of
         FROM arr a
         LEFT JOIN idx i ON i.h = a.h
-        JOIN batch b ON b.h = a.h""")),
+        LEFT JOIN batch b ON b.h = a.h""")),
 
     // Append-composability law of the exact index: merging the two
     // halves' indexes is ROW-IDENTICAL to indexing the whole corpus —

@@ -123,6 +123,25 @@ object Transforms {
     "sample_temperature" -> Seq("alpha"),
     "classifier_filter" -> Seq("min_score"))
 
+  /** Shared skeleton of the persisted-index ingest gates
+    * (dedup_against / simhash_filter / winnow_filter), so the staging
+    * and NULL-bypass contract lives in exactly one place: stage the
+    * frame once (it feeds the classifier AND the join), classify the
+    * non-NULL rows into a key frame via `keys(rows, textCol)`, then
+    * keep (`left_semi`) or drop (`left_anti`) by key. NULL-text /
+    * NULL-key rows bypass untouched — content-free rows are never an
+    * index gate's to drop, and NULL keys would silently vanish in the
+    * equi-join otherwise. */
+  private def indexGate(
+      df: DataFrame, key: String, text: String, keepMatches: Boolean)(
+      keys: (DataFrame, String) => DataFrame): DataFrame = {
+    val staged = df.localCheckpoint(false)
+    val gateable = staged.filter(col(text).isNotNull && col(key).isNotNull)
+    gateable.join(keys(gateable, text), Seq(key),
+        if (keepMatches) "left_semi" else "left_anti")
+      .unionByName(staged.filter(col(text).isNull || col(key).isNull))
+  }
+
   /** rates as strata:pct pairs joined with '|', e.g. `en:40|de:80`. */
   private def parseRates(spec: String): Map[String, Int] =
     spec.split('|').toSeq.map { r =>
@@ -165,55 +184,43 @@ object Transforms {
       // job transform): rows whose normalized text already exists in
       // history drop; within-frame repeats keep the min-key row
       // (dedup_exact's semantics, via exactAgainst's first-seen-wins
-      // classification); NULL-text / NULL-key rows bypass untouched
-      // (same contract as dedup_exact — content-free rows are not
-      // this transform's to drop).
-      val key = t.arg("key"); val text = t.arg("col")
-      val staged = df.localCheckpoint(false)
-      val dedupable = staged.filter(col(text).isNotNull && col(key).isNotNull)
-      val survivors = graft.ops.Dedup.exactAgainst(
-          dedupable,
-          graft.ops.Dedup.loadExactIndex(df.sparkSession, t.arg("index")),
-          key, text)
-        .filter(col("dup_of").isNull)
-        .select(col("id").as(key))
-      dedupable.join(survivors, Seq(key), "left_semi")
-        .unionByName(staged.filter(col(text).isNull || col(key).isNull))
+      // classification).
+      val key = t.arg("key")
+      indexGate(df, key, t.arg("col"), keepMatches = true) { (rows, text) =>
+        graft.ops.Dedup.exactAgainst(rows,
+            graft.ops.Dedup.loadExactIndex(df.sparkSession, t.arg("index")),
+            key, text)
+          .filter(col("dup_of").isNull)
+          .select(col("id").as(key))
+      }
     case "simhash_filter" =>
       // Near-dup ingest gate: drop rows whose SimHash fingerprint is
       // within max_hamming (default 8) of ANY document in a persisted
       // fingerprint index (graft.ops.Dedup.saveSimhashes) — the
-      // typo-tolerant sibling of dedup_against. NULL-text / NULL-key
-      // rows bypass untouched (the shared contract).
-      val key = t.arg("key"); val text = t.arg("col")
-      val staged = df.localCheckpoint(false)
-      val filterable = staged.filter(col(text).isNotNull && col(key).isNotNull)
-      val hits = graft.ops.Dedup.simhashAgainst(
-          filterable,
-          graft.ops.Dedup.loadSimhashes(df.sparkSession, t.arg("index")),
-          key, text,
-          maxHamming = t.args.get("max_hamming").map(_.toInt).getOrElse(8))
-        .select(col("new_id").as(key)).distinct()
-      filterable.join(hits, Seq(key), "left_anti")
-        .unionByName(staged.filter(col(text).isNull || col(key).isNull))
+      // typo-tolerant sibling of dedup_against.
+      val key = t.arg("key")
+      indexGate(df, key, t.arg("col"), keepMatches = false) { (rows, text) =>
+        graft.ops.Dedup.simhashAgainst(rows,
+            graft.ops.Dedup.loadSimhashes(df.sparkSession, t.arg("index")),
+            key, text,
+            maxHamming = t.args.get("max_hamming").map(_.toInt).getOrElse(8))
+          .select(col("new_id").as(key)).distinct()
+      }
     case "winnow_filter" =>
       // Substring-copy ingest gate: drop rows sharing >= min_shared
       // (default 2) winnowed fingerprints with a persisted reference
       // index (graft.ops.Dedup.saveWinnowFingerprints) — "copied a
       // run of w+k-1 chars from history". max_df (default uncapped)
-      // is the base-side boilerplate cap. Same NULL-bypass contract.
-      val key = t.arg("key"); val text = t.arg("col")
-      val staged = df.localCheckpoint(false)
-      val filterable = staged.filter(col(text).isNotNull && col(key).isNotNull)
-      val hits = graft.ops.Dedup.winnowAgainst(
-          filterable,
-          graft.ops.Dedup.loadWinnowFingerprints(df.sparkSession, t.arg("index")),
-          key, text,
-          minShared = t.args.get("min_shared").map(_.toInt).getOrElse(2),
-          maxDf = t.args.get("max_df").map(_.toInt).getOrElse(Int.MaxValue))
-        .select(col("new_id").as(key)).distinct()
-      filterable.join(hits, Seq(key), "left_anti")
-        .unionByName(staged.filter(col(text).isNull || col(key).isNull))
+      // is the base-side boilerplate cap.
+      val key = t.arg("key")
+      indexGate(df, key, t.arg("col"), keepMatches = false) { (rows, text) =>
+        graft.ops.Dedup.winnowAgainst(rows,
+            graft.ops.Dedup.loadWinnowFingerprints(df.sparkSession, t.arg("index")),
+            key, text,
+            minShared = t.args.get("min_shared").map(_.toInt).getOrElse(2),
+            maxDf = t.args.get("max_df").map(_.toInt).getOrElse(Int.MaxValue))
+          .select(col("new_id").as(key)).distinct()
+      }
     case "sample_hash" =>
       Sampling.deterministicSample(df, t.arg("key"), t.argInt("pct"))
     case "corpus_shuffle" =>

@@ -58,10 +58,15 @@ object ServeCanary {
     val scratch = java.nio.file.Files.createTempDirectory("graft-serve-canary").toString
     val docs = ParquetTables.load(spark, s"$sfDir/documents.parquet")
 
-    // Fixed replica-0 arrival batch, re-id'd clear of every index id:
-    // half verbatim (exact + near hits), half suffixed (near-only).
+    // Fixed replica-0 arrival batch, re-id'd clear of every index id —
+    // ABOVE MaxReplicas × IdOffset, so no replica's id space can ever
+    // collide with an arrival id at any supported k (an offset inside
+    // the replica range, e.g. 5 × IdOffset, would alias replica 5's
+    // ids and falsify any id-keyed invariant). Half verbatim (exact +
+    // near hits), half suffixed (near-only).
+    val arrivalOffset = (Amplify.MaxReplicas + 1).toLong * Amplify.IdOffset
     val sampled = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      .select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + arrivalOffset).as("doc_id"), col("text"))
     val batch = sampled.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
         .otherwise(concat(col("text"),

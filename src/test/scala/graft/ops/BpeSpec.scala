@@ -100,33 +100,27 @@ class BpeSpec extends SparkSpec with Matchers {
     e.getMessage should include("distinct words")
     // at the cap exactly, training proceeds and stays classic-exact
     Bpe.train(df, "text", 2, maxVocab = 5) shouldBe naiveTrain(df, 2)
-    // Int.MaxValue would overflow the limit(maxVocab+1) probe to a
-    // negative limit — the precondition must own that input
-    val e2 = intercept[IllegalArgumentException] {
-      Bpe.train(df, "text", 2, maxVocab = Int.MaxValue)
-    }
-    e2.getMessage should include("maxVocab")
+    // Int.MaxValue is a legal (if unwise) cap under the staged-count
+    // guard — no limit() arithmetic left to overflow
+    Bpe.train(df, "text", 2, maxVocab = Int.MaxValue) shouldBe naiveTrain(df, 2)
   }
 
-  test("train's approx pre-probe fires before the dict collect on a clearly-over corpus") {
-    // 2000 distinct words vs cap 100: the HLL estimate (2% rsd) is far
-    // beyond the 1.1× misfire margin, so the cheap pre-probe raises —
-    // its "~" estimate wording distinguishes it from the exact backstop
+  test("train's staged-count guard fires before any driver collect, with the exact count in the message") {
+    // 2000 distinct words vs cap 100: the guard is a distributed
+    // count over the staged dict frame — the driver never sees a row
     val big = docsDf((0 until 100).map(i =>
       i.toLong -> (0 until 20).map(j => s"w${i}x$j").mkString(" ")))
     val e = intercept[IllegalArgumentException] {
       Bpe.train(big, "text", 2, maxVocab = 100)
     }
-    e.getMessage should include("~")
-    e.getMessage should include("distinct words")
-    // marginal band (estimate within 1.1× of the cap): the pre-probe
-    // must NOT misfire; the exact backstop decides. 105 words, cap 100.
+    e.getMessage should include("2000 distinct words (cap 100)")
+    // one-over-the-cap fails exactly; at-the-cap trains
     val marginal = docsDf(Seq(
-      1L -> (0 until 105).map(j => s"m$j").mkString(" ")))
-    val e3 = intercept[IllegalArgumentException] {
+      1L -> (0 until 101).map(j => s"m$j").mkString(" ")))
+    intercept[IllegalArgumentException] {
       Bpe.train(marginal, "text", 2, maxVocab = 100)
-    }
-    e3.getMessage should include("more than 100 distinct words")
+    }.getMessage should include("101 distinct words (cap 100)")
+    Bpe.train(marginal, "text", 2, maxVocab = 101).size shouldBe 2
   }
 
   test("disjoint top pairs batch into one round: job count independent of merge count") {

@@ -51,7 +51,8 @@ class DedupSpec extends SparkSpec with Matchers {
       20L -> "fresh content a", // new to everyone: survivor
       21L -> "repeated inside", // within-batch dup pair: 21 survives
       22L -> "Repeated   Inside",
-      23L -> "old news here"))  // plain index hit
+      23L -> "old news here",   // plain index hit
+      24L -> null.asInstanceOf[String])) // content-free arrival
     val got = Dedup.exactAgainst(arrivals, index, "doc_id", "text")
       .collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
@@ -61,7 +62,8 @@ class DedupSpec extends SparkSpec with Matchers {
       20L -> None,
       21L -> None,
       22L -> Some(21L),
-      23L -> Some(11L))
+      23L -> Some(11L),
+      24L -> None) // NULL text: one output row, survivor — never silently eaten
   }
 
   test("bucketed exact index: identical rows, strictly fewer exchanges (index side reads in place)") {
