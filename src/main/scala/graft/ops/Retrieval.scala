@@ -168,7 +168,16 @@ object Retrieval {
     * corpus at the index-refresh cadence (postings are an agg result,
     * so the rebuild is one job, not a re-design). */
   final case class Bm25Index(
-      postings: DataFrame, idCol: String, nDocs: Long, avgdl: Double)
+      postings: DataFrame, idCol: String, nDocs: Long, avgdl: Double,
+      termBuckets: Option[Int] = None)
+
+  /** Partition column of the term-bucketed posting layout. */
+  private[graft] val TermBucket = "__graft_tb"
+
+  /** Term → bucket id under `n` term-hash buckets (INT to match what
+    * parquet partition-directory type inference reads back). */
+  private def termBucket(term: Column, n: Int): Column =
+    pmod(xxhash64(term), lit(n.toLong)).cast("int")
 
   /** Build a [[Bm25Index]]: one tokenize + one map-side-combined
     * hash-agg over the corpus; posting count = Σ per-doc distinct
@@ -180,7 +189,11 @@ object Retrieval {
     Bm25Index(postingsOf(docs, idCol, identity), idCol, nDocs, avgdl)
   }
 
-  /** Persist a [[Bm25Index]] (postings + 1-row stats) as parquet. */
+  /** Persist a [[Bm25Index]] (postings + 1-row stats) as flat parquet.
+    * Every serve then scans the whole posting table under the
+    * broadcast query vocabulary — fine while the index is small; once
+    * posting scan time shows up in the serve wall, use
+    * [[saveBm25IndexPartitioned]] instead. */
   def saveBm25Index(index: Bm25Index, path: String): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$path/postings")
     val spark = index.postings.sparkSession
@@ -190,12 +203,48 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Load a persisted [[Bm25Index]] (inverse of [[saveBm25Index]]). */
+  /** Persist a [[Bm25Index]] TERM-PARTITIONED: postings land in
+    * `nTermBuckets` term-hash partition directories, so
+    * [[bm25ServeBatch]] reads only the partitions the query
+    * vocabulary hashes into instead of scanning every posting — the
+    * at-scale serve layout (the bucketed-exact-index argument applied
+    * to retrieval). Size `nTermBuckets` to the CORPUS, not the query:
+    * with per-bucket bytes held constant (buckets grow with the
+    * index) and more buckets than the typical query vocabulary, serve
+    * scan bytes are ~|vocabulary| × bucket size — flat as the corpus
+    * grows, which a flat layout can never be. The posting frame is
+    * repartitioned on the bucket id before writing so each bucket is
+    * one file, not one-per-task (the small-file explosion
+    * `partitionBy` alone produces). */
+  def saveBm25IndexPartitioned(
+      index: Bm25Index, path: String, nTermBuckets: Int): Unit = {
+    require(nTermBuckets > 0, "saveBm25IndexPartitioned: nTermBuckets must be > 0")
+    index.postings
+      .withColumn(TermBucket, termBucket(col("term"), nTermBuckets))
+      .repartition(nTermBuckets, col(TermBucket))
+      .write.mode("overwrite").partitionBy(TermBucket)
+      .parquet(s"$path/postings")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq((index.idCol, index.nDocs, index.avgdl, nTermBuckets))
+      .toDF("id_col", "n_docs", "avgdl", "term_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted [[Bm25Index]] — inverse of [[saveBm25Index]] or
+    * [[saveBm25IndexPartitioned]] (the stats sidecar says which layout
+    * was written; [[bm25ServeBatch]] prunes automatically on the
+    * partitioned one). */
   def loadBm25Index(
       spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
-    val st = spark.read.parquet(s"$path/stats").head()
+    val stats = spark.read.parquet(s"$path/stats")
+    val st = stats.head()
+    val buckets =
+      if (stats.schema.fieldNames.contains("term_buckets") && !st.isNullAt(3))
+        Some(st.getInt(3))
+      else None
     Bm25Index(spark.read.parquet(s"$path/postings"),
-      st.getString(0), st.getLong(1), st.getDouble(2))
+      st.getString(0), st.getLong(1), st.getDouble(2), buckets)
   }
 
   /** Batch BM25 against a prebuilt [[Bm25Index]] — output contract
@@ -212,8 +261,26 @@ object Retrieval {
     require(k > 0)
     val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
     val vocab = qTerms.select("term").distinct()
+    val postings = index.termBuckets match {
+      case Some(n) =>
+        // Partition pruning on the term-bucketed layout: the query
+        // vocabulary is tiny by contract (it already broadcasts
+        // twice), so its bucket set collects to the driver — one
+        // |vocab|-bounded job, the corpusStats pattern — and prunes
+        // posting partitions STATICALLY in the plan (`PartitionFilters`
+        // on the scan; deterministic, unlike leaving it to the DPP
+        // cost heuristic). Only buckets a query term hashes into are
+        // ever read; the per-term join below re-checks exact terms, so
+        // bucket collisions cost bytes, never correctness.
+        val buckets = vocab.select(termBucket(col("term"), n).as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        index.postings
+          .filter(col(TermBucket).isin(buckets: _*))
+          .drop(TermBucket)
+      case None => index.postings
+    }
     val scored = scorePostings(
-      index.postings.join(broadcast(vocab), Seq("term")),
+      postings.join(broadcast(vocab), Seq("term")),
       index.nDocs, index.avgdl, k1, b)
     perQueryTopK(scored, qTerms, index.idCol, k)
   }

@@ -63,6 +63,40 @@ object ShapingQueries {
       s"(($x & ${1L << i}) * ${1L << i}) | (($y & ${1L << i}) * ${2L << i})"
     }.map(t => s"($t)").mkString(" | ")
 
+  /** The 3-query batch-BM25 oracle, shared VERBATIM by bm25_batch,
+    * bm25_serve, and bm25_serve_pruned — the strongest possible pin
+    * that the one-shot plan, the persisted-index serve, and the
+    * term-partition-pruned serve are semantically one operator. */
+  private val Bm25BatchOracle = s"""
+        WITH q AS (SELECT * FROM (VALUES
+                     ('q1', 'spark vector'),
+                     ('q2', 'merge customer table'),
+                     ('q3', 'window agg scan')) AS t(query_id, query_text)),
+        qt AS (SELECT DISTINCT query_id, term FROM (
+                 SELECT query_id,
+                        unnest(string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
+                 FROM q) WHERE term != ''),
+        d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+        dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        hits AS (SELECT doc_id, dl, unnest(ws) AS term FROM dl),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits
+               WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+        dfx AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+                 ln(1.0 + ((SELECT n FROM stats) - term_df + 0.5) / (term_df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats))) AS s
+               FROM tf JOIN dfx USING (term) JOIN qt USING (term)),
+        agg AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
+                       round(sum(s), 6) AS score
+                FROM sc GROUP BY 1, 2)
+        SELECT query_id, doc_id, n_hit_terms, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM agg QUALIFY rank <= 20"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Okapi BM25 over the documents corpus for a 4-term query.
@@ -101,35 +135,7 @@ object ShapingQueries {
           table(s, dir, "documents"), "doc_id", "text",
           queries, "query_id", "query_text", k = 20)
       },
-      Some(s"""
-        WITH q AS (SELECT * FROM (VALUES
-                     ('q1', 'spark vector'),
-                     ('q2', 'merge customer table'),
-                     ('q3', 'window agg scan')) AS t(query_id, query_text)),
-        qt AS (SELECT DISTINCT query_id, term FROM (
-                 SELECT query_id,
-                        unnest(string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
-                 FROM q) WHERE term != ''),
-        d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
-        dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
-        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-                         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-        hits AS (SELECT doc_id, dl, unnest(ws) AS term FROM dl),
-        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits
-               WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
-        dfx AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
-        sc AS (SELECT qt.query_id, tf.doc_id,
-                 ln(1.0 + ((SELECT n FROM stats) - term_df + 0.5) / (term_df + 0.5))
-                   * (tf * (1.2 + 1.0))
-                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats))) AS s
-               FROM tf JOIN dfx USING (term) JOIN qt USING (term)),
-        agg AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
-                       round(sum(s), 6) AS score
-                FROM sc GROUP BY 1, 2)
-        SELECT query_id, doc_id, n_hit_terms, score,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        FROM agg QUALIFY rank <= 20""")),
+      Some(Bm25BatchOracle)),
 
     // Persisted-index BM25 serving: the SAME three queries through
     // buildBm25Index → bm25ServeBatch — the fit-once/serve-many face
@@ -148,35 +154,33 @@ object ShapingQueries {
           Retrieval.buildBm25Index(table(s, dir, "documents"), "doc_id", "text"),
           queries, "query_id", "query_text", k = 20)
       },
-      Some(s"""
-        WITH q AS (SELECT * FROM (VALUES
-                     ('q1', 'spark vector'),
-                     ('q2', 'merge customer table'),
-                     ('q3', 'window agg scan')) AS t(query_id, query_text)),
-        qt AS (SELECT DISTINCT query_id, term FROM (
-                 SELECT query_id,
-                        unnest(string_split(trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
-                 FROM q) WHERE term != ''),
-        d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
-        dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
-        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-                         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-        hits AS (SELECT doc_id, dl, unnest(ws) AS term FROM dl),
-        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits
-               WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
-        dfx AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
-        sc AS (SELECT qt.query_id, tf.doc_id,
-                 ln(1.0 + ((SELECT n FROM stats) - term_df + 0.5) / (term_df + 0.5))
-                   * (tf * (1.2 + 1.0))
-                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats))) AS s
-               FROM tf JOIN dfx USING (term) JOIN qt USING (term)),
-        agg AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
-                       round(sum(s), 6) AS score
-                FROM sc GROUP BY 1, 2)
-        SELECT query_id, doc_id, n_hit_terms, score,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        FROM agg QUALIFY rank <= 20""")),
+      Some(Bm25BatchOracle)),
+
+    // TERM-PARTITION-PRUNED BM25 serving: the same three queries
+    // through the at-scale posting layout (saveBm25IndexPartitioned →
+    // parquet round trip → bm25ServeBatch, which statically prunes
+    // posting partitions to the query vocabulary's term-hash buckets).
+    // Shares the bm25_batch oracle VERBATIM: pruning may only change
+    // which files are read, never a row.
+    QueryDef(
+      "bm25_serve_pruned",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", "spark vector"),
+          ("q2", "merge customer table"),
+          ("q3", "window agg scan")).toDF("query_id", "query_text")
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-bm25-part-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
+        Retrieval.saveBm25IndexPartitioned(
+          Retrieval.buildBm25Index(table(s, dir, "documents"), "doc_id", "text"),
+          path, nTermBuckets = 16)
+        Retrieval.bm25ServeBatch(
+          Retrieval.loadBm25Index(s, path),
+          queries, "query_id", "query_text", k = 20)
+      },
+      Some(Bm25BatchOracle)),
 
     // Hybrid retrieval via reciprocal-rank fusion: the BM25 arm fused
     // with a bigram-overlap arm (a second, independent ranker over the

@@ -44,9 +44,14 @@ object Amplify {
   }
 
   /** Distinct-permutation bound for the substitution family below:
-    * digits run out of distinct (a, b) affine pairs first, at
-    * 4 units × 10 offsets. */
-  private[tools] val MaxReplicas = 40
+    * the LETTER family (4 units × 26 offsets, distinct (a, b) pairs
+    * through r = 103) is what the disjoint-vocabulary argument needs —
+    * the testdata corpus is letters-and-spaces only. The DIGIT family
+    * recycles after 40 replicas (4 units × 10 offsets), so a corpus
+    * with pure-digit tokens keeps strict disjointness only to 40;
+    * ServeCanary's hit-set gates verify the property empirically
+    * either way. */
+  private[tools] val MaxReplicas = 104
 
   /** Per-replica substitution alphabet: case-parallel AFFINE character
     * maps i → a·i + b (mod |alphabet|) on each alphabet, replica 0 the
@@ -99,17 +104,29 @@ object Amplify {
   }
 
   def embeddings(df: DataFrame, k: Int): DataFrame = {
-    // Rotation by __rep < k positions needs k − 1 < dim, or the slice
-    // length goes non-positive and fails with an opaque runtime error
-    // — fail fast like documents() does (testdata dim is 64 >> k).
-    require(k <= 64, s"Amplify.embeddings: rotation supports k <= dim (64), got $k")
+    // Replicas 0..63: dimension rotation by __rep (an isometry; the
+    // slice arithmetic needs rotation < dim = 64). Replicas 64+:
+    // rotation by __rep mod 64 COMPOSED with a per-replica
+    // deterministic sign-flip pattern (also an isometry — hash-chosen
+    // signs per dimension), so every replica's within-replica neighbor
+    // structure is exact while any two replicas differ by rotation,
+    // flips, or both and decorrelate. Second-decade bound: 2 × 64
+    // distinct (rotation, flip-epoch) combinations is far more than
+    // [[MaxReplicas]] needs.
+    require(k <= 128, s"Amplify.embeddings: supports k <= 128, got $k")
     val e = col("embedding")
-    val rotatedVec = when(col("__rep") === 0, e).otherwise(concat(
-      slice(e, col("__rep") + 1, size(e) - col("__rep")),
-      slice(e, lit(1), col("__rep"))))
+    val rot = pmod(col("__rep"), lit(64))
+    val rotatedVec = when(rot === 0, e).otherwise(concat(
+      slice(e, rot + 1, size(e) - rot),
+      slice(e, lit(1), rot)))
+    val signedVec = when(col("__rep") < 64, rotatedVec)
+      .otherwise(zip_with(rotatedVec,
+        sequence(lit(0), size(e) - 1),
+        (v, i) => v * (lit(1.0f) -
+          lit(2.0f) * pmod(xxhash64(col("__rep"), i), lit(2)).cast("float"))))
     withRep(df, k).select(
       (col("vec_id") + col("__rep") * IdOffset).as("vec_id"),
-      rotatedVec.as("embedding"), col("label"))
+      signedVec.as("embedding"), col("label"))
   }
 
   /** Generic entity-table amplification: offset the id columns, keep

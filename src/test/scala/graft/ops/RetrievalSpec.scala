@@ -145,4 +145,61 @@ class RetrievalSpec extends SparkSpec with Matchers {
     served.inputFiles should not be empty
     served.inputFiles.foreach(_ should include ("idx"))
   }
+
+  test("bm25 partitioned index: identical serve rows, posting scan pruned to the query vocabulary's buckets") {
+    import spark.implicits._
+    val docs = (1L to 200L).map { i =>
+      i -> s"term$i common spark filler${i % 7}"
+    }.toDF("doc_id", "text")
+    val queries = Seq(("q1", "spark term3"), ("q2", "term9 filler2"))
+      .toDF("qid", "qtext")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bm25p").toString
+    val built = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    val nBuckets = 32
+    Retrieval.saveBm25Index(built, s"$scratch/flat")
+    Retrieval.saveBm25IndexPartitioned(built, s"$scratch/part", nBuckets)
+    val flat = Retrieval.loadBm25Index(spark, s"$scratch/flat")
+    val part = Retrieval.loadBm25Index(spark, s"$scratch/part")
+    flat.termBuckets shouldBe None
+    part.termBuckets shouldBe Some(nBuckets)
+    part.nDocs shouldBe flat.nDocs
+    part.avgdl shouldBe flat.avgdl
+
+    // Row-identical serve through either layout.
+    val servedFlat = Retrieval.bm25ServeBatch(flat, queries, "qid", "qtext", k = 10)
+    val servedPart = Retrieval.bm25ServeBatch(part, queries, "qid", "qtext", k = 10)
+    servedPart.columns.toSeq shouldBe servedFlat.columns.toSeq
+    servedPart.exceptAll(servedFlat).count() shouldBe 0L
+    servedFlat.exceptAll(servedPart).count() shouldBe 0L
+
+    // Pruning pin #1: the served plan carries a partition filter on
+    // the bucket column (static pruning, not a post-scan Filter).
+    val plan = servedPart.queryExecution.executedPlan.toString
+    withClue(plan.take(3000)) {
+      plan should include regex "PartitionFilters: \\[[^\\]]*__graft_tb"
+    }
+
+    // Pruning pin #2 (quantitative): the pruned scan feeds strictly
+    // fewer posting FILES than the full partitioned layout holds —
+    // the files actually opened, counted from input_file_name().
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().count()
+    val allFiles = filesRead(part.postings)
+    // 200 distinct `term$i` terms fill every bucket; 5 query terms
+    // can hit at most 5.
+    allFiles should be >= 30L
+    // Reconstruct the serve-side pruned scan: same postings, same
+    // vocabulary-derived bucket filter (5 distinct query terms).
+    val qTerms = Seq("spark", "term3", "term9", "filler2", "common")
+    val bucketIds = qTerms.toDF("term")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"term"),
+        org.apache.spark.sql.functions.lit(nBuckets.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val prunedFiles = filesRead(
+      part.postings.filter($"__graft_tb".isin(bucketIds: _*)))
+    prunedFiles should be <= qTerms.size.toLong
+    prunedFiles should be < allFiles
+  }
 }
