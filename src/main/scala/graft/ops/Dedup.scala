@@ -97,7 +97,18 @@ object Dedup {
     * 32-hex-char hash (broadcast when the batch or index is small;
     * shuffle hash join otherwise — either way no text ever moves, only
     * hashes). Survivors' `(text_hash, id)` rows are exactly what
-    * [[mergeExactIndexes]] folds back into the index. */
+    * [[mergeExactIndexes]] folds back into the index.
+    *
+    * PRECONDITION: `index` must hold ONE row per `text_hash` — which
+    * every index this engine produces does by construction ([[exact]]
+    * is a group-by on the hash; [[mergeExactIndexes]] re-groups). The
+    * one way to violate it is unioning per-batch indexes WITHOUT
+    * [[mergeExactIndexes]]; a duplicate hash would then emit one
+    * classification row per copy, breaking the one-output-row-per-
+    * arrival contract downstream. Deduplicating defensively here would
+    * re-aggregate the (billions-row) index on every daily serve to
+    * guard against a malformed input this engine cannot produce — so
+    * the contract is documented, not re-checked. */
   def exactAgainst(
       newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String): DataFrame = {
@@ -183,12 +194,19 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), TextOps.shingles(col("ws"), shingleN).as("sh"))
+    // Build parameters ride the sig column as metadata (the
+    // withSimhash pattern; k is already guarded structurally by
+    // sigLengthGuard) so the serve path can validate hash-family and
+    // shingle-width agreement.
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.minhash.portable", portable)
+      .putLong("graft.minhash.shingle_n", shingleN.toLong).build()
     if (portable)
       shingled.select(col("id"),
         graft.functions.HashFunctions
-          .portableMinhashSignature(col("sh"), k, PortableMinhashMod).as("sig"))
+          .portableMinhashSignature(col("sh"), k, PortableMinhashMod).as("sig", md))
     else
-      shingled.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      shingled.select(col("id"), minhashSignature(col("sh"), k).as("sig", md))
   }
 
   /** Persist a signature table as parquet — engine-agnostic,
@@ -328,6 +346,21 @@ object Dedup {
       k: Int, bands: Int, threshold: Double,
       portable: Boolean, maxBucket: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    // Hash-family tag check (the winnowAgainst contract): band hashes
+    // from different families never collide meaningfully, and unlike
+    // a k mismatch (caught per-row by sigLengthGuard) a family or
+    // shingle-width mismatch is structurally invisible.
+    checkBuildParams(baseOnce0, "sig", "minhashLshAgainst",
+      Seq("graft.minhash.portable" -> portable))
+    checkBuildParams(newOnce, "sig", "minhashLshAgainst",
+      Seq("graft.minhash.portable" -> portable))
+    val (nm, bm) = (newOnce.schema("sig").metadata, baseOnce0.schema("sig").metadata)
+    if (nm.contains("graft.minhash.shingle_n") && bm.contains("graft.minhash.shingle_n"))
+      require(nm.getLong("graft.minhash.shingle_n") == bm.getLong("graft.minhash.shingle_n"),
+        "minhashLshAgainst: the two signature tables were built with " +
+          s"different shingle widths (new=${nm.getLong("graft.minhash.shingle_n")}, " +
+          s"base=${bm.getLong("graft.minhash.shingle_n")}) — their signatures " +
+          "never match meaningfully")
     val baseOnce = sigLengthGuard(baseOnce0, k, "base")
     val a = bandRows(sigLengthGuard(newOnce, k, "new"), k, bands, portable, maxBucket)
       .select(col("band"), col("band_hash"), col("id").as("new_id"))
@@ -383,6 +416,12 @@ object Dedup {
   def simhashAgainst(
       newDocs: DataFrame, baseSim: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8, portable: Boolean = false): DataFrame = {
+    // The arrival side MUST hash with the family the index was built
+    // with; the index's own metadata tag (stamped by withSimhash,
+    // preserved through saveSimhashes/loadSimhashes) is checked here —
+    // a mismatch would otherwise silently yield empty/garbage pairs.
+    checkBuildParams(baseSim, "simhash", "simhashAgainst",
+      Seq("graft.simhash.portable" -> portable))
     val a = simhashBands(withSimhash(newDocs, idCol, textCol, portable))
       .select(col("band"), col("chunk"),
         col("id").as("new_id"), col("simhash").as("__graft_sim_n"))
@@ -432,11 +471,46 @@ object Dedup {
     def tokenHashes(ws: Column): Column =
       if (portable) graft.functions.HashFunctions.md5Prefix60Array(ws)
       else transform(ws, w => xxhash64(w))
+    // The hash-family flag rides the column as METADATA (it survives
+    // select/persist/parquet round trips), so simhashAgainst can
+    // VALIDATE that an index was built with the family it is being
+    // served with — fingerprints from different families never match
+    // meaningfully, and without the tag a mismatch silently yields
+    // empty/garbage near-dup results.
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.simhash.portable", portable).build()
     OpsUtil.widen(df)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), tokenHashes(col("ws")).as("hs"))
-      .select(col("id"), graft.functions.HashFunctions.simhash64(col("hs")).as("simhash"))
+      .select(col("id"),
+        graft.functions.HashFunctions.simhash64(col("hs")).as("simhash", md))
+  }
+
+  /** Fail fast when `df`'s fingerprint column carries build-parameter
+    * metadata that contradicts the serve call's parameters. A frame
+    * WITHOUT the tags (e.g. an index persisted by an engine that
+    * strips Spark field metadata, or hand-built rows) passes
+    * unvalidated — for those the must-match contract is documentation
+    * only, so prefer frames produced by this engine's builders. */
+  private def checkBuildParams(
+      df: DataFrame, fpCol: String, op: String,
+      expected: Seq[(String, Any)]): Unit = {
+    val md = df.schema(fpCol).metadata
+    expected.foreach { case (key, want) =>
+      if (md.contains(key)) {
+        val got: Any = want match {
+          case _: Boolean => md.getBoolean(key)
+          case _: Long    => md.getLong(key)
+          case other      => sys.error(s"unsupported param type: $other")
+        }
+        require(got == want,
+          s"$op: the index was built with $key=$got but is being served " +
+            s"with $key=$want — matching build/serve parameters are " +
+            "required (fingerprints from different parameters never " +
+            "match meaningfully)")
+      }
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
@@ -703,7 +777,17 @@ object Dedup {
     val fpCol =
       if (portable) RollingHashFunctions.winnowedFingerprintsPortable(col(textCol), k, w)
       else RollingHashFunctions.winnowedFingerprints(col(textCol), k, w)
+    // Build parameters ride the fp column as metadata (the withSimhash
+    // pattern) so winnowAgainst can validate that serve-side (k, w,
+    // portable) match what the index was built with.
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.winnow.k", k.toLong)
+      .putLong("graft.winnow.w", w.toLong)
+      .putBoolean("graft.winnow.portable", portable).build()
+    // metadata goes on a SECOND projection: an alias directly on the
+    // generator resolves through MultiAlias, which drops it
     OpsUtil.widen(df).select(col(idCol).as("id"), explode(fpCol).as("fp"))
+      .select(col("id"), col("fp").as("fp", md))
   }
 
   /** Persist a winnow fingerprint index as parquet. */
@@ -748,6 +832,14 @@ object Dedup {
       newDocs: DataFrame, baseFps: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 16, minShared: Int = 1,
       maxDf: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
+    // Validated against the index's own metadata tags (stamped by
+    // winnowFingerprints, preserved through save/load) — a (k, w,
+    // portable) mismatch never collides meaningfully and would
+    // otherwise silently report zero overlap.
+    checkBuildParams(baseFps, "fp", "winnowAgainst", Seq(
+      "graft.winnow.k" -> k.toLong,
+      "graft.winnow.w" -> w.toLong,
+      "graft.winnow.portable" -> portable))
     val base = capBaseFps(baseFps, maxDf)
     winnowFingerprints(newDocs, idCol, textCol, k, w, portable).as("x")
       .join(base.as("y"), Seq("fp"))

@@ -71,6 +71,10 @@ object Transforms {
         t.args.get(k).foreach(v => require(scala.util.Try(v.toDouble).isSuccess,
           s"transform '$name' arg '$k' must be numeric, got '$v'"))
       }
+      BoolArgs.getOrElse(name, Nil).foreach { k => // and non-boolean flags
+        t.args.get(k).foreach(v => require(v == "true" || v == "false",
+          s"transform '$name' arg '$k' must be true or false, got '$v'"))
+      }
       if (name == "mixture_sample") parseRates(t.arg("rates")) // and bad formats
       t
     }
@@ -84,6 +88,8 @@ object Transforms {
     "dedup_against" -> Seq("key", "col", "index"),
     "simhash_filter" -> Seq("key", "col", "index"),
     "winnow_filter" -> Seq("key", "col", "index"),
+    "minhash_filter" -> Seq("key", "col", "index"),
+    "semantic_filter" -> Seq("key", "col", "index", "threshold"),
     "sample_hash" -> Seq("key", "pct"),
     "mixture_sample" -> Seq("key", "strata", "rates"),
     "corpus_shuffle" -> Seq("key", "shards"),
@@ -109,7 +115,14 @@ object Transforms {
   val PositiveIntArgs: Map[String, Seq[String]] = Map(
     "corpus_shuffle" -> Seq("shards"),
     "winnow_filter" -> Seq("min_shared", "max_df"),
+    "minhash_filter" -> Seq("k", "bands", "shingle_n", "max_bucket"),
+    "semantic_filter" -> Seq("n_probe"),
     "sample_weighted" -> Seq("n"))
+
+  /** Boolean-typed argument names ("true"/"false" only — a typo'd flag
+    * must die at parse time, not silently default). */
+  val BoolArgs: Map[String, Seq[String]] = Map(
+    "minhash_filter" -> Seq("portable"))
 
   /** Long-typed strictly positive args (row targets / token budgets
     * exceed Int range at corpus scale). */
@@ -121,6 +134,8 @@ object Transforms {
   val DoubleArgs: Map[String, Seq[String]] = Map(
     "lm_filter" -> Seq("max_ce"),
     "sample_temperature" -> Seq("alpha"),
+    "minhash_filter" -> Seq("threshold"),
+    "semantic_filter" -> Seq("threshold", "adc_margin"),
     "classifier_filter" -> Seq("min_score"))
 
   /** Shared skeleton of the persisted-index ingest gates
@@ -219,6 +234,51 @@ object Transforms {
             key, text,
             minShared = t.args.get("min_shared").map(_.toInt).getOrElse(2),
             maxDf = t.args.get("max_df").map(_.toInt).getOrElse(Int.MaxValue))
+          .select(col("new_id").as(key)).distinct()
+      }
+    case "minhash_filter" =>
+      // Document-level near-dup ingest gate: drop rows whose MinHash
+      // signature LSH-collides (est. Jaccard >= threshold, default
+      // 0.5) with ANY document of a persisted signature index
+      // (graft.ops.Dedup.saveSignatures) — the fourth persisted-index
+      // gate; k/bands/shingle_n/portable must match the index build
+      // (the index's metadata tags enforce portable and shingle_n).
+      val key = t.arg("key")
+      val kSig = t.args.get("k").map(_.toInt).getOrElse(16)
+      val portable = t.args.get("portable").exists(_.toBoolean)
+      indexGate(df, key, t.arg("col"), keepMatches = false) { (rows, text) =>
+        graft.ops.Dedup.minhashLshAgainst(
+          graft.ops.Dedup.minhashSignatures(rows, key, text,
+            shingleN = t.args.get("shingle_n").map(_.toInt).getOrElse(3),
+            k = kSig, portable = portable),
+          graft.ops.Dedup.loadSignatures(df.sparkSession, t.arg("index")),
+          k = kSig,
+          bands = t.args.get("bands").map(_.toInt).getOrElse(8),
+          threshold = t.args.get("threshold").map(_.toDouble).getOrElse(0.5),
+          portable = portable,
+          maxBucket = t.args.get("max_bucket").map(_.toInt).getOrElse(Int.MaxValue))
+          .select(col("new_id").as(key)).distinct()
+      }
+    case "semantic_filter" =>
+      // Embedding near-dup ingest gate: drop rows whose vector scores
+      // exact-cosine >= threshold against the PQ-encoded history. The
+      // index arg is a directory holding the three persisted artifacts
+      // of the semantic serve face: <index>/ann (Similarity.saveIndex),
+      // <index>/encoded (encodeCorpus parquet), <index>/vectors (the
+      // historical vector parquet, which must carry the SAME key and
+      // vector column names as the gated frame). `col` here is the
+      // embedding column; rows with a NULL vector bypass (content-free
+      // for this gate), like every other index gate.
+      val key = t.arg("key")
+      val root = t.arg("index")
+      indexGate(df, key, t.arg("col"), keepMatches = false) { (rows, vecCol) =>
+        val s = df.sparkSession
+        graft.ops.Similarity.nearDupAgainst(
+          rows, s.read.parquet(s"$root/vectors"), s.read.parquet(s"$root/encoded"),
+          key, vecCol, graft.ops.Similarity.loadIndex(s"$root/ann", s),
+          threshold = t.arg("threshold").toDouble,
+          nProbe = t.args.get("n_probe").map(_.toInt).getOrElse(4),
+          adcMargin = t.args.get("adc_margin").map(_.toDouble).getOrElse(0.15))
           .select(col("new_id").as(key)).distinct()
       }
     case "sample_hash" =>

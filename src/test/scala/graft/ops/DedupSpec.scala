@@ -517,6 +517,51 @@ class DedupSpec extends SparkSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  test("index build-parameter tags: mismatched serve parameters fail fast, through parquet round trips") {
+    val docs = docsDf(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "iota kappa lambda mu nu xi omicron pi rho sigma"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ptag").toString
+
+    // SimHash: the portable flag survives saveSimhashes/loadSimhashes
+    // and a family mismatch dies with a named parameter, not empty
+    // garbage results.
+    Dedup.saveSimhashes(
+      Dedup.withSimhash(docs, "doc_id", "text", portable = true), s"$scratch/sim")
+    val simIdx = Dedup.loadSimhashes(spark, s"$scratch/sim")
+    val simEx = intercept[IllegalArgumentException] {
+      Dedup.simhashAgainst(docs, simIdx, "doc_id", "text", portable = false)
+    }
+    simEx.getMessage should include ("graft.simhash.portable")
+    // matching family serves fine (every doc collides with itself)
+    Dedup.simhashAgainst(docs, simIdx, "doc_id", "text", portable = true)
+      .count() should be >= 2L
+
+    // Winnow: (k, w, portable) all validated.
+    Dedup.saveWinnowFingerprints(
+      Dedup.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 16),
+      s"$scratch/win")
+    val winIdx = Dedup.loadWinnowFingerprints(spark, s"$scratch/win")
+    val winEx = intercept[IllegalArgumentException] {
+      Dedup.winnowAgainst(docs, winIdx, "doc_id", "text", k = 6, w = 16)
+    }
+    winEx.getMessage should include ("graft.winnow.k")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowAgainst(docs, winIdx, "doc_id", "text", k = 8, w = 16,
+        portable = true)
+    }.getMessage should include ("graft.winnow.portable")
+    Dedup.winnowAgainst(docs, winIdx, "doc_id", "text", k = 8, w = 16)
+      .count() should be >= 2L
+
+    // A tag-free frame (hand-built rows, or an index written by an
+    // engine that strips Spark field metadata) passes unvalidated —
+    // the documented fallback contract.
+    import spark.implicits._
+    val bare = Seq((1L, 42L)).toDF("id", "fp")
+    Dedup.winnowAgainst(docs, bare, "doc_id", "text", k = 6, w = 4)
+      .count() should be >= 0L
+  }
+
   test("ngram jaccard property: random doc pairs match naive oracle") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 30).map(i => s"w$i")

@@ -361,6 +361,59 @@ class RunnerSpec extends SparkSpec {
       "winnow_filter(key=id,col=bio,index=/x,min_shared=0)"))
   }
 
+  test("minhash_filter / semantic_filter transforms: persisted-index near-dups drop, novel and NULL rows survive") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"word$i").mkString(" ")
+    val history = Seq((100L, shared)).toDF("id", "bio")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    graft.ops.Dedup.saveSignatures(
+      graft.ops.Dedup.minhashSignatures(history, "id", "bio",
+        shingleN = 3, k = 16), s"$scratch/mh")
+    val vary = (1 to 40).map(i => if (i == 7) "CHANGED" else s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, Option(vary)),                            // near-dup of history
+      (2L, Option("entirely novel writing with fresh vocabulary throughout this row")),
+      (3L, None: Option[String])
+    ).toDF("id", "bio")
+    val mhOut = Transforms.applyAll(df, Transforms.parse(
+      s"minhash_filter(key=id,col=bio,index=$scratch/mh,threshold=0.5)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(mhOut.toSeq == Seq(2L, 3L), s"got ${mhOut.toSeq}")
+
+    // semantic_filter: history = 3 unit vectors; arrival 1 duplicates
+    // one of them, arrival 2 is orthogonal, arrival 3 has no vector.
+    def vec(axis: Int): Seq[Float] =
+      (0 until 8).map(i => if (i == axis) 1.0f else 0.0f)
+    val hist = Seq((100L, vec(0)), (101L, vec(1)), (102L, vec(2)))
+      .toDF("id", "emb")
+    val ann = graft.ops.Similarity.fitIndex(hist, "id", "emb",
+      nCentroids = 2, m = 2, kSub = 2)
+    hist.write.mode("overwrite").parquet(s"$scratch/sem/vectors")
+    graft.ops.Similarity.encodeCorpus(hist, "id", "emb", ann)
+      .write.mode("overwrite").parquet(s"$scratch/sem/encoded")
+    graft.ops.Similarity.saveIndex(ann, s"$scratch/sem/ann", spark)
+    val vdf = Seq(
+      (1L, Option(vec(0))),          // exact dup of history vector 100
+      (2L, Option(vec(5))),          // orthogonal to all of history
+      (3L, None: Option[Seq[Float]])
+    ).toDF("id", "emb")
+    val semOut = Transforms.applyAll(vdf, Transforms.parse(
+      s"semantic_filter(key=id,col=emb,index=$scratch/sem," +
+        "threshold=0.9,n_probe=2,adc_margin=2.0)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(semOut.toSeq == Seq(2L, 3L), s"got ${semOut.toSeq}")
+
+    // parse-time arg typing
+    intercept[IllegalArgumentException](Transforms.parse(
+      "minhash_filter(key=id,col=bio,index=/x,portable=yes)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "minhash_filter(key=id,col=bio,index=/x,k=0)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "semantic_filter(key=id,col=emb,index=/x)")) // threshold required
+    intercept[IllegalArgumentException](Transforms.parse(
+      "semantic_filter(key=id,col=emb,index=/x,threshold=abc)"))
+  }
+
   test("transforms: missing args and malformed rates fail at parse time") {
     intercept[IllegalArgumentException](Transforms.parse("sample_hash(key=id)"))
     intercept[IllegalArgumentException](
