@@ -689,6 +689,96 @@ object FeatureStoreQueries {
            AND CAST(e.ts AS TIMESTAMP) >= sg.s_ts - INTERVAL 24 HOUR
            AND CAST(e.ts AS TIMESTAMP) <= sg.s_ts + INTERVAL 24 HOUR)
         SELECT event_id, user_id, s_ts, ts, err_value
-        FROM c WHERE rn = 1"""))
+        FROM c WHERE rn = 1""")),
+
+    // Multi-view forward join (multi-label construction): three label
+    // views over ONE events projection — "next view event within 48 h",
+    // "next error within 24 h", "next non-purchase within 12 h" —
+    // differing only by predicate, horizon, and feature list.
+    QueryDef(
+      "pit_forward_multi",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        graft.join.DirectionalAsOf.forwardMulti(
+          forwardMultiEntity(e), "p_ts", forwardMultiViews(e), "event_id")
+      },
+      Some(ForwardMultiSql)),
+
+    // The FUSED physical twin: one candidate join over ONE scan of the
+    // shared source, per-view horizons/predicates gated inside
+    // min(when(...)) aggregates — shares pit_forward_multi's oracle
+    // SQL VERBATIM (the pit_manyviews_fused pin; plan asserted
+    // one-scan-per-source in DirectionalAsOfSpec).
+    QueryDef(
+      "pit_forward_multi_fused",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        graft.join.DirectionalAsOf.forwardMultiFused(
+          forwardMultiEntity(e), "p_ts", forwardMultiViews(e), "event_id")
+      },
+      Some(ForwardMultiSql))
   )
+
+  private def forwardMultiEntity(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+
+  private def forwardMultiViews(e: org.apache.spark.sql.DataFrame) = {
+    import graft.join.DirectionalView
+    val src = e.select(col("ts"), col("user_id").as("v_user"),
+      col("event_type").as("etype"), col("value").as("next_value"))
+    Seq(
+      DirectionalView("next_view", src, "ts", Seq("user_id" -> "v_user"),
+        Seq("next_value"), 48L * 3600,
+        outputPrefix = Some("nv"), predicate = Some(col("etype") === "view")),
+      DirectionalView("next_error", src, "ts", Seq("user_id" -> "v_user"),
+        Seq("next_value"), 24L * 3600,
+        outputPrefix = Some("ne"), predicate = Some(col("etype") === "error")),
+      DirectionalView("next_nonpurchase", src, "ts", Seq("user_id" -> "v_user"),
+        Seq("next_value", "etype"), 12L * 3600,
+        outputPrefix = Some("na"), predicate = Some(col("etype") =!= "purchase")))
+  }
+
+  /** Shared verbatim by pit_forward_multi and pit_forward_multi_fused:
+    * per-view earliest-within-horizon picks (ties on (ts, features…)
+    * ASC NULLS FIRST — the min(struct) order), stitched LEFT onto the
+    * purchase spine. (lazy: referenced from `all` above, which
+    * initializes first — a plain val here would be null there.) */
+  private lazy val ForwardMultiSql = """
+        WITH p AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+        nv AS (
+          SELECT p.event_id, e.value AS nv__next_value,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY e.ts ASC NULLS FIRST, e.value ASC NULLS FIRST) AS rn
+          FROM p JOIN events e
+            ON e.user_id = p.user_id AND e.event_type = 'view'
+           AND CAST(e.ts AS TIMESTAMP) >= p.p_ts
+           AND CAST(e.ts AS TIMESTAMP) <= p.p_ts + INTERVAL 48 HOUR),
+        ne AS (
+          SELECT p.event_id, e.value AS ne__next_value,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY e.ts ASC NULLS FIRST, e.value ASC NULLS FIRST) AS rn
+          FROM p JOIN events e
+            ON e.user_id = p.user_id AND e.event_type = 'error'
+           AND CAST(e.ts AS TIMESTAMP) >= p.p_ts
+           AND CAST(e.ts AS TIMESTAMP) <= p.p_ts + INTERVAL 24 HOUR),
+        na AS (
+          SELECT p.event_id, e.value AS na__next_value,
+                 e.event_type AS na__etype,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY e.ts ASC NULLS FIRST, e.value ASC NULLS FIRST,
+                            e.event_type ASC NULLS FIRST) AS rn
+          FROM p JOIN events e
+            ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+           AND CAST(e.ts AS TIMESTAMP) >= p.p_ts
+           AND CAST(e.ts AS TIMESTAMP) <= p.p_ts + INTERVAL 12 HOUR)
+        SELECT p.event_id, p.user_id, p.p_ts,
+               nv.nv__next_value, ne.ne__next_value,
+               na.na__next_value, na.na__etype
+        FROM p
+        LEFT JOIN (SELECT * FROM nv WHERE rn = 1) nv USING (event_id)
+        LEFT JOIN (SELECT * FROM ne WHERE rn = 1) ne USING (event_id)
+        LEFT JOIN (SELECT * FROM na WHERE rn = 1) na USING (event_id)"""
 }

@@ -574,9 +574,19 @@ object StreamingOps {
     val histOnce = historyVecs.persist(lvl)
     val encodedOnce = encoded.persist(lvl)
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      // nearDupAgainst checkpoints the ARRIVAL frame (it feeds the
+      // probe and the refinement join); that per-batch block must be
+      // RELEASED after the sink or blocks accumulate one per
+      // micro-batch — the r9 monitor-leak class, same fix as
+      // nearDupStream. histOnce/encodedOnce are excluded by the
+      // before-snapshot (persist marks them at stream construction).
+      val sc = batch.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       sink(graft.ops.Similarity.nearDupAgainst(
         batch.toDF(), histOnce, encodedOnce, idCol, vecCol, index,
         threshold, nProbe, adcMargin), batchId)
+      (sc.getPersistentRDDs.keySet -- before).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
   }
 

@@ -100,4 +100,88 @@ class DirectionalAsOfSpec extends SparkSpec with Matchers {
     got.exceptAll(want).count() shouldBe 0
     want.exceptAll(got).count() shouldBe 0
   }
+
+  /** Shared-source multi-view fixture: three label views over ONE
+    * events projection (differing by predicate and horizon) plus one
+    * view over a second source — the multi-label shape the fused path
+    * exists for. Sources go through parquet so scans are countable in
+    * the plan. */
+  private def multiViewFixture(): (org.apache.spark.sql.DataFrame, Seq[DirectionalView], String) = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-dasof").toString
+    val e = graft.queries.QueryDef.table(spark, sf(), "events")
+    e.filter(col("event_type") =!= "purchase")
+      .select(col("ts"), col("user_id").as("v_user"),
+        col("event_type").as("etype"), col("value").as("next_value"))
+      .write.mode("overwrite").parquet(s"$scratch/labels.parquet")
+    e.select(col("ts").as("e_ts"), col("user_id").as("o_user"),
+        col("value").as("any_value"))
+      .write.mode("overwrite").parquet(s"$scratch/other.parquet")
+    val labels = spark.read.parquet(s"$scratch/labels.parquet")
+    val other = spark.read.parquet(s"$scratch/other.parquet")
+    val entity = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val views = Seq(
+      DirectionalView("next_view", labels, "ts",
+        Seq("user_id" -> "v_user"), Seq("next_value"), 48L * 3600,
+        outputPrefix = Some("nv"), predicate = Some(col("etype") === "view")),
+      DirectionalView("next_error", labels, "ts",
+        Seq("user_id" -> "v_user"), Seq("next_value"), 24L * 3600,
+        outputPrefix = Some("ne"), predicate = Some(col("etype") === "error")),
+      DirectionalView("next_any", labels, "ts",
+        Seq("user_id" -> "v_user"), Seq("next_value", "etype"), 12L * 3600,
+        outputPrefix = Some("na")),
+      DirectionalView("other_src", other, "e_ts",
+        Seq("user_id" -> "o_user"), Seq("any_value"), 6L * 3600,
+        outputPrefix = Some("os")))
+    (entity, views, scratch)
+  }
+
+  test("forwardMultiFused: row-identical to the unfused fold; one scan per source") {
+    val (entity, views, scratch) = multiViewFixture()
+    val unfused = DirectionalAsOf.forwardMulti(entity, "p_ts", views, "event_id")
+    val fused = DirectionalAsOf.forwardMultiFused(entity, "p_ts", views, "event_id")
+    fused.columns.toSeq shouldBe unfused.columns.toSeq
+    fused.count() shouldBe unfused.count()
+    fused.exceptAll(unfused).count() shouldBe 0
+    unfused.exceptAll(fused).count() shouldBe 0
+    // Plan pin: the shared labels source scans ONCE fused (three times
+    // unfused); the second source scans once in both.
+    def scansOf(df: org.apache.spark.sql.DataFrame, name: String): Int = {
+      df.collect()
+      // count final-plan scan nodes only (AQE appends an Initial Plan
+      // section that would double-count)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      s"$name".r.findAllMatchIn(plan).size
+    }
+    withClue("unfused labels scans: ") {
+      scansOf(unfused, "labels\\.parquet") should be >= 3
+    }
+    withClue("fused labels scans: ") {
+      scansOf(fused, "labels\\.parquet") shouldBe 1
+      scansOf(fused, "other\\.parquet") shouldBe 1
+    }
+  }
+
+  test("nearestMultiFused: row-identical to the unfused fold on mixed tolerances") {
+    val (entity, views, _) = multiViewFixture()
+    val unfused = DirectionalAsOf.nearestMulti(entity, "p_ts", views, "event_id")
+    val fused = DirectionalAsOf.nearestMultiFused(entity, "p_ts", views, "event_id")
+    fused.count() shouldBe unfused.count()
+    fused.exceptAll(unfused).count() shouldBe 0
+    unfused.exceptAll(fused).count() shouldBe 0
+  }
+
+  test("fused multi rejects unorderable feature types with a named view") {
+    import spark.implicits._
+    val entity = Seq((1L, 1L, t("2024-01-01 10:00:00"))).toDF("eid", "key", "ets")
+    val src = Seq((1L, t("2024-01-01 11:00:00"), Map("a" -> 1.0)))
+      .toDF("fkey", "fts", "m")
+    val ex = intercept[IllegalArgumentException] {
+      DirectionalAsOf.forwardMultiFused(entity, "ets", Seq(
+        DirectionalView("mapview", src, "fts", Seq("key" -> "fkey"),
+          Seq("m"), 3600L)), "eid")
+    }
+    ex.getMessage should include ("mapview")
+  }
 }

@@ -208,6 +208,120 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("winnowStream soak: 5k docs in 10 batches against the fingerprint index, parity with batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).as[Doc].collect().toSeq
+    val arriving = corpus.map(d => Doc(d.doc_id + 1000000L, d.text))
+    val index = Dedup.winnowFingerprints(corpus.toDF(), "doc_id", "text")
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[Doc]
+    val pairs = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.winnowStream(
+      stream.toDF(), "doc_id", "text", index,
+      minShared = 2, maxDf = 200) { (batch, _) =>
+      pairs.addAndGet(batch.count())
+    }.start()
+    try {
+      arriving.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      // only the query-lifetime pre-capped index may remain persisted
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore)
+        .size should be <= 1
+      val twin = Dedup.winnowAgainst(
+        arriving.toDF(), index, "doc_id", "text",
+        minShared = 2, maxDf = 200).count()
+      pairs.get() shouldBe twin
+      pairs.get() should be >= corpus.size.toLong // every doc hits its twin
+      soakLine("winnowStream", arriving.size.toLong, log)
+    } finally q.stop()
+  }
+
+  test("semanticDedupStream soak: sf0.1 embeddings in 10 batches against the encoded history, parity with batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    val emb = graft.sources.ParquetTables
+      .load(spark, sf("sf0.1") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val idx = Similarity.fitIndex(emb, "vec_id", "embedding",
+      nCentroids = 64, m = 8, kSub = 16)
+    val encoded = Similarity.encodeCorpus(emb, "vec_id", "embedding", idx)
+    val vecs = emb.as[(Long, Seq[Float])].collect().toSeq
+    val arriving = vecs.map { case (id, v) => (id + 1000000L, v) }
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val pairs = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      emb, encoded, idx, threshold = 0.99, nProbe = 4, adcMargin = 2.0) {
+      (batch, _) => pairs.addAndGet(batch.count()): Unit
+    }.start()
+    try {
+      arriving.grouped(200).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      // the history vectors AND the encoded table persist for the
+      // query's lifetime — nothing else may linger
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore)
+        .size should be <= 2
+      val twin = Similarity.nearDupAgainst(
+        arriving.toDF("vec_id", "embedding"), emb, encoded,
+        "vec_id", "embedding", idx,
+        threshold = 0.99, nProbe = 4, adcMargin = 2.0).count()
+      pairs.get() shouldBe twin
+      pairs.get() should be >= vecs.size.toLong // every vec finds its copy
+      soakLine("semanticDedupStream", arriving.size.toLong, log)
+    } finally q.stop()
+  }
+
+  test("bm25ServeStream soak: query batches in 10 triggers against the posting index, parity with batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    val docs = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val index = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    // Query stream: every doc's 64-char prefix, served in 10 batches.
+    val queryRows = docs
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("text"))
+      .as[Doc].collect().toSeq
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[Doc]
+    val hits = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.bm25ServeStream(
+      stream.toDF().toDF("query_id", "query_text"), index,
+      "query_id", "query_text", k = 5) { (batch, _) =>
+      hits.addAndGet(batch.count())
+    }.start()
+    try {
+      queryRows.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      // only the query-lifetime persisted posting table may remain
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore)
+        .size should be <= 1
+      val twin = Retrieval.bm25ServeBatch(index,
+        queryRows.toDF("query_id", "query_text"),
+        "query_id", "query_text", k = 5).count()
+      hits.get() shouldBe twin
+      hits.get() should be >= queryRows.size.toLong // every query ranks its own doc
+      soakLine("bm25ServeStream", queryRows.size.toLong, log)
+    } finally q.stop()
+  }
+
   test("driftStream soak: 600k lineitem prices in 10 batches, stateless, every batch scored") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
