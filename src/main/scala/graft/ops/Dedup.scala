@@ -379,6 +379,104 @@ object Dedup {
       .select("new_id", "base_id", "est_jaccard")
   }
 
+  /** A persisted, term-partitioned LSH BAND index — the serve-optimal
+    * layout of the minhash signature table (the
+    * [[graft.ops.Retrieval.saveBm25IndexPartitioned]] argument applied
+    * to near-dup serving): band rows are precomputed ONCE at build
+    * (the per-serve band explode of the whole history was the one
+    * serve cost growing linearly with the index — measured 7× at 100×
+    * index growth, SCALE.md round 12) and land in band-hash-bucket
+    * partition directories, so a serve reads only the partitions the
+    * ARRIVAL batch's band hashes fall into. Signatures ride inside
+    * the band rows (bands× storage, k longs each — the classic
+    * space/time trade) so candidate verification never joins back to
+    * a full signature table. Build parameters live in the stats
+    * sidecar and are re-validated at serve. */
+  final case class LshBandIndex(
+      rows: DataFrame, k: Int, bands: Int, portable: Boolean,
+      hashBuckets: Int)
+
+  /** Partition column of the band-bucketed LSH layout. */
+  private[graft] val BandBucket = "__graft_bb"
+
+  /** band_hash → partition bucket (INT to match parquet partition
+    * type inference; band_hash is long or md5 string per family). */
+  private def bandBucket(bandHash: Column, n: Int): Column =
+    pmod(xxhash64(bandHash), lit(n.toLong)).cast("int")
+
+  /** Build + persist an [[LshBandIndex]] from a signature table
+    * ([[minhashSignatures]] output). `maxBucket` (the template-
+    * collapse cap) applies at BUILD — it depends only on the index,
+    * so pre-capping keeps serves cadence-independent, the
+    * [[capBaseFps]] argument. Size `nHashBuckets` to the corpus
+    * (constant per-bucket bytes): serve scan ≈ |arrival band hashes|
+    * × bucket size, flat as history grows. */
+  def saveLshBandIndex(
+      sigs: DataFrame, path: String,
+      k: Int = 16, bands: Int = 8, portable: Boolean = false,
+      maxBucket: Int = Int.MaxValue, nHashBuckets: Int = 64): Unit = {
+    require(k % bands == 0, "k must divide into bands")
+    require(nHashBuckets > 0, "saveLshBandIndex: nHashBuckets must be > 0")
+    bandRows(sigLengthGuard(sigs, k, "base"), k, bands, portable, maxBucket)
+      .withColumn(BandBucket, bandBucket(col("band_hash"), nHashBuckets))
+      .repartition(nHashBuckets, col(BandBucket))
+      .write.mode("overwrite").partitionBy(BandBucket)
+      .parquet(s"$path/bands")
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    Seq((k, bands, portable, nHashBuckets))
+      .toDF("k", "bands", "portable", "hash_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted [[LshBandIndex]] (inverse of
+    * [[saveLshBandIndex]]). */
+  def loadLshBandIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): LshBandIndex = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    LshBandIndex(spark.read.parquet(s"$path/bands"),
+      st.getInt(0), st.getInt(1), st.getBoolean(2), st.getInt(3))
+  }
+
+  /** [[minhashLshAgainst]] against a persisted [[LshBandIndex]] —
+    * IDENTICAL output (new_id, base_id, est_jaccard ≥ threshold) to
+    * serving the raw signature table with the index's build
+    * parameters (oracle-pinned: dedup_minhash_serve shares
+    * dedup_incremental's SQL verbatim), different physics: the
+    * arrival batch's band rows are computed (tiny), their bucket set
+    * collects to the driver (≤ |batch| × bands values — the
+    * bm25ServeBatch pattern) and prunes index partitions STATICALLY;
+    * only matching-bucket band rows are ever read, the band-hash
+    * equi-join re-checks exact hashes, and signatures come off the
+    * index rows themselves — the historical signature table is never
+    * scanned, never re-exploded. `maxBucket` here caps the ARRIVAL
+    * side only (the base side was capped at build). */
+  def minhashLshAgainst(
+      newSigs: DataFrame, index: LshBandIndex, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    checkBuildParams(newSigs, "sig", "minhashLshAgainst",
+      Seq("graft.minhash.portable" -> index.portable))
+    val newOnce = sigLengthGuard(newSigs, index.k, "new")
+    val a = bandRows(newOnce, index.k, index.bands, index.portable, maxBucket)
+      .select(col("band"), col("band_hash"),
+        col("id").as("new_id"), col("sig").as("sig_a"))
+      .localCheckpoint(false) // feeds the bucket collect AND the join
+    val buckets = a
+      .select(bandBucket(col("band_hash"), index.hashBuckets).as("bb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = index.rows
+      .filter(col(BandBucket).isin(buckets: _*))
+      .select(col("band"), col("band_hash"),
+        col("id").as("base_id"), col("sig").as("sig_b"))
+    a.join(pruned, Seq("band", "band_hash"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / lit(index.k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "base_id", "est_jaccard")
+      .distinct() // a pair colliding in several bands emits once
+  }
+
   /** Near-duplicate pairs by SimHash banding + Hamming distance. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,

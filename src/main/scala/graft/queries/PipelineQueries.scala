@@ -304,47 +304,36 @@ object PipelineQueries {
           k = 16, bands = 8, threshold = 0.125, portable = true,
           maxBucket = 200)
       },
-      Some("""
-        WITH w AS (
-          SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
-          FROM documents),
-        sh AS (
-          SELECT doc_id AS id,
-                 list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
-                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
-          FROM w),
-        hp AS (
-          SELECT id,
-                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647) AS h2
-          FROM sh WHERE len(shs) > 0),
-        sig AS (
-          SELECT id, list_transform(range(0, 16),
-                   j -> list_min(list_transform(range(1, len(h1) + 1),
-                          x -> (h1[x] + j * h2[x]) % 2147483647))) AS sig
-          FROM hp),
-        banded AS (
-          SELECT id, b,
-                 md5(array_to_string(sig[b*2+1 : b*2+2], ',') || ',' || b) AS band_hash
-          FROM sig, unnest(range(0, 8)) t(b)),
-        bn AS (SELECT * FROM banded WHERE id % 5 = 4),
-        bb AS (SELECT * FROM banded WHERE id % 5 != 4),
-        bszn AS (SELECT b, band_hash, COUNT(*) AS m FROM bn GROUP BY 1, 2),
-        bszb AS (SELECT b, band_hash, COUNT(*) AS m FROM bb GROUP BY 1, 2),
-        cand AS (
-          SELECT DISTINCT x.id AS new_id, y.id AS base_id
-          FROM bn x
-          JOIN bb y ON x.b = y.b AND x.band_hash = y.band_hash
-          JOIN bszn zn ON zn.b = x.b AND zn.band_hash = x.band_hash AND zn.m <= 200
-          JOIN bszb zb ON zb.b = x.b AND zb.band_hash = x.band_hash AND zb.m <= 200),
-        scored AS (
-          SELECT c.new_id, c.base_id,
-                 CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 AS est_jaccard
-          FROM cand c
-          JOIN sig sa ON sa.id = c.new_id
-          JOIN sig sb ON sb.id = c.base_id)
-        SELECT new_id, base_id, est_jaccard FROM scored WHERE est_jaccard >= 0.125""")),
+      Some(DedupIncrementalSql)),
+
+    // The SAME incremental serve through the persisted TERM-PARTITIONED
+    // band index (saveLshBandIndex → parquet round trip →
+    // minhashLshAgainst(index)): band rows precomputed at build, the
+    // arrival batch's band-hash bucket set prunes index partitions
+    // statically, signatures verified off the index rows themselves.
+    // Shares dedup_incremental's oracle SQL VERBATIM — layout may only
+    // change which files are read, never a row.
+    QueryDef(
+      "dedup_minhash_serve",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-lsh-bands-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
+        Dedup.saveLshBandIndex(
+          Dedup.minhashSignatures(hist, "doc_id", "text",
+            shingleN = 3, k = 16, portable = true),
+          path, k = 16, bands = 8, portable = true,
+          maxBucket = 200, nHashBuckets = 16)
+        Dedup.minhashLshAgainst(
+          Dedup.minhashSignatures(batch, "doc_id", "text",
+            shingleN = 3, k = 16, portable = true),
+          Dedup.loadLshBandIndex(s, path),
+          threshold = 0.125, maxBucket = 200)
+      },
+      Some(DedupIncrementalSql)),
 
     QueryDef(
       "dedup_simhash",
@@ -1770,4 +1759,50 @@ object PipelineQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2"""))
   )
+
+  /** Shared verbatim by dedup_incremental and dedup_minhash_serve —
+    * the portable-family replay of both sides' signatures plus the
+    * two-sided capped band join. (lazy: referenced from `all` above,
+    * which initializes first.) */
+  private lazy val DedupIncrementalSql = """
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+          FROM w),
+        hp AS (
+          SELECT id,
+                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647) AS h2
+          FROM sh WHERE len(shs) > 0),
+        sig AS (
+          SELECT id, list_transform(range(0, 16),
+                   j -> list_min(list_transform(range(1, len(h1) + 1),
+                          x -> (h1[x] + j * h2[x]) % 2147483647))) AS sig
+          FROM hp),
+        banded AS (
+          SELECT id, b,
+                 md5(array_to_string(sig[b*2+1 : b*2+2], ',') || ',' || b) AS band_hash
+          FROM sig, unnest(range(0, 8)) t(b)),
+        bn AS (SELECT * FROM banded WHERE id % 5 = 4),
+        bb AS (SELECT * FROM banded WHERE id % 5 != 4),
+        bszn AS (SELECT b, band_hash, COUNT(*) AS m FROM bn GROUP BY 1, 2),
+        bszb AS (SELECT b, band_hash, COUNT(*) AS m FROM bb GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT x.id AS new_id, y.id AS base_id
+          FROM bn x
+          JOIN bb y ON x.b = y.b AND x.band_hash = y.band_hash
+          JOIN bszn zn ON zn.b = x.b AND zn.band_hash = x.band_hash AND zn.m <= 200
+          JOIN bszb zb ON zb.b = x.b AND zb.band_hash = x.band_hash AND zb.m <= 200),
+        scored AS (
+          SELECT c.new_id, c.base_id,
+                 CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.id = c.new_id
+          JOIN sig sb ON sb.id = c.base_id)
+        SELECT new_id, base_id, est_jaccard FROM scored WHERE est_jaccard >= 0.125"""
 }

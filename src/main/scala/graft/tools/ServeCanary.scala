@@ -18,7 +18,9 @@ import graft.sources.ParquetTables
   *
   *   - exact:    [[Dedup.exactAgainst]]        vs the content-hash index
   *   - simhash:  [[Dedup.simhashAgainst]]      vs the fingerprint table
-  *   - minhash:  [[Dedup.minhashLshAgainst]]   vs the signature table
+  *   - minhash:  [[Dedup.minhashLshAgainst]]   vs the signature table,
+  *               AND vs the band-bucketed [[Dedup.LshBandIndex]]
+  *               ("minhash_against_pruned" — bucket count ∝ scale)
   *   - winnow:   [[Dedup.winnowAgainst]]       vs the substring fp index
   *   - semantic: [[Similarity.nearDupAgainst]] vs the PQ-encoded history
   *   - bm25:     [[Retrieval.bm25ServeBatch]]  vs the posting index,
@@ -113,9 +115,13 @@ object ServeCanary {
         Dedup.exact(corpus, "doc_id", "text"), s"$d/exact")
       Dedup.saveSimhashes(
         Dedup.withSimhash(corpus, "doc_id", "text"), s"$d/simhash")
-      Dedup.saveSignatures(
-        Dedup.minhashSignatures(corpus, "doc_id", "text",
-          shingleN = 3, k = 16), s"$d/minhash")
+      val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        shingleN = 3, k = 16)
+      Dedup.saveSignatures(corpusSigs, s"$d/minhash")
+      // Band-bucketed serve layout, bucket count ∝ scale (constant
+      // per-bucket bytes — the bm25 partitioned-index contract).
+      Dedup.saveLshBandIndex(corpusSigs, s"$d/minhashp",
+        k = 16, bands = 8, nHashBuckets = 64 * scale)
       Dedup.saveWinnowFingerprints(
         Dedup.winnowFingerprints(corpus, "doc_id", "text"), s"$d/winnow")
       val bm25 = Retrieval.buildBm25Index(corpus, "doc_id", "text")
@@ -141,6 +147,7 @@ object ServeCanary {
       val exactIdx = Dedup.loadExactIndex(spark, s"$d/exact")
       val simIdx = Dedup.loadSimhashes(spark, s"$d/simhash")
       val mhIdx = Dedup.loadSignatures(spark, s"$d/minhash")
+      val mhBands = Dedup.loadLshBandIndex(spark, s"$d/minhashp")
       val winIdx = Dedup.loadWinnowFingerprints(spark, s"$d/winnow")
       val bm25Flat = Retrieval.loadBm25Index(spark, s"$d/bm25")
       val bm25Part = Retrieval.loadBm25Index(spark, s"$d/bm25p")
@@ -156,6 +163,10 @@ object ServeCanary {
           Dedup.minhashSignatures(batch, "doc_id", "text",
             shingleN = 3, k = 16),
           mhIdx, k = 16, bands = 8, threshold = 0.5)),
+        "minhash_against_pruned" -> (() => Dedup.minhashLshAgainst(
+          Dedup.minhashSignatures(batch, "doc_id", "text",
+            shingleN = 3, k = 16),
+          mhBands, threshold = 0.5, maxBucket = Int.MaxValue)),
         "winnow_against" -> (() => Dedup.winnowAgainst(
           batch, winIdx, "doc_id", "text", minShared = 2, maxDf = 200)),
         // adcMargin = 2.0 admits every probed-bucket candidate to the
@@ -181,28 +192,30 @@ object ServeCanary {
       (System.nanoTime() - t0) / 1e9
     }
     val ops = Seq("exact_against", "simhash_against", "minhash_against",
-      "winnow_against", "semantic_against", "bm25_serve", "bm25_serve_pruned")
+      "minhash_against_pruned", "winnow_against", "semantic_against",
+      "bm25_serve", "bm25_serve_pruned")
     // Disjoint replica vocabularies / isometries ⇒ identical hit sets
-    // at both scales for the five dedup faces (bm25 scores CAN admit
+    // at both scales for the dedup faces (bm25 scores CAN admit
     // cross-replica hits: short substitution-image terms may collide;
     // ranked top-10 per query is bounded either way) — verified before
-    // any timing. The two bm25 layouts must agree with EACH OTHER
-    // row-for-row at every scale (pruning changes files read, never a
-    // row).
-    val dedupGateOk = ops.take(5).forall { op =>
+    // any timing. The two layouts of a face must also agree with EACH
+    // OTHER row-for-row at every scale (a layout changes which files
+    // are read, never a row).
+    val dedupGateOk = ops.take(6).forall { op =>
       val a = at1(op)().count()
       val b = atK(op)().count()
       if (a != b) println(s"""{"gate":"$op","rows_1x":$a,"rows_kx":$b,"ok":false}""")
       a == b
     }
-    val bm25GateOk = Seq(at1, atK).zip(Seq("1x", "kx")).forall { case (m, tag) =>
-      val flat = m("bm25_serve")()
-      val pruned = m("bm25_serve_pruned")()
-      val d = flat.exceptAll(pruned).count() + pruned.exceptAll(flat).count()
-      if (d != 0) println(s"""{"gate":"bm25_layout_parity_$tag","diff_rows":$d,"ok":false}""")
-      d == 0
+    val layoutGateOk = Seq(at1 -> "1x", atK -> "kx").forall { case (m, tag) =>
+      Seq("bm25_serve" -> "bm25_serve_pruned",
+        "minhash_against" -> "minhash_against_pruned").forall { case (f, p) =>
+        val d = m(f)().exceptAll(m(p)()).count() + m(p)().exceptAll(m(f)()).count()
+        if (d != 0) println(s"""{"gate":"${p}_parity_$tag","diff_rows":$d,"ok":false}""")
+        d == 0
+      }
     }
-    val gateOk = dedupGateOk && bm25GateOk
+    val gateOk = dedupGateOk && layoutGateOk
     ops.foreach { op => time(at1(op)); time(atK(op)) } // untimed warmup
     var results = Map.empty[String, (Double, Double)]
     ops.foreach { op =>

@@ -517,6 +517,75 @@ class DedupSpec extends SparkSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  test("LSH band index: identical pairs to the raw-signature serve, band-bucket scan pruned, params validated") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val docs = docsDf((1L to 120L).map { i =>
+      // 4 clusters of shared prose + per-doc noise → real cross pairs
+      val base = (0 until 12).map(j => vocab(((i % 4) * 10 + j % 10).toInt))
+      i -> (base ++ Seq.fill(4)(vocab(rnd.nextInt(vocab.size)))).mkString(" ")
+    })
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val histSigs = Dedup.minhashSignatures(hist, "doc_id", "text", shingleN = 2, k = 16)
+    val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text", shingleN = 2, k = 16)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    val nBuckets = 16
+    Dedup.saveLshBandIndex(histSigs, s"$scratch/idx",
+      k = 16, bands = 8, nHashBuckets = nBuckets)
+    val idx = Dedup.loadLshBandIndex(spark, s"$scratch/idx")
+    idx.k shouldBe 16
+    idx.bands shouldBe 8
+    idx.hashBuckets shouldBe nBuckets
+
+    val served = Dedup.minhashLshAgainst(batchSigs, idx,
+      threshold = 0.25, maxBucket = Int.MaxValue)
+    val raw = Dedup.minhashLshAgainst(batchSigs, histSigs,
+      k = 16, bands = 8, threshold = 0.25)
+    val servedSet = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rawSet = raw.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    servedSet should not be empty
+    servedSet shouldBe rawSet
+
+    // Pruning pin: a one-doc arrival touches at most bands(=8) band
+    // hashes → at most 8 bucket files of the 16 written.
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val allFiles = filesRead(idx.rows)
+    allFiles should be >= (nBuckets - 2).toLong // 120 docs fill ~every bucket
+    val oneDoc = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") === 3L), "doc_id", "text", shingleN = 2, k = 16)
+    val oneServe = Dedup.minhashLshAgainst(oneDoc, idx,
+      threshold = 0.0, maxBucket = Int.MaxValue)
+    oneServe.count() should be > 0L
+    // reconstruct the pruned scan the serve ran
+    val oneBuckets = oneDoc.select(explode(
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(7)),
+          b => pmod(xxhash64(xxhash64(concat_ws(",",
+            slice(col("sig"), b * 2 + 1, lit(2)), b.cast("string")))),
+            lit(nBuckets.toLong)).cast("int"))).as("bb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    filesRead(idx.rows.filter(col("__graft_bb").isin(oneBuckets: _*))) should
+      be <= 8L
+
+    // Build-parameter validation: a portable index serves only
+    // portable-tagged arrival signatures.
+    Dedup.saveLshBandIndex(
+      Dedup.minhashSignatures(hist, "doc_id", "text", shingleN = 2,
+        k = 16, portable = true),
+      s"$scratch/pidx", k = 16, bands = 8, portable = true,
+      nHashBuckets = nBuckets)
+    val pidx = Dedup.loadLshBandIndex(spark, s"$scratch/pidx")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshAgainst(batchSigs, pidx,
+        threshold = 0.25, maxBucket = Int.MaxValue)
+    }.getMessage should include ("graft.minhash.portable")
+  }
+
   test("index build-parameter tags: mismatched serve parameters fail fast, through parquet round trips") {
     val docs = docsDf(Seq(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
