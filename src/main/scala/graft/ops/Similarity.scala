@@ -675,6 +675,30 @@ object Similarity {
         estNorm.as("est_n"))
   }
 
+  /** Persist an [[encodeCorpus]] table PARTITIONED BY its coarse
+    * bucket (`cid`) — the at-scale IVF layout the encodeCorpus doc
+    * promises ("partitioned by cid at scale"): one directory per
+    * centroid, so [[nearDupAgainst]]'s static probed-cid pruning
+    * reads ONLY the probed buckets' files. With the IVF sizing rule
+    * (centroid count ∝ √corpus), probed-bucket bytes stay ~flat as
+    * the corpus grows; a flat layout re-scans everything per serve.
+    * Repartitioned on cid first so each bucket is one file, not one
+    * per task. Appends (the [[graft.streaming.StreamingOps
+    * .pqIndexStream]] maintenance loop) go to the same directories
+    * with mode=append. */
+  def saveEncodedCorpus(encoded: DataFrame, path: String): Unit =
+    encoded.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Load a persisted encoded corpus (inverse of
+    * [[saveEncodedCorpus]]; also reads a flat [[encodeCorpus]]
+    * parquet — the column set is identical either way). */
+  def loadEncodedCorpus(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("cid").cast("int").as("cid"),
+        col("neighbor_id"), col("pq_codes"), col("est_n"))
+
   /** Embedding near-dup of an ARRIVAL batch against a persisted
     * encoded history — the embedding modality's fit-once/serve-many
     * face (the exact / SimHash / winnow *Against pattern applied to
@@ -689,7 +713,15 @@ object Similarity {
     * (the standard IVF-PQ dial — raise nProbe/adcMargin toward the
     * brute-force baseline). History is never re-encoded; shuffles
     * carry m-byte codes until the shortlist, raw vectors only for the
-    * (tiny) refinement join. */
+    * (tiny) refinement join.
+    *
+    * The probed bucket ids are collected to the driver (≤ |batch| ×
+    * nProbe ints — the bounded-collect class) and applied as a STATIC
+    * filter on the encoded table before the join: on a
+    * [[saveEncodedCorpus]]-partitioned layout that is file-level
+    * partition pruning (unprobed history is never read); on a flat
+    * frame it is a semantically-free row filter (the cid equi-join
+    * admits only probed buckets anyway). */
   def nearDupAgainst(
       newVecs: DataFrame, historyVecs: DataFrame, encoded: DataFrame,
       idCol: String, vecCol: String, index: AnnIndex,
@@ -708,7 +740,10 @@ object Similarity {
       .withColumn("scores", centroidScores(col("qv"), cents))
       .withColumn("cid", explode(topIdx(col("scores"), kFit, probeN)))
       .select(col("cid"), col("new_id"), col("qv"), col("qn"))
-    val shortlist = probed.join(encoded, Seq("cid"))
+    val probedCids = probed.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val shortlist = probed
+      .join(encoded.filter(col("cid").isin(probedCids: _*)), Seq("cid"))
       .withColumn("est_dot", graft.functions.VectorFunctions
         .adcScore(col("qv"), col("pq_codes"), books))
       .withColumn("est_cos",

@@ -455,13 +455,52 @@ object PipelineQueries {
           (col("__nsv").cast("double") / col("n_exact").cast("double") >= 0.5)
             .as("recall_ok"))
       },
-      Some("""
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
-               true AS subset_ok, true AS recall_ok
-        FROM embeddings a JOIN embeddings b
-          ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.42""")),
+      Some(DedupSemanticIncrementalSql)),
+
+    // The SAME incremental embedding serve through the PERSISTED
+    // artifacts (saveIndex + saveEncodedCorpus's cid-partitioned
+    // layout → parquet round trips → nearDupAgainst, whose probed-cid
+    // collect prunes encoded partitions at the file level). Shares
+    // dedup_semantic_incremental's oracle SQL VERBATIM — the layout
+    // may only change which files are read, never a pair.
+    QueryDef(
+      "dedup_semantic_serve",
+      (s, dir) => {
+        import graft.ops.Similarity
+        val emb = table(s, dir, "embeddings")
+        val hist = emb.filter(col("vec_id") % 2 === 0)
+        val arr = emb.filter(col("vec_id") % 2 =!= 0)
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-sem-serve-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
+        val idx0 = Similarity.fitIndex(hist, "vec_id", "embedding",
+          nCentroids = 16, m = 8, kSub = 16)
+        Similarity.saveIndex(idx0, s"$path/ann", s)
+        Similarity.saveEncodedCorpus(
+          Similarity.encodeCorpus(hist, "vec_id", "embedding", idx0),
+          s"$path/encoded")
+        val idx = Similarity.loadIndex(s"$path/ann", s)
+        val served = Similarity.nearDupAgainst(
+          arr, hist, Similarity.loadEncodedCorpus(s, s"$path/encoded"),
+          "vec_id", "embedding", idx, threshold = 0.42, nProbe = 6)
+        val exact = Dedup.embeddingCosinePairs(
+            emb, "vec_id", "embedding", threshold = 0.42)
+          .filter((col("id_a") % 2 =!= 0 && col("id_b") % 2 === 0) ||
+            (col("id_a") % 2 === 0 && col("id_b") % 2 =!= 0))
+          .select(
+            when(col("id_a") % 2 =!= 0, col("id_a")).otherwise(col("id_b")).as("new_id"),
+            when(col("id_a") % 2 === 0, col("id_a")).otherwise(col("id_b")).as("base_id"))
+        val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+        val bad = served.join(exact, Seq("new_id", "base_id"), "left_anti")
+          .agg(count(lit(1)).as("__nbad"))
+        val nSv = served.agg(count(lit(1)).as("__nsv"))
+        nEx.crossJoin(nSv).crossJoin(bad).select(
+          col("n_exact"),
+          (col("__nbad") === 0).as("subset_ok"),
+          (col("__nsv").cast("double") / col("n_exact").cast("double") >= 0.5)
+            .as("recall_ok"))
+      },
+      Some(DedupSemanticIncrementalSql)),
 
     // SemDeDup invariant gate: cluster-local cosine pairs must be a
     // SUBSET of the exact all-pairs result (same threshold) and keep
@@ -1759,6 +1798,16 @@ object PipelineQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2"""))
   )
+
+  /** Shared verbatim by dedup_semantic_incremental and
+    * dedup_semantic_serve (lazy: referenced from `all` above). */
+  private lazy val DedupSemanticIncrementalSql = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+               true AS subset_ok, true AS recall_ok
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.42"""
 
   /** Shared verbatim by dedup_incremental and dedup_minhash_serve —
     * the portable-family replay of both sides' signatures plus the

@@ -141,6 +141,17 @@ object ServeCanary {
       Similarity.saveIndex(ann, s"$d/ann", spark)
       Similarity.encodeCorpus(vecs, "vec_id", "embedding", ann)
         .write.mode("overwrite").parquet(s"$d/encoded.parquet")
+      // The at-scale IVF configuration: centroid count ∝ √corpus (the
+      // standard sizing rule — bucket size and probe cost balance),
+      // encoded table partitioned by cid so the probed-cid pruning in
+      // nearDupAgainst is file-level.
+      val annP = Similarity.fitIndex(vecs, "vec_id", "embedding",
+        nCentroids = 64 * math.max(1, math.round(math.sqrt(scale.toDouble)).toInt),
+        m = 8, kSub = 16)
+      Similarity.saveIndex(annP, s"$d/annp", spark)
+      Similarity.saveEncodedCorpus(
+        Similarity.encodeCorpus(vecs, "vec_id", "embedding", annP),
+        s"$d/encodedp")
 
       // One load per index per scale — the serving process's
       // query-lifetime load (file listing + schema, outside the clock).
@@ -154,6 +165,8 @@ object ServeCanary {
       val annIdx = Similarity.loadIndex(s"$d/ann", spark)
       val histVecs = spark.read.parquet(s"$d/vecs.parquet")
       val encoded = spark.read.parquet(s"$d/encoded.parquet")
+      val annPIdx = Similarity.loadIndex(s"$d/annp", spark)
+      val encodedP = Similarity.loadEncodedCorpus(spark, s"$d/encodedp")
       Map(
         "exact_against" -> (() => Dedup.exactAgainst(
           batch, exactIdx, "doc_id", "text")),
@@ -178,6 +191,9 @@ object ServeCanary {
         "semantic_against" -> (() => Similarity.nearDupAgainst(
           vecBatch, histVecs, encoded, "vec_id", "embedding", annIdx,
           threshold = 0.99, nProbe = 4, adcMargin = 2.0)),
+        "semantic_against_pruned" -> (() => Similarity.nearDupAgainst(
+          vecBatch, histVecs, encodedP, "vec_id", "embedding", annPIdx,
+          threshold = 0.99, nProbe = 4, adcMargin = 2.0)),
         "bm25_serve" -> (() => Retrieval.bm25ServeBatch(
           bm25Flat, queries, "query_id", "query_text", k = 10)),
         "bm25_serve_pruned" -> (() => Retrieval.bm25ServeBatch(
@@ -193,7 +209,7 @@ object ServeCanary {
     }
     val ops = Seq("exact_against", "simhash_against", "minhash_against",
       "minhash_against_pruned", "winnow_against", "semantic_against",
-      "bm25_serve", "bm25_serve_pruned")
+      "semantic_against_pruned", "bm25_serve", "bm25_serve_pruned")
     // Disjoint replica vocabularies / isometries ⇒ identical hit sets
     // at both scales for the dedup faces (bm25 scores CAN admit
     // cross-replica hits: short substitution-image terms may collide;
@@ -201,7 +217,7 @@ object ServeCanary {
     // any timing. The two layouts of a face must also agree with EACH
     // OTHER row-for-row at every scale (a layout changes which files
     // are read, never a row).
-    val dedupGateOk = ops.take(6).forall { op =>
+    val dedupGateOk = ops.take(7).forall { op =>
       val a = at1(op)().count()
       val b = atK(op)().count()
       if (a != b) println(s"""{"gate":"$op","rows_1x":$a,"rows_kx":$b,"ok":false}""")
@@ -209,7 +225,8 @@ object ServeCanary {
     }
     val layoutGateOk = Seq(at1 -> "1x", atK -> "kx").forall { case (m, tag) =>
       Seq("bm25_serve" -> "bm25_serve_pruned",
-        "minhash_against" -> "minhash_against_pruned").forall { case (f, p) =>
+        "minhash_against" -> "minhash_against_pruned",
+        "semantic_against" -> "semantic_against_pruned").forall { case (f, p) =>
         val d = m(f)().exceptAll(m(p)()).count() + m(p)().exceptAll(m(f)()).count()
         if (d != 0) println(s"""{"gate":"${p}_parity_$tag","diff_rows":$d,"ok":false}""")
         d == 0

@@ -455,6 +455,50 @@ class SimilaritySpec extends SparkSpec with Matchers {
     }
   }
 
+  test("saveEncodedCorpus: cid-partitioned round trip serves identically; probed-cid pruning reads only probed buckets") {
+    val rnd = new scala.util.Random(91)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 20)
+    val all = (1L to 160L).map { i =>
+      // cluster by (i/2) % 8 so the even (history) and odd (arrival)
+      // halves both populate every cluster
+      i -> centers(((i / 2) % 8).toInt).map(_ + rnd.nextGaussian() * 0.1).toSeq
+    }
+    val df = vecsDf(all)
+    val hist = df.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.fitIndex(hist, "vec_id", "embedding",
+      nCentroids = 8, m = 4, kSub = 8)
+    val encoded = Similarity.encodeCorpus(hist, "vec_id", "embedding", idx)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-encp").toString
+    Similarity.saveEncodedCorpus(encoded, s"$scratch/enc")
+    val loaded = Similarity.loadEncodedCorpus(spark, s"$scratch/enc")
+    loaded.count() shouldBe encoded.count()
+
+    // one arrival from one cluster: probes 2 of 8 buckets
+    val arr = df.filter(col("vec_id") === 17L)
+    val servedP = Similarity.nearDupAgainst(
+      arr, hist, loaded, "vec_id", "embedding", idx,
+      threshold = 0.9, nProbe = 2, adcMargin = 2.0)
+    val servedF = Similarity.nearDupAgainst(
+      arr, hist, encoded, "vec_id", "embedding", idx,
+      threshold = 0.9, nProbe = 2, adcMargin = 2.0)
+    val pSet = servedP.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fSet = servedF.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pSet should not be empty
+    pSet shouldBe fSet
+
+    // Pruning pin: the partitioned layout has ~8 bucket files; a
+    // 2-probe single-arrival serve may read at most 2 of them.
+    def filesRead(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().count()
+    val allFiles = filesRead(loaded)
+    allFiles should be >= 6L
+    // reconstruct the serve's probed-cid filter
+    val probed = Similarity.assignCentroid(arr, "embedding", idx)
+      .select("centroid").collect().map(_.getInt(0)).toSeq
+    filesRead(loaded.filter(col("cid").isin(probed: _*))) should be <= 2L
+  }
+
   test("pqIndexStream: per-batch encodings append to exactly the batch-encoded corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
