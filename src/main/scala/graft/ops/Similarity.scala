@@ -654,14 +654,16 @@ object Similarity {
     * time. */
   def encodeCorpus(
       df: DataFrame, idCol: String, vecCol: String,
-      index: AnnIndex): DataFrame =
+      index: AnnIndex, storeVectors: Boolean = false): DataFrame =
     encodeCorpusPrepared(
       OpsUtil.widen(df)
         .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
         .filter(col("v").isNotNull),
-      index)
+      index, storeVectors)
 
-  private def encodeCorpusPrepared(base: DataFrame, index: AnnIndex): DataFrame = {
+  private def encodeCorpusPrepared(
+      base: DataFrame, index: AnnIndex,
+      storeVectors: Boolean = false): DataFrame = {
     val AnnIndex(cents, books) = index
     val scored = base.withColumn("scores", centroidScores(col("v"), cents))
     val normSqArrs = books.map(b => array(b.map(cw =>
@@ -669,35 +671,71 @@ object Similarity {
     val estNorm = sqrt(books.indices.map { j =>
       element_at(normSqArrs(j), col("pq_codes")(j) + 1)
     }.reduce(_ + _))
+    // `storeVectors` co-locates the RAW vector (+ its true norm) with
+    // the codes — the self-contained serving layout: under
+    // [[saveEncodedCorpus]]'s cid partitioning, [[nearDupAgainst]]'s
+    // exact refinement then runs inside the probed partitions and the
+    // separate history vector table is never read at serve time. The
+    // price is vector-sized index rows (IVF-Flat storage alongside the
+    // PQ codes); without it the index stays m bytes/row and the
+    // refinement joins the history table by id.
+    val extra =
+      if (storeVectors) Seq(col("v").as("hv"), norm(col("v")).as("hn"))
+      else Seq.empty
     pqEncode(scored, "v", books)
       .withColumn("cid", argmaxIdx(col("scores")))
-      .select(col("cid"), col("id").as("neighbor_id"), col("pq_codes"),
-        estNorm.as("est_n"))
+      .select(Seq(col("cid"), col("id").as("neighbor_id"), col("pq_codes"),
+        estNorm.as("est_n")) ++ extra: _*)
   }
 
   /** Persist an [[encodeCorpus]] table PARTITIONED BY its coarse
     * bucket (`cid`) — the at-scale IVF layout the encodeCorpus doc
     * promises ("partitioned by cid at scale"): one directory per
     * centroid, so [[nearDupAgainst]]'s static probed-cid pruning
-    * reads ONLY the probed buckets' files. With the IVF sizing rule
-    * (centroid count ∝ √corpus), probed-bucket bytes stay ~flat as
-    * the corpus grows; a flat layout re-scans everything per serve.
+    * reads ONLY the probed buckets' files. Sized serve-optimally —
+    * centroid count ∝ corpus, constant per-bucket bytes (the bm25
+    * partitioned-posting contract) — probed bytes ≈ |batch| × nProbe
+    * × bucket size, FLAT as the corpus grows; a flat layout re-scans
+    * everything per serve. (√corpus centroid sizing, the in-memory
+    * ANN balance point, leaves per-bucket bytes growing as √history
+    * — the trade for ∝-corpus sizing is centroid scoring linear in
+    * bucket count, fine while the centroid matrix fits an executor.)
     * Repartitioned on cid first so each bucket is one file, not one
     * per task. Appends (the [[graft.streaming.StreamingOps
-    * .pqIndexStream]] maintenance loop) go to the same directories
-    * with mode=append. */
+    * .pqIndexStream]] maintenance loop) go through
+    * [[appendEncodedCorpus]]. */
   def saveEncodedCorpus(encoded: DataFrame, path: String): Unit =
+    writeEncodedCorpus(encoded, path, "overwrite")
+
+  /** Append a new batch's [[encodeCorpus]] output to an existing
+    * [[saveEncodedCorpus]] layout — the incremental-maintenance write
+    * (encoding is append-composable because the index is fixed; see
+    * [[encodeCorpus]]). Each append adds at most one file per touched
+    * cid directory, so a batch-cadence maintenance loop grows file
+    * counts linearly in BATCHES, not rows — compact by re-running
+    * [[saveEncodedCorpus]] over [[loadEncodedCorpus]] when listing
+    * cost matters. */
+  def appendEncodedCorpus(encoded: DataFrame, path: String): Unit =
+    writeEncodedCorpus(encoded, path, "append")
+
+  private def writeEncodedCorpus(
+      encoded: DataFrame, path: String, mode: String): Unit =
     encoded.repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+      .write.mode(mode).partitionBy("cid").parquet(path)
 
   /** Load a persisted encoded corpus (inverse of
     * [[saveEncodedCorpus]]; also reads a flat [[encodeCorpus]]
-    * parquet — the column set is identical either way). */
+    * parquet — the column set is identical either way). A
+    * stored-vector layout (`encodeCorpus(storeVectors = true)`)
+    * keeps its `hv`/`hn` columns. */
   def loadEncodedCorpus(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .select(col("cid").cast("int").as("cid"),
-        col("neighbor_id"), col("pq_codes"), col("est_n"))
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val extra =
+      if (df.columns.contains("hv")) Seq(col("hv"), col("hn")) else Seq.empty
+    df.select(Seq(col("cid").cast("int").as("cid"),
+      col("neighbor_id"), col("pq_codes"), col("est_n")) ++ extra: _*)
+  }
 
   /** Embedding near-dup of an ARRIVAL batch against a persisted
     * encoded history — the embedding modality's fit-once/serve-many
@@ -721,7 +759,16 @@ object Similarity {
     * [[saveEncodedCorpus]]-partitioned layout that is file-level
     * partition pruning (unprobed history is never read); on a flat
     * frame it is a semantically-free row filter (the cid equi-join
-    * admits only probed buckets anyway). */
+    * admits only probed buckets anyway).
+    *
+    * If `encoded` is a STORED-VECTOR layout (`encodeCorpus(
+    * storeVectors = true)` — columns `hv`/`hn` present), the exact
+    * refinement runs inline on the probed rows themselves and
+    * `historyVecs` is NEVER READ (DataFrames are lazy; the argument
+    * is untouched on that path) — the serve's only input is the
+    * probed partitions, so its cost is flat in history size. Without
+    * stored vectors the shortlist joins `historyVecs` by id — an
+    * extra scan of the full vector table per serve. */
   def nearDupAgainst(
       newVecs: DataFrame, historyVecs: DataFrame, encoded: DataFrame,
       idCol: String, vecCol: String, index: AnnIndex,
@@ -742,33 +789,46 @@ object Similarity {
       .select(col("cid"), col("new_id"), col("qv"), col("qn"))
     val probedCids = probed.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val shortlist = probed
+    val estGate = {
+      val estDot = graft.functions.VectorFunctions
+        .adcScore(col("qv"), col("pq_codes"), books)
+      when(col("qn") * col("est_n") > 0.0,
+        estDot / (col("qn") * col("est_n")))
+        .otherwise(lit(Double.MinValue)) >= threshold - adcMargin
+    }
+    val cand = probed
       .join(encoded.filter(col("cid").isin(probedCids: _*)), Seq("cid"))
-      .withColumn("est_dot", graft.functions.VectorFunctions
-        .adcScore(col("qv"), col("pq_codes"), books))
-      .withColumn("est_cos",
-        when(col("qn") * col("est_n") > 0.0,
-          col("est_dot") / (col("qn") * col("est_n")))
-          .otherwise(lit(Double.MinValue)))
-      .filter(col("est_cos") >= threshold - adcMargin)
-      .select(col("new_id"), col("neighbor_id").as("base_id"))
-      // unique by construction: each neighbor lives in exactly ONE
-      // index bucket, so probing several buckets per query cannot
-      // duplicate a pair (the searchEncoded argument) — no dedup
-      // shuffle needed
-    val hist = OpsUtil.widen(historyVecs)
-      .select(col(idCol).as("base_id"), asDouble(col(vecCol)).as("bv"))
-      .filter(col("bv").isNotNull)
-      .withColumn("bn", norm(col("bv")))
-    shortlist
-      .join(hist, Seq("base_id"))
-      .join(q.select(col("new_id"), col("qv"), col("qn")), Seq("new_id"))
-      .withColumn("cos",
-        when(col("qn") * col("bn") > 0.0,
-          dot(col("qv"), col("bv")) / (col("qn") * col("bn")))
-          .otherwise(lit(Double.MinValue)))
-      .filter(col("cos") >= threshold)
-      .select("new_id", "base_id", "cos")
+      .filter(estGate)
+    // Pairs are unique by construction on every path below: each
+    // neighbor lives in exactly ONE index bucket, so probing several
+    // buckets per query cannot duplicate a pair (the searchEncoded
+    // argument) — no dedup shuffle needed.
+    if (encoded.columns.contains("hv")) {
+      // Stored-vector layout: refine inline; one cid equi-join total.
+      cand
+        .withColumn("cos",
+          when(col("qn") * col("hn") > 0.0,
+            dot(col("qv"), col("hv")) / (col("qn") * col("hn")))
+            .otherwise(lit(Double.MinValue)))
+        .filter(col("cos") >= threshold)
+        .select(col("new_id"), col("neighbor_id").as("base_id"), col("cos"))
+    } else {
+      val shortlist = cand
+        .select(col("new_id"), col("neighbor_id").as("base_id"))
+      val hist = OpsUtil.widen(historyVecs)
+        .select(col(idCol).as("base_id"), asDouble(col(vecCol)).as("bv"))
+        .filter(col("bv").isNotNull)
+        .withColumn("bn", norm(col("bv")))
+      shortlist
+        .join(hist, Seq("base_id"))
+        .join(q.select(col("new_id"), col("qv"), col("qn")), Seq("new_id"))
+        .withColumn("cos",
+          when(col("qn") * col("bn") > 0.0,
+            dot(col("qv"), col("bv")) / (col("qn") * col("bn")))
+            .otherwise(lit(Double.MinValue)))
+        .filter(col("cos") >= threshold)
+        .select("new_id", "base_id", "cos")
+    }
   }
 
   /** Search a PRE-ENCODED corpus table ([[encodeCorpus]] rows — built

@@ -459,10 +459,13 @@ object PipelineQueries {
 
     // The SAME incremental embedding serve through the PERSISTED
     // artifacts (saveIndex + saveEncodedCorpus's cid-partitioned
-    // layout → parquet round trips → nearDupAgainst, whose probed-cid
-    // collect prunes encoded partitions at the file level). Shares
-    // dedup_semantic_incremental's oracle SQL VERBATIM — the layout
-    // may only change which files are read, never a pair.
+    // STORED-VECTOR layout → parquet round trips → nearDupAgainst,
+    // whose probed-cid collect prunes encoded partitions at the file
+    // level and whose refinement runs inline on the stored vectors —
+    // the history frame passed below is LIMIT 0, so a regression to
+    // the history-join path collapses recall and fails the oracle).
+    // Shares dedup_semantic_incremental's oracle SQL VERBATIM — the
+    // layout may only change which files are read, never a pair.
     QueryDef(
       "dedup_semantic_serve",
       (s, dir) => {
@@ -477,11 +480,12 @@ object PipelineQueries {
           nCentroids = 16, m = 8, kSub = 16)
         Similarity.saveIndex(idx0, s"$path/ann", s)
         Similarity.saveEncodedCorpus(
-          Similarity.encodeCorpus(hist, "vec_id", "embedding", idx0),
+          Similarity.encodeCorpus(hist, "vec_id", "embedding", idx0,
+            storeVectors = true),
           s"$path/encoded")
         val idx = Similarity.loadIndex(s"$path/ann", s)
         val served = Similarity.nearDupAgainst(
-          arr, hist, Similarity.loadEncodedCorpus(s, s"$path/encoded"),
+          arr, hist.limit(0), Similarity.loadEncodedCorpus(s, s"$path/encoded"),
           "vec_id", "embedding", idx, threshold = 0.42, nProbe = 6)
         val exact = Dedup.embeddingCosinePairs(
             emb, "vec_id", "embedding", threshold = 0.42)

@@ -262,19 +262,29 @@ object Transforms {
     case "semantic_filter" =>
       // Embedding near-dup ingest gate: drop rows whose vector scores
       // exact-cosine >= threshold against the PQ-encoded history. The
-      // index arg is a directory holding the three persisted artifacts
-      // of the semantic serve face: <index>/ann (Similarity.saveIndex),
-      // <index>/encoded (encodeCorpus parquet), <index>/vectors (the
+      // index arg is a directory holding the persisted artifacts of
+      // the semantic serve face: <index>/ann (Similarity.saveIndex)
+      // and <index>/encoded (flat encodeCorpus parquet OR the
+      // cid-partitioned saveEncodedCorpus layout — loadEncodedCorpus
+      // reads both, and on the partitioned one the gate's probed-cid
+      // pruning is file-level). If the encoded table does NOT store
+      // its vectors (encodeCorpus's storeVectors = false), the
+      // refinement additionally needs <index>/vectors — the
       // historical vector parquet, which must carry the SAME key and
-      // vector column names as the gated frame). `col` here is the
-      // embedding column; rows with a NULL vector bypass (content-free
-      // for this gate), like every other index gate.
+      // vector column names as the gated frame; a stored-vector index
+      // is self-contained and <index>/vectors may be absent. `col`
+      // here is the embedding column; rows with a NULL vector bypass
+      // (content-free for this gate), like every other index gate.
       val key = t.arg("key")
       val root = t.arg("index")
       indexGate(df, key, t.arg("col"), keepMatches = false) { (rows, vecCol) =>
         val s = df.sparkSession
+        val enc = graft.ops.Similarity.loadEncodedCorpus(s, s"$root/encoded")
+        val hist =
+          if (enc.columns.contains("hv")) rows.limit(0) // never read
+          else s.read.parquet(s"$root/vectors")
         graft.ops.Similarity.nearDupAgainst(
-          rows, s.read.parquet(s"$root/vectors"), s.read.parquet(s"$root/encoded"),
+          rows, hist, enc,
           key, vecCol, graft.ops.Similarity.loadIndex(s"$root/ann", s),
           threshold = t.arg("threshold").toDouble,
           nProbe = t.args.get("n_probe").map(_.toInt).getOrElse(4),

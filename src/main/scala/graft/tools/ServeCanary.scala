@@ -141,16 +141,23 @@ object ServeCanary {
       Similarity.saveIndex(ann, s"$d/ann", spark)
       Similarity.encodeCorpus(vecs, "vec_id", "embedding", ann)
         .write.mode("overwrite").parquet(s"$d/encoded.parquet")
-      // The at-scale IVF configuration: centroid count ∝ √corpus (the
-      // standard sizing rule — bucket size and probe cost balance),
-      // encoded table partitioned by cid so the probed-cid pruning in
-      // nearDupAgainst is file-level.
+      // The serve-optimal IVF configuration: centroid count ∝ corpus,
+      // i.e. CONSTANT per-bucket bytes (the bm25/minhash partitioned-
+      // index contract), encoded table partitioned by cid AND carrying
+      // the stored vectors, so the whole serve — probe, ADC gate,
+      // exact refine — runs inside the probed partitions: probed
+      // bytes ≈ |batch| × nProbe × bucket size, flat as history
+      // grows, and the history vector table is never read. (√corpus
+      // sizing — the in-memory ANN balance point — leaves per-bucket
+      // bytes growing as √history; serving from storage wants the
+      // flat-bucket regime. The cost is linear centroid scoring, fine
+      // while the centroid matrix fits an executor.)
       val annP = Similarity.fitIndex(vecs, "vec_id", "embedding",
-        nCentroids = 64 * math.max(1, math.round(math.sqrt(scale.toDouble)).toInt),
-        m = 8, kSub = 16)
+        nCentroids = 16 * scale, m = 8, kSub = 16)
       Similarity.saveIndex(annP, s"$d/annp", spark)
       Similarity.saveEncodedCorpus(
-        Similarity.encodeCorpus(vecs, "vec_id", "embedding", annP),
+        Similarity.encodeCorpus(vecs, "vec_id", "embedding", annP,
+          storeVectors = true),
         s"$d/encodedp")
 
       // One load per index per scale — the serving process's

@@ -499,6 +499,83 @@ class SimilaritySpec extends SparkSpec with Matchers {
     filesRead(loaded.filter(col("cid").isin(probed: _*))) should be <= 2L
   }
 
+  test("nearDupAgainst stored-vector layout: identical pairs to the history-join path, history never read") {
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(6, 16)(rnd.nextGaussian() * 20)
+    val all = (1L to 180L).map { i =>
+      i -> centers(((i / 2) % 6).toInt).map(_ + rnd.nextGaussian() * 0.1).toSeq
+    }
+    val df = vecsDf(all)
+    val hist = df.filter(col("vec_id") % 2 === 0)
+    val arr = df.filter(col("vec_id") % 2 =!= 0)
+    val idx = Similarity.fitIndex(hist, "vec_id", "embedding",
+      nCentroids = 6, m = 4, kSub = 8)
+    val plain = Similarity.encodeCorpus(hist, "vec_id", "embedding", idx)
+    val stored = Similarity.encodeCorpus(hist, "vec_id", "embedding", idx,
+      storeVectors = true)
+    stored.columns should contain allOf ("hv", "hn")
+    val viaHist = Similarity.nearDupAgainst(
+      arr, hist, plain, "vec_id", "embedding", idx,
+      threshold = 0.9, nProbe = 3, adcMargin = 2.0)
+    // hist.limit(0): if the stored-vector path read history, every
+    // pair would vanish — completeness below proves it did not
+    val viaStored = Similarity.nearDupAgainst(
+      arr, hist.limit(0), stored, "vec_id", "embedding", idx,
+      threshold = 0.9, nProbe = 3, adcMargin = 2.0)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val h = pairs(viaHist)
+    h should not be empty
+    pairs(viaStored) shouldBe h
+    // round trips through the partitioned layout keep the columns
+    val scratch = java.nio.file.Files.createTempDirectory("graft-encsv").toString
+    Similarity.saveEncodedCorpus(stored, s"$scratch/enc")
+    val loaded = Similarity.loadEncodedCorpus(spark, s"$scratch/enc")
+    loaded.columns should contain allOf ("hv", "hn")
+    pairs(Similarity.nearDupAgainst(
+      arr, hist.limit(0), loaded, "vec_id", "embedding", idx,
+      threshold = 0.9, nProbe = 3, adcMargin = 2.0)) shouldBe h
+  }
+
+  test("appendEncodedCorpus: batch-cadence appends land in the cid layout and serve like one save") {
+    val rnd = new scala.util.Random(47)
+    val centers = Array.fill(4, 12)(rnd.nextGaussian() * 20)
+    val all = (1L to 120L).map { i =>
+      i -> centers((i % 4).toInt).map(_ + rnd.nextGaussian() * 0.1).toSeq
+    }
+    val df = vecsDf(all)
+    val idx = Similarity.fitIndex(df, "vec_id", "embedding",
+      nCentroids = 4, m = 4, kSub = 8)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-encapp").toString
+    // three maintenance-cadence appends vs one save of everything
+    val parts = Seq(
+      df.filter(col("vec_id") <= 40L),
+      df.filter(col("vec_id") > 40L && col("vec_id") <= 80L),
+      df.filter(col("vec_id") > 80L))
+    Similarity.saveEncodedCorpus(
+      Similarity.encodeCorpus(parts.head, "vec_id", "embedding", idx),
+      s"$scratch/inc")
+    parts.tail.foreach { p =>
+      Similarity.appendEncodedCorpus(
+        Similarity.encodeCorpus(p, "vec_id", "embedding", idx), s"$scratch/inc")
+    }
+    Similarity.saveEncodedCorpus(
+      Similarity.encodeCorpus(df, "vec_id", "embedding", idx), s"$scratch/one")
+    def rows(p: String): Seq[String] =
+      Similarity.loadEncodedCorpus(spark, p).collect().map(_.toString).sorted.toSeq
+    rows(s"$scratch/inc") shouldBe rows(s"$scratch/one")
+    // still partition-pruned after appends: one cid directory holds
+    // this cluster's rows, and filtering to it reads only its files
+    val loaded = Similarity.loadEncodedCorpus(spark, s"$scratch/inc")
+    val oneCid = loaded.select("cid").limit(1).collect().head.getInt(0)
+    val filesAll = loaded.select(input_file_name()).distinct().count()
+    val filesOne = loaded.filter(col("cid") === oneCid)
+      .select(input_file_name()).distinct().count()
+    filesOne should be < filesAll
+    filesOne should be <= 3L // ≤ one file per append at this cid
+  }
+
   test("pqIndexStream: per-batch encodings append to exactly the batch-encoded corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

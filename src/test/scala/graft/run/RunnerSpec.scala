@@ -389,8 +389,11 @@ class RunnerSpec extends SparkSpec {
     val ann = graft.ops.Similarity.fitIndex(hist, "id", "emb",
       nCentroids = 2, m = 2, kSub = 2)
     hist.write.mode("overwrite").parquet(s"$scratch/sem/vectors")
-    graft.ops.Similarity.encodeCorpus(hist, "id", "emb", ann)
-      .write.mode("overwrite").parquet(s"$scratch/sem/encoded")
+    // cid-partitioned layout: the gate must read it via
+    // loadEncodedCorpus (and get file-level probed-cid pruning)
+    graft.ops.Similarity.saveEncodedCorpus(
+      graft.ops.Similarity.encodeCorpus(hist, "id", "emb", ann),
+      s"$scratch/sem/encoded")
     graft.ops.Similarity.saveIndex(ann, s"$scratch/sem/ann", spark)
     val vdf = Seq(
       (1L, Option(vec(0))),          // exact dup of history vector 100
@@ -402,6 +405,18 @@ class RunnerSpec extends SparkSpec {
         "threshold=0.9,n_probe=2,adc_margin=2.0)"))
       .collect().map(_.getLong(0)).sorted
     assert(semOut.toSeq == Seq(2L, 3L), s"got ${semOut.toSeq}")
+
+    // stored-vector index: self-contained, NO <index>/vectors artifact
+    graft.ops.Similarity.saveEncodedCorpus(
+      graft.ops.Similarity.encodeCorpus(hist, "id", "emb", ann,
+        storeVectors = true),
+      s"$scratch/semv/encoded")
+    graft.ops.Similarity.saveIndex(ann, s"$scratch/semv/ann", spark)
+    val semvOut = Transforms.applyAll(vdf, Transforms.parse(
+      s"semantic_filter(key=id,col=emb,index=$scratch/semv," +
+        "threshold=0.9,n_probe=2,adc_margin=2.0)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(semvOut.toSeq == Seq(2L, 3L), s"got ${semvOut.toSeq}")
 
     // parse-time arg typing
     intercept[IllegalArgumentException](Transforms.parse(
