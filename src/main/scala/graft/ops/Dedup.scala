@@ -111,9 +111,17 @@ object Dedup {
     * the contract is documented, not re-checked. */
   def exactAgainst(
       newDocs: DataFrame, index: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val hashed = newDocs.select(col(idCol).as("id"),
-      md5(TextOps.normalized(col(textCol))).as("text_hash"))
+      idCol: String, textCol: String): DataFrame =
+    exactClassify(
+      newDocs.select(col(idCol).as("id"),
+        md5(TextOps.normalized(col(textCol))).as("text_hash")),
+      index)
+
+  /** The [[exactAgainst]] classification over an already-hashed batch
+    * — shared by the flat and partition-pruned serve paths so the
+    * first-seen-wins / NULL-pass-through contract lives in exactly
+    * one place. */
+  private def exactClassify(hashed: DataFrame, index: DataFrame): DataFrame = {
     val withHash = hashed.filter(col("text_hash").isNotNull)
     val batchKeep = withHash.groupBy("text_hash")
       .agg(min(col("id")).as("__graft_batch_keep"))
@@ -129,6 +137,72 @@ object Dedup {
     classified.unionByName(hashed.filter(col("text_hash").isNull)
       .select(col("id"), col("text_hash"),
         lit(null).cast(classified.schema("dup_of").dataType).as("dup_of")))
+  }
+
+  /** A persisted, hash-partitioned EXACT index — the partition-pruned
+    * serve layout of the content-hash table (the [[WinnowFpIndex]]
+    * argument applied to the exact face): (text_hash, keep_id,
+    * dup_count) rows land in hash partition directories, so a serve
+    * reads only the partitions the ARRIVAL batch's content hashes
+    * fall into — ≤ |batch| directories out of a bucket count sized to
+    * the corpus. The bucketed CATALOG layout
+    * ([[saveExactIndexBucketed]]) removes the index-side JOIN
+    * shuffle but still scans every bucket per serve; this one removes
+    * the scan itself. Same one-row-per-hash precondition as
+    * [[exactAgainst]]. Maintenance: [[mergeExactIndexes]] + re-save
+    * (dup_count of repeated hashes must update, so the exact index is
+    * rebuild-maintained, not append-maintained — the merge is one
+    * hash-agg over index ∪ batch-index, never the corpus). */
+  final case class ExactHashIndex(rows: DataFrame, hashBuckets: Int)
+
+  /** Build + persist an [[ExactHashIndex]] from an [[exact]] /
+    * [[loadExactIndex]] table. Size `nHashBuckets` to the corpus
+    * (constant per-bucket bytes). */
+  def saveExactIndexPartitioned(
+      index: DataFrame, path: String, nHashBuckets: Int = 64): Unit = {
+    require(nHashBuckets > 0,
+      "saveExactIndexPartitioned: nHashBuckets must be > 0")
+    index.select(col("text_hash"), col("keep_id"), col("dup_count"))
+      .withColumn(BandBucket, fpBucket(col("text_hash"), nHashBuckets))
+      .repartition(nHashBuckets, col(BandBucket))
+      .write.mode("overwrite").partitionBy(BandBucket)
+      .parquet(s"$path/hashes")
+    val spark = index.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(nHashBuckets)).toDF("hash_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted [[ExactHashIndex]] (inverse of
+    * [[saveExactIndexPartitioned]]). */
+  def loadExactIndexPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String): ExactHashIndex = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    ExactHashIndex(spark.read.parquet(s"$path/hashes"), st.getInt(0))
+  }
+
+  /** [[exactAgainst]] against a persisted [[ExactHashIndex]] —
+    * IDENTICAL output (one first-seen-wins classification row per
+    * arrival, NULL-text pass-through) to serving the flat index
+    * (oracle-pinned: dedup_exact_serve shares
+    * dedup_exact_incremental's SQL verbatim), different physics: the
+    * arrival batch's hash bucket set collects to the driver
+    * (≤ |batch| ints) and prunes index partitions STATICALLY — only
+    * matching-bucket index rows are read, and the LEFT join still
+    * classifies unmatched arrivals as survivors (pruning drops only
+    * index partitions no arrival hash can reach, never an arrival
+    * row). */
+  def exactAgainst(
+      newDocs: DataFrame, index: ExactHashIndex,
+      idCol: String, textCol: String): DataFrame = {
+    val hashed = newDocs.select(col(idCol).as("id"),
+        md5(TextOps.normalized(col(textCol))).as("text_hash"))
+      .localCheckpoint(false) // feeds the bucket collect AND the join
+    val buckets = hashed.filter(col("text_hash").isNotNull)
+      .select(fpBucket(col("text_hash"), index.hashBuckets).as("bb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    exactClassify(hashed,
+      index.rows.filter(col(BandBucket).isin(buckets: _*)))
   }
 
   /** Merge [[exact]] indexes — the append-composability law of the
@@ -543,6 +617,125 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("id"), col("simhash"))
 
+  /** A persisted, band-bucketed SIMHASH index — the serve-optimal
+    * layout of the fingerprint table (the [[LshBandIndex]] argument
+    * applied to the SimHash face): the 4×16-bit band rows are
+    * precomputed ONCE at build (the per-serve band explode of the
+    * whole history was the SimHash face's only index-proportional
+    * serve cost) and land in (band, chunk)-hash partition
+    * directories, so a serve reads only the partitions the ARRIVAL
+    * batch's band chunks fall into. The fingerprint rides inside the
+    * band rows (4× storage at 8 bytes each — still 32 bytes + ids per
+    * historical doc), so Hamming verification never joins back to the
+    * flat fingerprint table. The hash family is captured at build
+    * from the frame's own `graft.simhash.portable` tag and arrivals
+    * are hashed WITH IT at serve — a build/serve family mismatch is
+    * structurally impossible, not merely validated. */
+  final case class SimhashBandIndex(
+      rows: DataFrame, portable: Boolean, hashBuckets: Int)
+
+  /** (band, chunk) → partition bucket of the band-bucketed SimHash
+    * layout (INT for parquet partition-type inference). */
+  private def simChunkBucket(band: Column, chunk: Column, n: Int): Column =
+    pmod(xxhash64(band, chunk), lit(n.toLong)).cast("int")
+
+  /** Build + persist a [[SimhashBandIndex]] from a [[withSimhash]] /
+    * [[loadSimhashes]] fingerprint table. Size `nHashBuckets` to the
+    * corpus (constant per-bucket bytes, the
+    * [[graft.ops.Retrieval.saveBm25IndexPartitioned]] contract):
+    * serve scan ≈ |arrival band chunks| × bucket size, flat as
+    * history grows. Requires the frame's `graft.simhash.portable`
+    * tag (present on every [[withSimhash]] output and preserved
+    * through parquet) — the index must know its own hash family to
+    * hash arrivals at serve time. */
+  def saveSimhashBandIndex(
+      sim: DataFrame, path: String, nHashBuckets: Int = 64): Unit = {
+    require(nHashBuckets > 0, "saveSimhashBandIndex: nHashBuckets must be > 0")
+    val md = sim.schema("simhash").metadata
+    require(md.contains("graft.simhash.portable"),
+      "saveSimhashBandIndex: the fingerprint frame carries no " +
+        "graft.simhash.portable tag — build the index from withSimhash/" +
+        "loadSimhashes output so the serve can hash arrivals with the " +
+        "index's own family")
+    val portable = md.getBoolean("graft.simhash.portable")
+    simhashBands(sim.select(col("id"), col("simhash")))
+      .withColumn(BandBucket,
+        simChunkBucket(col("band"), col("chunk"), nHashBuckets))
+      .repartition(nHashBuckets, col(BandBucket))
+      .write.mode("overwrite").partitionBy(BandBucket)
+      .parquet(s"$path/bands")
+    val spark = sim.sparkSession
+    import spark.implicits._
+    Seq((portable, nHashBuckets)).toDF("portable", "hash_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Append a new batch's fingerprints to an existing
+    * [[saveSimhashBandIndex]] layout — the incremental-maintenance
+    * write (band rows under a fixed hash family are append-composable
+    * and the SimHash face has no build-time cap, so append ∪ rebuild
+    * are row-identical — spec-pinned). The batch frame's family tag
+    * must match the index's (fail-fast); bucket count comes from the
+    * index's own sidecar. Each append adds ≤ one file per touched
+    * bucket (the [[graft.ops.Similarity.appendEncodedCorpus]]
+    * contract); compact by re-running [[saveSimhashBandIndex]] over
+    * the flat fingerprint table when listing cost matters. */
+  def appendSimhashBandIndex(sim: DataFrame, path: String): Unit = {
+    val spark = sim.sparkSession
+    val st = spark.read.parquet(s"$path/stats").head()
+    val (portable, n) = (st.getBoolean(0), st.getInt(1))
+    checkBuildParams(sim, "simhash", "appendSimhashBandIndex",
+      Seq("graft.simhash.portable" -> portable))
+    simhashBands(sim.select(col("id"), col("simhash")))
+      .withColumn(BandBucket, simChunkBucket(col("band"), col("chunk"), n))
+      .repartition(n, col(BandBucket))
+      .write.mode("append").partitionBy(BandBucket)
+      .parquet(s"$path/bands")
+  }
+
+  /** Load a persisted [[SimhashBandIndex]] (inverse of
+    * [[saveSimhashBandIndex]]). */
+  def loadSimhashBandIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): SimhashBandIndex = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    SimhashBandIndex(spark.read.parquet(s"$path/bands"),
+      st.getBoolean(0), st.getInt(1))
+  }
+
+  /** [[simhashAgainst]] against a persisted [[SimhashBandIndex]] —
+    * IDENTICAL output (new_id, base_id, hamming ≤ maxHamming) to
+    * serving the flat fingerprint table (oracle-pinned:
+    * dedup_simhash_serve shares dedup_simhash_incremental's SQL
+    * verbatim), different physics: arrivals are hashed with the
+    * index's own family, their (band, chunk) bucket set collects to
+    * the driver (≤ |batch| × 4 values — the [[minhashLshAgainst]]
+    * band-index pattern) and prunes index partitions STATICALLY; only
+    * matching-bucket band rows are read, the (band, chunk) equi-join
+    * re-checks exact chunks, and Hamming verifies off the index rows
+    * themselves — the flat fingerprint table is never scanned, never
+    * re-exploded. */
+  def simhashAgainst(
+      newDocs: DataFrame, index: SimhashBandIndex, idCol: String,
+      textCol: String, maxHamming: Int): DataFrame = {
+    val a = simhashBands(withSimhash(newDocs, idCol, textCol, index.portable))
+      .select(col("band"), col("chunk"),
+        col("id").as("new_id"), col("simhash").as("__graft_sim_n"))
+      .localCheckpoint(false) // feeds the bucket collect AND the join
+    val buckets = a
+      .select(simChunkBucket(col("band"), col("chunk"), index.hashBuckets).as("bb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = index.rows
+      .filter(col(BandBucket).isin(buckets: _*))
+      .select(col("band"), col("chunk"),
+        col("id").as("base_id"), col("simhash").as("__graft_sim_b"))
+    a.join(pruned, Seq("band", "chunk"))
+      .dropDuplicates("new_id", "base_id")
+      .withColumn("hamming",
+        bit_count(col("__graft_sim_n").bitwiseXOR(col("__graft_sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "base_id", "hamming")
+  }
+
   /** 16-bit band rows (id, simhash, band, chunk) — shared by the
     * self-join ([[simhashPairs]]) and two-sided ([[simhashAgainst]])
     * candidate generation. */
@@ -896,6 +1089,99 @@ object Dedup {
   def loadWinnowFingerprints(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("id"), col("fp"))
+
+  /** A persisted, fp-bucketed WINNOW index — the serve-optimal layout
+    * of the substring fingerprint table (the [[SimhashBandIndex]]
+    * argument applied to the winnow face): (id, fp) rows land in
+    * fp-hash partition directories so a serve reads only the
+    * partitions the ARRIVAL batch's fingerprints fall into, and each
+    * row carries its fingerprint's document frequency `df`, computed
+    * ONCE at build — the serve-time hot-fingerprint cap
+    * ([[capBaseFps]]'s per-serve aggregate over the whole index, the
+    * face's other index-proportional cost) becomes a stored-column
+    * filter, with `maxDf` still a serve-time knob (the
+    * [[graft.ops.Retrieval.Bm25Index]] k1/b argument). Build
+    * parameters (k, w, family) are captured from the frame's own
+    * `graft.winnow.*` tags and arrivals are fingerprinted WITH THEM
+    * at serve — a build/serve mismatch is structurally impossible.
+    * Maintenance: REBUILD, not append — the stored `df` is a global
+    * aggregate (an appended batch's copies of an existing fingerprint
+    * would leave history rows under-counted), and the rebuild's input
+    * is the flat fingerprint table ∪ the batch's, never the corpus. */
+  final case class WinnowFpIndex(
+      rows: DataFrame, k: Int, w: Int, portable: Boolean, hashBuckets: Int)
+
+  /** fp → partition bucket of the fp-bucketed winnow layout. */
+  private def fpBucket(fp: Column, n: Int): Column =
+    pmod(xxhash64(fp), lit(n.toLong)).cast("int")
+
+  /** Build + persist a [[WinnowFpIndex]] from a
+    * [[winnowFingerprints]] / [[loadWinnowFingerprints]] table. Size
+    * `nHashBuckets` to the corpus (constant per-bucket bytes): serve
+    * scan ≈ |arrival fingerprints| × bucket size, flat as history
+    * grows. Requires the frame's `graft.winnow.*` build tags (present
+    * on every [[winnowFingerprints]] output and preserved through
+    * parquet). */
+  def saveWinnowFpIndex(
+      fps: DataFrame, path: String, nHashBuckets: Int = 64): Unit = {
+    require(nHashBuckets > 0, "saveWinnowFpIndex: nHashBuckets must be > 0")
+    val md = fps.schema("fp").metadata
+    require(md.contains("graft.winnow.k") && md.contains("graft.winnow.w") &&
+        md.contains("graft.winnow.portable"),
+      "saveWinnowFpIndex: the fingerprint frame carries no graft.winnow.* " +
+        "build tags — build the index from winnowFingerprints/" +
+        "loadWinnowFingerprints output so the serve can fingerprint " +
+        "arrivals with the index's own (k, w, family)")
+    val rows = fps.select(col("id"), col("fp"))
+    val dfs = rows.groupBy("fp").agg(count(lit(1)).as("df"))
+    rows.join(dfs, Seq("fp"))
+      .withColumn(BandBucket, fpBucket(col("fp"), nHashBuckets))
+      .repartition(nHashBuckets, col(BandBucket))
+      .write.mode("overwrite").partitionBy(BandBucket)
+      .parquet(s"$path/fps")
+    val spark = fps.sparkSession
+    import spark.implicits._
+    Seq((md.getLong("graft.winnow.k").toInt, md.getLong("graft.winnow.w").toInt,
+        md.getBoolean("graft.winnow.portable"), nHashBuckets))
+      .toDF("k", "w", "portable", "hash_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted [[WinnowFpIndex]] (inverse of
+    * [[saveWinnowFpIndex]]). */
+  def loadWinnowFpIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): WinnowFpIndex = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    WinnowFpIndex(spark.read.parquet(s"$path/fps"),
+      st.getInt(0), st.getInt(1), st.getBoolean(2), st.getInt(3))
+  }
+
+  /** [[winnowAgainst]] against a persisted [[WinnowFpIndex]] —
+    * IDENTICAL output (new_id, base_id, n_shared ≥ minShared) to
+    * serving the flat fingerprint table with the same `maxDf`
+    * (oracle-pinned: dedup_winnow_serve shares
+    * dedup_winnow_incremental's SQL verbatim), different physics:
+    * arrivals are fingerprinted with the index's own (k, w, family),
+    * their fp bucket set collects to the driver (≤ `hashBuckets`
+    * distinct ints) and prunes index partitions STATICALLY, and the
+    * df-cap filters the STORED per-fingerprint document frequency —
+    * no per-serve aggregate over the index, no full-index scan. */
+  def winnowAgainst(
+      newDocs: DataFrame, index: WinnowFpIndex, idCol: String,
+      textCol: String, minShared: Int, maxDf: Int): DataFrame = {
+    val a = winnowFingerprints(
+        newDocs, idCol, textCol, index.k, index.w, index.portable)
+      .localCheckpoint(false) // feeds the bucket collect AND the join
+    val buckets = a.select(fpBucket(col("fp"), index.hashBuckets).as("bb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = index.rows.filter(col(BandBucket).isin(buckets: _*))
+    val capped =
+      if (maxDf == Int.MaxValue) pruned else pruned.filter(col("df") <= maxDf)
+    a.as("x").join(capped.as("y"), Seq("fp"))
+      .groupBy(col("x.id").as("new_id"), col("y.id").as("base_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   /** [[capHotFps]] over a loaded index's (id, fp) projection — the
     * base-side pre-cap [[winnowAgainst]] applies and

@@ -62,23 +62,31 @@ object PipelineQueries {
           Dedup.exact(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
           "doc_id", "text")
       },
-      Some("""
-        WITH n AS (
-          SELECT doc_id,
-                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
-          FROM documents),
-        idx AS (
-          SELECT h, MIN(doc_id) AS keep_id FROM n
-          WHERE doc_id % 2 = 0 GROUP BY h),
-        arr AS (SELECT doc_id, h FROM n WHERE doc_id % 2 = 1),
-        batch AS (SELECT h, MIN(doc_id) AS bkeep FROM arr GROUP BY h)
-        SELECT a.doc_id AS id, a.h AS text_hash,
-               CASE WHEN i.keep_id IS NOT NULL THEN i.keep_id
-                    WHEN b.bkeep <> a.doc_id THEN b.bkeep
-                    ELSE NULL END AS dup_of
-        FROM arr a
-        LEFT JOIN idx i ON i.h = a.h
-        LEFT JOIN batch b ON b.h = a.h""")),
+      Some(ExactIncrementalSql)),
+
+    // The SAME incremental exact serve through the persisted
+    // HASH-PARTITIONED index (saveExactIndexPartitioned → parquet
+    // round trip → exactAgainst(index)): the arrival batch's content-
+    // hash bucket set prunes index partitions statically, the LEFT
+    // join still classifies unmatched arrivals as survivors. Shares
+    // dedup_exact_incremental's oracle SQL VERBATIM — layout may only
+    // change which files are read, never a row.
+    QueryDef(
+      "dedup_exact_serve",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-exact-part-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
+        Dedup.saveExactIndexPartitioned(
+          Dedup.exact(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+          path, nHashBuckets = 16)
+        Dedup.exactAgainst(
+          docs.filter(col("doc_id") % 2 =!= 0),
+          Dedup.loadExactIndexPartitioned(s, path),
+          "doc_id", "text")
+      },
+      Some(ExactIncrementalSql)),
 
     // Append-composability law of the exact index: merging the two
     // halves' indexes is ROW-IDENTICAL to indexing the whole corpus —
@@ -382,31 +390,35 @@ object PipelineQueries {
             portable = true),
           "doc_id", "text", maxHamming = 14, portable = true)
       },
-      Some("""
-        WITH w AS (
-          SELECT doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
-          FROM documents),
-        th AS (
-          SELECT doc_id AS id,
-                 list_transform(ws, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
-          FROM w),
-        sim AS (
-          SELECT id,
-                 CAST(list_sum(list_transform(range(0, 60), p ->
-                   CASE WHEN 2 * len(list_filter(hs, h -> ((h >> p) & 1) = 1)) > len(hs)
-                        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS simhash
-          FROM th),
-        banded AS (
-          SELECT id, simhash, b, (simhash >> CAST(b*16 AS INTEGER)) & 65535 AS chunk
-          FROM sim, unnest(range(0, 4)) t(b)),
-        cand AS (
-          SELECT DISTINCT x.id AS new_id, y.id AS base_id,
-                 x.simhash AS sim_n, y.simhash AS sim_b
-          FROM banded x JOIN banded y ON x.b = y.b AND x.chunk = y.chunk
-          WHERE x.id % 2 = 1 AND y.id % 2 = 0)
-        SELECT new_id, base_id, CAST(bit_count(xor(sim_n, sim_b)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(sim_n, sim_b)) <= 14""")),
+      Some(SimhashIncrementalSql)),
+
+    // The SAME incremental SimHash serve through the persisted
+    // BAND-BUCKETED index (saveSimhashBandIndex → parquet round trip
+    // → simhashAgainst(index)): band rows precomputed at build, the
+    // arrival batch's (band, chunk) bucket set prunes index
+    // partitions statically, Hamming verified off the index rows
+    // themselves, and the hash family comes from the index's own
+    // stats sidecar. Shares dedup_simhash_incremental's oracle SQL
+    // VERBATIM — layout may only change which files are read, never
+    // a row.
+    QueryDef(
+      "dedup_simhash_serve",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-sim-bands-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
+        Dedup.saveSimhashBandIndex(
+          Dedup.withSimhash(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            portable = true),
+          path, nHashBuckets = 16)
+        Dedup.simhashAgainst(
+          docs.filter(col("doc_id") % 2 =!= 0),
+          Dedup.loadSimhashBandIndex(s, path),
+          "doc_id", "text", maxHamming = 14)
+      },
+      Some(SimhashIncrementalSql)),
 
     QueryDef(
       "dedup_embedding_cosine",
@@ -875,31 +887,35 @@ object PipelineQueries {
           "doc_id", "text", k = 8, w = 16, minShared = 2, maxDf = 100,
           portable = true)
       },
-      Some("""
-        WITH g AS (
-          SELECT doc_id,
-                 CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
-                 ELSE list_transform(
-                   range(1, greatest(length(text) - least(8, length(text)) + 1, 1) + 1),
-                   i -> list_reduce(
-                          list_transform(range(i, i + least(8, length(text))),
-                            j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
-                          (acc, x) -> (acc * 257 + x) % 2147483647))
-                 END AS hs
-          FROM documents),
-        s AS (
-          SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                   range(1, greatest(len(hs) - least(16, len(hs)) + 1, 1) + 1),
-                   j -> list_min(hs[CAST(j AS INTEGER):CAST(j + least(16, len(hs)) - 1 AS INTEGER)])))) AS fp
-          FROM g WHERE len(hs) > 0),
-        bs AS (SELECT doc_id, fp FROM s WHERE doc_id % 2 = 0),
-        keep AS (SELECT fp FROM bs GROUP BY fp HAVING COUNT(*) <= 100),
-        fb AS (SELECT bs.doc_id, bs.fp FROM bs JOIN keep USING (fp)),
-        fa AS (SELECT doc_id, fp FROM s WHERE doc_id % 2 = 1)
-        SELECT a.doc_id AS new_id, b.doc_id AS base_id, COUNT(*) AS n_shared
-        FROM fa a JOIN fb b ON a.fp = b.fp
-        GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
+      Some(WinnowIncrementalSql)),
+
+    // The SAME incremental winnow serve through the persisted
+    // FP-BUCKETED index (saveWinnowFpIndex → parquet round trip →
+    // winnowAgainst(index)): the arrival batch's fingerprint bucket
+    // set prunes index partitions statically, the df-cap filters the
+    // per-fingerprint document frequency STORED at build (no
+    // per-serve aggregate over the index), and (k, w, family) come
+    // from the index's own stats sidecar. Shares
+    // dedup_winnow_incremental's oracle SQL VERBATIM — layout may
+    // only change which files are read, never a row.
+    QueryDef(
+      "dedup_winnow_serve",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-win-fps-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
+        Dedup.saveWinnowFpIndex(
+          Dedup.winnowFingerprints(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            k = 8, w = 16, portable = true),
+          path, nHashBuckets = 16)
+        Dedup.winnowAgainst(
+          docs.filter(col("doc_id") % 2 =!= 0),
+          Dedup.loadWinnowFpIndex(s, path),
+          "doc_id", "text", minShared = 2, maxDf = 100)
+      },
+      Some(WinnowIncrementalSql)),
 
     // End-to-end dedup: pairs → clusters → drop non-canonical members.
     QueryDef(
@@ -1812,6 +1828,87 @@ object PipelineQueries {
           ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.42"""
+
+  /** Shared verbatim by dedup_exact_incremental and dedup_exact_serve
+    * — the first-seen-wins classification of the odd-id arrival half
+    * against the even-id index half. (lazy: referenced from `all`
+    * above, which initializes first.) */
+  private lazy val ExactIncrementalSql = """
+        WITH n AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+          FROM documents),
+        idx AS (
+          SELECT h, MIN(doc_id) AS keep_id FROM n
+          WHERE doc_id % 2 = 0 GROUP BY h),
+        arr AS (SELECT doc_id, h FROM n WHERE doc_id % 2 = 1),
+        batch AS (SELECT h, MIN(doc_id) AS bkeep FROM arr GROUP BY h)
+        SELECT a.doc_id AS id, a.h AS text_hash,
+               CASE WHEN i.keep_id IS NOT NULL THEN i.keep_id
+                    WHEN b.bkeep <> a.doc_id THEN b.bkeep
+                    ELSE NULL END AS dup_of
+        FROM arr a
+        LEFT JOIN idx i ON i.h = a.h
+        LEFT JOIN batch b ON b.h = a.h"""
+
+  /** Shared verbatim by dedup_simhash_incremental and
+    * dedup_simhash_serve — the portable-family fingerprint replay
+    * plus the banded cross join and Hamming verify. (lazy: referenced
+    * from `all` above, which initializes first.) */
+  private lazy val SimhashIncrementalSql = """
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        th AS (
+          SELECT doc_id AS id,
+                 list_transform(ws, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+          FROM w),
+        sim AS (
+          SELECT id,
+                 CAST(list_sum(list_transform(range(0, 60), p ->
+                   CASE WHEN 2 * len(list_filter(hs, h -> ((h >> p) & 1) = 1)) > len(hs)
+                        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM th),
+        banded AS (
+          SELECT id, simhash, b, (simhash >> CAST(b*16 AS INTEGER)) & 65535 AS chunk
+          FROM sim, unnest(range(0, 4)) t(b)),
+        cand AS (
+          SELECT DISTINCT x.id AS new_id, y.id AS base_id,
+                 x.simhash AS sim_n, y.simhash AS sim_b
+          FROM banded x JOIN banded y ON x.b = y.b AND x.chunk = y.chunk
+          WHERE x.id % 2 = 1 AND y.id % 2 = 0)
+        SELECT new_id, base_id, CAST(bit_count(xor(sim_n, sim_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_n, sim_b)) <= 14"""
+
+  /** Shared verbatim by dedup_winnow_incremental and
+    * dedup_winnow_serve — the portable rolling-hash fingerprint
+    * replay, base-side df-cap, and shared-fingerprint count. */
+  private lazy val WinnowIncrementalSql = """
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+                 ELSE list_transform(
+                   range(1, greatest(length(text) - least(8, length(text)) + 1, 1) + 1),
+                   i -> list_reduce(
+                          list_transform(range(i, i + least(8, length(text))),
+                            j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                          (acc, x) -> (acc * 257 + x) % 2147483647))
+                 END AS hs
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - least(16, len(hs)) + 1, 1) + 1),
+                   j -> list_min(hs[CAST(j AS INTEGER):CAST(j + least(16, len(hs)) - 1 AS INTEGER)])))) AS fp
+          FROM g WHERE len(hs) > 0),
+        bs AS (SELECT doc_id, fp FROM s WHERE doc_id % 2 = 0),
+        keep AS (SELECT fp FROM bs GROUP BY fp HAVING COUNT(*) <= 100),
+        fb AS (SELECT bs.doc_id, bs.fp FROM bs JOIN keep USING (fp)),
+        fa AS (SELECT doc_id, fp FROM s WHERE doc_id % 2 = 1)
+        SELECT a.doc_id AS new_id, b.doc_id AS base_id, COUNT(*) AS n_shared
+        FROM fa a JOIN fb b ON a.fp = b.fp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
 
   /** Shared verbatim by dedup_incremental and dedup_minhash_serve —
     * the portable-family replay of both sides' signatures plus the

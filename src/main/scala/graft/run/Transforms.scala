@@ -157,6 +157,19 @@ object Transforms {
       .unionByName(staged.filter(col(text).isNull || col(key).isNull))
   }
 
+  /** Layout sniff for the fingerprint index gates: every PARTITIONED
+    * serve layout ([[graft.ops.Dedup.saveLshBandIndex]] /
+    * `saveSimhashBandIndex` / `saveWinnowFpIndex`) writes a `stats`
+    * sidecar next to its data directory; the flat layouts are a bare
+    * parquet table. One existence probe at plan time picks the
+    * loader, so a gate upgrades to file-level partition pruning the
+    * moment its index is re-saved in the partitioned form — no config
+    * change. */
+  private def isPartitionedIndex(df: DataFrame, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, "stats")
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** rates as strata:pct pairs joined with '|', e.g. `en:40|de:80`. */
   private def parseRates(spec: String): Map[String, Int] =
     spec.split('|').toSeq.map { r =>
@@ -200,64 +213,114 @@ object Transforms {
       // history drop; within-frame repeats keep the min-key row
       // (dedup_exact's semantics, via exactAgainst's first-seen-wins
       // classification).
+      // `index` is either a flat parquet index (saveExactIndex) or a
+      // hash-partitioned ExactHashIndex directory
+      // (saveExactIndexPartitioned, auto-detected by its stats
+      // sidecar): partition-pruned serving, only the arrival batch's
+      // hash buckets are read.
       val key = t.arg("key")
+      val root = t.arg("index")
       indexGate(df, key, t.arg("col"), keepMatches = true) { (rows, text) =>
-        graft.ops.Dedup.exactAgainst(rows,
-            graft.ops.Dedup.loadExactIndex(df.sparkSession, t.arg("index")),
+        val classified =
+          if (isPartitionedIndex(df, root))
+            graft.ops.Dedup.exactAgainst(rows,
+              graft.ops.Dedup.loadExactIndexPartitioned(df.sparkSession, root),
+              key, text)
+          else graft.ops.Dedup.exactAgainst(rows,
+            graft.ops.Dedup.loadExactIndex(df.sparkSession, root),
             key, text)
-          .filter(col("dup_of").isNull)
-          .select(col("id").as(key))
+        classified.filter(col("dup_of").isNull).select(col("id").as(key))
       }
     case "simhash_filter" =>
       // Near-dup ingest gate: drop rows whose SimHash fingerprint is
       // within max_hamming (default 8) of ANY document in a persisted
-      // fingerprint index (graft.ops.Dedup.saveSimhashes) — the
-      // typo-tolerant sibling of dedup_against.
+      // fingerprint index — the typo-tolerant sibling of
+      // dedup_against. `index` is either a flat fingerprint table
+      // (graft.ops.Dedup.saveSimhashes; arrivals hashed with the
+      // default family) or a band-bucketed SimhashBandIndex directory
+      // (saveSimhashBandIndex, auto-detected by its stats sidecar):
+      // partition-pruned serving, hash family from the index itself —
+      // the only DSL route to a portable-family index.
       val key = t.arg("key")
+      val root = t.arg("index")
+      val mh = t.args.get("max_hamming").map(_.toInt).getOrElse(8)
       indexGate(df, key, t.arg("col"), keepMatches = false) { (rows, text) =>
-        graft.ops.Dedup.simhashAgainst(rows,
-            graft.ops.Dedup.loadSimhashes(df.sparkSession, t.arg("index")),
-            key, text,
-            maxHamming = t.args.get("max_hamming").map(_.toInt).getOrElse(8))
-          .select(col("new_id").as(key)).distinct()
+        val pairs =
+          if (isPartitionedIndex(df, root))
+            graft.ops.Dedup.simhashAgainst(rows,
+              graft.ops.Dedup.loadSimhashBandIndex(df.sparkSession, root),
+              key, text, mh)
+          else graft.ops.Dedup.simhashAgainst(rows,
+            graft.ops.Dedup.loadSimhashes(df.sparkSession, root),
+            key, text, maxHamming = mh)
+        pairs.select(col("new_id").as(key)).distinct()
       }
     case "winnow_filter" =>
       // Substring-copy ingest gate: drop rows sharing >= min_shared
       // (default 2) winnowed fingerprints with a persisted reference
-      // index (graft.ops.Dedup.saveWinnowFingerprints) — "copied a
-      // run of w+k-1 chars from history". max_df (default uncapped)
-      // is the base-side boilerplate cap.
+      // index — "copied a run of w+k-1 chars from history". max_df
+      // (default uncapped) is the base-side boilerplate cap. `index`
+      // is either a flat fingerprint table
+      // (graft.ops.Dedup.saveWinnowFingerprints; arrivals
+      // fingerprinted with the default (k, w, family)) or an
+      // fp-bucketed WinnowFpIndex directory (saveWinnowFpIndex,
+      // auto-detected by its stats sidecar): partition-pruned
+      // serving, (k, w, family) from the index itself and the df-cap
+      // a stored-column filter — the only DSL route to non-default
+      // build parameters.
       val key = t.arg("key")
+      val root = t.arg("index")
+      val minSh = t.args.get("min_shared").map(_.toInt).getOrElse(2)
+      val mDf = t.args.get("max_df").map(_.toInt).getOrElse(Int.MaxValue)
       indexGate(df, key, t.arg("col"), keepMatches = false) { (rows, text) =>
-        graft.ops.Dedup.winnowAgainst(rows,
-            graft.ops.Dedup.loadWinnowFingerprints(df.sparkSession, t.arg("index")),
-            key, text,
-            minShared = t.args.get("min_shared").map(_.toInt).getOrElse(2),
-            maxDf = t.args.get("max_df").map(_.toInt).getOrElse(Int.MaxValue))
-          .select(col("new_id").as(key)).distinct()
+        val pairs =
+          if (isPartitionedIndex(df, root))
+            graft.ops.Dedup.winnowAgainst(rows,
+              graft.ops.Dedup.loadWinnowFpIndex(df.sparkSession, root),
+              key, text, minShared = minSh, maxDf = mDf)
+          else graft.ops.Dedup.winnowAgainst(rows,
+            graft.ops.Dedup.loadWinnowFingerprints(df.sparkSession, root),
+            key, text, minShared = minSh, maxDf = mDf)
+        pairs.select(col("new_id").as(key)).distinct()
       }
     case "minhash_filter" =>
       // Document-level near-dup ingest gate: drop rows whose MinHash
       // signature LSH-collides (est. Jaccard >= threshold, default
-      // 0.5) with ANY document of a persisted signature index
-      // (graft.ops.Dedup.saveSignatures) — the fourth persisted-index
-      // gate; k/bands/shingle_n/portable must match the index build
-      // (the index's metadata tags enforce portable and shingle_n).
+      // 0.5) with ANY document of a persisted signature index — the
+      // fourth persisted-index gate. `index` is either a flat
+      // signature table (graft.ops.Dedup.saveSignatures; k/bands/
+      // portable args must match the build — the metadata tags
+      // enforce portable and shingle_n) or a band-bucketed
+      // LshBandIndex directory (saveLshBandIndex, auto-detected by
+      // its stats sidecar): partition-pruned serving with k/bands/
+      // portable from the index itself (only shingle_n and the
+      // serve-time threshold/max_bucket knobs still apply).
       val key = t.arg("key")
-      val kSig = t.args.get("k").map(_.toInt).getOrElse(16)
-      val portable = t.args.get("portable").exists(_.toBoolean)
+      val root = t.arg("index")
+      val shingleN = t.args.get("shingle_n").map(_.toInt).getOrElse(3)
+      val threshold = t.args.get("threshold").map(_.toDouble).getOrElse(0.5)
+      val maxBucket = t.args.get("max_bucket").map(_.toInt).getOrElse(Int.MaxValue)
       indexGate(df, key, t.arg("col"), keepMatches = false) { (rows, text) =>
-        graft.ops.Dedup.minhashLshAgainst(
-          graft.ops.Dedup.minhashSignatures(rows, key, text,
-            shingleN = t.args.get("shingle_n").map(_.toInt).getOrElse(3),
-            k = kSig, portable = portable),
-          graft.ops.Dedup.loadSignatures(df.sparkSession, t.arg("index")),
-          k = kSig,
-          bands = t.args.get("bands").map(_.toInt).getOrElse(8),
-          threshold = t.args.get("threshold").map(_.toDouble).getOrElse(0.5),
-          portable = portable,
-          maxBucket = t.args.get("max_bucket").map(_.toInt).getOrElse(Int.MaxValue))
-          .select(col("new_id").as(key)).distinct()
+        val pairs =
+          if (isPartitionedIndex(df, root)) {
+            val idx = graft.ops.Dedup.loadLshBandIndex(df.sparkSession, root)
+            graft.ops.Dedup.minhashLshAgainst(
+              graft.ops.Dedup.minhashSignatures(rows, key, text,
+                shingleN = shingleN, k = idx.k, portable = idx.portable),
+              idx, threshold = threshold, maxBucket = maxBucket)
+          } else {
+            val kSig = t.args.get("k").map(_.toInt).getOrElse(16)
+            val portable = t.args.get("portable").exists(_.toBoolean)
+            graft.ops.Dedup.minhashLshAgainst(
+              graft.ops.Dedup.minhashSignatures(rows, key, text,
+                shingleN = shingleN, k = kSig, portable = portable),
+              graft.ops.Dedup.loadSignatures(df.sparkSession, root),
+              k = kSig,
+              bands = t.args.get("bands").map(_.toInt).getOrElse(8),
+              threshold = threshold, portable = portable,
+              maxBucket = maxBucket)
+          }
+        pairs.select(col("new_id").as(key)).distinct()
       }
     case "semantic_filter" =>
       // Embedding near-dup ingest gate: drop rows whose vector scores

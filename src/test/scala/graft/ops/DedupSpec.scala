@@ -66,6 +66,50 @@ class DedupSpec extends SparkSpec with Matchers {
       24L -> None) // NULL text: one output row, survivor — never silently eaten
   }
 
+  test("ExactHashIndex: identical classification to the flat serve, probed buckets only") {
+    val history = docsDf((1L to 200L).map(i => i -> s"doc content ${i % 40}"))
+    val arrivals = docsDf(Seq(
+      1000L -> "doc content 5",   // index hit
+      1001L -> "fresh content a", // survivor
+      1002L -> "repeated inside", // batch pair
+      1003L -> "Repeated  INSIDE",
+      1004L -> null.asInstanceOf[String])) // content-free arrival
+    val scratch = java.nio.file.Files.createTempDirectory("graft-xpidx").toString
+    val nBuckets = 16
+    Dedup.saveExactIndexPartitioned(
+      Dedup.exact(history, "doc_id", "text"), s"$scratch/idx",
+      nHashBuckets = nBuckets)
+    val idx = Dedup.loadExactIndexPartitioned(spark, s"$scratch/idx")
+    idx.hashBuckets shouldBe nBuckets
+
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val served = rows(Dedup.exactAgainst(arrivals, idx, "doc_id", "text"))
+    val flat = rows(Dedup.exactAgainst(
+      arrivals, Dedup.exact(history, "doc_id", "text"), "doc_id", "text"))
+    served shouldBe flat
+    served.map(_._1) shouldBe Set(1000L, 1001L, 1002L, 1003L, 1004L)
+    // unmatched arrivals stay survivors through the pruned LEFT join
+    served.find(_._1 == 1001L).get._3 shouldBe None
+    served.find(_._1 == 1004L).get._3 shouldBe None
+
+    // pruning pin: the 4 distinct arrival hashes touch ≤ 4 of the 16
+    // bucket directories; the full index spans (far) more
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val arrBuckets = Dedup.exact(arrivals, "doc_id", "text")
+      .select(pmod(xxhash64(col("text_hash")), lit(nBuckets.toLong))
+        .cast("int").as("bb"))
+      .filter(col("bb").isNotNull)
+      .distinct().collect().map(_.getInt(0)).toSeq
+    filesRead(idx.rows.filter(col("__graft_bb").isin(arrBuckets: _*))) should
+      be <= 4L
+    filesRead(idx.rows) should be > 4L
+  }
+
   test("bucketed exact index: identical rows, strictly fewer exchanges (index side reads in place)") {
     val history = docsDf((1L to 200L).map(i => i -> s"doc content ${i % 40}"))
     val arrivals = docsDf((1000L to 1019L).map(i => i -> s"doc content ${i % 50}"))
@@ -584,6 +628,167 @@ class DedupSpec extends SparkSpec with Matchers {
       Dedup.minhashLshAgainst(batchSigs, pidx,
         threshold = 0.25, maxBucket = Int.MaxValue)
     }.getMessage should include ("graft.minhash.portable")
+  }
+
+  test("SimhashBandIndex: identical pairs to the flat fingerprint serve, probed buckets only") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    def vary(j: Int) =
+      (1 to 30).map(i => if (i == j) "CHANGED" else s"token$i").mkString(" ")
+    val docs = docsDf((1L to 60L).map { i =>
+      i -> (if (i % 3 == 0) base
+            else if (i % 3 == 1) vary((i % 7).toInt + 1)
+            else s"wholly different content number $i about other things")
+    })
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 =!= 0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-simbidx").toString
+    val nBuckets = 16
+    // portable=true rides the frame's metadata into the stats sidecar
+    Dedup.saveSimhashBandIndex(
+      Dedup.withSimhash(history, "doc_id", "text", portable = true),
+      s"$scratch/idx", nHashBuckets = nBuckets)
+    val idx = Dedup.loadSimhashBandIndex(spark, s"$scratch/idx")
+    idx.portable shouldBe true
+    idx.hashBuckets shouldBe nBuckets
+
+    val served = Dedup.simhashAgainst(
+        arrivals, idx, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val flat = Dedup.simhashAgainst(
+        arrivals,
+        Dedup.withSimhash(history, "doc_id", "text", portable = true),
+        "doc_id", "text", maxHamming = 10, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    served should not be empty
+    served shouldBe flat
+
+    // Pruning pin: a one-doc arrival touches at most 4 band chunks →
+    // at most 4 bucket files of the 16 written.
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val oneDoc = docs.filter(col("doc_id") === 3L)
+    Dedup.simhashAgainst(oneDoc, idx, "doc_id", "text", maxHamming = 10)
+      .count() should be > 0L
+    // reconstruct the pruned scan the serve ran
+    val oneBands = Dedup.withSimhash(oneDoc, "doc_id", "text", portable = true)
+      .select(explode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0), lit(3)),
+        b => pmod(xxhash64(b,
+          call_function("shiftrightunsigned", col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL))), lit(nBuckets.toLong)).cast("int")))
+        .as("bb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    filesRead(idx.rows.filter(col("__graft_bb").isin(oneBands: _*))) should
+      be <= 4L
+    filesRead(idx.rows) should be > 4L
+
+    // An untagged frame cannot become an index (the serve must know
+    // the index's own hash family).
+    val bare = Dedup.loadSimhashBandIndex(spark, s"$scratch/idx") // ok
+    bare.rows.count() should be > 0L
+    intercept[IllegalArgumentException] {
+      Dedup.saveSimhashBandIndex(
+        Dedup.withSimhash(history, "doc_id", "text", portable = true)
+          .select(col("id"), col("simhash").cast("long").as("simhash")), // cast drops metadata
+        s"$scratch/untagged")
+    }.getMessage should include ("graft.simhash.portable")
+  }
+
+  test("appendSimhashBandIndex: batch-cadence appends serve like one save; family mismatch fails fast") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val docs = docsDf((1L to 90L).map { i =>
+      i -> (if (i % 2 == 0) base else s"unique content number $i here")
+    })
+    val parts = Seq(
+      docs.filter(col("doc_id") <= 30L),
+      docs.filter(col("doc_id") > 30L && col("doc_id") <= 60L),
+      docs.filter(col("doc_id") > 60L))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-simapp").toString
+    Dedup.saveSimhashBandIndex(
+      Dedup.withSimhash(parts.head, "doc_id", "text", portable = true),
+      s"$scratch/inc", nHashBuckets = 8)
+    parts.tail.foreach { p =>
+      Dedup.appendSimhashBandIndex(
+        Dedup.withSimhash(p, "doc_id", "text", portable = true),
+        s"$scratch/inc")
+    }
+    Dedup.saveSimhashBandIndex(
+      Dedup.withSimhash(docs, "doc_id", "text", portable = true),
+      s"$scratch/one", nHashBuckets = 8)
+    def rows(p: String): Seq[String] =
+      Dedup.loadSimhashBandIndex(spark, p).rows
+        .collect().map(_.toString).sorted.toSeq
+    rows(s"$scratch/inc") shouldBe rows(s"$scratch/one")
+    // the appended index serves identically to the one-shot one
+    val arr = docsDf(Seq(1000L -> base, 1001L -> "novel text entirely"))
+    def served(p: String) = Dedup.simhashAgainst(
+        arr, Dedup.loadSimhashBandIndex(spark, p),
+        "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = served(s"$scratch/inc")
+    inc should not be empty
+    inc shouldBe served(s"$scratch/one")
+    // a batch hashed with the wrong family cannot be appended
+    intercept[IllegalArgumentException] {
+      Dedup.appendSimhashBandIndex(
+        Dedup.withSimhash(parts.head, "doc_id", "text", portable = false),
+        s"$scratch/inc")
+    }.getMessage should include ("graft.simhash.portable")
+  }
+
+  test("WinnowFpIndex: identical overlaps to the flat serve, stored df honors the serve-time cap") {
+    val run = (1 to 40).map(i => s"w$i").mkString(" ")
+    val boiler = "the same boilerplate opening sentence appears everywhere"
+    val docs = docsDf((1L to 40L).map { i =>
+      i -> (if (i % 4 == 0) s"$boiler $run tail$i"
+            else if (i % 4 == 2) s"$boiler $run other$i"
+            else s"$boiler document $i with its own words entirely ${i * 7}")
+    })
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 =!= 0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-winbidx").toString
+    val nBuckets = 16
+    Dedup.saveWinnowFpIndex(
+      Dedup.winnowFingerprints(history, "doc_id", "text",
+        k = 6, w = 8, portable = true),
+      s"$scratch/idx", nHashBuckets = nBuckets)
+    val idx = Dedup.loadWinnowFpIndex(spark, s"$scratch/idx")
+    idx.k shouldBe 6
+    idx.w shouldBe 8
+    idx.portable shouldBe true
+    idx.hashBuckets shouldBe nBuckets
+
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // both the capped and uncapped serve must match the flat path
+    for (maxDf <- Seq(5, Int.MaxValue)) {
+      val served = pairs(Dedup.winnowAgainst(
+        arrivals, idx, "doc_id", "text", minShared = 2, maxDf = maxDf))
+      val flat = pairs(Dedup.winnowAgainst(
+        arrivals,
+        Dedup.winnowFingerprints(history, "doc_id", "text",
+          k = 6, w = 8, portable = true),
+        "doc_id", "text", k = 6, w = 8, minShared = 2, maxDf = maxDf,
+        portable = true))
+      served shouldBe flat
+      if (maxDf == Int.MaxValue) served should not be empty
+    }
+
+    // the boilerplate fingerprints (df > 5 across 20 history docs)
+    // are exactly what the cap drops — capped strictly smaller
+    val uncapped = pairs(Dedup.winnowAgainst(
+      arrivals, idx, "doc_id", "text", minShared = 2, maxDf = Int.MaxValue))
+    val capped = pairs(Dedup.winnowAgainst(
+      arrivals, idx, "doc_id", "text", minShared = 2, maxDf = 5))
+    capped.size should be < uncapped.size
+
+    // untagged frames cannot become an index
+    intercept[IllegalArgumentException] {
+      Dedup.saveWinnowFpIndex(
+        Dedup.loadWinnowFingerprints(spark, s"$scratch/idx/fps")
+          .select(col("id"), col("fp").cast("long").as("fp")), // cast drops metadata
+        s"$scratch/untagged")
+    }.getMessage should include ("graft.winnow")
   }
 
   test("index build-parameter tags: mismatched serve parameters fail fast, through parquet round trips") {

@@ -321,6 +321,16 @@ class RunnerSpec extends SparkSpec {
       Transforms.parse(s"dedup_against(key=id,col=bio,index=$scratch/idx)"))
       .collect().map(_.getLong(0)).sorted
     assert(out.toSeq == Seq(2L, 3L, 5L), s"got ${out.toSeq}")
+
+    // hash-partitioned layout: the stats sidecar flips the gate's
+    // loader to the partition-pruned serve, same kept rows
+    graft.ops.Dedup.saveExactIndexPartitioned(
+      graft.ops.Dedup.exact(history, "id", "bio"), s"$scratch/idxp",
+      nHashBuckets = 8)
+    val outP = Transforms.applyAll(df,
+      Transforms.parse(s"dedup_against(key=id,col=bio,index=$scratch/idxp)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(outP.toSeq == Seq(2L, 3L, 5L), s"got ${outP.toSeq}")
   }
 
   test("simhash_filter / winnow_filter transforms: near-dups of the persisted index drop, novel and NULL rows survive") {
@@ -354,6 +364,26 @@ class RunnerSpec extends SparkSpec {
       s"winnow_filter(key=id,col=bio,index=$scratch/wfp,min_shared=2)"))
       .collect().map(_.getLong(0)).sorted
     assert(winOut.toSeq == Seq(2L, 3L), s"got ${winOut.toSeq}")
+
+    // PARTITIONED layouts at the same paths' pruned twins: the stats
+    // sidecar flips the gate's loader, same kept rows. The winnow one
+    // is built with NON-default (k, w) — only reachable from the DSL
+    // through the sidecar (the flat path serves defaults).
+    graft.ops.Dedup.saveSimhashBandIndex(
+      graft.ops.Dedup.withSimhash(history, "id", "bio"), s"$scratch/simp",
+      nHashBuckets = 8)
+    val simpOut = Transforms.applyAll(df, Transforms.parse(
+      s"simhash_filter(key=id,col=bio,index=$scratch/simp,max_hamming=14)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(simpOut.toSeq == Seq(2L, 3L), s"got ${simpOut.toSeq}")
+    graft.ops.Dedup.saveWinnowFpIndex(
+      graft.ops.Dedup.winnowFingerprints(history, "id", "bio", k = 6, w = 8),
+      s"$scratch/wfpp", nHashBuckets = 8)
+    val winpOut = Transforms.applyAll(wdf, Transforms.parse(
+      s"winnow_filter(key=id,col=bio,index=$scratch/wfpp,min_shared=2)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(winpOut.toSeq == Seq(2L, 3L), s"got ${winpOut.toSeq}")
+
     // parse-time arg typing: non-numeric max_hamming dies in parse()
     intercept[IllegalArgumentException](Transforms.parse(
       "simhash_filter(key=id,col=bio,index=/x,max_hamming=abc)"))
@@ -379,6 +409,17 @@ class RunnerSpec extends SparkSpec {
       s"minhash_filter(key=id,col=bio,index=$scratch/mh,threshold=0.5)"))
       .collect().map(_.getLong(0)).sorted
     assert(mhOut.toSeq == Seq(2L, 3L), s"got ${mhOut.toSeq}")
+
+    // band-bucketed layout, PORTABLE family: k/portable come from the
+    // index's stats sidecar (no k=/portable= args), same kept rows.
+    graft.ops.Dedup.saveLshBandIndex(
+      graft.ops.Dedup.minhashSignatures(history, "id", "bio",
+        shingleN = 3, k = 16, portable = true),
+      s"$scratch/mhp", k = 16, bands = 8, portable = true, nHashBuckets = 8)
+    val mhpOut = Transforms.applyAll(df, Transforms.parse(
+      s"minhash_filter(key=id,col=bio,index=$scratch/mhp,threshold=0.5)"))
+      .collect().map(_.getLong(0)).sorted
+    assert(mhpOut.toSeq == Seq(2L, 3L), s"got ${mhpOut.toSeq}")
 
     // semantic_filter: history = 3 unit vectors; arrival 1 duplicates
     // one of them, arrival 2 is orthogonal, arrival 3 has no vector.
