@@ -693,6 +693,15 @@ object Dedup {
       .parquet(s"$path/bands")
   }
 
+  /** Compact an append-maintained [[saveSimhashBandIndex]] layout
+    * back to one file per bucket directory (appends add ≤ 1 file per
+    * touched bucket per batch). Rows untouched; see
+    * [[OpsUtil.compactPartitionedDir]] for the swap semantics and the
+    * don't-compact-under-a-live-serve caveat. */
+  def compactSimhashBandIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    OpsUtil.compactPartitionedDir(spark, s"$path/bands", BandBucket)
+
   /** Load a persisted [[SimhashBandIndex]] (inverse of
     * [[saveSimhashBandIndex]]). */
   def loadSimhashBandIndex(

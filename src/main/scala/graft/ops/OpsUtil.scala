@@ -90,6 +90,36 @@ private[graft] object OpsUtil {
       case None => (df, _) => df.localCheckpoint(true)
     }
 
+  /** Rewrite a hash-partitioned parquet layout down to ONE file per
+    * partition directory — the compaction step of the append-
+    * maintained serve indexes ([[Similarity.appendEncodedCorpus]],
+    * [[Dedup.appendSimhashBandIndex]]), whose batch-cadence appends
+    * grow FILE counts linearly in batches (≤ 1 file per touched
+    * directory per append) even though row counts only grow with
+    * data. Reads the layout, rewrites it repartitioned on the
+    * partition column (all rows of a value land in one task ⇒ exactly
+    * one file per directory), then swaps: write to a sibling temp
+    * dir, delete the original, rename into place. The swap is atomic
+    * on HDFS/local rename semantics; on object stores rename is
+    * copy+delete, so run compaction from the maintenance job that
+    * owns the index, never concurrently with a serve. Rows are
+    * untouched by construction (spec-pinned: compacted ≡ original,
+    * one file per directory). */
+  def compactPartitionedDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      partitionCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".__graft_compact")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(tmp.toString)
+    require(fs.delete(p, true), s"compact: could not remove $p")
+    require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed")
+  }
+
   /** Decouple compute-bound projection parallelism from input-split
     * parallelism: when the scan yields fewer partitions than the
     * cluster has slots (small files, single row groups), redistribute

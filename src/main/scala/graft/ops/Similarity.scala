@@ -723,6 +723,16 @@ object Similarity {
     encoded.repartition(col("cid"))
       .write.mode(mode).partitionBy("cid").parquet(path)
 
+  /** Compact an append-maintained [[saveEncodedCorpus]] layout back
+    * to one file per cid directory (appends add ≤ 1 file per touched
+    * cid per batch — file counts grow with BATCHES; this folds them
+    * back). Rows untouched; see
+    * [[graft.ops.OpsUtil.compactPartitionedDir]] for the swap
+    * semantics and the don't-compact-under-a-live-serve caveat. */
+  def compactEncodedCorpus(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    OpsUtil.compactPartitionedDir(spark, path, "cid")
+
   /** Load a persisted encoded corpus (inverse of
     * [[saveEncodedCorpus]]; also reads a flat [[encodeCorpus]]
     * parquet — the column set is identical either way). A

@@ -734,6 +734,15 @@ class DedupSpec extends SparkSpec with Matchers {
         Dedup.withSimhash(parts.head, "doc_id", "text", portable = false),
         s"$scratch/inc")
     }.getMessage should include ("graft.simhash.portable")
+
+    // compaction folds per-batch files back to one per bucket
+    // directory, rows and serve results untouched
+    Dedup.compactSimhashBandIndex(spark, s"$scratch/inc")
+    rows(s"$scratch/inc") shouldBe rows(s"$scratch/one")
+    served(s"$scratch/inc") shouldBe inc
+    val compacted = Dedup.loadSimhashBandIndex(spark, s"$scratch/inc").rows
+    compacted.select(input_file_name()).distinct().count() shouldBe
+      compacted.select("__graft_bb").distinct().count()
   }
 
   test("WinnowFpIndex: identical overlaps to the flat serve, stored df honors the serve-time cap") {

@@ -574,6 +574,14 @@ class SimilaritySpec extends SparkSpec with Matchers {
       .select(input_file_name()).distinct().count()
     filesOne should be < filesAll
     filesOne should be <= 3L // ≤ one file per append at this cid
+
+    // compaction folds the per-batch files back to one per cid
+    // directory, rows untouched
+    Similarity.compactEncodedCorpus(spark, s"$scratch/inc")
+    rows(s"$scratch/inc") shouldBe rows(s"$scratch/one")
+    val compacted = Similarity.loadEncodedCorpus(spark, s"$scratch/inc")
+    val nCids = compacted.select("cid").distinct().count()
+    compacted.select(input_file_name()).distinct().count() shouldBe nCids
   }
 
   test("pqIndexStream: per-batch encodings append to exactly the batch-encoded corpus") {
