@@ -468,15 +468,15 @@ object Dedup {
     * sidecar and are re-validated at serve. */
   final case class LshBandIndex(
       rows: DataFrame, k: Int, bands: Int, portable: Boolean,
-      hashBuckets: Int)
+      hashBuckets: Int, shingleN: Option[Int] = None)
 
   /** Partition column of the band-bucketed LSH layout. */
   private[graft] val BandBucket = "__graft_bb"
 
-  /** band_hash → partition bucket (INT to match parquet partition
-    * type inference; band_hash is long or md5 string per family). */
+  /** band_hash → partition bucket (the shared [[OpsUtil.hashBucket]];
+    * band_hash is long or md5 string per family). */
   private def bandBucket(bandHash: Column, n: Int): Column =
-    pmod(xxhash64(bandHash), lit(n.toLong)).cast("int")
+    OpsUtil.hashBucket(n, bandHash)
 
   /** Build + persist an [[LshBandIndex]] from a signature table
     * ([[minhashSignatures]] output). `maxBucket` (the template-
@@ -491,6 +491,22 @@ object Dedup {
       maxBucket: Int = Int.MaxValue, nHashBuckets: Int = 64): Unit = {
     require(k % bands == 0, "k must divide into bands")
     require(nHashBuckets > 0, "saveLshBandIndex: nHashBuckets must be > 0")
+    // The signature frame's own family tag must match the `portable`
+    // the band rows are built with — otherwise the sidecar records a
+    // family the index was never hashed with and every serve that
+    // derives the arrival family from the index silently returns
+    // nothing.
+    checkBuildParams(sigs, "sig", "saveLshBandIndex",
+      Seq("graft.minhash.portable" -> portable))
+    // shingle_n rides the sidecar when the frame carries its tag (every
+    // minhashSignatures output does): band hashes strip the signature
+    // metadata, so without the sidecar a serve could sign arrivals at a
+    // different shingle width and silently find nothing.
+    val sigMd = sigs.schema("sig").metadata
+    val shingleN: java.lang.Integer =
+      if (sigMd.contains("graft.minhash.shingle_n"))
+        Int.box(sigMd.getLong("graft.minhash.shingle_n").toInt)
+      else null
     bandRows(sigLengthGuard(sigs, k, "base"), k, bands, portable, maxBucket)
       .withColumn(BandBucket, bandBucket(col("band_hash"), nHashBuckets))
       .repartition(nHashBuckets, col(BandBucket))
@@ -498,8 +514,8 @@ object Dedup {
       .parquet(s"$path/bands")
     val spark = sigs.sparkSession
     import spark.implicits._
-    Seq((k, bands, portable, nHashBuckets))
-      .toDF("k", "bands", "portable", "hash_buckets")
+    Seq((k, bands, portable, nHashBuckets, Option(shingleN).map(_.toInt)))
+      .toDF("k", "bands", "portable", "hash_buckets", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -508,8 +524,15 @@ object Dedup {
   def loadLshBandIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): LshBandIndex = {
     val st = spark.read.parquet(s"$path/stats").head()
+    val shingleN =
+      if (st.schema.fieldNames.contains("shingle_n") &&
+          !st.isNullAt(st.fieldIndex("shingle_n")))
+        Some(st.getInt(st.fieldIndex("shingle_n")))
+      else None
     LshBandIndex(spark.read.parquet(s"$path/bands"),
-      st.getInt(0), st.getInt(1), st.getBoolean(2), st.getInt(3))
+      st.getAs[Int]("k"), st.getAs[Int]("bands"),
+      st.getAs[Boolean]("portable"), st.getAs[Int]("hash_buckets"),
+      shingleN)
   }
 
   /** [[minhashLshAgainst]] against a persisted [[LshBandIndex]] —
@@ -530,6 +553,19 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     checkBuildParams(newSigs, "sig", "minhashLshAgainst",
       Seq("graft.minhash.portable" -> index.portable))
+    // The raw-path shingle-width guard, against the index's sidecar:
+    // signatures from different shingle widths never match
+    // meaningfully, and the band rows carry no metadata to catch it.
+    val nm = newSigs.schema("sig").metadata
+    index.shingleN.foreach { want =>
+      if (nm.contains("graft.minhash.shingle_n"))
+        require(nm.getLong("graft.minhash.shingle_n").toInt == want,
+          "minhashLshAgainst: the index was built from signatures with " +
+            s"shingle_n=$want but the arrival signatures carry shingle_n=" +
+            s"${nm.getLong("graft.minhash.shingle_n")} — matching shingle " +
+            "widths are required (signatures from different widths never " +
+            "match meaningfully)")
+    }
     val newOnce = sigLengthGuard(newSigs, index.k, "new")
     val a = bandRows(newOnce, index.k, index.bands, index.portable, maxBucket)
       .select(col("band"), col("band_hash"),
@@ -635,9 +671,9 @@ object Dedup {
       rows: DataFrame, portable: Boolean, hashBuckets: Int)
 
   /** (band, chunk) → partition bucket of the band-bucketed SimHash
-    * layout (INT for parquet partition-type inference). */
+    * layout (the shared [[OpsUtil.hashBucket]]). */
   private def simChunkBucket(band: Column, chunk: Column, n: Int): Column =
-    pmod(xxhash64(band, chunk), lit(n.toLong)).cast("int")
+    OpsUtil.hashBucket(n, band, chunk)
 
   /** Build + persist a [[SimhashBandIndex]] from a [[withSimhash]] /
     * [[loadSimhashes]] fingerprint table. Size `nHashBuckets` to the
@@ -1120,9 +1156,11 @@ object Dedup {
   final case class WinnowFpIndex(
       rows: DataFrame, k: Int, w: Int, portable: Boolean, hashBuckets: Int)
 
-  /** fp → partition bucket of the fp-bucketed winnow layout. */
+  /** fp → partition bucket of the fp-bucketed winnow layout (also the
+    * exact layout's content-hash bucket; the shared
+    * [[OpsUtil.hashBucket]]). */
   private def fpBucket(fp: Column, n: Int): Column =
-    pmod(xxhash64(fp), lit(n.toLong)).cast("int")
+    OpsUtil.hashBucket(n, fp)
 
   /** Build + persist a [[WinnowFpIndex]] from a
     * [[winnowFingerprints]] / [[loadWinnowFingerprints]] table. Size

@@ -90,6 +90,17 @@ private[graft] object OpsUtil {
       case None => (df, _) => df.localCheckpoint(true)
     }
 
+  /** Key(s) → partition bucket of every hash-partitioned serve layout
+    * (bm25 terms, exact content hashes, winnow fingerprints, LSH band
+    * hashes, SimHash (band, chunk) pairs). ONE implementation because
+    * each layout's save- and serve-side bucket expressions must stay
+    * bit-identical or partition pruning silently drops matching index
+    * rows — a divergence here is invisible to the compiler. INT cast
+    * to match what parquet partition-directory type inference reads
+    * back. */
+  def hashBucket(n: Int, keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(n.toLong)).cast("int")
+
   /** Rewrite a hash-partitioned parquet layout down to ONE file per
     * partition directory — the compaction step of the append-
     * maintained serve indexes ([[Similarity.appendEncodedCorpus]],
@@ -104,20 +115,33 @@ private[graft] object OpsUtil {
     * copy+delete, so run compaction from the maintenance job that
     * owns the index, never concurrently with a serve. Rows are
     * untouched by construction (spec-pinned: compacted ≡ original,
-    * one file per directory). */
+    * one file per directory).
+    *
+    * Crash-safety of the swap: the original is renamed ASIDE first,
+    * the compacted temp renamed into place second, and only then is
+    * the old data deleted — at every intermediate point a full copy of
+    * the index exists on disk (at `dir`, `dir.__graft_old`, or both),
+    * so a driver kill mid-swap never leaves the path empty; recovery
+    * is renaming `.__graft_old` back. */
   def compactPartitionedDir(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       partitionCol: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".__graft_compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".__graft_old")
+    require(!fs.exists(old),
+      s"compact: $old exists — a previous compaction died mid-swap; " +
+        "restore or remove it before compacting again")
     fs.delete(tmp, true)
     spark.read.parquet(dir)
       .repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol)
       .parquet(tmp.toString)
-    require(fs.delete(p, true), s"compact: could not remove $p")
-    require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed")
+    require(fs.rename(p, old), s"compact: rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed " +
+      s"(original preserved at $old)")
+    fs.delete(old, true): Unit
   }
 
   /** Decouple compute-bound projection parallelism from input-split

@@ -174,10 +174,11 @@ object Retrieval {
   /** Partition column of the term-bucketed posting layout. */
   private[graft] val TermBucket = "__graft_tb"
 
-  /** Term → bucket id under `n` term-hash buckets (INT to match what
-    * parquet partition-directory type inference reads back). */
+  /** Term → bucket id under `n` term-hash buckets (the shared
+    * [[OpsUtil.hashBucket]] — save and serve sides must stay
+    * bit-identical). */
   private def termBucket(term: Column, n: Int): Column =
-    pmod(xxhash64(term), lit(n.toLong)).cast("int")
+    OpsUtil.hashBucket(n, term)
 
   /** Build a [[Bm25Index]]: one tokenize + one map-side-combined
     * hash-agg over the corpus; posting count = Σ per-doc distinct

@@ -293,8 +293,13 @@ object Transforms {
       // enforce portable and shingle_n) or a band-bucketed
       // LshBandIndex directory (saveLshBandIndex, auto-detected by
       // its stats sidecar): partition-pruned serving with k/bands/
-      // portable from the index itself (only shingle_n and the
-      // serve-time threshold/max_bucket knobs still apply).
+      // portable/shingle_n from the index itself — explicitly passed
+      // k/bands/portable args must AGREE with the sidecar (fail-fast,
+      // never silently ignored). max_bucket semantics differ by
+      // layout: the flat path caps BOTH sides at serve; the
+      // partitioned path caps the arrival side only — base-side
+      // capping is a build decision (saveLshBandIndex's maxBucket),
+      // which is what keeps serves cadence-independent.
       val key = t.arg("key")
       val root = t.arg("index")
       val shingleN = t.args.get("shingle_n").map(_.toInt).getOrElse(3)
@@ -304,9 +309,26 @@ object Transforms {
         val pairs =
           if (isPartitionedIndex(df, root)) {
             val idx = graft.ops.Dedup.loadLshBandIndex(df.sparkSession, root)
+            Seq(("k", t.args.get("k").map(_.toInt), idx.k),
+              ("bands", t.args.get("bands").map(_.toInt), idx.bands))
+              .foreach { case (name, arg, built) =>
+                arg.foreach(v => require(v == built,
+                  s"minhash_filter: $name=$v contradicts the partitioned " +
+                    s"index's build $name=$built (the sidecar is " +
+                    "authoritative; drop the arg or rebuild the index)"))
+              }
+            t.args.get("portable").map(_.toBoolean).foreach(v =>
+              require(v == idx.portable,
+                s"minhash_filter: portable=$v contradicts the partitioned " +
+                  s"index's build portable=${idx.portable}"))
+            for (v <- t.args.get("shingle_n").map(_.toInt); w <- idx.shingleN)
+              require(v == w,
+                s"minhash_filter: shingle_n=$v contradicts the partitioned " +
+                  s"index's build shingle_n=$w")
             graft.ops.Dedup.minhashLshAgainst(
               graft.ops.Dedup.minhashSignatures(rows, key, text,
-                shingleN = shingleN, k = idx.k, portable = idx.portable),
+                shingleN = idx.shingleN.getOrElse(shingleN),
+                k = idx.k, portable = idx.portable),
               idx, threshold = threshold, maxBucket = maxBucket)
           } else {
             val kSig = t.args.get("k").map(_.toInt).getOrElse(16)

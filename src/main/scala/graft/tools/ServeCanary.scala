@@ -117,17 +117,19 @@ object ServeCanary {
       val corpus0 = Amplify.documents(docs, scale, rotate = true)
       corpus0.write.mode("overwrite").parquet(s"$d/corpus.parquet")
       val corpus = spark.read.parquet(s"$d/corpus.parquet")
-      Dedup.saveExactIndex(
-        Dedup.exact(corpus, "doc_id", "text"), s"$d/exact")
+      // Each artifact computed once and persisted in both layouts
+      // (flat + partitioned) — the lazy frames are cheap to reuse;
+      // recomputing exact/simhash/winnow per save would re-hash the
+      // k× corpus twice per face.
+      val exactIdx0 = Dedup.exact(corpus, "doc_id", "text")
+      Dedup.saveExactIndex(exactIdx0, s"$d/exact")
       // Hash-partitioned exact serve layout, bucket count ∝ scale.
-      Dedup.saveExactIndexPartitioned(
-        Dedup.exact(corpus, "doc_id", "text"), s"$d/exactp",
+      Dedup.saveExactIndexPartitioned(exactIdx0, s"$d/exactp",
         nHashBuckets = 64 * scale)
-      Dedup.saveSimhashes(
-        Dedup.withSimhash(corpus, "doc_id", "text"), s"$d/simhash")
+      val sim0 = Dedup.withSimhash(corpus, "doc_id", "text")
+      Dedup.saveSimhashes(sim0, s"$d/simhash")
       // Band-bucketed SimHash serve layout, bucket count ∝ scale.
-      Dedup.saveSimhashBandIndex(
-        Dedup.withSimhash(corpus, "doc_id", "text"), s"$d/simhashp",
+      Dedup.saveSimhashBandIndex(sim0, s"$d/simhashp",
         nHashBuckets = 64 * scale)
       val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
         shingleN = 3, k = 16)
@@ -136,13 +138,12 @@ object ServeCanary {
       // per-bucket bytes — the bm25 partitioned-index contract).
       Dedup.saveLshBandIndex(corpusSigs, s"$d/minhashp",
         k = 16, bands = 8, nHashBuckets = 64 * scale)
-      Dedup.saveWinnowFingerprints(
-        Dedup.winnowFingerprints(corpus, "doc_id", "text"), s"$d/winnow")
+      val winFps0 = Dedup.winnowFingerprints(corpus, "doc_id", "text")
+      Dedup.saveWinnowFingerprints(winFps0, s"$d/winnow")
       // Fp-bucketed winnow serve layout with stored per-fingerprint
       // df (the serve-time cap becomes a column filter, no per-serve
       // aggregate over the index), bucket count ∝ scale.
-      Dedup.saveWinnowFpIndex(
-        Dedup.winnowFingerprints(corpus, "doc_id", "text"), s"$d/winnowp",
+      Dedup.saveWinnowFpIndex(winFps0, s"$d/winnowp",
         nHashBuckets = 64 * scale)
       val bm25 = Retrieval.buildBm25Index(corpus, "doc_id", "text")
       Retrieval.saveBm25Index(bm25, s"$d/bm25")
@@ -179,6 +180,17 @@ object ServeCanary {
         Similarity.encodeCorpus(vecs, "vec_id", "embedding", annP,
           storeVectors = true),
         s"$d/encodedp")
+      // Same-quantizer partitioned layout, for the LAYOUT parity gate
+      // only (not timed): flat vs partitioned under ONE quantizer is
+      // the pair where "a layout changes which files are read, never a
+      // row" holds structurally. The timed pruned face above uses the
+      // ∝-scale quantizer — a different recall set in principle (its
+      // own gate is the cross-scale hit-count equality, which the
+      // exact-copy construction guarantees for any fitted quantizer).
+      Similarity.saveEncodedCorpus(
+        Similarity.encodeCorpus(vecs, "vec_id", "embedding", ann,
+          storeVectors = true),
+        s"$d/encodedsv")
 
       // One load per index per scale — the serving process's
       // query-lifetime load (file listing + schema, outside the clock).
@@ -197,6 +209,7 @@ object ServeCanary {
       val encoded = spark.read.parquet(s"$d/encoded.parquet")
       val annPIdx = Similarity.loadIndex(s"$d/annp", spark)
       val encodedP = Similarity.loadEncodedCorpus(spark, s"$d/encodedp")
+      val encodedSv = Similarity.loadEncodedCorpus(spark, s"$d/encodedsv")
       Map(
         "exact_against" -> (() => Dedup.exactAgainst(
           batch, exactIdx, "doc_id", "text")),
@@ -230,6 +243,11 @@ object ServeCanary {
         "semantic_against_pruned" -> (() => Similarity.nearDupAgainst(
           vecBatch, histVecs, encodedP, "vec_id", "embedding", annPIdx,
           threshold = 0.99, nProbe = 4, adcMargin = 2.0)),
+        // gate-only (not in the timed ops list): same quantizer as the
+        // flat face, partitioned stored-vector layout
+        "semantic_against_layout" -> (() => Similarity.nearDupAgainst(
+          vecBatch, histVecs, encodedSv, "vec_id", "embedding", annIdx,
+          threshold = 0.99, nProbe = 4, adcMargin = 2.0)),
         "bm25_serve" -> (() => Retrieval.bm25ServeBatch(
           bm25Flat, queries, "query_id", "query_text", k = 10)),
         "bm25_serve_pruned" -> (() => Retrieval.bm25ServeBatch(
@@ -255,7 +273,8 @@ object ServeCanary {
     // any timing. The two layouts of a face must also agree with EACH
     // OTHER row-for-row at every scale (a layout changes which files
     // are read, never a row).
-    val dedupGateOk = ops.filterNot(_.startsWith("bm25")).forall { op =>
+    val dedupGateOk = (ops.filterNot(_.startsWith("bm25")) :+
+        "semantic_against_layout").forall { op =>
       val a = at1(op)().count()
       val b = atK(op)().count()
       if (a != b) println(s"""{"gate":"$op","rows_1x":$a,"rows_kx":$b,"ok":false}""")
@@ -267,7 +286,12 @@ object ServeCanary {
         "simhash_against" -> "simhash_against_pruned",
         "minhash_against" -> "minhash_against_pruned",
         "winnow_against" -> "winnow_against_pruned",
-        "semantic_against" -> "semantic_against_pruned").forall { case (f, p) =>
+        // semantic layout parity is same-quantizer by construction;
+        // the timed pruned face (∝-scale quantizer) is hit-count
+        // gated above instead — a different quantizer may probe a
+        // genuine non-copy near-pair differently, which would be a
+        // recall difference, not a layout defect
+        "semantic_against" -> "semantic_against_layout").forall { case (f, p) =>
         val d = m(f)().exceptAll(m(p)()).count() + m(p)().exceptAll(m(f)()).count()
         if (d != 0) println(s"""{"gate":"${p}_parity_$tag","diff_rows":$d,"ok":false}""")
         d == 0

@@ -628,6 +628,25 @@ class DedupSpec extends SparkSpec with Matchers {
       Dedup.minhashLshAgainst(batchSigs, pidx,
         threshold = 0.25, maxBucket = Int.MaxValue)
     }.getMessage should include ("graft.minhash.portable")
+
+    // the BUILD cross-checks the frame's own family tag — a sidecar
+    // recording a family the rows were never hashed with would make
+    // every index-derived serve silently empty
+    intercept[IllegalArgumentException] {
+      Dedup.saveLshBandIndex(histSigs, s"$scratch/wrongfam",
+        k = 16, bands = 8, portable = true, nHashBuckets = nBuckets)
+    }.getMessage should include ("graft.minhash.portable")
+
+    // shingle width rides the sidecar and is validated at serve:
+    // arrival signatures at a different width die with a named
+    // parameter instead of silently matching nothing
+    idx.shingleN shouldBe Some(2)
+    val wideSigs = Dedup.minhashSignatures(batch, "doc_id", "text",
+      shingleN = 3, k = 16)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshAgainst(wideSigs, idx,
+        threshold = 0.25, maxBucket = Int.MaxValue)
+    }.getMessage should include ("shingle_n")
   }
 
   test("SimhashBandIndex: identical pairs to the flat fingerprint serve, probed buckets only") {
