@@ -819,6 +819,67 @@ class DedupSpec extends SparkSpec with Matchers {
     }.getMessage should include ("graft.winnow")
   }
 
+  test("partitioned-layout property: exact/simhash/winnow serves equal their flat twins on random corpora") {
+    // Random corpora + random bucket counts: the equivalence must hold
+    // whether buckets are sparse (empty directories pruned) or dense
+    // (several fingerprints per bucket), with in-batch dups, index
+    // hits, and novel content all present.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 25).map(i => s"w${i}t$trial")
+      val texts = (1 to 40).map { _ =>
+        val n = 8 + rnd.nextInt(12)
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // ~1/3 of docs reuse an earlier text verbatim → real dups
+      val docs = docsDf((1L to 60L).map { i =>
+        i -> (if (rnd.nextInt(3) == 0) texts(rnd.nextInt(texts.size))
+              else texts((i % 40).toInt))
+      })
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+      val arr = docs.filter(col("doc_id") % 2 =!= 0)
+      val nBuckets = 3 + rnd.nextInt(38)
+      val scratch =
+        java.nio.file.Files.createTempDirectory(s"graft-prop$trial").toString
+      def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+        d.collect().map(_.toString).toSet
+
+      Dedup.saveExactIndexPartitioned(
+        Dedup.exact(hist, "doc_id", "text"), s"$scratch/ex", nBuckets)
+      withClue(s"trial $trial exact (buckets=$nBuckets): ") {
+        rows(Dedup.exactAgainst(arr,
+          Dedup.loadExactIndexPartitioned(spark, s"$scratch/ex"),
+          "doc_id", "text")) shouldBe
+          rows(Dedup.exactAgainst(arr,
+            Dedup.exact(hist, "doc_id", "text"), "doc_id", "text"))
+      }
+
+      Dedup.saveSimhashBandIndex(
+        Dedup.withSimhash(hist, "doc_id", "text"), s"$scratch/sh", nBuckets)
+      withClue(s"trial $trial simhash (buckets=$nBuckets): ") {
+        rows(Dedup.simhashAgainst(arr,
+          Dedup.loadSimhashBandIndex(spark, s"$scratch/sh"),
+          "doc_id", "text", maxHamming = 12)) shouldBe
+          rows(Dedup.simhashAgainst(arr,
+            Dedup.withSimhash(hist, "doc_id", "text"),
+            "doc_id", "text", maxHamming = 12))
+      }
+
+      val maxDf = 2 + rnd.nextInt(8)
+      Dedup.saveWinnowFpIndex(
+        Dedup.winnowFingerprints(hist, "doc_id", "text", k = 6, w = 10),
+        s"$scratch/wn", nBuckets)
+      withClue(s"trial $trial winnow (buckets=$nBuckets, maxDf=$maxDf): ") {
+        rows(Dedup.winnowAgainst(arr,
+          Dedup.loadWinnowFpIndex(spark, s"$scratch/wn"),
+          "doc_id", "text", minShared = 2, maxDf = maxDf)) shouldBe
+          rows(Dedup.winnowAgainst(arr,
+            Dedup.winnowFingerprints(hist, "doc_id", "text", k = 6, w = 10),
+            "doc_id", "text", k = 6, w = 10, minShared = 2, maxDf = maxDf))
+      }
+    }
+  }
+
   test("index build-parameter tags: mismatched serve parameters fail fast, through parquet round trips") {
     val docs = docsDf(Seq(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
