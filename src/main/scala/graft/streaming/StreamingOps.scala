@@ -508,6 +508,68 @@ object StreamingOps {
     }
   }
 
+  /** Run one micro-batch serve and release every persistent block it
+    * created — the partitioned batch operators localCheckpoint their
+    * ARRIVAL-side frames (they feed both the bucket collect and the
+    * join), and in a long-running stream those per-batch blocks are
+    * the r9 monitor-leak class (the [[nearDupStream]] /
+    * semanticDedupStream snapshot/unpersist fix, shared here by the
+    * four partitioned-index stream faces). Assumes `sink` consumes
+    * the frame synchronously, as every sink in this engine does. */
+  private def sinkReleasing(
+      batch: DataFrame, batchId: Long, sink: (DataFrame, Long) => Unit)(
+      serve: => DataFrame): Unit = {
+    val sc = batch.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    sink(serve, batchId)
+    (sc.getPersistentRDDs.keySet -- before).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
+  /** [[exactDedupStream]] against a partitioned [[graft.ops.Dedup
+    * .ExactHashIndex]] — the STORAGE-SERVING streaming posture: the
+    * index is NOT memory-pinned (the flat overload's persist assumes
+    * the index fits cluster memory — false once history outgrows it);
+    * each micro-batch runs the partition-pruned serve, reading only
+    * the ≤ |batch| hash buckets the batch's content falls into, a
+    * per-batch cost flat in history size (the ServeCanary
+    * measurement). Rows per batch are [[graft.ops.Dedup
+    * .exactAgainst]]'s by construction (shared code path; the
+    * dedup_exact_serve oracle covers it). */
+  def exactDedupStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      index: graft.ops.Dedup.ExactHashIndex)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sinkReleasing(batch.toDF(), batchId, sink)(graft.ops.Dedup.exactAgainst(
+        batch.toDF(), index, idCol, textCol))
+    }
+
+  /** [[nearDupStream]] against a partitioned [[graft.ops.Dedup
+    * .LshBandIndex]] — the storage-serving posture: no memory pin of
+    * the signature table, each micro-batch's band rows collect their
+    * bucket set and read only those partitions, signatures verified
+    * off the index rows. The batch is signed with the index's own
+    * k/family (and its sidecar shingle width when recorded;
+    * `shingleN` is the fallback for pre-sidecar indexes). `maxBucket`
+    * caps the ARRIVAL side only — the base side was capped at build
+    * ([[graft.ops.Dedup.saveLshBandIndex]]). Rows per batch are
+    * [[graft.ops.Dedup.minhashLshAgainst]]'s by construction
+    * (dedup_minhash_serve oracle). */
+  def nearDupStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      index: graft.ops.Dedup.LshBandIndex, shingleN: Int,
+      threshold: Double, maxBucket: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sinkReleasing(batch.toDF(), batchId, sink)(
+        graft.ops.Dedup.minhashLshAgainst(
+          graft.ops.Dedup.minhashSignatures(
+            batch.toDF(), idCol, textCol,
+            index.shingleN.getOrElse(shingleN), index.k, index.portable),
+          index, threshold, maxBucket))
+    }
+
   /** Streaming SimHash near-dup against a persisted fingerprint table
     * — [[exactDedupStream]]'s typo-tolerant sibling over the cheapest
     * index form (8 bytes per historical doc,
@@ -527,6 +589,26 @@ object StreamingOps {
         batch.toDF(), baseOnce, idCol, textCol, maxHamming, portable), batchId)
     }
   }
+
+  /** [[simhashDedupStream]] against a partitioned [[graft.ops.Dedup
+    * .SimhashBandIndex]] — the storage-serving posture
+    * ([[exactDedupStream]]'s partitioned-overload argument): no
+    * memory pin, each micro-batch reads only the ≤ |batch| × 4 band
+    * buckets its fingerprints fall into, and the hash family comes
+    * from the index itself (a batch can never be hashed with the
+    * wrong family). Maintenance between/within runs is
+    * [[graft.ops.Dedup.appendSimhashBandIndex]] over accepted
+    * batches + periodic [[graft.ops.Dedup.compactSimhashBandIndex]].
+    * Rows per batch are [[graft.ops.Dedup.simhashAgainst]]'s by
+    * construction (dedup_simhash_serve oracle). */
+  def simhashDedupStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      index: graft.ops.Dedup.SimhashBandIndex, maxHamming: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sinkReleasing(batch.toDF(), batchId, sink)(graft.ops.Dedup.simhashAgainst(
+        batch.toDF(), index, idCol, textCol, maxHamming))
+    }
 
   /** Streaming substring-overlap detection against a persisted winnow
     * fingerprint index — the fourth face of the streaming dedup
@@ -553,6 +635,23 @@ object StreamingOps {
         maxDf = Int.MaxValue, portable = portable), batchId)
     }
   }
+
+  /** [[winnowStream]] against a partitioned [[graft.ops.Dedup
+    * .WinnowFpIndex]] — the storage-serving posture: no memory pin,
+    * each micro-batch reads only the fp buckets its fingerprints fall
+    * into, (k, w, family) come from the index itself, and the df-cap
+    * filters the document frequency STORED at build — the flat
+    * overload's hoisted capBaseFps aggregate disappears entirely.
+    * Rows per batch are [[graft.ops.Dedup.winnowAgainst]]'s by
+    * construction (dedup_winnow_serve oracle). */
+  def winnowStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      index: graft.ops.Dedup.WinnowFpIndex, minShared: Int, maxDf: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sinkReleasing(batch.toDF(), batchId, sink)(graft.ops.Dedup.winnowAgainst(
+        batch.toDF(), index, idCol, textCol, minShared, maxDf))
+    }
 
   /** Streaming embedding near-dup against the persisted PQ-encoded
     * history — the fifth and last face of the streaming dedup matrix

@@ -506,6 +506,75 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("partitioned-index streams: per-batch rows match the pruned batch serve, no memory pin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val history = Seq(
+      Doc(2L, base), Doc(4L, "some wholly different text here now"),
+      Doc(6L, "a third historical document with its own words"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-pstream").toString
+    Dedup.saveExactIndexPartitioned(
+      Dedup.exact(history.toDF(), "doc_id", "text"), s"$scratch/ex", 8)
+    Dedup.saveSimhashBandIndex(
+      Dedup.withSimhash(history.toDF(), "doc_id", "text"), s"$scratch/sh", 8)
+    Dedup.saveWinnowFpIndex(
+      Dedup.winnowFingerprints(history.toDF(), "doc_id", "text", k = 8, w = 16),
+      s"$scratch/wn", 8)
+    Dedup.saveLshBandIndex(
+      Dedup.minhashSignatures(history.toDF(), "doc_id", "text", shingleN = 2, k = 16),
+      s"$scratch/mh", k = 16, bands = 8, nHashBuckets = 8)
+    val exIdx = Dedup.loadExactIndexPartitioned(spark, s"$scratch/ex")
+    val shIdx = Dedup.loadSimhashBandIndex(spark, s"$scratch/sh")
+    val wnIdx = Dedup.loadWinnowFpIndex(spark, s"$scratch/wn")
+    val mhIdx = Dedup.loadLshBandIndex(spark, s"$scratch/mh")
+    val batches = Seq(
+      Seq(Doc(1L, base)),                                          // dup of 2
+      Seq(Doc(3L, s"novel $base tail"), Doc(5L, "fresh words only here")))
+
+    // each face: run the stream over the same two batches, assert
+    // per-batch parity with the pruned batch operator, zero
+    // persistent blocks left behind (the posture's point: NO pin)
+    def run(face: String)(
+        start: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc],
+                (org.apache.spark.sql.DataFrame, Long) => Unit) => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])(
+        twin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+      val q = start(stream, (rows, id) =>
+        got.synchronized { got += ((id, rows.collect().map(_.toString).sorted.toSeq)) }).start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        withClue(s"$face: ") {
+          // leak check FIRST: the batch-twin serves below create their
+          // own (legitimately batch-scoped) checkpoint blocks
+          (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+          got.size shouldBe 2
+          got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+            streamed shouldBe twin(rows.toDF()).collect().map(_.toString).sorted.toSeq
+          }
+        }
+      } finally q.stop()
+    }
+
+    run("exact")((s, sink) => StreamingOps.exactDedupStream(
+      s.toDF(), "doc_id", "text", exIdx)(sink))(
+      b => Dedup.exactAgainst(b, exIdx, "doc_id", "text"))
+    run("simhash")((s, sink) => StreamingOps.simhashDedupStream(
+      s.toDF(), "doc_id", "text", shIdx, 10)(sink))(
+      b => Dedup.simhashAgainst(b, shIdx, "doc_id", "text", 10))
+    run("winnow")((s, sink) => StreamingOps.winnowStream(
+      s.toDF(), "doc_id", "text", wnIdx, 2, Int.MaxValue)(sink))(
+      b => Dedup.winnowAgainst(b, wnIdx, "doc_id", "text", 2, Int.MaxValue))
+    run("minhash")((s, sink) => StreamingOps.nearDupStream(
+      s.toDF(), "doc_id", "text", mhIdx, 2, 0.25, Int.MaxValue)(sink))(
+      b => Dedup.minhashLshAgainst(
+        Dedup.minhashSignatures(b, "doc_id", "text", shingleN = 2, k = 16),
+        mhIdx, 0.25, Int.MaxValue))
+  }
+
   test("semanticDedupStream: per-batch pairs match nearDupAgainst on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
