@@ -176,6 +176,74 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("storage-serving stream soak: exact + simhash partitioned faces at sf0.1 volume, zero pinned blocks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).as[Doc].collect().toSeq
+    val arriving = corpus.map(d => Doc(d.doc_id + 1000000L, d.text))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ssoak").toString
+    Dedup.saveExactIndexPartitioned(
+      Dedup.exact(corpus.toDF(), "doc_id", "text"), s"$scratch/ex", 64)
+    Dedup.saveSimhashBandIndex(
+      Dedup.withSimhash(corpus.toDF(), "doc_id", "text"), s"$scratch/sh", 64)
+    val exIdx = Dedup.loadExactIndexPartitioned(spark, s"$scratch/ex")
+    val shIdx = Dedup.loadSimhashBandIndex(spark, s"$scratch/sh")
+
+    // exact: every arrival is a verbatim copy of history → all dups
+    locally {
+      val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val stream = MemoryStream[Doc]
+      val rows = new java.util.concurrent.atomic.AtomicLong(0)
+      val dups = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = StreamingOps.exactDedupStream(
+        stream.toDF(), "doc_id", "text", exIdx) { (batch, _) =>
+        rows.addAndGet(batch.count())
+        dups.addAndGet(batch.filter(col("dup_of").isNotNull).count())
+      }.start()
+      try {
+        arriving.grouped(500).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        val log = progressLog(q)
+        log.size should be >= 10
+        log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+        // the storage-serving posture's point: NOTHING stays pinned —
+        // no index persist, no lingering per-batch checkpoint blocks
+        (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore) shouldBe empty
+        rows.get() shouldBe arriving.size.toLong
+        dups.get() shouldBe arriving.size.toLong
+        soakLine("exactDedupStream_partitioned", arriving.size.toLong, log)
+      } finally q.stop()
+    }
+
+    // simhash: parity with the pruned batch twin at hamming 2
+    locally {
+      val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val stream = MemoryStream[Doc]
+      val pairs = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = StreamingOps.simhashDedupStream(
+        stream.toDF(), "doc_id", "text", shIdx, 2) { (batch, _) =>
+        pairs.addAndGet(batch.count())
+      }.start()
+      try {
+        arriving.grouped(500).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        val log = progressLog(q)
+        log.size should be >= 10
+        log.foreach { case (_, _, st) => st.sum shouldBe 0L }
+        (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore) shouldBe empty
+        val twin = Dedup.simhashAgainst(
+          arriving.toDF(), shIdx, "doc_id", "text", 2).count()
+        pairs.get() shouldBe twin
+        pairs.get() should be >= corpus.size.toLong
+        soakLine("simhashDedupStream_partitioned", arriving.size.toLong, log)
+      } finally q.stop()
+    }
+  }
+
   test("simhashDedupStream soak: 5k docs in 10 batches against the fingerprint index, parity with batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
