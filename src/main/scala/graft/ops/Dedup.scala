@@ -194,10 +194,29 @@ object Dedup {
     * row). */
   def exactAgainst(
       newDocs: DataFrame, index: ExactHashIndex,
-      idCol: String, textCol: String): DataFrame = {
-    val hashed = newDocs.select(col(idCol).as("id"),
-        md5(TextOps.normalized(col(textCol))).as("text_hash"))
-      .localCheckpoint(false) // feeds the bucket collect AND the join
+      idCol: String, textCol: String): DataFrame =
+    exactAgainstStaged(
+      stageExactArrivals(newDocs, idCol, textCol)
+        .localCheckpoint(false), // feeds the bucket collect AND the join
+      index)
+
+  /** The arrival projection of the partitioned exact serve — exposed
+    * so a caller that OWNS the staging (the streaming face, which
+    * persists it and releases it after the sink) can pair it with
+    * [[exactAgainstStaged]]. */
+  private[graft] def stageExactArrivals(
+      newDocs: DataFrame, idCol: String, textCol: String): DataFrame =
+    newDocs.select(col(idCol).as("id"),
+      md5(TextOps.normalized(col(textCol))).as("text_hash"))
+
+  /** [[exactAgainst]] over an already-STAGED arrival frame (a
+    * [[stageExactArrivals]] output the caller has made stable —
+    * localCheckpoint or persist; it is consumed by both the bucket
+    * collect and the join). No materialization happens here, so
+    * block ownership stays entirely with the caller — the streaming
+    * faces' leak-free release needs exactly this split. */
+  private[graft] def exactAgainstStaged(
+      hashed: DataFrame, index: ExactHashIndex): DataFrame = {
     val buckets = hashed.filter(col("text_hash").isNotNull)
       .select(fpBucket(col("text_hash"), index.hashBuckets).as("bb"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -566,11 +585,29 @@ object Dedup {
             "widths are required (signatures from different widths never " +
             "match meaningfully)")
     }
-    val newOnce = sigLengthGuard(newSigs, index.k, "new")
-    val a = bandRows(newOnce, index.k, index.bands, index.portable, maxBucket)
+    minhashLshAgainstStaged(
+      stageLshArrivalBands(newSigs, index, maxBucket)
+        .localCheckpoint(false), // feeds the bucket collect AND the join
+      index, threshold)
+  }
+
+  /** The arrival band rows of the partitioned minhash serve — the
+    * [[stageExactArrivals]] split for caller-owned staging.
+    * `maxBucket` caps the ARRIVAL side only (base capped at build). */
+  private[graft] def stageLshArrivalBands(
+      newSigs: DataFrame, index: LshBandIndex, maxBucket: Int): DataFrame =
+    bandRows(sigLengthGuard(newSigs, index.k, "new"),
+      index.k, index.bands, index.portable, maxBucket)
       .select(col("band"), col("band_hash"),
         col("id").as("new_id"), col("sig").as("sig_a"))
-      .localCheckpoint(false) // feeds the bucket collect AND the join
+
+  /** [[minhashLshAgainst]] over already-STAGED arrival band rows (the
+    * [[exactAgainstStaged]] contract; callers must run the
+    * build-parameter checks of the public entry first — the streaming
+    * face signs arrivals with the index's own parameters, making a
+    * mismatch unrepresentable). */
+  private[graft] def minhashLshAgainstStaged(
+      a: DataFrame, index: LshBandIndex, threshold: Double): DataFrame = {
     val buckets = a
       .select(bandBucket(col("band_hash"), index.hashBuckets).as("bb"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -761,11 +798,27 @@ object Dedup {
     * re-exploded. */
   def simhashAgainst(
       newDocs: DataFrame, index: SimhashBandIndex, idCol: String,
-      textCol: String, maxHamming: Int): DataFrame = {
-    val a = simhashBands(withSimhash(newDocs, idCol, textCol, index.portable))
+      textCol: String, maxHamming: Int): DataFrame =
+    simhashAgainstStaged(
+      stageSimhashArrivals(newDocs, idCol, textCol, index)
+        .localCheckpoint(false), // feeds the bucket collect AND the join
+      index, maxHamming)
+
+  /** The arrival band rows of the partitioned SimHash serve (hashed
+    * with the INDEX's family) — the [[stageExactArrivals]] split for
+    * caller-owned staging. */
+  private[graft] def stageSimhashArrivals(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: SimhashBandIndex): DataFrame =
+    simhashBands(withSimhash(newDocs, idCol, textCol, index.portable))
       .select(col("band"), col("chunk"),
         col("id").as("new_id"), col("simhash").as("__graft_sim_n"))
-      .localCheckpoint(false) // feeds the bucket collect AND the join
+
+  /** [[simhashAgainst]] over already-STAGED arrival band rows (the
+    * [[exactAgainstStaged]] contract: caller made them stable and
+    * owns their blocks). */
+  private[graft] def simhashAgainstStaged(
+      a: DataFrame, index: SimhashBandIndex, maxHamming: Int): DataFrame = {
     val buckets = a
       .select(simChunkBucket(col("band"), col("chunk"), index.hashBuckets).as("bb"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1215,10 +1268,20 @@ object Dedup {
     * no per-serve aggregate over the index, no full-index scan. */
   def winnowAgainst(
       newDocs: DataFrame, index: WinnowFpIndex, idCol: String,
-      textCol: String, minShared: Int, maxDf: Int): DataFrame = {
-    val a = winnowFingerprints(
-        newDocs, idCol, textCol, index.k, index.w, index.portable)
-      .localCheckpoint(false) // feeds the bucket collect AND the join
+      textCol: String, minShared: Int, maxDf: Int): DataFrame =
+    winnowAgainstStaged(
+      winnowFingerprints(newDocs, idCol, textCol, index.k, index.w,
+        index.portable)
+        .localCheckpoint(false), // feeds the bucket collect AND the join
+      index, minShared, maxDf)
+
+  /** [[winnowAgainst]] over already-STAGED arrival fingerprints (a
+    * [[winnowFingerprints]] output built with the index's (k, w,
+    * family), made stable by the caller — the [[exactAgainstStaged]]
+    * contract). */
+  private[graft] def winnowAgainstStaged(
+      a: DataFrame, index: WinnowFpIndex,
+      minShared: Int, maxDf: Int): DataFrame = {
     val buckets = a.select(fpBucket(col("fp"), index.hashBuckets).as("bb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val pruned = index.rows.filter(col(BandBucket).isin(buckets: _*))

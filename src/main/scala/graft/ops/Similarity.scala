@@ -783,16 +783,37 @@ object Similarity {
       newVecs: DataFrame, historyVecs: DataFrame, encoded: DataFrame,
       idCol: String, vecCol: String, index: AnnIndex,
       threshold: Double, nProbe: Int = 4,
-      adcMargin: Double = 0.15): DataFrame = {
+      adcMargin: Double = 0.15): DataFrame =
+    nearDupAgainstStaged(
+      stageNearDupArrivals(newVecs, idCol, vecCol)
+        .localCheckpoint(false), // feeds the probe AND the refinement join
+      historyVecs, encoded, idCol, vecCol, index, threshold, nProbe,
+      adcMargin)
+
+  /** The arrival projection of the embedding near-dup serve — the
+    * [[graft.ops.Dedup.stageExactArrivals]] split: a streaming caller
+    * persists this, pairs it with [[nearDupAgainstStaged]], and
+    * releases it after the sink, keeping block ownership exact. */
+  private[graft] def stageNearDupArrivals(
+      newVecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    OpsUtil.widen(newVecs)
+      .select(col(idCol).as("new_id"), asDouble(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qn", norm(col("qv")))
+
+  /** [[nearDupAgainst]] over an already-STAGED arrival frame (caller
+    * made it stable and owns its blocks; `idCol`/`vecCol` name the
+    * HISTORY table's columns for the non-stored-vector refinement
+    * join). */
+  private[graft] def nearDupAgainstStaged(
+      q: DataFrame, historyVecs: DataFrame, encoded: DataFrame,
+      idCol: String, vecCol: String, index: AnnIndex,
+      threshold: Double, nProbe: Int,
+      adcMargin: Double): DataFrame = {
     require(adcMargin >= 0.0, "nearDupAgainst: adcMargin must be >= 0")
     val AnnIndex(cents, books) = index
     val kFit = cents.length
     val probeN = math.min(nProbe, kFit)
-    val q = OpsUtil.widen(newVecs)
-      .select(col(idCol).as("new_id"), asDouble(col(vecCol)).as("qv"))
-      .filter(col("qv").isNotNull)
-      .withColumn("qn", norm(col("qv")))
-      .localCheckpoint(false) // feeds the probe AND the refinement join
     val probed = q
       .withColumn("scores", centroidScores(col("qv"), cents))
       .withColumn("cid", explode(topIdx(col("scores"), kFit, probeN)))

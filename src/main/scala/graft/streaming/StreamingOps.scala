@@ -465,21 +465,17 @@ object StreamingOps {
     val baseOnce = baseSigs.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      // The batch's signatures are checkpointed (consumed once per
-      // band by the LSH join) but must be RELEASED after the sink —
-      // a lingering block per micro-batch is the r9 monitor-leak
-      // class (same fix as pitEnrichStream). baseOnce is excluded by
-      // the before-snapshot: it persists for the query's lifetime.
-      val sc = batch.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val sigs = graft.ops.Dedup.minhashSignatures(
-        batch, idCol, textCol, shingleN, k, portable)
-        .localCheckpoint(false)
-      val sigBlocks = sc.getPersistentRDDs.keySet -- before
-      sink(graft.ops.Dedup.minhashLshAgainstPrepared(
-        sigs, baseOnce, k, bands, threshold, portable, maxBucket), batchId)
-      sigBlocks.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      // The batch's signatures are materialized once (consumed per
+      // band by the LSH join) and RELEASED after the sink — a
+      // lingering block per micro-batch is the r9 monitor-leak class.
+      // Ownership-exact via withStaged: only the signatures frame is
+      // pinned, so no registry diffing (which could catch a
+      // concurrent query's blocks) and release survives a throwing
+      // sink. baseOnce persists for the query's lifetime.
+      withStaged(graft.ops.Dedup.minhashSignatures(
+          batch, idCol, textCol, shingleN, k, portable), batchId, sink)(
+        sigs => graft.ops.Dedup.minhashLshAgainstPrepared(
+          sigs, baseOnce, k, bands, threshold, portable, maxBucket))
     }
   }
 
@@ -508,22 +504,23 @@ object StreamingOps {
     }
   }
 
-  /** Run one micro-batch serve and release every persistent block it
-    * created — the partitioned batch operators localCheckpoint their
-    * ARRIVAL-side frames (they feed both the bucket collect and the
-    * join), and in a long-running stream those per-batch blocks are
-    * the r9 monitor-leak class (the [[nearDupStream]] /
-    * semanticDedupStream snapshot/unpersist fix, shared here by the
-    * four partitioned-index stream faces). Assumes `sink` consumes
-    * the frame synchronously, as every sink in this engine does. */
-  private def sinkReleasing(
-      batch: DataFrame, batchId: Long, sink: (DataFrame, Long) => Unit)(
-      serve: => DataFrame): Unit = {
-    val sc = batch.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    sink(serve, batchId)
-    (sc.getPersistentRDDs.keySet -- before).foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  /** Persist a micro-batch's STAGED arrival frame, run the serve, and
+    * release exactly that frame after the sink — the ownership-exact
+    * release of the per-batch blocks that would otherwise accumulate
+    * (the r9 monitor-leak class). Each serve operator exposes a
+    * stage/Staged split (e.g. [[graft.ops.Dedup.stageExactArrivals]] /
+    * `exactAgainstStaged`) so the stream owns the only materialized
+    * frame: no SparkContext registry diffing (which could unpersist a
+    * CONCURRENT query's blocks mid-flight), and the finally releases
+    * the frame even when the sink throws. Assumes `sink` consumes the
+    * frame synchronously, as every sink in this engine does. */
+  private def withStaged(
+      staged: DataFrame, batchId: Long, sink: (DataFrame, Long) => Unit)(
+      serve: DataFrame => DataFrame): Unit = {
+    val pinned = staged.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sink(serve(pinned), batchId)
+    finally pinned.unpersist(false): Unit
   }
 
   /** [[exactDedupStream]] against a partitioned [[graft.ops.Dedup
@@ -541,8 +538,9 @@ object StreamingOps {
       index: graft.ops.Dedup.ExactHashIndex)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sinkReleasing(batch.toDF(), batchId, sink)(graft.ops.Dedup.exactAgainst(
-        batch.toDF(), index, idCol, textCol))
+      withStaged(graft.ops.Dedup.stageExactArrivals(
+          batch.toDF(), idCol, textCol), batchId, sink)(
+        graft.ops.Dedup.exactAgainstStaged(_, index))
     }
 
   /** [[nearDupStream]] against a partitioned [[graft.ops.Dedup
@@ -560,15 +558,20 @@ object StreamingOps {
       docs: DataFrame, idCol: String, textCol: String,
       index: graft.ops.Dedup.LshBandIndex, shingleN: Int,
       threshold: Double, maxBucket: Int)(
-      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // the batch path's fail-fast contract: a shingleN contradicting
+    // the index's sidecar never silently signs at the wrong width
+    index.shingleN.foreach(w => require(w == shingleN,
+      s"nearDupStream: shingleN=$shingleN contradicts the partitioned " +
+        s"index's build shingle_n=$w (the sidecar is authoritative)"))
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sinkReleasing(batch.toDF(), batchId, sink)(
-        graft.ops.Dedup.minhashLshAgainst(
+      withStaged(graft.ops.Dedup.stageLshArrivalBands(
           graft.ops.Dedup.minhashSignatures(
-            batch.toDF(), idCol, textCol,
-            index.shingleN.getOrElse(shingleN), index.k, index.portable),
-          index, threshold, maxBucket))
+            batch.toDF(), idCol, textCol, shingleN, index.k, index.portable),
+          index, maxBucket), batchId, sink)(
+        graft.ops.Dedup.minhashLshAgainstStaged(_, index, threshold))
     }
+  }
 
   /** Streaming SimHash near-dup against a persisted fingerprint table
     * — [[exactDedupStream]]'s typo-tolerant sibling over the cheapest
@@ -606,8 +609,9 @@ object StreamingOps {
       index: graft.ops.Dedup.SimhashBandIndex, maxHamming: Int)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sinkReleasing(batch.toDF(), batchId, sink)(graft.ops.Dedup.simhashAgainst(
-        batch.toDF(), index, idCol, textCol, maxHamming))
+      withStaged(graft.ops.Dedup.stageSimhashArrivals(
+          batch.toDF(), idCol, textCol, index), batchId, sink)(
+        graft.ops.Dedup.simhashAgainstStaged(_, index, maxHamming))
     }
 
   /** Streaming substring-overlap detection against a persisted winnow
@@ -649,8 +653,10 @@ object StreamingOps {
       index: graft.ops.Dedup.WinnowFpIndex, minShared: Int, maxDf: Int)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sinkReleasing(batch.toDF(), batchId, sink)(graft.ops.Dedup.winnowAgainst(
-        batch.toDF(), index, idCol, textCol, minShared, maxDf))
+      withStaged(graft.ops.Dedup.winnowFingerprints(
+          batch.toDF(), idCol, textCol, index.k, index.w, index.portable),
+          batchId, sink)(
+        graft.ops.Dedup.winnowAgainstStaged(_, index, minShared, maxDf))
     }
 
   /** Streaming embedding near-dup against the persisted PQ-encoded
@@ -673,19 +679,17 @@ object StreamingOps {
     val histOnce = historyVecs.persist(lvl)
     val encodedOnce = encoded.persist(lvl)
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      // nearDupAgainst checkpoints the ARRIVAL frame (it feeds the
-      // probe and the refinement join); that per-batch block must be
-      // RELEASED after the sink or blocks accumulate one per
-      // micro-batch — the r9 monitor-leak class, same fix as
-      // nearDupStream. histOnce/encodedOnce are excluded by the
-      // before-snapshot (persist marks them at stream construction).
-      val sc = batch.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      sink(graft.ops.Similarity.nearDupAgainst(
-        batch.toDF(), histOnce, encodedOnce, idCol, vecCol, index,
-        threshold, nProbe, adcMargin), batchId)
-      (sc.getPersistentRDDs.keySet -- before).foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      // The arrival frame feeds the probe AND the refinement join;
+      // its per-batch block must be RELEASED after the sink or blocks
+      // accumulate one per micro-batch — the r9 monitor-leak class.
+      // Ownership-exact via the stage/Staged split (no registry
+      // diffing; release survives a throwing sink). histOnce/
+      // encodedOnce persist for the query's lifetime.
+      withStaged(graft.ops.Similarity.stageNearDupArrivals(
+          batch.toDF(), idCol, vecCol), batchId, sink)(
+        q => graft.ops.Similarity.nearDupAgainstStaged(
+          q, histOnce, encodedOnce, idCol, vecCol, index,
+          threshold, nProbe, adcMargin))
     }
   }
 

@@ -841,8 +841,10 @@ class DedupSpec extends SparkSpec with Matchers {
       val nBuckets = 3 + rnd.nextInt(38)
       val scratch =
         java.nio.file.Files.createTempDirectory(s"graft-prop$trial").toString
-      def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
-        d.collect().map(_.toString).toSet
+      // sorted Seq, NOT Set: the one-row-per-pair contract means a
+      // duplicate-emitting regression must fail, not collapse away
+      def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.collect().map(_.toString).sorted.toSeq
 
       Dedup.saveExactIndexPartitioned(
         Dedup.exact(hist, "doc_id", "text"), s"$scratch/ex", nBuckets)
