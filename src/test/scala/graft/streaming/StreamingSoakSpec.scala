@@ -176,7 +176,7 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
-  test("storage-serving stream soak: exact + simhash partitioned faces at sf0.1 volume, zero pinned blocks") {
+  test("storage-serving stream soak: all four partitioned faces at sf0.1 volume, zero pinned blocks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Dedup
@@ -188,8 +188,17 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
       Dedup.exact(corpus.toDF(), "doc_id", "text"), s"$scratch/ex", 64)
     Dedup.saveSimhashBandIndex(
       Dedup.withSimhash(corpus.toDF(), "doc_id", "text"), s"$scratch/sh", 64)
+    Dedup.saveWinnowFpIndex(
+      Dedup.winnowFingerprints(corpus.toDF(), "doc_id", "text"),
+      s"$scratch/wn", 64)
+    Dedup.saveLshBandIndex(
+      Dedup.minhashSignatures(corpus.toDF(), "doc_id", "text",
+        shingleN = 3, k = 16),
+      s"$scratch/mh", k = 16, bands = 8, maxBucket = 200, nHashBuckets = 64)
     val exIdx = Dedup.loadExactIndexPartitioned(spark, s"$scratch/ex")
     val shIdx = Dedup.loadSimhashBandIndex(spark, s"$scratch/sh")
+    val wnIdx = Dedup.loadWinnowFpIndex(spark, s"$scratch/wn")
+    val mhIdx = Dedup.loadLshBandIndex(spark, s"$scratch/mh")
 
     // exact: every arrival is a verbatim copy of history → all dups
     locally {
@@ -240,6 +249,58 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
         pairs.get() shouldBe twin
         pairs.get() should be >= corpus.size.toLong
         soakLine("simhashDedupStream_partitioned", arriving.size.toLong, log)
+      } finally q.stop()
+    }
+
+    // winnow: stored-df cap at serve time, parity with the pruned twin
+    locally {
+      val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val stream = MemoryStream[Doc]
+      val pairs = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = StreamingOps.winnowStream(
+        stream.toDF(), "doc_id", "text", wnIdx, 2, 200) { (batch, _) =>
+        pairs.addAndGet(batch.count())
+      }.start()
+      try {
+        arriving.grouped(500).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        val log = progressLog(q)
+        log.size should be >= 10
+        log.foreach { case (_, _, st) => st.sum shouldBe 0L }
+        (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore) shouldBe empty
+        val twin = Dedup.winnowAgainst(
+          arriving.toDF(), wnIdx, "doc_id", "text", 2, 200).count()
+        pairs.get() shouldBe twin
+        pairs.get() should be >= corpus.size.toLong
+        soakLine("winnowStream_partitioned", arriving.size.toLong, log)
+      } finally q.stop()
+    }
+
+    // minhash: band-bucketed index, parity with the pruned twin
+    locally {
+      val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val stream = MemoryStream[Doc]
+      val pairs = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = StreamingOps.nearDupStream(
+        stream.toDF(), "doc_id", "text", mhIdx, 3, 0.5, 200) { (batch, _) =>
+        pairs.addAndGet(batch.count())
+      }.start()
+      try {
+        arriving.grouped(500).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        val log = progressLog(q)
+        log.size should be >= 10
+        log.foreach { case (_, _, st) => st.sum shouldBe 0L }
+        (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore) shouldBe empty
+        val twin = Dedup.minhashLshAgainst(
+          Dedup.minhashSignatures(arriving.toDF(), "doc_id", "text",
+            shingleN = 3, k = 16),
+          mhIdx, threshold = 0.5, maxBucket = 200).count()
+        pairs.get() shouldBe twin
+        pairs.get() should be >= 1L // near-dup structure exists at sf0.1
+        soakLine("nearDupStream_partitioned", arriving.size.toLong, log)
       } finally q.stop()
     }
   }
