@@ -903,11 +903,25 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
-    * id_a < id_b and cosine >= threshold. Exact O(n²) with the
-    * codegen'd dot product — the verification baseline; at 100 TB the
-    * same verify step runs after [[graft.ops.Similarity.lshBucket]]
-    * blocking so only same-bucket pairs are scored. */
+    * id_a < id_b and cosine >= threshold. Exact O(n²) — the
+    * verification baseline; at 100 TB the same verify step runs after
+    * [[graft.ops.Similarity.lshBucket]] blocking so only same-bucket
+    * pairs are scored. Integral-id frames (every graft caller) run the
+    * blocked-GEMM kernel ([[ExactPairs.cosinePairs]]): identical
+    * results, but the n² pair stage never materializes join rows —
+    * pairs are scored and threshold-filtered inside B(B+1)/2 primitive-
+    * loop tasks. Other id types keep the nested-loop reference plan. */
   def embeddingCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    if (ExactPairs.eligible(df, idCol, None))
+      ExactPairs.cosinePairs(df, idCol, vecCol, threshold)
+    else embeddingCosinePairsNlj(df, idCol, vecCol, threshold)
+
+  /** Reference nested-loop plan for [[embeddingCosinePairs]] — the
+    * semantics contract the blocked kernel is parity-tested against,
+    * and the fallback for non-integral id types. */
+  private[graft] def embeddingCosinePairsNlj(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.ops.Similarity
@@ -917,7 +931,10 @@ object Dedup {
     val a = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // try_divide: zero-norm rows yield NULL cos (dropped by the
+      // threshold filter) instead of an ANSI DIVIDE_BY_ZERO job abort
+      .withColumn("cos",
+        try_divide(Similarity.dot(col("va"), col("vb")), col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -965,7 +982,9 @@ object Dedup {
       col("nrm").as("nb"))
     a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // try_divide: zero-norm rows → NULL cos, dropped by the filter
+      .withColumn("cos",
+        try_divide(Similarity.dot(col("va"), col("vb")), col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .distinct() // a pair co-bucketed under several probes emits once

@@ -31,7 +31,11 @@ object Similarity {
 
   def norm(a: Column): Column = VectorFunctions.norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with NULL-on-zero-divisor semantics: a zero-norm endpoint
+    * yields NULL (not an ANSI DIVIDE_BY_ZERO error), which threshold
+    * filters drop and desc orderings rank last. One degenerate row must
+    * never kill a 100 TB job. */
+  def cosine(a: Column, b: Column): Column = try_divide(dot(a, b), norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -63,7 +67,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
     q.join(c, pairCond)
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // try_divide: zero-norm endpoints yield NULL cos (ranked last by
+      // desc = NULLS LAST) instead of an ANSI DIVIDE_BY_ZERO job abort
+      .withColumn("cos", try_divide(dot(col("qv"), col("cv")), col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id") +: extraCol.toSeq.map(e => col(e._2)) :+
@@ -78,6 +84,15 @@ object Similarity {
     * instead of all n² pairs. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queryPred: Option[Column] = None): DataFrame =
+    if (ExactPairs.eligible(df, idCol, None))
+      ExactPairs.topK(df, idCol, vecCol, k, None, "", excludeSameLabel = false,
+        queryPred)
+    else bruteForceTopKNlj(df, idCol, vecCol, k, queryPred)
+
+  /** Reference nested-loop plan for [[bruteForceTopK]] — the parity
+    * contract for the blocked kernel; fallback for non-integral ids. */
+  private[graft] def bruteForceTopKNlj(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, queryPred: Option[Column] = None): DataFrame =
     allPairsTopK(df, idCol, vecCol, k, None,
       col("query_id") =!= col("neighbor_id"), queryPred)
 
@@ -91,6 +106,17 @@ object Similarity {
     * Output: (query_id, query_label, neighbor_id, rank). */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int, queryPred: Option[Column] = None): DataFrame =
+    if (ExactPairs.eligible(df, idCol, Some(labelCol)))
+      ExactPairs.topK(df, idCol, vecCol, k, Some(labelCol), "query_label",
+        excludeSameLabel = true, queryPred)
+    else hardNegativesNlj(df, idCol, vecCol, labelCol, k, queryPred)
+
+  /** Reference nested-loop plan for [[hardNegatives]] — the parity
+    * contract for the blocked kernel; fallback for non-integral
+    * id/label types. */
+  private[graft] def hardNegativesNlj(df: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      queryPred: Option[Column] = None): DataFrame =
     allPairsTopK(df, idCol, vecCol, k,
       Some(labelCol -> "query_label"),
       col("query_label") =!= col("__graft_nx"), queryPred)
@@ -165,7 +191,8 @@ object Similarity {
       dedup: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
     val scored = cand
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // try_divide: zero-norm endpoints → NULL cos, ranked last, no abort
+      .withColumn("cos", try_divide(dot(col("qv"), col("cv")), col("qn") * col("cn")))
       .select(("query_id" +: carry ++: Seq("neighbor_id", "cos")).map(col): _*)
     (if (dedup) scored.dropDuplicates("query_id", "neighbor_id") else scored)
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -935,7 +962,8 @@ object Similarity {
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     shortlist.join(qTab, Seq("query_id")).join(nbr, Seq("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // try_divide: zero-norm endpoints → NULL cos, ranked last, no abort
+      .withColumn("cos", try_divide(dot(col("qv"), col("cv")), col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "est_cos", "rank")
