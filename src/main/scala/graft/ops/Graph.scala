@@ -78,7 +78,14 @@ object Graph {
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
         .join(outw, Seq("src"))
         .select(col("dst"),
-          ((col("rank") * col("w").cast("double")) / col("ow").cast("double"))
+          // try_divide: a src whose weights sum to zero (all-zero or
+          // cancelling signed weights) has no defined distribution —
+          // NULL contributions vanish in the dst sum, i.e. the node is
+          // treated as dangling, exactly like a node with no out-edges
+          // at all. Under plain `/` one such row aborts the whole run
+          // (ANSI DIVIDE_BY_ZERO).
+          try_divide(col("rank") * col("w").cast("double"),
+            col("ow").cast("double"))
             .cast("decimal(38,18)").as("c"))
       val summed = contrib.groupBy(col("dst")).agg(sum(col("c")).as("cs"))
       val next = nodes.crossJoin(nRow)

@@ -26,6 +26,28 @@ class GraphSpec extends SparkSpec with Matchers {
     r
   }
 
+  test("pageRank survives a zero-out-weight src (dangling semantics, no ANSI abort)") {
+    // 'z' has one out-edge with weight 0: its summed out-weight is 0,
+    // so its contribution is undefined. The run must not abort
+    // (DIVIDE_BY_ZERO under ANSI); 'z' behaves like a dangling node —
+    // ranks of everything else match the same graph with z's edge
+    // dropped entirely.
+    val edges = Seq(
+      ("a", "b", 2L), ("b", "a", 1L), ("z", "a", 0L))
+    val got = ranks(edges, 3)
+    // Reference over the same 3-node set with z contributing nothing.
+    val n = 3.0
+    var r = Map("a" -> 1.0 / n, "b" -> 1.0 / n, "z" -> 1.0 / n)
+    for (_ <- 1 to 3) {
+      r = Map(
+        "a" -> ((1.0 - 0.85) / n + 0.85 * r("b")),
+        "b" -> ((1.0 - 0.85) / n + 0.85 * r("a")),
+        "z" -> ((1.0 - 0.85) / n))
+    }
+    got.keySet shouldBe Set("a", "b", "z")
+    for ((k, v) <- r) got(k) shouldBe v +- 1e-9
+  }
+
   test("pageRank matches a naive in-memory reference on a small weighted graph") {
     val edges = Seq(
       ("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L),
