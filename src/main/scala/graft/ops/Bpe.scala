@@ -83,17 +83,7 @@ object Bpe {
     require(nMerges > 0 && maxVocab > 0,
       s"Bpe.train: nMerges and maxVocab must be > 0 " +
         s"(got nMerges=$nMerges, maxVocab=$maxVocab)")
-    val words = OpsUtil.widen(df)
-      .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // feeds the exact guard AND the collect
-    val n = words.count()
-    require(n <= maxVocab,
-      s"Bpe.train: corpus has $n distinct words (cap $maxVocab) — " +
-        "train on a deterministic sample (Sampling.deterministicSample) " +
-        "or raise maxVocab; silent truncation would change the merge sequence")
-    val dict = words.collect().map(r => (r.getString(0), r.getLong(1)))
+    val dict = TextOps.wordDict(df, textCol, maxVocab, "Bpe.train")
     trainOnDict(dict, nMerges)
   }
 

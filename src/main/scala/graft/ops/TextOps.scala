@@ -18,6 +18,30 @@ object TextOps {
   /** Whitespace word tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Word-frequency dictionary of the corpus — the reduce both
+    * tokenizer trainers ([[Bpe.train]], [[Unigram.train]]) run on:
+    * word-bounded statistics reduce the corpus EXACTLY to (distinct
+    * word, count). `maxVocab` caps driver memory by FAILING FAST
+    * before any driver bytes move (r10 advisory): the narrow dict
+    * frame is staged once so one tokenization pass feeds both the
+    * exact distributed count guard and — only when it passes — the
+    * collect. */
+  private[ops] def wordDict(
+      df: DataFrame, textCol: String, maxVocab: Int,
+      caller: String): Array[(String, Long)] = {
+    val words = OpsUtil.widen(df)
+      .select(explode(tokens(normalized(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the exact guard AND the collect
+    val n = words.count()
+    require(n <= maxVocab,
+      s"$caller: corpus has $n distinct words (cap $maxVocab) — " +
+        "train on a deterministic sample (Sampling.deterministicSample) " +
+        "or raise maxVocab; silent truncation would change the result")
+    words.collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
   /** Corpus cleaning — the standard first stage of a pre-training
     * quality pipeline, as one codegen'd projection: strip URLs, strip
     * control characters, collapse runs of whitespace, trim. Regexes

@@ -468,6 +468,93 @@ object QualityQueries {
         FROM c
         WHERE compact != ''""")),
 
+    // Unigram-LM (SentencePiece-style) Viterbi SERVING path under a
+    // fixed piece table whose multi-codepoint pieces have pairwise
+    // disjoint alphabets: occurrences of such pieces can never
+    // conflict (a piece cannot overlap itself — its two letters
+    // differ — nor another piece — their alphabets are disjoint), so
+    // the segmentation maximizing total log-probability uses EVERY
+    // occurrence, and n_tokens = chars − Σ occurrences with the same
+    // left-to-right replace() counting as the bpe_tokenize oracle.
+    // Losslessness pins the reassembled stream md5. The oracle SQL is
+    // bpe_tokenize's verbatim — two different tokenizers, one
+    // cross-engine truth.
+    QueryDef(
+      "unigram_tokenize",
+      (s, dir) => graft.ops.Unigram.tokenize(
+        table(s, dir, "documents"), "doc_id", "text",
+        pieces = Seq("th" -> -3.0, "er" -> -3.0, "on" -> -3.0, "as" -> -3.0),
+        unkLogp = -10.0, maxPieceLen = 2)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("token_pos"), col("token")))),
+              x => x.getField("token")), "")).as("reassembled_md5")),
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, $Norm AS norm, replace($Norm, ' ', '') AS compact
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(compact)
+                 - (length(norm) - length(replace(norm, 'th', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'er', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'on', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'as', ''))) // 2 AS BIGINT) AS n_tokens,
+               md5(compact) AS reassembled_md5
+        FROM c
+        WHERE compact != ''""")),
+
+    // Unigram-LM TRAINING (EM over the word dictionary) + serving,
+    // pinned by its invariant surface (the embed_pca pattern — the EM
+    // fixpoint is not SQL-expressible): the trained tokenizer must
+    // reach exactly the requested vocabulary size, reassemble every
+    // document losslessly (corpus-level md5-of-md5s computed from the
+    // data on both sides), and its final EM phase's corpus
+    // log-likelihood must be monotone non-decreasing (the EM
+    // guarantee; plain ML EM, no smoothing).
+    QueryDef(
+      "unigram_train_tokenize",
+      (s, dir) => {
+        import graft.ops.{TextOps, Unigram}
+        val docs = table(s, dir, "documents")
+        val m = Unigram.train(docs, "text", vocabSize = 150,
+          maxPieceLen = 4, seedSize = 1 << 12, emIters = 3)
+        val toks = Unigram.tokenize(docs, "doc_id", "text", m)
+          .groupBy("doc_id")
+          .agg(md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("token_pos"), col("token")))),
+              x => x.getField("token")), "")).as("rmd5"))
+        val compact = regexp_replace(TextOps.normalized(col("text")), " ", "")
+        val base = docs
+          .select(col("doc_id"), md5(compact).as("cmd5"))
+          .where(compact =!= "")
+        base.join(toks, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("rmd5")))),
+                x => x.getField("rmd5")), "")).as("corpus_md5"),
+            every(col("rmd5").isNotNull && col("rmd5") === col("cmd5"))
+              .as("lossless"))
+          .withColumn("vocab_size", lit(m.pieces.size))
+          .withColumn("ll_monotone", lit(m.llMonotone))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, md5(replace($Norm, ' ', '')) AS cmd5
+          FROM documents
+          WHERE replace($Norm, ' ', '') != '')
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               md5(string_agg(cmd5, '' ORDER BY doc_id)) AS corpus_md5,
+               TRUE AS lossless,
+               CAST(150 AS INTEGER) AS vocab_size,
+               TRUE AS ll_monotone
+        FROM c""")),
+
     // Johnson-Lindenstrauss random projection 64 → 4 dims: integer
     // plane literals embedded in both engines; the division order
     // (dot / 1e6 / sqrt(k)) matches exactly.

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.UnigramFunctions
+
+class UnigramSpec extends SparkSpec with Matchers {
+  import org.apache.spark.sql.{Row, types => T}
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(docs: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      docs.map { case (i, t) => Row(i, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("doc_id", T.LongType, nullable = false),
+        T.StructField("text", T.StringType, nullable = true))))
+
+  private def cps(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Independent exponential-time reference: best segmentation score. */
+  private def bruteBest(
+      word: String, vocab: Map[String, Double], unk: Double,
+      maxLen: Int): Double = {
+    val syms = cps(word)
+    def rec(i: Int): Double =
+      if (i == syms.length) 0.0
+      else {
+        var best = Double.NegativeInfinity
+        var len = 1
+        while (len <= maxLen && i + len <= syms.length) {
+          val p = syms.slice(i, i + len).mkString
+          val s = vocab.getOrElse(p,
+            if (len == 1) unk else Double.NegativeInfinity)
+          if (s != Double.NegativeInfinity) {
+            val r = rec(i + len)
+            if (r != Double.NegativeInfinity)
+              best = math.max(best, s + r)
+          }
+          len += 1
+        }
+        best
+      }
+    rec(0)
+  }
+
+  private def tokensOf(
+      text: String, vocab: Seq[(String, Double)], unk: Double,
+      maxLen: Int): Seq[String] = {
+    val df = docsDf(Seq(1L -> text))
+      .select(UnigramFunctions.unigramTokens(
+        TextOps.normalized(col("text")), vocab, unk, maxLen).as("t"))
+    df.collect()(0).getSeq[String](0)
+  }
+
+  test("viterbi attains the brute-force optimum on random vocab/words") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    (1 to 60).foreach { _ =>
+      val maxLen = 1 + rnd.nextInt(3)
+      val word = (1 to (1 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      // random vocab: a few random substrings of the word + random junk
+      val subs = (1 to 4).map { _ =>
+        val i = rnd.nextInt(word.length)
+        val l = 1 + rnd.nextInt(math.min(maxLen, word.length - i))
+        word.substring(i, i + l)
+      }
+      val vocab = (subs ++ Seq("zz", "qq"))
+        .distinct.map(p => p -> (-1.0 - rnd.nextDouble() * 9)).toSeq
+      val unk = -12.5
+      val vmap = vocab.toMap
+      val toks = tokensOf(word, vocab, unk, maxLen)
+      // lossless
+      toks.mkString shouldBe word
+      // attains the optimum
+      val got = toks.map(t => vmap.getOrElse(t, unk)).sum
+      val want = bruteBest(word, vmap, unk, maxLen)
+      got shouldBe want +- 1e-9
+    }
+  }
+
+  test("disjoint two-char pieces: token count = chars - occurrences") {
+    // pieces with pairwise-disjoint alphabets never conflict, so the
+    // optimum uses every occurrence (the unigram_tokenize oracle's
+    // counting argument).
+    val vocab = Seq("th" -> -3.0, "er" -> -3.0, "on" -> -3.0, "as" -> -3.0)
+    val cases = Seq(
+      // th, th, th+er → 4 occurrences over 16 non-space chars
+      "the theory thermal" -> (16, 4),
+      "ononon" -> (6, 3),
+      "xyz" -> (3, 0),
+      "as ason" -> (6, 3)) // as, as+on
+    cases.foreach { case (text, (chars, occ)) =>
+      val toks = tokensOf(text, vocab, -10.0, 2)
+      toks.mkString shouldBe text.replace(" ", "")
+      toks.length shouldBe (chars - occ)
+    }
+  }
+
+  test("supplementary-plane codepoints survive segmentation") {
+    val t = "a😀b c😀"
+    val toks = tokensOf(t, Seq("😀b" -> -1.0), -5.0, 2)
+    toks.mkString shouldBe t.replace(" ", "")
+    toks should contain("😀b")
+  }
+
+  test("null and empty texts emit no tokens") {
+    val df = docsDf(Seq(1L -> null, 2L -> "", 3L -> "   "))
+    val out = Unigram.tokenize(df, "doc_id", "text",
+      Seq("ab" -> -1.0), -5.0, 2)
+    out.count() shouldBe 0L
+  }
+
+  test("train: exact vocab size, normalized probs, monotone LL, deterministic") {
+    val docs = docsDf(Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the rat sat on the cat",
+      3L -> "a cat and a rat and a mat"))
+    val m = Unigram.train(docs, "text", vocabSize = 20,
+      maxPieceLen = 3, seedSize = 64, emIters = 3)
+    m.pieces.size shouldBe 20
+    // probabilities sum to 1 over the final vocabulary
+    val psum = m.pieces.map { case (_, lp) => math.exp(lp) }.sum
+    psum shouldBe 1.0 +- 1e-9
+    // final-phase EM log-likelihood is monotone non-decreasing
+    m.llTrace.size shouldBe 3
+    m.llMonotone shouldBe true
+    // pure function of the corpus
+    val m2 = Unigram.train(docs, "text", vocabSize = 20,
+      maxPieceLen = 3, seedSize = 64, emIters = 3)
+    m2.pieces shouldBe m.pieces
+    // all single codepoints retained
+    val alphabet = "the cat sat on the mat the rat a and"
+      .replace(" ", "").distinct.map(_.toString).toSet
+    alphabet.subsetOf(m.pieces.map(_._1).toSet) shouldBe true
+  }
+
+  test("alphabet larger than vocabSize fails fast") {
+    val docs = docsDf(Seq(1L -> "abcdefghij"))
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(docs, "text", vocabSize = 5, maxPieceLen = 2)
+    }
+    e.getMessage should include("alphabet")
+  }
+
+  test("train + tokenize round-trips the sf0.001 documents losslessly") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val m = Unigram.train(docs, "text", vocabSize = 200,
+      maxPieceLen = 4, seedSize = 1 << 10, emIters = 2)
+    m.llMonotone shouldBe true
+    m.pieces.size shouldBe 200
+    val toks = Unigram.tokenize(docs, "doc_id", "text", m)
+      .groupBy("doc_id")
+      .agg(md5(array_join(
+        transform(
+          array_sort(collect_list(struct(col("token_pos"), col("token")))),
+          x => x.getField("token")), "")).as("rmd5"))
+    val base = docs.select(col("doc_id"),
+      md5(regexp_replace(TextOps.normalized(col("text")), " ", ""))
+        .as("cmd5"))
+      .filter(regexp_replace(TextOps.normalized(col("text")), " ", "") =!= "")
+    val joined = base.join(toks, Seq("doc_id"), "left")
+    joined.filter(col("rmd5").isNull || col("rmd5") =!= col("cmd5"))
+      .count() shouldBe 0L
+  }
+}
