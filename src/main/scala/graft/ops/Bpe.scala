@@ -188,4 +188,23 @@ object Bpe {
       .select(col(idCol),
         posexplode(BpeFunctions.bpeTokens(TextOps.normalized(col(textCol)), rules))
           .as(Seq("token_pos", "token")))
+
+  /** Persist a merge-rule table as parquet (rank, lhs, rhs) — the
+    * saveWeights / saveIndex pattern: rules apply IN RANK ORDER, so
+    * the rank column IS the model; a loaded table reproduces
+    * [[tokenize]] bit-identically. */
+  def saveRules(rules: Seq[(String, String)], path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    rules.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge-rule table (inverse of [[saveRules]]). */
+  def loadRules(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
 }

@@ -96,6 +96,33 @@ object Unigram {
     tokenize(df, idCol, textCol, model.pieces, model.unkLogp,
       model.maxPieceLen)
 
+  /** Persist a trained model as parquet — engine-agnostic, diffable,
+    * versionable beside the corpus it tokenizes (the saveWeights /
+    * saveIndex pattern): `pieces` (piece, logp — doubles round-trip
+    * bit-exactly through parquet) plus a `stats` sidecar carrying the
+    * serve-time parameters so a loaded model can never be served with
+    * mismatched settings. The LL trace is a training artifact and is
+    * not persisted. */
+  def saveModel(model: Model, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.pieces.toDF("piece", "logp")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pieces")
+    Seq((model.unkLogp, model.maxPieceLen)).toDF("unk_logp", "max_piece_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted model (inverse of [[saveModel]]; `llTrace` comes
+    * back empty — it describes the training run, not the model). */
+  def loadModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    val pieces = spark.read.parquet(s"$path/pieces")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortWith((a, b) => utf8Order.compare(a._1, b._1) < 0)
+    Model(pieces.toSeq, st.getDouble(0), st.getInt(1), Nil)
+  }
+
   def tokenize(
       df: DataFrame, idCol: String, textCol: String,
       pieces: Seq[(String, Double)], unkLogp: Double,

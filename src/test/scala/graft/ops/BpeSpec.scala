@@ -204,4 +204,17 @@ class BpeSpec extends SparkSpec with Matchers {
     }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     got shouldBe expected
   }
+
+  test("saveRules/loadRules round-trips the merge table in rank order") {
+    val df = docsDf(Seq(1L -> "aaab aaab ab ba caab"))
+    val rules = Bpe.train(df, "text", 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-rules").toString
+    Bpe.saveRules(rules, dir, spark)
+    val loaded = Bpe.loadRules(spark, dir)
+    loaded shouldBe rules // order is the model — must survive exactly
+    val a = Bpe.tokenize(df, "doc_id", "text", rules).collect().toSeq
+    val b = Bpe.tokenize(df, "doc_id", "text", loaded).collect().toSeq
+    b should contain theSameElementsAs a
+  }
 }

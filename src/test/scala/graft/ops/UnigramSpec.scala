@@ -146,6 +146,26 @@ class UnigramSpec extends SparkSpec with Matchers {
     e.getMessage should include("alphabet")
   }
 
+  test("saveModel/loadModel round-trips pieces and serve parameters exactly") {
+    val docs = docsDf(Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "a rat and a cat"))
+    val m = Unigram.train(docs, "text", vocabSize = 18,
+      maxPieceLen = 3, seedSize = 64, emIters = 2, unkLogp = -17.5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("unigram-model").toString
+    Unigram.saveModel(m, dir, spark)
+    val m2 = Unigram.loadModel(spark, dir)
+    m2.pieces shouldBe m.pieces // bit-exact doubles through parquet
+    m2.unkLogp shouldBe m.unkLogp
+    m2.maxPieceLen shouldBe m.maxPieceLen
+    m2.llTrace shouldBe Nil
+    // serving with the loaded model is identical
+    val a = Unigram.tokenize(docs, "doc_id", "text", m).collect().toSeq
+    val b = Unigram.tokenize(docs, "doc_id", "text", m2).collect().toSeq
+    b should contain theSameElementsAs a
+  }
+
   test("train + tokenize round-trips the sf0.001 documents losslessly") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val m = Unigram.train(docs, "text", vocabSize = 200,
