@@ -237,6 +237,183 @@ object StreamingOps {
       col("payload"))
   }
 
+  /** Streaming FORWARD as-of join — label maturation: for each spine
+    * event, the EARLIEST label row with
+    * `lts in [ets, ets + horizonSeconds]` (both inclusive, the batch
+    * [[graft.join.DirectionalAsOf.forward]] window), ties by least
+    * payload; events with no admissible label emit NULLs once their
+    * horizon has provably expired. This is the streaming twin the
+    * directional family lacked: the training-label pattern ("did the
+    * user convert within N days of the impression") where an event is
+    * NOT resolvable when it arrives — it must wait out its horizon —
+    * so per-batch enrich (the [[pitEnrichStream]] shape) cannot
+    * express it and custom state is the honest tier.
+    *
+    * Resolution rule: an event resolves when the watermark passes
+    * `ets + horizon` STRICTLY — a label at exactly `lts == ets +
+    * horizon` is admissible and not yet late at `wm == ets + horizon`
+    * (the same boundary convention as [[pitStreamStreamWithState]],
+    * mirrored forward). Label state is pruned to `lts >= wm -
+    * horizon`: an unresolved event has `ets + horizon >= wm` hence
+    * needs `lts >= ets >= wm - 2·horizon`… but every KEPT event also
+    * bounds its labels from below by its own `ets`, and future events
+    * arrive with `ets >= wm`, so labels below `wm - horizon` can only
+    * matter to pending events, whose admissible set is captured at
+    * resolution from the still-unpruned buffer — pruning only drops a
+    * label once no pending or future event can admit it (spec pins
+    * batch parity including the boundary cases). State per key is
+    * O(pending events + horizon-window labels) — bounded by the
+    * watermark exactly like the backward face.
+    *
+    * Column contract (callers pre-project, the backward face's):
+    * events `(key string, ets timestamp, event_id long)`; labels
+    * `(key string, lts timestamp, payload string)`. Output:
+    * `(event_id, ets, lts, payload)` with NULL lts/payload for
+    * label-less events. */
+  def forwardStreamStreamWithState(
+      events: DataFrame, labels: DataFrame,
+      horizonSeconds: Long, watermark: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(horizonSeconds >= 0,
+      s"forwardStreamStreamWithState: negative horizon $horizonSeconds")
+    val horizonMs = horizonSeconds * 1000L
+    val tagged = events
+      .select(col("key"), col("ets").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        lit(null).cast("string").as("payload"))
+      .unionAll(labels.select(col("key"), col("lts").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("payload")))
+      .withWatermark("ts", watermark)
+      .as[PitTagged]
+
+    val resolved = tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PitGroupState, PitResolved](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state) =>
+          val st = state.getOption.getOrElse(PitGroupState(Nil, Nil))
+          var pendingEvents = st.events
+          var labs = st.features
+          rows.foreach { r =>
+            if (r.event_id != null) pendingEvents ::= (r.ts.getTime, r.event_id.longValue())
+            else labs ::= (r.ts.getTime, r.payload)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // resolvable once the horizon has strictly expired: a label
+          // at lts == ets + horizon is admissible and may still arrive
+          // while wm == ets + horizon
+          val (ready, stillPending) =
+            pendingEvents.partition(e => e._1 + horizonMs < wm)
+          val out = ready.map { case (ets, id) =>
+            val adm = labs.filter(l => l._1 >= ets && l._1 <= ets + horizonMs)
+            if (adm.isEmpty) PitResolved(id, ets, None, None)
+            else {
+              val best = adm.min // earliest lts, ties by least payload
+              PitResolved(id, ets, Some(best._1), Some(best._2))
+            }
+          }
+          // a label below wm - horizon can admit no pending event
+          // (pending ⇒ ets + horizon >= wm ⇒ ets >= wm - horizon) and
+          // no future event (ets >= wm after late-row filtering)
+          val keptLabs = labs.filter(_._1 >= wm - horizonMs)
+          if (stillPending.isEmpty && keptLabs.isEmpty) state.remove()
+          else {
+            state.update(PitGroupState(stillPending, keptLabs))
+            val next =
+              if (stillPending.nonEmpty)
+                stillPending.map(_._1).min + horizonMs
+              // revisit to expire remaining labels (max guards horizon=0)
+              else wm + math.max(horizonMs, 1L)
+            state.setTimeoutTimestamp(math.max(next, wm + 1L))
+          }
+          out.iterator
+      }
+
+    resolved.select(col("event_id"),
+      timestamp_millis(col("event_ts_ms")).as("ets"),
+      timestamp_millis(col("feature_ts_ms")).as("lts"),
+      col("payload"))
+  }
+
+  /** Streaming NEAREST as-of join — sensor/log alignment: for each
+    * spine event, the label row minimizing `|lts - ets|` within
+    * `toleranceSeconds` either side (the batch
+    * [[graft.join.DirectionalAsOf.nearest]] window); equidistant
+    * past/future ties prefer the EARLIER label, then least payload.
+    * An event resolves once the watermark STRICTLY passes
+    * `ets + tolerance` (its future side has provably closed — the
+    * [[forwardStreamStreamWithState]] boundary convention). Label
+    * state prunes at `lts >= wm - 2·tolerance`: a pending event has
+    * `ets >= wm - tolerance`, so its earliest admissible label is
+    * `ets - tolerance >= wm - 2·tolerance`. Column contract and
+    * output shape are the forward face's. */
+  def nearestStreamStreamWithState(
+      events: DataFrame, labels: DataFrame,
+      toleranceSeconds: Long, watermark: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(toleranceSeconds >= 0,
+      s"nearestStreamStreamWithState: negative tolerance $toleranceSeconds")
+    val tolMs = toleranceSeconds * 1000L
+    val tagged = events
+      .select(col("key"), col("ets").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        lit(null).cast("string").as("payload"))
+      .unionAll(labels.select(col("key"), col("lts").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("payload")))
+      .withWatermark("ts", watermark)
+      .as[PitTagged]
+
+    val resolved = tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PitGroupState, PitResolved](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state) =>
+          val st = state.getOption.getOrElse(PitGroupState(Nil, Nil))
+          var pendingEvents = st.events
+          var labs = st.features
+          rows.foreach { r =>
+            if (r.event_id != null) pendingEvents ::= (r.ts.getTime, r.event_id.longValue())
+            else labs ::= (r.ts.getTime, r.payload)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, stillPending) =
+            pendingEvents.partition(e => e._1 + tolMs < wm)
+          val out = ready.map { case (ets, id) =>
+            val adm = labs.filter(l =>
+              l._1 >= ets - tolMs && l._1 <= ets + tolMs)
+            if (adm.isEmpty) PitResolved(id, ets, None, None)
+            else {
+              // min by (|Δ|, lts, payload): equidistant prefers earlier
+              val best = adm
+                .map(l => (math.abs(l._1 - ets), l._1, l._2))
+                .min
+              PitResolved(id, ets, Some(best._2), Some(best._3))
+            }
+          }
+          val keptLabs = labs.filter(_._1 >= wm - 2L * tolMs)
+          if (stillPending.isEmpty && keptLabs.isEmpty) state.remove()
+          else {
+            state.update(PitGroupState(stillPending, keptLabs))
+            val next =
+              if (stillPending.nonEmpty) stillPending.map(_._1).min + tolMs
+              else wm + math.max(tolMs, 1L)
+            state.setTimeoutTimestamp(math.max(next, wm + 1L))
+          }
+          out.iterator
+      }
+
+    resolved.select(col("event_id"),
+      timestamp_millis(col("event_ts_ms")).as("ets"),
+      timestamp_millis(col("feature_ts_ms")).as("lts"),
+      col("payload"))
+  }
+
   /** Streaming training-data generation: point-in-time enrich each
     * micro-batch of entity events against (static) feature views using
     * the batch engine's as-of join — identical semantics per batch,

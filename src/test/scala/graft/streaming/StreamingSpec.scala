@@ -217,6 +217,117 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("forwardStreamStreamWithState: label maturation equals batch forward as-of") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = 3600L // 1h forward window
+    val evs = Seq(
+      IdEv(1L, 10L, t("2024-01-01 10:00:00")), // labels 10:30/10:45 → earliest 10:30
+      IdEv(2L, 10L, t("2024-01-01 11:05:00")), // label 11:30 → 3.0
+      IdEv(3L, 20L, t("2024-01-01 10:30:00")), // label at 12:00 outside 1h → null
+      IdEv(4L, 30L, t("2024-01-01 10:30:00")), // no label at all → null
+      IdEv(5L, 40L, t("2024-01-01 10:00:00"))) // label exactly at ets+horizon → admitted
+    val labs = Seq(
+      Feat(10L, t("2024-01-01 10:30:00"), 1.0),
+      Feat(10L, t("2024-01-01 10:45:00"), 2.0), // later, must lose to 10:30
+      Feat(10L, t("2024-01-01 09:50:00"), 8.0), // BEFORE ev1 — never admissible
+      Feat(10L, t("2024-01-01 11:30:00"), 3.0),
+      Feat(20L, t("2024-01-01 12:00:00"), 9.0), // 90min after ev3 — outside horizon
+      Feat(40L, t("2024-01-01 11:00:00"), 7.0)) // inclusive boundary for ev5
+
+    val eStream = MemoryStream[IdEv]
+    val lStream = MemoryStream[Feat]
+    val out = StreamingOps.forwardStreamStreamWithState(
+      eStream.toDF().select($"user_id".cast("string").as("key"),
+        $"ts".as("ets"), $"event_id"),
+      lStream.toDF().select($"key".cast("string").as("key"),
+        $"fts".as("lts"), $"score".cast("string").as("payload")),
+      horizonSeconds = horizon, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("fwdasof")
+      .outputMode("append").start()
+    try {
+      eStream.addData(evs); lStream.addData(labs)
+      q.processAllAvailable()
+      // advance the watermark past every event's horizon in two hops
+      eStream.addData(Seq(IdEv(99L, 99L, t("2024-01-03 00:00:00"))))
+      q.processAllAvailable()
+      eStream.addData(Seq(IdEv(97L, 97L, t("2024-01-05 00:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("fwdasof")
+        .filter($"event_id" =!= 99L && $"event_id" =!= 97L)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)).map(_.toDouble)))
+        .toSet
+
+      val batch = graft.join.DirectionalAsOf.forward(
+        evs.toDF(), "ts", labs.toDF(), "fts",
+        joinKeys = Seq("user_id" -> "key"), features = Seq("score"),
+        horizonSeconds = horizon, rowIdCol = "event_id")
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[Any]("score")).map(_.asInstanceOf[Double])))
+        .toSet
+      got shouldBe batch
+      got shouldBe Set(
+        (1L, Some(1.0)), (2L, Some(3.0)), (3L, None), (4L, None),
+        (5L, Some(7.0)))
+    } finally q.stop()
+  }
+
+  test("nearestStreamStreamWithState: nearest-within-tolerance equals batch nearest as-of") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tol = 1800L // 30min either side
+    val evs = Seq(
+      IdEv(1L, 10L, t("2024-01-01 10:00:00")), // 09:50 (10m) beats 10:15 (15m)
+      IdEv(2L, 10L, t("2024-01-01 11:00:00")), // only 11:25 in window
+      IdEv(3L, 20L, t("2024-01-01 10:30:00")), // label 95min away → null
+      IdEv(4L, 40L, t("2024-01-01 10:00:00"))) // equidistant ±20m → earlier wins
+    val labs = Seq(
+      Feat(10L, t("2024-01-01 09:50:00"), 1.0),
+      Feat(10L, t("2024-01-01 10:15:00"), 2.0),
+      Feat(10L, t("2024-01-01 11:25:00"), 3.0),
+      Feat(20L, t("2024-01-01 12:05:00"), 9.0),
+      Feat(40L, t("2024-01-01 09:40:00"), 4.0), // -20m: must win the tie
+      Feat(40L, t("2024-01-01 10:20:00"), 5.0)) // +20m
+
+    val eStream = MemoryStream[IdEv]
+    val lStream = MemoryStream[Feat]
+    val out = StreamingOps.nearestStreamStreamWithState(
+      eStream.toDF().select($"user_id".cast("string").as("key"),
+        $"ts".as("ets"), $"event_id"),
+      lStream.toDF().select($"key".cast("string").as("key"),
+        $"fts".as("lts"), $"score".cast("string").as("payload")),
+      toleranceSeconds = tol, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("nearasof")
+      .outputMode("append").start()
+    try {
+      eStream.addData(evs); lStream.addData(labs)
+      q.processAllAvailable()
+      eStream.addData(Seq(IdEv(99L, 99L, t("2024-01-03 00:00:00"))))
+      q.processAllAvailable()
+      eStream.addData(Seq(IdEv(97L, 97L, t("2024-01-05 00:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("nearasof")
+        .filter($"event_id" =!= 99L && $"event_id" =!= 97L)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)).map(_.toDouble)))
+        .toSet
+
+      val batch = graft.join.DirectionalAsOf.nearest(
+        evs.toDF(), "ts", labs.toDF(), "fts",
+        joinKeys = Seq("user_id" -> "key"), features = Seq("score"),
+        toleranceSeconds = tol, rowIdCol = "event_id")
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[Any]("score")).map(_.asInstanceOf[Double])))
+        .toSet
+      got shouldBe batch
+      got shouldBe Set(
+        (1L, Some(1.0)), (2L, Some(3.0)), (3L, None), (4L, Some(4.0)))
+    } finally q.stop()
+  }
+
   private def ResolvedViewForTest(feats: org.apache.spark.sql.DataFrame, ttl: Long) =
     graft.join.ResolvedView(
       name = "f", source = feats, joinKeys = Seq("user_id" -> "key"),
