@@ -586,4 +586,128 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
       soakLine("validateStream", orders.size.toLong, log)
     } finally q.stop()
   }
+
+  /** sf0.1 events split into a spine (view events) and a label/feature
+    * log (purchase events) for the custom-state as-of soaks. */
+  private def asOfSoakData() = {
+    import org.apache.spark.sql.Row
+    val all = graft.sources.ParquetTables.load(spark, sf("sf0.1") + "/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .orderBy("ts")
+      .collect().toSeq
+    val spine = all.filter(_.getString(3) == "view")
+      .map((r: Row) => IdEv(r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val labels = all.filter(_.getString(3) == "purchase")
+      .map((r: Row) => Feat(r.getLong(1), r.getTimestamp(2), r.getLong(0).toDouble))
+    (spine, labels)
+  }
+
+  /** Time-aligned replay of both logs in 10 batches — both are cut at
+    * the SAME time boundaries (count-based chunking would let one
+    * stream's chunk end hours past the other's; the union watermark
+    * then drops the slower stream's next chunk head as late) — plus
+    * two far-future flush hops so every real event's window provably
+    * closes. */
+  private def replayAsOf(
+      eStream: MemoryStream[IdEv], lStream: MemoryStream[Feat],
+      spine: Seq[IdEv], labels: Seq[Feat],
+      q: StreamingQuery): Unit = {
+    val tsAll = spine.map(_.ts.getTime) ++ labels.map(_.fts.getTime)
+    val (lo, hi) = (tsAll.min, tsAll.max + 1)
+    val cut = (i: Int) => lo + (hi - lo) * i / 10
+    (0 until 10).foreach { i =>
+      val ec = spine.filter(e => e.ts.getTime >= cut(i) && e.ts.getTime < cut(i + 1))
+      val lc = labels.filter(l => l.fts.getTime >= cut(i) && l.fts.getTime < cut(i + 1))
+      if (ec.nonEmpty) eStream.addData(ec)
+      if (lc.nonEmpty) lStream.addData(lc)
+      q.processAllAvailable()
+    }
+    eStream.addData(Seq(IdEv(-1L, 999999L, t("2024-03-01 00:00:00"))))
+    lStream.addData(Seq(Feat(999999L, t("2024-03-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    eStream.addData(Seq(IdEv(-2L, 999999L, t("2024-04-01 00:00:00"))))
+    lStream.addData(Seq(Feat(999999L, t("2024-04-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+  }
+
+  /** Shared body of the three custom-state as-of soaks: run the face
+    * over the sf0.1 replay, pin bounded state, exactly-once resolution
+    * of every spine event, and full batch parity. */
+  private def asOfSoak(
+      name: String,
+      streamFace: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      batchFace: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (spine, labels) = asOfSoakData()
+    val eStream = MemoryStream[IdEv]
+    val lStream = MemoryStream[Feat]
+    val out = streamFace(
+      eStream.toDF().select($"user_id".cast("string").as("key"),
+        $"ts".as("ets"), $"event_id"),
+      lStream.toDF().select($"key".cast("string").as("key"),
+        $"fts".as("lts"), $"score".cast("string").as("payload")))
+    val q = out.writeStream.format("memory").queryName(s"${name}_soak")
+      .outputMode("append").start()
+    try {
+      replayAsOf(eStream, lStream, spine, labels, q)
+      val log = progressLog(q).filter(_._3.nonEmpty)
+      log.size should be >= 10
+      // State ~ events/labels inside the window of a 30-day log
+      // (≈ hundreds), never ~ the 40k rows ingested.
+      log.flatMap(_._3).max should be < 5000L
+      val got = spark.table(s"${name}_soak").filter($"event_id" >= 0L)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)).map(_.toDouble)))
+        .toSet
+      got.size shouldBe spine.size // every spine event resolved exactly once
+      val batch = batchFace(spine.toDF(), labels.toDF())
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[Any]("score")).map(_.asInstanceOf[Double])))
+        .toSet
+      got shouldBe batch
+      soakLine(name, (spine.size + labels.size).toLong, log)
+    } finally q.stop()
+  }
+
+  test("forwardStreamStreamWithState soak: 20k view events vs 20k purchase labels in 10 batches, state ~ horizon window") {
+    val horizon = 3600L
+    asOfSoak("fwd",
+      (e, l) => StreamingOps.forwardStreamStreamWithState(
+        e, l, horizonSeconds = horizon, watermark = "10 minutes"),
+      (s, l) => graft.join.DirectionalAsOf.forward(
+        s, "ts", l, "fts", joinKeys = Seq("user_id" -> "key"),
+        features = Seq("score"), horizonSeconds = horizon,
+        rowIdCol = "event_id"))
+  }
+
+  test("nearestStreamStreamWithState soak: nearest-within-tolerance over the same 40k-row replay") {
+    val tol = 1800L
+    asOfSoak("near",
+      (e, l) => StreamingOps.nearestStreamStreamWithState(
+        e, l, toleranceSeconds = tol, watermark = "10 minutes"),
+      (s, l) => graft.join.DirectionalAsOf.nearest(
+        s, "ts", l, "fts", joinKeys = Seq("user_id" -> "key"),
+        features = Seq("score"), toleranceSeconds = tol,
+        rowIdCol = "event_id"))
+  }
+
+  test("pitStreamStreamWithState soak: backward as-of over the same 40k-row replay") {
+    val ttl = 3600L
+    asOfSoak("pitbk",
+      (e, l) => StreamingOps.pitStreamStreamWithState(
+        e.select(col("key"), col("ets"), col("event_id")),
+        l.select(col("key"), col("lts").as("fts"), col("payload")),
+        ttlSeconds = ttl, watermark = "10 minutes"),
+      (s, l) => graft.join.PointInTimeJoin.join(
+        s, "ts",
+        Seq(graft.join.ResolvedView(
+          name = "lab", source = l, joinKeys = Seq("user_id" -> "key"),
+          tsCol = "fts", createdTs = None, features = Seq("score"),
+          ttlSeconds = Some(ttl))),
+        rowIdCol = Some("event_id")))
+  }
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
 }
