@@ -35,6 +35,8 @@ case class UnigramSegment(
     extends UnaryExpression {
 
   require(maxPieceLen >= 1, s"maxPieceLen must be >= 1 (got $maxPieceLen)")
+  require(java.lang.Double.isFinite(unkLogp),
+    s"unkLogp must be finite (got $unkLogp) — it is the total-coverage guarantee")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -78,8 +80,14 @@ case class UnigramSegment(
         while (j < i) { sb.append(syms(j)); j += 1 }
         val piece = sb.toString
         val lp = table.get(piece)
+        // A -Infinity table entry (an EM-underflowed piece the trainer
+        // may legitimately export for a dominated single codepoint) is
+        // treated as ABSENT: a 1-codepoint cell then takes the unk
+        // fallback instead of poisoning the DP — otherwise a position
+        // coverable only by that codepoint leaves best(n) = -Inf and
+        // back(n) = 0, and backtracking would loop forever.
         val score =
-          if (lp != null) lp.doubleValue()
+          if (lp != null && !lp.doubleValue().isNegInfinity) lp.doubleValue()
           else if (len == 1) unkLogp
           else Double.NegativeInfinity
         if (score != Double.NegativeInfinity &&
@@ -96,6 +104,9 @@ case class UnigramSegment(
     var pos = n
     while (pos > 0) {
       val len = back(pos)
+      if (len <= 0) // unreachable by construction; never loop silently
+        throw new IllegalStateException(
+          s"graft_unigram_segment: no path to position $pos of '$w'")
       out += syms.slice(pos - len, pos).mkString
       pos -= len
     }

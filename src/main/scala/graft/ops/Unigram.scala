@@ -66,9 +66,11 @@ object Unigram {
       }
   }
 
-  /** Train a `vocabSize`-piece unigram tokenizer over `textCol`.
-    * `vocabSize` counts ALL pieces (single codepoints included);
-    * training fails fast if the corpus alphabet alone exceeds it. */
+  /** Train a unigram tokenizer with EXACTLY `vocabSize` pieces over
+    * `textCol`. `vocabSize` counts ALL pieces (single codepoints
+    * included); training fails fast if the corpus alphabet alone
+    * exceeds it OR the corpus's ≤ maxPieceLen substring universe
+    * (after the seedSize cap) undersupplies it. */
   def train(
       df: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 4,
@@ -203,6 +205,15 @@ object Unigram {
     val pieceStr: Array[String] = chars ++ multiSeeds
     val nPieces = pieceStr.length
     val nChars = chars.length
+    // Fail fast like the alphabet guard: the contract is EXACTLY
+    // vocabSize pieces (the train oracle pins the literal), so a
+    // corpus whose ≤ maxPieceLen substring universe (or seedSize cap)
+    // undersupplies must error here, not surprise a caller later.
+    require(nPieces >= vocabSize,
+      s"Unigram.train: corpus supplies only $nPieces candidate pieces " +
+        s"(alphabet $nChars + ${nPieces - nChars} multi-codepoint seeds) " +
+        s"< vocabSize $vocabSize — lower vocabSize, raise maxPieceLen, " +
+        "or raise seedSize")
     val pieceId = new java.util.HashMap[String, Integer](nPieces * 2)
     var pi = 0
     while (pi < nPieces) { pieceId.put(pieceStr(pi), pi); pi += 1 }

@@ -177,14 +177,62 @@ object StreamingOps {
   def pitStreamStreamWithState(
       events: DataFrame, features: DataFrame,
       ttlSeconds: Long, watermark: String): DataFrame = {
+    val ttlMs = ttlSeconds * 1000L
+    asOfStreamWithState(
+      events,
+      features.withColumnRenamed("fts", "lts"),
+      watermark,
+      // STRICTLY before the watermark: a feature with fts == wm is
+      // not late and may still arrive, so an event at ets == wm
+      // isn't resolvable yet (batch-parity at the boundary)
+      readyOffsetMs = 0L,
+      pruneOffsetMs = ttlMs,
+      admissible = (fts, ets) => fts <= ets && fts >= ets - ttlMs,
+      // latest admissible fts, ties by greatest payload
+      better = (a, b, _) => {
+        val c = if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+          else cmpPayload(a._2, b._2)
+        c > 0
+      },
+      outTsName = "fts")
+  }
+
+  /** Null-safe payload comparison for the custom-state as-of picks:
+    * NULL sorts before any string — the same field ordering Spark's
+    * struct min/max gives the batch operators' NULL features. */
+  private def cmpPayload(a: String, b: String): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else a.compareTo(b)
+
+  /** Shared skeleton of the three custom-state as-of faces (backward
+    * [[pitStreamStreamWithState]], forward
+    * [[forwardStreamStreamWithState]], nearest
+    * [[nearestStreamStreamWithState]]): union both logs under one
+    * watermark, buffer per key, resolve an event once
+    * `ets + readyOffsetMs < wm` (its admissible-label window has
+    * provably closed), pick the winner among `admissible` labels with
+    * the face's `better` relation, prune labels below
+    * `wm - pruneOffsetMs`, and drive timeouts so groups resolve
+    * without new input. One implementation means a boundary or
+    * null-handling fix can never apply to one direction and miss
+    * another. */
+  private def asOfStreamWithState(
+      events: DataFrame, labels: DataFrame,
+      watermark: String,
+      readyOffsetMs: Long,
+      pruneOffsetMs: Long,
+      admissible: (Long, Long) => Boolean,
+      better: ((Long, String), (Long, String), Long) => Boolean,
+      outTsName: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val ttlMs = ttlSeconds * 1000L
     val tagged = events
       .select(col("key"), col("ets").as("ts"),
         col("event_id").cast("long").as("event_id"),
         lit(null).cast("string").as("payload"))
-      .unionAll(features.select(col("key"), col("fts").as("ts"),
+      .unionAll(labels.select(col("key"), col("lts").as("ts"),
         lit(null).cast("long").as("event_id"),
         col("payload")))
       .withWatermark("ts", watermark)
@@ -198,34 +246,37 @@ object StreamingOps {
         (_, rows, state) =>
           val st = state.getOption.getOrElse(PitGroupState(Nil, Nil))
           var pendingEvents = st.events
-          var feats = st.features
+          var labs = st.features
           rows.foreach { r =>
             if (r.event_id != null) pendingEvents ::= (r.ts.getTime, r.event_id.longValue())
-            else feats ::= (r.ts.getTime, r.payload)
+            else labs ::= (r.ts.getTime, r.payload)
           }
           val wm = state.getCurrentWatermarkMs()
-          // STRICTLY before the watermark: a feature with fts == wm is
-          // not late and may still arrive, so an event at ets == wm
-          // isn't resolvable yet (batch-parity at the boundary)
-          val (ready, stillPending) = pendingEvents.partition(_._1 < wm)
+          val (ready, stillPending) =
+            pendingEvents.partition(e => e._1 + readyOffsetMs < wm)
           val out = ready.map { case (ets, id) =>
-            val adm = feats.filter(f => f._1 <= ets && f._1 >= ets - ttlMs)
+            val adm = labs.filter(l => admissible(l._1, ets))
             if (adm.isEmpty) PitResolved(id, ets, None, None)
             else {
-              val best = adm.max
-              PitResolved(id, ets, Some(best._1), Some(best._2))
+              val best = adm.reduceLeft((x, y) => if (better(y, x, ets)) y else x)
+              // Option(…), not Some(…): a matched label with a NULL
+              // payload must encode as SQL NULL, and Some(null) breaks
+              // the Option[String] serializer
+              PitResolved(id, ets, Some(best._1), Option(best._2))
             }
           }
-          // features stay joinable for ttl past the watermark horizon;
-          // anything older can never be admissible for an on-time event
-          val keptFeats = feats.filter(_._1 >= wm - ttlMs)
-          if (stillPending.isEmpty && keptFeats.isEmpty) state.remove()
+          // labels stay joinable for pruneOffset past the watermark;
+          // anything older can admit no pending or future event
+          val keptLabs = labs.filter(_._1 >= wm - pruneOffsetMs)
+          if (stillPending.isEmpty && keptLabs.isEmpty) state.remove()
           else {
-            state.update(PitGroupState(stillPending, keptFeats))
+            state.update(PitGroupState(stillPending, keptLabs))
             val next =
-              if (stillPending.nonEmpty) stillPending.map(_._1).min
-              // revisit to expire remaining features (max guards ttl=0)
-              else wm + math.max(ttlMs, 1L)
+              if (stillPending.nonEmpty)
+                stillPending.map(_._1).min + readyOffsetMs
+              // revisit to expire remaining labels (max guards a
+              // zero-width prune window)
+              else wm + math.max(pruneOffsetMs, 1L)
             state.setTimeoutTimestamp(math.max(next, wm + 1L))
           }
           out.iterator
@@ -233,7 +284,7 @@ object StreamingOps {
 
     resolved.select(col("event_id"),
       timestamp_millis(col("event_ts_ms")).as("ets"),
-      timestamp_millis(col("feature_ts_ms")).as("fts"),
+      timestamp_millis(col("feature_ts_ms")).as(outTsName),
       col("payload"))
   }
 
@@ -241,7 +292,9 @@ object StreamingOps {
     * event, the EARLIEST label row with
     * `lts in [ets, ets + horizonSeconds]` (both inclusive, the batch
     * [[graft.join.DirectionalAsOf.forward]] window), ties by least
-    * payload; events with no admissible label emit NULLs once their
+    * payload STRING (NULL first — equals the batch least-feature rule
+    * whenever (key, lts) is unique, the backward face's caveat);
+    * events with no admissible label emit NULLs once their
     * horizon has provably expired. This is the streaming twin the
     * directional family lacked: the training-label pattern ("did the
     * user convert within N days of the impression") where an event is
@@ -273,76 +326,36 @@ object StreamingOps {
   def forwardStreamStreamWithState(
       events: DataFrame, labels: DataFrame,
       horizonSeconds: Long, watermark: String): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    require(horizonSeconds >= 0,
-      s"forwardStreamStreamWithState: negative horizon $horizonSeconds")
+    require(horizonSeconds > 0, // the batch operator's contract
+      s"forwardStreamStreamWithState: non-positive horizon $horizonSeconds")
     val horizonMs = horizonSeconds * 1000L
-    val tagged = events
-      .select(col("key"), col("ets").as("ts"),
-        col("event_id").cast("long").as("event_id"),
-        lit(null).cast("string").as("payload"))
-      .unionAll(labels.select(col("key"), col("lts").as("ts"),
-        lit(null).cast("long").as("event_id"),
-        col("payload")))
-      .withWatermark("ts", watermark)
-      .as[PitTagged]
-
-    val resolved = tagged
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[PitGroupState, PitResolved](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
-        (_, rows, state) =>
-          val st = state.getOption.getOrElse(PitGroupState(Nil, Nil))
-          var pendingEvents = st.events
-          var labs = st.features
-          rows.foreach { r =>
-            if (r.event_id != null) pendingEvents ::= (r.ts.getTime, r.event_id.longValue())
-            else labs ::= (r.ts.getTime, r.payload)
-          }
-          val wm = state.getCurrentWatermarkMs()
-          // resolvable once the horizon has strictly expired: a label
-          // at lts == ets + horizon is admissible and may still arrive
-          // while wm == ets + horizon
-          val (ready, stillPending) =
-            pendingEvents.partition(e => e._1 + horizonMs < wm)
-          val out = ready.map { case (ets, id) =>
-            val adm = labs.filter(l => l._1 >= ets && l._1 <= ets + horizonMs)
-            if (adm.isEmpty) PitResolved(id, ets, None, None)
-            else {
-              val best = adm.min // earliest lts, ties by least payload
-              PitResolved(id, ets, Some(best._1), Some(best._2))
-            }
-          }
-          // a label below wm - horizon can admit no pending event
-          // (pending ⇒ ets + horizon >= wm ⇒ ets >= wm - horizon) and
-          // no future event (ets >= wm after late-row filtering)
-          val keptLabs = labs.filter(_._1 >= wm - horizonMs)
-          if (stillPending.isEmpty && keptLabs.isEmpty) state.remove()
-          else {
-            state.update(PitGroupState(stillPending, keptLabs))
-            val next =
-              if (stillPending.nonEmpty)
-                stillPending.map(_._1).min + horizonMs
-              // revisit to expire remaining labels (max guards horizon=0)
-              else wm + math.max(horizonMs, 1L)
-            state.setTimeoutTimestamp(math.max(next, wm + 1L))
-          }
-          out.iterator
-      }
-
-    resolved.select(col("event_id"),
-      timestamp_millis(col("event_ts_ms")).as("ets"),
-      timestamp_millis(col("feature_ts_ms")).as("lts"),
-      col("payload"))
+    asOfStreamWithState(
+      events, labels, watermark,
+      // resolvable once the horizon has strictly expired: a label at
+      // lts == ets + horizon is admissible and may still arrive while
+      // wm == ets + horizon
+      readyOffsetMs = horizonMs,
+      // a label below wm - horizon can admit no pending event
+      // (pending ⇒ ets + horizon >= wm ⇒ ets >= wm - horizon) and no
+      // future event (ets >= wm after late-row filtering)
+      pruneOffsetMs = horizonMs,
+      admissible = (lts, ets) => lts >= ets && lts <= ets + horizonMs,
+      // earliest lts, ties by least payload
+      better = (a, b, _) => {
+        val c = if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+          else cmpPayload(a._2, b._2)
+        c < 0
+      },
+      outTsName = "lts")
   }
 
   /** Streaming NEAREST as-of join — sensor/log alignment: for each
     * spine event, the label row minimizing `|lts - ets|` within
     * `toleranceSeconds` either side (the batch
     * [[graft.join.DirectionalAsOf.nearest]] window); equidistant
-    * past/future ties prefer the EARLIER label, then least payload.
+    * past/future ties prefer the EARLIER label, then least payload
+    * STRING (NULL first — equals the batch least-feature rule
+    * whenever (key, lts) is unique, the backward face's caveat).
     * An event resolves once the watermark STRICTLY passes
     * `ets + tolerance` (its future side has provably closed — the
     * [[forwardStreamStreamWithState]] boundary convention). Label
@@ -353,65 +366,26 @@ object StreamingOps {
   def nearestStreamStreamWithState(
       events: DataFrame, labels: DataFrame,
       toleranceSeconds: Long, watermark: String): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    require(toleranceSeconds >= 0,
-      s"nearestStreamStreamWithState: negative tolerance $toleranceSeconds")
+    require(toleranceSeconds > 0, // the batch operator's contract
+      s"nearestStreamStreamWithState: non-positive tolerance $toleranceSeconds")
     val tolMs = toleranceSeconds * 1000L
-    val tagged = events
-      .select(col("key"), col("ets").as("ts"),
-        col("event_id").cast("long").as("event_id"),
-        lit(null).cast("string").as("payload"))
-      .unionAll(labels.select(col("key"), col("lts").as("ts"),
-        lit(null).cast("long").as("event_id"),
-        col("payload")))
-      .withWatermark("ts", watermark)
-      .as[PitTagged]
-
-    val resolved = tagged
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[PitGroupState, PitResolved](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
-        (_, rows, state) =>
-          val st = state.getOption.getOrElse(PitGroupState(Nil, Nil))
-          var pendingEvents = st.events
-          var labs = st.features
-          rows.foreach { r =>
-            if (r.event_id != null) pendingEvents ::= (r.ts.getTime, r.event_id.longValue())
-            else labs ::= (r.ts.getTime, r.payload)
-          }
-          val wm = state.getCurrentWatermarkMs()
-          val (ready, stillPending) =
-            pendingEvents.partition(e => e._1 + tolMs < wm)
-          val out = ready.map { case (ets, id) =>
-            val adm = labs.filter(l =>
-              l._1 >= ets - tolMs && l._1 <= ets + tolMs)
-            if (adm.isEmpty) PitResolved(id, ets, None, None)
-            else {
-              // min by (|Δ|, lts, payload): equidistant prefers earlier
-              val best = adm
-                .map(l => (math.abs(l._1 - ets), l._1, l._2))
-                .min
-              PitResolved(id, ets, Some(best._2), Some(best._3))
-            }
-          }
-          val keptLabs = labs.filter(_._1 >= wm - 2L * tolMs)
-          if (stillPending.isEmpty && keptLabs.isEmpty) state.remove()
-          else {
-            state.update(PitGroupState(stillPending, keptLabs))
-            val next =
-              if (stillPending.nonEmpty) stillPending.map(_._1).min + tolMs
-              else wm + math.max(tolMs, 1L)
-            state.setTimeoutTimestamp(math.max(next, wm + 1L))
-          }
-          out.iterator
-      }
-
-    resolved.select(col("event_id"),
-      timestamp_millis(col("event_ts_ms")).as("ets"),
-      timestamp_millis(col("feature_ts_ms")).as("lts"),
-      col("payload"))
+    asOfStreamWithState(
+      events, labels, watermark,
+      readyOffsetMs = tolMs,
+      // pending ⇒ ets >= wm - tolerance ⇒ earliest admissible label
+      // is ets - tolerance >= wm - 2·tolerance
+      pruneOffsetMs = 2L * tolMs,
+      admissible = (lts, ets) => lts >= ets - tolMs && lts <= ets + tolMs,
+      // min by (|Δ|, lts, payload): equidistant prefers earlier
+      better = (a, b, ets) => {
+        val (da, db) = (math.abs(a._1 - ets), math.abs(b._1 - ets))
+        val c =
+          if (da != db) java.lang.Long.compare(da, db)
+          else if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+          else cmpPayload(a._2, b._2)
+        c < 0
+      },
+      outTsName = "lts")
   }
 
   /** Streaming training-data generation: point-in-time enrich each

@@ -138,6 +138,28 @@ class UnigramSpec extends SparkSpec with Matchers {
     alphabet.subsetOf(m.pieces.map(_._1).toSet) shouldBe true
   }
 
+  test("a -Infinity table entry degrades to the unk fallback instead of hanging the DP") {
+    // the trainer may export an EM-underflowed single codepoint with
+    // logp = -Inf; serving must treat it as absent, not poison the DP
+    val toks = tokensOf("aaa b", Seq(
+      "a" -> Double.NegativeInfinity, "b" -> -2.0), -9.0, 2)
+    toks shouldBe Seq("a", "a", "a", "b")
+    // a -Inf unk fallback would break total coverage: rejected at build
+    val e = intercept[IllegalArgumentException] {
+      tokensOf("x", Seq("a" -> -1.0), Double.NegativeInfinity, 2)
+    }
+    e.getMessage should include("unkLogp")
+  }
+
+  test("undersupplied piece universe fails fast instead of returning fewer pieces") {
+    // "ab ab": substrings ≤ 2 are {a, b, ab} — 3 candidates < 10
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(docsDf(Seq(1L -> "ab ab")), "text",
+        vocabSize = 10, maxPieceLen = 2)
+    }
+    e.getMessage should include("candidate pieces")
+  }
+
   test("alphabet larger than vocabSize fails fast") {
     val docs = docsDf(Seq(1L -> "abcdefghij"))
     val e = intercept[IllegalArgumentException] {

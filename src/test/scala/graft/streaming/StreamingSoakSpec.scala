@@ -656,11 +656,15 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
       // State ~ events/labels inside the window of a 30-day log
       // (≈ hundreds), never ~ the 40k rows ingested.
       log.flatMap(_._3).max should be < 5000L
-      val got = spark.table(s"${name}_soak").filter($"event_id" >= 0L)
+      val rows = spark.table(s"${name}_soak").filter($"event_id" >= 0L)
         .collect()
+      // exactly-once on RAW rows: a Set would collapse a duplicate
+      // re-emission of the same (event_id, payload) undetected
+      rows.length shouldBe spine.size
+      val got = rows
         .map(r => (r.getLong(0), Option(r.getString(3)).map(_.toDouble)))
         .toSet
-      got.size shouldBe spine.size // every spine event resolved exactly once
+      got.size shouldBe spine.size
       val batch = batchFace(spine.toDF(), labels.toDF())
         .collect()
         .map(r => (r.getAs[Long]("event_id"),

@@ -328,6 +328,40 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("as-of tie picks are null-safe: a NULL payload on a timestamp tie sorts first, no NPE") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eStream = MemoryStream[IdEv]
+    implicit val encT: org.apache.spark.sql.Encoder[(Long, Timestamp, Option[Double])] =
+      org.apache.spark.sql.Encoders.product
+    val lStream = MemoryStream[(Long, Timestamp, Option[Double])]
+    val out = StreamingOps.forwardStreamStreamWithState(
+      eStream.toDF().select($"user_id".cast("string").as("key"),
+        $"ts".as("ets"), $"event_id"),
+      lStream.toDF().toDF("key", "lts", "score")
+        .select($"key".cast("string").as("key"), $"lts",
+          $"score".cast("string").as("payload")),
+      horizonSeconds = 3600L, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("nullpay")
+      .outputMode("append").start()
+    try {
+      eStream.addData(Seq(IdEv(1L, 10L, t("2024-01-01 10:00:00"))))
+      lStream.addData(Seq(
+        (10L, t("2024-01-01 10:30:00"), Some(5.0)),
+        (10L, t("2024-01-01 10:30:00"), None))) // same lts, NULL payload
+      q.processAllAvailable()
+      eStream.addData(Seq(IdEv(99L, 99L, t("2024-01-03 00:00:00"))))
+      q.processAllAvailable()
+      eStream.addData(Seq(IdEv(97L, 97L, t("2024-01-05 00:00:00"))))
+      q.processAllAvailable()
+      val rows = spark.table("nullpay").filter($"event_id" === 1L).collect()
+      rows.length shouldBe 1
+      rows.head.getTimestamp(2) shouldBe t("2024-01-01 10:30:00")
+      // NULL-first tie rule (mirrors batch struct-min NULLS FIRST)
+      rows.head.isNullAt(3) shouldBe true
+    } finally q.stop()
+  }
+
   private def ResolvedViewForTest(feats: org.apache.spark.sql.DataFrame, ttl: Long) =
     graft.join.ResolvedView(
       name = "f", source = feats, joinKeys = Seq("user_id" -> "key"),
