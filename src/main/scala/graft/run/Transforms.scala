@@ -98,6 +98,10 @@ object Transforms {
     "budget_select" -> Seq("key", "score", "cost", "budget"),
     "sample_weighted" -> Seq("key", "weight", "n"),
     "classifier_filter" -> Seq("key", "col", "label", "min_score"),
+    "forward_label" -> Seq("id", "ts", "source", "source_ts", "keys",
+      "features", "horizon"),
+    "nearest_label" -> Seq("id", "ts", "source", "source_ts", "keys",
+      "features", "tolerance"),
     "expect_unique" -> Seq("cols"),
     "expect_fd" -> Seq("lhs", "rhs"))
 
@@ -122,13 +126,17 @@ object Transforms {
   /** Boolean-typed argument names ("true"/"false" only — a typo'd flag
     * must die at parse time, not silently default). */
   val BoolArgs: Map[String, Seq[String]] = Map(
-    "minhash_filter" -> Seq("portable"))
+    "minhash_filter" -> Seq("portable"),
+    "forward_label" -> Seq("keep_ts"),
+    "nearest_label" -> Seq("keep_ts"))
 
   /** Long-typed strictly positive args (row targets / token budgets
     * exceed Int range at corpus scale). */
   val PositiveLongArgs: Map[String, Seq[String]] = Map(
     "sample_temperature" -> Seq("target"),
-    "budget_select" -> Seq("budget"))
+    "budget_select" -> Seq("budget"),
+    "forward_label" -> Seq("horizon"),
+    "nearest_label" -> Seq("tolerance"))
 
   /** Double-typed argument names, same parse-time validation. */
   val DoubleArgs: Map[String, Seq[String]] = Map(
@@ -438,6 +446,49 @@ object Transforms {
         .select(col(key))
       scorable.join(keep, Seq(key), "left_semi")
         .unionByName(staged.filter(col(key).isNull))
+    case "forward_label" | "nearest_label" =>
+      // Directional as-of LABELING from the config surface: attach the
+      // earliest outcome within a forward horizon (forward_label — the
+      // supervised-training pattern "did the user convert within N
+      // seconds") or the closest reading within a tolerance
+      // (nearest_label) from a persisted label table. Unmatched rows
+      // keep NULL labels (left semantics); `id` names a unique row
+      // column of the frame (the stitch key). `keys` are
+      // entityCol:labelCol pairs joined with '|'; `prefix` renames the
+      // emitted label columns `prefix__feature` so they can never
+      // collide with the frame's own.
+      val keys = t.arg("keys").split('|').toSeq.map { kv =>
+        val p = kv.split(':')
+        require(p.length == 2 && p(0).trim.nonEmpty && p(1).trim.nonEmpty,
+          s"transform '${t.name}' arg 'keys': malformed pair '$kv' " +
+            "(want entityCol:labelCol)")
+        (p(0).trim, p(1).trim)
+      }
+      val features = t.argCols("features")
+      val keepTs = t.args.get("keep_ts").contains("true")
+      val sourceTs = t.arg("source_ts")
+      // NANOS-timestamped parquet needs the coercing loader (the
+      // events-table gotcha).
+      val view = graft.sources.ParquetTables.load(
+        df.sparkSession, t.arg("source"))
+      val labeled =
+        if (t.name == "forward_label")
+          graft.join.DirectionalAsOf.forward(
+            df, t.arg("ts"), view, sourceTs, keys, features,
+            t.arg("horizon").toLong, rowIdCol = t.arg("id"),
+            keepViewTs = keepTs)
+        else
+          graft.join.DirectionalAsOf.nearest(
+            df, t.arg("ts"), view, sourceTs, keys, features,
+            t.arg("tolerance").toLong, rowIdCol = t.arg("id"),
+            keepViewTs = keepTs)
+      t.args.get("prefix") match {
+        case None => labeled
+        case Some(p) =>
+          val renames = features ++ (if (keepTs) Seq(sourceTs) else Nil)
+          renames.foldLeft(labeled)((d, f) =>
+            d.withColumnRenamed(f, s"${p}__$f"))
+      }
     case "expect_unique" =>
       // Constraint GATE (Deequ shape): rows pass through unchanged, but
       // the job FAILS with counts + an example if the key is not

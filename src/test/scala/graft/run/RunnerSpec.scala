@@ -302,6 +302,55 @@ class RunnerSpec extends SparkSpec {
     assert(out.contains((1L, "same text here"))) // dup collapsed to min key
   }
 
+  test("forward_label / nearest_label transforms: directional labeling from the config surface") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val frame = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // outcome 10:30 within 1h
+      (2L, 10L, ts("2024-01-01 12:00:00")), // nothing within 1h → NULL
+      (3L, 20L, ts("2024-01-01 10:00:00"))  // key absent → NULL
+    ).toDF("row_id", "user", "ets")
+    val labelsDir = java.nio.file.Files
+      .createTempDirectory("fwd-labels").toString
+    Seq(
+      (10L, ts("2024-01-01 10:30:00"), 1.0),
+      (10L, ts("2024-01-01 10:45:00"), 2.0), // later — forward must skip
+      (10L, ts("2024-01-01 14:00:00"), 3.0)
+    ).toDF("u", "lts", "outcome").write.mode("overwrite").parquet(labelsDir)
+
+    val fwd = Transforms.applyAll(frame, Transforms.parse(
+      s"forward_label(id=row_id,ts=ets,source=$labelsDir,source_ts=lts," +
+        "keys=user:u,features=outcome,horizon=3600,prefix=label)"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("label__outcome"))) None
+         else Some(r.getDouble(r.fieldIndex("label__outcome"))))).toMap
+    assert(fwd == Map(1L -> Some(1.0), 2L -> None, 3L -> None), s"got $fwd")
+
+    val near = Transforms.applyAll(frame, Transforms.parse(
+      s"nearest_label(id=row_id,ts=ets,source=$labelsDir,source_ts=lts," +
+        "keys=user:u,features=outcome,tolerance=1800,keep_ts=true)"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("outcome"))) None
+         else Some(r.getDouble(r.fieldIndex("outcome"))))).toMap
+    assert(near == Map(1L -> Some(1.0), 2L -> None, 3L -> None), s"got $near")
+
+    // parse-time typing: horizon/tolerance must be positive longs,
+    // keep_ts boolean, keys well-formed (apply-time for pair shape)
+    intercept[IllegalArgumentException](Transforms.parse(
+      "forward_label(id=a,ts=b,source=c,source_ts=d,keys=k:v,features=f,horizon=0)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "forward_label(id=a,ts=b,source=c,source_ts=d,keys=k:v,features=f,horizon=abc)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "nearest_label(id=a,ts=b,source=c,source_ts=d,keys=k:v,features=f)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "forward_label(id=a,ts=b,source=c,source_ts=d,keys=k:v,features=f,horizon=1,keep_ts=yes)"))
+    intercept[IllegalArgumentException](Transforms.applyAll(frame, Transforms.parse(
+      s"forward_label(id=row_id,ts=ets,source=$labelsDir,source_ts=lts," +
+        "keys=userv,features=outcome,horizon=3600)")))
+  }
+
   test("dedup_against transform: index dups drop, batch dups collapse, fresh and NULL rows survive") {
     import spark.implicits._
     val history = Seq(
