@@ -42,6 +42,25 @@ class CorpusOpsPlanSpec extends SparkSpec with Matchers
     collect(plan) { case e: ShuffleExchangeExec => e }.size should be <= 3
   }
 
+  test("tokenizer serving is a shuffle-free projection (BPE and unigram)") {
+    // Both segmenters claim "embarrassingly parallel, zero shuffle at
+    // any scale" — pin it in the executed plan. (widen's round-robin
+    // of the tiny LOCAL input is the one allowed exchange; a parquet
+    // scan has none.)
+    val bpe = Bpe.tokenize(docsDf(corpus), "doc_id", "text",
+      rules = Seq("a" -> "b"))
+    bpe.collect()
+    collect(bpe.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }.size should be <= 1
+    val uni = Unigram.tokenize(docsDf(corpus), "doc_id", "text",
+      pieces = Seq("li" -> -2.0), unkLogp = -9.0, maxPieceLen = 2)
+    uni.collect()
+    collect(uni.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }.size should be <= 1
+  }
+
   test("vocabTopK: TakeOrderedAndProject, no global Sort") {
     val out = CorpusOps.vocabTopK(docsDf(corpus), "text", n = 2, k = 10)
     out.collect()
