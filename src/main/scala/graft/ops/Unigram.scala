@@ -135,6 +135,26 @@ object Unigram {
           TextOps.normalized(col(textCol)), pieces, unkLogp, maxPieceLen))
           .as(Seq("token_pos", "token")))
 
+  /** Subword-regularization tokenization (Kudo 2018 §3): one
+    * segmentation per word SAMPLED from the posterior `P(seg)^alpha`
+    * instead of the Viterbi argmax — the training-data augmentation
+    * the unigram model exists for. Deterministic in (corpus, model,
+    * alpha, seed): re-running a shard reproduces its tokens exactly
+    * (splitmix64 per word occurrence — no RNG state, no
+    * partition-order dependence), so augmented epochs are replayable.
+    * Same zero-shuffle serving shape as [[tokenize]]. */
+  def tokenizeSampled(
+      df: DataFrame, idCol: String, textCol: String,
+      model: Model, alpha: Double, seed: Long): DataFrame =
+    OpsUtil.widen(df)
+      .select(col(idCol),
+        posexplode(UnigramFunctions.unigramTokensSampled(
+          TextOps.normalized(col(textCol)),
+          xxhash64(col(idCol)), // per-row salt: same text, fresh draws
+          model.pieces, model.unkLogp,
+          model.maxPieceLen, alpha, seed))
+          .as(Seq("token_pos", "token")))
+
   // ---------------------------------------------------------------------
   // Driver-side trainer over the word dictionary.
   // ---------------------------------------------------------------------

@@ -506,6 +506,48 @@ object QualityQueries {
         FROM c
         WHERE compact != ''""")),
 
+    // Subword-regularization SAMPLING (Kudo 2018 §3): one segmentation
+    // per word drawn from P(seg)^alpha by deterministic forward-
+    // filtering backward-sampling (splitmix64 of (seed, row salt, word
+    // index, boundary) — a pure function of the inputs, so the result
+    // is oracle-pinnable). The sampled path is not SQL-expressible, so
+    // the oracle pins the sampler's CONTRACT surface per doc: lossless
+    // reassembly (md5 == the compact text's, data-dependent on both
+    // sides) and the token count inside its only possible range
+    // [ceil(chars/maxPieceLen), chars].
+    QueryDef(
+      "unigram_tokenize_sampled",
+      (s, dir) => {
+        import graft.ops.{TextOps, Unigram}
+        val m = Unigram.Model(
+          Seq("th" -> -3.0, "er" -> -3.0, "on" -> -3.0, "as" -> -3.0),
+          unkLogp = -10.0, maxPieceLen = 2, llTrace = Nil)
+        val docs = table(s, dir, "documents")
+        val toks = Unigram.tokenizeSampled(
+          docs, "doc_id", "text", m, alpha = 0.5, seed = 42L)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("__graft_n"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("token_pos"), col("token")))),
+                x => x.getField("token")), "")).as("reassembled_md5"))
+        val compact = regexp_replace(TextOps.normalized(col("text")), " ", "")
+        docs.select(col("doc_id"), length(compact).as("__graft_len"))
+          .where(compact =!= "")
+          .join(toks, Seq("doc_id"))
+          .select(col("doc_id"), col("reassembled_md5"),
+            col("__graft_n").between(
+              ceil(col("__graft_len") / 2.0), col("__graft_len"))
+              .as("tokens_in_bounds"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, replace($Norm, ' ', '') AS compact FROM documents)
+        SELECT doc_id, md5(compact) AS reassembled_md5,
+               TRUE AS tokens_in_bounds
+        FROM c
+        WHERE compact != ''""")),
+
     // Unigram-LM TRAINING (EM over the word dictionary) + serving,
     // pinned by its invariant surface (the embed_pca pattern — the EM
     // fixpoint is not SQL-expressible): the trained tokenizer must

@@ -168,6 +168,48 @@ class UnigramSpec extends SparkSpec with Matchers {
     e.getMessage should include("alphabet")
   }
 
+  test("sampled segmentation: lossless, deterministic, posterior-shaped, Viterbi at high alpha") {
+    val vocab = Seq("ab" -> -1.0, "a" -> -3.0, "b" -> -3.0)
+    val m = Unigram.Model(vocab, unkLogp = -9.0, maxPieceLen = 2, llTrace = Nil)
+    // distribution over many seeds for the word "ab":
+    //   seg ["ab"]  weight exp(alpha * -1); seg ["a","b"] weight exp(alpha * -6)
+    //   at alpha=1: P(["ab"]) = e^-1 / (e^-1 + e^-6) ≈ 0.9933
+    val df = docsDf((1L to 400L).map(i => i -> "ab"))
+    val counts = Unigram.tokenizeSampled(df, "doc_id", "text", m, 1.0, seed = 7L)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    counts.length shouldBe 400
+    val twoPieceFrac = counts.count(_ == 2L).toDouble / counts.length
+    twoPieceFrac should be < 0.05 // expected ≈ 0.0067
+    // flattened posterior samples the 2-piece path far more often
+    val countsFlat = Unigram.tokenizeSampled(df, "doc_id", "text", m, 0.05, seed = 7L)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    val twoFlat = countsFlat.count(_ == 2L).toDouble / countsFlat.length
+    twoFlat should be > (twoPieceFrac + 0.2)
+    // high alpha ≈ Viterbi: every doc segments as the argmax ["ab"]
+    val hi = Unigram.tokenizeSampled(df, "doc_id", "text", m, 50.0, seed = 3L)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    all(hi) shouldBe 1L
+    // determinism: same seed reproduces exactly; different seed differs
+    val docs2 = docsDf(Seq(1L -> "abab abba baab", 2L -> "aabb ab"))
+    def toks(seed: Long) =
+      Unigram.tokenizeSampled(docs2, "doc_id", "text", m, 0.3, seed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    toks(11L) shouldBe toks(11L)
+    toks(11L) should not be toks(12L)
+    // losslessness under any seed/alpha
+    (1L to 5L).foreach { s =>
+      val re = Unigram.tokenizeSampled(docs2, "doc_id", "text", m, 0.3, s)
+        .groupBy("doc_id")
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("token_pos"), col("token")))),
+          x => x.getField("token")), "")).as("rmd5"))
+        .join(docs2.select(col("doc_id"),
+          md5(regexp_replace(TextOps.normalized(col("text")), " ", "")).as("cmd5")),
+          Seq("doc_id"))
+      re.filter(col("rmd5") =!= col("cmd5")).count() shouldBe 0L
+    }
+  }
+
   test("saveModel/loadModel round-trips pieces and serve parameters exactly") {
     val docs = docsDf(Seq(
       1L -> "the cat sat on the mat",
