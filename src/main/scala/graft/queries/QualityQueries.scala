@@ -597,6 +597,108 @@ object QualityQueries {
                TRUE AS ll_monotone
         FROM c""")),
 
+    // WordPiece greedy longest-match SERVING path (the codegen'd
+    // WordPieceSegment expression) under a frozen vocabulary: the four
+    // disjoint-alphabet two-char pieces of the bpe_tokenize oracle in
+    // BOTH word-initial and ##-continuation form, plus total
+    // single-char coverage (ASCII bare + ##). Disjoint alphabets mean
+    // greedy longest-match takes EVERY occurrence of the two-char
+    // pieces (a piece can't overlap itself — its letters differ — nor
+    // another piece, and a match at i excludes one at i-1, so the
+    // left-to-right scan always ARRIVES at each occurrence), which is
+    // exactly DuckDB's non-overlapping replace() counting; singles
+    // make segmentation total, so no [UNK] fires and the ##-stripped
+    // reassembly is lossless. The oracle SQL is bpe_tokenize's
+    // verbatim — THREE tokenizer families, one cross-engine truth.
+    QueryDef(
+      "wordpiece_tokenize",
+      (s, dir) => {
+        val singles = (' ' to '~').map(_.toString)
+        val m = graft.ops.WordPiece.Model(
+          vocab = Seq("th", "er", "on", "as").flatMap(p => Seq(p, "##" + p))
+            ++ singles ++ singles.map("##" + _),
+          unk = "[UNK]", maxWordCp = 1000)
+        graft.ops.WordPiece.tokenize(
+          table(s, dir, "documents"), "doc_id", "text", m)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("token_pos"), col("token")))),
+                x => regexp_replace(x.getField("token"), "^##", "")), ""))
+              .as("reassembled_md5"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, $Norm AS norm, replace($Norm, ' ', '') AS compact
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(compact)
+                 - (length(norm) - length(replace(norm, 'th', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'er', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'on', ''))) // 2
+                 - (length(norm) - length(replace(norm, 'as', ''))) // 2 AS BIGINT) AS n_tokens,
+               md5(compact) AS reassembled_md5
+        FROM c
+        WHERE compact != ''""")),
+
+    // WordPiece TRAINING (likelihood-scored merges over the word
+    // dictionary) + greedy serving, pinned by its invariant surface
+    // (the unigram_train_tokenize pattern): the trained vocabulary
+    // seeds every (char, position-class) the corpus contains, so
+    // serving the SAME corpus is total — zero [UNK]s and lossless
+    // ##-stripped reassembly (corpus-level md5-of-md5s computed from
+    // the data on both sides) — and the vocabulary stays within
+    // alphabet + nMerges with no duplicates.
+    QueryDef(
+      "wordpiece_train_tokenize",
+      (s, dir) => {
+        import graft.ops.{TextOps, WordPiece}
+        val docs = table(s, dir, "documents")
+        val m = WordPiece.train(docs, "text", nMerges = 64)
+        val alphabetSize = m.vocab.count(p =>
+          (if (p.startsWith("##")) p.substring(2) else p)
+            .codePointCount(0, (if (p.startsWith("##")) p.substring(2) else p).length) == 1)
+        val toks = WordPiece.tokenize(docs, "doc_id", "text", m)
+          .groupBy("doc_id")
+          .agg(
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("token_pos"), col("token")))),
+                x => regexp_replace(x.getField("token"), "^##", "")), ""))
+              .as("rmd5"),
+            sum(when(col("token") === m.unk, 1L).otherwise(0L)).as("n_unk"))
+        val compact = regexp_replace(TextOps.normalized(col("text")), " ", "")
+        val base = docs
+          .select(col("doc_id"), md5(compact).as("cmd5"))
+          .where(compact =!= "")
+        base.join(toks, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("rmd5")))),
+                x => x.getField("rmd5")), "")).as("corpus_md5"),
+            every(col("rmd5").isNotNull && col("rmd5") === col("cmd5"))
+              .as("lossless"),
+            sum(col("n_unk")).as("n_unk"))
+          .withColumn("vocab_ok",
+            lit(m.vocab.size <= alphabetSize + 64 &&
+              m.vocab.distinct.size == m.vocab.size))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, md5(replace($Norm, ' ', '')) AS cmd5
+          FROM documents
+          WHERE replace($Norm, ' ', '') != '')
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               md5(string_agg(cmd5, '' ORDER BY doc_id)) AS corpus_md5,
+               TRUE AS lossless,
+               CAST(0 AS BIGINT) AS n_unk,
+               TRUE AS vocab_ok
+        FROM c""")),
+
     // Johnson-Lindenstrauss random projection 64 → 4 dims: integer
     // plane literals embedded in both engines; the division order
     // (dot / 1e6 / sqrt(k)) matches exactly.
