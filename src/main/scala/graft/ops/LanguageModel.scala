@@ -90,6 +90,143 @@ object LanguageModel {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Per-document cross-entropy under an INTERPOLATED KNESER-NEY
+    * bigram model trained on `train` — the smoothing family real
+    * perplexity filters use (KenLM/CCNet train modified-KN 5-grams;
+    * the statistical machinery is identical at order 2). Add-k
+    * ([[bigramCrossEntropy]]) steals probability mass proportional to
+    * RAW unigram frequency, so "francisco" (frequent, but only ever
+    * after "san") soaks up smoothing mass it can never use; KN's
+    * continuation probability counts DISTINCT LEFT CONTEXTS instead:
+    *
+    *   P_cont(w2)   = N1+(· w2) / N1+(· ·)
+    *   P(w2 | w1)   = max(c(w1 w2) − D, 0) / c(w1 ·)
+    *                  + D · N1+(w1 ·) / c(w1 ·) · P_cont(w2)   [seen w1]
+    *                = P_cont(w2)                               [unseen w1]
+    *   P'(w2 | w1)  = (1 − ε) · P(w2|w1) + ε / (V + 1)
+    *
+    * where N1+ are distinct-extension counts and the final ε-floor
+    * (default 1e-6) covers tokens never seen in training at all
+    * (KenLM's <unk> mass) — without it an OOV token would score
+    * −ln 0. The discount interpolation is mass-preserving: what the
+    * max(c−D, 0) subtraction removes from seen bigrams comes back
+    * through exactly D·N1+(w1·)/c(w1·) of continuation mass.
+    *
+    * Same 100 TB shape as [[bigramCrossEntropy]]: every statistic is
+    * one hash-aggregate over the ONCE-materialized exploded bigram
+    * table (N1+(w1·) and c(w1·) even share a single group-by), the
+    * model stays a distributed table, scoring is key joins that AQE
+    * broadcasts while small, and the per-term log-losses round to 9 dp
+    * and sum through DECIMAL so the result is deterministic under any
+    * partitioning (and engine-portable — the oracle runs the same
+    * arithmetic verbatim).
+    *
+    * Output: (doc_id, n_bigrams, kn_cross_entropy); documents with
+    * fewer than 2 tokens have no bigrams and are absent.
+    */
+  def kneserNeyCrossEntropy(
+      score: DataFrame, train: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, floorEps: Double = 1e-6): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"Kneser-Ney discount must be in (0, 1) (got $discount)")
+    require(floorEps > 0 && floorEps < 1,
+      s"floor epsilon must be in (0, 1) (got $floorEps)")
+    def bigrams(d: DataFrame) = OpsUtil.widen(d)
+      .select(col(idCol).as("id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
+      .select(col("id"), explode(TextOps.shingles(col("ws"), 2)).as("bg"))
+    val trainBg = bigrams(train).localCheckpoint(false)
+    val scoreBg = if (score eq train) trainBg else bigrams(score)
+    // One aggregate per statistic, all over the distinct-bigram table:
+    // c12 feeds everything downstream, so the wire never carries more
+    // than one row per DISTINCT bigram after the first shuffle.
+    val c12 = trainBg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    // c(w1 ·) and N1+(w1 ·) from ONE group-by (sum + count of c12).
+    val c1 = c12
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
+    // N1+(· w2): distinct left contexts of each continuation.
+    val n1c = c12
+      .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1c"))
+    // N1+(· ·): distinct bigram types (1 row, broadcast), and V for
+    // the ε-floor denominator.
+    val n1pp = c12.agg(count(lit(1)).as("n1pp"))
+    val vocab = OpsUtil.widen(train)
+      .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    // The probability, in the EXACT arithmetic order the oracle SQL
+    // repeats (all doubles; left-to-right association):
+    //   pc  = n1c / n1pp
+    //   pkn = greatest(c12 - D, 0) / c1  +  D * n1w1 / c1 * pc
+    //   p   = (1 - eps) * pkn + eps / (v + 1)
+    val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
+      col("n1pp").cast("double")
+    val pkn = when(col("c1").isNull, pc).otherwise(
+      greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(discount),
+        lit(0.0)) / col("c1").cast("double") +
+        lit(discount) * col("n1w1").cast("double") / col("c1").cast("double")
+        * pc)
+    val p = (lit(1.0) - lit(floorEps)) * pkn +
+      lit(floorEps) / (col("v").cast("double") + lit(1.0))
+    // Engine-portable exactness: each term rounds to 9 dp before the
+    // DECIMAL sum (libm/JDK ln agree far below 1e-9), one double
+    // division at the end.
+    val term = round(-log(p), 9).cast("decimal(24,9)")
+    scoreBg
+      .join(c12, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(c1, Seq("w1"), "left")
+      .join(n1c, Seq("w2"), "left")
+      .crossJoin(broadcast(n1pp))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(term).cast("double") /
+          count(lit(1)).cast("double")).as("kn_cross_entropy"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** CCNet-style perplexity bucketing: split scored documents into
+    * `nBuckets` quality tiers (head / middle / tail for 3) by their
+    * cross-entropy quantiles. Returns the scored frame plus a
+    * `ppl_bucket` column in [1, nBuckets], 1 = lowest loss (head).
+    *
+    * Thresholds come from ONE 1-row aggregate that broadcasts; bucket
+    * assignment is then a map-side comparison — no global sort, no
+    * single-partition window (an ntile() over the corpus would funnel
+    * every row through one task). Both threshold and score round to
+    * 9 dp before comparing so the cut is engine-portable.
+    *
+    * `exactThresholds = true` uses the exact percentile aggregate —
+    * cross-engine deterministic (the oracle path), but its state
+    * holds the distinct score values on one reducer, so at 100 TB
+    * corpus scale pass `false` (default) for the approx-percentile
+    * sketch (accuracy 1e-4 of rank; run-stable thresholds but not
+    * bit-pinned across engines — the honest trade at scale, same as
+    * every KLL consumer in this repo). */
+  def perplexityBuckets(
+      scored: DataFrame, idCol: String, ceCol: String, nBuckets: Int = 3,
+      exactThresholds: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets (got $nBuckets)")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val pcts = array(ps.map(lit): _*)
+    val thr = scored.agg(
+      (if (exactThresholds) percentile(col(ceCol), pcts)
+       else percentile_approx(col(ceCol), pcts, lit(10000))).as("ts"))
+    val ceR = round(col(ceCol), 9)
+    val bucket = ps.indices
+      .map(i => when(ceR > round(element_at(col("ts"), i + 1), 9), 1)
+        .otherwise(0))
+      .reduce(_ + _) + lit(1)
+    scored.crossJoin(broadcast(thr))
+      .withColumn("ppl_bucket", bucket)
+      .drop("ts")
+  }
+
   /** Char-n-gram Naive Bayes language identification, trained
     * IN-ENGINE from labeled rows — the real replacement for a
     * stopword-marker heuristic ([[TextOps.langId]]): markers need a

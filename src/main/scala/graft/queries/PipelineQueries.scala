@@ -1785,6 +1785,101 @@ object PipelineQueries {
         CROSS JOIN v
         GROUP BY pr.id""")),
 
+    // Interpolated Kneser-Ney bigram scoring — the KenLM/CCNet
+    // smoothing family, exactly replicated in SQL: distinct-extension
+    // counts (N1+) from the distinct-bigram table, absolute
+    // discounting with mass-preserving continuation interpolation,
+    // and the ε-floor for OOV mass. Self-scoring means every scored
+    // bigram is seen, so the oracle needs only the seen-prefix branch
+    // of the formula; both engines run the identical double
+    // arithmetic left-to-right, round each −ln term to 9 dp, and sum
+    // through DECIMAL (order-free).
+    QueryDef(
+      "lm_score_kn",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.ops.LanguageModel.kneserNeyCrossEntropy(
+          docs, docs, "doc_id", "text")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        c12 AS (SELECT bg, COUNT(*) AS c12 FROM pr GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1, COUNT(*) AS n1w1
+               FROM c12 GROUP BY 1),
+        n1c AS (SELECT split_part(bg, ' ', -1) AS w2, COUNT(*) AS n1c
+                FROM c12 GROUP BY 1),
+        n1pp AS (SELECT COUNT(*) AS n1pp FROM c12),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q)
+        SELECT pr.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(-ln(
+                   (1.0 - 1.0e-6) *
+                     (greatest(c12 - 0.75, 0.0) / c1
+                      + 0.75 * n1w1 / c1 * (n1c / n1pp))
+                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS kn_cross_entropy
+        FROM pr
+        JOIN c12 USING (bg)
+        JOIN c1 ON split_part(pr.bg, ' ', 1) = c1.w1
+        JOIN n1c ON split_part(pr.bg, ' ', -1) = n1c.w2
+        CROSS JOIN n1pp CROSS JOIN v
+        GROUP BY pr.id""")),
+
+    // CCNet head/middle/tail perplexity bucketing over the add-1
+    // bigram scores: tercile thresholds from ONE broadcast 1-row
+    // aggregate (exact percentile here — the oracle path; the approx
+    // sketch is the 100 TB default), assignment by map-side
+    // comparison with both sides rounded to 9 dp. No global sort, no
+    // single-partition window.
+    QueryDef(
+      "lm_ppl_buckets",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val scored = graft.ops.LanguageModel.bigramCrossEntropy(
+          docs, docs, "doc_id", "text")
+        graft.ops.LanguageModel.perplexityBuckets(
+          scored, "doc_id", "cross_entropy", nBuckets = 3,
+          exactThresholds = true)
+          .select("doc_id", "cross_entropy", "ppl_bucket")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        c12 AS (SELECT bg, COUNT(*) AS c12 FROM pr GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM pr GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q),
+        scored AS (
+          SELECT pr.id AS doc_id,
+                 CAST(SUM(CAST(-ln((c12 + 1.0) / (c1 + 1.0 * v)) AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS cross_entropy
+          FROM pr
+          JOIN c12 USING (bg)
+          JOIN c1 ON split_part(pr.bg, ' ', 1) = c1.w1
+          CROSS JOIN v
+          GROUP BY pr.id),
+        t AS (
+          SELECT quantile_cont(cross_entropy, 1.0/3.0) AS t1,
+                 quantile_cont(cross_entropy, 2.0/3.0) AS t2
+          FROM scored)
+        SELECT doc_id, cross_entropy,
+               1 + CAST(round(cross_entropy, 9) > round(t1, 9) AS INTEGER)
+                 + CAST(round(cross_entropy, 9) > round(t2, 9) AS INTEGER)
+                 AS ppl_bucket
+        FROM scored CROSS JOIN t""")),
+
     // Deterministic corpus shuffle: reproducible (shard, pos) address
     // for every document — no rand(), no global sort, no
     // single-partition window.

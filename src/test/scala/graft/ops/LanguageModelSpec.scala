@@ -110,4 +110,133 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     nbAcc shouldBe 4L
     mkAcc should be < nbAcc
   }
+
+  // ---- interpolated Kneser-Ney ----
+
+  /** Naive driver-side reference of the exact formula the operator
+    * documents (seen/unseen branches, ε-floor, 9 dp term rounding). */
+  private def naiveKn(
+      train: Seq[String], doc: Seq[String], d: Double = 0.75,
+      eps: Double = 1e-6): Option[(Long, Double)] = {
+    val bgs = train.flatMap(t => t.split(" ").sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))).toSeq)
+    val c12 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.toSeq.groupBy(_._1._1).view
+      .mapValues(ps => (ps.map(_._2).sum, ps.size.toLong)).toMap
+    val n1c = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1pp = c12.size.toDouble
+    val v = train.flatMap(_.split(" ")).distinct.size.toDouble
+    val scoreBgs = doc.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))).toSeq
+    if (scoreBgs.isEmpty) return None
+    val terms = scoreBgs.map { case (w1, w2) =>
+      val pc = n1c.getOrElse(w2, 0L).toDouble / n1pp
+      val pkn = c1.get(w1) match {
+        case None => pc
+        case Some((cw1, n1w1)) =>
+          math.max(c12.getOrElse((w1, w2), 0L).toDouble - d, 0.0) / cw1 +
+            d * n1w1 / cw1 * pc
+      }
+      val p = (1.0 - eps) * pkn + eps / (v + 1.0)
+      BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    Some((scoreBgs.size.toLong,
+      (terms.sum / scoreBgs.size).toDouble))
+  }
+
+  test("kneserNeyCrossEntropy matches hand-computed discounted probabilities") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeyCrossEntropy(docs, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // c12: ab=3, ba=1, bc=1. c1: a→(3,1), b→(2,2). n1c: a=1,b=1,c=1.
+    // n1pp=3, V=3, D=0.75.
+    //   P(b|a) = 2.25/3 + 0.75·1/3·(1/3) = 0.8333…
+    //   P(a|b) = 0.25/2 + 0.75·2/2·(1/3) = 0.375
+    //   P(c|b) = 0.25/2 + 0.75·2/2·(1/3) = 0.375
+    def fl(p: Double) = (1 - 1e-6) * p + 1e-6 / 4.0
+    val pba = fl(2.25 / 3 + 0.75 * 1 / 3.0 * (1 / 3.0))
+    val pab = fl(0.375); val pcb = fl(0.375)
+    val ce1 = -(math.log(pba) * 2 + math.log(pab)) / 3
+    val ce2 = -(math.log(pba) + math.log(pcb)) / 2
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe ce1 +- 1e-6 // 9 dp term rounding
+    out(2L)._1 shouldBe 2L
+    out(2L)._2 shouldBe ce2 +- 1e-6
+  }
+
+  test("KN discounting is mass-preserving over seen prefixes") {
+    // Σ_{w2 ∈ V} P_KN(w2 | w1) = 1 for every seen prefix w1: the
+    // discount taken from seen bigrams returns through exactly
+    // D·N1+(w1·)/c(w1·) of continuation mass (Σ pc over V = 1 when
+    // every token also appears as a continuation).
+    val train = Seq("a b a b c", "b a c a", "c b")
+    val bgs = train.flatMap(_.split(" ").sliding(2).map(p => (p(0), p(1))))
+    val c12 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.toSeq.groupBy(_._1._1).view
+      .mapValues(ps => (ps.map(_._2).sum, ps.size.toLong)).toMap
+    val n1c = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1pp = c12.size.toDouble
+    val vocab = train.flatMap(_.split(" ")).distinct
+    for ((w1, (cw1, n1w1)) <- c1) {
+      val mass = vocab.map { w2 =>
+        val pc = n1c.getOrElse(w2, 0L).toDouble / n1pp
+        math.max(c12.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) / cw1 +
+          0.75 * n1w1 / cw1 * pc
+      }.sum
+      mass shouldBe 1.0 +- 1e-12
+    }
+  }
+
+  test("kneserNeyCrossEntropy equals the naive reference when cross-scoring") {
+    import spark.implicits._
+    val trainTexts = Seq(
+      "the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog", "the mat and the rug", "san francisco fog",
+      "fog on the bay")
+    val scoreTexts = Seq(
+      (10L, "the cat sat on the rug"), // all-seen tokens, mixed bigrams
+      (11L, "francisco the"),          // seen tokens, unseen bigram
+      (12L, "zz qq the cat"),          // OOV tokens → ε-floor terms
+      (13L, "fog"))                    // 1 token → absent
+    val train = trainTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeyCrossEntropy(
+      scoreTexts.toDF("doc_id", "text"), train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.keySet shouldBe Set(10L, 11L, 12L)
+    for ((id, text) <- scoreTexts if id != 13L) {
+      val Some((n, ce)) = naiveKn(trainTexts, text.split(" ").toSeq)
+      out(id)._1 shouldBe n
+      out(id)._2 shouldBe ce +- 1e-9
+    }
+    // OOV-heavy doc lands at the high-loss tail
+    out(12L)._2 should be > out(10L)._2
+  }
+
+  // ---- perplexity bucketing ----
+
+  test("perplexityBuckets splits terciles with monotone cut points") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scored = (1 to 9).map(i => (i.toLong, i * 1.1)).toDF("doc_id", "ce")
+    val out = LanguageModel.perplexityBuckets(
+      scored, "doc_id", "ce", nBuckets = 3, exactThresholds = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    out shouldBe (1 to 9).map(i => i.toLong -> (1 + (i - 1) / 3)).toMap
+  }
+
+  test("perplexityBuckets: approx path agrees with exact on small data") {
+    import spark.implicits._
+    val scored = (1 to 300).map(i => (i.toLong, math.sin(i) * 10))
+      .toDF("doc_id", "ce")
+    val exact = LanguageModel.perplexityBuckets(
+      scored, "doc_id", "ce", 4, exactThresholds = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val approx = LanguageModel.perplexityBuckets(
+      scored, "doc_id", "ce", 4, exactThresholds = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // accuracy 10000 on 300 rows: the sketch is exact
+    approx shouldBe exact
+  }
 }
