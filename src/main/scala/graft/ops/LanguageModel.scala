@@ -127,19 +127,73 @@ object LanguageModel {
   def kneserNeyCrossEntropy(
       score: DataFrame, train: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75, floorEps: Double = 1e-6): DataFrame = {
-    require(discount > 0 && discount < 1,
-      s"Kneser-Ney discount must be in (0, 1) (got $discount)")
-    require(floorEps > 0 && floorEps < 1,
-      s"floor epsilon must be in (0, 1) (got $floorEps)")
-    def bigrams(d: DataFrame) = OpsUtil.widen(d)
+    val trainBg = knBigrams(train, idCol, textCol).localCheckpoint(false)
+    val scoreBg = if (score eq train) trainBg else knBigrams(score, idCol, textCol)
+    knScoreJoin(scoreBg, fitKnFromBigrams(trainBg, train, textCol),
+      discount, floorEps, idCol)
+  }
+
+  /** A fitted Kneser-Ney bigram model as distributed tables — the
+    * fit-once/serve-many form of [[kneserNeyCrossEntropy]] (CCNet
+    * trains its KenLM on a clean reference corpus ONCE and serves it
+    * against every crawl snapshot): `c12` (bg, c12), `c1`
+    * (w1, c1, n1w1), `n1c` (w2, n1c), and a 1-row `stats`
+    * (n1pp, v). Discount and ε-floor are SERVE-time knobs (the
+    * BM25 k1/b pattern) — the persisted statistics are raw counts, so
+    * one saved model serves any smoothing setting. */
+  case class KnModel(
+      c12: DataFrame, c1: DataFrame, n1c: DataFrame, stats: DataFrame)
+
+  /** Fit the count statistics over `textCol` of `train`. (The id
+    * column of the exploded bigram frame is irrelevant to fitting —
+    * the text column stands in for it.) */
+  def fitKn(train: DataFrame, textCol: String): KnModel =
+    fitKnFromBigrams(
+      knBigrams(train, textCol, textCol), train, textCol)
+
+  /** Score documents against an already-fitted (possibly loaded)
+    * model — zero training passes; the serve face of the family.
+    * Shares the scoring join with [[kneserNeyCrossEntropy]] verbatim,
+    * so serve results are the in-engine results by construction. */
+  def kneserNeyAgainst(
+      score: DataFrame, idCol: String, textCol: String, model: KnModel,
+      discount: Double = 0.75, floorEps: Double = 1e-6): DataFrame =
+    knScoreJoin(knBigrams(score, idCol, textCol), model,
+      discount, floorEps, idCol)
+
+  /** Persist a fitted model as four parquet tables (the saveIndex /
+    * saveModel pattern). `c12` is the big one (one row per distinct
+    * training bigram) and is written at its natural partitioning;
+    * the rest are vocabulary-bounded or 1-row. */
+  def saveKnModel(model: KnModel, path: String): Unit = {
+    model.c12.write.mode("overwrite").parquet(s"$path/c12")
+    model.c1.write.mode("overwrite").parquet(s"$path/c1")
+    model.n1c.write.mode("overwrite").parquet(s"$path/n1c")
+    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted model (inverse of [[saveKnModel]]). */
+  def loadKnModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): KnModel =
+    KnModel(
+      spark.read.parquet(s"$path/c12"),
+      spark.read.parquet(s"$path/c1"),
+      spark.read.parquet(s"$path/n1c"),
+      spark.read.parquet(s"$path/stats"))
+
+  /** Exploded (id, bigram) table of normalized `textCol`. */
+  private def knBigrams(
+      d: DataFrame, idCol: String, textCol: String): DataFrame =
+    OpsUtil.widen(d)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
       .select(col("id"), explode(TextOps.shingles(col("ws"), 2)).as("bg"))
-    val trainBg = bigrams(train).localCheckpoint(false)
-    val scoreBg = if (score eq train) trainBg else bigrams(score)
-    // One aggregate per statistic, all over the distinct-bigram table:
-    // c12 feeds everything downstream, so the wire never carries more
-    // than one row per DISTINCT bigram after the first shuffle.
+
+  /** One aggregate per statistic, all over the distinct-bigram table:
+    * c12 feeds everything downstream, so the wire never carries more
+    * than one row per DISTINCT bigram after the first shuffle. */
+  private def fitKnFromBigrams(
+      trainBg: DataFrame, train: DataFrame, textCol: String): KnModel = {
     val c12 = trainBg.groupBy("bg").agg(count(lit(1)).as("c12"))
       .localCheckpoint(false)
     // c(w1 ·) and N1+(w1 ·) from ONE group-by (sum + count of c12).
@@ -150,17 +204,29 @@ object LanguageModel {
     val n1c = c12
       .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
       .agg(count(lit(1)).as("n1c"))
-    // N1+(· ·): distinct bigram types (1 row, broadcast), and V for
-    // the ε-floor denominator.
-    val n1pp = c12.agg(count(lit(1)).as("n1pp"))
-    val vocab = OpsUtil.widen(train)
-      .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
-    // The probability, in the EXACT arithmetic order the oracle SQL
-    // repeats (all doubles; left-to-right association):
-    //   pc  = n1c / n1pp
-    //   pkn = greatest(c12 - D, 0) / c1  +  D * n1w1 / c1 * pc
-    //   p   = (1 - eps) * pkn + eps / (v + 1)
+    // N1+(· ·): distinct bigram types, and V for the ε-floor
+    // denominator — one broadcastable row.
+    val stats = c12.agg(count(lit(1)).as("n1pp")).crossJoin(
+      OpsUtil.widen(train)
+        .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    KnModel(c12, c1, n1c, stats)
+  }
+
+  /** The scoring join, shared verbatim by the in-engine and serve
+    * paths. The probability, in the EXACT arithmetic order the oracle
+    * SQL repeats (all doubles; left-to-right association):
+    *   pc  = n1c / n1pp
+    *   pkn = greatest(c12 - D, 0) / c1  +  D * n1w1 / c1 * pc
+    *   p   = (1 - eps) * pkn + eps / (v + 1)
+    */
+  private def knScoreJoin(
+      scoreBg: DataFrame, model: KnModel,
+      discount: Double, floorEps: Double, idCol: String): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"Kneser-Ney discount must be in (0, 1) (got $discount)")
+    require(floorEps > 0 && floorEps < 1,
+      s"floor epsilon must be in (0, 1) (got $floorEps)")
     val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
       col("n1pp").cast("double")
     val pkn = when(col("c1").isNull, pc).otherwise(
@@ -175,13 +241,12 @@ object LanguageModel {
     // division at the end.
     val term = round(-log(p), 9).cast("decimal(24,9)")
     scoreBg
-      .join(c12, Seq("bg"), "left")
+      .join(model.c12, Seq("bg"), "left")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .join(c1, Seq("w1"), "left")
-      .join(n1c, Seq("w2"), "left")
-      .crossJoin(broadcast(n1pp))
-      .crossJoin(broadcast(vocab))
+      .join(model.c1, Seq("w1"), "left")
+      .join(model.n1c, Seq("w2"), "left")
+      .crossJoin(broadcast(model.stats))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -1801,36 +1801,28 @@ object PipelineQueries {
         graft.ops.LanguageModel.kneserNeyCrossEntropy(
           docs, docs, "doc_id", "text")
       },
-      Some("""
-        WITH w AS (
-          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
-          FROM documents),
-        pr AS (
-          SELECT doc_id AS id,
-                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
-                        i -> ws[i] || ' ' || ws[i+1])) AS bg
-          FROM w),
-        c12 AS (SELECT bg, COUNT(*) AS c12 FROM pr GROUP BY bg),
-        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1, COUNT(*) AS n1w1
-               FROM c12 GROUP BY 1),
-        n1c AS (SELECT split_part(bg, ' ', -1) AS w2, COUNT(*) AS n1c
-                FROM c12 GROUP BY 1),
-        n1pp AS (SELECT COUNT(*) AS n1pp FROM c12),
-        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q)
-        SELECT pr.id AS doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               CAST(SUM(CAST(round(-ln(
-                   (1.0 - 1.0e-6) *
-                     (greatest(c12 - 0.75, 0.0) / c1
-                      + 0.75 * n1w1 / c1 * (n1c / n1pp))
-                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS kn_cross_entropy
-        FROM pr
-        JOIN c12 USING (bg)
-        JOIN c1 ON split_part(pr.bg, ' ', 1) = c1.w1
-        JOIN n1c ON split_part(pr.bg, ' ', -1) = n1c.w2
-        CROSS JOIN n1pp CROSS JOIN v
-        GROUP BY pr.id""")),
+      Some(LmScoreKnSql)),
+
+    // Persisted-model KN serving — the CCNet deployment shape: fit
+    // the count tables once, save as parquet, load, score with ZERO
+    // training passes. The oracle is lm_score_kn's SQL VERBATIM (the
+    // pit_manyviews_fused pattern): a persisted-and-reloaded model
+    // must reproduce the in-engine scores bit-identically (counts are
+    // integers, so the parquet round trip is exact by construction —
+    // this pins the save/load/serve plumbing, not float luck).
+    QueryDef(
+      "lm_score_kn_serve",
+      (s, dir) => {
+        import graft.ops.LanguageModel
+        val docs = table(s, dir, "documents")
+        val path = QueryDef.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/graft-knlm-" +
+            s.sparkContext.applicationId)
+        LanguageModel.saveKnModel(LanguageModel.fitKn(docs, "text"), path)
+        LanguageModel.kneserNeyAgainst(
+          docs, "doc_id", "text", LanguageModel.loadKnModel(s, path))
+      },
+      Some(LmScoreKnSql)),
 
     // CCNet head/middle/tail perplexity bucketing over the add-1
     // bigram scores: tercile thresholds from ONE broadcast 1-row
@@ -1913,6 +1905,40 @@ object PipelineQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2"""))
   )
+
+  /** Shared verbatim by lm_score_kn and lm_score_kn_serve (lazy:
+    * referenced from `all` above) — interpolated Kneser-Ney bigram
+    * scoring, self-trained on the documents corpus. */
+  private lazy val LmScoreKnSql = """
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        c12 AS (SELECT bg, COUNT(*) AS c12 FROM pr GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1, COUNT(*) AS n1w1
+               FROM c12 GROUP BY 1),
+        n1c AS (SELECT split_part(bg, ' ', -1) AS w2, COUNT(*) AS n1c
+                FROM c12 GROUP BY 1),
+        n1pp AS (SELECT COUNT(*) AS n1pp FROM c12),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q)
+        SELECT pr.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(-ln(
+                   (1.0 - 1.0e-6) *
+                     (greatest(c12 - 0.75, 0.0) / c1
+                      + 0.75 * n1w1 / c1 * (n1c / n1pp))
+                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS kn_cross_entropy
+        FROM pr
+        JOIN c12 USING (bg)
+        JOIN c1 ON split_part(pr.bg, ' ', 1) = c1.w1
+        JOIN n1c ON split_part(pr.bg, ' ', -1) = n1c.w2
+        CROSS JOIN n1pp CROSS JOIN v
+        GROUP BY pr.id"""
 
   /** Shared verbatim by dedup_semantic_incremental and
     * dedup_semantic_serve (lazy: referenced from `all` above). */

@@ -94,6 +94,7 @@ object Transforms {
     "mixture_sample" -> Seq("key", "strata", "rates"),
     "corpus_shuffle" -> Seq("key", "shards"),
     "lm_filter" -> Seq("key", "col", "max_ce"),
+    "lm_filter_against" -> Seq("key", "col", "model", "max_ce"),
     "sample_temperature" -> Seq("key", "strata", "alpha", "target"),
     "budget_select" -> Seq("key", "score", "cost", "budget"),
     "sample_weighted" -> Seq("key", "weight", "n"),
@@ -141,6 +142,7 @@ object Transforms {
   /** Double-typed argument names, same parse-time validation. */
   val DoubleArgs: Map[String, Seq[String]] = Map(
     "lm_filter" -> Seq("max_ce"),
+    "lm_filter_against" -> Seq("max_ce"),
     "sample_temperature" -> Seq("alpha"),
     "minhash_filter" -> Seq("threshold"),
     "semantic_filter" -> Seq("threshold", "adc_margin"),
@@ -411,6 +413,24 @@ object Transforms {
         .select(col(key))
       scorable.join(keep, Seq(key), "left_semi")
         .unionByName(staged.filter(col(key).isNull))
+    case "lm_filter_against" =>
+      // Persisted-model perplexity gate — the CCNet deployment shape:
+      // the Kneser-Ney count tables were fitted ONCE on a clean
+      // reference corpus (LanguageModel.saveKnModel) and every ingest
+      // batch scores against them with zero training passes. Same
+      // NULL-key bypass and sub-2-token drop contract as lm_filter.
+      val gKey = t.arg("key"); val gText = t.arg("col")
+      val gMax = t.arg("max_ce").toDouble
+      val model = graft.ops.LanguageModel
+        .loadKnModel(df.sparkSession, t.arg("model"))
+      val gStaged = df.localCheckpoint(false)
+      val gScorable = gStaged.filter(col(gKey).isNotNull)
+      val gKeep = graft.ops.LanguageModel
+        .kneserNeyAgainst(gScorable, gKey, gText, model)
+        .filter(col("kn_cross_entropy") <= gMax)
+        .select(col(gKey))
+      gScorable.join(gKeep, Seq(gKey), "left_semi")
+        .unionByName(gStaged.filter(col(gKey).isNull))
     case "mixture_sample" =>
       Sampling.mixtureSample(df, t.arg("key"), t.arg("strata"),
         parseRates(t.arg("rates")),

@@ -866,6 +866,32 @@ object StreamingOps {
     }
   }
 
+  /** Streaming perplexity scoring: DOCUMENT batches arrive on the
+    * stream and score against a prebuilt
+    * [[graft.ops.LanguageModel.KnModel]] — the CCNet deployment shape
+    * (KenLM fitted on a clean reference corpus once, served against
+    * every crawl snapshot as it lands). Stateless — the count tables
+    * are the state, persisted once for the query's lifetime (same
+    * ownership caveat as [[nearDupStream]]: unpersist retired models
+    * after the last `stop()`). Shares
+    * [[graft.ops.LanguageModel.kneserNeyAgainst]] verbatim, so
+    * per-batch rows are the batch operator's by construction; the
+    * lm_score_kn_serve oracle covers it. */
+  def lmScoreStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.LanguageModel.KnModel,
+      discount: Double = 0.75, floorEps: Double = 1e-6)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val servable = model.copy(
+      c12 = model.c12.persist(lvl), c1 = model.c1.persist(lvl),
+      n1c = model.n1c.persist(lvl), stats = model.stats.persist(lvl))
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.LanguageModel.kneserNeyAgainst(
+        batch.toDF(), idCol, textCol, servable, discount, floorEps), batchId)
+    }
+  }
+
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running
     * per-bucket token total — the incremental form of

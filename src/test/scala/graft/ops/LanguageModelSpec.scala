@@ -214,6 +214,39 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     out(12L)._2 should be > out(10L)._2
   }
 
+  test("KN model save/load/serve reproduces in-engine scores bit-identically") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat and the dog"), (11L, "rug dog zz")).toDF("doc_id", "text")
+    val want = LanguageModel.kneserNeyCrossEntropy(
+      score, train, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("kn-model").toString
+    LanguageModel.saveKnModel(LanguageModel.fitKn(train, "text"), dir)
+    val got = LanguageModel.kneserNeyAgainst(
+      score, "doc_id", "text", LanguageModel.loadKnModel(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    got shouldBe want
+  }
+
+  test("KN serve knobs (discount, eps) apply at serve time on one saved model") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn-knobs").toString
+    LanguageModel.saveKnModel(LanguageModel.fitKn(train, "text"), dir)
+    val m = LanguageModel.loadKnModel(spark, dir)
+    def ce(d: Double) = LanguageModel
+      .kneserNeyAgainst(score, "doc_id", "text", m, discount = d)
+      .collect().head.getDouble(2)
+    // harsher discount moves mass from the seen path to continuation:
+    // different smoothing, same counts, no re-fit
+    ce(0.1) should not be ce(0.9)
+  }
+
   // ---- perplexity bucketing ----
 
   test("perplexityBuckets splits terciles with monotone cut points") {

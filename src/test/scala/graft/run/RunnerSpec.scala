@@ -594,6 +594,42 @@ class RunnerSpec extends SparkSpec {
     assert(out.count(_.isNullAt(0)) == 1)
   }
 
+  test("lm_filter_against gates on a persisted reference model, not the ingest batch") {
+    import spark.implicits._
+    // Reference model fitted on fluent text ONCE; the ingest batch is
+    // 90% gibberish — a self-trained lm_filter would normalize the
+    // gibberish (it IS the corpus), while the against-gate keeps only
+    // what the reference model finds fluent.
+    val reference = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "bio")
+    val dir = java.nio.file.Files.createTempDirectory("kn-gate").toString
+    graft.ops.LanguageModel.saveKnModel(
+      graft.ops.LanguageModel.fitKn(reference, "bio"), dir)
+    val ingest = (Seq((100L, "the cat sat on the mat")) ++
+      (101L to 109L).map(i => (i, s"zz$i qq$i ww$i vv$i"))).toDF("doc_id", "bio")
+    val ceRef = graft.ops.LanguageModel.kneserNeyAgainst(
+      ingest, "doc_id", "bio",
+      graft.ops.LanguageModel.loadKnModel(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = (ceRef(100L) + ceRef(101L)) / 2
+    val kept = Transforms.applyAll(ingest,
+      Transforms.parse(s"lm_filter_against(key=doc_id,col=bio,model=$dir,max_ce=$cut)"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L))
+    // NULL-key rows bypass; mistyped budget dies at parse time
+    val withNull = (Seq((Option(100L), "the cat sat on the mat"),
+      (None: Option[Long], "anything")))
+      .toDF("doc_id", "bio")
+    val out = Transforms.applyAll(withNull,
+      Transforms.parse(s"lm_filter_against(key=doc_id,col=bio,model=$dir,max_ce=100.0)"))
+      .collect()
+    assert(out.length == 2 && out.count(_.isNullAt(0)) == 1)
+    intercept[IllegalArgumentException](
+      Transforms.parse("lm_filter_against(key=doc_id,col=bio,model=/tmp/x,max_ce=cheap)"))
+    intercept[IllegalArgumentException](
+      Transforms.parse("lm_filter_against(key=doc_id,col=bio,max_ce=1.0)"))
+  }
+
   test("sample_temperature / budget_select / classifier_filter transforms apply and validate") {
     import spark.implicits._
     // temperature: skewed strata flatten at alpha=0; bad args die at parse

@@ -788,6 +788,38 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("lmScoreStream: per-batch KN scores match kneserNeyAgainst on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    val train = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog and a mat")).toDF("doc_id", "text")
+    val model = LanguageModel.fitKn(train, "text")
+    val batches = Seq(
+      Seq((10L, "the cat and the dog"), (11L, "dog on the mat")),
+      Seq((12L, "zz qq unseen tokens"), (13L, "one")))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = StreamingOps.lmScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model) {
+      (rows, id) => got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = LanguageModel.kneserNeyAgainst(
+          rows.toDF("doc_id", "text"), "doc_id", "text", model).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe twin.map(_.toString).sorted.toSeq
+      }
+      // sub-2-token doc 13 is unscored; OOV doc 12 scores at the tail
+      val byId = got.flatMap(_._2).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      byId.keySet shouldBe Set(10L, 11L, 12L)
+      byId(12L) should be > byId(10L)
+    } finally q.stop()
+  }
+
   test("stateless corpus-quality ops run identically on streams (widen passes through)") {
     import spark.implicits._
     import graft.ops.TextOps
