@@ -266,6 +266,56 @@ object CorpusOps {
         sum(col("log_ratio")).cast("double").as("dsir_weight"))
   }
 
+  /** Per-source unigram KL divergence against the whole corpus — the
+    * composition-shift audit of a multi-source training mix: a source
+    * whose token distribution sits far from the pooled corpus is
+    * either a genuinely distinct domain (keep, maybe upweight) or a
+    * contamination/extraction bug (investigate); either way the
+    * number to watch per ingest round is
+    *
+    *   KL(P_source ‖ P_corpus) = Σ_w p_s(w) · ln(p_s(w) / p(w))
+    *
+    * (≥ 0 by Gibbs; 0 iff the source IS the corpus distribution —
+    * both pinned by spec). Because every source is part of the
+    * corpus, p(w) > 0 wherever p_s(w) > 0 and the sum is always
+    * finite — no smoothing needed.
+    *
+    * Scale shape: ONE shuffle keyed by (source, token) builds the
+    * per-source counts; corpus counts, per-source totals, and the
+    * grand total all derive from that aggregate (the wire carries one
+    * row per DISTINCT (source, token) after the first shuffle, never
+    * per occurrence). The per-source total table is sources-sized
+    * (broadcast), the grand total is 1 row. Terms round to 9 dp and
+    * sum through DECIMAL — order-free, engine-portable.
+    *
+    * Output: (source, n_tokens, n_types, kl_vs_corpus). */
+  def sourceDivergence(
+      df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = OpsUtil.widen(df)
+      .select(col(srcCol).as("src"),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tk"))
+      .filter(col("tk") =!= "")
+    // feeds the corpus rollup, per-source totals, grand total, AND the
+    // scoring join — materialize the (source, token) aggregate once.
+    val perSrc = toks.groupBy("src", "tk").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(false)
+    val cW = perSrc.groupBy("tk").agg(sum(col("c_sw")).as("c_w"))
+    val nS = perSrc.groupBy("src").agg(sum(col("c_sw")).as("n_s"))
+    val n = perSrc.agg(sum(col("c_sw")).as("n"))
+    val ps = col("c_sw").cast("double") / col("n_s").cast("double")
+    val p = col("c_w").cast("double") / col("n").cast("double")
+    val term = round(ps * log(ps / p), 9).cast("decimal(24,9)")
+    perSrc
+      .join(cW, Seq("tk"))
+      .join(nS, Seq("src"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("src").as(srcCol))
+      .agg(
+        sum(col("c_sw")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(term).cast("double").as("kl_vs_corpus"))
+  }
+
   /** Exact duplicate-span REMOVAL (the surgery the [[duplicateSpans]]
     * audit motivates — Lee et al. 2022's "deduplicating training data"
     * cuts repeated substrings instead of dropping whole documents):

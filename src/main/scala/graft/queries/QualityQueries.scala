@@ -699,6 +699,84 @@ object QualityQueries {
                TRUE AS vocab_ok
         FROM c""")),
 
+    // Per-doc Shannon entropy (codepoint + token distributions) — the
+    // compression-style quality signal, computed by the zero-shuffle
+    // codegen expression (ONE pass per row; the oracle's relational
+    // explode-and-aggregate form is the cross-engine truth, exact
+    // because each −p·ln p term rounds to 9 dp and sums through
+    // DECIMAL on both sides — order-free).
+    QueryDef(
+      "text_entropy",
+      (s, dir) => {
+        import graft.functions.EntropyFunctions
+        import graft.ops.TextOps
+        val norm = TextOps.normalized(col("text"))
+        val compact = regexp_replace(norm, " ", "")
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            length(compact).as("n_chars"),
+            EntropyFunctions.charEntropy(compact).as("char_entropy"),
+            EntropyFunctions.tokenEntropy(norm).as("token_entropy"))
+          .where(length(compact) > 0)
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, $Norm AS norm, replace($Norm, ' ', '') AS compact
+          FROM documents
+          WHERE replace($Norm, ' ', '') != ''),
+        chc AS (
+          SELECT doc_id, s, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split_regex(compact, '')) AS s FROM c)
+          WHERE s != '' GROUP BY 1, 2),
+        chn AS (SELECT doc_id, SUM(cnt) AS n FROM chc GROUP BY 1),
+        che AS (
+          SELECT chc.doc_id,
+                 CAST(SUM(CAST(round(-((cnt / n) * ln(cnt / n)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                   AS char_entropy
+          FROM chc JOIN chn USING (doc_id) GROUP BY 1),
+        tkc AS (
+          SELECT doc_id, s, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS s FROM c)
+          WHERE s != '' GROUP BY 1, 2),
+        tkn AS (SELECT doc_id, SUM(cnt) AS n FROM tkc GROUP BY 1),
+        tke AS (
+          SELECT tkc.doc_id,
+                 CAST(SUM(CAST(round(-((cnt / n) * ln(cnt / n)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                   AS token_entropy
+          FROM tkc JOIN tkn USING (doc_id) GROUP BY 1)
+        SELECT c.doc_id, length(compact) AS n_chars, char_entropy, token_entropy
+        FROM c JOIN che ON c.doc_id = che.doc_id
+        JOIN tke ON c.doc_id = tke.doc_id""")),
+
+    // Per-source unigram KL divergence vs the pooled corpus — the
+    // composition-shift audit of a multi-source mix. One shuffle on
+    // (source, token); every other statistic derives from that
+    // aggregate. Exact cross-engine via the 9 dp + DECIMAL-sum recipe.
+    QueryDef(
+      "source_divergence",
+      (s, dir) => CorpusOps.sourceDivergence(
+        table(s, dir, "documents"), "source", "text"),
+      Some(s"""
+        WITH t AS (
+          SELECT source, s AS tk
+          FROM (SELECT source, unnest(string_split($Norm, ' ')) AS s FROM documents)
+          WHERE s != ''),
+        sw AS (SELECT source, tk, COUNT(*) AS c_sw FROM t GROUP BY 1, 2),
+        cw AS (SELECT tk, SUM(c_sw) AS c_w FROM sw GROUP BY 1),
+        ns AS (SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY 1),
+        n AS (SELECT SUM(c_sw) AS n FROM sw)
+        SELECT sw.source,
+               CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(round(
+                   (c_sw / n_s) * ln((c_sw / n_s) / (c_w / n)), 9)
+                 AS DECIMAL(24,9))) AS DOUBLE) AS kl_vs_corpus
+        FROM sw
+        JOIN cw USING (tk)
+        JOIN ns USING (source)
+        CROSS JOIN n
+        GROUP BY 1""")),
+
     // Johnson-Lindenstrauss random projection 64 → 4 dims: integer
     // plane literals embedded in both engines; the division order
     // (dot / 1e6 / sqrt(k)) matches exactly.

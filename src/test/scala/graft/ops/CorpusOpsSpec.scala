@@ -276,4 +276,54 @@ class CorpusOpsSpec extends SparkSpec with Matchers {
       }
     } finally q.stop()
   }
+
+  // ---- per-source KL divergence ----
+
+  private def srcDf(rows: Seq[(String, String)]) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      rows.map { case (s, t) => Row(s, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("source", T.StringType, nullable = false),
+        T.StructField("text", T.StringType, nullable = true))))
+  }
+
+  test("sourceDivergence: zero iff the source matches the corpus distribution") {
+    // Two sources with IDENTICAL token distributions: pooled corpus ==
+    // each source ⇒ KL = 0 for both (Gibbs equality case).
+    val out = CorpusOps.sourceDivergence(
+      srcDf(Seq("a" -> "x x y", "b" -> "x x y")), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    out("a") shouldBe 0.0 +- 1e-9
+    out("b") shouldBe 0.0 +- 1e-9
+  }
+
+  test("sourceDivergence matches a hand-computed mix and is non-negative") {
+    // source a: 3×x 1×y (n_s=4); source b: 1×x 3×z (n_s=4).
+    // corpus: x=4, y=1, z=3, n=8.
+    val out = CorpusOps.sourceDivergence(
+      srcDf(Seq("a" -> "x x x y", "b" -> "x z z z")), "source", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def t(ps: Double, p: Double) = BigDecimal(ps * math.log(ps / p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val klA = (t(0.75, 0.5) + t(0.25, 1.0 / 8)).toDouble
+    val klB = (t(0.25, 0.5) + t(0.75, 3.0 / 8)).toDouble
+    out("a") shouldBe ((4L, 2L, klA))
+    out("b") shouldBe ((4L, 2L, klB))
+    // Gibbs: both strictly positive (distinct distributions)
+    out("a")._3 should be > 0.0
+    out("b")._3 should be > 0.0
+  }
+
+  test("sourceDivergence: the shifted source scores higher than in-mix sources") {
+    val inMix = (1 to 8).map(i => s"w${i % 4}").mkString(" ")
+    val out = CorpusOps.sourceDivergence(
+      srcDf(Seq("a" -> inMix, "b" -> inMix,
+        "drift" -> "qq rr ss tt qq rr ss tt")), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    out("drift") should be > out("a")
+    out("drift") should be > out("b")
+  }
 }

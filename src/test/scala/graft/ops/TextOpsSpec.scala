@@ -137,4 +137,50 @@ class TextOpsSpec extends SparkSpec with Matchers {
     out(1L) shouldBe out(2L)
     out(1L) should not be out(3L)
   }
+
+  test("ShannonEntropy: hand-computed values, both tails, empty and null") {
+    import graft.functions.EntropyFunctions
+    val df = docsDf(Seq(
+      1L -> "aaaa",          // degenerate: H = 0
+      2L -> "ab",            // uniform 2 classes: H = ln 2
+      3L -> "aab",           // 2/3, 1/3
+      4L -> ""))             // empty: 0 by contract
+      .select(col("doc_id"), EntropyFunctions.charEntropy(col("text")).as("h"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(1L) shouldBe 0.0
+    out(2L) shouldBe math.log(2) +- 1e-8
+    def t(p: Double) = BigDecimal(-(p * math.log(p)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(3L) shouldBe (t(2.0 / 3) + t(1.0 / 3)) +- 1e-12
+    out(4L) shouldBe 0.0
+    // null text → null entropy (nullSafeEval)
+    val withNull = docsDf(Seq(5L -> null.asInstanceOf[String]))
+      .select(EntropyFunctions.charEntropy(col("text")).as("h"))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("ShannonEntropy: token mode keys on whole tokens, repetition collapses") {
+    import graft.functions.EntropyFunctions
+    val df = docsDf(Seq(
+      1L -> "spam spam spam spam",          // one type: 0
+      2L -> "the cat sat on the mat",       // the×2 + 4 singletons
+      3L -> "a b c d e f"))                 // uniform 6: ln 6
+      .select(col("doc_id"), EntropyFunctions.tokenEntropy(col("text")).as("h"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(1L) shouldBe 0.0
+    out(3L) shouldBe math.log(6) +- 1e-8
+    // natural text sits strictly between the tails
+    out(2L) should (be > out(1L) and be < out(3L))
+    // repetitive text scores BELOW diverse text of the same length —
+    // the filterable signal
+    out(1L) should be < out(2L)
+  }
+
+  test("ShannonEntropy: supplementary-plane codepoints count once") {
+    import graft.functions.EntropyFunctions
+    val smile = new String(Character.toChars(0x1F600))
+    val df = docsDf(Seq(1L -> (smile + smile + smile)))
+      .select(EntropyFunctions.charEntropy(col("text")).as("h"))
+    df.head().getDouble(0) shouldBe 0.0 // one symbol class, not surrogates
+  }
 }
