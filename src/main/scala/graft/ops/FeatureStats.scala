@@ -599,6 +599,94 @@ object FeatureStats {
     profile.select(col("feature"),
       hll_sketch_estimate(col("nd_sketch")).as("n_distinct_est"))
 
+  /** Mergeable COUNT-MIN frequency profile — the heavy-hitter
+    * companion of the sketch family ([[profile]]: moments,
+    * [[profileDistinct]]: HLL uniques, [[profileQuantiles]]: KLL
+    * quantiles; this: frequency estimates). The sketch is kept in its
+    * RELATIONAL form — one row per non-empty cell, (width, depth, d,
+    * b, cnt) — which buys three properties at once: merging is plain
+    * `GROUP BY cell / SUM` (cell-wise addition is the CMS merge law,
+    * EXACT, so shard-then-merge estimates EQUAL one-pass estimates —
+    * spec equality, not tolerance), persistence is ordinary parquet,
+    * and the whole sketch is value-checkable in any SQL engine (the
+    * oracle rebuilds every cell). Width/depth ride along on every row
+    * (the build-parameter-mismatch advisory class: an estimate can
+    * then never silently hash with the wrong geometry).
+    *
+    * Hash family: the repo-wide portable md5 pair —
+    * bucket_d(v) = ((h1 + d·h2) mod p) mod width with h1/h2 the two
+    * 60-bit md5 prefixes reduced mod p = 2^31−1.
+    *
+    * Scale shape: one hash-aggregate reduces occurrences to distinct
+    * values, the ×depth fan-out runs on DISTINCT values only, and the
+    * cell aggregate is bounded by depth × width rows forever. */
+  def cmsProfile(
+      df: DataFrame, valueCol: String, width: Int = 1024,
+      depth: Int = 3): DataFrame = {
+    require(width > 0 && depth > 0, s"need width, depth > 0 ($width, $depth)")
+    val counts = OpsUtil.widen(df)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .select(cmsHashes(col("v")) ++ Seq(col("c")): _*)
+      .select(col("*"), explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
+      .groupBy(lit(width).as("width"), lit(depth).as("depth"), col("d"),
+        cmsBucket(col("d"), width).as("b"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+
+  /** Merge [[cmsProfile]] frames (cell-wise sum — exact). All inputs
+    * must share one geometry; a mixed merge is caught at estimate
+    * time by [[cmsEstimate]]'s geometry probe. */
+  def mergeCmsProfiles(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty)
+    profiles.reduce(_ unionByName _)
+      .groupBy("width", "depth", "d", "b")
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-query the sketch: for each row of `values`, the CMS
+    * estimate of its `valueCol` frequency — min over depths of the
+    * addressed cell. Never underestimates a value the profile
+    * counted; overestimates only by that row's collisions. Geometry
+    * comes FROM the profile (1-row probe, fails fast on a
+    * mixed-geometry merge). Missing cells read as 0 (value never
+    * seen). Output: `values` + `cms_est`. */
+  def cmsEstimate(
+      profile: DataFrame, values: DataFrame, valueCol: String): DataFrame = {
+    val geom = profile.select("width", "depth").distinct().limit(2).collect()
+    require(geom.length == 1,
+      s"cmsEstimate: profile has ${geom.length} distinct (width, depth) " +
+        "geometries — merged sketches must share one")
+    val width = geom(0).getInt(0); val depth = geom(0).getInt(1)
+    val reserved = Set("d", "b", "cnt", "cms_est", "__h1", "__h2")
+    val clash = values.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"cmsEstimate: rename value columns ${clash.mkString(", ")} — " +
+        "they collide with the sketch's internal names")
+    values
+      .select(values.columns.map(col) ++
+        cmsHashes(col(valueCol).cast("string")): _*)
+      .select(col("*"), explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
+      .withColumn("b", cmsBucket(col("d"), width))
+      .join(profile.select("d", "b", "cnt"), Seq("d", "b"), "left")
+      .groupBy(values.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  private val CmsP = 2147483647L // 2^31 − 1, the portable-hash modulus
+
+  /** The two md5-derived seeds, reduced mod p (the minhash family's
+    * exact SQL formulation: conv(substring(md5(v), 1|16, 15), 16, 10)
+    * % p). */
+  private def cmsHashes(v: Column): Seq[Column] = Seq(
+    (conv(substring(md5(v), 1, 15), 16, 10).cast("long") % CmsP).as("__h1"),
+    (conv(substring(md5(v), 16, 15), 16, 10).cast("long") % CmsP).as("__h2"))
+
+  private def cmsBucket(d: Column, width: Int): Column =
+    ((col("__h1") + d * col("__h2")) % CmsP) % width
+
   /** TFDV SchemaGen: infer a schema TABLE from a reference batch — the
     * stage between statistics and validation in the TFX triad this
     * engine's stats family mirrors (stats → schema → validate). One

@@ -255,6 +255,112 @@ object LanguageModel {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Per-document cross-entropy under an order-3 INTERPOLATED
+    * KNESER-NEY model — the recursive Chen-Goodman form
+    * [[kneserNeyCrossEntropy]] is the base case of (KenLM runs this
+    * recursion to order 5; order 3 exercises every structural piece —
+    * the raw-count top level, a continuation-count MIDDLE level, and
+    * the unigram continuation base):
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3) − D, 0) / c(w1w2·)
+    *                + D · N1+(w1w2·) / c(w1w2·) · P_mid(w3|w2)   [seen w1w2]
+    *              = P_mid(w3|w2)                                 [else]
+    *   P_mid(w3|w2) = max(N1+(·w2w3) − D, 0) / N1+(·w2·)
+    *                + D · N1+cont(w2·) / N1+(·w2·) · P_cont(w3)  [seen ·w2·]
+    *              = P_cont(w3)                                   [else]
+    *   P_cont(w3) = N1+(··w3) / N1+(···)        (over (w2,w3) TYPES)
+    *   P'         = (1 − ε) · P + ε / (V + 1)
+    *
+    * The defining KN property holds at every level: the middle model
+    * is built from TYPE counts of the order above (how many distinct
+    * left contexts), not raw occurrences — "francisco" stays cheap
+    * in every backoff.
+    *
+    * Scale shape: one hash-aggregate builds the distinct-trigram
+    * table; EVERY other statistic (prefix totals, continuation-type
+    * tables, the unigram base) derives from it with follow-up
+    * aggregates over progressively smaller keys — after the first
+    * shuffle the wire carries one row per distinct n-gram type, never
+    * per occurrence. Scoring is the same left-join cascade as the
+    * bigram model, one key per level.
+    *
+    * Output: (doc_id, n_trigrams, kn3_cross_entropy); documents with
+    * fewer than 3 tokens are absent. */
+  def kneserNeyTrigramCrossEntropy(
+      score: DataFrame, train: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, floorEps: Double = 1e-6): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"Kneser-Ney discount must be in (0, 1) (got $discount)")
+    require(floorEps > 0 && floorEps < 1,
+      s"floor epsilon must be in (0, 1) (got $floorEps)")
+    def trigrams(d: DataFrame) = OpsUtil.widen(d)
+      .select(col(idCol).as("id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
+      .select(col("id"), explode(TextOps.shingles(col("ws"), 3)).as("tg"))
+    val trainTg = trigrams(train).localCheckpoint(false)
+    val scoreTg = if (score eq train) trainTg else trigrams(score)
+    // Distinct-trigram table: feeds the prefix rollup, the
+    // continuation-type table, and the scoring join.
+    val c3 = trainTg.groupBy("tg").agg(count(lit(1)).as("c3"))
+      .localCheckpoint(false)
+    // c(w1w2·) and N1+(w1w2·) from ONE group-by on the prefix bigram.
+    val p12 = c3
+      .groupBy(substring_index(col("tg"), " ", 2).as("p12"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3"))
+    // N1+(·w2w3): distinct left contexts per suffix bigram — the
+    // TYPE-count table every lower level derives from.
+    val t23 = c3
+      .groupBy(substring_index(col("tg"), " ", -2).as("s23"))
+      .agg(count(lit(1)).as("t23"))
+      .localCheckpoint(false)
+    // N1+(·w2·) and N1+cont(w2·) from ONE group-by of the type table.
+    val mid = t23
+      .groupBy(substring_index(col("s23"), " ", 1).as("w2m"))
+      .agg(sum(col("t23")).as("tmid"), count(lit(1)).as("nmid"))
+    // Unigram base: continuation types of w3 over (w2,w3) TYPES.
+    val n1c3 = t23
+      .groupBy(substring_index(col("s23"), " ", -1).as("w3c"))
+      .agg(count(lit(1)).as("n1c"))
+    val stats = t23.agg(count(lit(1)).as("n1pp")).crossJoin(
+      OpsUtil.widen(train)
+        .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    // Identical arithmetic shape at each level (the oracle repeats it
+    // verbatim; left-to-right association, all doubles).
+    val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
+      col("n1pp").cast("double")
+    val pmid = when(col("tmid").isNull, pc).otherwise(
+      greatest(coalesce(col("t23"), lit(0L)).cast("double") - lit(discount),
+        lit(0.0)) / col("tmid").cast("double") +
+        lit(discount) * col("nmid").cast("double") / col("tmid").cast("double")
+        * pc)
+    val p3 = when(col("c2").isNull, pmid).otherwise(
+      greatest(coalesce(col("c3"), lit(0L)).cast("double") - lit(discount),
+        lit(0.0)) / col("c2").cast("double") +
+        lit(discount) * col("n3").cast("double") / col("c2").cast("double")
+        * pmid)
+    val p = (lit(1.0) - lit(floorEps)) * p3 +
+      lit(floorEps) / (col("v").cast("double") + lit(1.0))
+    val term = round(-log(p), 9).cast("decimal(24,9)")
+    scoreTg
+      .join(c3, Seq("tg"), "left")
+      .withColumn("p12", substring_index(col("tg"), " ", 2))
+      .withColumn("s23", substring_index(col("tg"), " ", -2))
+      .withColumn("w2m", substring_index(col("s23"), " ", 1))
+      .withColumn("w3c", substring_index(col("s23"), " ", -1))
+      .join(p12, Seq("p12"), "left")
+      .join(t23, Seq("s23"), "left")
+      .join(mid, Seq("w2m"), "left")
+      .join(n1c3, Seq("w3c"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        (sum(term).cast("double") /
+          count(lit(1)).cast("double")).as("kn3_cross_entropy"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** CCNet-style perplexity bucketing: split scored documents into
     * `nBuckets` quality tiers (head / middle / tail for 3) by their
     * cross-entropy quantiles. Returns the scored frame plus a

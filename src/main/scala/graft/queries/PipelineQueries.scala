@@ -1803,6 +1803,61 @@ object PipelineQueries {
       },
       Some(LmScoreKnSql)),
 
+    // Order-3 interpolated Kneser-Ney — the recursive Chen-Goodman
+    // form (KenLM's shape at order 5): raw counts at the top,
+    // continuation TYPE counts in the middle, the unigram
+    // continuation base, one discount per level. Self-scoring keeps
+    // every branch on the seen path, so the oracle is the identical
+    // double arithmetic at all three levels, 9 dp + DECIMAL summed.
+    QueryDef(
+      "lm_score_kn3",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.ops.LanguageModel.kneserNeyTrigramCrossEntropy(
+          docs, docs, "doc_id", "text")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+          FROM w),
+        c3 AS (SELECT tg, COUNT(*) AS c3 FROM pr GROUP BY tg),
+        p12 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p12,
+                       SUM(c3) AS c2, COUNT(*) AS n3
+                FROM c3 GROUP BY 1),
+        t23 AS (SELECT split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS s23,
+                       COUNT(*) AS t23
+                FROM c3 GROUP BY 1),
+        mid AS (SELECT split_part(s23, ' ', 1) AS w2m,
+                       SUM(t23) AS tmid, COUNT(*) AS nmid
+                FROM t23 GROUP BY 1),
+        n1c3 AS (SELECT split_part(s23, ' ', 2) AS w3c, COUNT(*) AS n1c
+                 FROM t23 GROUP BY 1),
+        n1pp AS (SELECT COUNT(*) AS n1pp FROM t23),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q)
+        SELECT pr.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CAST(round(-ln(
+                   (1.0 - 1.0e-6) *
+                     (greatest(c3 - 0.75, 0.0) / c2
+                      + 0.75 * n3 / c2 *
+                        (greatest(t23 - 0.75, 0.0) / tmid
+                         + 0.75 * nmid / tmid * (n1c / n1pp)))
+                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS kn3_cross_entropy
+        FROM pr
+        JOIN c3 USING (tg)
+        JOIN p12 ON split_part(pr.tg, ' ', 1) || ' ' || split_part(pr.tg, ' ', 2) = p12.p12
+        JOIN t23 ON split_part(pr.tg, ' ', 2) || ' ' || split_part(pr.tg, ' ', 3) = t23.s23
+        JOIN mid ON split_part(pr.tg, ' ', 2) = mid.w2m
+        JOIN n1c3 ON split_part(pr.tg, ' ', 3) = n1c3.w3c
+        CROSS JOIN n1pp CROSS JOIN v
+        GROUP BY pr.id""")),
+
     // Persisted-model KN serving — the CCNet deployment shape: fit
     // the count tables once, save as parquet, load, score with ZERO
     // training passes. The oracle is lm_score_kn's SQL VERBATIM (the

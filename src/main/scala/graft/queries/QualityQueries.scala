@@ -777,6 +777,73 @@ object QualityQueries {
         CROSS JOIN n
         GROUP BY 1""")),
 
+    // Count-min heavy hitters — the mergeable frequency sketch kept
+    // in RELATIONAL form (one row per cell), so DuckDB rebuilds the
+    // ENTIRE sketch and the estimates match exactly (not just
+    // bounds): portable md5 hash pair, ((h1 + d·h2) mod p) mod width.
+    // The query pins three things per top-20 token: the exact count,
+    // the CMS estimate (value-equal cross-engine), and the never-
+    // underestimate law; merged_eq additionally pins the merge law —
+    // two half-corpus sketches cell-summed serve the SAME estimates
+    // as the one-pass sketch (exact, by construction; the oracle's
+    // TRUE literal is the contract).
+    QueryDef(
+      "cms_heavy_hitters",
+      (s, dir) => {
+        import graft.ops.{FeatureStats, TextOps}
+        val docs = table(s, dir, "documents")
+        def toks(d: org.apache.spark.sql.DataFrame) = d
+          .select(explode(TextOps.tokens(TextOps.normalized(col("text"))))
+            .as("tk"))
+          .filter(col("tk") =!= "")
+        val all = toks(docs)
+        val prof = FeatureStats.cmsProfile(all, "tk", width = 512, depth = 3)
+        val merged = FeatureStats.mergeCmsProfiles(Seq(
+          FeatureStats.cmsProfile(
+            toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)), "tk",
+            width = 512, depth = 3),
+          FeatureStats.cmsProfile(
+            toks(docs.filter(pmod(col("doc_id"), lit(2)) === 1)), "tk",
+            width = 512, depth = 3)))
+        val top = all.groupBy("tk").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tk").asc).limit(20)
+        val single = FeatureStats.cmsEstimate(prof, top, "tk")
+        val m = FeatureStats.cmsEstimate(merged, top, "tk")
+          .select(col("tk"), col("cms_est").as("cms_est_m"))
+        single.join(m, Seq("tk"))
+          .select(col("tk"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") >= col("exact_cnt")).as("ge_ok"),
+            (col("cms_est_m") === col("cms_est")).as("merged_eq"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT s AS tk
+          FROM (SELECT unnest(string_split($Norm, ' ')) AS s FROM documents)
+          WHERE s != ''),
+        cnt AS (SELECT tk, COUNT(*) AS c FROM t GROUP BY tk),
+        h AS (SELECT tk, c,
+                     CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % 2147483647 AS h1,
+                     CAST('0x' || substr(md5(tk), 16, 15) AS BIGINT) % 2147483647 AS h2
+              FROM cnt),
+        cells AS (
+          SELECT d, ((h1 + d * h2) % 2147483647) % 512 AS b, SUM(c) AS cell
+          FROM h CROSS JOIN unnest(range(0, 3)) t2(d)
+          GROUP BY 1, 2),
+        top AS (SELECT tk, c FROM cnt ORDER BY c DESC, tk LIMIT 20),
+        est AS (
+          SELECT top.tk, top.c, MIN(cell) AS cms_est
+          FROM top
+          JOIN h USING (tk)
+          CROSS JOIN unnest(range(0, 3)) t3(d)
+          JOIN cells ON cells.d = t3.d
+                    AND cells.b = ((h.h1 + t3.d * h.h2) % 2147483647) % 512
+          GROUP BY 1, 2)
+        SELECT tk, CAST(c AS BIGINT) AS exact_cnt,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               cms_est >= c AS ge_ok,
+               TRUE AS merged_eq
+        FROM est""")),
+
     // Johnson-Lindenstrauss random projection 64 → 4 dims: integer
     // plane literals embedded in both engines; the division order
     // (dot / 1e6 / sqrt(k)) matches exactly.

@@ -61,6 +61,29 @@ class CorpusOpsPlanSpec extends SparkSpec with Matchers
     }.size should be <= 1
   }
 
+  test("WordPiece serving and Shannon entropy are shuffle-free projections") {
+    // Same contract as the BPE/unigram segmenters: the greedy matcher
+    // and the entropy expression are per-row codegen — the only
+    // allowed exchange is widen's round-robin of the tiny LOCAL input.
+    val m = WordPiece.Model(
+      Seq("un", "##iq", "##ue", "li", "##ne") ++
+        ('a' to 'z').map(_.toString) ++ ('a' to 'z').map("##" + _) ++
+        ('0' to '9').map(_.toString) ++ ('0' to '9').map("##" + _),
+      "[UNK]", 100)
+    val wp = WordPiece.tokenize(docsDf(corpus), "doc_id", "text", m)
+    wp.collect()
+    collect(wp.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }.size should be <= 1
+    val ent = docsDf(corpus).select(col("doc_id"),
+      graft.functions.EntropyFunctions.charEntropy(col("text")).as("h"),
+      graft.functions.EntropyFunctions.tokenEntropy(col("text")).as("ht"))
+    ent.collect()
+    collect(ent.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    } shouldBe empty // plain select: not even the widen round-robin
+  }
+
   test("vocabTopK: TakeOrderedAndProject, no global Sort") {
     val out = CorpusOps.vocabTopK(docsDf(corpus), "text", n = 2, k = 10)
     out.collect()

@@ -1222,4 +1222,72 @@ class FeatureStatsSpec extends SparkSpec with Matchers
       realizedRank shouldBe p +- 0.03 // KLL k=400 rank error << 3%
     }
   }
+
+  // ---- count-min frequency sketch ----
+
+  test("cmsEstimate never underestimates; wide sketch is exact") {
+    import spark.implicits._
+    val vals = (1 to 300).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i"))
+    val df = vals.toDF("v")
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val queries = exact.keys.toSeq.toDF("v2")
+    // width 1 << collisions: every estimate equals the grand total
+    val tiny = FeatureStats.cmsEstimate(
+      FeatureStats.cmsProfile(df, "v", width = 1, depth = 2), queries, "v2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tiny.values.toSet shouldBe Set(vals.size.toLong)
+    // generous width: no collisions expected at 300 keys / 2^16 cells
+    val wide = FeatureStats.cmsEstimate(
+      FeatureStats.cmsProfile(df, "v", width = 1 << 16, depth = 4),
+      queries, "v2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    wide.foreach { case (k, est) =>
+      est should be >= exact(k)
+    }
+    wide shouldBe exact
+    // unseen value reads 0
+    val none = FeatureStats.cmsEstimate(
+      FeatureStats.cmsProfile(df, "v", width = 64, depth = 3),
+      Seq("never-seen").toDF("v2"), "v2").head().getLong(1)
+    none should be >= 0L // min over cells; may collide but never negative
+  }
+
+  test("CMS merge law: shard-then-merge estimates EQUAL one-pass estimates") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => s"w${i % 61}")
+    val df = vals.toDF("v")
+    val queries = vals.distinct.toDF("v2")
+    val one = FeatureStats.cmsEstimate(
+      FeatureStats.cmsProfile(df, "v", width = 37, depth = 3), queries, "v2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shards = Seq(
+      vals.zipWithIndex.filter(_._2 % 2 == 0).map(_._1),
+      vals.zipWithIndex.filter(_._2 % 2 == 1).map(_._1))
+      .map(s => FeatureStats.cmsProfile(s.toDF("v"), "v", width = 37, depth = 3))
+    // parquet round trip: the sketch is a persistable plain table
+    val dir = java.nio.file.Files.createTempDirectory("cmsprof").toString
+    shards.head.write.mode("overwrite").parquet(dir)
+    val merged = FeatureStats.mergeCmsProfiles(
+      Seq(spark.read.parquet(dir), shards(1)))
+    val two = FeatureStats.cmsEstimate(merged, queries, "v2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    two shouldBe one // EXACT equality at a deliberately colliding width
+  }
+
+  test("cmsEstimate fails fast on mixed geometry and reserved names") {
+    import spark.implicits._
+    val df = Seq("a", "b", "a").toDF("v")
+    val mixed = FeatureStats.mergeCmsProfiles(Seq(
+      FeatureStats.cmsProfile(df, "v", width = 16, depth = 2),
+      FeatureStats.cmsProfile(df, "v", width = 32, depth = 2)))
+    val e = intercept[IllegalArgumentException] {
+      FeatureStats.cmsEstimate(mixed, Seq("a").toDF("v2"), "v2")
+    }
+    e.getMessage should include("geometries")
+    val prof = FeatureStats.cmsProfile(df, "v", width = 16, depth = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      FeatureStats.cmsEstimate(prof, Seq(("a", 1L)).toDF("v2", "cnt"), "v2")
+    }
+    e2.getMessage should include("collide")
+  }
 }

@@ -214,6 +214,118 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     out(12L)._2 should be > out(10L)._2
   }
 
+  /** Naive order-3 reference mirroring every branch (seen/unseen at
+    * both upper levels, ε-floor, 9 dp rounding). */
+  private def naiveKn3(
+      train: Seq[String], doc: Seq[String], d: Double = 0.75,
+      eps: Double = 1e-6): Option[(Long, Double)] = {
+    val tgs = train.flatMap(_.split(" ").sliding(3).filter(_.length == 3)
+      .map(p => (p(0), p(1), p(2))).toSeq)
+    val c3 = tgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val p12 = c3.toSeq.groupBy { case ((a, b, _), _) => (a, b) }.view
+      .mapValues(ps => (ps.map(_._2).sum, ps.size.toLong)).toMap
+    val t23 = c3.keys.toSeq.groupBy { case (_, b, c) => (b, c) }.view
+      .mapValues(_.size.toLong).toMap
+    val mid = t23.toSeq.groupBy(_._1._1).view
+      .mapValues(ps => (ps.map(_._2).sum, ps.size.toLong)).toMap
+    val n1c = t23.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1pp = t23.size.toDouble
+    val v = train.flatMap(_.split(" ")).distinct.size.toDouble
+    val scoreTgs = doc.sliding(3).filter(_.length == 3)
+      .map(p => (p(0), p(1), p(2))).toSeq
+    if (scoreTgs.isEmpty) return None
+    val terms = scoreTgs.map { case (w1, w2, w3) =>
+      val pc = n1c.getOrElse(w3, 0L).toDouble / n1pp
+      val pmid = mid.get(w2) match {
+        case None => pc
+        case Some((tmid, nmid)) =>
+          math.max(t23.getOrElse((w2, w3), 0L).toDouble - d, 0.0) / tmid +
+            d * nmid / tmid * pc
+      }
+      val p3 = p12.get((w1, w2)) match {
+        case None => pmid
+        case Some((c2, n3)) =>
+          math.max(c3.getOrElse((w1, w2, w3), 0L).toDouble - d, 0.0) / c2 +
+            d * n3 / c2 * pmid
+      }
+      val p = (1.0 - eps) * p3 + eps / (v + 1.0)
+      BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    Some((scoreTgs.size.toLong, (terms.sum / scoreTgs.size).toDouble))
+  }
+
+  test("kneserNeyTrigramCrossEntropy equals the naive reference on every branch") {
+    import spark.implicits._
+    val trainTexts = Seq(
+      "the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog sat", "the mat and the rug", "fog on the bay",
+      "san francisco fog on the bay")
+    val scoreTexts = Seq(
+      (10L, "the cat sat on the rug"),   // seen trigrams + seen backoffs
+      (11L, "a dog sat on a mat"),       // unseen (w1,w2) → middle level
+      (12L, "rug fog bay cat"),          // unseen everything but unigrams
+      (13L, "zz qq ww the cat sat"),     // OOV tokens → ε-floor
+      (14L, "fog on"))                   // 2 tokens → absent
+    val train = trainTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeyTrigramCrossEntropy(
+      scoreTexts.toDF("doc_id", "text"), train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.keySet shouldBe Set(10L, 11L, 12L, 13L)
+    for ((id, text) <- scoreTexts if id != 14L) {
+      val Some((n, ce)) = naiveKn3(trainTexts, text.split(" ").toSeq)
+      withClue(s"doc $id: ") {
+        out(id)._1 shouldBe n
+        out(id)._2 shouldBe ce +- 1e-9
+      }
+    }
+    // deeper backoff ⇒ higher loss: seen < middle-level < OOV
+    out(10L)._2 should be < out(11L)._2
+    out(11L)._2 should be < out(13L)._2
+  }
+
+  test("order-3 KN is mass-preserving at every level over seen contexts") {
+    // Σ_{w3} P(w3|w1w2) = 1 for every seen (w1,w2), PROVIDED every
+    // vocab token appears as some trigram's continuation (w3) — which
+    // this corpus arranges; same caveat as the bigram law.
+    val train = Seq("a b c a b d", "b c a b c", "d a b d c a")
+    val tgs = train.flatMap(_.split(" ").sliding(3).map(p => (p(0), p(1), p(2))))
+    val c3 = tgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val p12 = c3.toSeq.groupBy { case ((a, b, _), _) => (a, b) }.view
+      .mapValues(ps => (ps.map(_._2).sum, ps.size.toLong)).toMap
+    val t23 = c3.keys.toSeq.groupBy { case (_, b, c) => (b, c) }.view
+      .mapValues(_.size.toLong).toMap
+    val mid = t23.toSeq.groupBy(_._1._1).view
+      .mapValues(ps => (ps.map(_._2).sum, ps.size.toLong)).toMap
+    val n1c = t23.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1pp = t23.size.toDouble
+    val vocab = train.flatMap(_.split(" ")).distinct
+    // base sums to 1 (every token IS a continuation here)
+    vocab.map(w => n1c.getOrElse(w, 0L).toDouble / n1pp).sum shouldBe 1.0 +- 1e-12
+    for ((w2, (tmid, nmid)) <- mid) {
+      val midMass = vocab.map { w3 =>
+        val pc = n1c.getOrElse(w3, 0L).toDouble / n1pp
+        math.max(t23.getOrElse((w2, w3), 0L).toDouble - 0.75, 0.0) / tmid +
+          0.75 * nmid / tmid * pc
+      }.sum
+      midMass shouldBe 1.0 +- 1e-12
+    }
+    for (((w1, w2), (c2, n3)) <- p12) {
+      val mass = vocab.map { w3 =>
+        val pc = n1c.getOrElse(w3, 0L).toDouble / n1pp
+        val pmid = mid.get(w2) match {
+          case None => pc
+          case Some((tmid, nmid)) =>
+            math.max(t23.getOrElse((w2, w3), 0L).toDouble - 0.75, 0.0) / tmid +
+              0.75 * nmid / tmid * pc
+        }
+        math.max(c3.getOrElse((w1, w2, w3), 0L).toDouble - 0.75, 0.0) / c2 +
+          0.75 * n3 / c2 * pmid
+      }.sum
+      withClue(s"prefix ($w1,$w2): ") { mass shouldBe 1.0 +- 1e-12 }
+    }
+  }
+
   test("KN model save/load/serve reproduces in-engine scores bit-identically") {
     import spark.implicits._
     val train = Seq(
