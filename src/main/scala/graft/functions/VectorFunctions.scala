@@ -68,16 +68,25 @@ case class DotProduct(left: Expression, right: Expression, strict: Boolean = fal
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // `ev.isNull` may only be referenced when the expression is
+      // nullable — with strict = false and NON-nullable children,
+      // nullSafeCodeGen's non-nullable branch never DECLARES the
+      // isNull variable, and a stray reference made Janino reject the
+      // whole projection ("isNull_N is not an rvalue"), silently
+      // de-codegening every plan built over non-nullable arrays
+      // (Datasets of case classes, MemoryStream inputs). strict = true
+      // forces nullable, so its isNull writes are always legal.
       val strictNull =
         if (strict) s"${ev.isNull} = true;" else "/* lenient: skip */"
       val strictLen =
         if (strict) s"if ($a.numElements() != $b.numElements()) ${ev.isNull} = true;"
         else ""
+      val earlyExit = if (strict) s" && !${ev.isNull}" else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |$strictLen
-         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |for (int $i = 0; $i < $n$earlyExit; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    $strictNull
          |  } else {

@@ -121,4 +121,33 @@ class GraftFunctionsSpec extends SparkSpec with Matchers {
     }
     mk().semanticEquals(mk()) shouldBe true // distinct byte arrays, equal plans
   }
+
+  test("graft_dot compiles under codegen for NON-nullable array inputs") {
+    // Regression: lenient DotProduct's loop guard referenced ev.isNull,
+    // which nullSafeCodeGen never DECLARES when the expression is
+    // non-nullable (strict = false + non-nullable children) — Janino
+    // rejected the projection ("isNull_N is not an rvalue") and every
+    // plan over Dataset/MemoryStream arrays silently ran interpreted.
+    // CODEGEN_ONLY turns that silent fallback into a hard failure.
+    import org.apache.spark.sql.{Row, types => T}
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(Seq(1.0, 2.0, 3.0)), Row(Seq(0.5, -1.0, 2.0))).asJava,
+      T.StructType(Seq(T.StructField("v",
+        T.ArrayType(T.DoubleType, containsNull = false), nullable = false))))
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = df.select(
+        graft.functions.VectorFunctions.dot(col("v"), col("v")).as("d"))
+        .collect().map(_.getDouble(0)).sorted
+      out(1) shouldBe 14.0 +- 1e-12
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }

@@ -714,4 +714,37 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
   }
 
   private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("lmScoreStream soak: the sf0.1 corpus in 10 batches against a fitted KN model, parity with batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    val docs = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = LanguageModel.fitKn(docs, "text")
+    val docRows = docs.as[Doc].collect().toSeq
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[Doc]
+    val scored = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.lmScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model) {
+      (batch, _) => scored.addAndGet(batch.count()): Unit
+    }.start()
+    try {
+      docRows.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      // only the four query-lifetime persisted model tables may remain
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore)
+        .size should be <= 4
+      val twin = LanguageModel.kneserNeyAgainst(
+        docRows.toDF("doc_id", "text"), "doc_id", "text", model).count()
+      scored.get() shouldBe twin
+      scored.get() should be >= (docRows.size.toLong * 9) / 10 // ≥2-token docs
+      soakLine("lmScoreStream", docRows.size.toLong, log)
+    } finally q.stop()
+  }
 }

@@ -820,6 +820,30 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("WordPiece tokenize runs identically on a stream (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.WordPiece
+    val m = WordPiece.Model(
+      Seq("th", "##th", "er", "##er") ++
+        ('a' to 'z').map(_.toString) ++ ('a' to 'z').map("##" + _),
+      "[UNK]", 100)
+    val docs = Seq(Doc(1L, "the weather report"), Doc(2L, "other letters"))
+    val stream = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = WordPiece.tokenize(stream.toDF(), "doc_id", "text", m)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized { got ++= b.collect().map(_.toString) }: Unit
+      }.start()
+    try {
+      stream.addData(docs); q.processAllAvailable()
+      val twin = WordPiece.tokenize(docs.toDF(), "doc_id", "text", m)
+        .collect().map(_.toString)
+      got.sorted.toSeq shouldBe twin.sorted.toSeq
+    } finally q.stop()
+  }
+
   test("stateless corpus-quality ops run identically on streams (widen passes through)") {
     import spark.implicits._
     import graft.ops.TextOps
