@@ -485,9 +485,22 @@ object Similarity {
     * shard/cluster" step of an IVF deployment. Adds
     * (centroid, centroid_score); NULL vectors pass through with NULL
     * assignment. */
-  def assignCentroid(df: DataFrame, vecCol: String, index: AnnIndex): DataFrame = {
+  def assignCentroid(df: DataFrame, vecCol: String, index: AnnIndex): DataFrame =
+    assignCentroid(df, vecCol, index.centroids)
+
+  /** Same routing against a bare centroid matrix — the corpus-DOMAIN
+    * face: fit [[ivfCentroids]] over the embedding column (bounded
+    * sample, deterministic Lloyd), then label every document with its
+    * nearest centroid as a topic/domain id. The (per-domain × source)
+    * contingency that falls out of one groupBy downstream is the
+    * coverage/diversity audit a mixture designer reads; the
+    * assignment itself is the same stateless projection IVF serving
+    * uses, so it costs one corpus pass at any scale. */
+  def assignCentroid(
+      df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
     val v = asDouble(col(vecCol))
-    val scores = centroidScores(v, index.centroids)
+    val scores = centroidScores(v, centroids)
     df.withColumn("centroid",
         when(v.isNotNull, argmaxIdx(scores)))
       .withColumn("centroid_score",

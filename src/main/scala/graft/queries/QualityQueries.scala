@@ -844,6 +844,46 @@ object QualityQueries {
                TRUE AS merged_eq
         FROM est""")),
 
+    // Corpus domain discovery: deterministic k-means over the
+    // embedding column labels every vector with a topic/domain id —
+    // the coverage/diversity audit of a mixture designer. The fit is
+    // not SQL-expressible, so the oracle is the embed_pca-style
+    // invariant surface computed IN-QUERY over the same data: every
+    // assignment must minimize the exact squared L2 distance
+    // RECOMPUTED through a different code path (relational
+    // zip_with/aggregate vs the codegen CentroidScores kernel), and
+    // the used-domain count must stay within [1, k].
+    QueryDef(
+      "corpus_domains",
+      (s, dir) => {
+        import graft.ops.Similarity
+        val emb = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("embedding").isNotNull)
+        val cents = Similarity.ivfCentroids(
+          emb, "vec_id", "embedding", nCentroids = 8, iters = 3)
+        val assigned = Similarity.assignCentroid(emb, "embedding", cents)
+        val v = col("embedding").cast("array<double>")
+        val dists = array(cents.map { c =>
+          aggregate(
+            zip_with(v, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)
+        }: _*)
+        assigned
+          .withColumn("__d", dists)
+          .withColumn("__opt",
+            element_at(col("__d"), col("centroid") + 1) <=
+              array_min(col("__d")) + lit(1e-9))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            every(col("__opt")).as("all_optimal"),
+            countDistinct(col("centroid")).between(1, 8).as("domains_ok"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               TRUE AS all_optimal, TRUE AS domains_ok
+        FROM embeddings WHERE embedding IS NOT NULL""")),
+
     // Johnson-Lindenstrauss random projection 64 → 4 dims: integer
     // plane literals embedded in both engines; the division order
     // (dot / 1e6 / sqrt(k)) matches exactly.

@@ -608,4 +608,26 @@ class SimilaritySpec extends SparkSpec with Matchers {
       appended.map(_.toString).sorted.toSeq shouldBe batchTwin
     } finally q.stop()
   }
+
+  test("corpus domains: planted clusters recover, matrix overload == index overload") {
+    import spark.implicits._
+    // Two well-separated planted clusters in 8 dims.
+    def near(center: Double, i: Int): Seq[Double] =
+      (0 until 8).map(d => center + ((i * 31 + d * 17) % 7 - 3) * 0.01)
+    val vecs = (1L to 30L).map(i => (i, near(if (i <= 15) 10.0 else -10.0, i.toInt)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding",
+      nCentroids = 2, iters = 4)
+    val out = Similarity.assignCentroid(df, "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // one pure domain per planted cluster
+    (1L to 15L).map(out).toSet should have size 1
+    (16L to 30L).map(out).toSet should have size 1
+    out(1L) should not be out(30L)
+    // assignment is optimal against brute-force distances
+    vecs.foreach { case (id, v) =>
+      val d = cents.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      d(out(id)) shouldBe d.min
+    }
+  }
 }

@@ -630,6 +630,36 @@ class RunnerSpec extends SparkSpec {
       Transforms.parse("lm_filter_against(key=doc_id,col=bio,max_ce=1.0)"))
   }
 
+  test("CCNet recipe chains from the config surface: clean, reference-LM gate, shuffle") {
+    import spark.implicits._
+    // The canonical crawl-filtering pipeline as ONE transform chain:
+    // normalize text, gate on perplexity under a PERSISTED reference
+    // model, then assign reproducible shard addresses — all from the
+    // string config surface, fused into a single plan per stage.
+    val reference = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "bio")
+    val dir = java.nio.file.Files.createTempDirectory("kn-chain").toString
+    graft.ops.LanguageModel.saveKnModel(
+      graft.ops.LanguageModel.fitKn(reference, "bio"), dir)
+    val ingest = (Seq(
+      (100L, "  the   cat sat  on the mat  "), // cleans to fluent
+      (101L, "the cat https://spam.example.com/x sat on the mat")) ++
+      (102L to 109L).map(i => (i, s"zz$i qq$i ww$i vv$i"))).toDF("doc_id", "bio")
+    val out = Transforms.applyAll(ingest, Transforms.parse(
+      s"clean_text(cols=bio);" +
+        s"lm_filter_against(key=doc_id,col=bio,model=$dir,max_ce=2.0);" +
+        "corpus_shuffle(key=doc_id,shards=4)"))
+      .collect()
+    // the URL is stripped BEFORE scoring, so both fluent docs survive
+    // the gate; all gibberish drops; every survivor has a shard address
+    assert(out.map(_.getLong(0)).toSet == Set(100L, 101L))
+    out.foreach { r =>
+      assert(r.getAs[String]("bio") == "the cat sat on the mat")
+      val shard = r.getAs[Long]("shard")
+      assert(shard >= 0L && shard < 4L)
+    }
+  }
+
   test("sample_temperature / budget_select / classifier_filter transforms apply and validate") {
     import spark.implicits._
     // temperature: skewed strata flatten at alpha=0; bad args die at parse
