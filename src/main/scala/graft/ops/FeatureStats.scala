@@ -660,19 +660,26 @@ object FeatureStats {
       s"cmsEstimate: profile has ${geom.length} distinct (width, depth) " +
         "geometries — merged sketches must share one")
     val width = geom(0).getInt(0); val depth = geom(0).getInt(1)
-    val reserved = Set("d", "b", "cnt", "cms_est", "__h1", "__h2")
+    val reserved = Set("d", "b", "cnt", "cms_est", "__h1", "__h2", "__cms_rid")
     val clash = values.columns.filter(reserved)
     require(clash.isEmpty,
       s"cmsEstimate: rename value columns ${clash.mkString(", ")} — " +
         "they collide with the sketch's internal names")
+    // Row identity rides a synthetic id through the ×depth fan-out so
+    // DUPLICATE input rows come back as duplicate outputs ("for each
+    // row of values" — grouping on the value columns alone collapsed
+    // them, review finding r12). The id orders nothing and leaks
+    // nowhere; it only partitions the min-over-depths aggregate.
     values
-      .select(values.columns.map(col) ++
+      .withColumn("__cms_rid", monotonically_increasing_id())
+      .select(Seq(col("__cms_rid")) ++ values.columns.map(col) ++
         cmsHashes(col(valueCol).cast("string")): _*)
       .select(col("*"), explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
       .withColumn("b", cmsBucket(col("d"), width))
       .join(profile.select("d", "b", "cnt"), Seq("d", "b"), "left")
-      .groupBy(values.columns.map(col): _*)
+      .groupBy(Seq(col("__cms_rid")) ++ values.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .drop("__cms_rid")
   }
 
   private val CmsP = 2147483647L // 2^31 − 1, the portable-hash modulus

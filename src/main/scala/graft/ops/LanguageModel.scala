@@ -47,16 +47,13 @@ object LanguageModel {
       score: DataFrame, train: DataFrame, idCol: String, textCol: String,
       k: Double = 1.0): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0")
-    def bigrams(d: DataFrame) = OpsUtil.widen(d)
-      .select(col(idCol).as("id"),
-        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
-      .select(col("id"), explode(TextOps.shingles(col("ws"), 2)).as("bg"))
     // The exploded bigram table feeds the c12 aggregate, the c1
     // aggregate, and (when self-scoring) the scoring side — three
     // consumers that would each re-tokenize the corpus. Materialize it
     // once; self-scoring (score eq train) reuses the same frame.
-    val trainBg = bigrams(train).localCheckpoint(false)
-    val scoreBg = if (score eq train) trainBg else bigrams(score)
+    val trainBg = ngrams(train, idCol, textCol, 2, "bg").localCheckpoint(false)
+    val scoreBg =
+      if (score eq train) trainBg else ngrams(score, idCol, textCol, 2, "bg")
     // c(w1 w2) and c(w1 ·) — two aggregates over the same exploded
     // frame; prefix counts aggregate the bigram string's first token so
     // both group-bys read the one exploded column.
@@ -65,9 +62,7 @@ object LanguageModel {
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(count(lit(1)).as("c1"))
     // V = distinct token count of the training corpus (1 row, broadcast).
-    val vocab = OpsUtil.widen(train)
-      .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+    val vocab = vocabCount(train, textCol)
     // LEFT joins + coalesce(count, 0): a bigram the model never saw is
     // the highest-loss (most informative) event for a quality filter —
     // it must score via smoothing (k / (c1 + kV), or 1/V for an unseen
@@ -127,8 +122,9 @@ object LanguageModel {
   def kneserNeyCrossEntropy(
       score: DataFrame, train: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75, floorEps: Double = 1e-6): DataFrame = {
-    val trainBg = knBigrams(train, idCol, textCol).localCheckpoint(false)
-    val scoreBg = if (score eq train) trainBg else knBigrams(score, idCol, textCol)
+    val trainBg = ngrams(train, idCol, textCol, 2, "bg").localCheckpoint(false)
+    val scoreBg =
+      if (score eq train) trainBg else ngrams(score, idCol, textCol, 2, "bg")
     knScoreJoin(scoreBg, fitKnFromBigrams(trainBg, train, textCol),
       discount, floorEps, idCol)
   }
@@ -149,7 +145,7 @@ object LanguageModel {
     * the text column stands in for it.) */
   def fitKn(train: DataFrame, textCol: String): KnModel =
     fitKnFromBigrams(
-      knBigrams(train, textCol, textCol), train, textCol)
+      ngrams(train, textCol, textCol, 2, "bg"), train, textCol)
 
   /** Score documents against an already-fitted (possibly loaded)
     * model — zero training passes; the serve face of the family.
@@ -158,7 +154,7 @@ object LanguageModel {
   def kneserNeyAgainst(
       score: DataFrame, idCol: String, textCol: String, model: KnModel,
       discount: Double = 0.75, floorEps: Double = 1e-6): DataFrame =
-    knScoreJoin(knBigrams(score, idCol, textCol), model,
+    knScoreJoin(ngrams(score, idCol, textCol, 2, "bg"), model,
       discount, floorEps, idCol)
 
   /** Persist a fitted model as four parquet tables (the saveIndex /
@@ -181,13 +177,39 @@ object LanguageModel {
       spark.read.parquet(s"$path/n1c"),
       spark.read.parquet(s"$path/stats"))
 
-  /** Exploded (id, bigram) table of normalized `textCol`. */
-  private def knBigrams(
-      d: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Exploded (id, n-gram) table of normalized `textCol` — the one
+    * tokenize+shingle shape every LM in this file scores over (review
+    * finding r12: three verbatim copies drifted one edit from
+    * divergence). */
+  private def ngrams(
+      d: DataFrame, idCol: String, textCol: String, n: Int,
+      out: String): DataFrame =
     OpsUtil.widen(d)
       .select(col(idCol).as("id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
-      .select(col("id"), explode(TextOps.shingles(col("ws"), 2)).as("bg"))
+      .select(col("id"), explode(TextOps.shingles(col("ws"), n)).as(out))
+
+  /** V = distinct token count of the training corpus (1 row,
+    * broadcast) — the ε-floor / add-k denominator. */
+  private def vocabCount(train: DataFrame, textCol: String): DataFrame =
+    OpsUtil.widen(train)
+      .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+
+  /** One interpolated-KN level, in the EXACT arithmetic order the
+    * oracle SQL repeats (left-to-right, all doubles):
+    *   greatest(num − D, 0)/den + D·types/den·lower    [den present]
+    *   lower                                           [else]
+    * Shared by the bigram top level and both trigram levels so the
+    * recursion stays provably identical level-to-level. */
+  private def knLevel(
+      num: Column, den: Column, types: Column, lower: Column,
+      discount: Double): Column =
+    when(den.isNull, lower).otherwise(
+      greatest(coalesce(num, lit(0L)).cast("double") - lit(discount),
+        lit(0.0)) / den.cast("double") +
+        lit(discount) * types.cast("double") / den.cast("double")
+        * lower)
 
   /** One aggregate per statistic, all over the distinct-bigram table:
     * c12 feeds everything downstream, so the wire never carries more
@@ -206,10 +228,8 @@ object LanguageModel {
       .agg(count(lit(1)).as("n1c"))
     // N1+(· ·): distinct bigram types, and V for the ε-floor
     // denominator — one broadcastable row.
-    val stats = c12.agg(count(lit(1)).as("n1pp")).crossJoin(
-      OpsUtil.widen(train)
-        .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
-        .agg(countDistinct(col("w")).as("v")))
+    val stats = c12.agg(count(lit(1)).as("n1pp"))
+      .crossJoin(vocabCount(train, textCol))
     KnModel(c12, c1, n1c, stats)
   }
 
@@ -229,11 +249,7 @@ object LanguageModel {
       s"floor epsilon must be in (0, 1) (got $floorEps)")
     val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
       col("n1pp").cast("double")
-    val pkn = when(col("c1").isNull, pc).otherwise(
-      greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(discount),
-        lit(0.0)) / col("c1").cast("double") +
-        lit(discount) * col("n1w1").cast("double") / col("c1").cast("double")
-        * pc)
+    val pkn = knLevel(col("c12"), col("c1"), col("n1w1"), pc, discount)
     val p = (lit(1.0) - lit(floorEps)) * pkn +
       lit(floorEps) / (col("v").cast("double") + lit(1.0))
     // Engine-portable exactness: each term rounds to 9 dp before the
@@ -293,12 +309,9 @@ object LanguageModel {
       s"Kneser-Ney discount must be in (0, 1) (got $discount)")
     require(floorEps > 0 && floorEps < 1,
       s"floor epsilon must be in (0, 1) (got $floorEps)")
-    def trigrams(d: DataFrame) = OpsUtil.widen(d)
-      .select(col(idCol).as("id"),
-        TextOps.tokens(TextOps.normalized(col(textCol))).as("ws"))
-      .select(col("id"), explode(TextOps.shingles(col("ws"), 3)).as("tg"))
-    val trainTg = trigrams(train).localCheckpoint(false)
-    val scoreTg = if (score eq train) trainTg else trigrams(score)
+    val trainTg = ngrams(train, idCol, textCol, 3, "tg").localCheckpoint(false)
+    val scoreTg =
+      if (score eq train) trainTg else ngrams(score, idCol, textCol, 3, "tg")
     // Distinct-trigram table: feeds the prefix rollup, the
     // continuation-type table, and the scoring join.
     val c3 = trainTg.groupBy("tg").agg(count(lit(1)).as("c3"))
@@ -321,24 +334,14 @@ object LanguageModel {
     val n1c3 = t23
       .groupBy(substring_index(col("s23"), " ", -1).as("w3c"))
       .agg(count(lit(1)).as("n1c"))
-    val stats = t23.agg(count(lit(1)).as("n1pp")).crossJoin(
-      OpsUtil.widen(train)
-        .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
-        .agg(countDistinct(col("w")).as("v")))
+    val stats = t23.agg(count(lit(1)).as("n1pp"))
+      .crossJoin(vocabCount(train, textCol))
     // Identical arithmetic shape at each level (the oracle repeats it
     // verbatim; left-to-right association, all doubles).
     val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
       col("n1pp").cast("double")
-    val pmid = when(col("tmid").isNull, pc).otherwise(
-      greatest(coalesce(col("t23"), lit(0L)).cast("double") - lit(discount),
-        lit(0.0)) / col("tmid").cast("double") +
-        lit(discount) * col("nmid").cast("double") / col("tmid").cast("double")
-        * pc)
-    val p3 = when(col("c2").isNull, pmid).otherwise(
-      greatest(coalesce(col("c3"), lit(0L)).cast("double") - lit(discount),
-        lit(0.0)) / col("c2").cast("double") +
-        lit(discount) * col("n3").cast("double") / col("c2").cast("double")
-        * pmid)
+    val pmid = knLevel(col("t23"), col("tmid"), col("nmid"), pc, discount)
+    val p3 = knLevel(col("c3"), col("c2"), col("n3"), pmid, discount)
     val p = (lit(1.0) - lit(floorEps)) * p3 +
       lit(floorEps) / (col("v").cast("double") + lit(1.0))
     val term = round(-log(p), 9).cast("decimal(24,9)")
@@ -383,19 +386,29 @@ object LanguageModel {
       scored: DataFrame, idCol: String, ceCol: String, nBuckets: Int = 3,
       exactThresholds: Boolean = false): DataFrame = {
     require(nBuckets >= 2, s"need >= 2 buckets (got $nBuckets)")
+    // Internal threshold column under the __graft_ prefix + explicit
+    // clash guard (the cmsEstimate contract): a plain "ts" alias broke
+    // any scored frame that carried its own timestamp column —
+    // ambiguous reference on read, user column silently dropped on
+    // the way out (review finding r12).
+    val thrCol = "__graft_ppl_thresholds"
+    val clash = scored.columns.filter(Set(thrCol, "ppl_bucket"))
+    require(clash.isEmpty,
+      s"perplexityBuckets: rename columns ${clash.mkString(", ")} — " +
+        "they collide with the bucketing output")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
     val pcts = array(ps.map(lit): _*)
     val thr = scored.agg(
       (if (exactThresholds) percentile(col(ceCol), pcts)
-       else percentile_approx(col(ceCol), pcts, lit(10000))).as("ts"))
+       else percentile_approx(col(ceCol), pcts, lit(10000))).as(thrCol))
     val ceR = round(col(ceCol), 9)
     val bucket = ps.indices
-      .map(i => when(ceR > round(element_at(col("ts"), i + 1), 9), 1)
+      .map(i => when(ceR > round(element_at(col(thrCol), i + 1), 9), 1)
         .otherwise(0))
       .reduce(_ + _) + lit(1)
     scored.crossJoin(broadcast(thr))
       .withColumn("ppl_bucket", bucket)
-      .drop("ts")
+      .drop(thrCol)
   }
 
   /** Char-n-gram Naive Bayes language identification, trained

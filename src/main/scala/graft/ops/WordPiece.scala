@@ -25,8 +25,10 @@ import graft.functions.WordPieceFunctions
   *
   * (the likelihood gain of fusing the pair under a unigram factoring —
   * the published WordPiece ranking), with the fraction order decided
-  * EXACTLY via 128-bit cross-multiplication, never through double
-  * rounding; score ties break on higher pair count (more evidence),
+  * EXACTLY — a double fast path with a provable margin, arbitrary-
+  * precision cross-multiplication on near-ties (the denominators stay
+  * as factors; their product alone can overflow 64 bits at corpus
+  * scale); score ties break on higher pair count (more evidence),
   * then the "a b" pair string ascending in UTF-8 byte order. The
   * model is therefore a pure function of the corpus and the knobs.
   *
@@ -123,13 +125,28 @@ object WordPiece {
   private def merged(a: String, b: String): String =
     a + (if (b.startsWith("##")) b.substring(2) else b)
 
-  /** Compare n1/d1 vs n2/d2 EXACTLY: cross-multiply into 128 bits
-    * (all operands positive, so the high word carries the sign). */
-  private def cmpFrac(n1: Long, d1: Long, n2: Long, d2: Long): Int = {
-    val h1 = Math.multiplyHigh(n1, d2); val l1 = n1 * d2
-    val h2 = Math.multiplyHigh(n2, d1); val l2 = n2 * d1
-    if (h1 != h2) java.lang.Long.compare(h1, h2)
-    else java.lang.Long.compareUnsigned(l1, l2)
+  /** Compare n1/(a1·b1) vs n2/(a2·b2) EXACTLY. The denominator is a
+    * product of two symbol counts and can itself exceed 64 bits on a
+    * large corpus (two symbols at ~3e9 occurrences already overflow a
+    * Long multiply — review finding, r12), so the denominators are
+    * kept as FACTORS and the cross-multiplied triples compare in
+    * arbitrary precision on the slow path. The fast path decides
+    * through doubles with a 1e-9 relative margin: each score carries
+    * ≤ ~4 ulp (≈ 4e-16) of relative error, so a gap wider than the
+    * margin can never be an artifact of rounding — only genuine
+    * near-ties pay the BigInteger allocation. */
+  private def cmpScore(
+      n1: Long, a1: Long, b1: Long,
+      n2: Long, a2: Long, b2: Long): Int = {
+    val s1 = n1.toDouble / (a1.toDouble * b1.toDouble)
+    val s2 = n2.toDouble / (a2.toDouble * b2.toDouble)
+    if (s1 > s2 * (1 + 1e-9)) 1
+    else if (s2 > s1 * (1 + 1e-9)) -1
+    else {
+      import java.math.BigInteger.{valueOf => big}
+      big(n1).multiply(big(a2)).multiply(big(b2))
+        .compareTo(big(n2).multiply(big(a1)).multiply(big(b1)))
+    }
   }
 
   private[ops] def trainOnDict(
@@ -170,16 +187,16 @@ object WordPiece {
     // pair-string tie-break (built only on full ties).
     def argmax: (String, String) = {
       var best: (String, String) = null
-      var bestN = 0L; var bestD = 0L
+      var bestN = 0L; var bestA = 0L; var bestB = 0L
       pairCnt.foreach { case (p, n) =>
-        val d = symCnt(p._1) * symCnt(p._2)
-        if (best == null) { best = p; bestN = n; bestD = d }
+        val ca = symCnt(p._1); val cb = symCnt(p._2)
+        if (best == null) { best = p; bestN = n; bestA = ca; bestB = cb }
         else {
-          val c = cmpFrac(n, d, bestN, bestD)
+          val c = cmpScore(n, ca, cb, bestN, bestA, bestB)
           if (c > 0 || (c == 0 && (n > bestN ||
             (n == bestN &&
               utf8Order.compare(p._1 + " " + p._2, best._1 + " " + best._2) < 0))))
-            { best = p; bestN = n; bestD = d }
+            { best = p; bestN = n; bestA = ca; bestB = cb }
         }
       }
       best

@@ -1274,6 +1274,17 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     two shouldBe one // EXACT equality at a deliberately colliding width
   }
 
+  test("cmsEstimate preserves duplicate query rows (one output per input row)") {
+    import spark.implicits._
+    val prof = FeatureStats.cmsProfile(
+      Seq("a", "a", "b").toDF("v"), "v", width = 64, depth = 3)
+    // the same token queried twice must come back twice
+    val out = FeatureStats.cmsEstimate(
+      prof, Seq("a", "a", "b").toDF("v2"), "v2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    out shouldBe Seq(("a", 2L), ("a", 2L), ("b", 1L))
+  }
+
   test("cmsEstimate fails fast on mixed geometry and reserved names") {
     import spark.implicits._
     val df = Seq("a", "b", "a").toDF("v")

@@ -371,6 +371,26 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     out shouldBe (1 to 9).map(i => i.toLong -> (1 + (i - 1) / 3)).toMap
   }
 
+  test("perplexityBuckets tolerates a user 'ts' column and guards its outputs") {
+    import spark.implicits._
+    // regression: the internal threshold column was aliased "ts" —
+    // any scored frame carrying its own timestamp column hit an
+    // ambiguous reference or lost the column on the way out.
+    val scored = (1 to 6).map(i => (i.toLong, i * 1.0, i * 100L))
+      .toDF("doc_id", "ce", "ts")
+    val out = LanguageModel.perplexityBuckets(
+      scored, "doc_id", "ce", nBuckets = 2, exactThresholds = true)
+    out.columns.toSeq shouldBe Seq("doc_id", "ce", "ts", "ppl_bucket")
+    out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap shouldBe
+      (1 to 6).map(i => i.toLong -> i * 100L).toMap
+    // output-name collision dies loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.perplexityBuckets(
+        scored.withColumnRenamed("ts", "ppl_bucket"), "doc_id", "ce", 2)
+    }
+    e.getMessage should include("collide")
+  }
+
   test("perplexityBuckets: approx path agrees with exact on small data") {
     import spark.implicits._
     val scored = (1 to 300).map(i => (i.toLong, math.sin(i) * 10))

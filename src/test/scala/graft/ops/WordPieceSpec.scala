@@ -24,6 +24,22 @@ class WordPieceSpec extends SparkSpec {
     assert(vocab === Seq("##a", "##b", "a", "##ab", "aab", "ab"))
   }
 
+  test("merge ranking survives counts whose product overflows 64 bits") {
+    // c(a) = c(##a) = 4e9 → the old Long denominator product
+    // (1.6e19 > 2^63) wrapped negative and the 128-bit compare read
+    // garbage sign. Exact order: score(a,##a) = 1/4e9 beats
+    // score(b,##b) = 1/(4e9+1), so "aa" must merge first — and the
+    // mirrored dict must pick "bb" first (rules out getting it right
+    // by iteration-order luck).
+    val big = 4_000_000_000L
+    val v1 = WordPiece.trainOnDict(
+      Array(("aa", big), ("bb", big + 1)), nMerges = 1)
+    assert(v1.last === "aa")
+    val v2 = WordPiece.trainOnDict(
+      Array(("aa", big + 1), ("bb", big)), nMerges = 1)
+    assert(v2.last === "bb")
+  }
+
   test("trainOnDict is a pure function of the dict (re-run identical)") {
     val dict = Array(("the", 30L), ("then", 11L), ("than", 7L), ("a", 90L))
     val v1 = WordPiece.trainOnDict(dict, nMerges = 5)
