@@ -177,6 +177,28 @@ object LanguageModel {
       spark.read.parquet(s"$path/n1c"),
       spark.read.parquet(s"$path/stats"))
 
+  /** Per-document NOVELTY rate against a fitted model: the fraction
+    * of a document's bigrams absent from the model's count table —
+    * the freshness/contamination dial of a snapshot-over-snapshot
+    * pipeline (near-zero novelty against last month's model flags a
+    * re-crawl or leaked duplicate; near-one flags out-of-domain or
+    * garbage). One left join against `c12` on the bigram key, one
+    * per-doc aggregate; at 100 TB the model stays the distributed
+    * table it already is. Output: (doc_id, n_bigrams, n_unseen,
+    * novelty_rate); documents with fewer than 2 tokens are absent. */
+  def noveltyRate(
+      score: DataFrame, idCol: String, textCol: String,
+      model: KnModel): DataFrame =
+    ngrams(score, idCol, textCol, 2, "bg")
+      .join(model.c12, Seq("bg"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        (sum(when(col("c12").isNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("novelty_rate"))
+      .withColumnRenamed("id", idCol)
+
   /** Exploded (id, n-gram) table of normalized `textCol` — the one
     * tokenize+shingle shape every LM in this file scores over (review
     * finding r12: three verbatim copies drifted one edit from

@@ -1927,6 +1927,42 @@ object PipelineQueries {
                  AS ppl_bucket
         FROM scored CROSS JOIN t""")),
 
+    // Corpus novelty audit: fit the KN count tables on the EVEN-id
+    // half, report each ODD doc's unseen-bigram fraction — the
+    // freshness/contamination dial between snapshots (near-zero
+    // novelty flags a re-crawl; near-one flags out-of-domain). Pure
+    // integer arithmetic → exact cross-engine.
+    QueryDef(
+      "lm_novelty",
+      (s, dir) => {
+        import graft.ops.LanguageModel
+        val docs = table(s, dir, "documents")
+        LanguageModel.noveltyRate(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+          LanguageModel.fitKn(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        tr AS (
+          SELECT DISTINCT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                 i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w WHERE doc_id % 2 = 0),
+        sc AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w WHERE doc_id % 2 = 1)
+        SELECT sc.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN tr.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+               CAST(SUM(CASE WHEN tr.bg IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+        FROM sc LEFT JOIN tr ON sc.bg = tr.bg
+        GROUP BY 1""")),
+
     // Deterministic corpus shuffle: reproducible (shard, pos) address
     // for every document — no rand(), no global sort, no
     // single-partition window.

@@ -599,6 +599,22 @@ object StreamingOps {
         batch.toDF(), idCol, vecCol, index), batchId)
     }
 
+  /** Streaming count-min maintenance — the frequency sibling of
+    * [[pqIndexStream]]: each micro-batch reduces to its own cell-delta
+    * table ([[graft.ops.FeatureStats.cmsProfile]]), and because the
+    * CMS merge law is cell-wise addition, APPENDING the deltas is the
+    * maintenance — `mergeCmsProfiles` over the appended table (or a
+    * periodic compaction of it) equals the one-pass sketch EXACTLY
+    * (spec-asserted equality, not tolerance). State per batch is the
+    * batch's own cells, bounded by depth × width forever. */
+  def cmsProfileStream(
+      values: DataFrame, valueCol: String, width: Int, depth: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    values.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.FeatureStats.cmsProfile(
+        batch.toDF(), valueCol, width, depth), batchId)
+    }
+
   def nearDupStream(
       docs: DataFrame, idCol: String, textCol: String, baseSigs: DataFrame,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8,

@@ -359,6 +359,25 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     ce(0.1) should not be ce(0.9)
   }
 
+  test("noveltyRate counts exactly the bigrams absent from the model") {
+    import spark.implicits._
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val m = LanguageModel.fitKn(train, "text")
+    val score = Seq(
+      (10L, "the cat sat"),        // both bigrams seen → 0
+      (11L, "the cat ran far"),    // "the cat" seen; 2 unseen
+      (12L, "zz qq"),              // 1 bigram, unseen → 1.0
+      (13L, "mat")).toDF("doc_id", "text") // 1 token → absent
+    val out = LanguageModel.noveltyRate(score, "doc_id", "text", m)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    out.keySet shouldBe Set(10L, 11L, 12L)
+    out(10L) shouldBe ((2L, 0L, 0.0))
+    out(11L) shouldBe ((3L, 2L, 2.0 / 3.0))
+    out(12L) shouldBe ((1L, 1L, 1.0))
+  }
+
   // ---- perplexity bucketing ----
 
   test("perplexityBuckets splits terciles with monotone cut points") {

@@ -820,6 +820,38 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("cmsProfileStream: appended per-batch deltas merge to the one-pass sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.FeatureStats
+    val all = (1 to 400).map(i => s"w${i % 23}")
+    val batches = all.grouped(150).toSeq
+    val stream = MemoryStream[String]
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val q = StreamingOps.cmsProfileStream(
+      stream.toDF().toDF("v"), "v", width = 37, depth = 3) { (d, _) =>
+      // materialize the delta (the sink normally appends to parquet)
+      val rows = d.collect()
+      deltas.synchronized {
+        deltas += spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq), d.schema)
+      }: Unit
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      deltas.size shouldBe batches.size
+      val maintained = FeatureStats.cmsEstimate(
+        FeatureStats.mergeCmsProfiles(deltas.toSeq),
+        all.distinct.toDF("v2"), "v2")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val onePass = FeatureStats.cmsEstimate(
+        FeatureStats.cmsProfile(all.toDF("v"), "v", width = 37, depth = 3),
+        all.distinct.toDF("v2"), "v2")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      maintained shouldBe onePass // exact merge law, colliding width
+    } finally q.stop()
+  }
+
   test("WordPiece tokenize runs identically on a stream (stateless projection)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
