@@ -327,13 +327,61 @@ object LanguageModel {
   def kneserNeyTrigramCrossEntropy(
       score: DataFrame, train: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75, floorEps: Double = 1e-6): DataFrame = {
-    require(discount > 0 && discount < 1,
-      s"Kneser-Ney discount must be in (0, 1) (got $discount)")
-    require(floorEps > 0 && floorEps < 1,
-      s"floor epsilon must be in (0, 1) (got $floorEps)")
     val trainTg = ngrams(train, idCol, textCol, 3, "tg").localCheckpoint(false)
     val scoreTg =
       if (score eq train) trainTg else ngrams(score, idCol, textCol, 3, "tg")
+    kn3ScoreJoin(scoreTg, fitKn3FromTrigrams(trainTg, train, textCol),
+      discount, floorEps, idCol)
+  }
+
+  /** The order-3 sibling of [[KnModel]]: `c3` (tg, c3), `p12`
+    * (p12, c2, n3), `t23` (s23, t23), `mid` (w2m, tmid, nmid), `n1c3`
+    * (w3c, n1c), 1-row `stats` (n1pp, v). Raw counts only — discount
+    * and ε stay serve-time knobs. */
+  case class Kn3Model(
+      c3: DataFrame, p12: DataFrame, t23: DataFrame, mid: DataFrame,
+      n1c3: DataFrame, stats: DataFrame)
+
+  /** Fit the order-3 count statistics over `textCol` of `train`. */
+  def fitKn3(train: DataFrame, textCol: String): Kn3Model =
+    fitKn3FromTrigrams(
+      ngrams(train, textCol, textCol, 3, "tg"), train, textCol)
+
+  /** Score documents against an already-fitted (possibly loaded)
+    * order-3 model — the serve face; shares the scoring join with
+    * [[kneserNeyTrigramCrossEntropy]] verbatim. */
+  def kneserNeyTrigramAgainst(
+      score: DataFrame, idCol: String, textCol: String, model: Kn3Model,
+      discount: Double = 0.75, floorEps: Double = 1e-6): DataFrame =
+    kn3ScoreJoin(ngrams(score, idCol, textCol, 3, "tg"), model,
+      discount, floorEps, idCol)
+
+  /** Persist an order-3 model as six parquet tables (the
+    * [[saveKnModel]] pattern; `c3` and `t23` are the big ones). */
+  def saveKn3Model(model: Kn3Model, path: String): Unit = {
+    model.c3.write.mode("overwrite").parquet(s"$path/c3")
+    model.p12.write.mode("overwrite").parquet(s"$path/p12")
+    model.t23.write.mode("overwrite").parquet(s"$path/t23")
+    model.mid.write.mode("overwrite").parquet(s"$path/mid")
+    model.n1c3.write.mode("overwrite").parquet(s"$path/n1c3")
+    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted order-3 model (inverse of [[saveKn3Model]]). */
+  def loadKn3Model(
+      spark: org.apache.spark.sql.SparkSession, path: String): Kn3Model =
+    Kn3Model(
+      spark.read.parquet(s"$path/c3"),
+      spark.read.parquet(s"$path/p12"),
+      spark.read.parquet(s"$path/t23"),
+      spark.read.parquet(s"$path/mid"),
+      spark.read.parquet(s"$path/n1c3"),
+      spark.read.parquet(s"$path/stats"))
+
+  /** Distinct-trigram table + every derived statistic — one
+    * hash-aggregate then progressively smaller keys. */
+  private def fitKn3FromTrigrams(
+      trainTg: DataFrame, train: DataFrame, textCol: String): Kn3Model = {
     // Distinct-trigram table: feeds the prefix rollup, the
     // continuation-type table, and the scoring join.
     val c3 = trainTg.groupBy("tg").agg(count(lit(1)).as("c3"))
@@ -358,8 +406,19 @@ object LanguageModel {
       .agg(count(lit(1)).as("n1c"))
     val stats = t23.agg(count(lit(1)).as("n1pp"))
       .crossJoin(vocabCount(train, textCol))
-    // Identical arithmetic shape at each level (the oracle repeats it
-    // verbatim; left-to-right association, all doubles).
+    Kn3Model(c3, p12, t23, mid, n1c3, stats)
+  }
+
+  /** The order-3 scoring join, shared verbatim by the in-engine and
+    * serve paths — identical [[knLevel]] arithmetic at each level
+    * (the oracle repeats it verbatim; left-to-right, all doubles). */
+  private def kn3ScoreJoin(
+      scoreTg: DataFrame, model: Kn3Model,
+      discount: Double, floorEps: Double, idCol: String): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"Kneser-Ney discount must be in (0, 1) (got $discount)")
+    require(floorEps > 0 && floorEps < 1,
+      s"floor epsilon must be in (0, 1) (got $floorEps)")
     val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
       col("n1pp").cast("double")
     val pmid = knLevel(col("t23"), col("tmid"), col("nmid"), pc, discount)
@@ -368,16 +427,16 @@ object LanguageModel {
       lit(floorEps) / (col("v").cast("double") + lit(1.0))
     val term = round(-log(p), 9).cast("decimal(24,9)")
     scoreTg
-      .join(c3, Seq("tg"), "left")
+      .join(model.c3, Seq("tg"), "left")
       .withColumn("p12", substring_index(col("tg"), " ", 2))
       .withColumn("s23", substring_index(col("tg"), " ", -2))
       .withColumn("w2m", substring_index(col("s23"), " ", 1))
       .withColumn("w3c", substring_index(col("s23"), " ", -1))
-      .join(p12, Seq("p12"), "left")
-      .join(t23, Seq("s23"), "left")
-      .join(mid, Seq("w2m"), "left")
-      .join(n1c3, Seq("w3c"), "left")
-      .crossJoin(broadcast(stats))
+      .join(model.p12, Seq("p12"), "left")
+      .join(model.t23, Seq("s23"), "left")
+      .join(model.mid, Seq("w2m"), "left")
+      .join(model.n1c3, Seq("w3c"), "left")
+      .crossJoin(broadcast(model.stats))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_trigrams"),

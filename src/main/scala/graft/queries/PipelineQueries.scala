@@ -1816,47 +1816,27 @@ object PipelineQueries {
         graft.ops.LanguageModel.kneserNeyTrigramCrossEntropy(
           docs, docs, "doc_id", "text")
       },
-      Some("""
-        WITH w AS (
-          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
-          FROM documents),
-        pr AS (
-          SELECT doc_id AS id,
-                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
-                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
-          FROM w),
-        c3 AS (SELECT tg, COUNT(*) AS c3 FROM pr GROUP BY tg),
-        p12 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p12,
-                       SUM(c3) AS c2, COUNT(*) AS n3
-                FROM c3 GROUP BY 1),
-        t23 AS (SELECT split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS s23,
-                       COUNT(*) AS t23
-                FROM c3 GROUP BY 1),
-        mid AS (SELECT split_part(s23, ' ', 1) AS w2m,
-                       SUM(t23) AS tmid, COUNT(*) AS nmid
-                FROM t23 GROUP BY 1),
-        n1c3 AS (SELECT split_part(s23, ' ', 2) AS w3c, COUNT(*) AS n1c
-                 FROM t23 GROUP BY 1),
-        n1pp AS (SELECT COUNT(*) AS n1pp FROM t23),
-        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q)
-        SELECT pr.id AS doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-               CAST(SUM(CAST(round(-ln(
-                   (1.0 - 1.0e-6) *
-                     (greatest(c3 - 0.75, 0.0) / c2
-                      + 0.75 * n3 / c2 *
-                        (greatest(t23 - 0.75, 0.0) / tmid
-                         + 0.75 * nmid / tmid * (n1c / n1pp)))
-                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS kn3_cross_entropy
-        FROM pr
-        JOIN c3 USING (tg)
-        JOIN p12 ON split_part(pr.tg, ' ', 1) || ' ' || split_part(pr.tg, ' ', 2) = p12.p12
-        JOIN t23 ON split_part(pr.tg, ' ', 2) || ' ' || split_part(pr.tg, ' ', 3) = t23.s23
-        JOIN mid ON split_part(pr.tg, ' ', 2) = mid.w2m
-        JOIN n1c3 ON split_part(pr.tg, ' ', 3) = n1c3.w3c
-        CROSS JOIN n1pp CROSS JOIN v
-        GROUP BY pr.id""")),
+      Some(LmScoreKn3Sql)),
+
+    // Persisted order-3 KN serving — the trigram sibling of
+    // lm_score_kn_serve: six count tables fitted once, saved, loaded,
+    // scored with zero training passes; the oracle is lm_score_kn3's
+    // SQL VERBATIM (integer counts round-trip parquet exactly, so
+    // this pins the save/load/serve plumbing).
+    QueryDef(
+      "lm_score_kn3_serve",
+      (s, dir) => {
+        import graft.ops.LanguageModel
+        val docs = table(s, dir, "documents")
+        val path = QueryDef.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/graft-kn3lm-" +
+            s.sparkContext.applicationId)
+        LanguageModel.saveKn3Model(LanguageModel.fitKn3(docs, "text"), path)
+        LanguageModel.kneserNeyTrigramAgainst(
+          docs, "doc_id", "text", LanguageModel.loadKn3Model(s, path))
+      },
+      Some(LmScoreKn3Sql)),
+
 
     // Persisted-model KN serving — the CCNet deployment shape: fit
     // the count tables once, save as parquet, load, score with ZERO
@@ -1996,6 +1976,51 @@ object PipelineQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2"""))
   )
+
+  /** Shared verbatim by lm_score_kn3 and lm_score_kn3_serve (lazy:
+    * referenced from `all` above) — order-3 interpolated Kneser-Ney,
+    * self-trained on the documents corpus. */
+  private lazy val LmScoreKn3Sql = """
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+          FROM w),
+        c3 AS (SELECT tg, COUNT(*) AS c3 FROM pr GROUP BY tg),
+        p12 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p12,
+                       SUM(c3) AS c2, COUNT(*) AS n3
+                FROM c3 GROUP BY 1),
+        t23 AS (SELECT split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS s23,
+                       COUNT(*) AS t23
+                FROM c3 GROUP BY 1),
+        mid AS (SELECT split_part(s23, ' ', 1) AS w2m,
+                       SUM(t23) AS tmid, COUNT(*) AS nmid
+                FROM t23 GROUP BY 1),
+        n1c3 AS (SELECT split_part(s23, ' ', 2) AS w3c, COUNT(*) AS n1c
+                 FROM t23 GROUP BY 1),
+        n1pp AS (SELECT COUNT(*) AS n1pp FROM t23),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q)
+        SELECT pr.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CAST(round(-ln(
+                   (1.0 - 1.0e-6) *
+                     (greatest(c3 - 0.75, 0.0) / c2
+                      + 0.75 * n3 / c2 *
+                        (greatest(t23 - 0.75, 0.0) / tmid
+                         + 0.75 * nmid / tmid * (n1c / n1pp)))
+                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS kn3_cross_entropy
+        FROM pr
+        JOIN c3 USING (tg)
+        JOIN p12 ON split_part(pr.tg, ' ', 1) || ' ' || split_part(pr.tg, ' ', 2) = p12.p12
+        JOIN t23 ON split_part(pr.tg, ' ', 2) || ' ' || split_part(pr.tg, ' ', 3) = t23.s23
+        JOIN mid ON split_part(pr.tg, ' ', 2) = mid.w2m
+        JOIN n1c3 ON split_part(pr.tg, ' ', 3) = n1c3.w3c
+        CROSS JOIN n1pp CROSS JOIN v
+        GROUP BY pr.id"""
 
   /** Shared verbatim by lm_score_kn and lm_score_kn_serve (lazy:
     * referenced from `all` above) — interpolated Kneser-Ney bigram

@@ -344,6 +344,24 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     got shouldBe want
   }
 
+  test("order-3 model save/load/serve reproduces in-engine scores bit-identically") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog sat")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on a rug"), (11L, "dog sat zz on")).toDF("doc_id", "text")
+    val want = LanguageModel.kneserNeyTrigramCrossEntropy(
+      score, train, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("kn3-model").toString
+    LanguageModel.saveKn3Model(LanguageModel.fitKn3(train, "text"), dir)
+    val got = LanguageModel.kneserNeyTrigramAgainst(
+      score, "doc_id", "text", LanguageModel.loadKn3Model(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    got shouldBe want
+  }
+
   test("KN serve knobs (discount, eps) apply at serve time on one saved model") {
     import spark.implicits._
     val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
