@@ -682,6 +682,17 @@ object FeatureStats {
       .drop("__cms_rid")
   }
 
+  /** Semantic compaction of an append-maintained CMS delta directory
+    * (the [[graft.streaming.StreamingOps.cmsProfileStream]] sink
+    * target): cell-wise sum of every appended delta — EXACTLY the
+    * merge law, so estimates are unchanged by construction — with the
+    * crash-safe rename-aside swap shared with the dedup/ANN index
+    * compactions. Run from the maintenance job that owns the
+    * directory, never concurrently with an append. */
+  def compactCmsDeltas(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    OpsUtil.compactDirWith(spark, dir)(df => mergeCmsProfiles(Seq(df)))
+
   private val CmsP = 2147483647L // 2^31 − 1, the portable-hash modulus
 
   /** The two md5-derived seeds, reduced mod p (the minhash family's

@@ -125,7 +125,18 @@ private[graft] object OpsUtil {
     * is renaming `.__graft_old` back. */
   def compactPartitionedDir(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      partitionCol: String): Unit = {
+      partitionCol: String): Unit =
+    compactDirWith(spark, dir, Some(partitionCol))(identity)
+
+  /** The generic form: read `dir`, apply `rewrite` (identity for pure
+    * file compaction; a semantic fold for delta tables like the CMS
+    * cell deltas), write beside, crash-safe rename-aside swap. Same
+    * swap contract as above: at every intermediate point a full copy
+    * exists at `dir`, `dir.__graft_old`, or both. */
+  def compactDirWith(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      partitionCol: Option[String] = None)(
+      rewrite: DataFrame => DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".__graft_compact")
@@ -134,10 +145,12 @@ private[graft] object OpsUtil {
       s"compact: $old exists — a previous compaction died mid-swap; " +
         "restore or remove it before compacting again")
     fs.delete(tmp, true)
-    spark.read.parquet(dir)
-      .repartition(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol)
-      .parquet(tmp.toString)
+    val out = rewrite(spark.read.parquet(dir))
+    (partitionCol match {
+      case Some(c) =>
+        out.repartition(col(c)).write.mode("overwrite").partitionBy(c)
+      case None => out.write.mode("overwrite")
+    }).parquet(tmp.toString)
     require(fs.rename(p, old), s"compact: rename $p -> $old failed")
     require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed " +
       s"(original preserved at $old)")

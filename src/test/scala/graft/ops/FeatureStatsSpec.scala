@@ -1285,6 +1285,39 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     out shouldBe Seq(("a", 2L), ("a", 2L), ("b", 1L))
   }
 
+  test("compactCmsDeltas folds appended deltas, estimates unchanged, crash guard") {
+    import spark.implicits._
+    val all = (1 to 300).map(i => s"t${i % 17}")
+    val dir = java.nio.file.Files.createTempDirectory("cms-deltas").toString + "/cells"
+    // simulate the streaming sink: one appended delta per micro-batch
+    all.grouped(100).foreach { b =>
+      FeatureStats.cmsProfile(b.toDF("v"), "v", width = 29, depth = 3)
+        .write.mode("append").parquet(dir)
+    }
+    val queries = all.distinct.toDF("v2")
+    val before = FeatureStats.cmsEstimate(
+      spark.read.parquet(dir).groupBy("width", "depth", "d", "b")
+        .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt")),
+      queries, "v2").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    FeatureStats.compactCmsDeltas(spark, dir)
+    val compacted = spark.read.parquet(dir)
+    // one row per cell now (deltas folded), same estimates
+    compacted.groupBy("d", "b").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+      .count() shouldBe 0L
+    val after = FeatureStats.cmsEstimate(compacted, queries, "v2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    after shouldBe before
+    // a leftover rename-aside dir blocks the next compaction loudly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".__graft_old"))
+    val e = intercept[IllegalArgumentException] {
+      FeatureStats.compactCmsDeltas(spark, dir)
+    }
+    e.getMessage should include("died mid-swap")
+  }
+
   test("cmsEstimate fails fast on mixed geometry and reserved names") {
     import spark.implicits._
     val df = Seq("a", "b", "a").toDF("v")
