@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Retrieval, Similarity}
+import graft.ops.{Dedup, LanguageModel, Retrieval, Similarity}
 import graft.sources.ParquetTables
 
 /** Serve-side scale canary for the fit-once/serve-many family: a
@@ -145,6 +145,10 @@ object ServeCanary {
       // aggregate over the index), bucket count ∝ scale.
       Dedup.saveWinnowFpIndex(winFps0, s"$d/winnowp",
         nHashBuckets = 64 * scale)
+      // KN perplexity serving: count tables fitted on the k× corpus —
+      // the one face whose MODEL (not index) grows with history; the
+      // serve is key joins that AQE broadcasts while the tables fit.
+      LanguageModel.saveKnModel(LanguageModel.fitKn(corpus, "text"), s"$d/knlm")
       val bm25 = Retrieval.buildBm25Index(corpus, "doc_id", "text")
       Retrieval.saveBm25Index(bm25, s"$d/bm25")
       // Constant per-bucket size: bucket count grows with the index,
@@ -202,6 +206,7 @@ object ServeCanary {
       val mhBands = Dedup.loadLshBandIndex(spark, s"$d/minhashp")
       val winIdx = Dedup.loadWinnowFingerprints(spark, s"$d/winnow")
       val winFps = Dedup.loadWinnowFpIndex(spark, s"$d/winnowp")
+      val knModel = LanguageModel.loadKnModel(spark, s"$d/knlm")
       val bm25Flat = Retrieval.loadBm25Index(spark, s"$d/bm25")
       val bm25Part = Retrieval.loadBm25Index(spark, s"$d/bm25p")
       val annIdx = Similarity.loadIndex(s"$d/ann", spark)
@@ -248,6 +253,11 @@ object ServeCanary {
         "semantic_against_layout" -> (() => Similarity.nearDupAgainst(
           vecBatch, histVecs, encodedSv, "vec_id", "embedding", annIdx,
           threshold = 0.99, nProbe = 4, adcMargin = 2.0)),
+        // Row-count gate only for this face: a k× model changes the
+        // SCORES (more mass seen), never which batch rows come back.
+        "lm_against" -> (() => LanguageModel.kneserNeyAgainst(
+          batch, "doc_id", "text", knModel)
+          .select(col("doc_id"))),
         "bm25_serve" -> (() => Retrieval.bm25ServeBatch(
           bm25Flat, queries, "query_id", "query_text", k = 10)),
         "bm25_serve_pruned" -> (() => Retrieval.bm25ServeBatch(
@@ -264,7 +274,7 @@ object ServeCanary {
     val ops = Seq("exact_against", "exact_against_pruned", "simhash_against",
       "simhash_against_pruned", "minhash_against",
       "minhash_against_pruned", "winnow_against", "winnow_against_pruned",
-      "semantic_against", "semantic_against_pruned",
+      "semantic_against", "semantic_against_pruned", "lm_against",
       "bm25_serve", "bm25_serve_pruned")
     // Disjoint replica vocabularies / isometries ⇒ identical hit sets
     // at both scales for the dedup faces (bm25 scores CAN admit
