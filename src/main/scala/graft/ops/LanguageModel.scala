@@ -129,6 +129,104 @@ object LanguageModel {
       discount, floorEps, idCol)
   }
 
+  /** Per-document cross-entropy under MODIFIED Kneser-Ney — the
+    * KenLM DEFAULT: instead of one fixed discount, three discounts
+    * D1/D2/D3+ (for counts 1, 2, ≥3) ESTIMATED from the training
+    * count-of-counts by the Chen-Goodman closed form
+    *
+    *   Y  = n1 / (n1 + 2·n2)
+    *   D1 = 1 − 2·Y·n2/n1,  D2 = 2 − 3·Y·n3/n2,  D3+ = 3 − 4·Y·n4/n3
+    *
+    * (n_j = number of bigram types occurring exactly j times), with
+    * the mass-preserving back-off weight
+    *
+    *   γ(w1) = D1·N1(w1·) + D2·N2(w1·) + D3+·N3+(w1·)
+    *   P(w2|w1) = (c − D(c))/c(w1·) + γ(w1)/c(w1·) · P_cont(w2)
+    *
+    * where N_j(w1·) counts w1's continuations BY COUNT CLASS — one
+    * extra conditional sum in the same prefix group-by. The
+    * count-of-counts are a 1-row aggregate collected to the driver
+    * (metadata, the IVF-centroid precedent) and the discounts embed
+    * as plan literals; everything else is [[kneserNeyCrossEntropy]]'s
+    * shape. Fails fast when any n_j = 0 (a corpus too small/degenerate
+    * to estimate from — pass an explicit discount to the plain KN
+    * instead) or when an estimated discount leaves (0, count-class)
+    * bounds (c − D(c) must stay ≥ 0).
+    *
+    * Output: (doc_id, n_bigrams, mkn_cross_entropy). */
+  def modifiedKneserNeyCrossEntropy(
+      score: DataFrame, train: DataFrame, idCol: String, textCol: String,
+      floorEps: Double = 1e-6): DataFrame = {
+    require(floorEps > 0 && floorEps < 1,
+      s"floor epsilon must be in (0, 1) (got $floorEps)")
+    val trainBg = ngrams(train, idCol, textCol, 2, "bg").localCheckpoint(false)
+    val scoreBg =
+      if (score eq train) trainBg else ngrams(score, idCol, textCol, 2, "bg")
+    val c12 = trainBg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    // Prefix totals + continuation types BY COUNT CLASS, one group-by.
+    val c1 = c12
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("nn1"),
+        sum(when(col("c12") === 2, 1L).otherwise(0L)).as("nn2"),
+        sum(when(col("c12") >= 3, 1L).otherwise(0L)).as("nn3"))
+    val n1c = c12
+      .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1c"))
+    val stats = c12.agg(count(lit(1)).as("n1pp"))
+      .crossJoin(vocabCount(train, textCol))
+    // Count-of-counts: 1 row of metadata → driver → plan literals.
+    val ccRow = c12.agg(
+      sum(when(col("c12") === 1, 1L).otherwise(0L)),
+      sum(when(col("c12") === 2, 1L).otherwise(0L)),
+      sum(when(col("c12") === 3, 1L).otherwise(0L)),
+      sum(when(col("c12") === 4, 1L).otherwise(0L))).head()
+    val (cc1, cc2, cc3, cc4) =
+      (ccRow.getLong(0), ccRow.getLong(1), ccRow.getLong(2), ccRow.getLong(3))
+    require(cc1 > 0 && cc2 > 0 && cc3 > 0 && cc4 > 0,
+      s"modified KN: count-of-counts ($cc1, $cc2, $cc3, $cc4) must all " +
+        "be positive to estimate discounts — corpus too small or " +
+        "degenerate; use kneserNeyCrossEntropy with an explicit discount")
+    // EXACT arithmetic order the oracle repeats (left-to-right).
+    val y = cc1 / (cc1 + 2.0 * cc2)
+    val d1 = 1.0 - 2.0 * y * cc2 / cc1
+    val d2 = 2.0 - 3.0 * y * cc3 / cc2
+    val d3 = 3.0 - 4.0 * y * cc4 / cc3
+    require(d1 > 0 && d1 <= 1 && d2 > 0 && d2 <= 2 && d3 > 0 && d3 <= 3,
+      f"modified KN: estimated discounts out of bounds (D1=$d1%.4f, " +
+        f"D2=$d2%.4f, D3+=$d3%.4f) — count-of-counts too irregular")
+    val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
+      col("n1pp").cast("double")
+    val dOf = when(col("c12").isNull, lit(0.0))
+      .when(col("c12") === 1, lit(d1))
+      .when(col("c12") === 2, lit(d2))
+      .otherwise(lit(d3))
+    val gamma = lit(d1) * col("nn1").cast("double") +
+      lit(d2) * col("nn2").cast("double") +
+      lit(d3) * col("nn3").cast("double")
+    val pkn = when(col("c1").isNull, pc).otherwise(
+      (coalesce(col("c12"), lit(0L)).cast("double") - dOf) /
+        col("c1").cast("double") +
+        gamma / col("c1").cast("double") * pc)
+    val p = (lit(1.0) - lit(floorEps)) * pkn +
+      lit(floorEps) / (col("v").cast("double") + lit(1.0))
+    val term = round(-log(p), 9).cast("decimal(24,9)")
+    scoreBg
+      .join(c12, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(c1, Seq("w1"), "left")
+      .join(n1c, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(term).cast("double") /
+          count(lit(1)).cast("double")).as("mkn_cross_entropy"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** A fitted Kneser-Ney bigram model as distributed tables — the
     * fit-once/serve-many form of [[kneserNeyCrossEntropy]] (CCNet
     * trains its KenLM on a clean reference corpus ONCE and serves it
@@ -264,7 +362,21 @@ object LanguageModel {
     */
   private def knScoreJoin(
       scoreBg: DataFrame, model: KnModel,
-      discount: Double, floorEps: Double, idCol: String): DataFrame = {
+      discount: Double, floorEps: Double, idCol: String): DataFrame =
+    knTerms(scoreBg, model, discount, floorEps)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("__graft_term")).cast("double") /
+          count(lit(1)).cast("double")).as("kn_cross_entropy"))
+      .withColumnRenamed("id", idCol)
+
+  /** The per-bigram joined loss terms (id, bg stats, __graft_term) —
+    * the shape both the per-doc aggregate and the corpus-level
+    * discount tuner consume. */
+  private def knTerms(
+      scoreBg: DataFrame, model: KnModel,
+      discount: Double, floorEps: Double): DataFrame = {
     require(discount > 0 && discount < 1,
       s"Kneser-Ney discount must be in (0, 1) (got $discount)")
     require(floorEps > 0 && floorEps < 1,
@@ -285,13 +397,40 @@ object LanguageModel {
       .join(model.c1, Seq("w1"), "left")
       .join(model.n1c, Seq("w2"), "left")
       .crossJoin(broadcast(model.stats))
-      .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        (sum(term).cast("double") /
-          count(lit(1)).cast("double")).as("kn_cross_entropy"))
-      .withColumnRenamed("id", idCol)
+      .withColumn("__graft_term", term)
   }
+
+  /** Held-out discount selection — the reason discount is a
+    * SERVE-time knob: ONE fitted model answers every candidate, so
+    * the grid costs |grid| scoring jobs and ZERO refits (KenLM-style
+    * pipelines re-estimate; here the count tables are the model and
+    * smoothing is plan arithmetic). Returns one row per candidate:
+    * (discount, n_bigrams, corpus_ce), corpus_ce the DECIMAL-summed
+    * per-bigram loss over the WHOLE held-out set divided by the
+    * bigram count — deliberately not a mean of per-doc means, so the
+    * number is the corpus perplexity's log and the cross-candidate
+    * comparison is exact under any partitioning. Pick the argmin
+    * (ties: smaller discount). */
+  def tuneKnDiscount(
+      heldout: DataFrame, idCol: String, textCol: String, model: KnModel,
+      grid: Seq[Double], floorEps: Double = 1e-6): DataFrame = {
+    require(grid.nonEmpty, "tuneKnDiscount: empty candidate grid")
+    val bg = knBigramsStaged(heldout, idCol, textCol)
+    grid.map { d =>
+      knTerms(bg, model, d, floorEps)
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          (sum(col("__graft_term")).cast("double") /
+            count(lit(1)).cast("double")).as("corpus_ce"))
+        .select(lit(d).as("discount"), col("n_bigrams"), col("corpus_ce"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The held-out bigram table, staged once — it feeds every grid
+    * candidate's scoring join. */
+  private def knBigramsStaged(
+      heldout: DataFrame, idCol: String, textCol: String): DataFrame =
+    ngrams(heldout, idCol, textCol, 2, "bg").localCheckpoint(false)
 
   /** Per-document cross-entropy under an order-3 INTERPOLATED
     * KNESER-NEY model — the recursive Chen-Goodman form

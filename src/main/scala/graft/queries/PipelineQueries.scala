@@ -1803,6 +1803,130 @@ object PipelineQueries {
       },
       Some(LmScoreKnSql)),
 
+    // MODIFIED Kneser-Ney — the KenLM default: three discounts
+    // estimated from the training count-of-counts by the
+    // Chen-Goodman closed form, count-class back-off weights, same
+    // continuation base. The discounts are data-dependent doubles
+    // computed from the SAME aggregates in both engines (the engine
+    // embeds them as plan literals off a 1-row driver collect; the
+    // oracle computes them in a CTE — identical IEEE arithmetic
+    // either way).
+    QueryDef(
+      "lm_score_mkn",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.ops.LanguageModel.modifiedKneserNeyCrossEntropy(
+          docs, docs, "doc_id", "text")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        c12 AS (SELECT bg, COUNT(*) AS c12 FROM pr GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1,
+                      SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS nn1,
+                      SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS nn2,
+                      SUM(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS nn3
+               FROM c12 GROUP BY 1),
+        n1c AS (SELECT split_part(bg, ' ', -1) AS w2, COUNT(*) AS n1c
+                FROM c12 GROUP BY 1),
+        n1pp AS (SELECT COUNT(*) AS n1pp FROM c12),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q),
+        cc AS (SELECT SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS cc1,
+                      SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS cc2,
+                      SUM(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS cc3,
+                      SUM(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS cc4
+               FROM c12),
+        yy AS (SELECT cc1 / (cc1 + 2.0 * cc2) AS y, cc1, cc2, cc3, cc4 FROM cc),
+        dd AS (SELECT 1.0 - 2.0 * y * cc2 / cc1 AS d1,
+                      2.0 - 3.0 * y * cc3 / cc2 AS d2,
+                      3.0 - 4.0 * y * cc4 / cc3 AS d3
+               FROM yy)
+        SELECT pr.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(-ln(
+                   (1.0 - 1.0e-6) *
+                     ((c12 - CASE WHEN c12 = 1 THEN d1
+                                  WHEN c12 = 2 THEN d2
+                                  ELSE d3 END) / c1
+                      + (d1 * nn1 + d2 * nn2 + d3 * nn3) / c1 * (n1c / n1pp))
+                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS mkn_cross_entropy
+        FROM pr
+        JOIN c12 USING (bg)
+        JOIN c1 ON split_part(pr.bg, ' ', 1) = c1.w1
+        JOIN n1c ON split_part(pr.bg, ' ', -1) = n1c.w2
+        CROSS JOIN n1pp CROSS JOIN v CROSS JOIN dd
+        GROUP BY pr.id""")),
+
+    // Held-out discount selection: fit the KN count tables on the
+    // EVEN half once, score the ODD half under three candidate
+    // discounts — zero refits (smoothing is plan arithmetic over the
+    // same model). One row per candidate with the corpus-level
+    // DECIMAL-summed cross-entropy; every branch (seen prefix,
+    // unseen prefix, unseen continuation) is live because the halves
+    // differ.
+    QueryDef(
+      "lm_tune_discount",
+      (s, dir) => {
+        import graft.ops.LanguageModel
+        val docs = table(s, dir, "documents")
+        LanguageModel.tuneKnDiscount(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+          LanguageModel.fitKn(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text"),
+          grid = Seq(0.25, 0.5, 0.75))
+      },
+      Some {
+        def candidate(d: String) = s"""
+        SELECT CAST($d AS DOUBLE) AS discount,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(-ln(
+                   (1.0 - 1.0e-6) *
+                     (CASE WHEN c1 IS NULL THEN (COALESCE(n1c, 0) / n1pp)
+                           ELSE greatest(COALESCE(c12, 0) - $d, 0.0) / c1
+                                + $d * n1w1 / c1 * (COALESCE(n1c, 0) / n1pp)
+                      END)
+                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS corpus_ce
+        FROM sc
+        LEFT JOIN c12 USING (bg)
+        LEFT JOIN c1 ON split_part(sc.bg, ' ', 1) = c1.w1
+        LEFT JOIN n1c ON split_part(sc.bg, ' ', -1) = n1c.w2
+        CROSS JOIN n1pp CROSS JOIN v"""
+        s"""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        tr AS (
+          SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                 i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w WHERE doc_id % 2 = 0),
+        sc AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w WHERE doc_id % 2 = 1),
+        c12 AS (SELECT bg, COUNT(*) AS c12 FROM tr GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1, COUNT(*) AS n1w1
+               FROM c12 GROUP BY 1),
+        n1c AS (SELECT split_part(bg, ' ', -1) AS w2, COUNT(*) AS n1c
+                FROM c12 GROUP BY 1),
+        n1pp AS (SELECT COUNT(*) AS n1pp FROM c12),
+        v AS (SELECT COUNT(DISTINCT u) AS v
+              FROM (SELECT unnest(ws) AS u FROM w WHERE doc_id % 2 = 0) q)
+        ${candidate("0.25")}
+        UNION ALL
+        ${candidate("0.5")}
+        UNION ALL
+        ${candidate("0.75")}"""
+      }),
+
     // Order-3 interpolated Kneser-Ney — the recursive Chen-Goodman
     // form (KenLM's shape at order 5): raw counts at the top,
     // continuation TYPE counts in the middle, the unigram

@@ -377,6 +377,144 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     ce(0.1) should not be ce(0.9)
   }
 
+  /** Naive modified-KN reference: Chen-Goodman discount estimation +
+    * count-class back-off, mirroring every branch. */
+  private def naiveMkn(
+      train: Seq[String], doc: Seq[String],
+      eps: Double = 1e-6): Option[(Long, Double)] = {
+    val bgs = train.flatMap(_.split(" ").sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val c12 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc = (1 to 4).map(j => c12.values.count(_ == j).toLong)
+    assert(cc.forall(_ > 0), s"spec corpus must have all count-of-counts > 0, got $cc")
+    val y = cc(0) / (cc(0) + 2.0 * cc(1))
+    val d1 = 1.0 - 2.0 * y * cc(1) / cc(0)
+    val d2 = 2.0 - 3.0 * y * cc(2) / cc(1)
+    val d3 = 3.0 - 4.0 * y * cc(3) / cc(2)
+    def dOf(c: Long) = if (c == 1) d1 else if (c == 2) d2 else d3
+    val c1 = c12.toSeq.groupBy(_._1._1).view.mapValues { ps =>
+      (ps.map(_._2).sum,
+        ps.count(_._2 == 1).toLong, ps.count(_._2 == 2).toLong,
+        ps.count(_._2 >= 3).toLong)
+    }.toMap
+    val n1c = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1pp = c12.size.toDouble
+    val v = train.flatMap(_.split(" ")).distinct.size.toDouble
+    val scoreBgs = doc.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))).toSeq
+    if (scoreBgs.isEmpty) return None
+    val terms = scoreBgs.map { case (w1, w2) =>
+      val pc = n1c.getOrElse(w2, 0L).toDouble / n1pp
+      val pkn = c1.get(w1) match {
+        case None => pc
+        case Some((cw1, nn1, nn2, nn3)) =>
+          val c = c12.getOrElse((w1, w2), 0L)
+          val d = if (c == 0) 0.0 else dOf(c)
+          (c.toDouble - d) / cw1 +
+            (d1 * nn1 + d2 * nn2 + d3 * nn3) / cw1 * pc
+      }
+      val p = (1.0 - eps) * pkn + eps / (v + 1.0)
+      BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    Some((scoreBgs.size.toLong, (terms.sum / scoreBgs.size).toDouble))
+  }
+
+  /** A corpus with ZIPF-SHAPED count-of-counts — cc = (20, 6, 2, 1) —
+    * which the Chen-Goodman closed form needs (cc2 = cc3 = cc4 = 1
+    * drives D2/D3+ negative; natural corpora decay, toy ones must be
+    * built to). Two-token docs pin each bigram's count exactly; the
+    * singleton chain closes a cycle so EVERY token appears as a
+    * continuation and Σ P_cont = 1 holds for the mass law.
+    * Estimated discounts: Y = 20/32, D1 = 0.625, D2 = 1.375,
+    * D3+ = 1.75 — all inside their count-class bounds. */
+  private val MknTrain: Seq[String] = {
+    def rep(a: Int, b: Int, k: Int) = Seq.fill(k)(s"v$a v$b")
+    rep(0, 1, 4) ++ rep(1, 2, 3) ++ rep(2, 3, 3) ++
+      (3 to 8).flatMap(i => rep(i, i + 1, 2)) ++
+      (9 to 27).map(i => s"v$i v${i + 1}") :+ "v28 v0"
+  }
+
+  test("modifiedKneserNeyCrossEntropy equals the naive Chen-Goodman reference") {
+    import spark.implicits._
+    val train = MknTrain.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scoreTexts = Seq(
+      (10L, "v0 v1 v2 v3 v9 v10"), // count classes 4, 3, unseen, 1
+      (11L, "v5 v6 zz v28 v0"),    // count-2 + OOV + singleton
+      (12L, "v0 v1 v0 v1"))        // repeated count-4 bigram + unseen
+    val out = LanguageModel.modifiedKneserNeyCrossEntropy(
+      scoreTexts.toDF("doc_id", "text"), train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((id, text) <- scoreTexts) {
+      val Some((n, ce)) = naiveMkn(MknTrain, text.split(" ").toSeq)
+      withClue(s"doc $id: ") {
+        out(id)._1 shouldBe n
+        out(id)._2 shouldBe ce +- 1e-9
+      }
+    }
+  }
+
+  test("modified KN count-class discounting is mass-preserving") {
+    val bgs = MknTrain.flatMap(_.split(" ").sliding(2).map(p => (p(0), p(1))))
+    val c12 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc = (1 to 4).map(j => c12.values.count(_ == j).toLong)
+    val y = cc(0) / (cc(0) + 2.0 * cc(1))
+    val d1 = 1.0 - 2.0 * y * cc(1) / cc(0)
+    val d2 = 2.0 - 3.0 * y * cc(2) / cc(1)
+    val d3 = 3.0 - 4.0 * y * cc(3) / cc(2)
+    // all three discounts inside their count-class bounds
+    d1 should (be > 0.0 and be <= 1.0)
+    d2 should (be > 0.0 and be <= 2.0)
+    d3 should (be > 0.0 and be <= 3.0)
+    val c1 = c12.toSeq.groupBy(_._1._1).view.mapValues { ps =>
+      (ps.map(_._2).sum,
+        ps.count(_._2 == 1).toLong, ps.count(_._2 == 2).toLong,
+        ps.count(_._2 >= 3).toLong)
+    }.toMap
+    val n1c = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1pp = c12.size.toDouble
+    val vocab = MknTrain.flatMap(_.split(" ")).distinct
+    // Σ pc = 1 requires every token to appear as a continuation; this
+    // corpus arranges it (each doc's first token recurs internally
+    // elsewhere... assert it rather than assume it).
+    vocab.map(w => n1c.getOrElse(w, 0L).toDouble / n1pp).sum shouldBe 1.0 +- 1e-12
+    for ((w1, (cw1, nn1, nn2, nn3)) <- c1) {
+      val mass = vocab.map { w2 =>
+        val c = c12.getOrElse((w1, w2), 0L)
+        val d = if (c == 0) 0.0 else if (c == 1) d1 else if (c == 2) d2 else d3
+        val pc = n1c.getOrElse(w2, 0L).toDouble / n1pp
+        (c.toDouble - d) / cw1 + (d1 * nn1 + d2 * nn2 + d3 * nn3) / cw1 * pc
+      }.sum
+      withClue(s"prefix $w1: ") { mass shouldBe 1.0 +- 1e-12 }
+    }
+  }
+
+  test("tuneKnDiscount scores one model under every candidate, no refit") {
+    import spark.implicits._
+    val train = MknTrain.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val heldout = Seq((10L, "v0 v1 v2 v5 v6"), (11L, "v1 v0 zz v9 v10"))
+      .toDF("doc_id", "text")
+    val m = LanguageModel.fitKn(train, "text")
+    val grid = Seq(0.1, 0.5, 0.9)
+    val out = LanguageModel.tuneKnDiscount(
+      heldout, "doc_id", "text", m, grid)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    out.map(_._1).toSeq shouldBe grid
+    out.map(_._2).distinct.toSeq shouldBe Seq(out.head._2) // same bigrams each time
+    out.map(_._3).distinct.length shouldBe 3 // discounts genuinely move the loss
+    // each candidate equals the per-doc scorer's corpus-level number
+    for ((d, _, ce) <- out) {
+      val perDoc = LanguageModel.kneserNeyAgainst(
+        heldout, "doc_id", "text", m, discount = d)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      val n = perDoc.map(_._1).sum
+      val corpus = perDoc.map { case (nb, c) => nb * c }.sum / n
+      ce shouldBe corpus +- 1e-7 // per-doc means recombine approximately
+    }
+  }
+
   test("noveltyRate counts exactly the bigrams absent from the model") {
     import spark.implicits._
     val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
