@@ -162,26 +162,16 @@ object LanguageModel {
     val trainBg = ngrams(train, idCol, textCol, 2, "bg").localCheckpoint(false)
     val scoreBg =
       if (score eq train) trainBg else ngrams(score, idCol, textCol, 2, "bg")
-    val c12 = trainBg.groupBy("bg").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(false)
-    // Prefix totals + continuation types BY COUNT CLASS, one group-by.
-    val c1 = c12
-      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("c12")).as("c1"),
-        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("nn1"),
-        sum(when(col("c12") === 2, 1L).otherwise(0L)).as("nn2"),
-        sum(when(col("c12") >= 3, 1L).otherwise(0L)).as("nn3"))
-    val n1c = c12
-      .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
-      .agg(count(lit(1)).as("n1c"))
-    val stats = c12.agg(count(lit(1)).as("n1pp"))
-      .crossJoin(vocabCount(train, textCol))
+    // One fit serves both smoothings: c1 always carries the
+    // count-class sums MKN's back-off weight reads.
+    val model = fitKnFromBigrams(trainBg, train, textCol)
     // Count-of-counts: 1 row of metadata → driver → plan literals.
-    val ccRow = c12.agg(
-      sum(when(col("c12") === 1, 1L).otherwise(0L)),
-      sum(when(col("c12") === 2, 1L).otherwise(0L)),
-      sum(when(col("c12") === 3, 1L).otherwise(0L)),
-      sum(when(col("c12") === 4, 1L).otherwise(0L))).head()
+    // coalesce: an all-short corpus yields ZERO bigrams, the sums over
+    // zero rows come back NULL, and getLong would NPE before the
+    // documented fail-fast fired (review finding, session 3).
+    val ccCols = (1 to 4).map(j => coalesce(
+      sum(when(col("c12") === j, 1L).otherwise(0L)), lit(0L)))
+    val ccRow = model.c12.agg(ccCols.head, ccCols.tail: _*).head()
     val (cc1, cc2, cc3, cc4) =
       (ccRow.getLong(0), ccRow.getLong(1), ccRow.getLong(2), ccRow.getLong(3))
     require(cc1 > 0 && cc2 > 0 && cc3 > 0 && cc4 > 0,
@@ -196,8 +186,6 @@ object LanguageModel {
     require(d1 > 0 && d1 <= 1 && d2 > 0 && d2 <= 2 && d3 > 0 && d3 <= 3,
       f"modified KN: estimated discounts out of bounds (D1=$d1%.4f, " +
         f"D2=$d2%.4f, D3+=$d3%.4f) — count-of-counts too irregular")
-    val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
-      col("n1pp").cast("double")
     val dOf = when(col("c12").isNull, lit(0.0))
       .when(col("c12") === 1, lit(d1))
       .when(col("c12") === 2, lit(d2))
@@ -205,34 +193,24 @@ object LanguageModel {
     val gamma = lit(d1) * col("nn1").cast("double") +
       lit(d2) * col("nn2").cast("double") +
       lit(d3) * col("nn3").cast("double")
-    val pkn = when(col("c1").isNull, pc).otherwise(
+    val pkn = when(col("c1").isNull, knPc).otherwise(
       (coalesce(col("c12"), lit(0L)).cast("double") - dOf) /
         col("c1").cast("double") +
-        gamma / col("c1").cast("double") * pc)
-    val p = (lit(1.0) - lit(floorEps)) * pkn +
-      lit(floorEps) / (col("v").cast("double") + lit(1.0))
-    val term = round(-log(p), 9).cast("decimal(24,9)")
-    scoreBg
-      .join(c12, Seq("bg"), "left")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .join(c1, Seq("w1"), "left")
-      .join(n1c, Seq("w2"), "left")
-      .crossJoin(broadcast(stats))
-      .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        (sum(term).cast("double") /
-          count(lit(1)).cast("double")).as("mkn_cross_entropy"))
-      .withColumnRenamed("id", idCol)
+        gamma / col("c1").cast("double") * knPc)
+    perDocCe(
+      knJoin(scoreBg, model).withColumn("__graft_term",
+        knTermOf(pkn, floorEps)),
+      idCol, "mkn_cross_entropy")
   }
 
   /** A fitted Kneser-Ney bigram model as distributed tables — the
     * fit-once/serve-many form of [[kneserNeyCrossEntropy]] (CCNet
     * trains its KenLM on a clean reference corpus ONCE and serves it
     * against every crawl snapshot): `c12` (bg, c12), `c1`
-    * (w1, c1, n1w1), `n1c` (w2, n1c), and a 1-row `stats`
-    * (n1pp, v). Discount and ε-floor are SERVE-time knobs (the
+    * (w1, c1, n1w1, nn1, nn2, nn3 — the count-class sums modified KN
+    * reads; free columns for plain-KN consumers), `n1c` (w2, n1c),
+    * and a 1-row `stats` (n1pp, v). Discount and ε-floor are
+    * SERVE-time knobs (the
     * BM25 k1/b pattern) — the persisted statistics are raw counts, so
     * one saved model serves any smoothing setting. */
   case class KnModel(
@@ -338,10 +316,16 @@ object LanguageModel {
       trainBg: DataFrame, train: DataFrame, textCol: String): KnModel = {
     val c12 = trainBg.groupBy("bg").agg(count(lit(1)).as("c12"))
       .localCheckpoint(false)
-    // c(w1 ·) and N1+(w1 ·) from ONE group-by (sum + count of c12).
+    // c(w1 ·), N1+(w1 ·), and the count-class type sums (nn1/nn2/nn3,
+    // what modified KN's back-off weight reads) from ONE group-by —
+    // the extra conditional sums are free for plain-KN consumers and
+    // keep both smoothings on a single fitted artifact.
     val c1 = c12
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("nn1"),
+        sum(when(col("c12") === 2, 1L).otherwise(0L)).as("nn2"),
+        sum(when(col("c12") >= 3, 1L).otherwise(0L)).as("nn3"))
     // N1+(· w2): distinct left contexts of each continuation.
     val n1c = c12
       .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
@@ -353,6 +337,48 @@ object LanguageModel {
     KnModel(c12, c1, n1c, stats)
   }
 
+  /** The continuation probability P_cont = n1c / n1pp, over the
+    * joined columns [[knJoin]] provides. */
+  private def knPc: Column =
+    coalesce(col("n1c"), lit(0L)).cast("double") /
+      col("n1pp").cast("double")
+
+  /** −ln of the ε-floored probability, 9 dp + DECIMAL (the
+    * engine-portable term every LM sums; libm/JDK ln agree far below
+    * 1e-9). */
+  private def knTermOf(pkn: Column, floorEps: Double): Column = {
+    require(floorEps > 0 && floorEps < 1,
+      s"floor epsilon must be in (0, 1) (got $floorEps)")
+    val p = (lit(1.0) - lit(floorEps)) * pkn +
+      lit(floorEps) / (col("v").cast("double") + lit(1.0))
+    round(-log(p), 9).cast("decimal(24,9)")
+  }
+
+  /** The DISCOUNT-INDEPENDENT scoring cascade: join the score bigrams
+    * to every model table once; smoothing expressions evaluate over
+    * the joined columns afterwards (which is what lets the tuner
+    * price a whole grid on one join pass). */
+  private def knJoin(scoreBg: DataFrame, model: KnModel): DataFrame =
+    scoreBg
+      .join(model.c12, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(model.c1, Seq("w1"), "left")
+      .join(model.n1c, Seq("w2"), "left")
+      .crossJoin(broadcast(model.stats))
+
+  /** Per-doc aggregate over a frame carrying `__graft_term`. */
+  private def perDocCe(
+      terms: DataFrame, idCol: String, ceName: String,
+      nName: String = "n_bigrams"): DataFrame =
+    terms
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as(nName),
+        (sum(col("__graft_term")).cast("double") /
+          count(lit(1)).cast("double")).as(ceName))
+      .withColumnRenamed("id", idCol)
+
   /** The scoring join, shared verbatim by the in-engine and serve
     * paths. The probability, in the EXACT arithmetic order the oracle
     * SQL repeats (all doubles; left-to-right association):
@@ -363,74 +389,56 @@ object LanguageModel {
   private def knScoreJoin(
       scoreBg: DataFrame, model: KnModel,
       discount: Double, floorEps: Double, idCol: String): DataFrame =
-    knTerms(scoreBg, model, discount, floorEps)
-      .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        (sum(col("__graft_term")).cast("double") /
-          count(lit(1)).cast("double")).as("kn_cross_entropy"))
-      .withColumnRenamed("id", idCol)
+    perDocCe(knTerms(scoreBg, model, discount, floorEps),
+      idCol, "kn_cross_entropy")
 
-  /** The per-bigram joined loss terms (id, bg stats, __graft_term) —
-    * the shape both the per-doc aggregate and the corpus-level
-    * discount tuner consume. */
+  /** The per-bigram joined loss terms (id, bg stats, __graft_term). */
   private def knTerms(
       scoreBg: DataFrame, model: KnModel,
       discount: Double, floorEps: Double): DataFrame = {
     require(discount > 0 && discount < 1,
       s"Kneser-Ney discount must be in (0, 1) (got $discount)")
-    require(floorEps > 0 && floorEps < 1,
-      s"floor epsilon must be in (0, 1) (got $floorEps)")
-    val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
-      col("n1pp").cast("double")
-    val pkn = knLevel(col("c12"), col("c1"), col("n1w1"), pc, discount)
-    val p = (lit(1.0) - lit(floorEps)) * pkn +
-      lit(floorEps) / (col("v").cast("double") + lit(1.0))
-    // Engine-portable exactness: each term rounds to 9 dp before the
-    // DECIMAL sum (libm/JDK ln agree far below 1e-9), one double
-    // division at the end.
-    val term = round(-log(p), 9).cast("decimal(24,9)")
-    scoreBg
-      .join(model.c12, Seq("bg"), "left")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .join(model.c1, Seq("w1"), "left")
-      .join(model.n1c, Seq("w2"), "left")
-      .crossJoin(broadcast(model.stats))
-      .withColumn("__graft_term", term)
+    knJoin(scoreBg, model).withColumn("__graft_term",
+      knTermOf(knLevel(col("c12"), col("c1"), col("n1w1"), knPc, discount),
+        floorEps))
   }
 
   /** Held-out discount selection — the reason discount is a
-    * SERVE-time knob: ONE fitted model answers every candidate, so
-    * the grid costs |grid| scoring jobs and ZERO refits (KenLM-style
-    * pipelines re-estimate; here the count tables are the model and
-    * smoothing is plan arithmetic). Returns one row per candidate:
-    * (discount, n_bigrams, corpus_ce), corpus_ce the DECIMAL-summed
-    * per-bigram loss over the WHOLE held-out set divided by the
-    * bigram count — deliberately not a mean of per-doc means, so the
-    * number is the corpus perplexity's log and the cross-candidate
-    * comparison is exact under any partitioning. Pick the argmin
-    * (ties: smaller discount). */
+    * SERVE-time knob: ONE fitted model answers every candidate with
+    * ZERO refits (KenLM-style pipelines re-estimate; here the count
+    * tables are the model and smoothing is plan arithmetic) — and,
+    * because [[knJoin]] is discount-independent, ONE join pass: the
+    * grid becomes |grid| term columns over the same joined frame,
+    * aggregated together (review finding, session 3 — the per-
+    * candidate form re-ran the three-table join cascade |grid|
+    * times). Returns one row per candidate: (discount, n_bigrams,
+    * corpus_ce), corpus_ce the DECIMAL-summed per-bigram loss over
+    * the WHOLE held-out set divided by the bigram count —
+    * deliberately not a mean of per-doc means, so the number is the
+    * corpus perplexity's log and the cross-candidate comparison is
+    * exact under any partitioning. Pick the argmin (ties: smaller
+    * discount). */
   def tuneKnDiscount(
       heldout: DataFrame, idCol: String, textCol: String, model: KnModel,
       grid: Seq[Double], floorEps: Double = 1e-6): DataFrame = {
     require(grid.nonEmpty, "tuneKnDiscount: empty candidate grid")
-    val bg = knBigramsStaged(heldout, idCol, textCol)
-    grid.map { d =>
-      knTerms(bg, model, d, floorEps)
-        .agg(
-          count(lit(1)).as("n_bigrams"),
-          (sum(col("__graft_term")).cast("double") /
-            count(lit(1)).cast("double")).as("corpus_ce"))
-        .select(lit(d).as("discount"), col("n_bigrams"), col("corpus_ce"))
-    }.reduce(_ unionByName _)
+    grid.foreach(d => require(d > 0 && d < 1,
+      s"Kneser-Ney discount must be in (0, 1) (got $d)"))
+    val joined = knJoin(ngrams(heldout, idCol, textCol, 2, "bg"), model)
+    val termCols = grid.zipWithIndex.map { case (d, i) =>
+      sum(knTermOf(
+        knLevel(col("c12"), col("c1"), col("n1w1"), knPc, d), floorEps))
+        .as(s"__graft_t$i")
+    }
+    val agged = joined.agg(count(lit(1)).as("__graft_n"), termCols: _*)
+    val rows = grid.zipWithIndex.map { case (d, i) =>
+      struct(lit(d).as("discount"),
+        col("__graft_n").as("n_bigrams"),
+        (col(s"__graft_t$i").cast("double") /
+          col("__graft_n").cast("double")).as("corpus_ce"))
+    }
+    agged.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
-
-  /** The held-out bigram table, staged once — it feeds every grid
-    * candidate's scoring join. */
-  private def knBigramsStaged(
-      heldout: DataFrame, idCol: String, textCol: String): DataFrame =
-    ngrams(heldout, idCol, textCol, 2, "bg").localCheckpoint(false)
 
   /** Per-document cross-entropy under an order-3 INTERPOLATED
     * KNESER-NEY model — the recursive Chen-Goodman form

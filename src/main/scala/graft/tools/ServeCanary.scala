@@ -10,10 +10,15 @@ import graft.sources.ParquetTables
   * FIXED arrival batch classified against a 1× and a k× persisted
   * index — the deployment regime (batch size is a product property,
   * index size a data property; the ANN-canary argument applied to
-  * dedup + retrieval serving). All six serve faces are timed, each
-  * through its REAL persisted form (parquet written, read back, the
-  * index LOADED ONCE per scale — the query-lifetime load of a real
-  * serving process, so the clock times the serve, not repeated
+  * dedup + retrieval + LM serving). All serve faces are timed
+  * (13 as of round 12: the six families below, most in both flat and
+  * partitioned layouts, plus `lm_against` — the Kneser-Ney count
+  * tables served via kneserNeyAgainst, whose MODEL rather than index
+  * grows with history; it is row-count-gated across scales because a
+  * k× model legitimately changes scores, never which rows return),
+  * each through its REAL persisted form (parquet written, read back,
+  * the index LOADED ONCE per scale — the query-lifetime load of a
+  * real serving process, so the clock times the serve, not repeated
   * partition discovery):
   *
   *   - exact:    [[Dedup.exactAgainst]]        vs the content-hash index,

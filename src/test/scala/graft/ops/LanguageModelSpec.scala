@@ -489,6 +489,17 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("modified KN fails fast with its documented message on a bigram-less corpus") {
+    import spark.implicits._
+    // every doc has one token → zero bigrams → count-of-counts all
+    // zero; this must hit the require, not an NPE off a NULL sum
+    val df = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.modifiedKneserNeyCrossEntropy(df, df, "doc_id", "text")
+    }
+    e.getMessage should include("corpus too small or degenerate")
+  }
+
   test("tuneKnDiscount scores one model under every candidate, no refit") {
     import spark.implicits._
     val train = MknTrain.zipWithIndex
