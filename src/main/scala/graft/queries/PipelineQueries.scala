@@ -1811,17 +1811,43 @@ object PipelineQueries {
     // embeds them as plan literals off a 1-row driver collect; the
     // oracle computes them in a CTE — identical IEEE arithmetic
     // either way).
+    //
+    // The SYNTHETIC corpus loses its Zipf tail as SF grows (at sf0.1
+    // the raw count-of-counts are (0, 0, 1, 3) — almost every bigram
+    // repeats — and the closed form correctly fails fast), so the
+    // query appends a deterministic tail derived from doc_id:
+    // per-doc unique tokens make singletons, id/2-, id/3-, id/4-
+    // keyed pairs make exact count-2/3/4 classes — at ANY scale,
+    // identically in both engines (the pii_redact synthesis pattern;
+    // the operator under test never depends on the synthesis).
     QueryDef(
       "lm_score_mkn",
       (s, dir) => {
+        val k = (d: Int) => (col("doc_id") / d).cast("long").cast("string")
         val docs = table(s, dir, "documents")
+          .withColumn("text", concat(col("text"),
+            lit(" xa"), col("doc_id").cast("string"),
+            lit(" xb"), k(2), lit(" xc"), k(2),
+            lit(" xd"), k(3), lit(" xe"), k(3),
+            lit(" xf"), k(4), lit(" xg"), k(4)))
         graft.ops.LanguageModel.modifiedKneserNeyCrossEntropy(
           docs, docs, "doc_id", "text")
       },
       Some("""
-        WITH w AS (
-          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        WITH d0 AS (
+          SELECT doc_id,
+                 concat(text,
+                        ' xa', CAST(doc_id AS VARCHAR),
+                        ' xb', CAST(doc_id // 2 AS VARCHAR),
+                        ' xc', CAST(doc_id // 2 AS VARCHAR),
+                        ' xd', CAST(doc_id // 3 AS VARCHAR),
+                        ' xe', CAST(doc_id // 3 AS VARCHAR),
+                        ' xf', CAST(doc_id // 4 AS VARCHAR),
+                        ' xg', CAST(doc_id // 4 AS VARCHAR)) AS text
           FROM documents),
+        w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM d0),
         pr AS (
           SELECT doc_id AS id,
                  unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
