@@ -233,6 +233,38 @@ object LanguageModel {
     knScoreJoin(ngrams(score, idCol, textCol, 2, "bg"), model,
       discount, floorEps, idCol)
 
+  /** Witten-Bell interpolated scoring over the SAME fitted model —
+    * the third smoothing one [[KnModel]] serves (with
+    * [[kneserNeyAgainst]] and the modified-KN estimator), which is
+    * the point of keeping raw counts as the persisted artifact:
+    * smoothing is plan arithmetic, so switching families costs a
+    * serve-time flag, never a refit. Classic interpolated WB with the
+    * novel-continuation weight λ(w1) = N1+(w1·) / (c(w1·) + N1+(w1·))
+    * — prefixes that kept producing NEW continuations in training
+    * lean harder on the lower order:
+    *
+    *   P(w2|w1) = c(w1w2)/(c(w1·) + N1+(w1·))
+    *              + N1+(w1·)/(c(w1·) + N1+(w1·)) · P_cont(w2)  [seen w1]
+    *            = P_cont(w2)                                   [else]
+    *
+    * (continuation base and ε-floor as in the KN family; no discount
+    * parameter at all — WB's smoothing mass is the type count).
+    * Output: (doc_id, n_bigrams, wb_cross_entropy). */
+  def wittenBellAgainst(
+      score: DataFrame, idCol: String, textCol: String, model: KnModel,
+      floorEps: Double = 1e-6): DataFrame = {
+    // EXACT arithmetic order the oracle repeats (left-to-right):
+    //   c12 / (c1 + n1w1)  +  n1w1 / (c1 + n1w1) * pc
+    val denom = (col("c1") + col("n1w1")).cast("double")
+    val pwb = when(col("c1").isNull, knPc).otherwise(
+      coalesce(col("c12"), lit(0L)).cast("double") / denom +
+        col("n1w1").cast("double") / denom * knPc)
+    perDocCe(
+      knJoin(ngrams(score, idCol, textCol, 2, "bg"), model)
+        .withColumn("__graft_term", knTermOf(pwb, floorEps)),
+      idCol, "wb_cross_entropy")
+  }
+
   /** Persist a fitted model as four parquet tables (the saveIndex /
     * saveModel pattern). `c12` is the big one (one row per distinct
     * training bigram) and is written at its natural partitioning;

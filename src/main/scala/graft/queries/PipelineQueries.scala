@@ -1953,6 +1953,54 @@ object PipelineQueries {
         ${candidate("0.75")}"""
       }),
 
+    // Witten-Bell over the PERSISTED model — the third smoothing one
+    // saved count-table artifact serves (KN, modified KN, WB): the
+    // novel-continuation weight N1+(w1·)/(c(w1·)+N1+(w1·)) needs no
+    // discount parameter at all. Save + load + serve inside the
+    // query pins the one-artifact-many-smoothings contract.
+    QueryDef(
+      "lm_score_wb",
+      (s, dir) => {
+        import graft.ops.LanguageModel
+        val docs = table(s, dir, "documents")
+        val path = QueryDef.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/graft-wblm-" +
+            s.sparkContext.applicationId)
+        LanguageModel.saveKnModel(LanguageModel.fitKn(docs, "text"), path)
+        LanguageModel.wittenBellAgainst(
+          docs, "doc_id", "text", LanguageModel.loadKnModel(s, path))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        c12 AS (SELECT bg, COUNT(*) AS c12 FROM pr GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1, COUNT(*) AS n1w1
+               FROM c12 GROUP BY 1),
+        n1c AS (SELECT split_part(bg, ' ', -1) AS w2, COUNT(*) AS n1c
+                FROM c12 GROUP BY 1),
+        n1pp AS (SELECT COUNT(*) AS n1pp FROM c12),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q)
+        SELECT pr.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(-ln(
+                   (1.0 - 1.0e-6) *
+                     (c12 / (c1 + n1w1)
+                      + n1w1 / (c1 + n1w1) * (n1c / n1pp))
+                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS wb_cross_entropy
+        FROM pr
+        JOIN c12 USING (bg)
+        JOIN c1 ON split_part(pr.bg, ' ', 1) = c1.w1
+        JOIN n1c ON split_part(pr.bg, ' ', -1) = n1c.w2
+        CROSS JOIN n1pp CROSS JOIN v
+        GROUP BY pr.id""")),
+
     // Order-3 interpolated Kneser-Ney — the recursive Chen-Goodman
     // form (KenLM's shape at order 5): raw counts at the top,
     // continuation TYPE counts in the middle, the unigram

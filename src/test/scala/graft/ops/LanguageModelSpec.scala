@@ -362,6 +362,50 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     got shouldBe want
   }
 
+  test("Witten-Bell matches hand-computed interpolation and is mass-preserving") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // c12: ab=3, ba=1, bc=1. c1: a→(3, n1w1=1), b→(2, n1w1=2).
+    // n1c: a=1, b=1, c=1; n1pp=3, V=3.
+    //   P(b|a) = 3/(3+1) + 1/(3+1)·(1/3) = 0.75 + 1/12
+    //   P(a|b) = 1/(2+2) + 2/(2+2)·(1/3) = 0.25 + 1/6
+    //   P(c|b) = same as P(a|b)
+    def fl(p: Double) = (1 - 1e-6) * p + 1e-6 / 4.0
+    val pba = fl(3.0 / 4 + 1.0 / 4 * (1.0 / 3))
+    val pab = fl(1.0 / 4 + 2.0 / 4 * (1.0 / 3))
+    val out = LanguageModel.wittenBellAgainst(
+      docs, "doc_id", "text", LanguageModel.fitKn(docs, "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe -(math.log(pba) * 2 + math.log(pab)) / 3 +- 1e-6
+    out(2L)._2 shouldBe -(math.log(pba) + math.log(pab)) / 2 +- 1e-6
+    // mass law: Σ_w2 P(w2|w1) = c1/(c1+λ) + λ/(c1+λ)·Σpc = 1
+    val mass = Seq("a", "b", "c").map { w2 =>
+      val c = Map("a" -> 0L, "b" -> 3L, "c" -> 0L)(w2) // prefix "a"
+      val pc = 1.0 / 3
+      c / 4.0 + 1.0 / 4 * pc
+    }.sum
+    mass shouldBe 1.0 +- 1e-12
+  }
+
+  test("one saved model serves KN, modified-KN-style knobs, and WB without refit") {
+    import spark.implicits._
+    val train = MknTrain.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val score = Seq((10L, "v0 v1 v2 v5")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("multi-smooth").toString
+    LanguageModel.saveKnModel(LanguageModel.fitKn(train, "text"), dir)
+    val m = LanguageModel.loadKnModel(spark, dir)
+    val kn = LanguageModel.kneserNeyAgainst(score, "doc_id", "text", m)
+      .head().getDouble(2)
+    val wb = LanguageModel.wittenBellAgainst(score, "doc_id", "text", m)
+      .head().getDouble(2)
+    // distinct smoothings, same artifact, both finite
+    kn should not be wb
+    kn.isNaN shouldBe false
+    wb.isNaN shouldBe false
+  }
+
   test("KN serve knobs (discount, eps) apply at serve time on one saved model") {
     import spark.implicits._
     val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
