@@ -84,6 +84,24 @@ class CorpusOpsPlanSpec extends SparkSpec with Matchers
     } shouldBe empty // plain select: not even the widen round-robin
   }
 
+  test("KN serving from a loaded model never re-aggregates the model tables") {
+    // The persisted count tables ARE the aggregates; a serve must be
+    // joins + ONE per-doc aggregate (partial + final pair), with the
+    // 1-row stats arriving by broadcast. A plan that re-aggregates a
+    // billions-row c12 per serve would be the defect class this pins.
+    val docs = docsDf(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("kn-plan").toString
+    LanguageModel.saveKnModel(LanguageModel.fitKn(docs, "text"), dir)
+    val out = LanguageModel.kneserNeyAgainst(
+      docs, "doc_id", "text", LanguageModel.loadKnModel(spark, dir))
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.size should be <= 2 // the per-doc CE pair — nothing else aggregates
+    collect(plan) { case b: BroadcastExchangeExec => b } should not be empty
+  }
+
   test("vocabTopK: TakeOrderedAndProject, no global Sort") {
     val out = CorpusOps.vocabTopK(docsDf(corpus), "text", n = 2, k = 10)
     out.collect()
