@@ -656,6 +656,9 @@ object FeatureStats {
   def cmsEstimate(
       profile: DataFrame, values: DataFrame, valueCol: String): DataFrame = {
     val geom = profile.select("width", "depth").distinct().limit(2).collect()
+    require(geom.nonEmpty,
+      "cmsEstimate: profile is empty — build it with cmsProfile first " +
+        "(an empty frame carries no sketch geometry to query against)")
     require(geom.length == 1,
       s"cmsEstimate: profile has ${geom.length} distinct (width, depth) " +
         "geometries — merged sketches must share one")

@@ -71,6 +71,67 @@ object Packing {
         greatest(tb - col("seq_idx") * seqLen, lit(0L)).as("seq_offset"))
   }
 
+  /** [[splitSegments]] carrying the ACTUAL token slices: one row per
+    * (document, training sequence) overlap whose `seq_tokens` is the
+    * document's tokens landing in that sequence —
+    * `slice(tokens, doc_token_start+1, doc_token_end-doc_token_start)`
+    * computed in the same projection, no join back to the corpus.
+    * `tokensCol` is an `array<string>` column (the tokenizers' serving
+    * shape with the explode elided); its size IS the token count, so
+    * the count column can never drift from the array it describes.
+    * NULL arrays count as 0 tokens (content-free rows pack nothing and
+    * emit no segments — the index-gate bypass contract's packing
+    * analogue). Span arithmetic is per-document, so the int casts for
+    * `slice` are safe for any document under 2^31 tokens — bucket
+    * streams (tokens_before) stay long. */
+  def packTokens(
+      df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, buckets: Int): DataFrame = {
+    require(seqLen > 0 && buckets > 0)
+    val nt = col("__graft_nt")
+    val tb = col("tokens_before")
+    val lastSeq = floor((tb + nt - 1) / seqLen).cast("long")
+    val start = greatest(col("seq_idx") * seqLen - tb, lit(0L))
+    val end = least((col("seq_idx") + 1) * seqLen - tb, nt)
+    assignSequences(
+        df.withColumn("__graft_nt",
+          coalesce(size(col(tokensCol)).cast("long"), lit(0L))),
+        idCol, "__graft_nt", seqLen, buckets)
+      .filter(nt > 0)
+      .select(col("pack_bucket"), col(idCol), col(tokensCol), tb, nt,
+        explode(sequence(col("seq_idx"), lastSeq)).as("seq_idx"))
+      .select(
+        col("pack_bucket"), col("seq_idx"), col(idCol),
+        start.as("doc_token_start"),
+        end.as("doc_token_end"),
+        greatest(tb - col("seq_idx") * seqLen, lit(0L)).as("seq_offset"),
+        slice(col(tokensCol), (start + 1).cast("int"),
+          (end - start).cast("int")).as("seq_tokens"))
+  }
+
+  /** Assembled training sequences: one row per (pack_bucket, seq_idx)
+    * whose `tokens` is the concatenation of its [[packTokens]] segments
+    * in seq_offset order — exactly `seqLen` tokens everywhere except
+    * each bucket's tail sequence (the ≤-one-sequence-per-bucket
+    * remainder). This is the shape a pre-training pipeline WRITES:
+    * clean → filter → dedup → tokenize → pack → TFRecord, one record
+    * per fixed-budget sequence. One extra hash-agg shuffle on
+    * (bucket, seq) beyond the packing window; segment spans are
+    * disjoint per sequence so `seq_offset` is a total order and the
+    * in-group `array_sort` on (offset, segment) structs reassembles
+    * deterministically. */
+  def packedSequences(
+      df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, buckets: Int): DataFrame =
+    packTokens(df, idCol, tokensCol, seqLen, buckets)
+      .groupBy(col("pack_bucket"), col("seq_idx"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("seq_offset"), col("seq_tokens")))),
+          s => s.getField("seq_tokens"))).as("tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+
   /** Per-sequence packing stats: docs packed, tokens packed, fill
     * ratio vs the budget (straddling docs count toward the sequence
     * they start in — the splitter downstream handles the carry). */

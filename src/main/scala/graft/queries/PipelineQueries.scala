@@ -615,6 +615,54 @@ object PipelineQueries {
                CAST(greatest(tb - seq_idx*2048, 0) AS BIGINT) AS seq_offset
         FROM seg""")),
 
+    // The assembled-training-sequence form (Packing.packedSequences —
+    // what pack_sequences(strategy=sequences) writes): one row per
+    // (bucket, seq_idx) with the ACTUAL concatenated token stream.
+    // The token arrays compare as a space-joined digest so both
+    // engines hash a scalar (whitespace tokens contain no spaces by
+    // construction, so the digest is injective).
+    QueryDef(
+      "pack_training_sequences",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+        graft.ops.Packing.packedSequences(docs, "doc_id", "toks",
+            seqLen = 2048, buckets = 8)
+          .select(col("pack_bucket"), col("seq_idx"),
+            concat_ws(" ", col("tokens")).as("seq_text"),
+            col("n_docs"), col("n_tokens"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws,
+                 ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) % 8 AS pack_bucket,
+                 ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 1000003) AS ord
+          FROM documents),
+        p AS (
+          SELECT pack_bucket, doc_id, ws,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(SUM(CAST(len(ws) AS BIGINT)) OVER (PARTITION BY pack_bucket
+                   ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+          FROM w),
+        seg AS (
+          SELECT pack_bucket, doc_id, ws, n_tokens, tb,
+                 unnest(range(tb // 2048, (tb + n_tokens - 1) // 2048 + 1)) AS seq_idx
+          FROM p WHERE n_tokens > 0),
+        sel AS (
+          SELECT pack_bucket, CAST(seq_idx AS BIGINT) AS seq_idx,
+                 CAST(greatest(tb - seq_idx*2048, 0) AS BIGINT) AS seq_offset,
+                 ws[CAST(greatest(seq_idx*2048 - tb, 0) AS BIGINT) + 1 :
+                    CAST(least((seq_idx+1)*2048 - tb, n_tokens) AS BIGINT)] AS seg_toks
+          FROM seg)
+        SELECT pack_bucket, seq_idx,
+               array_to_string(flatten(list(seg_toks ORDER BY seq_offset)), ' ') AS seq_text,
+               COUNT(*) AS n_docs,
+               CAST(len(flatten(list(seg_toks ORDER BY seq_offset))) AS BIGINT) AS n_tokens
+        FROM sel GROUP BY 1, 2""")),
+
     // Data-mixture sampling: per-language keep rates (upsample rare,
     // downsample common) via the portable sampling hash.
     QueryDef(
@@ -1823,7 +1871,11 @@ object PipelineQueries {
     QueryDef(
       "lm_score_mkn",
       (s, dir) => {
-        val k = (d: Int) => (col("doc_id") / d).cast("long").cast("string")
+        // floor(), not a bare double-divide + cast: cast truncates
+        // toward zero while the DuckDB oracle's `//` floors, and the
+        // two disagree on negative ids — floor() makes both engines
+        // floor identically for ANY id range (r12 ADVICE).
+        val k = (d: Int) => floor(col("doc_id") / d).cast("long").cast("string")
         val docs = table(s, dir, "documents")
           .withColumn("text", concat(col("text"),
             lit(" xa"), col("doc_id").cast("string"),

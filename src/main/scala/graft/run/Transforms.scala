@@ -1,9 +1,9 @@
 package graft.run
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Sampling, TextOps}
+import graft.ops.{Packing, Sampling, TextOps}
 
 /** Named corpus-prep transforms applicable between retrieval and
   * encoding — the configuration-surface analogue of the reference's
@@ -75,7 +75,20 @@ object Transforms {
         t.args.get(k).foreach(v => require(v == "true" || v == "false",
           s"transform '$name' arg '$k' must be true or false, got '$v'"))
       }
+      LongArgs.getOrElse(name, Nil).foreach { k => // plain longs (seeds)
+        t.args.get(k).foreach(v => require(v.toLongOption.isDefined,
+          s"transform '$name' arg '$k' must be an integer, got '$v'"))
+      }
+      EnumArgs.getOrElse(name, Nil).foreach { case (k, allowed) =>
+        t.args.get(k).foreach(v => require(allowed(v),
+          s"transform '$name' arg '$k' must be one of " +
+            s"${allowed.toSeq.sorted.mkString("|")}, got '$v'"))
+      }
       if (name == "mixture_sample") parseRates(t.arg("rates")) // and bad formats
+      if (name == "tokenize_against" && t.arg("family") != "unigram")
+        require(!t.args.contains("alpha") && !t.args.contains("seed"),
+          "transform 'tokenize_against': alpha/seed configure unigram " +
+            "subword regularization — drop them or use family=unigram")
       t
     }
 
@@ -103,6 +116,8 @@ object Transforms {
       "features", "horizon"),
     "nearest_label" -> Seq("id", "ts", "source", "source_ts", "keys",
       "features", "tolerance"),
+    "tokenize_against" -> Seq("key", "col", "model", "family"),
+    "pack_sequences" -> Seq("key", "col", "max_len"),
     "expect_unique" -> Seq("cols"),
     "expect_fd" -> Seq("lhs", "rhs"))
 
@@ -122,7 +137,20 @@ object Transforms {
     "winnow_filter" -> Seq("min_shared", "max_df"),
     "minhash_filter" -> Seq("k", "bands", "shingle_n", "max_bucket"),
     "semantic_filter" -> Seq("n_probe"),
+    "pack_sequences" -> Seq("max_len", "buckets"),
     "sample_weighted" -> Seq("n"))
+
+  /** Plain long-typed args (any sign — RNG seeds). */
+  val LongArgs: Map[String, Seq[String]] = Map(
+    "tokenize_against" -> Seq("seed"))
+
+  /** Closed-vocabulary args, validated at parse time (a typo'd family
+    * must die in parse(), not as a MatchError mid-job). */
+  val EnumArgs: Map[String, Seq[(String, Set[String])]] = Map(
+    "tokenize_against" -> Seq(
+      "family" -> Set("bpe", "unigram", "wordpiece")),
+    "pack_sequences" -> Seq(
+      "strategy" -> Set("assign", "segments", "sequences")))
 
   /** Boolean-typed argument names ("true"/"false" only — a typo'd flag
     * must die at parse time, not silently default). */
@@ -142,7 +170,8 @@ object Transforms {
   /** Double-typed argument names, same parse-time validation. */
   val DoubleArgs: Map[String, Seq[String]] = Map(
     "lm_filter" -> Seq("max_ce"),
-    "lm_filter_against" -> Seq("max_ce"),
+    "lm_filter_against" -> Seq("max_ce", "discount", "floor_eps"),
+    "tokenize_against" -> Seq("alpha"),
     "sample_temperature" -> Seq("alpha"),
     "minhash_filter" -> Seq("threshold"),
     "semantic_filter" -> Seq("threshold", "adc_margin"),
@@ -425,8 +454,13 @@ object Transforms {
         .loadKnModel(df.sparkSession, t.arg("model"))
       val gStaged = df.localCheckpoint(false)
       val gScorable = gStaged.filter(col(gKey).isNotNull)
+      // discount/floor_eps are serve-time knobs of the persisted model
+      // (the whole point of shipping raw counts) — surface them here
+      // with the operator's own defaults (r12 ADVICE).
       val gKeep = graft.ops.LanguageModel
-        .kneserNeyAgainst(gScorable, gKey, gText, model)
+        .kneserNeyAgainst(gScorable, gKey, gText, model,
+          discount = t.args.get("discount").map(_.toDouble).getOrElse(0.75),
+          floorEps = t.args.get("floor_eps").map(_.toDouble).getOrElse(1e-6))
         .filter(col("kn_cross_entropy") <= gMax)
         .select(col(gKey))
       gScorable.join(gKeep, Seq(gKey), "left_semi")
@@ -508,6 +542,89 @@ object Transforms {
           val renames = features ++ (if (keepTs) Seq(sourceTs) else Nil)
           renames.foldLeft(labeled)((d, f) =>
             d.withColumnRenamed(f, s"${p}__$f"))
+      }
+    case "tokenize_against" =>
+      // Tokenization from the config surface — the stage a pre-training
+      // pipeline runs between dedup and packing, against a model
+      // trained ONCE (Bpe.saveRules / Unigram.saveModel /
+      // WordPiece.saveModel) and served with zero training passes —
+      // the lm_filter_against deployment shape, for tokenizers. Emits
+      // ONE column `out` (default `tokens`, array<string>) instead of
+      // the Scala APIs' exploded (doc, pos, token) rows: the frame
+      // keeps its row-per-document shape so pack_sequences (and any
+      // other transform) chains directly; the serving expressions are
+      // the SAME codegen'd segmenters the tokenize oracles pin, with
+      // the posexplode elided. Zero shuffles — a pure projection over
+      // whatever partitioning the frame already has. NULL text
+      // tokenizes to NULL (the segmenters are null-propagating), the
+      // index-gate bypass contract in column form. alpha/seed switch
+      // the unigram family to sampled subword regularization, salted
+      // by the row key so identical texts in different rows draw
+      // independently while every shard replay is exact.
+      val s = df.sparkSession
+      val out = t.args.getOrElse("out", "tokens")
+      require(!df.columns.contains(out),
+        s"tokenize_against: output column '$out' already exists — " +
+          "pass out=<fresh name>")
+      val normText = TextOps.normalized(col(t.arg("col")))
+      val toks: Column = t.arg("family") match {
+        case "bpe" =>
+          graft.functions.BpeFunctions.bpeTokens(
+            normText, graft.ops.Bpe.loadRules(s, t.arg("model")))
+        case "unigram" =>
+          val m = graft.ops.Unigram.loadModel(s, t.arg("model"))
+          t.args.get("alpha") match {
+            case Some(a) =>
+              graft.functions.UnigramFunctions.unigramTokensSampled(
+                normText, xxhash64(col(t.arg("key"))),
+                m.pieces, m.unkLogp, m.maxPieceLen, a.toDouble,
+                t.args.get("seed").map(_.toLong).getOrElse(0L))
+            case None =>
+              graft.functions.UnigramFunctions.unigramTokens(
+                normText, m.pieces, m.unkLogp, m.maxPieceLen)
+          }
+        case "wordpiece" =>
+          val m = graft.ops.WordPiece.loadModel(s, t.arg("model"))
+          graft.functions.WordPieceFunctions.wordPieceTokens(
+            normText, m.vocab, m.unk, m.maxWordCp)
+      }
+      df.withColumn(out, toks)
+    case "pack_sequences" =>
+      // Fixed-token-budget sequence packing — the LAST shaping stage
+      // before the TFRecord sink. `col` is either the array<string>
+      // column tokenize_against emitted (its size is the token count)
+      // or a precomputed integral count column. Three output shapes:
+      // strategy=sequences (default) emits ONE ROW PER TRAINING
+      // SEQUENCE (pack_bucket, seq_idx, tokens, n_docs, n_tokens) —
+      // what the pipeline writes; segments keeps document identity
+      // (one row per doc×sequence overlap with the sliced span);
+      // assign only annotates each doc row with its (bucket, seq_idx)
+      // slot. Distribution contract inherited from graft.ops.Packing:
+      // `buckets` (default 64) independent hash-partitioned packing
+      // groups, one window per bucket, never a global sort — size
+      // buckets to the cluster, waste is ≤ one sequence per bucket.
+      val key = t.arg("key"); val c = t.arg("col")
+      val maxLen = t.argInt("max_len")
+      val buckets = t.args.get("buckets").map(_.toInt).getOrElse(64)
+      val isArray = df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      t.args.getOrElse("strategy", "sequences") match {
+        case "assign" =>
+          if (isArray)
+            Packing.assignSequences(
+              df.withColumn("__graft_nt",
+                coalesce(size(col(c)).cast("long"), lit(0L))),
+              key, "__graft_nt", maxLen, buckets).drop("__graft_nt")
+          else Packing.assignSequences(df, key, c, maxLen, buckets)
+        case strategy =>
+          require(isArray,
+            s"pack_sequences: strategy=$strategy slices actual tokens " +
+              s"and needs an array column, but '$c' is " +
+              s"${df.schema(c).dataType.simpleString} — tokenize first " +
+              "(tokenize_against) or use strategy=assign on a count column")
+          if (strategy == "segments")
+            Packing.packTokens(df, key, c, maxLen, buckets)
+          else Packing.packedSequences(df, key, c, maxLen, buckets)
       }
     case "expect_unique" =>
       // Constraint GATE (Deequ shape): rows pass through unchanged, but

@@ -887,9 +887,18 @@ object StreamingOps {
     * [[graft.ops.LanguageModel.KnModel]] — the CCNet deployment shape
     * (KenLM fitted on a clean reference corpus once, served against
     * every crawl snapshot as it lands). Stateless — the count tables
-    * are the state, persisted once for the query's lifetime (same
-    * ownership caveat as [[nearDupStream]]: unpersist retired models
-    * after the last `stop()`). Shares
+    * are the state, persisted for the query's lifetime and RELEASED
+    * automatically when the query terminates (a
+    * `StreamingQueryListener` keyed to this writer's generated query
+    * name unpersists the four count frames on `onQueryTerminated` —
+    * retired scoring queries can no longer leak cached model blocks,
+    * the r12 ADVICE item). Two caveats that fall out of the
+    * auto-release: the writer's query name is pre-set here (override
+    * it and the release hook never fires), and a model shared across
+    * CONCURRENT scoring queries loses its cache when the first one
+    * terminates — the survivors still run correctly (persist is a
+    * cache, the parquet-backed lineage recomputes), so prefer one
+    * loaded model per long-lived query. Shares
     * [[graft.ops.LanguageModel.kneserNeyAgainst]] verbatim, so
     * per-batch rows are the batch operator's by construction; the
     * lm_score_kn_serve oracle covers it. */
@@ -902,10 +911,33 @@ object StreamingOps {
     val servable = model.copy(
       c12 = model.c12.persist(lvl), c1 = model.c1.persist(lvl),
       n1c = model.n1c.persist(lvl), stats = model.stats.persist(lvl))
-    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sink(graft.ops.LanguageModel.kneserNeyAgainst(
-        batch.toDF(), idCol, textCol, servable, discount, floorEps), batchId)
+    val spark = docs.sparkSession
+    val queryName = s"graft-lm-score-${java.util.UUID.randomUUID()}"
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val release = new StreamingQueryListener {
+      // The started event is the only one carrying the NAME; remember
+      // its id and unpersist when that id terminates. Listener events
+      // for one query are ordered, so the id is always set first.
+      @volatile private var myId: java.util.UUID = null
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == queryName) myId = e.id
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == myId) {
+          Seq(servable.c12, servable.c1, servable.n1c, servable.stats)
+            .foreach(_.unpersist(false))
+          spark.streams.removeListener(this)
+        }
     }
+    spark.streams.addListener(release)
+    docs.writeStream.queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.ops.LanguageModel.kneserNeyAgainst(
+          batch.toDF(), idCol, textCol, servable, discount, floorEps), batchId)
+      }
   }
 
   /** Streaming sequence packing: documents arriving on a stream are

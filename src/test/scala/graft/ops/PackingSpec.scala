@@ -90,6 +90,92 @@ class PackingSpec extends SparkSpec with Matchers {
     starts shouldBe stats
   }
 
+  private def tokenDocsDf(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      val len = 3 + (i * 7) % 40
+      (i.toLong, (0 until len).map(j => s"t${i}_$j"))
+    }.toDF("doc_id", "toks")
+  }
+
+  test("packTokens: slices agree with splitSegments spans and reconstruct docs") {
+    val docs = tokenDocsDf(120)
+    val segs = Packing.packTokens(docs, "doc_id", "toks",
+      seqLen = 32, buckets = 4).collect()
+    // Every segment's slice length equals its span arithmetic.
+    segs.foreach { r =>
+      r.getSeq[String](r.fieldIndex("seq_tokens")).size.toLong shouldBe
+        r.getAs[Long]("doc_token_end") - r.getAs[Long]("doc_token_start")
+    }
+    // Concatenating one doc's slices in seq order reconstructs the doc.
+    val expected = docs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    segs.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      rows.sortBy(_.getAs[Long]("doc_token_start"))
+        .flatMap(_.getSeq[String](rows.head.fieldIndex("seq_tokens")))
+        .toSeq shouldBe expected(id)
+    }
+    // Span columns match splitSegments fed the SAME counts (shared path).
+    val viaCounts = Packing.splitSegments(
+        docs.withColumn("n_tokens",
+          org.apache.spark.sql.functions.size(col("toks")).cast("long")),
+        "doc_id", "n_tokens", 32, 4)
+      .collect().map(r => (r.getAs[Long]("pack_bucket"), r.getAs[Long]("seq_idx"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("doc_token_start"),
+        r.getAs[Long]("doc_token_end"), r.getAs[Long]("seq_offset"))).toSet
+    segs.map(r => (r.getAs[Long]("pack_bucket"), r.getAs[Long]("seq_idx"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("doc_token_start"),
+      r.getAs[Long]("doc_token_end"), r.getAs[Long]("seq_offset")))
+      .toSet shouldBe viaCounts
+  }
+
+  test("packTokens: NULL and empty token arrays pack nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option(Seq("a", "b", "c"))),
+      (2L, Option(Seq.empty[String])),
+      (3L, None: Option[Seq[String]])).toDF("doc_id", "toks")
+    val segs = Packing.packTokens(docs, "doc_id", "toks", 8, 1).collect()
+    segs.map(_.getAs[Long]("doc_id")).toSet shouldBe Set(1L)
+    segs.flatMap(_.getSeq[String](segs.head.fieldIndex("seq_tokens")))
+      .toSeq shouldBe Seq("a", "b", "c")
+  }
+
+  test("packedSequences: every non-tail sequence holds exactly seqLen tokens") {
+    val docs = tokenDocsDf(150)
+    val seqs = Packing.packedSequences(docs, "doc_id", "toks",
+      seqLen = 32, buckets = 3).collect()
+    // Conservation across the whole corpus.
+    seqs.map(_.getAs[Long]("n_tokens")).sum shouldBe
+      docs.agg(sum(org.apache.spark.sql.functions.size(col("toks")))).head().getLong(0)
+    // n_tokens mirrors the assembled array.
+    seqs.foreach { r =>
+      r.getSeq[String](r.fieldIndex("tokens")).size.toLong shouldBe
+        r.getAs[Long]("n_tokens")
+    }
+    // Fixed budget everywhere except each bucket's final sequence.
+    seqs.groupBy(_.getAs[Long]("pack_bucket")).foreach { case (_, rows) =>
+      val lastSeq = rows.map(_.getAs[Long]("seq_idx")).max
+      rows.foreach { r =>
+        if (r.getAs[Long]("seq_idx") < lastSeq)
+          r.getAs[Long]("n_tokens") shouldBe 32L
+        else r.getAs[Long]("n_tokens") should be <= 32L
+      }
+    }
+    // Sequences tile each bucket contiguously from 0.
+    seqs.groupBy(_.getAs[Long]("pack_bucket")).foreach { case (_, rows) =>
+      rows.map(_.getAs[Long]("seq_idx")).sorted.toSeq shouldBe
+        (0L until rows.size.toLong)
+    }
+    // Deterministic under repartitioning (hash order, not arrival).
+    val again = Packing.packedSequences(docs.repartition(7), "doc_id", "toks",
+      32, 3).collect()
+      .map(r => (r.getAs[Long]("pack_bucket"), r.getAs[Long]("seq_idx"),
+        r.getSeq[String](r.fieldIndex("tokens")))).toSet
+    seqs.map(r => (r.getAs[Long]("pack_bucket"), r.getAs[Long]("seq_idx"),
+      r.getSeq[String](r.fieldIndex("tokens")))).toSet shouldBe again
+  }
+
   test("splitSegments: a straddling doc splits at exact sequence boundaries") {
     import spark.implicits._
     // One bucket: docs of 300 + 300 tokens, seqLen 512 -> second doc

@@ -1,5 +1,7 @@
 package graft.run
 
+import org.apache.spark.sql.functions.{col, size, sum}
+
 import graft.SparkSpec
 import graft.encode.TfExample
 import graft.io.TfRecordSink
@@ -710,6 +712,193 @@ class RunnerSpec extends SparkSpec {
     val keptIds = out.filter(!_.isNullAt(0)).map(_.getLong(0)).toSet
     assert(keptIds == (1L to 10L).toSet, s"got $keptIds")
     assert(out.count(_.isNullAt(0)) == 1) // null-key bypass
+  }
+
+  test("tokenize_against serves all three persisted tokenizer families") {
+    import spark.implicits._
+    val corpus = (1L to 30L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "bio")
+    val base = java.nio.file.Files.createTempDirectory("tok-gate").toString
+    graft.ops.Bpe.saveRules(
+      graft.ops.Bpe.train(corpus, "bio", nMerges = 10), s"$base/bpe", spark)
+    graft.ops.Unigram.saveModel(
+      graft.ops.Unigram.train(corpus, "bio", vocabSize = 12), s"$base/uni", spark)
+    graft.ops.WordPiece.saveModel(
+      graft.ops.WordPiece.train(corpus, "bio", nMerges = 10), s"$base/wp", spark)
+    val ingest = Seq(
+      (100L, Option("the cat sat")),
+      (101L, None: Option[String])).toDF("doc_id", "bio")
+    for ((fam, dir, explode) <- Seq(
+        ("bpe", s"$base/bpe",
+          (d: org.apache.spark.sql.DataFrame) => graft.ops.Bpe.tokenize(
+            d, "doc_id", "bio", graft.ops.Bpe.loadRules(spark, s"$base/bpe"))),
+        ("unigram", s"$base/uni",
+          (d: org.apache.spark.sql.DataFrame) => graft.ops.Unigram.tokenize(
+            d, "doc_id", "bio", graft.ops.Unigram.loadModel(spark, s"$base/uni"))),
+        ("wordpiece", s"$base/wp",
+          (d: org.apache.spark.sql.DataFrame) => graft.ops.WordPiece.tokenize(
+            d, "doc_id", "bio", graft.ops.WordPiece.loadModel(spark, s"$base/wp"))))) {
+      val out = Transforms.applyAll(ingest, Transforms.parse(
+          s"tokenize_against(key=doc_id,col=bio,model=$dir,family=$fam)"))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getSeq[String](r.fieldIndex("tokens")))).toMap
+      // Column form matches the exploded Scala API exactly (shared
+      // serving expression, posexplode elided).
+      val exploded = explode(ingest.filter(col("bio").isNotNull))
+        .orderBy("token_pos").collect().map(_.getString(2)).toSeq
+      assert(out(100L).contains(exploded), s"$fam: ${out(100L)} vs $exploded")
+      assert(out(101L).isEmpty, s"$fam: NULL text must tokenize to NULL")
+    }
+    // Sampled unigram: deterministic in (key, model, alpha, seed),
+    // tokens reassemble to the text's words.
+    val s1 = Transforms.applyAll(ingest, Transforms.parse(
+        s"tokenize_against(key=doc_id,col=bio,model=$base/uni," +
+          "family=unigram,alpha=0.5,seed=7)"))
+      .filter(col("doc_id") === 100L)
+      .collect().head.getSeq[String](2)
+    val s2 = Transforms.applyAll(ingest.repartition(3), Transforms.parse(
+        s"tokenize_against(key=doc_id,col=bio,model=$base/uni," +
+          "family=unigram,alpha=0.5,seed=7)"))
+      .filter(col("doc_id") === 100L)
+      .collect().head.getSeq[String](2)
+    assert(s1 == s2, "sampled tokenization must replay exactly")
+    assert(s1.mkString == "thecatsat")
+    // Typing and vocabulary errors die at parse time.
+    intercept[IllegalArgumentException](Transforms.parse(
+      "tokenize_against(key=id,col=bio,model=/tmp/x,family=sentencepiece)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "tokenize_against(key=id,col=bio,model=/tmp/x,family=bpe,alpha=0.5)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "tokenize_against(key=id,col=bio,model=/tmp/x,family=unigram,alpha=hot)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "tokenize_against(key=id,col=bio,family=bpe)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "tokenize_against(key=id,col=bio,model=/tmp/x,family=unigram,seed=x)"))
+  }
+
+  test("pack_sequences packs the tokens column into training sequences") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      (i, (0 until (3 + (i % 11)).toInt).map(j => s"w${i}_$j"))
+    }.toDF("doc_id", "tokens")
+    // Default strategy: one row per assembled sequence, exact budget
+    // except bucket tails, corpus-wide token conservation.
+    val seqs = Transforms.applyAll(docs, Transforms.parse(
+        "pack_sequences(key=doc_id,col=tokens,max_len=16,buckets=2)"))
+      .collect()
+    assert(seqs.map(_.getAs[Long]("n_tokens")).sum ==
+      docs.agg(sum(size(col("tokens")))).head().getLong(0))
+    seqs.groupBy(_.getAs[Long]("pack_bucket")).foreach { case (_, rows) =>
+      val last = rows.map(_.getAs[Long]("seq_idx")).max
+      rows.foreach { r =>
+        if (r.getAs[Long]("seq_idx") < last)
+          assert(r.getAs[Long]("n_tokens") == 16L)
+      }
+    }
+    // assign keeps the doc rows, annotated.
+    val assigned = Transforms.applyAll(docs, Transforms.parse(
+        "pack_sequences(key=doc_id,col=tokens,max_len=16,buckets=2,strategy=assign)"))
+    assert(assigned.count() == 40L)
+    assert(assigned.columns.toSet.contains("seq_idx") &&
+      assigned.columns.contains("tokens"))
+    // assign also accepts a precomputed integral count column.
+    val counted = docs.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("n_toks"))
+    assert(Transforms.applyAll(counted, Transforms.parse(
+      "pack_sequences(key=doc_id,col=n_toks,max_len=16,strategy=assign)"))
+      .count() == 40L)
+    // ...but token-slicing strategies need the array itself.
+    intercept[IllegalArgumentException](Transforms.applyAll(counted,
+      Transforms.parse("pack_sequences(key=doc_id,col=n_toks,max_len=16)")))
+    // max_len/buckets/strategy typing dies at parse time.
+    intercept[IllegalArgumentException](Transforms.parse(
+      "pack_sequences(key=id,col=tokens,max_len=0)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "pack_sequences(key=id,col=tokens,max_len=16,strategy=greedy)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "pack_sequences(key=id,col=tokens)"))
+  }
+
+  test("pre-training recipe chains end-to-end: clean, LM gate, dedup gate, tokenize, pack") {
+    import spark.implicits._
+    // The full CCNet-to-training-batch pipeline as ONE config string:
+    // every stage serves a PERSISTED artifact (KN counts, exact-hash
+    // index, unigram pieces) — zero training passes at ingest time.
+    val reference = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "bio")
+    val base = java.nio.file.Files.createTempDirectory("pipe-chain").toString
+    graft.ops.LanguageModel.saveKnModel(
+      graft.ops.LanguageModel.fitKn(reference, "bio"), s"$base/kn")
+    graft.ops.Unigram.saveModel(
+      graft.ops.Unigram.train(reference, "bio", vocabSize = 12),
+      s"$base/uni", spark)
+    // History already contains doc 1's content -> its re-crawl drops.
+    graft.ops.Dedup.saveExactIndex(
+      graft.ops.Dedup.exact(
+        Seq((1L, "the cat sat on the mat")).toDF("doc_id", "bio"),
+        "doc_id", "bio"),
+      s"$base/exact")
+    val ingest = (Seq(
+      (100L, "  the cat  sat on the mat  "), // cleans fluent, but dups history
+      (101L, "the cat sat on the mat rug")) ++ // fluent and fresh
+      (102L to 109L).map(i => (i, s"zz$i qq$i ww$i vv$i"))) // gibberish
+      .toDF("doc_id", "bio")
+    // Cut between the fresh fluent doc's score and the gibberish band.
+    val ce = graft.ops.LanguageModel.kneserNeyAgainst(
+        ingest, "doc_id", "bio",
+        graft.ops.LanguageModel.loadKnModel(spark, s"$base/kn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = (ce(101L) + ce(102L)) / 2
+    assert(ce(101L) < cut && cut < ce(102L))
+    val seqs = Transforms.applyAll(ingest, Transforms.parse(
+      "clean_text(cols=bio);" +
+        s"lm_filter_against(key=doc_id,col=bio,model=$base/kn,max_ce=$cut);" +
+        s"dedup_against(key=doc_id,col=bio,index=$base/exact);" +
+        s"tokenize_against(key=doc_id,col=bio,model=$base/uni,family=unigram);" +
+        "pack_sequences(key=doc_id,col=tokens,max_len=8,buckets=1)"))
+      .collect()
+    // Only doc 101 survives the gates; its tokens arrive packed into
+    // 8-token sequences (last one partial), nothing lost.
+    val survivorTokens = graft.ops.Unigram.tokenize(
+        Seq((101L, "the cat sat on the mat rug")).toDF("doc_id", "bio"),
+        "doc_id", "bio", graft.ops.Unigram.loadModel(spark, s"$base/uni"))
+      .orderBy("token_pos").collect().map(_.getString(2)).toSeq
+    val packed = seqs.sortBy(_.getAs[Long]("seq_idx"))
+      .flatMap(_.getSeq[String](seqs.head.fieldIndex("tokens"))).toSeq
+    assert(packed == survivorTokens,
+      s"packed $packed vs tokenized $survivorTokens")
+    seqs.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") == 8L))
+  }
+
+  test("lm_filter_against exposes the persisted model's serve-time knobs") {
+    import spark.implicits._
+    val reference = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "bio")
+    val dir = java.nio.file.Files.createTempDirectory("kn-knobs").toString
+    graft.ops.LanguageModel.saveKnModel(
+      graft.ops.LanguageModel.fitKn(reference, "bio"), dir)
+    val ingest = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "bio")
+    // A knobbed gate matches kneserNeyAgainst called with the same
+    // knobs: pick a cut that the default discount REJECTS and the
+    // tuned discount accepts.
+    val model = graft.ops.LanguageModel.loadKnModel(spark, dir)
+    val ceDefault = graft.ops.LanguageModel.kneserNeyAgainst(
+      ingest, "doc_id", "bio", model).collect().head.getDouble(2)
+    val ceTuned = graft.ops.LanguageModel.kneserNeyAgainst(
+      ingest, "doc_id", "bio", model, discount = 0.1, floorEps = 1e-9)
+      .collect().head.getDouble(2)
+    assert(ceTuned != ceDefault, "knobs must change the score")
+    val cut = (math.min(ceDefault, ceTuned) + math.max(ceDefault, ceTuned)) / 2
+    val (passFam, failFam) =
+      if (ceTuned < ceDefault) ("discount=0.1,floor_eps=1e-9", "")
+      else ("", "discount=0.1,floor_eps=1e-9")
+    def gate(knobs: String) = Transforms.applyAll(ingest, Transforms.parse(
+      s"lm_filter_against(key=doc_id,col=bio,model=$dir,max_ce=$cut" +
+        (if (knobs.nonEmpty) s",$knobs" else "") + ")")).count()
+    assert(gate(passFam) == 1L)
+    assert(gate(failFam) == 0L)
+    intercept[IllegalArgumentException](Transforms.parse(
+      s"lm_filter_against(key=i,col=b,model=$dir,max_ce=1.0,discount=soft)"))
   }
 
   test("full job applies GRAFT_TRANSFORMS-style chain before encoding") {

@@ -820,6 +820,39 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("lmScoreStream: the model cache releases when the query terminates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    import org.apache.spark.storage.StorageLevel
+    val train = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val model = LanguageModel.fitKn(train, "text")
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.lmScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model) {
+      (rows, _) => rows.collect(): Unit
+    }.start()
+    stream.addData(Seq((10L, "the cat and the dog")))
+    q.processAllAvailable()
+    // While running, the count tables are pinned...
+    assert(model.c12.storageLevel != StorageLevel.NONE,
+      "model must be cached while the query runs")
+    q.stop()
+    q.awaitTermination()
+    // ...and the termination listener releases them (async bus — poll).
+    val frames = Seq("c12" -> model.c12, "c1" -> model.c1,
+      "n1c" -> model.n1c, "stats" -> model.stats)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (frames.exists(_._2.storageLevel != StorageLevel.NONE) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    frames.foreach { case (name, f) =>
+      assert(f.storageLevel == StorageLevel.NONE,
+        s"retired scoring queries must not leak cached model blocks ($name)")
+    }
+  }
+
   test("cmsProfileStream: appended per-batch deltas merge to the one-pass sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
