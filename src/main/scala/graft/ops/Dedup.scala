@@ -153,11 +153,28 @@ object Dedup {
     * (dup_count of repeated hashes must update, so the exact index is
     * rebuild-maintained, not append-maintained — the merge is one
     * hash-agg over index ∪ batch-index, never the corpus). */
-  final case class ExactHashIndex(rows: DataFrame, hashBuckets: Int)
+  /** `root` (set by [[loadExactIndexPartitioned]]) enables the
+    * DIRECT-PATH serve: the probed bucket directories are read by
+    * explicit path, so per-serve driver work is O(|batch|) existence
+    * probes and the scan's file listing never touches the other
+    * bucket directories — the cost that made a ∝-corpus bucket count
+    * (flat read bytes) pay an O(#partitions) planning pass per serve
+    * (r12's one canary outlier; a √-sizing attempt just moved the
+    * cost into √-growing read bytes). Without `root` the serve falls
+    * back to an `isin` partition filter over the loaded frame. */
+  final case class ExactHashIndex(rows: DataFrame, hashBuckets: Int,
+      root: Option[String] = None)
 
   /** Build + persist an [[ExactHashIndex]] from an [[exact]] /
-    * [[loadExactIndex]] table. Size `nHashBuckets` to the corpus
-    * (constant per-bucket bytes). */
+    * [[loadExactIndex]] table. Size `nHashBuckets` ∝ corpus (constant
+    * per-bucket bytes): the loaded index serves by DIRECT PATH to the
+    * probed bucket directories, so a large directory count costs
+    * nothing per serve — per-serve driver work is O(|batch|)
+    * regardless of layout size. (r12 measured the alternatives: an
+    * isin filter over the full listing pays an O(#partitions)
+    * planning pass per serve — 2.08× at 6,400 dirs against a ~0.2 s
+    * base — and √-sizing just moves the cost into √-growing read
+    * bytes, 2.48× measured.) */
   def saveExactIndexPartitioned(
       index: DataFrame, path: String, nHashBuckets: Int = 64): Unit = {
     require(nHashBuckets > 0,
@@ -178,7 +195,8 @@ object Dedup {
   def loadExactIndexPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String): ExactHashIndex = {
     val st = spark.read.parquet(s"$path/stats").head()
-    ExactHashIndex(spark.read.parquet(s"$path/hashes"), st.getInt(0))
+    ExactHashIndex(spark.read.parquet(s"$path/hashes"), st.getInt(0),
+      Some(path))
   }
 
   /** [[exactAgainst]] against a persisted [[ExactHashIndex]] —
@@ -220,8 +238,34 @@ object Dedup {
     val buckets = hashed.filter(col("text_hash").isNotNull)
       .select(fpBucket(col("text_hash"), index.hashBuckets).as("bb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    exactClassify(hashed,
-      index.rows.filter(col(BandBucket).isin(buckets: _*)))
+    // Direct-path probe when the index knows its root: list and read
+    // ONLY the probed bucket directories. Per-serve driver cost is
+    // |batch| existence probes + a |probed|-directory file listing —
+    // independent of the layout's total bucket count, so the bucket
+    // count can grow ∝ corpus (constant per-bucket bytes, flat serve
+    // reads) without the per-serve partition-planning pass over every
+    // directory that an `isin` filter over the full listing pays. An
+    // empty bucket never wrote a directory (repartition emits no task
+    // output), hence the existence filter; probing zero directories
+    // means no arrival hash can match — LIMIT-0 index side keeps the
+    // LEFT-join survivor semantics.
+    val pruned = index.root match {
+      case Some(r) =>
+        val spark = hashed.sparkSession
+        val base = new org.apache.hadoop.fs.Path(s"$r/hashes")
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dirs = buckets
+          .map(b => new org.apache.hadoop.fs.Path(base, s"$BandBucket=$b"))
+          .filter(fs.exists).map(_.toString)
+        if (dirs.isEmpty) index.rows.limit(0)
+        else spark.read
+          .option("basePath", base.toString)
+          .schema(index.rows.schema) // no schema-inference listing
+          .parquet(dirs: _*)
+      case None =>
+        index.rows.filter(col(BandBucket).isin(buckets: _*))
+    }
+    exactClassify(hashed, pruned)
   }
 
   /** Merge [[exact]] indexes — the append-composability law of the

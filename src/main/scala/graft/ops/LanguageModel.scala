@@ -624,6 +624,243 @@ object LanguageModel {
       .withColumnRenamed("id", idCol)
   }
 
+  /** The order-5 model — KenLM's production default order, with the
+    * statistics MODIFIED Kneser-Ney needs at every level: numerator
+    * tables (raw counts at the top, continuation TYPE counts below —
+    * each level's "counts" are the distinct single-token left
+    * extensions at the level above, the Chen-Goodman recursion) and
+    * denominator tables whose group-bys also carry the COUNT-CLASS
+    * type sums (`k1`/`k2`/`k3`) the per-level back-off weight
+    * γ(prefix) = D1·N1 + D2·N2 + D3+·N3+ reads. Raw counts only —
+    * the per-level discounts are ESTIMATED AT SERVE TIME from the
+    * tables' own count-of-counts (four 1-row aggregates), so one
+    * saved model serves any corpus snapshot without refitting, the
+    * [[KnModel]] contract at order 5. */
+  case class Kn5Model(
+      c5: DataFrame, p4: DataFrame, t4: DataFrame, d4: DataFrame,
+      t3: DataFrame, d3: DataFrame, t2: DataFrame, d2: DataFrame,
+      t1: DataFrame, stats: DataFrame)
+
+  /** Fit the order-5 count statistics over `textCol` of `train`. */
+  def fitKn5(train: DataFrame, textCol: String): Kn5Model =
+    fitKn5FromFivegrams(
+      ngrams(train, textCol, textCol, 5, "fg"), train, textCol)
+
+  /** Per-document cross-entropy under an order-5 MODIFIED Kneser-Ney
+    * model — KenLM's default configuration. Structure: the
+    * [[kneserNeyTrigramCrossEntropy]] recursion extended two levels
+    * (raw counts → three continuation-type middles → the unigram
+    * continuation base), with [[modifiedKneserNeyCrossEntropy]]'s
+    * three-discount scheme AT EVERY LEVEL: each of the four
+    * discounted levels gets its own D1/D2/D3+ from ITS numerator
+    * table's count-of-counts (KenLM estimates discounts per order),
+    * and its mass-preserving γ from the count-class sums its
+    * denominator group-by already carries.
+    *
+    * Scale shape: ONE hash-aggregate builds the distinct-5-gram
+    * table; every other statistic derives from it with follow-up
+    * aggregates over progressively smaller keys — after the first
+    * shuffle the wire carries one row per distinct n-gram TYPE,
+    * never per occurrence. The four count-of-counts are 1-row
+    * aggregates collected as plan literals (driver metadata, the
+    * IVF-centroid precedent). Scoring is a left-join cascade, one
+    * key per level, that AQE broadcasts while the tables fit.
+    *
+    * Fails fast (the [[modifiedKneserNeyCrossEntropy]] contract) when
+    * any level's count-of-counts has a zero class or an estimated
+    * discount leaves its (0, count-class] bounds — corpora without
+    * count-class decay at every order cannot support order-5 MKN;
+    * use the fixed-discount order-3 form instead.
+    *
+    * Output: (doc_id, n_fivegrams, kn5_cross_entropy); documents with
+    * fewer than 5 tokens are absent. */
+  def modifiedKn5CrossEntropy(
+      score: DataFrame, train: DataFrame, idCol: String, textCol: String,
+      floorEps: Double = 1e-6): DataFrame = {
+    val trainFg = ngrams(train, idCol, textCol, 5, "fg").localCheckpoint(false)
+    val scoreFg =
+      if (score eq train) trainFg else ngrams(score, idCol, textCol, 5, "fg")
+    kn5ScoreJoin(scoreFg,
+      fitKn5FromFivegrams(trainFg, train, textCol), floorEps, idCol)
+  }
+
+  /** Score documents against an already-fitted (possibly loaded)
+    * order-5 model — the serve face; shares the scoring join with
+    * [[modifiedKn5CrossEntropy]] verbatim, and re-estimates the
+    * per-level discounts from the persisted tables' own
+    * count-of-counts (raw counts are the artifact; the discounts are
+    * derived statistics, so save/load cannot change them — integer
+    * counts round-trip parquet exactly). */
+  def modifiedKn5Against(
+      score: DataFrame, idCol: String, textCol: String, model: Kn5Model,
+      floorEps: Double = 1e-6): DataFrame =
+    kn5ScoreJoin(ngrams(score, idCol, textCol, 5, "fg"), model,
+      floorEps, idCol)
+
+  /** Persist an order-5 model as ten parquet tables (the
+    * [[saveKn3Model]] pattern; `c5` and `t4` are the big ones). */
+  def saveKn5Model(model: Kn5Model, path: String): Unit = {
+    Seq("c5" -> model.c5, "p4" -> model.p4, "t4" -> model.t4,
+      "d4" -> model.d4, "t3" -> model.t3, "d3" -> model.d3,
+      "t2" -> model.t2, "d2" -> model.d2, "t1" -> model.t1)
+      .foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$path/$n")
+      }
+    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a persisted order-5 model (inverse of [[saveKn5Model]]). */
+  def loadKn5Model(
+      spark: org.apache.spark.sql.SparkSession, path: String): Kn5Model =
+    Kn5Model(
+      spark.read.parquet(s"$path/c5"), spark.read.parquet(s"$path/p4"),
+      spark.read.parquet(s"$path/t4"), spark.read.parquet(s"$path/d4"),
+      spark.read.parquet(s"$path/t3"), spark.read.parquet(s"$path/d3"),
+      spark.read.parquet(s"$path/t2"), spark.read.parquet(s"$path/d2"),
+      spark.read.parquet(s"$path/t1"), spark.read.parquet(s"$path/stats"))
+
+  /** Distinct-5-gram table + every derived statistic. Each
+    * denominator group-by carries its level's count-class sums
+    * (k1/k2/k3 — what the MKN γ reads); each numerator below the top
+    * is the TYPE count of the level above. */
+  private def fitKn5FromFivegrams(
+      trainFg: DataFrame, train: DataFrame, textCol: String): Kn5Model = {
+    def classSums(c: Column): Seq[Column] = Seq(
+      sum(when(c === 1, 1L).otherwise(0L)).as("k1"),
+      sum(when(c === 2, 1L).otherwise(0L)).as("k2"),
+      sum(when(c >= 3, 1L).otherwise(0L)).as("k3"))
+    val c5 = trainFg.groupBy("fg").agg(count(lit(1)).as("c5"))
+      .localCheckpoint(false)
+    // c(w1..w4·), N1+(w1..w4·), class sums — ONE group-by.
+    val p4 = c5.groupBy(substring_index(col("fg"), " ", 4).as("p1234"))
+      .agg(sum(col("c5")).as("c4"),
+        (count(lit(1)).as("n5") +: classSums(col("c5"))): _*)
+    // N1+(·w2w3w4w5): the level-4 numerator (type counts).
+    val t4 = c5.groupBy(substring_index(col("fg"), " ", -4).as("s2345"))
+      .agg(count(lit(1)).as("t4"))
+      .localCheckpoint(false)
+    val d4 = t4.groupBy(substring_index(col("s2345"), " ", 3).as("p234"))
+      .agg(sum(col("t4")).as("tsum4"),
+        (count(lit(1)).as("nt4") +: classSums(col("t4"))): _*)
+    val t3 = t4.groupBy(substring_index(col("s2345"), " ", -3).as("s345"))
+      .agg(count(lit(1)).as("t3"))
+      .localCheckpoint(false)
+    val d3 = t3.groupBy(substring_index(col("s345"), " ", 2).as("p34"))
+      .agg(sum(col("t3")).as("tsum3"),
+        (count(lit(1)).as("nt3") +: classSums(col("t3"))): _*)
+    val t2 = t3.groupBy(substring_index(col("s345"), " ", -2).as("s45"))
+      .agg(count(lit(1)).as("t2"))
+      .localCheckpoint(false)
+    val d2 = t2.groupBy(substring_index(col("s45"), " ", 1).as("w4d"))
+      .agg(sum(col("t2")).as("tsum2"),
+        (count(lit(1)).as("nt2") +: classSums(col("t2"))): _*)
+    // Unigram base: continuation types of w5 over s45 TYPES.
+    val t1 = t2.groupBy(substring_index(col("s45"), " ", -1).as("w5c"))
+      .agg(count(lit(1)).as("n1c"))
+    val stats = t2.agg(count(lit(1)).as("n1pp"))
+      .crossJoin(vocabCount(train, textCol))
+    Kn5Model(c5, p4, t4, d4, t3, d3, t2, d2, t1, stats)
+  }
+
+  /** Chen-Goodman closed-form discounts from one numerator table's
+    * count-of-counts (1-row aggregate → driver → plan literals), with
+    * the [[modifiedKneserNeyCrossEntropy]] fail-fast contract,
+    * labeled by level. EXACT arithmetic order the oracle repeats. */
+  private def mknDiscounts(num: DataFrame, c: String, level: String)
+      : (Double, Double, Double) = {
+    val ccCols = (1 to 4).map(j => coalesce(
+      sum(when(col(c) === j, 1L).otherwise(0L)), lit(0L)))
+    val r = num.agg(ccCols.head, ccCols.tail: _*).head()
+    val (cc1, cc2, cc3, cc4) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    require(cc1 > 0 && cc2 > 0 && cc3 > 0 && cc4 > 0,
+      s"modified KN ($level): count-of-counts ($cc1, $cc2, $cc3, $cc4) " +
+        "must all be positive to estimate discounts — corpus has no " +
+        "count-class decay at this order")
+    val y = cc1 / (cc1 + 2.0 * cc2)
+    val d1 = 1.0 - 2.0 * y * cc2 / cc1
+    val d2 = 2.0 - 3.0 * y * cc3 / cc2
+    val d3 = 3.0 - 4.0 * y * cc4 / cc3
+    require(d1 > 0 && d1 <= 1 && d2 > 0 && d2 <= 2 && d3 > 0 && d3 <= 3,
+      f"modified KN ($level): estimated discounts out of bounds " +
+        f"(D1=$d1%.4f, D2=$d2%.4f, D3+=$d3%.4f)")
+    (d1, d2, d3)
+  }
+
+  /** One MODIFIED-KN level over joined columns — the [[knLevel]]
+    * shape with the three-discount scheme, in the EXACT arithmetic
+    * order the oracle SQL repeats (left-to-right, all doubles):
+    *   greatest(num − D(num), 0)/den + (d1·k1 + d2·k2 + d3·k3)/den · lower
+    * with D(num) the count-class discount and the k's the prefix's
+    * count-class type sums. */
+  private def mknLevel(
+      num: Column, den: Column, k1: Column, k2: Column, k3: Column,
+      lower: Column, d: (Double, Double, Double)): Column = {
+    val dOf = when(num.isNull, lit(0.0))
+      .when(num === 1, lit(d._1))
+      .when(num === 2, lit(d._2))
+      .otherwise(lit(d._3))
+    val gamma = lit(d._1) * k1.cast("double") +
+      lit(d._2) * k2.cast("double") + lit(d._3) * k3.cast("double")
+    when(den.isNull, lower).otherwise(
+      greatest(coalesce(num, lit(0L)).cast("double") - dOf, lit(0.0)) /
+        den.cast("double") + gamma / den.cast("double") * lower)
+  }
+
+  /** The order-5 scoring join, shared verbatim by the in-engine and
+    * serve paths. Per-level discounts re-estimated from the model's
+    * own tables (four 1-row aggregates). */
+  private def kn5ScoreJoin(
+      scoreFg: DataFrame, model: Kn5Model,
+      floorEps: Double, idCol: String): DataFrame = {
+    require(floorEps > 0 && floorEps < 1,
+      s"floor epsilon must be in (0, 1) (got $floorEps)")
+    val d5 = mknDiscounts(model.c5, "c5", "order 5")
+    val dl4 = mknDiscounts(model.t4, "t4", "level 4")
+    val dl3 = mknDiscounts(model.t3, "t3", "level 3")
+    val dl2 = mknDiscounts(model.t2, "t2", "level 2")
+    val p1 = coalesce(col("n1c"), lit(0L)).cast("double") /
+      col("n1pp").cast("double")
+    val p2 = mknLevel(col("t2"), col("tsum2"),
+      col("k1_2"), col("k2_2"), col("k3_2"), p1, dl2)
+    val p3 = mknLevel(col("t3"), col("tsum3"),
+      col("k1_3"), col("k2_3"), col("k3_3"), p2, dl3)
+    val p4 = mknLevel(col("t4"), col("tsum4"),
+      col("k1_4"), col("k2_4"), col("k3_4"), p3, dl4)
+    val p5 = mknLevel(col("c5"), col("c4"),
+      col("k1_5"), col("k2_5"), col("k3_5"), p4, d5)
+    val term = knTermOf(p5, floorEps)
+    def tagged(df: DataFrame, suffix: String): DataFrame =
+      Seq("k1", "k2", "k3").foldLeft(df)((d, k) =>
+        d.withColumnRenamed(k, s"${k}_$suffix"))
+    scoreFg
+      .join(model.c5, Seq("fg"), "left")
+      .withColumn("p1234", substring_index(col("fg"), " ", 4))
+      .withColumn("s2345", substring_index(col("fg"), " ", -4))
+      .withColumn("p234", substring_index(col("s2345"), " ", 3))
+      .withColumn("s345", substring_index(col("s2345"), " ", -3))
+      .withColumn("p34", substring_index(col("s345"), " ", 2))
+      .withColumn("s45", substring_index(col("s345"), " ", -2))
+      .withColumn("w4d", substring_index(col("s45"), " ", 1))
+      .withColumn("w5c", substring_index(col("s45"), " ", -1))
+      .join(tagged(model.p4, "5"), Seq("p1234"), "left")
+      .join(model.t4, Seq("s2345"), "left")
+      .join(tagged(model.d4, "4"), Seq("p234"), "left")
+      .join(model.t3, Seq("s345"), "left")
+      .join(tagged(model.d3, "3"), Seq("p34"), "left")
+      .join(model.t2, Seq("s45"), "left")
+      .join(tagged(model.d2, "2"), Seq("w4d"), "left")
+      .join(model.t1, Seq("w5c"), "left")
+      .crossJoin(broadcast(model.stats))
+      .withColumn("__graft_term", term)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_fivegrams"),
+        (sum(col("__graft_term")).cast("double") /
+          count(lit(1)).cast("double")).as("kn5_cross_entropy"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** CCNet-style perplexity bucketing: split scored documents into
     * `nBuckets` quality tiers (head / middle / tail for 3) by their
     * cross-entropy quantiles. Returns the scored frame plus a

@@ -2088,6 +2088,52 @@ object PipelineQueries {
       Some(LmScoreKn3Sql)),
 
 
+    // Order-5 MODIFIED Kneser-Ney — KenLM's production default
+    // configuration: the kn3 recursion extended two levels with
+    // per-level Chen-Goodman discounts estimated from each level's
+    // own count-of-counts. The synthetic corpus cannot supply
+    // count-class decay at four orders (31 distinct words), so the
+    // query appends 16 deterministic doc_id-derived "gadget"
+    // sentences — one per (level, count-class): a gadget for
+    // (L, j) carries 5-L id-keyed words then floor(id/j)-keyed words,
+    // which plants types of count exactly j at level L (groups of j
+    // consecutive ids share the group-keyed suffix) — at ANY scale,
+    // identically in both engines (the lm_score_mkn Zipf-tail
+    // pattern, taken to all four levels; Spark expression and DuckDB
+    // SQL generate from ONE gadget table so they cannot drift).
+    // Self-scored, so every backoff branch stays on the seen path
+    // and the oracle is the identical double arithmetic at all five
+    // levels, 9 dp + DECIMAL summed.
+    QueryDef(
+      "lm_score_kn5",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .withColumn("text", Kn5EnrichSpark)
+        graft.ops.LanguageModel.modifiedKn5CrossEntropy(
+          docs, docs, "doc_id", "text")
+      },
+      Some(LmScoreKn5Sql)),
+
+    // Persisted order-5 model serving — ten count tables fitted once,
+    // saved, loaded, scored with zero training passes; the per-level
+    // discounts re-estimate from the persisted tables themselves
+    // (integer counts round-trip parquet exactly, so the estimates
+    // cannot move). Oracle: lm_score_kn5's SQL VERBATIM.
+    QueryDef(
+      "lm_score_kn5_serve",
+      (s, dir) => {
+        import graft.ops.LanguageModel
+        val docs = table(s, dir, "documents")
+          .withColumn("text", Kn5EnrichSpark)
+        val path = QueryDef.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/graft-kn5lm-" +
+            s.sparkContext.applicationId)
+        LanguageModel.saveKn5Model(LanguageModel.fitKn5(docs, "text"), path)
+        LanguageModel.modifiedKn5Against(
+          docs, "doc_id", "text", LanguageModel.loadKn5Model(s, path))
+      },
+      Some(LmScoreKn5Sql)),
+
     // Persisted-model KN serving — the CCNet deployment shape: fit
     // the count tables once, save as parquet, load, score with ZERO
     // training passes. The oracle is lm_score_kn's SQL VERBATIM (the
@@ -2230,6 +2276,143 @@ object PipelineQueries {
   /** Shared verbatim by lm_score_kn3 and lm_score_kn3_serve (lazy:
     * referenced from `all` above) — order-3 interpolated Kneser-Ney,
     * self-trained on the documents corpus. */
+  /** The 16 order-5 MKN synthesis gadgets — (level, count-class)
+    * pairs, each a 5-word sentence whose first `5 − level` words key
+    * on doc_id (fine) and the rest on floor(doc_id / class) (group):
+    * groups of `class` consecutive ids share the group-keyed suffix,
+    * planting n-gram types of count exactly `class` at exactly
+    * `level`. Spark Column and DuckDB SQL emit from this ONE table so
+    * the two engines' synthesized text is identical by construction. */
+  private lazy val Kn5Gadgets: Seq[(org.apache.spark.sql.Column, String)] =
+    for {
+      lvl <- 5 to 2 by -1
+      j <- 1 to 4
+      // Copies per class steepen the count-of-counts decay
+      // (n2 : n3 : n4 ≈ 3/2 : 2/3 : 1/4 of the doc count) so every
+      // level's closed-form D2/D3+ sits WELL inside its bounds at any
+      // corpus size — a flat 1:1:1 planting leaves D3+ = 3 − 4·Y·n4/n3
+      // within rounding of zero (n4/n3 = 3/4 vs the 3/(4Y) bound).
+      c <- 1 to Seq(1, 3, 2, 1)(j - 1)
+      (p, idx) <- Seq("a", "b", "c", "d", "e").zipWithIndex
+    } yield {
+      val fine = idx < 5 - lvl
+      val tag = s" g$lvl$j$c$p"
+      val sparkKey =
+        if (fine) col("doc_id").cast("string")
+        else floor(col("doc_id") / j).cast("long").cast("string")
+      val sqlKey =
+        if (fine) "CAST(doc_id AS VARCHAR)"
+        else s"CAST(doc_id // $j AS VARCHAR)"
+      (concat(lit(tag), sparkKey), s"'$tag', $sqlKey")
+    }
+
+  private lazy val Kn5EnrichSpark: org.apache.spark.sql.Column =
+    concat((col("text") +: Kn5Gadgets.map(_._1)): _*)
+
+  /** Shared verbatim by lm_score_kn5 and lm_score_kn5_serve: the full
+    * order-5 modified-KN recursion — per-level count tables, per-level
+    * closed-form discounts from count-of-counts, class-sum back-off
+    * weights — over the gadget-enriched corpus. Every arithmetic step
+    * mirrors the Spark side's evaluation order (y computed once per
+    * level; gamma as d1·k1 + d2·k2 + d3·k3 left-to-right; division
+    * before the lower-order multiply). */
+  private lazy val LmScoreKn5Sql: String = {
+    def parts(src: String, from: Int, to: Int): String =
+      (from to to).map(i => s"split_part($src, ' ', $i)")
+        .mkString(" || ' ' || ")
+    def classes(c: String, sfx: String): String =
+      s"""SUM(CASE WHEN $c = 1 THEN 1 ELSE 0 END) AS k1_$sfx,
+         |               SUM(CASE WHEN $c = 2 THEN 1 ELSE 0 END) AS k2_$sfx,
+         |               SUM(CASE WHEN $c >= 3 THEN 1 ELSE 0 END) AS k3_$sfx""".stripMargin
+    def cc(src: String, c: String, name: String): String =
+      s"""$name AS (SELECT SUM(CASE WHEN $c = 1 THEN 1 ELSE 0 END) AS c1,
+         |                 SUM(CASE WHEN $c = 2 THEN 1 ELSE 0 END) AS c2,
+         |                 SUM(CASE WHEN $c = 3 THEN 1 ELSE 0 END) AS c3,
+         |                 SUM(CASE WHEN $c = 4 THEN 1 ELSE 0 END) AS c4c
+         |          FROM $src)""".stripMargin
+    def dd(ccName: String, name: String): String =
+      s"""${name}y AS (SELECT c1 / (c1 + 2.0 * c2) AS y, c1, c2, c3, c4c FROM $ccName),
+         |        $name AS (SELECT 1.0 - 2.0 * y * c2 / c1 AS d1,
+         |                         2.0 - 3.0 * y * c3 / c2 AS d2,
+         |                         3.0 - 4.0 * y * c4c / c3 AS d3 FROM ${name}y)""".stripMargin
+    def mknSql(num: String, den: String, sfx: String, d: String,
+        lower: String): String =
+      s"""greatest($num - (CASE WHEN $num = 1 THEN $d.d1 WHEN $num = 2 THEN $d.d2 ELSE $d.d3 END), 0.0) / $den
+         |                      + ($d.d1 * k1_$sfx + $d.d2 * k2_$sfx + $d.d3 * k3_$sfx) / $den * ($lower)""".stripMargin
+    val enrich = "concat(text, " + Kn5Gadgets.map(_._2).mkString(", ") + ")"
+    val p1 = "n1c / n1pp"
+    val p2 = mknSql("t2", "tsum2", "2", "dd2", p1)
+    val p3 = mknSql("t3", "tsum3", "3", "dd3", p2)
+    val p4x = mknSql("t4", "tsum4", "4", "dd4", p3)
+    val p5 = mknSql("c5", "c4", "5", "dd5", p4x)
+    s"""
+        WITH d0 AS (
+          SELECT doc_id, $enrich AS text FROM documents),
+        w AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+          FROM d0),
+        pr AS (
+          SELECT doc_id AS id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS fg
+          FROM w),
+        c5 AS (SELECT fg, COUNT(*) AS c5 FROM pr GROUP BY fg),
+        p4 AS (SELECT ${parts("fg", 1, 4)} AS p1234,
+               SUM(c5) AS c4,
+               ${classes("c5", "5")}
+               FROM c5 GROUP BY 1),
+        t4 AS (SELECT ${parts("fg", 2, 5)} AS s2345, COUNT(*) AS t4
+               FROM c5 GROUP BY 1),
+        d4 AS (SELECT ${parts("s2345", 1, 3)} AS p234,
+               SUM(t4) AS tsum4,
+               ${classes("t4", "4")}
+               FROM t4 GROUP BY 1),
+        t3 AS (SELECT ${parts("s2345", 2, 4)} AS s345, COUNT(*) AS t3
+               FROM t4 GROUP BY 1),
+        d3 AS (SELECT ${parts("s345", 1, 2)} AS p34,
+               SUM(t3) AS tsum3,
+               ${classes("t3", "3")}
+               FROM t3 GROUP BY 1),
+        t2 AS (SELECT ${parts("s345", 2, 3)} AS s45, COUNT(*) AS t2
+               FROM t3 GROUP BY 1),
+        d2 AS (SELECT split_part(s45, ' ', 1) AS w4d,
+               SUM(t2) AS tsum2,
+               ${classes("t2", "2")}
+               FROM t2 GROUP BY 1),
+        t1 AS (SELECT split_part(s45, ' ', 2) AS w5c, COUNT(*) AS n1c
+               FROM t2 GROUP BY 1),
+        n1pp AS (SELECT COUNT(*) AS n1pp FROM t2),
+        v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w) q),
+        ${cc("c5", "c5", "cc5")},
+        ${cc("t4", "t4", "cc4")},
+        ${cc("t3", "t3", "cc3")},
+        ${cc("t2", "t2", "cc2")},
+        ${dd("cc5", "dd5")},
+        ${dd("cc4", "dd4")},
+        ${dd("cc3", "dd3")},
+        ${dd("cc2", "dd2")}
+        SELECT pr.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fivegrams,
+               CAST(SUM(CAST(round(-ln(
+                   (1.0 - 1.0e-6) *
+                     ($p5)
+                   + 1.0e-6 / (v + 1.0)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS kn5_cross_entropy
+        FROM pr
+        JOIN c5 USING (fg)
+        JOIN p4 ON ${parts("pr.fg", 1, 4)} = p4.p1234
+        JOIN t4 ON ${parts("pr.fg", 2, 5)} = t4.s2345
+        JOIN d4 ON ${parts("pr.fg", 2, 4)} = d4.p234
+        JOIN t3 ON ${parts("pr.fg", 3, 5)} = t3.s345
+        JOIN d3 ON ${parts("pr.fg", 3, 4)} = d3.p34
+        JOIN t2 ON ${parts("pr.fg", 4, 5)} = t2.s45
+        JOIN d2 ON split_part(pr.fg, ' ', 4) = d2.w4d
+        JOIN t1 ON split_part(pr.fg, ' ', 5) = t1.w5c
+        CROSS JOIN n1pp CROSS JOIN v
+        CROSS JOIN dd5 CROSS JOIN dd4 CROSS JOIN dd3 CROSS JOIN dd2
+        GROUP BY pr.id"""
+  }
+
   private lazy val LmScoreKn3Sql = """
         WITH w AS (
           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws

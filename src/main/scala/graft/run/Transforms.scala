@@ -445,24 +445,55 @@ object Transforms {
     case "lm_filter_against" =>
       // Persisted-model perplexity gate — the CCNet deployment shape:
       // the Kneser-Ney count tables were fitted ONCE on a clean
-      // reference corpus (LanguageModel.saveKnModel) and every ingest
-      // batch scores against them with zero training passes. Same
-      // NULL-key bypass and sub-2-token drop contract as lm_filter.
+      // reference corpus and every ingest batch scores against them
+      // with zero training passes. The model directory knows its own
+      // ORDER (the isPartitionedIndex sniff pattern): a saveKn5Model
+      // layout (c5/) serves order-5 modified KN — CCNet's actual
+      // configuration, discounts self-estimated from the model's
+      // count-of-counts so the discount arg is rejected; a
+      // saveKn3Model layout (c3/) serves order-3 interpolated KN; a
+      // saveKnModel layout (c12/) serves the bigram family.
+      // discount/floor_eps are serve-time knobs of the persisted raw
+      // counts (the whole point of shipping them) — surfaced with the
+      // operators' own defaults (r12 ADVICE). Same NULL-key bypass
+      // contract as lm_filter; docs with fewer tokens than the
+      // model's order have nothing to score and drop (the sub-2-token
+      // contract, at the model's own order).
       val gKey = t.arg("key"); val gText = t.arg("col")
       val gMax = t.arg("max_ce").toDouble
-      val model = graft.ops.LanguageModel
-        .loadKnModel(df.sparkSession, t.arg("model"))
+      val gEps = t.args.get("floor_eps").map(_.toDouble).getOrElse(1e-6)
+      val gDisc = t.args.get("discount").map(_.toDouble)
+      val sess = df.sparkSession
+      def gHas(sub: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(t.arg("model"), sub)
+        p.getFileSystem(sess.sparkContext.hadoopConfiguration).exists(p)
+      }
       val gStaged = df.localCheckpoint(false)
       val gScorable = gStaged.filter(col(gKey).isNotNull)
-      // discount/floor_eps are serve-time knobs of the persisted model
-      // (the whole point of shipping raw counts) — surface them here
-      // with the operator's own defaults (r12 ADVICE).
-      val gKeep = graft.ops.LanguageModel
-        .kneserNeyAgainst(gScorable, gKey, gText, model,
-          discount = t.args.get("discount").map(_.toDouble).getOrElse(0.75),
-          floorEps = t.args.get("floor_eps").map(_.toDouble).getOrElse(1e-6))
-        .filter(col("kn_cross_entropy") <= gMax)
-        .select(col(gKey))
+      val (gScored, gCeCol) =
+        if (gHas("c5")) {
+          require(gDisc.isEmpty,
+            "lm_filter_against: an order-5 modified-KN model estimates " +
+              "its discounts from its own count-of-counts — drop the " +
+              "discount arg (floor_eps still applies)")
+          (graft.ops.LanguageModel.modifiedKn5Against(
+            gScorable, gKey, gText,
+            graft.ops.LanguageModel.loadKn5Model(sess, t.arg("model")),
+            floorEps = gEps), "kn5_cross_entropy")
+        } else if (gHas("c3")) {
+          (graft.ops.LanguageModel.kneserNeyTrigramAgainst(
+            gScorable, gKey, gText,
+            graft.ops.LanguageModel.loadKn3Model(sess, t.arg("model")),
+            discount = gDisc.getOrElse(0.75), floorEps = gEps),
+            "kn3_cross_entropy")
+        } else {
+          (graft.ops.LanguageModel.kneserNeyAgainst(
+            gScorable, gKey, gText,
+            graft.ops.LanguageModel.loadKnModel(sess, t.arg("model")),
+            discount = gDisc.getOrElse(0.75), floorEps = gEps),
+            "kn_cross_entropy")
+        }
+      val gKeep = gScored.filter(col(gCeCol) <= gMax).select(col(gKey))
       gScorable.join(gKeep, Seq(gKey), "left_semi")
         .unionByName(gStaged.filter(col(gKey).isNull))
     case "mixture_sample" =>

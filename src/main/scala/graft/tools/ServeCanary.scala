@@ -11,11 +11,14 @@ import graft.sources.ParquetTables
   * index — the deployment regime (batch size is a product property,
   * index size a data property; the ANN-canary argument applied to
   * dedup + retrieval + LM serving). All serve faces are timed
-  * (13 as of round 12: the six families below, most in both flat and
-  * partitioned layouts, plus `lm_against` — the Kneser-Ney count
+  * (16 as of round 13: the six families below, most in both flat and
+  * partitioned layouts; `lm_against` — the Kneser-Ney count
   * tables served via kneserNeyAgainst, whose MODEL rather than index
   * grows with history; it is row-count-gated across scales because a
-  * k× model legitimately changes scores, never which rows return),
+  * k× model legitimately changes scores, never which rows return;
+  * and the three tokenizer serves, whose growth dimension is also
+  * the MODEL — ×10 pieces/merges — and whose outputs legitimately
+  * differ across model sizes, so they gate on rows > 0),
   * each through its REAL persisted form (parquet written, read back,
   * the index LOADED ONCE per scale — the query-lifetime load of a
   * real serving process, so the clock times the serve, not repeated
@@ -23,7 +26,9 @@ import graft.sources.ParquetTables
   *
   *   - exact:    [[Dedup.exactAgainst]]        vs the content-hash index,
   *               AND vs the hash-partitioned [[Dedup.ExactHashIndex]]
-  *               ("exact_against_pruned" — bucket count ∝ scale)
+  *               ("exact_against_pruned" — bucket count ∝ scale,
+  *               served by DIRECT PATH to the probed directories so
+  *               the big layout costs no per-serve planning)
   *   - simhash:  [[Dedup.simhashAgainst]]      vs the fingerprint table,
   *               AND vs the band-bucketed [[Dedup.SimhashBandIndex]]
   *               ("simhash_against_pruned" — bucket count ∝ scale)
@@ -128,7 +133,14 @@ object ServeCanary {
       // k× corpus twice per face.
       val exactIdx0 = Dedup.exact(corpus, "doc_id", "text")
       Dedup.saveExactIndex(exactIdx0, s"$d/exact")
-      // Hash-partitioned exact serve layout, bucket count ∝ scale.
+      // Hash-partitioned exact serve layout, bucket count ∝ scale
+      // (constant per-bucket bytes). The serve reads the probed
+      // buckets by DIRECT PATH (ExactHashIndex.root), so the large
+      // directory count costs nothing per serve — r12's 2.08× outlier
+      // was the isin-filter planning pass over every directory, and a
+      // √-sizing attempt measured WORSE (2.48×: it traded planning
+      // for √-growing read bytes); direct-path + ∝-scale keeps both
+      // flat.
       Dedup.saveExactIndexPartitioned(exactIdx0, s"$d/exactp",
         nHashBuckets = 64 * scale)
       val sim0 = Dedup.withSimhash(corpus, "doc_id", "text")
@@ -268,19 +280,69 @@ object ServeCanary {
         "bm25_serve_pruned" -> (() => Retrieval.bm25ServeBatch(
           bm25Part, queries, "query_id", "query_text", k = 10)))
     }
-    val at1 = buildIndexes(1)
-    val atK = buildIndexes(k)
+    // Tokenizer serving: the growth dimension is the MODEL (×10
+    // pieces/merges on the same corpus), not the index — tokenizer
+    // serves never read the corpus they were fitted on. The serve is
+    // a broadcast-model codegen projection whose per-row cost is
+    // bounded by maxPieceLen hash lookups, so wall should be ~flat in
+    // vocabulary size; these rows pin that (r12 verdict #6). Models go
+    // through their REAL persisted form like every other face. Output
+    // rows differ BETWEEN model sizes by construction (a bigger vocab
+    // segments differently), so these ops gate on rows > 0, not
+    // cross-scale row equality.
+    val tokGrowth = 10
+    // The synthetic corpus carries only 31 distinct words — far too
+    // few pieces to train a 10×-bigger model from. Append a
+    // doc_id-derived word per document (the lm_score_mkn synthesis
+    // pattern: deterministic, scale-independent) so the training dict
+    // holds thousands of distinct words and both model sizes are
+    // honestly attainable; the served batch carries the same
+    // enrichment so the big model's extra pieces are actually
+    // exercised at serve time.
+    def tokEnrich(df: DataFrame): DataFrame = df.withColumn("text",
+      concat(col("text"), lit(" v"),
+        pmod(col("doc_id"), lit(5000)).cast("string")))
+    val tokBatch = tokEnrich(batch).localCheckpoint(true)
+    def tokenizerServes(grow: Int): Map[String, () => DataFrame] = {
+      val d = s"$scratch/tok$grow"
+      val tokCorpus = tokEnrich(docs)
+      graft.ops.Bpe.saveRules(
+        graft.ops.Bpe.train(tokCorpus, "text", nMerges = 60 * grow),
+        s"$d/bpe", spark)
+      graft.ops.Unigram.saveModel(
+        graft.ops.Unigram.train(tokCorpus, "text", vocabSize = 120 * grow),
+        s"$d/uni", spark)
+      graft.ops.WordPiece.saveModel(
+        graft.ops.WordPiece.train(tokCorpus, "text", nMerges = 60 * grow),
+        s"$d/wp", spark)
+      val rules = graft.ops.Bpe.loadRules(spark, s"$d/bpe")
+      val uni = graft.ops.Unigram.loadModel(spark, s"$d/uni")
+      val wp = graft.ops.WordPiece.loadModel(spark, s"$d/wp")
+      println(s"""{"tok_models":$grow,"bpe_rules":${rules.size},""" +
+        s""""unigram_pieces":${uni.pieces.size},"wp_vocab":${wp.vocab.size}}""")
+      Map(
+        "bpe_tokenize_serve" -> (() =>
+          graft.ops.Bpe.tokenize(tokBatch, "doc_id", "text", rules)),
+        "unigram_tokenize_serve" -> (() =>
+          graft.ops.Unigram.tokenize(tokBatch, "doc_id", "text", uni)),
+        "wordpiece_tokenize_serve" -> (() =>
+          graft.ops.WordPiece.tokenize(tokBatch, "doc_id", "text", wp)))
+    }
+    val at1 = buildIndexes(1) ++ tokenizerServes(1)
+    val atK = buildIndexes(k) ++ tokenizerServes(tokGrowth)
 
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       f().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    val tokOps = Seq("bpe_tokenize_serve", "unigram_tokenize_serve",
+      "wordpiece_tokenize_serve")
     val ops = Seq("exact_against", "exact_against_pruned", "simhash_against",
       "simhash_against_pruned", "minhash_against",
       "minhash_against_pruned", "winnow_against", "winnow_against_pruned",
       "semantic_against", "semantic_against_pruned", "lm_against",
-      "bm25_serve", "bm25_serve_pruned")
+      "bm25_serve", "bm25_serve_pruned") ++ tokOps
     // Disjoint replica vocabularies / isometries ⇒ identical hit sets
     // at both scales for the dedup faces (bm25 scores CAN admit
     // cross-replica hits: short substitution-image terms may collide;
@@ -288,12 +350,20 @@ object ServeCanary {
     // any timing. The two layouts of a face must also agree with EACH
     // OTHER row-for-row at every scale (a layout changes which files
     // are read, never a row).
-    val dedupGateOk = (ops.filterNot(_.startsWith("bm25")) :+
+    val dedupGateOk = (ops.filterNot(_.startsWith("bm25"))
+        .filterNot(tokOps.contains) :+
         "semantic_against_layout").forall { op =>
       val a = at1(op)().count()
       val b = atK(op)().count()
       if (a != b) println(s"""{"gate":"$op","rows_1x":$a,"rows_kx":$b,"ok":false}""")
       a == b
+    } && tokOps.forall { op =>
+      // Segmentations differ across model sizes; the gate here is
+      // that both models actually tokenize the batch.
+      val a = at1(op)().count(); val b = atK(op)().count()
+      if (a == 0 || b == 0)
+        println(s"""{"gate":"$op","rows_1x":$a,"rows_kx":$b,"ok":false}""")
+      a > 0 && b > 0
     }
     val layoutGateOk = Seq(at1 -> "1x", atK -> "kx").forall { case (m, tag) =>
       Seq("bm25_serve" -> "bm25_serve_pruned",

@@ -11,7 +11,10 @@ object TimeOne {
     for (name <- args) {
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        // Full materialization (Bench's noop-sink pricing) — count()
+        // would let Catalyst prune agg lists (SURVEY §8.9.1).
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
         println(f"$name pass$i ${(System.nanoTime()-t0)/1e9}%.2f s")
       }
     }

@@ -634,4 +634,143 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     // accuracy 10000 on 300 rows: the sketch is exact
     approx shouldBe exact
   }
+
+  // --- Order-5 modified Kneser-Ney -----------------------------------
+
+  /** The (level, class) synthesis gadgets of the lm_score_kn5 oracle,
+    * as plain strings: gadget (L, j) carries 5−L doc-keyed words then
+    * floor(id/j)-keyed words, planting types of count exactly j at
+    * level L (copies per class steepen the decay the Chen-Goodman
+    * closed form needs). */
+  private def kn5GadgetText(id: Long): String =
+    (for {
+      lvl <- 5 to 2 by -1
+      j <- 1 to 4
+      c <- 1 to Seq(1, 3, 2, 1)(j - 1)
+      (p, idx) <- Seq("a", "b", "c", "d", "e").zipWithIndex
+    } yield {
+      val key = if (idx < 5 - lvl) id else id / j
+      s"g$lvl$j$c$p$key"
+    }).mkString(" ")
+
+  private def kn5Corpus(n: Int): Seq[(Long, String)] =
+    (0L until n.toLong).map(i =>
+      (i, s"the cat sat on the mat ${kn5GadgetText(i)}"))
+
+  /** From-scratch order-5 modified-KN reference: plain Scala maps, no
+    * Spark — every statistic, both discount estimations, the level
+    * cascade, and the 9-dp DECIMAL term sum recomputed independently
+    * of the operator's join/aggregate machinery. */
+  private def naiveKn5(
+      texts: Map[Long, Seq[String]], eps: Double): Map[Long, Double] = {
+    val all5 = texts.values.toList
+      .flatMap(ws => ws.sliding(5).filter(_.size == 5).map(_.toList))
+    val c5 = all5.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t4 = c5.keys.toList.groupBy(_.tail).view.mapValues(_.size.toLong).toMap
+    val t3 = t4.keys.toList.groupBy(_.tail).view.mapValues(_.size.toLong).toMap
+    val t2 = t3.keys.toList.groupBy(_.tail).view.mapValues(_.size.toLong).toMap
+    val t1 = t2.keys.toList.groupBy(_.tail).view.mapValues(_.size.toLong).toMap
+    val n1pp = t2.size.toLong
+    val v = texts.values.flatten.toSet.size.toLong
+    def denom(num: Map[List[String], Long])
+        : Map[List[String], (Long, Long, Long, Long)] =
+      num.toSeq.groupBy(_._1.init).map { case (p, kvs) =>
+        p -> ((kvs.map(_._2).sum,
+          kvs.count(_._2 == 1L).toLong,
+          kvs.count(_._2 == 2L).toLong,
+          kvs.count(_._2 >= 3L).toLong))
+      }
+    val p4 = denom(c5); val d4 = denom(t4)
+    val d3 = denom(t3); val d2 = denom(t2)
+    def discounts(num: Map[List[String], Long]): (Double, Double, Double) = {
+      val cc = (1 to 4).map(j => num.values.count(_ == j).toLong)
+      val y = cc(0) / (cc(0) + 2.0 * cc(1))
+      (1.0 - 2.0 * y * cc(1) / cc(0),
+        2.0 - 3.0 * y * cc(2) / cc(1),
+        3.0 - 4.0 * y * cc(3) / cc(2))
+    }
+    val dl5 = discounts(c5); val dl4 = discounts(t4)
+    val dl3 = discounts(t3); val dl2 = discounts(t2)
+    def lvl(num: Option[Long], den: Option[(Long, Long, Long, Long)],
+        d: (Double, Double, Double), lower: Double): Double = den match {
+      case None => lower
+      case Some((s, k1, k2, k3)) =>
+        val dOf = num match {
+          case None => 0.0
+          case Some(1L) => d._1
+          case Some(2L) => d._2
+          case Some(_) => d._3
+        }
+        math.max(num.getOrElse(0L) - dOf, 0.0) / s +
+          (d._1 * k1 + d._2 * k2 + d._3 * k3) / s * lower
+    }
+    texts.map { case (id, ws) =>
+      val grams = ws.sliding(5).filter(_.size == 5).map(_.toList).toList
+      val terms = grams.map { g =>
+        val p1 = t1.getOrElse(g.takeRight(1), 0L).toDouble / n1pp
+        val pl2 = lvl(t2.get(g.takeRight(2)), d2.get(g.slice(3, 4)), dl2, p1)
+        val pl3 = lvl(t3.get(g.takeRight(3)), d3.get(g.slice(2, 4)), dl3, pl2)
+        val pl4 = lvl(t4.get(g.tail), d4.get(g.slice(1, 4)), dl4, pl3)
+        val pl5 = lvl(c5.get(g), p4.get(g.init), dl5, pl4)
+        BigDecimal(-math.log((1.0 - eps) * pl5 + eps / (v + 1.0)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      id -> (terms.sum.toDouble / terms.size)
+    }
+  }
+
+  test("order-5 modified KN matches a from-scratch naive reference") {
+    import spark.implicits._
+    val corpus = kn5Corpus(40)
+    val docs = corpus.toDF("doc_id", "text")
+    val got = LanguageModel.modifiedKn5CrossEntropy(
+        docs, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val texts = corpus.map { case (id, t) => id -> t.split(' ').toSeq }.toMap
+    val expected = naiveKn5(texts, 1e-6)
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (id, (n, ce)) =>
+      n shouldBe (texts(id).size - 4).toLong
+      ce shouldBe expected(id) +- 1e-9
+    }
+  }
+
+  test("order-5 MKN: persisted model serves bit-identically; OOV scores at the tail") {
+    import spark.implicits._
+    val docs = kn5Corpus(40).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn5").toString
+    LanguageModel.saveKn5Model(LanguageModel.fitKn5(docs, "text"), dir)
+    val inEngine = LanguageModel.modifiedKn5CrossEntropy(
+        docs, docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val served = LanguageModel.modifiedKn5Against(
+        docs, "doc_id", "text", LanguageModel.loadKn5Model(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    served shouldBe inEngine
+    // A fully-OOV doc scores strictly above every in-corpus doc (the
+    // ε-floor path at all five levels).
+    val oov = Seq((999L, "zz qq ww vv uu tt ss rr"))
+      .toDF("doc_id", "text")
+    val oovCe = LanguageModel.modifiedKn5Against(
+        oov, "doc_id", "text", LanguageModel.loadKn5Model(spark, dir))
+      .collect().head.getDouble(2)
+    val maxSeen = LanguageModel.modifiedKn5CrossEntropy(
+        docs, docs, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.max("kn5_cross_entropy"))
+      .head().getDouble(0)
+    oovCe should be > maxSeen
+  }
+
+  test("order-5 MKN fails fast on corpora without count-class decay") {
+    import spark.implicits._
+    // Every doc identical: only one 5-gram count class exists.
+    val docs = (1L to 20L).map(i => (i, "the cat sat on the mat rug"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.modifiedKn5CrossEntropy(docs, docs, "doc_id", "text")
+        .collect()
+    }
+    e.getMessage should include("count-of-counts")
+  }
 }

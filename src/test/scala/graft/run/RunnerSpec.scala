@@ -901,6 +901,55 @@ class RunnerSpec extends SparkSpec {
       s"lm_filter_against(key=i,col=b,model=$dir,max_ce=1.0,discount=soft)"))
   }
 
+  test("lm_filter_against sniffs the model's order: kn3 and kn5 layouts serve directly") {
+    import spark.implicits._
+    // An order-5 MKN reference needs count-class decay at four
+    // levels — the lm_score_kn5 gadget synthesis, as plain strings.
+    def gadget(id: Long): String =
+      (for {
+        lvl <- 5 to 2 by -1
+        j <- 1 to 4
+        c <- 1 to Seq(1, 3, 2, 1)(j - 1)
+        (p, idx) <- Seq("a", "b", "c", "d", "e").zipWithIndex
+      } yield {
+        val key = if (idx < 5 - lvl) id else id / j
+        s"g$lvl$j$c$p$key"
+      }).mkString(" ")
+    val reference = (0L until 40L)
+      .map(i => (i, s"the cat sat on the mat ${gadget(i)}"))
+      .toDF("doc_id", "bio")
+    val base = java.nio.file.Files.createTempDirectory("kn-order").toString
+    graft.ops.LanguageModel.saveKn5Model(
+      graft.ops.LanguageModel.fitKn5(reference, "bio"), s"$base/kn5")
+    graft.ops.LanguageModel.saveKn3Model(
+      graft.ops.LanguageModel.fitKn3(reference, "bio"), s"$base/kn3")
+    val ingest = (Seq((100L, "the cat sat on the mat")) ++
+      (101L to 105L).map(i => (i, s"zz$i qq$i ww$i vv$i uu$i")))
+      .toDF("doc_id", "bio")
+    for ((dir, score) <- Seq(
+        (s"$base/kn5", () => graft.ops.LanguageModel.modifiedKn5Against(
+          ingest, "doc_id", "bio",
+          graft.ops.LanguageModel.loadKn5Model(spark, s"$base/kn5"))),
+        (s"$base/kn3", () => graft.ops.LanguageModel.kneserNeyTrigramAgainst(
+          ingest, "doc_id", "bio",
+          graft.ops.LanguageModel.loadKn3Model(spark, s"$base/kn3"))))) {
+      val ce = score().collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val cut = (ce(100L) + ce(101L)) / 2
+      assert(ce(100L) < cut && cut < ce(101L), s"$dir: $ce")
+      val kept = Transforms.applyAll(ingest, Transforms.parse(
+          s"lm_filter_against(key=doc_id,col=bio,model=$dir,max_ce=$cut)"))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(100L), s"$dir kept $kept")
+    }
+    // A kn5 model rejects the discount knob (its discounts are
+    // estimated from the model's own count-of-counts).
+    val e = intercept[IllegalArgumentException](Transforms.applyAll(ingest,
+      Transforms.parse(s"lm_filter_against(key=doc_id,col=bio," +
+        s"model=$base/kn5,max_ce=9.0,discount=0.5)")))
+    assert(e.getMessage.contains("count-of-counts"))
+  }
+
   test("full job applies GRAFT_TRANSFORMS-style chain before encoding") {
     val out = java.nio.file.Files.createTempDirectory("graft-tf").toString
     val job = JobConfig(
