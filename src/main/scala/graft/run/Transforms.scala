@@ -85,10 +85,15 @@ object Transforms {
             s"${allowed.toSeq.sorted.mkString("|")}, got '$v'"))
       }
       if (name == "mixture_sample") parseRates(t.arg("rates")) // and bad formats
-      if (name == "tokenize_against" && t.arg("family") != "unigram")
-        require(!t.args.contains("alpha") && !t.args.contains("seed"),
-          "transform 'tokenize_against': alpha/seed configure unigram " +
-            "subword regularization — drop them or use family=unigram")
+      if (name == "tokenize_against") {
+        if (t.arg("family") != "unigram")
+          require(!t.args.contains("alpha") && !t.args.contains("seed"),
+            "transform 'tokenize_against': alpha/seed configure unigram " +
+              "subword regularization — drop them or use family=unigram")
+        require(!t.args.contains("seed") || t.args.contains("alpha"),
+          "transform 'tokenize_against': seed without alpha would be " +
+            "silently ignored — sampling needs alpha (Viterbi ignores seed)")
+      }
       t
     }
 

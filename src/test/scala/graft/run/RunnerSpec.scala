@@ -774,6 +774,9 @@ class RunnerSpec extends SparkSpec {
       "tokenize_against(key=id,col=bio,family=bpe)"))
     intercept[IllegalArgumentException](Transforms.parse(
       "tokenize_against(key=id,col=bio,model=/tmp/x,family=unigram,seed=x)"))
+    // seed without alpha would be silently ignored — parse-time error
+    intercept[IllegalArgumentException](Transforms.parse(
+      "tokenize_against(key=id,col=bio,model=/tmp/x,family=unigram,seed=7)"))
   }
 
   test("pack_sequences packs the tokens column into training sequences") {
