@@ -762,29 +762,45 @@ object LanguageModel {
     Kn5Model(c5, p4, t4, d4, t3, d3, t2, d2, t1, stats)
   }
 
-  /** Chen-Goodman closed-form discounts from one numerator table's
-    * count-of-counts (1-row aggregate → driver → plan literals), with
-    * the [[modifiedKneserNeyCrossEntropy]] fail-fast contract,
-    * labeled by level. EXACT arithmetic order the oracle repeats. */
-  private def mknDiscounts(num: DataFrame, c: String, level: String)
-      : (Double, Double, Double) = {
+  /** Chen-Goodman closed-form discounts for ALL FOUR discounted
+    * levels in ONE Spark job: the four numerator tables' count-of-
+    * counts union into one (level, count) frame and aggregate
+    * together — 4 rows of driver metadata instead of four separate
+    * 1-row collects (each a full job; at order 5 the serve's fixed
+    * cost is job count, not data). Same fail-fast contract as the
+    * bigram [[modifiedKneserNeyCrossEntropy]], per level; EXACT
+    * arithmetic order the oracle repeats. */
+  private def mknDiscountsAll(model: Kn5Model)
+      : Map[String, (Double, Double, Double)] = {
+    val levels = Seq(
+      ("order 5", model.c5, "c5"), ("level 4", model.t4, "t4"),
+      ("level 3", model.t3, "t3"), ("level 2", model.t2, "t2"))
+    val unioned = levels.map { case (lvl, df, c) =>
+      df.select(lit(lvl).as("__graft_lvl"), col(c).as("__graft_cnt"))
+    }.reduce(_ unionByName _)
     val ccCols = (1 to 4).map(j => coalesce(
-      sum(when(col(c) === j, 1L).otherwise(0L)), lit(0L)))
-    val r = num.agg(ccCols.head, ccCols.tail: _*).head()
-    val (cc1, cc2, cc3, cc4) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    require(cc1 > 0 && cc2 > 0 && cc3 > 0 && cc4 > 0,
-      s"modified KN ($level): count-of-counts ($cc1, $cc2, $cc3, $cc4) " +
-        "must all be positive to estimate discounts — corpus has no " +
-        "count-class decay at this order")
-    val y = cc1 / (cc1 + 2.0 * cc2)
-    val d1 = 1.0 - 2.0 * y * cc2 / cc1
-    val d2 = 2.0 - 3.0 * y * cc3 / cc2
-    val d3 = 3.0 - 4.0 * y * cc4 / cc3
-    require(d1 > 0 && d1 <= 1 && d2 > 0 && d2 <= 2 && d3 > 0 && d3 <= 3,
-      f"modified KN ($level): estimated discounts out of bounds " +
-        f"(D1=$d1%.4f, D2=$d2%.4f, D3+=$d3%.4f)")
-    (d1, d2, d3)
+      sum(when(col("__graft_cnt") === j, 1L).otherwise(0L)), lit(0L))
+      .as(s"cc$j"))
+    val rows = unioned.groupBy("__graft_lvl")
+      .agg(ccCols.head, ccCols.tail: _*)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    levels.map { case (level, _, _) =>
+      val (cc1, cc2, cc3, cc4) =
+        rows.getOrElse(level, (0L, 0L, 0L, 0L))
+      require(cc1 > 0 && cc2 > 0 && cc3 > 0 && cc4 > 0,
+        s"modified KN ($level): count-of-counts ($cc1, $cc2, $cc3, $cc4) " +
+          "must all be positive to estimate discounts — corpus has no " +
+          "count-class decay at this order")
+      val y = cc1 / (cc1 + 2.0 * cc2)
+      val d1 = 1.0 - 2.0 * y * cc2 / cc1
+      val d2 = 2.0 - 3.0 * y * cc3 / cc2
+      val d3 = 3.0 - 4.0 * y * cc4 / cc3
+      require(d1 > 0 && d1 <= 1 && d2 > 0 && d2 <= 2 && d3 > 0 && d3 <= 3,
+        f"modified KN ($level): estimated discounts out of bounds " +
+          f"(D1=$d1%.4f, D2=$d2%.4f, D3+=$d3%.4f)")
+      level -> (d1, d2, d3)
+    }.toMap
   }
 
   /** One MODIFIED-KN level over joined columns — the [[knLevel]]
@@ -807,18 +823,44 @@ object LanguageModel {
         den.cast("double") + gamma / den.cast("double") * lower)
   }
 
+  /** Per-level discounts of a fitted/loaded order-5 model — exposed
+    * (package-private) so a STREAMING consumer can estimate once per
+    * query instead of once per micro-batch (the estimation is a
+    * collect job; [[kn5ScoreJoin]] runs it at DataFrame-build time,
+    * which in a foreachBatch loop would mean one extra job every
+    * trigger). */
+  private[graft] def estimateKn5Discounts(
+      model: Kn5Model): Map[String, (Double, Double, Double)] =
+    mknDiscountsAll(model)
+
+  /** [[modifiedKn5Against]] with the discounts already estimated —
+    * the streaming serve face's per-batch body. */
+  private[graft] def modifiedKn5AgainstPrepared(
+      score: DataFrame, idCol: String, textCol: String, model: Kn5Model,
+      disc: Map[String, (Double, Double, Double)],
+      floorEps: Double): DataFrame =
+    kn5ScoreJoinWith(ngrams(score, idCol, textCol, 5, "fg"), model,
+      disc, floorEps, idCol)
+
   /** The order-5 scoring join, shared verbatim by the in-engine and
     * serve paths. Per-level discounts re-estimated from the model's
-    * own tables (four 1-row aggregates). */
+    * own tables (one union-aggregate job). */
   private def kn5ScoreJoin(
       scoreFg: DataFrame, model: Kn5Model,
+      floorEps: Double, idCol: String): DataFrame =
+    kn5ScoreJoinWith(scoreFg, model, mknDiscountsAll(model),
+      floorEps, idCol)
+
+  private def kn5ScoreJoinWith(
+      scoreFg: DataFrame, model: Kn5Model,
+      disc: Map[String, (Double, Double, Double)],
       floorEps: Double, idCol: String): DataFrame = {
     require(floorEps > 0 && floorEps < 1,
       s"floor epsilon must be in (0, 1) (got $floorEps)")
-    val d5 = mknDiscounts(model.c5, "c5", "order 5")
-    val dl4 = mknDiscounts(model.t4, "t4", "level 4")
-    val dl3 = mknDiscounts(model.t3, "t3", "level 3")
-    val dl2 = mknDiscounts(model.t2, "t2", "level 2")
+    val d5 = disc("order 5")
+    val dl4 = disc("level 4")
+    val dl3 = disc("level 3")
+    val dl2 = disc("level 2")
     val p1 = coalesce(col("n1c"), lit(0L)).cast("double") /
       col("n1pp").cast("double")
     val p2 = mknLevel(col("t2"), col("tsum2"),

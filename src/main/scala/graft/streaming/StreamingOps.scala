@@ -911,13 +911,34 @@ object StreamingOps {
     val servable = model.copy(
       c12 = model.c12.persist(lvl), c1 = model.c1.persist(lvl),
       n1c = model.n1c.persist(lvl), stats = model.stats.persist(lvl))
-    val spark = docs.sparkSession
-    val queryName = s"graft-lm-score-${java.util.UUID.randomUUID()}"
+    val queryName = releaseOnTermination(docs.sparkSession,
+      "graft-lm-score",
+      Seq(servable.c12, servable.c1, servable.n1c, servable.stats))
+    docs.writeStream.queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.ops.LanguageModel.kneserNeyAgainst(
+          batch.toDF(), idCol, textCol, servable, discount, floorEps), batchId)
+      }
+  }
+
+  /** Register a termination-keyed cache release for a model-serving
+    * stream: returns a generated query NAME the caller must set on
+    * its writer; when the query bearing that name terminates, the
+    * frames unpersist and the listener removes itself — retired
+    * scoring queries cannot leak cached model blocks (the r12 ADVICE
+    * class, now shared by every model-serving stream). The started
+    * event is the only one carrying the name; its id is remembered
+    * and matched on termination (per-query listener events are
+    * ordered, so the id is always set first). Overriding the query
+    * name on the writer disables the release; a model shared across
+    * CONCURRENT queries loses its cache when the first terminates
+    * (survivors recompute through the parquet-backed lineage). */
+  private def releaseOnTermination(
+      spark: org.apache.spark.sql.SparkSession, prefix: String,
+      frames: Seq[DataFrame]): String = {
+    val queryName = s"$prefix-${java.util.UUID.randomUUID()}"
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val release = new StreamingQueryListener {
-      // The started event is the only one carrying the NAME; remember
-      // its id and unpersist when that id terminates. Listener events
-      // for one query are ordered, so the id is always set first.
       @volatile private var myId: java.util.UUID = null
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit =
@@ -927,16 +948,50 @@ object StreamingOps {
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == myId) {
-          Seq(servable.c12, servable.c1, servable.n1c, servable.stats)
-            .foreach(_.unpersist(false))
+          frames.foreach(_.unpersist(false))
           spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(release)
+    queryName
+  }
+
+  /** Streaming ORDER-5 modified-KN scoring — the [[lmScoreStream]]
+    * deployment shape at KenLM's production order: document batches
+    * score against a prebuilt [[graft.ops.LanguageModel.Kn5Model]]
+    * with zero training passes. The per-level discounts are estimated
+    * ONCE per query (one union-aggregate job over the persisted
+    * tables, at stream build — not per micro-batch), and the ten
+    * count tables persist for the query's lifetime with the same
+    * termination-keyed auto-release as [[lmScoreStream]]. Shares
+    * [[graft.ops.LanguageModel.modifiedKn5AgainstPrepared]] with the
+    * batch serve, so per-batch rows are the batch operator's by
+    * construction; the lm_score_kn5_serve oracle covers the scoring
+    * join. */
+  def lm5ScoreStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.LanguageModel.Kn5Model,
+      floorEps: Double = 1e-6)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val servable = graft.ops.LanguageModel.Kn5Model(
+      model.c5.persist(lvl), model.p4.persist(lvl),
+      model.t4.persist(lvl), model.d4.persist(lvl),
+      model.t3.persist(lvl), model.d3.persist(lvl),
+      model.t2.persist(lvl), model.d2.persist(lvl),
+      model.t1.persist(lvl), model.stats.persist(lvl))
+    val frames = Seq(servable.c5, servable.p4, servable.t4, servable.d4,
+      servable.t3, servable.d3, servable.t2, servable.d2,
+      servable.t1, servable.stats)
+    // Estimated AFTER the persists so the one estimation job also
+    // warms the caches every later batch reads.
+    val disc = graft.ops.LanguageModel.estimateKn5Discounts(servable)
+    val queryName = releaseOnTermination(docs.sparkSession,
+      "graft-lm5-score", frames)
     docs.writeStream.queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.ops.LanguageModel.kneserNeyAgainst(
-          batch.toDF(), idCol, textCol, servable, discount, floorEps), batchId)
+        sink(graft.ops.LanguageModel.modifiedKn5AgainstPrepared(
+          batch.toDF(), idCol, textCol, servable, disc, floorEps), batchId)
       }
   }
 

@@ -637,25 +637,8 @@ class LanguageModelSpec extends SparkSpec with Matchers {
 
   // --- Order-5 modified Kneser-Ney -----------------------------------
 
-  /** The (level, class) synthesis gadgets of the lm_score_kn5 oracle,
-    * as plain strings: gadget (L, j) carries 5−L doc-keyed words then
-    * floor(id/j)-keyed words, planting types of count exactly j at
-    * level L (copies per class steepen the decay the Chen-Goodman
-    * closed form needs). */
-  private def kn5GadgetText(id: Long): String =
-    (for {
-      lvl <- 5 to 2 by -1
-      j <- 1 to 4
-      c <- 1 to Seq(1, 3, 2, 1)(j - 1)
-      (p, idx) <- Seq("a", "b", "c", "d", "e").zipWithIndex
-    } yield {
-      val key = if (idx < 5 - lvl) id else id / j
-      s"g$lvl$j$c$p$key"
-    }).mkString(" ")
-
   private def kn5Corpus(n: Int): Seq[(Long, String)] =
-    (0L until n.toLong).map(i =>
-      (i, s"the cat sat on the mat ${kn5GadgetText(i)}"))
+    graft.Kn5TestCorpus.corpus(n)
 
   /** From-scratch order-5 modified-KN reference: plain Scala maps, no
     * Spark — every statistic, both discount estimations, the level

@@ -907,19 +907,8 @@ class RunnerSpec extends SparkSpec {
   test("lm_filter_against sniffs the model's order: kn3 and kn5 layouts serve directly") {
     import spark.implicits._
     // An order-5 MKN reference needs count-class decay at four
-    // levels — the lm_score_kn5 gadget synthesis, as plain strings.
-    def gadget(id: Long): String =
-      (for {
-        lvl <- 5 to 2 by -1
-        j <- 1 to 4
-        c <- 1 to Seq(1, 3, 2, 1)(j - 1)
-        (p, idx) <- Seq("a", "b", "c", "d", "e").zipWithIndex
-      } yield {
-        val key = if (idx < 5 - lvl) id else id / j
-        s"g$lvl$j$c$p$key"
-      }).mkString(" ")
-    val reference = (0L until 40L)
-      .map(i => (i, s"the cat sat on the mat ${gadget(i)}"))
+    // levels — the shared lm_score_kn5 gadget corpus.
+    val reference = graft.Kn5TestCorpus.corpus(40)
       .toDF("doc_id", "bio")
     val base = java.nio.file.Files.createTempDirectory("kn-order").toString
     graft.ops.LanguageModel.saveKn5Model(

@@ -853,6 +853,51 @@ class StreamingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("lm5ScoreStream: per-batch order-5 MKN scores match the batch serve; cache releases on stop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    import org.apache.spark.storage.StorageLevel
+    val train = graft.Kn5TestCorpus.corpus(40).toDF("doc_id", "text")
+    val model = LanguageModel.fitKn5(train, "text")
+    val batches = Seq(
+      Seq((100L, "the cat sat on the mat"),
+        (101L, "zz qq ww vv uu tt")),
+      Seq((102L, "the cat sat on the mat " +
+        graft.Kn5TestCorpus.gadgetText(3))))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = StreamingOps.lm5ScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model) {
+      (rows, id) => got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = LanguageModel.modifiedKn5Against(
+          rows.toDF("doc_id", "text"), "doc_id", "text", model).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe
+          twin.map(_.toString).sorted.toSeq
+      }
+      // OOV doc 101 scores above the fluent doc 100
+      val byId = got.flatMap(_._2)
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      byId(101L) should be > byId(100L)
+    } finally {
+      q.stop(); q.awaitTermination()
+    }
+    // termination listener releases all ten persisted count tables
+    val frames = Seq(model.c5, model.p4, model.t4, model.d4, model.t3,
+      model.d3, model.t2, model.d2, model.t1, model.stats)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (frames.exists(_.storageLevel != StorageLevel.NONE) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    frames.foreach(f => assert(f.storageLevel == StorageLevel.NONE,
+      "retired order-5 scoring queries must not leak cached model blocks"))
+  }
+
   test("cmsProfileStream: appended per-batch deltas merge to the one-pass sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
