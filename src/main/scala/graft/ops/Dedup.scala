@@ -254,9 +254,17 @@ object Dedup {
         val spark = hashed.sparkSession
         val base = new org.apache.hadoop.fs.Path(s"$r/hashes")
         val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val dirs = buckets
-          .map(b => new org.apache.hadoop.fs.Path(base, s"$BandBucket=$b"))
-          .filter(fs.exists).map(_.toString)
+        // ONE listStatus intersected with the probed set — not one
+        // fs.exists per bucket: |batch| serial existence RPCs against
+        // an object store would put minutes of driver wall in front
+        // of every serve/micro-batch (review finding r13). An empty
+        // bucket never wrote a directory (repartition emits no task
+        // output), hence the intersection.
+        val existing = fs.listStatus(base).iterator
+          .map(_.getPath.getName).filter(_.startsWith(s"$BandBucket="))
+          .toSet
+        val dirs = buckets.map(b => s"$BandBucket=$b").filter(existing)
+          .map(n => new org.apache.hadoop.fs.Path(base, n).toString)
         if (dirs.isEmpty) index.rows.limit(0)
         else spark.read
           .option("basePath", base.toString)

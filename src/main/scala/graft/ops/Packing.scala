@@ -55,20 +55,34 @@ object Packing {
     * beyond the packing window itself. */
   def splitSegments(
       df: DataFrame, idCol: String, nTokensCol: String,
-      seqLen: Int, buckets: Int): DataFrame = {
+      seqLen: Int, buckets: Int): DataFrame =
+    segmented(df, idCol, nTokensCol, seqLen, buckets, carry = Nil)
+
+  /** The one splitter both [[splitSegments]] and [[packTokens]] run —
+    * the span arithmetic (lastSeq, doc_token_start/end, seq_offset)
+    * exists exactly once so the two public faces cannot drift (the
+    * LanguageModel-ngrams review lesson, applied here before it
+    * bites). `carry` columns ride through the explode unchanged, for
+    * consumers that need per-segment payloads (packTokens carries the
+    * token array it slices). */
+  private def segmented(
+      df: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Int, buckets: Int, carry: Seq[String]): DataFrame = {
     require(seqLen > 0 && buckets > 0)
     val tb = col("tokens_before")
     val n = col(nTokensCol)
     val lastSeq = floor((tb + n - 1) / seqLen).cast("long")
     assignSequences(df, idCol, nTokensCol, seqLen, buckets)
       .filter(n > 0)
-      .select(col("pack_bucket"), col(idCol), tb, n,
-        explode(sequence(col("seq_idx"), lastSeq)).as("seq_idx"))
-      .select(
+      .select(Seq(col("pack_bucket"), col(idCol), tb, n,
+        explode(sequence(col("seq_idx"), lastSeq)).as("seq_idx")) ++
+        carry.map(col): _*)
+      .select(Seq(
         col("pack_bucket"), col("seq_idx"), col(idCol),
         greatest(col("seq_idx") * seqLen - tb, lit(0L)).as("doc_token_start"),
         least((col("seq_idx") + 1) * seqLen - tb, n).as("doc_token_end"),
-        greatest(tb - col("seq_idx") * seqLen, lit(0L)).as("seq_offset"))
+        greatest(tb - col("seq_idx") * seqLen, lit(0L)).as("seq_offset")) ++
+        carry.map(col): _*)
   }
 
   /** [[splitSegments]] carrying the ACTUAL token slices: one row per
@@ -86,28 +100,15 @@ object Packing {
     * streams (tokens_before) stay long. */
   def packTokens(
       df: DataFrame, idCol: String, tokensCol: String,
-      seqLen: Int, buckets: Int): DataFrame = {
-    require(seqLen > 0 && buckets > 0)
-    val nt = col("__graft_nt")
-    val tb = col("tokens_before")
-    val lastSeq = floor((tb + nt - 1) / seqLen).cast("long")
-    val start = greatest(col("seq_idx") * seqLen - tb, lit(0L))
-    val end = least((col("seq_idx") + 1) * seqLen - tb, nt)
-    assignSequences(
+      seqLen: Int, buckets: Int): DataFrame =
+    segmented(
         df.withColumn("__graft_nt",
           coalesce(size(col(tokensCol)).cast("long"), lit(0L))),
-        idCol, "__graft_nt", seqLen, buckets)
-      .filter(nt > 0)
-      .select(col("pack_bucket"), col(idCol), col(tokensCol), tb, nt,
-        explode(sequence(col("seq_idx"), lastSeq)).as("seq_idx"))
-      .select(
-        col("pack_bucket"), col("seq_idx"), col(idCol),
-        start.as("doc_token_start"),
-        end.as("doc_token_end"),
-        greatest(tb - col("seq_idx") * seqLen, lit(0L)).as("seq_offset"),
-        slice(col(tokensCol), (start + 1).cast("int"),
-          (end - start).cast("int")).as("seq_tokens"))
-  }
+        idCol, "__graft_nt", seqLen, buckets, carry = Seq(tokensCol))
+      .withColumn("seq_tokens",
+        slice(col(tokensCol), (col("doc_token_start") + 1).cast("int"),
+          (col("doc_token_end") - col("doc_token_start")).cast("int")))
+      .drop(tokensCol)
 
   /** Assembled training sequences: one row per (pack_bucket, seq_idx)
     * whose `tokens` is the concatenation of its [[packTokens]] segments

@@ -55,6 +55,14 @@ object Transforms {
       require(Required.contains(name),
         s"unknown transform '$name' (known: ${Required.keys.toSeq.sorted.mkString(", ")})")
       Required(name).foreach(t.arg) // missing required args fail HERE
+      // Unknown (misspelled) arg NAMES fail here too — without this,
+      // `bukets=512` silently runs with the default and the typed-arg
+      // tables below never see the typo (review finding r13: the
+      // fail-fast contract only covered correctly-spelled names).
+      val allowed = Required(name) ++ Optional.getOrElse(name, Nil)
+      t.args.keys.foreach(k => require(allowed.contains(k),
+        s"transform '$name': unknown arg '$k' " +
+          s"(allowed: ${allowed.sorted.mkString(", ")})"))
       IntArgs.getOrElse(name, Nil).foreach { k => // and non-numeric ints
         t.args.get(k).foreach(v => require(v.toIntOption.exists(_ >= 0),
           s"transform '$name' arg '$k' must be a non-negative integer, got '$v'"))
@@ -125,6 +133,26 @@ object Transforms {
     "pack_sequences" -> Seq("key", "col", "max_len"),
     "expect_unique" -> Seq("cols"),
     "expect_fd" -> Seq("lhs", "rhs"))
+
+  /** Transform name → OPTIONAL argument names (the complete set each
+    * transform's apply() reads beyond Required). parse() rejects any
+    * arg outside Required ∪ Optional, so a misspelled optional arg
+    * dies at parse time instead of silently running with the default.
+    * Adding an optional knob to a transform means adding it HERE (the
+    * whitelist is the contract) plus its type table below. */
+  val Optional: Map[String, Seq[String]] = Map(
+    "quality_filter" -> Seq("min_tokens", "max_tokens"),
+    "simhash_filter" -> Seq("max_hamming"),
+    "winnow_filter" -> Seq("min_shared", "max_df"),
+    "minhash_filter" -> Seq("k", "bands", "shingle_n", "portable",
+      "threshold", "max_bucket"),
+    "semantic_filter" -> Seq("n_probe", "adc_margin"),
+    "mixture_sample" -> Seq("default_pct"),
+    "lm_filter_against" -> Seq("discount", "floor_eps"),
+    "forward_label" -> Seq("keep_ts", "prefix"),
+    "nearest_label" -> Seq("keep_ts", "prefix"),
+    "tokenize_against" -> Seq("alpha", "seed", "out"),
+    "pack_sequences" -> Seq("buckets", "strategy"))
 
   /** Transform name → integer-typed argument names, validated at parse
     * time when present (same fail-fast contract as Required: `pct=abc`

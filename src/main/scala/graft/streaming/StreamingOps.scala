@@ -929,10 +929,16 @@ object StreamingOps {
     * class, now shared by every model-serving stream). The started
     * event is the only one carrying the name; its id is remembered
     * and matched on termination (per-query listener events are
-    * ordered, so the id is always set first). Overriding the query
-    * name on the writer disables the release; a model shared across
-    * CONCURRENT queries loses its cache when the first terminates
-    * (survivors recompute through the parquet-backed lineage). */
+    * ordered, so the id is always set first). A caller that OVERRIDES
+    * the writer's query name degrades to the QUIESCENCE fallback
+    * instead of leaking forever (review finding r13): when any query
+    * terminates, our name never started, and NO stream remains active
+    * on the session, nothing can be serving these frames — release
+    * and deregister then. (If the caller starts the renamed query
+    * after such a release, it runs uncached but correct — persist is
+    * a cache over parquet-backed lineage.) A model shared across
+    * CONCURRENT queries loses its cache when the first terminates;
+    * survivors recompute. */
   private def releaseOnTermination(
       spark: org.apache.spark.sql.SparkSession, prefix: String,
       frames: Seq[DataFrame]): String = {
@@ -947,7 +953,8 @@ object StreamingOps {
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == myId) {
+        if (e.id == myId ||
+            (myId == null && spark.streams.active.isEmpty)) {
           frames.foreach(_.unpersist(false))
           spark.streams.removeListener(this)
         }

@@ -18,7 +18,12 @@ object Kn5TestCorpus {
       c <- 1 to Seq(1, 3, 2, 1)(j - 1)
       (p, idx) <- Seq("a", "b", "c", "d", "e").zipWithIndex
     } yield {
-      val key = if (idx < 5 - lvl) id else id / j
+      // floorDiv, not `/`: the production gadget (Kn5Gadgets) and the
+      // DuckDB oracle both FLOOR, and Scala `/` truncates toward zero
+      // — they disagree on negative ids, so a future negative-id test
+      // through this fixture would plant different count classes than
+      // the engines under test and chase a phantom mismatch.
+      val key = if (idx < 5 - lvl) id else Math.floorDiv(id, j.toLong)
       s"g$lvl$j$c$p$key"
     }).mkString(" ")
 

@@ -777,6 +777,14 @@ class RunnerSpec extends SparkSpec {
     // seed without alpha would be silently ignored — parse-time error
     intercept[IllegalArgumentException](Transforms.parse(
       "tokenize_against(key=id,col=bio,model=/tmp/x,family=unigram,seed=7)"))
+    // MISSPELLED optional args die at parse time instead of silently
+    // running with the default (the whitelist contract)
+    intercept[IllegalArgumentException](Transforms.parse(
+      "tokenize_against(key=id,col=bio,model=/tmp/x,family=unigram,alpa=0.5)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "pack_sequences(key=id,col=tokens,max_len=16,bukets=8)"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "lm_filter_against(key=i,col=b,model=/tmp/x,max_ce=1.0,flor_eps=1e-9)"))
   }
 
   test("pack_sequences packs the tokens column into training sequences") {

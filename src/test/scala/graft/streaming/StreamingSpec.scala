@@ -853,6 +853,48 @@ class StreamingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("lmScoreStream: an overridden query name still releases at quiescence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    import org.apache.spark.storage.StorageLevel
+    val train = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val model = LanguageModel.fitKn(train, "text")
+    val stream = MemoryStream[(Long, String)]
+    // The caller renames the query (monitoring convention) — the
+    // name-keyed release can never match, so the QUIESCENCE fallback
+    // must fire when the renamed query stops and nothing else runs.
+    val q = StreamingOps.lmScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model) {
+      (rows, _) => rows.collect(): Unit
+    }.queryName("caller-renamed-scorer").start()
+    stream.addData(Seq((10L, "the cat and the dog")))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    // No other active query on the session -> the fallback releases.
+    // (The terminated event may still see the stopping query as
+    // active; a follow-up no-op query's termination settles it.)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def released = Seq(model.c12, model.c1, model.n1c, model.stats)
+      .forall(_.storageLevel == StorageLevel.NONE)
+    while (!released && System.nanoTime() < deadline) {
+      val nudgeStream = MemoryStream[Long]
+      val nudge = nudgeStream.toDF().writeStream
+        .foreachBatch(
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => ())
+        .start()
+      nudgeStream.addData(1L)
+      nudge.processAllAvailable(); nudge.stop(); nudge.awaitTermination()
+      Thread.sleep(200)
+    }
+    assert(released,
+      "renamed scoring queries must release via the quiescence fallback")
+  }
+
   test("lm5ScoreStream: per-batch order-5 MKN scores match the batch serve; cache releases on stop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
