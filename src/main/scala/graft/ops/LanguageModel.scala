@@ -834,13 +834,16 @@ object LanguageModel {
     mknDiscountsAll(model)
 
   /** [[modifiedKn5Against]] with the discounts already estimated —
-    * the streaming serve face's per-batch body. */
+    * the streaming serve face's per-batch body. Serves with the
+    * broadcast-score join plan: the batch side is micro-batch-sized
+    * by construction, so the model tables stream map-side instead of
+    * re-shuffling every trigger. */
   private[graft] def modifiedKn5AgainstPrepared(
       score: DataFrame, idCol: String, textCol: String, model: Kn5Model,
       disc: Map[String, (Double, Double, Double)],
       floorEps: Double): DataFrame =
     kn5ScoreJoinWith(ngrams(score, idCol, textCol, 5, "fg"), model,
-      disc, floorEps, idCol)
+      disc, floorEps, idCol, broadcastScore = true)
 
   /** The order-5 scoring join, shared verbatim by the in-engine and
     * serve paths. Per-level discounts re-estimated from the model's
@@ -854,7 +857,8 @@ object LanguageModel {
   private def kn5ScoreJoinWith(
       scoreFg: DataFrame, model: Kn5Model,
       disc: Map[String, (Double, Double, Double)],
-      floorEps: Double, idCol: String): DataFrame = {
+      floorEps: Double, idCol: String,
+      broadcastScore: Boolean = false): DataFrame = {
     require(floorEps > 0 && floorEps < 1,
       s"floor epsilon must be in (0, 1) (got $floorEps)")
     val d5 = disc("order 5")
@@ -875,8 +879,10 @@ object LanguageModel {
     def tagged(df: DataFrame, suffix: String): DataFrame =
       Seq("k1", "k2", "k3").foldLeft(df)((d, k) =>
         d.withColumnRenamed(k, s"${k}_$suffix"))
-    scoreFg
-      .join(model.c5, Seq("fg"), "left")
+    // All nine lookup keys derive from the batch's fg column alone, so
+    // they are computed BEFORE any join — which is what makes the
+    // broadcast-score mode linear (below).
+    val keyed = scoreFg
       .withColumn("p1234", substring_index(col("fg"), " ", 4))
       .withColumn("s2345", substring_index(col("fg"), " ", -4))
       .withColumn("p234", substring_index(col("s2345"), " ", 3))
@@ -885,14 +891,42 @@ object LanguageModel {
       .withColumn("s45", substring_index(col("s345"), " ", -2))
       .withColumn("w4d", substring_index(col("s45"), " ", 1))
       .withColumn("w5c", substring_index(col("s45"), " ", -1))
-      .join(tagged(model.p4, "5"), Seq("p1234"), "left")
-      .join(model.t4, Seq("s2345"), "left")
-      .join(tagged(model.d4, "4"), Seq("p234"), "left")
-      .join(model.t3, Seq("s345"), "left")
-      .join(tagged(model.d3, "3"), Seq("p34"), "left")
-      .join(model.t2, Seq("s45"), "left")
-      .join(tagged(model.d2, "2"), Seq("w4d"), "left")
-      .join(model.t1, Seq("w5c"), "left")
+    // The left joins as written shuffle the MODEL tables (an outer
+    // join can only broadcast its non-preserved/build side, and here
+    // the preserved side is the small one — Spark cannot broadcast
+    // it) — correct for the bulk self-score, hostile to a
+    // per-micro-batch serve where the score side is tiny: every
+    // trigger would re-shuffle millions of count rows.
+    // broadcastScore rewrites each lookup as the broadcast-semi
+    // pattern instead: (1) LEFT SEMI the model table against the
+    // broadcast BATCH projection's keys — semi joins DO build their
+    // right side, so the cached model streams map-side and at most
+    // |batch| rows survive; (2) left-join the accumulator against the
+    // broadcast survivors — small vs small, NULL-preserving.
+    // CRITICAL: the semi probes reference `keyed` (the pre-join batch
+    // projection), NEVER the accumulating join chain — a probe on the
+    // accumulator would nest the growing plan inside every broadcast
+    // subtree and re-execute it 2^levels times (measured: ~300 s
+    // micro-batches at order 5 before this was caught by the soak).
+    // Row-identical algebra (the parity spec pins it against the
+    // shuffle plan); zero hash exchanges touch a model table.
+    def lj(acc: DataFrame, tbl: DataFrame, keys: Seq[String]): DataFrame =
+      if (broadcastScore) {
+        val matched = tbl.join(
+          broadcast(keyed.select(keys.map(col): _*)), keys, "left_semi")
+        acc.join(broadcast(matched), keys, "left")
+      } else acc.join(tbl, keys, "left")
+    Seq[(DataFrame, Seq[String])](
+      (model.c5, Seq("fg")),
+      (tagged(model.p4, "5"), Seq("p1234")),
+      (model.t4, Seq("s2345")),
+      (tagged(model.d4, "4"), Seq("p234")),
+      (model.t3, Seq("s345")),
+      (tagged(model.d3, "3"), Seq("p34")),
+      (model.t2, Seq("s45")),
+      (tagged(model.d2, "2"), Seq("w4d")),
+      (model.t1, Seq("w5c")))
+      .foldLeft(keyed) { case (acc, (tbl, keys)) => lj(acc, tbl, keys) }
       .crossJoin(broadcast(model.stats))
       .withColumn("__graft_term", term)
       .groupBy(col("id"))

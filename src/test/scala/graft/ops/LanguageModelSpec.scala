@@ -745,6 +745,48 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     oovCe should be > maxSeen
   }
 
+  test("order-5 serve: the broadcast-score plan never shuffles the model") {
+    import spark.implicits._
+    val docs = kn5Corpus(40).toDF("doc_id", "text")
+    // Saved + loaded — the deployment shape (a fitted-in-place model
+    // would put its own FIT lineage, aggregates and all, inside the
+    // serve plan text and the exchange count would measure the fit).
+    val dir = java.nio.file.Files.createTempDirectory("kn5-plan").toString
+    LanguageModel.saveKn5Model(LanguageModel.fitKn5(docs, "text"), dir)
+    val model = LanguageModel.loadKn5Model(spark, dir)
+    val batch = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val disc = LanguageModel.estimateKn5Discounts(model)
+    def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString).size
+    // Kill statistics-based broadcasting: on test-sized tables the
+    // optimizer would broadcast the model in BOTH plans and hide the
+    // structural difference. Explicit broadcast() hints survive the
+    // threshold, so the semi-broadcast serve keeps its shape — which
+    // is the claim: the plan is shuffle-free on the model side BY
+    // CONSTRUCTION, not by size estimation.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val streamPlan = LanguageModel.modifiedKn5AgainstPrepared(
+        batch, "doc_id", "text", model, disc, 1e-6)
+      val bulkPlan = LanguageModel.modifiedKn5Against(
+        batch, "doc_id", "text", model)
+      // Broadcast-score: the only hash shuffle left is the final
+      // per-doc aggregate — every model lookup is a broadcast-semi +
+      // small left join, so count tables stream map-side. The bulk
+      // plan (correct for self-scoring, where the score side IS the
+      // corpus) shuffles per joined table.
+      withClue(streamPlan.queryExecution.executedPlan.toString.take(4000)) {
+        hashExchanges(streamPlan) should be <= 2
+      }
+      hashExchanges(bulkPlan) should be > hashExchanges(streamPlan)
+      // ...and the two plans return identical rows.
+      streamPlan.collect().map(_.toString).sorted.toSeq shouldBe
+        bulkPlan.collect().map(_.toString).sorted.toSeq
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("order-5 MKN fails fast on corpora without count-class decay") {
     import spark.implicits._
     // Every doc identical: only one 5-gram count class exists.

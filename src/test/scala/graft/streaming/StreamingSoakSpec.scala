@@ -747,4 +747,41 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
       soakLine("lmScoreStream", docRows.size.toLong, log)
     } finally q.stop()
   }
+
+  test("lm5ScoreStream soak: sf0.1 in 10 batches against a fitted order-5 MKN model, parity with batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    // Gadget-enrich the corpus so the order-5 count-of-counts have
+    // decay at every level (the lm_score_kn5 oracle synthesis).
+    val docs = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          udf((id: Long) => graft.Kn5TestCorpus.gadgetText(id)).apply(col("doc_id")))
+          .as("text"))
+    val model = LanguageModel.fitKn5(docs, "text")
+    val docRows = docs.as[Doc].collect().toSeq
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[Doc]
+    val scored = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.lm5ScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model) {
+      (batch, _) => scored.addAndGet(batch.count()): Unit
+    }.start()
+    try {
+      docRows.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      // only the ten query-lifetime persisted model tables may remain
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore)
+        .size should be <= 10
+      val twin = LanguageModel.modifiedKn5Against(
+        docRows.toDF("doc_id", "text"), "doc_id", "text", model).count()
+      scored.get() shouldBe twin
+      soakLine("lm5ScoreStream", docRows.size.toLong, log)
+    } finally q.stop()
+  }
 }
