@@ -228,6 +228,19 @@ object ScaleCanary {
         features = Seq("o_totalprice", "o_orderstatus"))
       PointInTimeJoin.join(entity, "ts", Seq(view), rowIdCol = Some("event_id"))
     },
+    "pack_training_sequences" -> { (s, dir, k) =>
+      // The pipeline's LAST shaping stage at k× corpus: fixed bucket
+      // count (buckets are sized to the cluster, not the data — the
+      // Packing contract), so per-bucket token streams grow k× and the
+      // canary measures whether the per-bucket window sort + the
+      // (bucket, seq) reassembly agg stay ~linear.
+      val docs = Amplify.documents(tbl(s, dir, "documents"), k, rotate = true)
+        .select(col("doc_id"),
+          graft.ops.TextOps.tokens(
+            graft.ops.TextOps.normalized(col("text"))).as("toks"))
+      graft.ops.Packing.packedSequences(
+        docs, "doc_id", "toks", seqLen = 2048, buckets = 8)
+    },
     "pit_manyviews" -> { (s, dir, k) =>
       // The 8-view PIT stitch from the bench, entity spaces k×: per-key
       // order history is identical in every replica, so the argmax
