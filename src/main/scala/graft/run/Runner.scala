@@ -121,6 +121,14 @@ object Runner {
     registerTables(spark, job.dataDir)
     val entity = spark.sql(substitute(entitySql, job.rangeParams))
     val views = resolveViews(spark, job)
+    // A job with NO feature refs is a pure CORPUS-PREP job: the entity
+    // SQL is the corpus, the transform chain (clean → gates →
+    // tokenize_against → pack_sequences) is the work, and the output
+    // is the encoded result — the pre-training pipeline with no feast
+    // views in sight. Skip the PIT machinery entirely (it requires a
+    // view, and a timestamp column would be an artificial demand on a
+    // documents table).
+    if (views.isEmpty) return entity
     // Entity-side join keys: by convention the entity SQL exposes
     // columns named like the view's entity keys.
     // A natural unique entity key (entityRowId) lets the join skip the

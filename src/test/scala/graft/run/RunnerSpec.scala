@@ -950,6 +950,56 @@ class RunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("count-of-counts"))
   }
 
+  test("corpus-prep job: documents to packed training sequences in ONE JobConfig, TFRecord out") {
+    import spark.implicits._
+    // No feature refs -> no PIT machinery: the entity SQL is the
+    // corpus, the transform chain is the pipeline, the TFRecord shards
+    // are fixed-budget training sequences — the complete pre-training
+    // data job through the Runner's front door.
+    val uniDir = java.nio.file.Files.createTempDirectory("job-uni").toString
+    val docs = graft.sources.ParquetTables.load(
+      spark, s"${sf()}/documents.parquet")
+    graft.ops.Unigram.saveModel(
+      graft.ops.Unigram.train(docs, "text", vocabSize = 30), uniDir, spark)
+    val out = java.nio.file.Files.createTempDirectory("job-pack").toString
+    val chain = "clean_text(cols=text);" +
+      s"tokenize_against(key=doc_id,col=text,model=$uniDir,family=unigram);" +
+      "pack_sequences(key=doc_id,col=tokens,max_len=64,buckets=2)"
+    val job = JobConfig(
+      registry = YamlRegistry.load(registryYaml),
+      dataDir = sf(),
+      features = Left(Seq.empty),
+      entityQuery = "SELECT doc_id, text FROM documents",
+      outputSplits = Seq("train" -> 1),
+      outputPath = out,
+      transforms = Transforms.parse(chain))
+    val results = Runner.run(spark, job)
+    // Record count == the chain applied directly (one row per
+    // training sequence), and token counts survive the WIRE: the sum
+    // of decoded n_tokens equals the corpus's packed-token total.
+    val expected = Transforms.applyAll(
+      docs.select("doc_id", "text"), Transforms.parse(chain))
+    assert(results.map(_.records).sum == expected.count())
+    val recs = TfRecordSink.readAll(spark, out, "train")
+    val decoded = recs.map(TfExample.decode)
+    assert(decoded.head.keySet ==
+      Set("pack_bucket", "seq_idx", "tokens", "n_docs", "n_tokens"))
+    val wireTokens = decoded.map(_("n_tokens") match {
+      case TfExample.Int64s(xs) => xs.head
+      case other => fail(s"n_tokens decoded as $other")
+    }).sum
+    val corpusTokens = expected
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(wireTokens == corpusTokens,
+      s"wire $wireTokens vs corpus $corpusTokens")
+    // every non-tail sequence carries exactly max_len token features
+    val tokenLens = decoded.map(_("tokens") match {
+      case TfExample.Bytes(xs) => xs.size
+      case other => fail(s"tokens decoded as $other")
+    })
+    assert(tokenLens.count(_ == 64) >= tokenLens.size - 2) // ≤1 tail/bucket
+  }
+
   test("full job applies GRAFT_TRANSFORMS-style chain before encoding") {
     val out = java.nio.file.Files.createTempDirectory("graft-tf").toString
     val job = JobConfig(
