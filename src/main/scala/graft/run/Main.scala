@@ -11,8 +11,12 @@ import graft.registry.YamlRegistry
   *   <service-or-refs> <entitySql> [beginTs endTs]
   * }}}
   *
-  * `service-or-refs`: a feature-service name, or comma-separated
-  * `view:feature` refs. Prints one JSON line per output split.
+  * `service-or-refs`: a feature-service name, comma-separated
+  * `view:feature` refs, or `-` for NONE — a feature-less CORPUS-PREP
+  * job, where the entity SQL is the corpus and the transform chain is
+  * the pipeline (clean → gates → tokenize_against → pack_sequences →
+  * TFRecord training sequences). Prints one JSON line per output
+  * split.
   *
   * Env `GRAFT_TRANSFORMS` applies a corpus-prep transform chain (see
   * [[Transforms]]) between retrieval and encoding, e.g.
@@ -32,7 +36,8 @@ object Main {
     else Map.empty[String, String]
 
     val features: Either[Seq[String], String] =
-      if (featureArg.contains(":")) Left(featureArg.split(",").toSeq)
+      if (featureArg == "-") Left(Seq.empty) // corpus-prep: no views
+      else if (featureArg.contains(":")) Left(featureArg.split(",").toSeq)
       else Right(featureArg)
 
     val spark = SparkSession.builder()
