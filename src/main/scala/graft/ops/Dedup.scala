@@ -539,7 +539,8 @@ object Dedup {
     * sidecar and are re-validated at serve. */
   final case class LshBandIndex(
       rows: DataFrame, k: Int, bands: Int, portable: Boolean,
-      hashBuckets: Int, shingleN: Option[Int] = None)
+      hashBuckets: Int, shingleN: Option[Int] = None,
+      maxBucket: Option[Int] = None)
 
   /** Partition column of the band-bucketed LSH layout. */
   private[graft] val BandBucket = "__graft_bb"
@@ -585,25 +586,90 @@ object Dedup {
       .parquet(s"$path/bands")
     val spark = sigs.sparkSession
     import spark.implicits._
-    Seq((k, bands, portable, nHashBuckets, Option(shingleN).map(_.toInt)))
-      .toDF("k", "bands", "portable", "hash_buckets", "shingle_n")
+    // max_bucket rides the sidecar because it decides the MAINTENANCE
+    // contract: an uncapped build's band rows are append-composable
+    // (appendLshBandIndex checks this column); a capped build's bucket
+    // membership is a global aggregate over the whole index — the
+    // winnow stored-df argument — so it is rebuild-only.
+    Seq((k, bands, portable, nHashBuckets, Option(shingleN).map(_.toInt),
+        maxBucket))
+      .toDF("k", "bands", "portable", "hash_buckets", "shingle_n",
+        "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
+
+  /** Append a new batch's signatures to an existing
+    * [[saveLshBandIndex]] layout — the incremental-maintenance write
+    * (the [[appendSimhashBandIndex]] contract at the MinHash face).
+    * ONLY legal for an UNCAPPED build (`maxBucket = Int.MaxValue` at
+    * [[saveLshBandIndex]]): band rows under a fixed (k, bands, family,
+    * shingle width) are append-composable — append ∪ rebuild are
+    * row-identical, spec-pinned — but a build-time `maxBucket` cap is
+    * a global aggregate over the whole index (which rows survive a hot
+    * bucket's cap depends on every batch ever written), so a capped
+    * layout is REBUILD-maintained and this fails fast. A pre-sidecar
+    * layout (no `max_bucket` column) also fails fast — its build cap
+    * is unknowable; rebuild once to record it. The batch frame's
+    * family/shingle tags must match the index's (fail-fast); k/bands/
+    * bucket count come from the sidecar. Each append adds ≤ one file
+    * per touched bucket; compact with [[compactLshBandIndex]] (or
+    * `graft.tools.Maintain`) when listing cost matters. */
+  def appendLshBandIndex(sigs: DataFrame, path: String): Unit = {
+    val spark = sigs.sparkSession
+    val idx = loadLshBandIndex(spark, path)
+    require(idx.maxBucket.contains(Int.MaxValue),
+      idx.maxBucket match {
+        case Some(cap) =>
+          s"appendLshBandIndex: the index at $path was built with " +
+            s"maxBucket=$cap — a capped LSH band index is " +
+            "rebuild-maintained (bucket membership under the cap is a " +
+            "global aggregate over the whole index); rebuild with " +
+            "saveLshBandIndex over the merged signature table, or " +
+            "build uncapped to append"
+        case None =>
+          s"appendLshBandIndex: the index at $path predates the " +
+            "max_bucket sidecar column, so its build cap is unknowable " +
+            "— rebuild once with saveLshBandIndex to record it"
+      })
+    checkBuildParams(sigs, "sig", "appendLshBandIndex",
+      Seq("graft.minhash.portable" -> idx.portable))
+    val nm = sigs.schema("sig").metadata
+    idx.shingleN.foreach { want =>
+      if (nm.contains("graft.minhash.shingle_n"))
+        require(nm.getLong("graft.minhash.shingle_n").toInt == want,
+          "appendLshBandIndex: the index was built from signatures with " +
+            s"shingle_n=$want but the batch carries shingle_n=" +
+            s"${nm.getLong("graft.minhash.shingle_n")}")
+    }
+    bandRows(sigLengthGuard(sigs, idx.k, "batch"), idx.k, idx.bands,
+        idx.portable, Int.MaxValue)
+      .withColumn(BandBucket, bandBucket(col("band_hash"), idx.hashBuckets))
+      .repartition(idx.hashBuckets, col(BandBucket))
+      .write.mode("append").partitionBy(BandBucket)
+      .parquet(s"$path/bands")
+  }
+
+  /** Compact an append-maintained [[saveLshBandIndex]] layout back to
+    * one file per bucket directory. Rows untouched; see
+    * [[OpsUtil.compactPartitionedDir]] for the swap semantics. */
+  def compactLshBandIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    OpsUtil.compactPartitionedDir(spark, s"$path/bands", BandBucket)
 
   /** Load a persisted [[LshBandIndex]] (inverse of
     * [[saveLshBandIndex]]). */
   def loadLshBandIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): LshBandIndex = {
     val st = spark.read.parquet(s"$path/stats").head()
-    val shingleN =
-      if (st.schema.fieldNames.contains("shingle_n") &&
-          !st.isNullAt(st.fieldIndex("shingle_n")))
-        Some(st.getInt(st.fieldIndex("shingle_n")))
+    def optInt(name: String): Option[Int] =
+      if (st.schema.fieldNames.contains(name) &&
+          !st.isNullAt(st.fieldIndex(name)))
+        Some(st.getInt(st.fieldIndex(name)))
       else None
     LshBandIndex(spark.read.parquet(s"$path/bands"),
       st.getAs[Int]("k"), st.getAs[Int]("bands"),
       st.getAs[Boolean]("portable"), st.getAs[Int]("hash_buckets"),
-      shingleN)
+      optInt("shingle_n"), optInt("max_bucket"))
   }
 
   /** [[minhashLshAgainst]] against a persisted [[LshBandIndex]] —

@@ -649,6 +649,52 @@ class DedupSpec extends SparkSpec with Matchers {
     }.getMessage should include ("shingle_n")
   }
 
+  test("appendLshBandIndex law: append of a batch is row-identical to rebuilding over the union; capped builds fail fast") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val docs = docsDf((1L to 90L).map { i =>
+      val base = (0 until 12).map(j => vocab(((i % 4) * 10 + j % 10).toInt))
+      i -> (base ++ Seq.fill(4)(vocab(rnd.nextInt(vocab.size)))).mkString(" ")
+    })
+    val half1 = docs.filter(col("doc_id") <= 45L)
+    val half2 = docs.filter(col("doc_id") > 45L)
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(d, "doc_id", "text", shingleN = 2, k = 16)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-lshapp").toString
+
+    // UNCAPPED build: append-composable — append(half2) over
+    // save(half1) is row-identical to save(half1 ∪ half2).
+    Dedup.saveLshBandIndex(sigs(half1), s"$scratch/inc",
+      k = 16, bands = 8, nHashBuckets = 8)
+    Dedup.appendLshBandIndex(sigs(half2), s"$scratch/inc")
+    Dedup.saveLshBandIndex(sigs(docs), s"$scratch/full",
+      k = 16, bands = 8, nHashBuckets = 8)
+    def rowsOf(path: String): Seq[String] =
+      Dedup.loadLshBandIndex(spark, path).rows
+        .orderBy("id", "band").collect().map(_.toString).toSeq
+    rowsOf(s"$scratch/inc") shouldBe rowsOf(s"$scratch/full")
+    // ...and the sidecar round-trips the (un)cap.
+    Dedup.loadLshBandIndex(spark, s"$scratch/inc")
+      .maxBucket shouldBe Some(Int.MaxValue)
+
+    // CAPPED build: bucket membership under the cap is a global
+    // aggregate over the whole index — rebuild-only, append refuses.
+    Dedup.saveLshBandIndex(sigs(half1), s"$scratch/capped",
+      k = 16, bands = 8, maxBucket = 5, nHashBuckets = 8)
+    intercept[IllegalArgumentException] {
+      Dedup.appendLshBandIndex(sigs(half2), s"$scratch/capped")
+    }.getMessage should include("rebuild-maintained")
+
+    // family mismatch still dies with the parameter named
+    intercept[IllegalArgumentException] {
+      Dedup.appendLshBandIndex(
+        Dedup.minhashSignatures(half2, "doc_id", "text",
+          shingleN = 2, k = 16, portable = true),
+        s"$scratch/inc")
+    }.getMessage should include("graft.minhash.portable")
+  }
+
   test("SimhashBandIndex: identical pairs to the flat fingerprint serve, probed buckets only") {
     val base = (1 to 30).map(i => s"token$i").mkString(" ")
     def vary(j: Int) =

@@ -37,6 +37,37 @@ class MaintainSpec extends SparkSpec with Matchers {
     rows.orderBy("id", "band").collect().map(_.toString).toSeq shouldBe before
   }
 
+  test("auto-detects a MinHash LSH band index — never mislabeled simhash — and folds appends") {
+    import spark.implicits._
+    val d = s"${scratch()}/minhashp"
+    val docs = (1L to 90L).map(i =>
+      (i, (1 to 14).map(j => s"w${(i % 4) * 10 + j}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def sigs(p: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(p, "doc_id", "text", shingleN = 2, k = 16)
+    // Uncapped build (the append-maintained configuration), then an
+    // append — the shape a maintenance job compacts.
+    Dedup.saveLshBandIndex(sigs(docs.filter(col("doc_id") <= 45L)), d,
+      k = 16, bands = 8, nHashBuckets = 8)
+    Dedup.appendLshBandIndex(sigs(docs.filter(col("doc_id") > 45L)), d)
+    val before = Dedup.loadLshBandIndex(spark, d).rows
+      .orderBy("id", "band").collect().map(_.toString).toSeq
+    val (layout, nBefore, nAfter) = Maintain.run(spark, d)
+    // r13-verdict regression: both band indexes persist bands/ +
+    // stats/, and detection used to report ANY such directory as a
+    // simhash index — the stats sidecar schema must name it correctly.
+    layout shouldBe "minhash_band_index"
+    nAfter should be < nBefore
+    val idx = Dedup.loadLshBandIndex(spark, d)
+    idx.rows.select(input_file_name()).distinct().count() shouldBe
+      idx.rows.select("__graft_bb").distinct().count()
+    idx.rows.orderBy("id", "band").collect().map(_.toString).toSeq shouldBe
+      before
+    // ...and the compacted index still serves (sidecar untouched).
+    Dedup.minhashLshAgainst(sigs(docs.filter(col("doc_id") === 3L)), idx,
+      threshold = 0.25, maxBucket = Int.MaxValue).count() should be > 0L
+  }
+
   test("auto-detects an encoded corpus and compacts; crash leftovers block the next run") {
     import spark.implicits._
     val base = scratch()
@@ -73,7 +104,7 @@ class MaintainSpec extends SparkSpec with Matchers {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(d, "stray.txt"), "x")
     val e = intercept[IllegalArgumentException](Maintain.run(spark, d))
-    e.getMessage should include("neither a SimHash band index")
+    e.getMessage should include("neither a band index")
     intercept[IllegalArgumentException](
       Maintain.run(spark, s"$d/nope")).getMessage should include("does not exist")
   }
