@@ -690,12 +690,27 @@ object LanguageModel {
     * per-level discounts from the persisted tables' own
     * count-of-counts (raw counts are the artifact; the discounts are
     * derived statistics, so save/load cannot change them — integer
-    * counts round-trip parquet exactly). */
+    * counts round-trip parquet exactly).
+    *
+    * `broadcastScore` picks the serve PLAN, not the algebra (rows are
+    * identical either way, plan-spec-pinned): `false` (default) runs
+    * the bulk left-join cascade that shuffles the model tables — right
+    * when the score side IS the corpus (self-scoring, index-scale
+    * batches); `true` runs the broadcast-semi plan the streaming serve
+    * uses — every model lookup becomes a left-semi against the
+    * broadcast batch keys followed by a small broadcast left join, so
+    * the ten count tables stream map-side and NO hash exchange touches
+    * a model table. Right for the daily-ingest batch gate, where
+    * re-shuffling millions of count rows to score a small arrival
+    * batch is the whole cost. Requires the batch's 5-gram projection
+    * to be broadcast-sized (the driver holds ~10 × |batch 5-grams|
+    * survivor frames at once) — corpus-sized batches must keep the
+    * default cascade. */
   def modifiedKn5Against(
       score: DataFrame, idCol: String, textCol: String, model: Kn5Model,
-      floorEps: Double = 1e-6): DataFrame =
-    kn5ScoreJoin(ngrams(score, idCol, textCol, 5, "fg"), model,
-      floorEps, idCol)
+      floorEps: Double = 1e-6, broadcastScore: Boolean = false): DataFrame =
+    kn5ScoreJoinWith(ngrams(score, idCol, textCol, 5, "fg"), model,
+      mknDiscountsAll(model), floorEps, idCol, broadcastScore)
 
   /** Persist an order-5 model as ten parquet tables (the
     * [[saveKn3Model]] pattern; `c5` and `t4` are the big ones). */
@@ -837,7 +852,13 @@ object LanguageModel {
     * the streaming serve face's per-batch body. Serves with the
     * broadcast-score join plan: the batch side is micro-batch-sized
     * by construction, so the model tables stream map-side instead of
-    * re-shuffling every trigger. */
+    * re-shuffling every trigger. The micro-batch's keyed projection is
+    * localCheckpointed inside the join (computed once, not once per
+    * broadcast subtree), but the driver still holds ~10 broadcast
+    * survivor frames of ≤ |batch 5-grams| rows each — bound the
+    * trigger size (maxFilesPerTrigger / maxOffsetsPerTrigger)
+    * accordingly; a corpus-sized batch belongs on the bulk cascade
+    * ([[modifiedKn5Against]] default). */
   private[graft] def modifiedKn5AgainstPrepared(
       score: DataFrame, idCol: String, textCol: String, model: Kn5Model,
       disc: Map[String, (Double, Double, Double)],
@@ -881,8 +902,12 @@ object LanguageModel {
         d.withColumnRenamed(k, s"${k}_$suffix"))
     // All nine lookup keys derive from the batch's fg column alone, so
     // they are computed BEFORE any join — which is what makes the
-    // broadcast-score mode linear (below).
-    val keyed = scoreFg
+    // broadcast-score mode linear (below). Under broadcastScore the
+    // projection is additionally localCheckpointed: it feeds the nine
+    // broadcast-semi probes AND the accumulator, and without the
+    // checkpoint each broadcast subtree would re-run the batch's
+    // ngram-explode plan (~10 recomputations per serve, r13 ADVICE).
+    val keyed0 = scoreFg
       .withColumn("p1234", substring_index(col("fg"), " ", 4))
       .withColumn("s2345", substring_index(col("fg"), " ", -4))
       .withColumn("p234", substring_index(col("s2345"), " ", 3))
@@ -891,6 +916,7 @@ object LanguageModel {
       .withColumn("s45", substring_index(col("s345"), " ", -2))
       .withColumn("w4d", substring_index(col("s45"), " ", 1))
       .withColumn("w5c", substring_index(col("s45"), " ", -1))
+    val keyed = if (broadcastScore) keyed0.localCheckpoint(false) else keyed0
     // The left joins as written shuffle the MODEL tables (an outer
     // join can only broadcast its non-preserved/build side, and here
     // the preserved side is the small one — Spark cannot broadcast

@@ -148,7 +148,7 @@ object Transforms {
       "threshold", "max_bucket"),
     "semantic_filter" -> Seq("n_probe", "adc_margin"),
     "mixture_sample" -> Seq("default_pct"),
-    "lm_filter_against" -> Seq("discount", "floor_eps"),
+    "lm_filter_against" -> Seq("discount", "floor_eps", "serve"),
     "forward_label" -> Seq("keep_ts", "prefix"),
     "nearest_label" -> Seq("keep_ts", "prefix"),
     "tokenize_against" -> Seq("alpha", "seed", "out"),
@@ -182,6 +182,8 @@ object Transforms {
   val EnumArgs: Map[String, Seq[(String, Set[String])]] = Map(
     "tokenize_against" -> Seq(
       "family" -> Set("bpe", "unigram", "wordpiece")),
+    "lm_filter_against" -> Seq(
+      "serve" -> Set("shuffle", "broadcast")),
     "pack_sequences" -> Seq(
       "strategy" -> Set("assign", "segments", "sequences")))
 
@@ -496,11 +498,22 @@ object Transforms {
       val gMax = t.arg("max_ce").toDouble
       val gEps = t.args.get("floor_eps").map(_.toDouble).getOrElse(1e-6)
       val gDisc = t.args.get("discount").map(_.toDouble)
+      // serve picks the order-5 PLAN, not the algebra: broadcast runs
+      // the streaming serve's broadcast-semi join (model tables stream
+      // map-side, ≤ 2 hash exchanges — right when the gated frame is a
+      // small arrival batch against a big model); shuffle (default) is
+      // the bulk cascade (right when the frame is corpus-sized). Rows
+      // identical either way (plan-spec-pinned).
+      val gBroadcast = t.args.get("serve").contains("broadcast")
       val sess = df.sparkSession
       def gHas(sub: String): Boolean = {
         val p = new org.apache.hadoop.fs.Path(t.arg("model"), sub)
         p.getFileSystem(sess.sparkContext.hadoopConfiguration).exists(p)
       }
+      require(!gBroadcast || gHas("c5"),
+        "lm_filter_against: serve=broadcast is the order-5 serve plan " +
+          "— the order-2/3 cascades have no broadcast-semi variant; " +
+          "drop the arg for a c3/c12 model")
       val gStaged = df.localCheckpoint(false)
       val gScorable = gStaged.filter(col(gKey).isNotNull)
       val (gScored, gCeCol) =
@@ -512,7 +525,8 @@ object Transforms {
           (graft.ops.LanguageModel.modifiedKn5Against(
             gScorable, gKey, gText,
             graft.ops.LanguageModel.loadKn5Model(sess, t.arg("model")),
-            floorEps = gEps), "kn5_cross_entropy")
+            floorEps = gEps, broadcastScore = gBroadcast),
+            "kn5_cross_entropy")
         } else if (gHas("c3")) {
           (graft.ops.LanguageModel.kneserNeyTrigramAgainst(
             gScorable, gKey, gText,

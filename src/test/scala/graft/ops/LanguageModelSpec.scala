@@ -784,6 +784,18 @@ class LanguageModelSpec extends SparkSpec with Matchers {
       // ...and the two plans return identical rows.
       streamPlan.collect().map(_.toString).sorted.toSeq shouldBe
         bulkPlan.collect().map(_.toString).sorted.toSeq
+      // The PUBLIC batch serve exposes the same plan (r13 verdict:
+      // the broadcast-semi shape was private and streaming-only, so
+      // a daily-ingest BATCH gate shuffled all ten model tables for a
+      // small arrival batch): broadcastScore = true must pin the same
+      // ≤ 2-exchange shape and the same rows as the bulk cascade.
+      val batchServe = LanguageModel.modifiedKn5Against(
+        batch, "doc_id", "text", model, broadcastScore = true)
+      withClue(batchServe.queryExecution.executedPlan.toString.take(4000)) {
+        hashExchanges(batchServe) should be <= 2
+      }
+      batchServe.collect().map(_.toString).sorted.toSeq shouldBe
+        bulkPlan.collect().map(_.toString).sorted.toSeq
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 

@@ -948,6 +948,28 @@ class RunnerSpec extends SparkSpec {
       Transforms.parse(s"lm_filter_against(key=doc_id,col=bio," +
         s"model=$base/kn5,max_ce=9.0,discount=0.5)")))
     assert(e.getMessage.contains("count-of-counts"))
+
+    // serve=broadcast: the daily-ingest plan (model tables stream
+    // map-side, the streaming serve's join shape) — SAME survivors as
+    // the default cascade, kn5-only.
+    val ce5 = graft.ops.LanguageModel.modifiedKn5Against(
+        ingest, "doc_id", "bio",
+        graft.ops.LanguageModel.loadKn5Model(spark, s"$base/kn5"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut5 = (ce5(100L) + ce5(101L)) / 2
+    val keptB = Transforms.applyAll(ingest, Transforms.parse(
+        s"lm_filter_against(key=doc_id,col=bio,model=$base/kn5," +
+          s"max_ce=$cut5,serve=broadcast)"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(100L), s"broadcast serve kept $keptB")
+    // ...and it refuses sub-order-5 models (their cascades have no
+    // broadcast-semi variant) and typo'd values at parse time.
+    assert(intercept[IllegalArgumentException](Transforms.applyAll(ingest,
+      Transforms.parse(s"lm_filter_against(key=doc_id,col=bio," +
+        s"model=$base/kn3,max_ce=9.0,serve=broadcast)")))
+      .getMessage.contains("order-5"))
+    intercept[IllegalArgumentException](Transforms.parse(
+      "lm_filter_against(key=i,col=b,model=/tmp/x,max_ce=1.0,serve=fast)"))
   }
 
   test("corpus-prep job: documents to packed training sequences in ONE JobConfig, TFRecord out") {
