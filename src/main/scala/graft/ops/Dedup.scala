@@ -153,17 +153,25 @@ object Dedup {
     * (dup_count of repeated hashes must update, so the exact index is
     * rebuild-maintained, not append-maintained — the merge is one
     * hash-agg over index ∪ batch-index, never the corpus). */
-  /** `root` (set by [[loadExactIndexPartitioned]]) enables the
-    * DIRECT-PATH serve: the probed bucket directories are read by
-    * explicit path, so per-serve driver work is O(|batch|) existence
-    * probes and the scan's file listing never touches the other
-    * bucket directories — the cost that made a ∝-corpus bucket count
-    * (flat read bytes) pay an O(#partitions) planning pass per serve
-    * (r12's one canary outlier; a √-sizing attempt just moved the
-    * cost into √-growing read bytes). Without `root` the serve falls
-    * back to an `isin` partition filter over the loaded frame. */
+  /** `root` (set ONLY by [[loadExactIndexPartitioned]] — it is
+    * `private[graft]` so external code can neither set nor read it)
+    * enables the DIRECT-PATH serve: the probed bucket directories are
+    * read by explicit path, so per-serve driver work is O(|batch|)
+    * existence probes and the scan's file listing never touches the
+    * other bucket directories — the cost that made a ∝-corpus bucket
+    * count (flat read bytes) pay an O(#partitions) planning pass per
+    * serve (r12's one canary outlier; a √-sizing attempt just moved
+    * the cost into √-growing read bytes). Without `root` the serve
+    * falls back to an `isin` partition filter over the loaded frame.
+    * INVARIANT (r13 ADVICE): `root` BINDS the serve to the persisted
+    * layout — the direct-path probe reads the on-disk buckets and
+    * ignores `rows` for the probed set, so a value whose `rows` was
+    * replaced in memory (e.g. via `copy()` after a merge) while `root`
+    * survived would silently classify against stale on-disk hashes.
+    * Never carry `root` past a `rows` replacement; a refreshed index
+    * is re-loaded from its re-saved layout, never patched in place. */
   final case class ExactHashIndex(rows: DataFrame, hashBuckets: Int,
-      root: Option[String] = None)
+      private[graft] val root: Option[String] = None)
 
   /** Build + persist an [[ExactHashIndex]] from an [[exact]] /
     * [[loadExactIndex]] table. Size `nHashBuckets` ∝ corpus (constant

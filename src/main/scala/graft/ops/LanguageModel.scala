@@ -866,6 +866,30 @@ object LanguageModel {
     kn5ScoreJoinWith(ngrams(score, idCol, textCol, 5, "fg"), model,
       disc, floorEps, idCol, broadcastScore = true)
 
+  /** The nine-key arrival projection of the broadcast-score serve —
+    * exposed so a STREAMING caller can own its materialization and
+    * release it after the sink (the [[graft.ops.Dedup
+    * .stageExactArrivals]] / `withStaged` pattern: the internal
+    * localCheckpoint of the batch path would leave one lingering
+    * block per micro-batch, the r9 monitor-leak class — the soak
+    * caught exactly that on this face). Pair with
+    * [[modifiedKn5AgainstStaged]]. */
+  private[graft] def stageKn5Arrivals(
+      score: DataFrame, idCol: String, textCol: String): DataFrame =
+    kn5Keyed(ngrams(score, idCol, textCol, 5, "fg"))
+
+  /** The broadcast-score join over an already-STAGED keyed projection
+    * (a [[stageKn5Arrivals]] output the caller has made stable — it
+    * feeds the nine broadcast-semi probes AND the accumulator). No
+    * materialization happens here; block ownership stays with the
+    * caller. */
+  private[graft] def modifiedKn5AgainstStaged(
+      keyed: DataFrame, model: Kn5Model,
+      disc: Map[String, (Double, Double, Double)],
+      floorEps: Double, idCol: String): DataFrame =
+    kn5ScoreJoinKeyed(keyed, model, disc, floorEps, idCol,
+      broadcastScore = true)
+
   /** The order-5 scoring join, shared verbatim by the in-engine and
     * serve paths. Per-level discounts re-estimated from the model's
     * own tables (one union-aggregate job). */
@@ -880,6 +904,37 @@ object LanguageModel {
       disc: Map[String, (Double, Double, Double)],
       floorEps: Double, idCol: String,
       broadcastScore: Boolean = false): DataFrame = {
+    // Under broadcastScore the keyed projection is localCheckpointed:
+    // it feeds the nine broadcast-semi probes AND the accumulator, and
+    // without it each broadcast subtree would re-run the batch's
+    // ngram-explode plan (~10 recomputations per serve, r13 ADVICE).
+    // One-shot BATCH ownership only (blocks release at GC) — a
+    // per-micro-batch caller must use the stageKn5Arrivals /
+    // modifiedKn5AgainstStaged split and release after its sink.
+    val keyed0 = kn5Keyed(scoreFg)
+    val keyed = if (broadcastScore) keyed0.localCheckpoint(false) else keyed0
+    kn5ScoreJoinKeyed(keyed, model, disc, floorEps, idCol, broadcastScore)
+  }
+
+  /** All nine lookup keys derive from the batch's fg column alone, so
+    * they are computed BEFORE any join — which is what makes the
+    * broadcast-score mode linear (see [[kn5ScoreJoinKeyed]]). */
+  private def kn5Keyed(scoreFg: DataFrame): DataFrame =
+    scoreFg
+      .withColumn("p1234", substring_index(col("fg"), " ", 4))
+      .withColumn("s2345", substring_index(col("fg"), " ", -4))
+      .withColumn("p234", substring_index(col("s2345"), " ", 3))
+      .withColumn("s345", substring_index(col("s2345"), " ", -3))
+      .withColumn("p34", substring_index(col("s345"), " ", 2))
+      .withColumn("s45", substring_index(col("s345"), " ", -2))
+      .withColumn("w4d", substring_index(col("s45"), " ", 1))
+      .withColumn("w5c", substring_index(col("s45"), " ", -1))
+
+  private def kn5ScoreJoinKeyed(
+      keyed: DataFrame, model: Kn5Model,
+      disc: Map[String, (Double, Double, Double)],
+      floorEps: Double, idCol: String,
+      broadcastScore: Boolean): DataFrame = {
     require(floorEps > 0 && floorEps < 1,
       s"floor epsilon must be in (0, 1) (got $floorEps)")
     val d5 = disc("order 5")
@@ -900,23 +955,6 @@ object LanguageModel {
     def tagged(df: DataFrame, suffix: String): DataFrame =
       Seq("k1", "k2", "k3").foldLeft(df)((d, k) =>
         d.withColumnRenamed(k, s"${k}_$suffix"))
-    // All nine lookup keys derive from the batch's fg column alone, so
-    // they are computed BEFORE any join — which is what makes the
-    // broadcast-score mode linear (below). Under broadcastScore the
-    // projection is additionally localCheckpointed: it feeds the nine
-    // broadcast-semi probes AND the accumulator, and without the
-    // checkpoint each broadcast subtree would re-run the batch's
-    // ngram-explode plan (~10 recomputations per serve, r13 ADVICE).
-    val keyed0 = scoreFg
-      .withColumn("p1234", substring_index(col("fg"), " ", 4))
-      .withColumn("s2345", substring_index(col("fg"), " ", -4))
-      .withColumn("p234", substring_index(col("s2345"), " ", 3))
-      .withColumn("s345", substring_index(col("s2345"), " ", -3))
-      .withColumn("p34", substring_index(col("s345"), " ", 2))
-      .withColumn("s45", substring_index(col("s345"), " ", -2))
-      .withColumn("w4d", substring_index(col("s45"), " ", 1))
-      .withColumn("w5c", substring_index(col("s45"), " ", -1))
-    val keyed = if (broadcastScore) keyed0.localCheckpoint(false) else keyed0
     // The left joins as written shuffle the MODEL tables (an outer
     // join can only broadcast its non-preserved/build side, and here
     // the preserved side is the small one — Spark cannot broadcast

@@ -913,7 +913,7 @@ object StreamingOps {
       n1c = model.n1c.persist(lvl), stats = model.stats.persist(lvl))
     val queryName = releaseOnTermination(docs.sparkSession,
       "graft-lm-score",
-      Seq(servable.c12, servable.c1, servable.n1c, servable.stats))
+      Seq(servable.c12, servable.c1, servable.n1c, servable.stats), lvl)
     docs.writeStream.queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         sink(graft.ops.LanguageModel.kneserNeyAgainst(
@@ -932,31 +932,50 @@ object StreamingOps {
     * ordered, so the id is always set first). A caller that OVERRIDES
     * the writer's query name degrades to the QUIESCENCE fallback
     * instead of leaking forever (review finding r13): when any query
-    * terminates, our name never started, and NO stream remains active
-    * on the session, nothing can be serving these frames — release
-    * and deregister then. (If the caller starts the renamed query
-    * after such a release, it runs uncached but correct — persist is
-    * a cache over parquet-backed lineage.) A model shared across
-    * CONCURRENT queries loses its cache when the first terminates;
-    * survivors recompute. */
+    * terminates, our name never started, and NO OTHER stream remains
+    * active on the session (the terminating query may still list
+    * itself in `streams.active` during its own terminated event —
+    * r13 ADVICE — hence the forall, not isEmpty), nothing can be
+    * serving these frames — release then, but KEEP the listener: the
+    * same window covers the gap between writer construction and
+    * `start()`, where an unrelated query's termination on an
+    * otherwise-idle session would release prematurely. If the named
+    * query then starts, onQueryStarted RE-PERSISTS the frames (r13
+    * ADVICE: the premature release used to also drop the listener, so
+    * the eventual query served uncached forever), and the normal
+    * termination path finally removes the listener. A renamed query
+    * releases on quiescence but leaves its (idle, frame-holding)
+    * listener registered — the price of not being able to tell
+    * "renamed" from "not started yet"; prefer the pre-set name. A
+    * model shared across CONCURRENT queries loses its cache when the
+    * first terminates; survivors recompute. */
   private def releaseOnTermination(
       spark: org.apache.spark.sql.SparkSession, prefix: String,
-      frames: Seq[DataFrame]): String = {
+      frames: Seq[DataFrame],
+      lvl: org.apache.spark.storage.StorageLevel): String = {
     val queryName = s"$prefix-${java.util.UUID.randomUUID()}"
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val release = new StreamingQueryListener {
       @volatile private var myId: java.util.UUID = null
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit =
-        if (e.name == queryName) myId = e.id
+        if (e.name == queryName) {
+          myId = e.id
+          // Restore the cache if a quiescence release fired in the
+          // construction→start window (persist on an already-cached
+          // frame is a warning no-op, so the common path is free).
+          frames.foreach(_.persist(lvl))
+        }
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == myId ||
-            (myId == null && spark.streams.active.isEmpty)) {
+        if (e.id == myId) {
           frames.foreach(_.unpersist(false))
           spark.streams.removeListener(this)
+        } else if (myId == null &&
+            spark.streams.active.forall(_.id == e.id)) {
+          frames.foreach(_.unpersist(false)) // listener stays — see doc
         }
     }
     spark.streams.addListener(release)
@@ -994,11 +1013,18 @@ object StreamingOps {
     // warms the caches every later batch reads.
     val disc = graft.ops.LanguageModel.estimateKn5Discounts(servable)
     val queryName = releaseOnTermination(docs.sparkSession,
-      "graft-lm5-score", frames)
+      "graft-lm5-score", frames, lvl)
     docs.writeStream.queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(graft.ops.LanguageModel.modifiedKn5AgainstPrepared(
-          batch.toDF(), idCol, textCol, servable, disc, floorEps), batchId)
+        // The batch's keyed 5-gram projection feeds the nine
+        // broadcast-semi probes AND the accumulator — staged via
+        // withStaged so the block releases after the sink (the batch
+        // path's internal localCheckpoint would leave one lingering
+        // block per micro-batch; the soak caught it).
+        withStaged(graft.ops.LanguageModel.stageKn5Arrivals(
+            batch.toDF(), idCol, textCol), batchId, sink)(
+          keyed => graft.ops.LanguageModel.modifiedKn5AgainstStaged(
+            keyed, servable, disc, floorEps, idCol))
       }
   }
 

@@ -895,6 +895,59 @@ class StreamingSpec extends SparkSpec with Matchers {
       "renamed scoring queries must release via the quiescence fallback")
   }
 
+  test("lmScoreStream: a pre-start quiescence release re-persists when the named query starts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    import org.apache.spark.storage.StorageLevel
+    val train = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val model = LanguageModel.fitKn(train, "text")
+    val stream = MemoryStream[(Long, String)]
+    // Writer CONSTRUCTED (listener registered, frames persist-marked)
+    // but not yet started — the r13 ADVICE window.
+    val writer = StreamingOps.lmScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model) {
+      (rows, _) => rows.collect(): Unit
+    }
+    // An unrelated query terminates on the otherwise-idle session →
+    // the quiescence fallback fires and unpersists the model frames.
+    val nudgeStream = MemoryStream[Long]
+    val nudge = nudgeStream.toDF().writeStream
+      .foreachBatch(
+        (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => ())
+      .start()
+    nudgeStream.addData(1L)
+    nudge.processAllAvailable(); nudge.stop(); nudge.awaitTermination()
+    val deadline1 = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def level = model.c12.storageLevel
+    while (level != StorageLevel.NONE && System.nanoTime() < deadline1)
+      Thread.sleep(100)
+    assert(level == StorageLevel.NONE,
+      "pre-start quiescence must release (nothing can be serving yet)")
+    // The named query now starts: onQueryStarted must RE-persist (the
+    // old behavior also removed the listener on that release, so the
+    // eventual query served uncached every micro-batch, forever).
+    val q = writer.start()
+    try {
+      stream.addData(Seq((10L, "the cat and the dog")))
+      q.processAllAvailable()
+      val deadline2 = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (level == StorageLevel.NONE && System.nanoTime() < deadline2)
+        Thread.sleep(100)
+      assert(level != StorageLevel.NONE,
+        "the named query's start must restore the model cache")
+    } finally { q.stop(); q.awaitTermination() }
+    // ...and the normal termination path still releases.
+    val deadline3 = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (level != StorageLevel.NONE && System.nanoTime() < deadline3)
+      Thread.sleep(100)
+    assert(level == StorageLevel.NONE,
+      "the normal termination release must still fire after a re-persist")
+  }
+
   test("lm5ScoreStream: per-batch order-5 MKN scores match the batch serve; cache releases on stop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
