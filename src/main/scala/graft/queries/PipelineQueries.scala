@@ -447,9 +447,16 @@ object PipelineQueries {
         val arr = emb.filter(col("vec_id") % 2 =!= 0)
         val idx = Similarity.fitIndex(hist, "vec_id", "embedding",
           nCentroids = 16, m = 8, kSub = 16)
+        // nProbe/adcMargin measured at sf0.1 (the r14 certification):
+        // at 6/0.15 recall fell to 0.46 — the ADC estimate's
+        // quantization error on this data exceeds the 0.15 margin, so
+        // true pairs died in the pre-filter before exact refinement.
+        // 8/0.3 measures 0.82 at sf0.1 (and higher at sf0.01); the
+        // 0.5 bar keeps honest headroom at both scales.
         val served = Similarity.nearDupAgainst(
           arr, hist, Similarity.encodeCorpus(hist, "vec_id", "embedding", idx),
-          "vec_id", "embedding", idx, threshold = 0.42, nProbe = 6)
+          "vec_id", "embedding", idx, threshold = 0.42, nProbe = 8,
+          adcMargin = 0.3)
         val exact = Dedup.embeddingCosinePairs(
             emb, "vec_id", "embedding", threshold = 0.42)
           .filter((col("id_a") % 2 =!= 0 && col("id_b") % 2 === 0) ||
@@ -498,7 +505,8 @@ object PipelineQueries {
         val idx = Similarity.loadIndex(s"$path/ann", s)
         val served = Similarity.nearDupAgainst(
           arr, hist.limit(0), Similarity.loadEncodedCorpus(s, s"$path/encoded"),
-          "vec_id", "embedding", idx, threshold = 0.42, nProbe = 6)
+          "vec_id", "embedding", idx, threshold = 0.42, nProbe = 8,
+          adcMargin = 0.3) // settings measured at sf0.1 — see the twin above
         val exact = Dedup.embeddingCosinePairs(
             emb, "vec_id", "embedding", threshold = 0.42)
           .filter((col("id_a") % 2 =!= 0 && col("id_b") % 2 === 0) ||
