@@ -116,8 +116,25 @@ object Fit {
         graft.ops.LanguageModel.fitKn(df, textCol), outDir)
       case "kn3" => graft.ops.LanguageModel.saveKn3Model(
         graft.ops.LanguageModel.fitKn3(df, textCol), outDir)
-      case "kn5" => graft.ops.LanguageModel.saveKn5Model(
-        graft.ops.LanguageModel.fitKn5(df, textCol), outDir)
+      case "kn5" =>
+        val model = graft.ops.LanguageModel.fitKn5(df, textCol)
+        // Serve-time validation at FIT time: the count tables always
+        // fit, but order-5 MKN serving estimates its discounts from
+        // the tables' own count-of-counts and fails fast on corpora
+        // without count-class decay at every order — surfacing that
+        // here (one union-aggregate job) beats shipping an artifact
+        // every gate rejects. (Hit in practice: the synthetic test
+        // documents fit fine and then failed every serve.)
+        try graft.ops.LanguageModel.estimateKn5Discounts(model)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              "Fit kn5: the model fits but can never SERVE — " +
+                e.getMessage + " — use kn3/kn for this corpus, or " +
+                "fit on a larger/more repetitive reference corpus",
+              e)
+        }
+        graft.ops.LanguageModel.saveKn5Model(model, outDir)
       case "exact_index" =>
         val idx = graft.ops.Dedup.exact(df, idCol, textCol)
         size match {

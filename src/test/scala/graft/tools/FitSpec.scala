@@ -124,6 +124,18 @@ class FitSpec extends SparkSpec with Matchers {
     hits.head.getAs[Long]("doc_id") shouldBe 101L
   }
 
+  test("Fit kn5 rejects an unservable corpus at FIT time, naming the contract") {
+    // The synthetic docs FIT fine (raw counts always exist) but lack
+    // count-class decay at order 5, so every serve would fail — the
+    // trap must surface at train time.
+    val out = scratch("kn5bad")
+    val e = intercept[IllegalArgumentException](
+      Fit.fit(spark, "kn5", textCorpus, "doc_id", "body", s"$out/m", None))
+    e.getMessage should include("can never SERVE")
+    // ...and nothing was persisted (the gate would sniff c5/ and die).
+    new java.io.File(s"$out/m/c5").exists() shouldBe false
+  }
+
   test("Fit fails fast on unknown families and unknown or mistyped opts") {
     val out = scratch("bad")
     intercept[IllegalArgumentException](
