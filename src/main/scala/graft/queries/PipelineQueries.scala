@@ -343,6 +343,37 @@ object PipelineQueries {
       },
       Some(DedupIncrementalSql)),
 
+    // Append-composability of the UNCAPPED LSH band index, pinned
+    // cross-engine (the dedup_exact_merged pattern at the minhash
+    // face): history lands in the layout as save(evens) THEN
+    // append(odds), and serving the batch against it must equal the
+    // oracle's one-shot replay over ALL of history — appendLshBandIndex
+    // may only change file layout, never a row. Uncapped build/serve
+    // (capped builds are rebuild-only, the sidecar contract), so the
+    // oracle is the incremental SQL minus its two bucket-cap joins.
+    QueryDef(
+      "dedup_minhash_append",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+        def sigs(d: org.apache.spark.sql.DataFrame) =
+          Dedup.minhashSignatures(d, "doc_id", "text",
+            shingleN = 3, k = 16, portable = true)
+        val path = QueryDef.deleteOnExit(
+          s"/tmp/graft-lsh-append-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${s.sparkContext.applicationId}")
+        Dedup.saveLshBandIndex(
+          sigs(hist.filter(pmod(col("doc_id"), lit(2)) === 0)),
+          path, k = 16, bands = 8, portable = true, nHashBuckets = 16)
+        Dedup.appendLshBandIndex(
+          sigs(hist.filter(pmod(col("doc_id"), lit(2)) =!= 0)), path)
+        Dedup.minhashLshAgainst(sigs(batch),
+          Dedup.loadLshBandIndex(s, path),
+          threshold = 0.125, maxBucket = Int.MaxValue)
+      },
+      Some(DedupAppendSql)),
+
     QueryDef(
       "dedup_simhash",
       (s, dir) => Dedup.simhashPairs(
@@ -2626,6 +2657,50 @@ object PipelineQueries {
           JOIN bb y ON x.b = y.b AND x.band_hash = y.band_hash
           JOIN bszn zn ON zn.b = x.b AND zn.band_hash = x.band_hash AND zn.m <= 200
           JOIN bszb zb ON zb.b = x.b AND zb.band_hash = x.band_hash AND zb.m <= 200),
+        scored AS (
+          SELECT c.new_id, c.base_id,
+                 CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.id = c.new_id
+          JOIN sig sb ON sb.id = c.base_id)
+        SELECT new_id, base_id, est_jaccard FROM scored WHERE est_jaccard >= 0.125"""
+
+  /** Oracle of dedup_minhash_append: [[DedupIncrementalSql]]'s replay
+    * minus the two bucket-cap joins — the append query builds and
+    * serves UNCAPPED (a capped layout is rebuild-only), so the oracle
+    * must not cap either. Deliberately knows nothing about the
+    * save/append split: one replay over all of history IS the law
+    * being pinned. */
+  private lazy val DedupAppendSql = """
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+          FROM w),
+        hp AS (
+          SELECT id,
+                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(shs, s -> CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % 2147483647) AS h2
+          FROM sh WHERE len(shs) > 0),
+        sig AS (
+          SELECT id, list_transform(range(0, 16),
+                   j -> list_min(list_transform(range(1, len(h1) + 1),
+                          x -> (h1[x] + j * h2[x]) % 2147483647))) AS sig
+          FROM hp),
+        banded AS (
+          SELECT id, b,
+                 md5(array_to_string(sig[b*2+1 : b*2+2], ',') || ',' || b) AS band_hash
+          FROM sig, unnest(range(0, 8)) t(b)),
+        bn AS (SELECT * FROM banded WHERE id % 5 = 4),
+        bb AS (SELECT * FROM banded WHERE id % 5 != 4),
+        cand AS (
+          SELECT DISTINCT x.id AS new_id, y.id AS base_id
+          FROM bn x
+          JOIN bb y ON x.b = y.b AND x.band_hash = y.band_hash),
         scored AS (
           SELECT c.new_id, c.base_id,
                  CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 AS est_jaccard
