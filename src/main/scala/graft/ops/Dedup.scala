@@ -153,9 +153,13 @@ object Dedup {
     * (dup_count of repeated hashes must update, so the exact index is
     * rebuild-maintained, not append-maintained — the merge is one
     * hash-agg over index ∪ batch-index, never the corpus). */
-  /** `root` (set ONLY by [[loadExactIndexPartitioned]] — it is
-    * `private[graft]` so external code can neither set nor read it)
-    * enables the DIRECT-PATH serve: the probed bucket directories are
+  /** `root` (set ONLY by [[loadExactIndexPartitioned]] — it is a
+    * `private[graft]` val, so external code cannot READ it; note the
+    * Scala 2 case-class wart that the generated `apply`/`copy` can
+    * still SET the parameter — doing so with a root you did not get
+    * from `loadExactIndexPartitioned`, or carrying one across a
+    * `copy(rows = …)`, violates the invariant below) enables the
+    * DIRECT-PATH serve: the probed bucket directories are
     * read by explicit path, so per-serve driver work is O(|batch|)
     * existence probes and the scan's file listing never touches the
     * other bucket directories — the cost that made a ∝-corpus bucket
@@ -624,7 +628,13 @@ object Dedup {
     * `graft.tools.Maintain`) when listing cost matters. */
   def appendLshBandIndex(sigs: DataFrame, path: String): Unit = {
     val spark = sigs.sparkSession
-    val idx = loadLshBandIndex(spark, path)
+    // Sidecar ONLY — loadLshBandIndex would eagerly list every file
+    // under bands/ to build the rows frame this method never touches,
+    // putting an O(#files) driver pass in front of each append on
+    // exactly the append-maintained layouts whose file counts grow
+    // per batch (review finding r14; the appendSimhashBandIndex
+    // pattern).
+    val idx = loadLshBandStats(spark, path)
     require(idx.maxBucket.contains(Int.MaxValue),
       idx.maxBucket match {
         case Some(cap) =>
@@ -668,14 +678,28 @@ object Dedup {
     * [[saveLshBandIndex]]). */
   def loadLshBandIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): LshBandIndex = {
+    val st = loadLshBandStats(spark, path)
+    LshBandIndex(spark.read.parquet(s"$path/bands"),
+      st.k, st.bands, st.portable, st.hashBuckets, st.shingleN,
+      st.maxBucket)
+  }
+
+  /** The build parameters of a [[saveLshBandIndex]] layout WITHOUT its
+    * band frame — one 1-row sidecar read, no bands/ file listing. The
+    * append path needs only these. */
+  private final case class LshBandStats(
+      k: Int, bands: Int, portable: Boolean, hashBuckets: Int,
+      shingleN: Option[Int], maxBucket: Option[Int])
+
+  private def loadLshBandStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): LshBandStats = {
     val st = spark.read.parquet(s"$path/stats").head()
     def optInt(name: String): Option[Int] =
       if (st.schema.fieldNames.contains(name) &&
           !st.isNullAt(st.fieldIndex(name)))
         Some(st.getInt(st.fieldIndex(name)))
       else None
-    LshBandIndex(spark.read.parquet(s"$path/bands"),
-      st.getAs[Int]("k"), st.getAs[Int]("bands"),
+    LshBandStats(st.getAs[Int]("k"), st.getAs[Int]("bands"),
       st.getAs[Boolean]("portable"), st.getAs[Int]("hash_buckets"),
       optInt("shingle_n"), optInt("max_bucket"))
   }

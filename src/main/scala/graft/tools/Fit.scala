@@ -90,11 +90,27 @@ object Fit {
       s"Fit $what: unknown opt '$k'" +
         (if (allowed.isEmpty) " (this family takes no opts)"
          else s" (allowed: ${allowed.toSeq.sorted.mkString(", ")})")))
+    // The KN families consume no size — accepting-and-ignoring one
+    // would be the silent-misconfiguration class the opt whitelist
+    // exists to kill (review finding r14).
+    require(size.isEmpty || !Set("kn", "kn3", "kn5").contains(what),
+      s"Fit $what: this family takes no [size] argument — " +
+        s"drop the ${size.get}")
     def optInt(k: String, default: Int): Int =
-      opts.get(k).map(v => v.toIntOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"Fit $what: opt '$k' must be an integer, got '$v'")))
-        .getOrElse(default)
+      opts.get(k).map { v =>
+        val n = v.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"Fit $what: opt '$k' must be an integer, got '$v'"))
+        // Every integer knob here is structurally positive (band/hash
+        // counts, shingle widths, PQ geometry, bucket caps): 0 or a
+        // negative builds an artifact that fits fine and serves
+        // nothing/dies — the fit-succeeds/serve-dies trap class.
+        require(n > 0,
+          s"Fit $what: opt '$k' must be a positive integer, got '$v'")
+        n
+      }.getOrElse(default)
+    size.foreach(n => require(n > 0,
+      s"Fit $what: size must be a positive integer, got $n"))
     def optBool(k: String): Boolean = opts.get(k).map { v =>
       require(v == "true" || v == "false",
         s"Fit $what: opt '$k' must be true or false, got '$v'")

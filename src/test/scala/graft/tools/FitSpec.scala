@@ -157,5 +157,20 @@ class FitSpec extends SparkSpec with Matchers {
       Fit.fit(spark, "simhash_index", textCorpus, "doc_id", "body", out,
         None, Map("portable" -> "yes")))
       .getMessage should include("true or false")
+    // The KN families take no size — accepting-and-ignoring one is the
+    // silent-misconfiguration class (review finding r14).
+    intercept[IllegalArgumentException](
+      Fit.fit(spark, "kn3", textCorpus, "doc_id", "body", out, Some(512)))
+      .getMessage should include("no [size]")
+    // Non-positive knobs build artifacts that fit fine and serve
+    // nothing (max_bucket=0 drops EVERY band row) — fail at fit.
+    intercept[IllegalArgumentException](
+      Fit.fit(spark, "minhash_index", textCorpus, "doc_id", "body", out,
+        None, Map("max_bucket" -> "0")))
+      .getMessage should include("positive")
+    intercept[IllegalArgumentException](
+      Fit.fit(spark, "bm25_index", textCorpus, "doc_id", "body", out,
+        Some(0)))
+      .getMessage should include("positive")
   }
 }
