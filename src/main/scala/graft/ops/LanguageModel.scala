@@ -734,6 +734,125 @@ object LanguageModel {
       spark.read.parquet(s"$path/t2"), spark.read.parquet(s"$path/d2"),
       spark.read.parquet(s"$path/t1"), spark.read.parquet(s"$path/stats"))
 
+  /** Partition column of the key-bucketed order-5 serve layout. */
+  private[graft] val Kn5KeyBucket = "__graft_kb"
+
+  /** (table name, lookup-key column) of the nine keyed order-5
+    * tables, in the scoring join's order. */
+  private val Kn5Keyed: Seq[(String, String)] = Seq(
+    "c5" -> "fg", "p4" -> "p1234", "t4" -> "s2345", "d4" -> "p234",
+    "t3" -> "s345", "d3" -> "p34", "t2" -> "s45", "d2" -> "w4d",
+    "t1" -> "w5c")
+
+  /** A persisted, KEY-BUCKETED order-5 model — the partitioned serve
+    * layout of the LM face (the [[graft.ops.Dedup.ExactHashIndex]] /
+    * bm25 argument applied to language-model serving): each of the
+    * nine keyed count tables lands in `keyBuckets` key-hash partition
+    * directories, so a serve reads only the partitions the ARRIVAL
+    * batch's n-gram keys fall into — at real model scale (billions of
+    * n-gram types over a reference corpus) the flat layout's
+    * every-serve scan of all ten tables is exactly the cost partition
+    * pruning kills on every other serve face. The four per-level
+    * discount triples are estimated ONCE at save and ride the `meta`
+    * sidecar (they derive deterministically from the model's own
+    * count-of-counts, and doubles round-trip parquet exactly, so
+    * save-time and load-time estimation are the same bits) — a serve
+    * therefore never scans the numerator tables for count-of-counts,
+    * which would defeat the pruning. */
+  final case class Kn5PartModel(
+      tables: Map[String, DataFrame], stats: DataFrame,
+      keyBuckets: Int, disc: Map[String, (Double, Double, Double)])
+
+  /** Persist an order-5 model KEY-BUCKETED (see [[Kn5PartModel]]).
+    * Size `nKeyBuckets` to the model (constant per-bucket bytes):
+    * serve scan ≈ |batch n-gram keys| × bucket size per table, flat
+    * as the reference corpus grows. Fails fast (at FIT time, not
+    * first serve) when the corpus cannot support order-5 MKN — the
+    * discount estimation runs here anyway. */
+  def saveKn5ModelPartitioned(
+      model: Kn5Model, path: String, nKeyBuckets: Int = 64): Unit = {
+    require(nKeyBuckets > 0,
+      "saveKn5ModelPartitioned: nKeyBuckets must be > 0")
+    val disc = mknDiscountsAll(model)
+    val frames = Map(
+      "c5" -> model.c5, "p4" -> model.p4, "t4" -> model.t4,
+      "d4" -> model.d4, "t3" -> model.t3, "d3" -> model.d3,
+      "t2" -> model.t2, "d2" -> model.d2, "t1" -> model.t1)
+    Kn5Keyed.foreach { case (name, key) =>
+      frames(name)
+        .withColumn(Kn5KeyBucket, OpsUtil.hashBucket(nKeyBuckets, col(key)))
+        .repartition(nKeyBuckets, col(Kn5KeyBucket))
+        .write.mode("overwrite").partitionBy(Kn5KeyBucket)
+        .parquet(s"$path/$name")
+    }
+    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val spark = model.stats.sparkSession
+    import spark.implicits._
+    val levels = Seq("order 5", "level 4", "level 3", "level 2")
+    levels.map { lvl =>
+      val (d1, d2, d3) = disc(lvl)
+      (lvl, nKeyBuckets, d1, d2, d3)
+    }.toDF("level", "key_buckets", "d1", "d2", "d3")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted [[Kn5PartModel]] (inverse of
+    * [[saveKn5ModelPartitioned]]). One file listing per table happens
+    * HERE (building each frame's file index); serves against the
+    * loaded value prune partitions through the cached index with no
+    * re-listing. */
+  def loadKn5ModelPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String): Kn5PartModel = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    val disc = meta.map(r =>
+      r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    Kn5PartModel(
+      Kn5Keyed.map { case (name, _) =>
+        name -> spark.read.parquet(s"$path/$name")
+      }.toMap,
+      spark.read.parquet(s"$path/stats"),
+      meta.head.getInt(1), disc)
+  }
+
+  /** [[modifiedKn5Against]] against a persisted [[Kn5PartModel]] —
+    * IDENTICAL output to the flat serve (same counts, same sidecar
+    * discounts, shared scoring join — spec-pinned row parity),
+    * different physics: the batch's nine key projections collect to
+    * ONE distinct (table, bucket) set (≤ 9 × keyBuckets ints, one
+    * job over the staged batch), each count table is pruned to the
+    * probed partitions BEFORE the broadcast-semi join, and the serve
+    * plan keeps the broadcast-score shape (≤ 2 hash exchanges, model
+    * never shuffled). Serve cost ≈ |batch keys| × bucket size instead
+    * of the whole model. */
+  def modifiedKn5AgainstPartitioned(
+      score: DataFrame, idCol: String, textCol: String,
+      model: Kn5PartModel, floorEps: Double = 1e-6): DataFrame = {
+    // Staged once: feeds the bucket collect, the nine semi probes,
+    // and the accumulator (the stageExactArrivals contract — a batch
+    // caller owns a one-shot block; a per-micro-batch caller should
+    // persist/release around this call).
+    val keyed = stageKn5Arrivals(score, idCol, textCol).localCheckpoint(false)
+    val probes = keyed.select(explode(array(Kn5Keyed.map { case (name, key) =>
+        struct(lit(name).as("t"),
+          OpsUtil.hashBucket(model.keyBuckets, col(key)).as("b"))
+      }: _*)).as("x"))
+      .select(col("x.t"), col("x.b")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(_.getInt(1)).toSeq }
+    def pruned(name: String): DataFrame = {
+      val buckets = probes.getOrElse(name, Seq.empty)
+      val df = model.tables(name)
+      (if (buckets.isEmpty) df.limit(0)
+       else df.filter(col(Kn5KeyBucket).isin(buckets: _*)))
+        .drop(Kn5KeyBucket)
+    }
+    kn5ScoreJoinKeyed(keyed,
+      Kn5Model(pruned("c5"), pruned("p4"), pruned("t4"), pruned("d4"),
+        pruned("t3"), pruned("d3"), pruned("t2"), pruned("d2"),
+        pruned("t1"), model.stats),
+      model.disc, floorEps, idCol, broadcastScore = true)
+  }
+
   /** Distinct-5-gram table + every derived statistic. Each
     * denominator group-by carries its level's count-class sums
     * (k1/k2/k3 — what the MKN γ reads); each numerator below the top

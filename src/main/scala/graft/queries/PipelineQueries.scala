@@ -2173,6 +2173,32 @@ object PipelineQueries {
       },
       Some(LmScoreKn5Sql)),
 
+    // The SAME order-5 serve through the KEY-BUCKETED layout
+    // (saveKn5ModelPartitioned → parquet round trips →
+    // modifiedKn5AgainstPartitioned): nine count tables in key-hash
+    // partition directories, the batch's (table, bucket) probe set
+    // pruning each BEFORE the broadcast-semi join, discounts from the
+    // save-time sidecar instead of a per-serve count-of-counts scan.
+    // Shares lm_score_kn5's SQL VERBATIM — the layout may only change
+    // which files are read, never a row (the dedup_*_serve pattern at
+    // the LM face).
+    QueryDef(
+      "lm_score_kn5_pruned",
+      (s, dir) => {
+        import graft.ops.LanguageModel
+        val docs = table(s, dir, "documents")
+          .withColumn("text", Kn5EnrichSpark)
+        val path = QueryDef.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/graft-kn5part-" +
+            s.sparkContext.applicationId)
+        LanguageModel.saveKn5ModelPartitioned(
+          LanguageModel.fitKn5(docs, "text"), path, nKeyBuckets = 16)
+        LanguageModel.modifiedKn5AgainstPartitioned(
+          docs, "doc_id", "text",
+          LanguageModel.loadKn5ModelPartitioned(s, path))
+      },
+      Some(LmScoreKn5Sql)),
+
     // Persisted-model KN serving — the CCNet deployment shape: fit
     // the count tables once, save as parquet, load, score with ZERO
     // training passes. The oracle is lm_score_kn's SQL VERBATIM (the
@@ -2347,6 +2373,13 @@ object PipelineQueries {
 
   private lazy val Kn5EnrichSpark: org.apache.spark.sql.Column =
     concat((col("text") +: Kn5Gadgets.map(_._1)): _*)
+
+  /** The gadget-enrichment column (doc_id-keyed), exposed for the
+    * serve canary's order-5 faces: any corpus with a `doc_id` and a
+    * `text` column gains count-class decay at every order, so
+    * order-5 MKN fits/serves become measurable on synthetic data. */
+  private[graft] def kn5GadgetEnrich: org.apache.spark.sql.Column =
+    Kn5EnrichSpark
 
   /** Shared verbatim by lm_score_kn5 and lm_score_kn5_serve: the full
     * order-5 modified-KN recursion — per-level count tables, per-level

@@ -517,7 +517,27 @@ object Transforms {
       val gStaged = df.localCheckpoint(false)
       val gScorable = gStaged.filter(col(gKey).isNotNull)
       val (gScored, gCeCol) =
-        if (gHas("c5")) {
+        if (gHas("c5") && gHas("meta")) {
+          // Key-bucketed order-5 layout (saveKn5ModelPartitioned,
+          // detected by its meta sidecar): partition-pruned
+          // broadcast-semi serve, discounts from the sidecar. This
+          // layout IS the broadcast-score plan — serve=shuffle would
+          // contradict it (the bulk cascade needs the flat tables).
+          require(!t.args.get("serve").contains("shuffle"),
+            "lm_filter_against: a key-bucketed kn5 model (meta sidecar) " +
+              "serves the partition-pruned broadcast-semi plan by " +
+              "construction — drop serve=shuffle or point at a flat " +
+              "saveKn5Model layout")
+          require(gDisc.isEmpty,
+            "lm_filter_against: an order-5 modified-KN model estimates " +
+              "its discounts from its own count-of-counts — drop the " +
+              "discount arg (floor_eps still applies)")
+          (graft.ops.LanguageModel.modifiedKn5AgainstPartitioned(
+            gScorable, gKey, gText,
+            graft.ops.LanguageModel.loadKn5ModelPartitioned(
+              sess, t.arg("model")),
+            floorEps = gEps), "kn5_cross_entropy")
+        } else if (gHas("c5")) {
           require(gDisc.isEmpty,
             "lm_filter_against: an order-5 modified-KN model estimates " +
               "its discounts from its own count-of-counts — drop the " +

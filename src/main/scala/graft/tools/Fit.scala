@@ -25,8 +25,10 @@ import org.apache.spark.sql.SparkSession
   *   - `kn`         — bigram Kneser-Ney count tables
   *   - `kn3`        — order-3 KN count tables
   *   - `kn5`        — order-5 modified-KN count tables (the corpus
-  *                    must carry count-class decay at four orders or
-  *                    serving fails fast — see LanguageModel scaladoc)
+  *                    must carry count-class decay at four orders —
+  *                    validated HERE at fit time). [size = key-bucket
+  *                    count for the partition-pruned serve layout
+  *                    (saveKn5ModelPartitioned); omit for flat]
   *   - `exact_index` — content-hash dedup index [size = hash-bucket
   *                    count for the partitioned layout; omit for flat]
   *   - `minhash_index` — band-bucketed MinHash LSH index
@@ -90,10 +92,12 @@ object Fit {
       s"Fit $what: unknown opt '$k'" +
         (if (allowed.isEmpty) " (this family takes no opts)"
          else s" (allowed: ${allowed.toSeq.sorted.mkString(", ")})")))
-    // The KN families consume no size — accepting-and-ignoring one
-    // would be the silent-misconfiguration class the opt whitelist
-    // exists to kill (review finding r14).
-    require(size.isEmpty || !Set("kn", "kn3", "kn5").contains(what),
+    // The order-2/3 KN families consume no size — accepting-and-
+    // ignoring one would be the silent-misconfiguration class the opt
+    // whitelist exists to kill (review finding r14). kn5 DOES take
+    // one: size = key-bucket count selects the partitioned layout
+    // (the exact_index convention).
+    require(size.isEmpty || !Set("kn", "kn3").contains(what),
       s"Fit $what: this family takes no [size] argument — " +
         s"drop the ${size.get}")
     def optInt(k: String, default: Int): Int =
@@ -140,7 +144,9 @@ object Fit {
         // without count-class decay at every order — surfacing that
         // here (one union-aggregate job) beats shipping an artifact
         // every gate rejects. (Hit in practice: the synthetic test
-        // documents fit fine and then failed every serve.)
+        // documents fit fine and then failed every serve.) The
+        // partitioned save runs the same estimation for its sidecar,
+        // so this wraps BOTH layouts' failure with the remediation.
         try graft.ops.LanguageModel.estimateKn5Discounts(model)
         catch {
           case e: IllegalArgumentException =>
@@ -150,7 +156,14 @@ object Fit {
                 "fit on a larger/more repetitive reference corpus",
               e)
         }
-        graft.ops.LanguageModel.saveKn5Model(model, outDir)
+        size match {
+          // size = key-bucket count -> the partition-pruned serve
+          // layout (saveKn5ModelPartitioned; lm_filter_against sniffs
+          // its meta sidecar and serves broadcast-semi + pruned).
+          case Some(b) =>
+            graft.ops.LanguageModel.saveKn5ModelPartitioned(model, outDir, b)
+          case None => graft.ops.LanguageModel.saveKn5Model(model, outDir)
+        }
       case "exact_index" =>
         val idx = graft.ops.Dedup.exact(df, idCol, textCol)
         size match {

@@ -166,6 +166,19 @@ object ServeCanary {
       // the one face whose MODEL (not index) grows with history; the
       // serve is key joins that AQE broadcasts while the tables fit.
       LanguageModel.saveKnModel(LanguageModel.fitKn(corpus, "text"), s"$d/knlm")
+      // Order-5 model, BOTH layouts from one fit. The corpus gets the
+      // lm_score_kn5 gadget enrichment (doc_id-keyed, so every rotated
+      // replica plants its own n-gram groups — the MODEL grows ~k×):
+      // count-class decay at every order is a property the synthetic
+      // text lacks and order-5 MKN fails fast without. Key-bucket
+      // count ∝ scale (constant per-bucket bytes, the partitioned-
+      // serve contract shared by every face above).
+      val kn5Corpus = corpus.withColumn("text",
+        graft.queries.PipelineQueries.kn5GadgetEnrich)
+      val kn5Fit = LanguageModel.fitKn5(kn5Corpus, "text")
+      LanguageModel.saveKn5Model(kn5Fit, s"$d/kn5lm")
+      LanguageModel.saveKn5ModelPartitioned(kn5Fit, s"$d/kn5lmp",
+        nKeyBuckets = 64 * scale)
       val bm25 = Retrieval.buildBm25Index(corpus, "doc_id", "text")
       Retrieval.saveBm25Index(bm25, s"$d/bm25")
       // Constant per-bucket size: bucket count grows with the index,
@@ -224,6 +237,8 @@ object ServeCanary {
       val winIdx = Dedup.loadWinnowFingerprints(spark, s"$d/winnow")
       val winFps = Dedup.loadWinnowFpIndex(spark, s"$d/winnowp")
       val knModel = LanguageModel.loadKnModel(spark, s"$d/knlm")
+      val kn5Flat = LanguageModel.loadKn5Model(spark, s"$d/kn5lm")
+      val kn5Part = LanguageModel.loadKn5ModelPartitioned(spark, s"$d/kn5lmp")
       val bm25Flat = Retrieval.loadBm25Index(spark, s"$d/bm25")
       val bm25Part = Retrieval.loadBm25Index(spark, s"$d/bm25p")
       val annIdx = Similarity.loadIndex(s"$d/ann", spark)
@@ -275,6 +290,17 @@ object ServeCanary {
         "lm_against" -> (() => LanguageModel.kneserNeyAgainst(
           batch, "doc_id", "text", knModel)
           .select(col("doc_id"))),
+        // Order-5: full rows kept (scores materialized by the noop
+        // sink — the serve's cost IS the scoring join); cross-scale
+        // gate is the row COUNT (≥5-token docs of the fixed batch),
+        // layout parity below is exceptAll over full rows incl.
+        // scores (same counts, same sidecar discounts, plan-pinned
+        // row-identical algebra).
+        "kn5_against" -> (() => LanguageModel.modifiedKn5Against(
+          batch, "doc_id", "text", kn5Flat)),
+        "kn5_against_pruned" -> (() =>
+          LanguageModel.modifiedKn5AgainstPartitioned(
+            batch, "doc_id", "text", kn5Part)),
         "bm25_serve" -> (() => Retrieval.bm25ServeBatch(
           bm25Flat, queries, "query_id", "query_text", k = 10)),
         "bm25_serve_pruned" -> (() => Retrieval.bm25ServeBatch(
@@ -342,6 +368,7 @@ object ServeCanary {
       "simhash_against_pruned", "minhash_against",
       "minhash_against_pruned", "winnow_against", "winnow_against_pruned",
       "semantic_against", "semantic_against_pruned", "lm_against",
+      "kn5_against", "kn5_against_pruned",
       "bm25_serve", "bm25_serve_pruned") ++ tokOps
     // Disjoint replica vocabularies / isometries ⇒ identical hit sets
     // at both scales for the dedup faces (bm25 scores CAN admit
@@ -371,6 +398,7 @@ object ServeCanary {
         "simhash_against" -> "simhash_against_pruned",
         "minhash_against" -> "minhash_against_pruned",
         "winnow_against" -> "winnow_against_pruned",
+        "kn5_against" -> "kn5_against_pruned",
         // semantic layout parity is same-quantizer by construction;
         // the timed pruned face (∝-scale quantizer) is hit-count
         // gated above instead — a different quantizer may probe a

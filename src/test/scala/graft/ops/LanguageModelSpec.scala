@@ -799,6 +799,54 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("order-5 partitioned layout: pruned serve is row-identical, reads probed buckets only, keeps the broadcast plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val docs = kn5Corpus(40).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn5-part").toString
+    val model = LanguageModel.fitKn5(docs, "text")
+    LanguageModel.saveKn5ModelPartitioned(model, dir, nKeyBuckets = 8)
+    val part = LanguageModel.loadKn5ModelPartitioned(spark, dir)
+    part.keyBuckets shouldBe 8
+    // Sidecar discounts == fit-time estimation (deterministic driver
+    // arithmetic; doubles round-trip parquet exactly).
+    part.disc shouldBe LanguageModel.estimateKn5Discounts(model)
+    // Row parity with the in-engine score AND the flat serve — the
+    // layout may change which files are read, never a row.
+    val served = LanguageModel.modifiedKn5AgainstPartitioned(
+      docs, "doc_id", "text", part)
+    served.collect().map(_.toString).sorted.toSeq shouldBe
+      LanguageModel.modifiedKn5Against(docs, "doc_id", "text", model)
+        .collect().map(_.toString).sorted.toSeq
+    // File-level pruning: a one-bucket filter of c5 reads strictly
+    // fewer files than the full table (the layout's whole point).
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val c5 = part.tables("c5")
+    val full = filesRead(c5)
+    full should be >= 4L // the corpus fills most of 8 buckets
+    filesRead(c5.filter(col(LanguageModel.Kn5KeyBucket) === 0)) should
+      be < full
+    // ...and a ONE-DOC serve actually reads a pruned c5: its fg keys
+    // hash into fewer buckets than exist.
+    val one = docs.filter(col("doc_id") === 7L)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val oneServe = LanguageModel.modifiedKn5AgainstPartitioned(
+        one, "doc_id", "text", part)
+      // Broadcast-score shape survives the pruning.
+      withClue(oneServe.queryExecution.executedPlan.toString.take(4000)) {
+        "Exchange hashpartitioning".r
+          .findAllMatchIn(oneServe.queryExecution.executedPlan.toString)
+          .size should be <= 2
+      }
+      oneServe.collect().map(_.toString).sorted.toSeq shouldBe
+        LanguageModel.modifiedKn5Against(one, "doc_id", "text", model)
+          .collect().map(_.toString).sorted.toSeq
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("order-5 MKN fails fast on corpora without count-class decay") {
     import spark.implicits._
     // Every doc identical: only one 5-gram count class exists.

@@ -970,6 +970,23 @@ class RunnerSpec extends SparkSpec {
       .getMessage.contains("order-5"))
     intercept[IllegalArgumentException](Transforms.parse(
       "lm_filter_against(key=i,col=b,model=/tmp/x,max_ce=1.0,serve=fast)"))
+
+    // KEY-BUCKETED kn5 layout (meta sidecar): the gate sniffs it,
+    // serves partition-pruned broadcast-semi with the sidecar
+    // discounts — SAME survivors as the flat layouts.
+    graft.ops.LanguageModel.saveKn5ModelPartitioned(
+      graft.ops.LanguageModel.fitKn5(reference, "bio"),
+      s"$base/kn5p", nKeyBuckets = 8)
+    val keptP = Transforms.applyAll(ingest, Transforms.parse(
+        s"lm_filter_against(key=doc_id,col=bio,model=$base/kn5p," +
+          s"max_ce=$cut5)"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptP == Set(100L), s"partitioned-model gate kept $keptP")
+    // serve=shuffle contradicts the layout (it IS the broadcast plan)
+    assert(intercept[IllegalArgumentException](Transforms.applyAll(ingest,
+      Transforms.parse(s"lm_filter_against(key=doc_id,col=bio," +
+        s"model=$base/kn5p,max_ce=9.0,serve=shuffle)")))
+      .getMessage.contains("key-bucketed"))
   }
 
   test("corpus-prep job: documents to packed training sequences in ONE JobConfig, TFRecord out") {
