@@ -826,12 +826,23 @@ object LanguageModel {
     * of the whole model. */
   def modifiedKn5AgainstPartitioned(
       score: DataFrame, idCol: String, textCol: String,
-      model: Kn5PartModel, floorEps: Double = 1e-6): DataFrame = {
+      model: Kn5PartModel, floorEps: Double = 1e-6): DataFrame =
     // Staged once: feeds the bucket collect, the nine semi probes,
     // and the accumulator (the stageExactArrivals contract — a batch
-    // caller owns a one-shot block; a per-micro-batch caller should
-    // persist/release around this call).
-    val keyed = stageKn5Arrivals(score, idCol, textCol).localCheckpoint(false)
+    // caller owns a one-shot block; the STREAMING face owns its
+    // staging via withStaged + the Staged split below).
+    modifiedKn5AgainstPartitionedStaged(
+      stageKn5Arrivals(score, idCol, textCol).localCheckpoint(false),
+      model, floorEps, idCol)
+
+  /** The partition-pruned serve over an already-STAGED keyed
+    * projection (a [[stageKn5Arrivals]] output the caller has made
+    * stable — it feeds the bucket collect, the nine semi probes, and
+    * the accumulator). No materialization happens here; block
+    * ownership stays with the caller. */
+  private[graft] def modifiedKn5AgainstPartitionedStaged(
+      keyed: DataFrame, model: Kn5PartModel, floorEps: Double,
+      idCol: String): DataFrame = {
     val probes = keyed.select(explode(array(Kn5Keyed.map { case (name, key) =>
         struct(lit(name).as("t"),
           OpsUtil.hashBucket(model.keyBuckets, col(key)).as("b"))

@@ -1028,6 +1028,32 @@ object StreamingOps {
       }
   }
 
+  /** [[lm5ScoreStream]] against a KEY-BUCKETED
+    * [[graft.ops.LanguageModel.Kn5PartModel]] — the STORAGE-SERVING
+    * streaming posture (the [[exactDedupStream]] partitioned-overload
+    * pattern): the model is NOT memory-pinned (the flat overload's
+    * ten persists assume the count tables fit cluster memory — false
+    * once the reference corpus outgrows it); each micro-batch's nine
+    * key projections prune every table to the probed key buckets, the
+    * discounts come from the save-time sidecar (zero per-query
+    * estimation jobs), and there is no termination listener because
+    * there is nothing to release — the batch's own staged projection
+    * is released after the sink via the stage/Staged split. Rows per
+    * batch are [[graft.ops.LanguageModel.modifiedKn5AgainstPartitioned]]'s
+    * by construction (shared code path; the lm_score_kn5_pruned
+    * oracle covers the serve). */
+  def lm5ScoreStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.LanguageModel.Kn5PartModel,
+      floorEps: Double)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      withStaged(graft.ops.LanguageModel.stageKn5Arrivals(
+          batch.toDF(), idCol, textCol), batchId, sink)(
+        keyed => graft.ops.LanguageModel.modifiedKn5AgainstPartitionedStaged(
+          keyed, model, floorEps, idCol))
+    }
+
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running
     * per-bucket token total — the incremental form of

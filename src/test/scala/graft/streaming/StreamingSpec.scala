@@ -993,6 +993,48 @@ class StreamingSpec extends SparkSpec with Matchers {
       "retired order-5 scoring queries must not leak cached model blocks"))
   }
 
+  test("lm5ScoreStream over a key-bucketed model: storage-serving, no pin, no lingering blocks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    val train = graft.Kn5TestCorpus.corpus(40).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn5p-stream").toString
+    LanguageModel.saveKn5ModelPartitioned(
+      LanguageModel.fitKn5(train, "text"), dir, nKeyBuckets = 8)
+    val part = LanguageModel.loadKn5ModelPartitioned(spark, dir)
+    val batches = Seq(
+      Seq((100L, "the cat sat on the mat"),
+        (101L, "zz qq ww vv uu tt")),
+      Seq((102L, "the cat sat on the mat " +
+        graft.Kn5TestCorpus.gadgetText(3))))
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = StreamingOps.lm5ScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", part,
+      floorEps = 1e-6) {
+      (rows, id) => got.synchronized { got += ((id, rows.collect())) }
+    }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      got.size shouldBe 2
+      // Storage-serving: NOTHING stays pinned across batches — no
+      // model persist (the layout is read pruned from parquet), and
+      // each batch's staged projection released after its sink.
+      // (Checked BEFORE the batch twins below, whose own one-shot
+      // internal checkpoint would otherwise show up here.)
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore) shouldBe
+        empty
+      got.sortBy(_._1).map(_._2).zip(batches).foreach { case (streamed, rows) =>
+        val twin = LanguageModel.modifiedKn5AgainstPartitioned(
+          rows.toDF("doc_id", "text"), "doc_id", "text", part).collect()
+        streamed.map(_.toString).sorted.toSeq shouldBe
+          twin.map(_.toString).sorted.toSeq
+      }
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("cmsProfileStream: appended per-batch deltas merge to the one-pass sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
