@@ -784,4 +784,46 @@ class StreamingSoakSpec extends SparkSpec with Matchers {
       soakLine("lm5ScoreStream", docRows.size.toLong, log)
     } finally q.stop()
   }
+
+  test("lm5ScoreStream soak (key-bucketed model): sf0.1 in 10 batches, storage-serving, ZERO lingering blocks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LanguageModel
+    val docs = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          udf((id: Long) => graft.Kn5TestCorpus.gadgetText(id)).apply(col("doc_id")))
+          .as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("kn5p-soak").toString
+    LanguageModel.saveKn5ModelPartitioned(
+      LanguageModel.fitKn5(docs, "text"), dir, nKeyBuckets = 32)
+    val part = LanguageModel.loadKn5ModelPartitioned(spark, dir)
+    val docRows = docs.as[Doc].collect().toSeq
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = MemoryStream[Doc]
+    val scored = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.lm5ScoreStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", part,
+      floorEps = 1e-6) {
+      (batch, _) => scored.addAndGet(batch.count()): Unit
+    }.start()
+    try {
+      docRows.grouped(500).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val log = progressLog(q)
+      log.size should be >= 10
+      log.foreach { case (_, _, st) => st.sum shouldBe 0L } // stateless
+      // Storage-serving: unlike the flat overload's ten pinned model
+      // tables, NOTHING may remain — the model reads pruned from
+      // parquet and each batch's staged projection is released after
+      // its sink.
+      (spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore) shouldBe
+        empty
+      val twin = LanguageModel.modifiedKn5AgainstPartitioned(
+        docRows.toDF("doc_id", "text"), "doc_id", "text", part).count()
+      scored.get() shouldBe twin
+      soakLine("lm5ScoreStreamPartitioned", docRows.size.toLong, log)
+    } finally q.stop()
+  }
 }
