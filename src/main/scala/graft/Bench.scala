@@ -106,9 +106,7 @@ object Bench {
     // p10 down (review finding r14); improvements are
     // compare_bench.py's job, regressions are this flag's.
     val bands = benchHistoryBands(sfDir = sfDir)
-    val outOfBand = results.toSeq.filter { case (k, v) =>
-      bands.get(k).exists { case (_, hi) => v > hi * 1.25 }
-    }.sortBy { case (k, v) => (-v, k) }
+    val outOfBand = outOfBandHigh(results, bands)
     // Drain the async listener bus before reading the counters (there
     // is no public waitUntilEmpty; queries are done, 1 s is plenty).
     Thread.sleep(1000)
@@ -155,6 +153,20 @@ object Bench {
     spark.stop()
   }
 
+  /** The sweep's regression flag: queries whose wall exceeds the
+    * historical p90 + 25% tolerance, slowest first. HIGH side ONLY by
+    * contract (r14 verdict #5): a faster-than-history value is an
+    * improvement, never an `out_of_band` entry — flagging the low
+    * side would re-create a per-round adjudication cycle for every
+    * landed optimization until three new rounds shifted p10 down.
+    * Improvements are compare_bench.py's job. */
+  private[graft] def outOfBandHigh(
+      results: Map[String, Double],
+      bands: Map[String, (Double, Double)]): Seq[(String, Double)] =
+    results.toSeq.filter { case (k, v) =>
+      bands.get(k).exists { case (_, hi) => v > hi * 1.25 }
+    }.sortBy { case (k, v) => (-v, k) }
+
   /** Per-query [p10, p90] wall-time band over the committed
     * `BENCH_r*.json` files in the working directory (best-effort:
     * absent/corrupt files contribute nothing; queries with fewer than
@@ -192,12 +204,12 @@ object Bench {
                   Some(e.getValue.asDouble :: prev.getOrElse(Nil)))
             }
           }
-        } catch { case _: Throwable => () }
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
       samples.collect { case (k, vs) if vs.size >= 3 =>
         val s = vs.sorted.toIndexedSeq
         def pct(p: Double): Double = s(math.round(p * (s.size - 1)).toInt)
         k -> (pct(0.1), pct(0.9))
       }.toMap
-    } catch { case _: Throwable => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

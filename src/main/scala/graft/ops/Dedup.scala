@@ -653,11 +653,20 @@ object Dedup {
       Seq("graft.minhash.portable" -> idx.portable))
     val nm = sigs.schema("sig").metadata
     idx.shingleN.foreach { want =>
-      if (nm.contains("graft.minhash.shingle_n"))
-        require(nm.getLong("graft.minhash.shingle_n").toInt == want,
-          "appendLshBandIndex: the index was built from signatures with " +
-            s"shingle_n=$want but the batch carries shingle_n=" +
-            s"${nm.getLong("graft.minhash.shingle_n")}")
+      // Two-sided (review finding r14): a batch frame WITHOUT the tag
+      // (hand-built, not minhashSignatures output) must be refused,
+      // not silently trusted — the checkBuildParams portable-tag
+      // strictness applied to the shingle width.
+      require(nm.contains("graft.minhash.shingle_n"),
+        "appendLshBandIndex: the index records shingle_n=" + want +
+          " but the batch signature frame carries no " +
+          "graft.minhash.shingle_n metadata — build the batch with " +
+          "minhashSignatures (same shingleN) so the widths are provably " +
+          "consistent")
+      require(nm.getLong("graft.minhash.shingle_n").toInt == want,
+        "appendLshBandIndex: the index was built from signatures with " +
+          s"shingle_n=$want but the batch carries shingle_n=" +
+          s"${nm.getLong("graft.minhash.shingle_n")}")
     }
     bandRows(sigLengthGuard(sigs, idx.k, "batch"), idx.k, idx.bands,
         idx.portable, Int.MaxValue)

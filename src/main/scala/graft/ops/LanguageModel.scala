@@ -705,12 +705,39 @@ object LanguageModel {
     * batch is the whole cost. Requires the batch's 5-gram projection
     * to be broadcast-sized (the driver holds ~10 × |batch 5-grams|
     * survivor frames at once) — corpus-sized batches must keep the
-    * default cascade. */
+    * default cascade. ENFORCED, not just documented (review finding
+    * r14): `broadcastScore = true` first counts the batch's distinct
+    * 5-gram keys (one count-agg pass over the batch — cheap next to
+    * the serve it guards) and REFUSES batches above
+    * `broadcastMaxKeys` rather than letting the driver OOM holding
+    * ten corpus-sized survivor frames; the error says to drop the
+    * flag. The bound is a distinct-key count, not bytes, because the
+    * driver cost is ~10 broadcast frames of ≤ that many short-string
+    * rows each (~1 GiB driver at the default — size it to the
+    * driver's headroom). */
   def modifiedKn5Against(
       score: DataFrame, idCol: String, textCol: String, model: Kn5Model,
-      floorEps: Double = 1e-6, broadcastScore: Boolean = false): DataFrame =
-    kn5ScoreJoinWith(ngrams(score, idCol, textCol, 5, "fg"), model,
+      floorEps: Double = 1e-6, broadcastScore: Boolean = false,
+      broadcastMaxKeys: Long = Kn5BroadcastMaxKeys): DataFrame = {
+    val fg = ngrams(score, idCol, textCol, 5, "fg")
+    if (broadcastScore) {
+      val n = fg.select(countDistinct(col("fg"))).head().getLong(0)
+      require(n <= broadcastMaxKeys,
+        s"modifiedKn5Against: broadcastScore=true with $n distinct " +
+          s"batch 5-grams (bound $broadcastMaxKeys) — the broadcast-semi " +
+          "plan holds ~10 × that many survivor rows on the driver; a " +
+          "corpus-sized batch belongs on the default cascade (drop " +
+          "broadcastScore, or raise broadcastMaxKeys if the driver " +
+          "truly has the headroom)")
+    }
+    kn5ScoreJoinWith(fg, model,
       mknDiscountsAll(model), floorEps, idCol, broadcastScore)
+  }
+
+  /** Default ceiling on the batch's DISTINCT 5-gram keys admitted to
+    * the [[modifiedKn5Against]] broadcast-score plan (the driver
+    * holds ~10 survivor frames of up to this many rows). */
+  val Kn5BroadcastMaxKeys: Long = 1000000L
 
   /** Persist an order-5 model as ten parquet tables (the
     * [[saveKn3Model]] pattern; `c5` and `t4` are the big ones). */
@@ -739,7 +766,7 @@ object LanguageModel {
 
   /** (table name, lookup-key column) of the nine keyed order-5
     * tables, in the scoring join's order. */
-  private val Kn5Keyed: Seq[(String, String)] = Seq(
+  private[graft] val Kn5Keyed: Seq[(String, String)] = Seq(
     "c5" -> "fg", "p4" -> "p1234", "t4" -> "s2345", "d4" -> "p234",
     "t3" -> "s345", "d3" -> "p34", "t2" -> "s45", "d2" -> "w4d",
     "t1" -> "w5c")
@@ -803,15 +830,19 @@ object LanguageModel {
     * re-listing. */
   def loadKn5ModelPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String): Kn5PartModel = {
+    // Fields by NAME, not ordinal (review finding r14): parquet
+    // happens to preserve write order today, but the sidecar contract
+    // is its column names.
     val meta = spark.read.parquet(s"$path/meta").collect()
-    val disc = meta.map(r =>
-      r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val disc = meta.map(r => r.getAs[String]("level") -> (
+      r.getAs[Double]("d1"), r.getAs[Double]("d2"),
+      r.getAs[Double]("d3"))).toMap
     Kn5PartModel(
       Kn5Keyed.map { case (name, _) =>
         name -> spark.read.parquet(s"$path/$name")
       }.toMap,
       spark.read.parquet(s"$path/stats"),
-      meta.head.getInt(1), disc)
+      meta.head.getAs[Int]("key_buckets"), disc)
   }
 
   /** [[modifiedKn5Against]] against a persisted [[Kn5PartModel]] —

@@ -818,17 +818,24 @@ object Similarity {
     * is untouched on that path) — the serve's only input is the
     * probed partitions, so its cost is flat in history size. Without
     * stored vectors the shortlist joins `historyVecs` by id — an
-    * extra scan of the full vector table per serve. */
+    * extra scan of the full vector table per serve.
+    *
+    * `serveStats`: pass an [[org.apache.spark.sql.Observation]] to
+    * measure the adcMargin dial's cost on the serve's own action
+    * (`adc_candidates` admitted to exact refinement, `probed_buckets`)
+    * — margin tuning should be measured, not guessed. */
   def nearDupAgainst(
       newVecs: DataFrame, historyVecs: DataFrame, encoded: DataFrame,
       idCol: String, vecCol: String, index: AnnIndex,
       threshold: Double, nProbe: Int = 4,
-      adcMargin: Double = 0.15): DataFrame =
+      adcMargin: Double = 0.15,
+      serveStats: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame =
     nearDupAgainstStaged(
       stageNearDupArrivals(newVecs, idCol, vecCol)
         .localCheckpoint(false), // feeds the probe AND the refinement join
       historyVecs, encoded, idCol, vecCol, index, threshold, nProbe,
-      adcMargin)
+      adcMargin, serveStats)
 
   /** The arrival projection of the embedding near-dup serve — the
     * [[graft.ops.Dedup.stageExactArrivals]] split: a streaming caller
@@ -849,7 +856,9 @@ object Similarity {
       q: DataFrame, historyVecs: DataFrame, encoded: DataFrame,
       idCol: String, vecCol: String, index: AnnIndex,
       threshold: Double, nProbe: Int,
-      adcMargin: Double): DataFrame = {
+      adcMargin: Double,
+      serveStats: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
     require(adcMargin >= 0.0, "nearDupAgainst: adcMargin must be >= 0")
     val AnnIndex(cents, books) = index
     val kFit = cents.length
@@ -867,9 +876,21 @@ object Similarity {
         estDot / (col("qn") * col("est_n")))
         .otherwise(lit(Double.MinValue)) >= threshold - adcMargin
     }
-    val cand = probed
+    val cand0 = probed
       .join(encoded.filter(col("cid").isin(probedCids: _*)), Seq("cid"))
       .filter(estGate)
+    // The adcMargin recall/cost dial's COST, made observable (review
+    // finding r14: the 0.46→0.82 recall fix widened the margin on a
+    // guessed cost): `adc_candidates` = shortlist rows the margin
+    // admits to the exact refinement; divide by |arrival| × nProbe
+    // (the probe-row count the caller controls) for candidates-per-
+    // probe. `probed_buckets` rides along (constant; null when the
+    // gate admits zero rows). Observation metrics ride the serve's
+    // own action — zero extra jobs; read with `serveStats.get` after
+    // the sink runs.
+    val cand = serveStats.fold(cand0)(o => cand0.observe(o,
+      count(lit(1)).as("adc_candidates"),
+      max(lit(probedCids.size)).as("probed_buckets")))
     // Pairs are unique by construction on every path below: each
     // neighbor lives in exactly ONE index bucket, so probing several
     // buckets per query cannot duplicate a pair (the searchEncoded

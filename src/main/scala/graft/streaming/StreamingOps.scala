@@ -993,7 +993,16 @@ object StreamingOps {
     * [[graft.ops.LanguageModel.modifiedKn5AgainstPrepared]] with the
     * batch serve, so per-batch rows are the batch operator's by
     * construction; the lm_score_kn5_serve oracle covers the scoring
-    * join. */
+    * join.
+    *
+    * DEPRECATED deployment shape (kept for sidecar-less flat
+    * [[graft.ops.LanguageModel.saveKn5Model]] layouts only): pinning
+    * ten count tables in executor memory for the stream's lifetime
+    * assumes the model fits cluster memory — false at real reference-
+    * corpus scale. Prefer [[lm5ScoreStreamFrom]] (routes to the
+    * storage-serving partition-pruned stream whenever the model dir
+    * carries the `meta` sidecar, zero pinned blocks) or re-save via
+    * `saveKn5ModelPartitioned`. See README "Behavior changes". */
   def lm5ScoreStream(
       docs: DataFrame, idCol: String, textCol: String,
       model: graft.ops.LanguageModel.Kn5Model,
@@ -1053,6 +1062,38 @@ object StreamingOps {
         keyed => graft.ops.LanguageModel.modifiedKn5AgainstPartitionedStaged(
           keyed, model, floorEps, idCol))
     }
+
+  /** Order-5 scoring stream FROM A MODEL DIRECTORY — the deployment
+    * entry point, routing by what the directory IS (the
+    * lm_filter_against sniff, streaming edition): a
+    * [[graft.ops.LanguageModel.saveKn5ModelPartitioned]] layout
+    * (detected by its `meta` discount sidecar) serves the
+    * storage-serving partition-pruned stream — the model is never
+    * memory-pinned, discounts come from the sidecar, ZERO persisted
+    * blocks for the stream's lifetime; a flat
+    * [[graft.ops.LanguageModel.saveKn5Model]] layout falls back to
+    * the memory-pinned flat stream, which is a DEPRECATED deployment
+    * shape (it persists all ten count tables for the query's lifetime
+    * — untenable once the reference corpus outgrows cluster memory;
+    * see README "Behavior changes"): re-save the model with
+    * `saveKn5ModelPartitioned` to get the storage-serving posture. */
+  def lm5ScoreStreamFrom(
+      docs: DataFrame, idCol: String, textCol: String,
+      modelDir: String, floorEps: Double = 1e-6)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val spark = docs.sparkSession
+    val meta = new org.apache.hadoop.fs.Path(modelDir, "meta")
+    val hasSidecar = meta
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(meta)
+    if (hasSidecar)
+      lm5ScoreStream(docs, idCol, textCol,
+        graft.ops.LanguageModel.loadKn5ModelPartitioned(spark, modelDir),
+        floorEps)(sink)
+    else
+      lm5ScoreStream(docs, idCol, textCol,
+        graft.ops.LanguageModel.loadKn5Model(spark, modelDir),
+        floorEps)(sink)
+  }
 
   /** Streaming sequence packing: documents arriving on a stream are
     * assigned (bucket, seq_idx, tokens_before) against a running

@@ -142,27 +142,32 @@ object Fit {
         // fit, but order-5 MKN serving estimates its discounts from
         // the tables' own count-of-counts and fails fast on corpora
         // without count-class decay at every order — surfacing that
-        // here (one union-aggregate job) beats shipping an artifact
-        // every gate rejects. (Hit in practice: the synthetic test
-        // documents fit fine and then failed every serve.) The
-        // partitioned save runs the same estimation for its sidecar,
-        // so this wraps BOTH layouts' failure with the remediation.
-        try graft.ops.LanguageModel.estimateKn5Discounts(model)
-        catch {
-          case e: IllegalArgumentException =>
-            throw new IllegalArgumentException(
-              "Fit kn5: the model fits but can never SERVE — " +
-                e.getMessage + " — use kn3/kn for this corpus, or " +
-                "fit on a larger/more repetitive reference corpus",
-              e)
-        }
+        // here beats shipping an artifact every gate rejects. (Hit in
+        // practice: the synthetic test documents fit fine and then
+        // failed every serve.) The partitioned save runs the SAME
+        // estimation for its sidecar (before any write), so that path
+        // validates via the save itself — no second union-aggregate
+        // job (review finding r14); both layouts' failures land in
+        // one wrapper with the remediation.
+        def validated[A](save: => A): A =
+          try save
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                "Fit kn5: the model fits but can never SERVE — " +
+                  e.getMessage + " — use kn3/kn for this corpus, or " +
+                  "fit on a larger/more repetitive reference corpus",
+                e)
+          }
         size match {
           // size = key-bucket count -> the partition-pruned serve
           // layout (saveKn5ModelPartitioned; lm_filter_against sniffs
           // its meta sidecar and serves broadcast-semi + pruned).
-          case Some(b) =>
-            graft.ops.LanguageModel.saveKn5ModelPartitioned(model, outDir, b)
-          case None => graft.ops.LanguageModel.saveKn5Model(model, outDir)
+          case Some(b) => validated(
+            graft.ops.LanguageModel.saveKn5ModelPartitioned(model, outDir, b))
+          case None =>
+            validated(graft.ops.LanguageModel.estimateKn5Discounts(model))
+            graft.ops.LanguageModel.saveKn5Model(model, outDir)
         }
       case "exact_index" =>
         val idx = graft.ops.Dedup.exact(df, idCol, textCol)
@@ -223,12 +228,18 @@ object Fit {
     }
     val Array(what, input, idCol, textCol, outDir) = args.take(5)
     // Trailing args: one optional bare integer (size) + key=value opts,
-    // in any order; anything else is a usage error.
+    // in any order; anything else is a usage error — reported through
+    // the same clean message+exit(2) path as every other argument
+    // mistake, not a raw stack trace (review finding r14; the fit-time
+    // catch below can't cover this, it runs before the session).
     val trailing = args.drop(5).toSeq
     val (bare, kvs) = trailing.partition(!_.contains('='))
-    require(bare.size <= 1 && bare.forall(_.toIntOption.isDefined),
-      s"Fit: unexpected trailing args ${bare.mkString(" ")} — at most " +
-        "one bare integer (size) plus key=value opts")
+    if (bare.size > 1 || bare.exists(_.toIntOption.isEmpty)) {
+      System.err.println(
+        s"Fit: unexpected trailing args ${bare.mkString(" ")} — at most " +
+          "one bare integer (size) plus key=value opts")
+      sys.exit(2)
+    }
     val size = bare.headOption.map(_.toInt)
     val opts = kvs.map { kv =>
       val eq = kv.indexOf('=')

@@ -45,6 +45,24 @@ class BenchBandsSpec extends AnyFunSuite with Matchers {
     (8.0 > hi * 1.25) shouldBe true
   }
 
+  test("out_of_band flags the HIGH side only — improvements never flag") {
+    // r14 verdict #5: the driver's latest_dedup 0.833s entry was a
+    // LOW-side (faster-than-history) flag that cost an adjudication
+    // cycle. The contract now: below-p10 values are improvements, not
+    // out_of_band entries; only beyond-p90+25% regressions flag,
+    // slowest first.
+    val bands = Map(
+      "latest_dedup" -> (1.0, 2.0), // history [p10, p90]
+      "big_q" -> (4.0, 6.0),
+      "steady_q" -> (1.0, 1.5))
+    val results = Map(
+      "latest_dedup" -> 0.833, // far below p10 — an improvement
+      "big_q" -> 9.0,          // beyond 6.0 * 1.25 — genuine regression
+      "steady_q" -> 1.6,       // above p90 but inside the 25% tolerance
+      "no_history_q" -> 99.0)  // no band — never flags
+    Bench.outOfBandHigh(results, bands) shouldBe Seq("big_q" -> 9.0)
+  }
+
   test("fewer than 3 samples -> no band; empty dir -> empty map") {
     val dir = writeRounds(Seq(
       """{"queries":{"q_once":1.0}}""",

@@ -693,6 +693,18 @@ class DedupSpec extends SparkSpec with Matchers {
           shingleN = 2, k = 16, portable = true),
         s"$scratch/inc")
     }.getMessage should include("graft.minhash.portable")
+
+    // Two-sided shingle guard (r14 ADVICE): the index records
+    // shingle_n=2, so a batch frame WITHOUT the metadata tag (a
+    // hand-built signature frame, not minhashSignatures output) is
+    // refused instead of silently skipping the width check.
+    val untagged = sigs(half2).select(col("id"), col("sig")
+      .as("sig", org.apache.spark.sql.types.Metadata.empty))
+    untagged.schema("sig").metadata
+      .contains("graft.minhash.shingle_n") shouldBe false
+    intercept[IllegalArgumentException] {
+      Dedup.appendLshBandIndex(untagged, s"$scratch/inc")
+    }.getMessage should include("graft.minhash.shingle_n")
   }
 
   test("SimhashBandIndex: identical pairs to the flat fingerprint serve, probed buckets only") {

@@ -799,6 +799,37 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("broadcastScore enforces its batch bound — corpus-sized batches are refused, bounded ones serve unchanged") {
+    import spark.implicits._
+    val docs = kn5Corpus(40).toDF("doc_id", "text")
+    val model = LanguageModel.fitKn5(docs, "text")
+    // A "corpus-sized" batch relative to a tiny bound: the fixture
+    // corpus itself (hundreds of distinct 5-grams ≫ 5). The refusal
+    // must fire BEFORE any serve work, naming the remediation.
+    val err = intercept[IllegalArgumentException] {
+      LanguageModel.modifiedKn5Against(docs, "doc_id", "text", model,
+        broadcastScore = true, broadcastMaxKeys = 5L)
+    }
+    err.getMessage should include("distinct batch 5-grams")
+    err.getMessage should include("cascade")
+    // A bounded batch under the same tiny bound serves, with rows
+    // identical to the cascade (the plan-pin test above covers the
+    // ≤2-exchange shape; this pins that the guard changes nothing
+    // for admitted batches).
+    val batch = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val guarded = LanguageModel.modifiedKn5Against(
+      batch, "doc_id", "text", model, broadcastScore = true,
+      broadcastMaxKeys = 5L)
+    val cascade = LanguageModel.modifiedKn5Against(
+      batch, "doc_id", "text", model)
+    guarded.collect().map(_.toString).sorted.toSeq shouldBe
+      cascade.collect().map(_.toString).sorted.toSeq
+    // The default bound admits any sane arrival batch (the flag's
+    // whole use case) — no behavior change for existing callers.
+    LanguageModel.modifiedKn5Against(batch, "doc_id", "text", model,
+      broadcastScore = true).count() should be > 0L
+  }
+
   test("order-5 partitioned layout: pruned serve is row-identical, reads probed buckets only, keeps the broadcast plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, input_file_name}
