@@ -159,12 +159,19 @@ object Bench {
     * improvement, never an `out_of_band` entry — flagging the low
     * side would re-create a per-round adjudication cycle for every
     * landed optimization until three new rounds shifted p10 down.
-    * Improvements are compare_bench.py's job. */
+    * Improvements are compare_bench.py's job. Sub-second values never
+    * flag either: the committed per-query maps elide cheap queries
+    * (the line-budget trim), so a query that RUNS sub-second today
+    * has, by construction, only stale bands from rounds when it was
+    * slow enough to print — r15 hit exactly this (latest_dedup 0.857 s
+    * flagged against three rounds-2–5 samples in a then-half-sized
+    * sweep), and a sub-second delta is sweep-context noise, not a
+    * regression worth a cycle. */
   private[graft] def outOfBandHigh(
       results: Map[String, Double],
       bands: Map[String, (Double, Double)]): Seq[(String, Double)] =
     results.toSeq.filter { case (k, v) =>
-      bands.get(k).exists { case (_, hi) => v > hi * 1.25 }
+      v > 1.0 && bands.get(k).exists { case (_, hi) => v > hi * 1.25 }
     }.sortBy { case (k, v) => (-v, k) }
 
   /** Per-query [p10, p90] wall-time band over the committed

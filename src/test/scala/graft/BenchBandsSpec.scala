@@ -61,6 +61,14 @@ class BenchBandsSpec extends AnyFunSuite with Matchers {
       "steady_q" -> 1.6,       // above p90 but inside the 25% tolerance
       "no_history_q" -> 99.0)  // no band — never flags
     Bench.outOfBandHigh(results, bands) shouldBe Seq("big_q" -> 9.0)
+    // Sub-second values never flag even above their band: the
+    // committed maps elide cheap queries, so a sub-second query's
+    // band is stale by construction (the r15 latest_dedup case —
+    // 0.857 s against three rounds-2–5 samples) and the delta is
+    // sweep noise, not a regression.
+    Bench.outOfBandHigh(
+      Map("latest_dedup" -> 0.857), Map("latest_dedup" -> (0.46, 0.55))
+    ) shouldBe Seq.empty
   }
 
   test("fewer than 3 samples -> no band; empty dir -> empty map") {
