@@ -1083,8 +1083,17 @@ object StreamingOps {
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val spark = docs.sparkSession
     val meta = new org.apache.hadoop.fs.Path(modelDir, "meta")
-    val hasSidecar = meta
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(meta)
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSidecar = fs.exists(meta)
+    // A non-model dir should die HERE with the contract named, not at
+    // first table read with a raw path-does-not-exist (the
+    // lm_filter_against sniff's strictness, streaming edition).
+    require(hasSidecar ||
+        fs.exists(new org.apache.hadoop.fs.Path(modelDir, "c5")),
+      s"lm5ScoreStreamFrom: $modelDir is neither a " +
+        "saveKn5ModelPartitioned layout (meta sidecar) nor a " +
+        "saveKn5Model layout (c5/) — fit and save one (e.g. " +
+        "`Fit kn5 <corpus> <id> <text> <dir> [keyBuckets]`)")
     if (hasSidecar)
       lm5ScoreStream(docs, idCol, textCol,
         graft.ops.LanguageModel.loadKn5ModelPartitioned(spark, modelDir),

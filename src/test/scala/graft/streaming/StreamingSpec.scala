@@ -1078,6 +1078,17 @@ class StreamingSpec extends SparkSpec with Matchers {
     val (flatRows, flatPinned) = run(s"$root/flat")
     flatRows shouldBe partRows
     flatPinned should not be empty
+    // A non-model dir dies at stream build with the contract named,
+    // not at first table read with a raw path error.
+    val notAModel = java.nio.file.Files
+      .createTempDirectory("kn5-route-empty").toString
+    val stream2 = MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      StreamingOps.lm5ScoreStreamFrom(
+        stream2.toDF().toDF("doc_id", "text"), "doc_id", "text", notAModel) {
+        (_, _) => ()
+      }
+    }.getMessage should include("neither")
   }
 
   test("cmsProfileStream: appended per-batch deltas merge to the one-pass sketch") {
