@@ -143,14 +143,21 @@ object Kn5GeometryCanary {
       }
       rowsAtScale += k -> prunedRows.count()
 
-      faces.keys.toSeq.sorted.foreach { face => // untimed warmup
-        time(faces(face)): Unit
+      val faceOrder = faces.keys.toSeq.sorted
+      faceOrder.foreach(face => time(faces(face)): Unit) // untimed warmup
+      // Round-robin min-of-3 ACROSS faces (the TimeOne interleaving
+      // protocol, within-scale edition: consecutive same-face runs
+      // would share a JIT/GC neighborhood no deployment has; scales
+      // necessarily time sequentially — each has its own model).
+      var best = Map.empty[String, Double].withDefaultValue(Double.MaxValue)
+      (1 to 3).foreach { _ =>
+        faceOrder.foreach { face =>
+          best += face -> math.min(best(face), time(faces(face)))
+        }
       }
-      faces.keys.toSeq.sorted.foreach { face =>
-        var best = Double.MaxValue
-        (1 to 3).foreach(_ => best = math.min(best, time(faces(face))))
-        walls += (k, face) -> best
-        println(s"""{"scale":$k,"face":"$face","sec":${fmt(best)},""" +
+      faceOrder.foreach { face =>
+        walls += (k, face) -> best(face)
+        println(s"""{"scale":$k,"face":"$face","sec":${fmt(best(face))},""" +
           s""""model_c5_rows":$modelRows,"probed_buckets":$probed,""" +
           s""""total_buckets":$total,"share":${fmt(probed.toDouble / total)}}""")
       }
