@@ -649,6 +649,17 @@ object Dedup {
             "max_bucket sidecar column, so its build cap is unknowable " +
             "— rebuild once with saveLshBandIndex to record it"
       })
+    // Appends are STRICT on tag presence (review finding r15): an
+    // append writes permanent rows, so a hand-built frame without the
+    // family tag must be refused here even though the lenient serve
+    // paths (checkBuildParams skips absent keys, for indexes that
+    // predate the tags) would let it through — signatures hashed with
+    // the wrong family would land as never-matching garbage band rows.
+    require(sigs.schema("sig").metadata.contains("graft.minhash.portable"),
+      "appendLshBandIndex: the batch signature frame carries no " +
+        "graft.minhash.portable metadata — build it with " +
+        "minhashSignatures so the hash family is provably consistent " +
+        "with the index")
     checkBuildParams(sigs, "sig", "appendLshBandIndex",
       Seq("graft.minhash.portable" -> idx.portable))
     val nm = sigs.schema("sig").metadata
@@ -916,6 +927,13 @@ object Dedup {
     val spark = sim.sparkSession
     val st = spark.read.parquet(s"$path/stats").head()
     val (portable, n) = (st.getBoolean(0), st.getInt(1))
+    // Strict on tag presence, like appendLshBandIndex: appends write
+    // permanent rows, and the build (saveSimhashBandIndex) already
+    // requires the tag — an untagged batch frame here is hand-built.
+    require(sim.schema("simhash").metadata.contains("graft.simhash.portable"),
+      "appendSimhashBandIndex: the batch frame carries no " +
+        "graft.simhash.portable metadata — build it with withSimhash " +
+        "so the hash family is provably consistent with the index")
     checkBuildParams(sim, "simhash", "appendSimhashBandIndex",
       Seq("graft.simhash.portable" -> portable))
     simhashBands(sim.select(col("id"), col("simhash")))

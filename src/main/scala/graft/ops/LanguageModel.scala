@@ -714,7 +714,12 @@ object LanguageModel {
     * flag. The bound is a distinct-key count, not bytes, because the
     * driver cost is ~10 broadcast frames of ≤ that many short-string
     * rows each (~1 GiB driver at the default — size it to the
-    * driver's headroom). */
+    * driver's headroom). The guard pass is deliberately SEPARATE from
+    * the serve's own checkpoint (an admitted batch re-runs its ngram
+    * plan once more, bounded small by the guard itself): folding the
+    * count into the checkpoint would make a REFUSED corpus-sized
+    * batch pay a full block-storage materialization just to be told
+    * no. */
   def modifiedKn5Against(
       score: DataFrame, idCol: String, textCol: String, model: Kn5Model,
       floorEps: Double = 1e-6, broadcastScore: Boolean = false,

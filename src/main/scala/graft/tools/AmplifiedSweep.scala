@@ -101,7 +101,11 @@ object AmplifiedSweep {
     var worst = 0.0
     var worstName = ""
     queries.foreach { q =>
-      time(q, sfDir): Unit // warmup at 1× (JIT + file listing)
+      // Symmetric warmups (review finding r15: a 1×-only warmup left
+      // the k× min-of-2 sampling its own cold first-listing run,
+      // biasing ratios upward).
+      time(q, sfDir): Unit
+      time(q, scratch): Unit
       val t1 = Seq(time(q, sfDir), time(q, sfDir)).min
       val tk = Seq(time(q, scratch), time(q, scratch)).min
       val ratio = tk / math.max(t1, 1e-9)

@@ -79,6 +79,10 @@ object Kn5GeometryCanary {
         substring_index(col("text"), " ", 16).as("text"))
       .localCheckpoint(true)
     val batchN = batch.count()
+    // Block ids that must SURVIVE every per-scale cleanup: the fixed
+    // batch's own localCheckpoint (lineage-truncated — unpersisting
+    // it is fatal, not a recompute).
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val distinctKeys = LanguageModel.stageKn5Arrivals(batch, "doc_id", "text")
       .select("fg").distinct().count()
     println(s"""{"batch_docs":$batchN,"distinct_5gram_keys":$distinctKeys}""")
@@ -117,6 +121,18 @@ object Kn5GeometryCanary {
       LanguageModel.saveKn5Model(fit, s"$d/flat")
       LanguageModel.saveKn5ModelPartitioned(fit, s"$d/part",
         nKeyBuckets = 64 * k)
+      // The fit's localCheckpoint blocks (c5/t4 at model scale) are
+      // dead once both layouts are on disk — drop them BEFORE gating
+      // and timing, so the storage-serving walls are measured without
+      // gigabytes of unrelated resident blocks (the Bench isolation
+      // rule; review finding r15). Everything EXCEPT the baseline
+      // batch checkpoint (which later serves still read) releases;
+      // prior scales' one-shot serve stagings ride along. The serves
+      // below read only the loaded parquet layouts.
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline(id)) rdd.unpersist(false)
+      }
+      spark.sqlContext.clearCache()
       val flat = LanguageModel.loadKn5Model(spark, s"$d/flat")
       val part = LanguageModel.loadKn5ModelPartitioned(spark, s"$d/part")
       val modelRows = flat.c5.count()

@@ -694,16 +694,24 @@ class DedupSpec extends SparkSpec with Matchers {
         s"$scratch/inc")
     }.getMessage should include("graft.minhash.portable")
 
-    // Two-sided shingle guard (r14 ADVICE): the index records
-    // shingle_n=2, so a batch frame WITHOUT the metadata tag (a
-    // hand-built signature frame, not minhashSignatures output) is
-    // refused instead of silently skipping the width check.
+    // Appends are strict on tag PRESENCE (r15 review): a fully
+    // untagged hand-built frame is refused on the family tag before
+    // anything else — the lenient serve-path skip would let wrong-
+    // family signatures append as permanent garbage.
     val untagged = sigs(half2).select(col("id"), col("sig")
       .as("sig", org.apache.spark.sql.types.Metadata.empty))
-    untagged.schema("sig").metadata
-      .contains("graft.minhash.shingle_n") shouldBe false
     intercept[IllegalArgumentException] {
       Dedup.appendLshBandIndex(untagged, s"$scratch/inc")
+    }.getMessage should include("graft.minhash.portable")
+
+    // Two-sided shingle guard (r14 ADVICE): a frame carrying the
+    // family tag but NO shingle_n, against an index that records the
+    // width, is refused instead of silently skipping the width check.
+    val familyOnly = sigs(half2).select(col("id"), col("sig").as("sig",
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean("graft.minhash.portable", false).build()))
+    intercept[IllegalArgumentException] {
+      Dedup.appendLshBandIndex(familyOnly, s"$scratch/inc")
     }.getMessage should include("graft.minhash.shingle_n")
   }
 
