@@ -85,7 +85,29 @@ object Bench {
       spark.sqlContext.clearCache()
       name -> t
     }.toMap
+    // Calibration canary (r15 verdict #1): ONE fixed CPU-bound job —
+    // no IO, no shuffle, constant work — timed min-of-3 before AND
+    // after the sweep, so host-state drift is MEASURED per-sweep
+    // instead of argued per-round (two consecutive rounds spent an
+    // adjudication cycle on movers that idle-host re-runs showed were
+    // host load). `calib` = the best of all six runs (a loaded host
+    // elevates even the min); `calib_ratio` = calib / the median of
+    // committed history at the same sf. One untimed run first so the
+    // canary's own JIT warmup never lands in the measurement.
+    def calibOnce(): Double = {
+      currentQuery = "calib"
+      val t0 = System.nanoTime()
+      spark.range(0L, 256000000L, 1L, cpus.toInt)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // warmup, untimed
+    val calibPre = Seq.fill(3)(calibOnce()).min
     val (pass1, pass2) = (timeAll(), timeAll())
+    val calibPost = Seq.fill(3)(calibOnce()).min
+    val calib = math.min(calibPre, calibPost)
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     // Per-query historical band from the committed BENCH_r*.json in
     // the working directory: the sweep itself adjudicates in-band /
@@ -105,8 +127,10 @@ object Bench {
     // churn for every landed optimization until 3 new rounds shifted
     // p10 down (review finding r14); improvements are
     // compare_bench.py's job, regressions are this flag's.
-    val bands = benchHistoryBands(sfDir = sfDir)
-    val outOfBand = outOfBandHigh(results, bands)
+    val hist = benchHistory(sfDir = sfDir)
+    val calibRatio = hist.calibMedian.map(calib / _)
+    val outOfBand =
+      outOfBandHigh(results, hist, calibRatio.getOrElse(1.0))
     // Drain the async listener bus before reading the counters (there
     // is no public waitUntilEmpty; queries are done, 1 s is plenty).
     Thread.sleep(1000)
@@ -142,10 +166,15 @@ object Bench {
     val oobJson = outOfBand.take(8)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // calib / calib_ratio ride the line so the NEXT round's bands can
+    // normalize by this sweep's host state (ratio absent until a
+    // committed round carries calib).
+    val calibJson = s""""calib":${fmt(calib)}""" +
+      calibRatio.fold("")(r => s""","calib_ratio":${fmt(r)}""")
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failDiag,"bands_checked":${bands.size},"out_of_band":$oobJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$failDiag,$calibJson,"bands_checked":${hist.bands.size},"out_of_band":$oobJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     var keep = slowestFirst
     while (keep.nonEmpty && line(keep).length > budget) keep = keep.dropRight(1)
@@ -153,43 +182,85 @@ object Bench {
     spark.stop()
   }
 
-  /** The sweep's regression flag: queries whose wall exceeds the
-    * historical p90 + 25% tolerance, slowest first. HIGH side ONLY by
-    * contract (r14 verdict #5): a faster-than-history value is an
-    * improvement, never an `out_of_band` entry — flagging the low
-    * side would re-create a per-round adjudication cycle for every
-    * landed optimization until three new rounds shifted p10 down.
-    * Improvements are compare_bench.py's job. Sub-second values never
-    * flag either: the committed per-query maps elide cheap queries
-    * (the line-budget trim), so a query that RUNS sub-second today
-    * has, by construction, only stale bands from rounds when it was
-    * slow enough to print — r15 hit exactly this (latest_dedup 0.857 s
-    * flagged against three rounds-2–5 samples in a then-half-sized
-    * sweep), and a sub-second delta is sweep-context noise, not a
-    * regression worth a cycle. */
+  /** A per-query historical wall-time band: [p10, p90] over the
+    * committed per-round values, plus the NEWEST committed round that
+    * carried a sample — the staleness signal the flag gates on. */
+  private[graft] final case class Band(
+      lo: Double, hi: Double, latestRound: Int)
+
+  /** What the committed `BENCH_r*.json` history says: per-query
+    * bands, the committed calibration-canary median (absent until a
+    * committed round carries `calib`), and the newest committed round
+    * number at this sf (0 when there is no history). */
+  private[graft] final case class BenchHistory(
+      bands: Map[String, Band], calibMedian: Option[Double],
+      latestRound: Int)
+
+  /** How many rounds back a band's newest sample may be and still
+    * count as FRESH (flag-eligible). The committed per-query maps
+    * elide cheap queries under the line budget, so a band whose
+    * newest sample is older than this is stale by construction —
+    * rounds 15 and 16 both burned adjudication cycles on exactly
+    * that class (latest_dedup 1.044 s vs a rounds-2–5 band). */
+  private[graft] val BandFreshRounds = 5
+
+  /** The sweep's regression flag: queries whose CALIBRATED wall
+    * exceeds the historical p90 + 25% tolerance, slowest first. HIGH
+    * side ONLY by contract (r14 verdict #5): a faster-than-history
+    * value is an improvement, never an `out_of_band` entry — flagging
+    * the low side would re-create a per-round adjudication cycle for
+    * every landed optimization until three new rounds shifted p10
+    * down. Improvements are compare_bench.py's job.
+    *
+    * STALE bands never flag (r15 verdict #3 + advisory #1): a band
+    * counts only when its newest sample is within [[BandFreshRounds]]
+    * of the newest committed round — this subsumes the r15 blanket
+    * sub-second floor (a sub-second query is elided from recent
+    * committed maps by the line budget, so its band is stale and
+    * suppressed) while CLOSING that floor's gap: a sub-second query
+    * that DID land in a recent committed round has a fresh band and a
+    * genuine 3× regression of it flags again.
+    *
+    * `calibRatio` (this sweep's calibration canary / committed
+    * median) divides the measured walls before the band compare —
+    * but only when > 1: a LOADED host's uniform inflation is
+    * forgiven, while a faster-than-history host never inflates
+    * phantom flags out of calib noise. */
   private[graft] def outOfBandHigh(
       results: Map[String, Double],
-      bands: Map[String, (Double, Double)]): Seq[(String, Double)] =
+      hist: BenchHistory,
+      calibRatio: Double = 1.0): Seq[(String, Double)] = {
+    val norm = math.max(1.0, calibRatio)
     results.toSeq.filter { case (k, v) =>
-      v > 1.0 && bands.get(k).exists { case (_, hi) => v > hi * 1.25 }
+      hist.bands.get(k).exists(b =>
+        b.latestRound >= hist.latestRound - BandFreshRounds &&
+          v / norm > b.hi * 1.25)
     }.sortBy { case (k, v) => (-v, k) }
+  }
 
-  /** Per-query [p10, p90] wall-time band over the committed
-    * `BENCH_r*.json` files in the working directory (best-effort:
-    * absent/corrupt files contribute nothing; queries with fewer than
-    * 3 historical samples get no band). `sfDir` non-empty restricts
-    * history to rounds measured at the SAME scale factor — a band
-    * from sf0.1 sweeps says nothing about an sf0.001 spot run.
-    * Jackson ships with Spark. */
-  private[graft] def benchHistoryBands(
+  /** Parse the committed `BENCH_r*.json` files in the working
+    * directory into a [[BenchHistory]] (best-effort: absent/corrupt
+    * files contribute nothing; queries with fewer than 3 historical
+    * samples get no band). `sfDir` non-empty restricts history to
+    * rounds measured at the SAME scale factor — a band from sf0.1
+    * sweeps says nothing about an sf0.001 spot run. Round numbers
+    * come from the file names (`BENCH_r15.json` → 15). Jackson ships
+    * with Spark. */
+  private[graft] def benchHistory(
       dir: java.io.File = new java.io.File("."),
-      sfDir: String = ""): Map[String, (Double, Double)] =
+      sfDir: String = ""): BenchHistory =
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      files.foreach { f =>
+        .flatMap { f =>
+          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+            .map(m => (f, m.group(1).toInt))
+        }
+      val samples =
+        scala.collection.mutable.Map.empty[String, List[(Double, Int)]]
+      val calibs = scala.collection.mutable.ListBuffer.empty[Double]
+      var latest = 0
+      files.foreach { case (f, round) =>
         try {
           // The driver's per-round files wrap this program's own JSON
           // line under "parsed" (alongside run metadata); a raw saved
@@ -203,20 +274,32 @@ object Bench {
             val sf = base.get("sf")
             sf != null && sf.isTextual && sf.asText == sfDir
           }
-          val qs = if (sfOk) base.get("queries") else null
-          if (qs != null && qs.isObject) {
-            qs.fields().forEachRemaining { e =>
-              if (e.getValue.isNumber)
-                samples.updateWith(e.getKey)(prev =>
-                  Some(e.getValue.asDouble :: prev.getOrElse(Nil)))
+          if (sfOk) {
+            latest = math.max(latest, round)
+            val c = base.get("calib")
+            if (c != null && c.isNumber) calibs += c.asDouble
+            val qs = base.get("queries")
+            if (qs != null && qs.isObject) {
+              qs.fields().forEachRemaining { e =>
+                if (e.getValue.isNumber)
+                  samples.updateWith(e.getKey)(prev =>
+                    Some((e.getValue.asDouble, round) :: prev.getOrElse(Nil)))
+              }
             }
           }
         } catch { case scala.util.control.NonFatal(_) => () }
       }
-      samples.collect { case (k, vs) if vs.size >= 3 =>
-        val s = vs.sorted.toIndexedSeq
+      val bands = samples.collect { case (k, vs) if vs.size >= 3 =>
+        val s = vs.map(_._1).sorted.toIndexedSeq
         def pct(p: Double): Double = s(math.round(p * (s.size - 1)).toInt)
-        k -> (pct(0.1), pct(0.9))
+        k -> Band(pct(0.1), pct(0.9), vs.map(_._2).max)
       }.toMap
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val calibMedian = if (calibs.isEmpty) None else {
+        val s = calibs.sorted.toIndexedSeq
+        Some(s(s.size / 2))
+      }
+      BenchHistory(bands, calibMedian, latest)
+    } catch {
+      case scala.util.control.NonFatal(_) => BenchHistory(Map.empty, None, 0)
+    }
 }

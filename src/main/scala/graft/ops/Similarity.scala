@@ -884,13 +884,16 @@ object Similarity {
     // guessed cost): `adc_candidates` = shortlist rows the margin
     // admits to the exact refinement; divide by |arrival| × nProbe
     // (the probe-row count the caller controls) for candidates-per-
-    // probe. `probed_buckets` rides along (constant; null when the
-    // gate admits zero rows). Observation metrics ride the serve's
-    // own action — zero extra jobs; read with `serveStats.get` after
-    // the sink runs.
+    // probe. `probed_buckets` rides along (a plan constant;
+    // coalesce'd so an EMPTY serve — zero admitted rows, where max
+    // over no rows is null — still reports it instead of NPE-ing
+    // consumers that read it as Int, ADVICE r15 #2). Observation
+    // metrics ride the serve's own action — zero extra jobs; read
+    // with `serveStats.get` after the sink runs.
     val cand = serveStats.fold(cand0)(o => cand0.observe(o,
       count(lit(1)).as("adc_candidates"),
-      max(lit(probedCids.size)).as("probed_buckets")))
+      coalesce(max(lit(probedCids.size)), lit(probedCids.size))
+        .as("probed_buckets")))
     // Pairs are unique by construction on every path below: each
     // neighbor lives in exactly ONE index bucket, so probing several
     // buckets per query cannot duplicate a pair (the searchEncoded

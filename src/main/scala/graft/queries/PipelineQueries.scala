@@ -467,7 +467,7 @@ object PipelineQueries {
     // persisted encoded history (IVF-PQ index + codes). Invariant gate
     // in the dedup_semantic style: every served pair must be a SUBSET
     // of the exact odd→even cross pairs (each pair is exact-cosine
-    // refined, so no false positives by construction) with >= 50%
+    // refined, so no false positives by construction) with >= 70%
     // recall at these probe settings. n_exact is DuckDB-checkable.
     QueryDef(
       "dedup_semantic_incremental",
@@ -483,7 +483,10 @@ object PipelineQueries {
         // quantization error on this data exceeds the 0.15 margin, so
         // true pairs died in the pre-filter before exact refinement.
         // 8/0.3 measures 0.82 at sf0.1 (and higher at sf0.01); the
-        // 0.5 bar keeps honest headroom at both scales.
+        // 0.7 bar (r15 verdict #6 — raised from 0.5, which would
+        // have passed the exact regression class r14 caught by luck)
+        // keeps ~0.1 honest headroom at every certified scale while
+        // failing any silent recall collapse.
         val served = Similarity.nearDupAgainst(
           arr, hist, Similarity.encodeCorpus(hist, "vec_id", "embedding", idx),
           "vec_id", "embedding", idx, threshold = 0.42, nProbe = 8,
@@ -502,7 +505,7 @@ object PipelineQueries {
         nEx.crossJoin(nSv).crossJoin(bad).select(
           col("n_exact"),
           (col("__nbad") === 0).as("subset_ok"),
-          (col("__nsv").cast("double") / col("n_exact").cast("double") >= 0.5)
+          (col("__nsv").cast("double") / col("n_exact").cast("double") >= 0.7)
             .as("recall_ok"))
       },
       Some(DedupSemanticIncrementalSql)),
@@ -552,7 +555,7 @@ object PipelineQueries {
         nEx.crossJoin(nSv).crossJoin(bad).select(
           col("n_exact"),
           (col("__nbad") === 0).as("subset_ok"),
-          (col("__nsv").cast("double") / col("n_exact").cast("double") >= 0.5)
+          (col("__nsv").cast("double") / col("n_exact").cast("double") >= 0.7)
             .as("recall_ok"))
       },
       Some(DedupSemanticIncrementalSql)),

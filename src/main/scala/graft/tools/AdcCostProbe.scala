@@ -47,6 +47,16 @@ object AdcCostProbe {
       .encodeCorpus(hist, "vec_id", "embedding", idx, storeVectors = true)
       .localCheckpoint(true)
 
+    // Baseline block set: the eager hist/arr/encoded checkpoints stay
+    // resident for the whole sweep; each margin's nearDupAgainst
+    // localCheckpoints its OWN staged arrivals, and those must be
+    // released between iterations or later margins time under earlier
+    // margins' resident blocks — the exact contamination class the
+    // r15 Kn5GeometryCanary release-before-clock fix addressed
+    // (ADVICE r15 #3). The Kn5GeometryCanary baseline-set pattern.
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet
+
     margins.foreach { m =>
       val obs = new org.apache.spark.sql.Observation()
       val t0 = System.nanoTime()
@@ -55,6 +65,9 @@ object AdcCostProbe {
         threshold = 0.42, nProbe = nProbe, adcMargin = m,
         serveStats = Some(obs)).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(false)
+      }
       val got = obs.get
       val cand = got("adc_candidates").asInstanceOf[Long]
       println(s"""{"adc_margin":$m,"adc_candidates":$cand,""" +

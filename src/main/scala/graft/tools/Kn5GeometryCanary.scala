@@ -27,7 +27,11 @@ import graft.sources.ParquetTables
   *     three serves over the SAME loaded artifacts — the pruned
   *     partitioned serve, the flat bulk cascade, and the flat
   *     broadcast-semi plan (the best non-pruned alternative: it never
-  *     shuffles the model but still SCANS all ten tables).
+  *     shuffles the model but still SCANS all ten tables) — plus, as
+  *     of r16, the [[LanguageModel.kn5ServeAuto]] front door and its
+  *     apples-to-apples comparator `pruned_cold` (hand-picked pruned
+  *     serve paying the same per-call model load), pinning that auto
+  *     ≈ best-hand-picked at this geometry.
   *
   * Fits and saves happen outside the clock (fit-once/serve-many);
   * each layout is loaded once per scale. Gates before timing: pruned
@@ -145,7 +149,19 @@ object Kn5GeometryCanary {
         "flat_cascade" -> (() => LanguageModel.modifiedKn5Against(
           batch, "doc_id", "text", flat)),
         "flat_broadcast" -> (() => LanguageModel.modifiedKn5Against(
-          batch, "doc_id", "text", flat, broadcastScore = true)))
+          batch, "doc_id", "text", flat, broadcastScore = true)),
+        // The serve-plan FRONT DOOR (r15 verdict #4) at production
+        // geometry — routes "pruned" here (36 keys ≪ the driver
+        // bound). Timed WITH its per-call partitioned-model load
+        // (listing ∝ 9 × 64·scale bucket dirs) + the distinct-key
+        // routing pass — costs the three pre-loaded faces above never
+        // pay — so its apples-to-apples comparator is pruned_cold:
+        // the hand-picked pruned serve paying the same per-call load.
+        "auto" -> (() => LanguageModel.kn5ServeAuto(
+          batch, "doc_id", "text", s"$d/part")),
+        "pruned_cold" -> (() => LanguageModel.modifiedKn5AgainstPartitioned(
+          batch, "doc_id", "text",
+          LanguageModel.loadKn5ModelPartitioned(spark, s"$d/part"))))
 
       // Gates before timing: same-scale layout parity (full rows incl.
       // scores) and the constant batch row count.
@@ -195,7 +211,10 @@ object Kn5GeometryCanary {
         s""""flat_cascade_ratio":${
           fmt(walls((k, "flat_cascade")) / walls((base, "flat_cascade")))},""" +
         s""""flat_broadcast_ratio":${
-          fmt(walls((k, "flat_broadcast")) / walls((base, "flat_broadcast")))}}"""
+          fmt(walls((k, "flat_broadcast")) / walls((base, "flat_broadcast")))},""" +
+        s""""auto":${fmt(walls((k, "auto")))},""" +
+        s""""auto_vs_cold":${
+          fmt(walls((k, "auto")) / walls((k, "pruned_cold")))}}"""
     }.mkString("[", ",", "]")
     val ok = gateOk && tf == 0
     println(s"""{"metric":"kn5_geometry","scales":$summary,""" +

@@ -301,6 +301,21 @@ object ServeCanary {
         "kn5_against_pruned" -> (() =>
           LanguageModel.modifiedKn5AgainstPartitioned(
             batch, "doc_id", "text", kn5Part)),
+        // Serve-plan FRONT DOOR (r15 verdict #4): dir-based routing —
+        // this batch's distinct 5-gram count is far under the driver
+        // bound, so auto routes "pruned". Its wall includes the
+        // per-call model LOAD (listing ∝ bucket count) plus the
+        // distinct-key routing pass, which the pre-loaded faces above
+        // never pay — so the apples-to-apples comparator is
+        // kn5_against_pruned_cold below, the HAND-PICKED pruned serve
+        // paying the same per-call load: auto ≈ cold demonstrates the
+        // front door costs one bounded count-agg over the batch.
+        "kn5_auto" -> (() => LanguageModel.kn5ServeAuto(
+          batch, "doc_id", "text", s"$d/kn5lmp")),
+        "kn5_against_pruned_cold" -> (() =>
+          LanguageModel.modifiedKn5AgainstPartitioned(
+            batch, "doc_id", "text",
+            LanguageModel.loadKn5ModelPartitioned(spark, s"$d/kn5lmp"))),
         "bm25_serve" -> (() => Retrieval.bm25ServeBatch(
           bm25Flat, queries, "query_id", "query_text", k = 10)),
         "bm25_serve_pruned" -> (() => Retrieval.bm25ServeBatch(
@@ -368,7 +383,8 @@ object ServeCanary {
       "simhash_against_pruned", "minhash_against",
       "minhash_against_pruned", "winnow_against", "winnow_against_pruned",
       "semantic_against", "semantic_against_pruned", "lm_against",
-      "kn5_against", "kn5_against_pruned",
+      "kn5_against", "kn5_against_pruned", "kn5_auto",
+      "kn5_against_pruned_cold",
       "bm25_serve", "bm25_serve_pruned") ++ tokOps
     // Disjoint replica vocabularies / isometries ⇒ identical hit sets
     // at both scales for the dedup faces (bm25 scores CAN admit
@@ -399,6 +415,9 @@ object ServeCanary {
         "minhash_against" -> "minhash_against_pruned",
         "winnow_against" -> "winnow_against_pruned",
         "kn5_against" -> "kn5_against_pruned",
+        // The front door may only pre-make the plan choice — never
+        // change a row (r15 verdict #4).
+        "kn5_against" -> "kn5_auto",
         // semantic layout parity is same-quantizer by construction;
         // the timed pruned face (∝-scale quantizer) is hit-count
         // gated above instead — a different quantizer may probe a

@@ -878,6 +878,51 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("kn5ServeAuto routes by layout and batch size; every route is row-identical") {
+    import spark.implicits._
+    val docs = kn5Corpus(40).toDF("doc_id", "text")
+    val model = LanguageModel.fitKn5(docs, "text")
+    val flatDir = java.nio.file.Files.createTempDirectory("kn5-auto-flat").toString
+    val partDir = java.nio.file.Files.createTempDirectory("kn5-auto-part").toString
+    LanguageModel.saveKn5Model(model, flatDir)
+    LanguageModel.saveKn5ModelPartitioned(model, partDir, nKeyBuckets = 8)
+    val expected = LanguageModel.modifiedKn5Against(
+      docs, "doc_id", "text", model).collect().map(_.toString).sorted.toSeq
+    def routed(dir: String, maxKeys: Long): (Seq[String], String) = {
+      val (df, route) = LanguageModel.kn5ServeAutoRouted(
+        docs, "doc_id", "text", dir, 1e-6, maxKeys)
+      (df.collect().map(_.toString).sorted.toSeq, route)
+    }
+    // Bounded batch: partitioned layout -> the partition-pruned
+    // serve; flat layout -> the broadcast-semi serve.
+    val (prunedRows, r1) = routed(partDir, LanguageModel.Kn5BroadcastMaxKeys)
+    r1 shouldBe "pruned"
+    prunedRows shouldBe expected
+    val (bcRows, r2) = routed(flatDir, LanguageModel.Kn5BroadcastMaxKeys)
+    r2 shouldBe "broadcast"
+    bcRows shouldBe expected
+    // Corpus-scale batch (bound forced below this batch's distinct
+    // 5-gram count): BOTH layouts route to the shuffle cascade — the
+    // partitioned one over its unioned buckets with the sidecar
+    // discounts, no count-of-counts re-scan, no driver-bound risk.
+    val (cascPartRows, r3) = routed(partDir, 5L)
+    r3 shouldBe "cascade"
+    cascPartRows shouldBe expected
+    val (cascFlatRows, r4) = routed(flatDir, 5L)
+    r4 shouldBe "cascade"
+    cascFlatRows shouldBe expected
+    // The public face takes the same route, decision hidden.
+    LanguageModel.kn5ServeAuto(docs, "doc_id", "text", partDir)
+      .collect().map(_.toString).sorted.toSeq shouldBe expected
+    // A non-model dir dies HERE with the contract named, not at first
+    // table read (the lm5ScoreStreamFrom sniff's strictness).
+    val junk = java.nio.file.Files.createTempDirectory("kn5-auto-junk").toString
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.kn5ServeAuto(docs, "doc_id", "text", junk)
+    }
+    e.getMessage should include("saveKn5ModelPartitioned")
+  }
+
   test("order-5 MKN fails fast on corpora without count-class decay") {
     import spark.implicits._
     // Every doc identical: only one 5-gram count class exists.
