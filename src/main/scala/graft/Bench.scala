@@ -97,10 +97,7 @@ object Bench {
     def calibOnce(): Double = {
       currentQuery = "calib"
       val t0 = System.nanoTime()
-      spark.range(0L, 256000000L, 1L, cpus.toInt)
-        .select(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("id")))).head()
+      calibJob(spark, cpus.toInt)
       (System.nanoTime() - t0) / 1e9
     }
     calibOnce() // warmup, untimed
@@ -180,6 +177,21 @@ object Bench {
     while (keep.nonEmpty && line(keep).length > budget) keep = keep.dropRight(1)
     println(line(keep))
     spark.stop()
+  }
+
+  /** The calibration canary's job body: hash `rows` longs and fold
+    * them into one value. The per-value 32-bit mask bounds the ANSI
+    * sum at 2^60 (256M × 2^32) — the unmasked sum of full xxhash64
+    * values overflows Long and ABORTS the sweep under Spark 4's
+    * default ANSI mode (this killed the first r16 run before the JSON
+    * line printed); the mask is one ALU op next to the hash, so the
+    * measured work is unchanged. */
+  private[graft] def calibJob(
+      spark: SparkSession, nPart: Int, rows: Long = 256000000L): Long = {
+    import org.apache.spark.sql.functions.{sum, xxhash64, col, lit}
+    spark.range(0L, rows, 1L, nPart)
+      .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFFFFFL))))
+      .head().getLong(0)
   }
 
   /** A per-query historical wall-time band: [p10, p90] over the

@@ -12,7 +12,16 @@ import org.scalatest.matchers.should.Matchers
   * phantom class, r15 twice) and calibration normalization (a loaded
   * host's uniform inflation is divided out before the band compare).
   */
-class BenchBandsSpec extends AnyFunSuite with Matchers {
+class BenchBandsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  test("calibJob survives ANSI mode at the sweep's full row count") {
+    // The unmasked sum(xxhash64) overflowed Long at 256M rows under
+    // Spark 4 default ANSI and ABORTED the whole sweep (r16 opening
+    // run — the JSON line never printed, driver would record rc=1).
+    // Run the real canary body at the real row count: it must return,
+    // not throw.
+    noException should be thrownBy Bench.calibJob(spark, 4)
+  }
 
   private def writeRounds(lines: Seq[String]): java.io.File = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bands").toFile
