@@ -59,9 +59,15 @@ object Graph {
     // Weights and out-weight totals stay in exact DECIMAL (a double
     // sum would be partition-order-dependent); the per-edge ratio is
     // the single double op, identical on every engine.
-    val e = edges.select(
+    // PERSISTED: the edge projection feeds the node set, the
+    // out-weight totals, AND every iteration's contribution join —
+    // 2 + iterations consumers. Unpersisted, an expensive upstream
+    // edge build (graph_pagerank's five-way join + aggregate) re-runs
+    // once per consumer; persisted, it runs once and every consumer
+    // reads three narrow columns (src, dst, decimal w).
+    val e = persist(edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("decimal(28,6)").as("w"))
+      col(weightCol).cast("decimal(28,6)").as("w")), "edges")
     val nodes = persist(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct(),

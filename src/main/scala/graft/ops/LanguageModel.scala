@@ -269,12 +269,18 @@ object LanguageModel {
     * saveModel pattern). `c12` is the big one (one row per distinct
     * training bigram) and is written at its natural partitioning;
     * the rest are vocabulary-bounded or 1-row. */
-  def saveKnModel(model: KnModel, path: String): Unit = {
-    model.c12.write.mode("overwrite").parquet(s"$path/c12")
-    model.c1.write.mode("overwrite").parquet(s"$path/c1")
-    model.n1c.write.mode("overwrite").parquet(s"$path/n1c")
-    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-  }
+  def saveKnModel(model: KnModel, path: String): Unit =
+    // Four independent writes as CONCURRENT jobs (guide §2.6) — the
+    // save's wall is the slowest table, not the sum of four
+    // job+commit latencies. (c12 feeds c1/n1c/stats through its lazy
+    // checkpoint; concurrent first use materializes each block once —
+    // the block manager serializes per-partition computation.)
+    OpsUtil.runConcurrently(Seq(
+      () => model.c12.write.mode("overwrite").parquet(s"$path/c12"),
+      () => model.c1.write.mode("overwrite").parquet(s"$path/c1"),
+      () => model.n1c.write.mode("overwrite").parquet(s"$path/n1c"),
+      () => model.stats.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/stats")))
 
   /** Load a persisted model (inverse of [[saveKnModel]]). */
   def loadKnModel(
@@ -537,14 +543,17 @@ object LanguageModel {
 
   /** Persist an order-3 model as six parquet tables (the
     * [[saveKnModel]] pattern; `c3` and `t23` are the big ones). */
-  def saveKn3Model(model: Kn3Model, path: String): Unit = {
-    model.c3.write.mode("overwrite").parquet(s"$path/c3")
-    model.p12.write.mode("overwrite").parquet(s"$path/p12")
-    model.t23.write.mode("overwrite").parquet(s"$path/t23")
-    model.mid.write.mode("overwrite").parquet(s"$path/mid")
-    model.n1c3.write.mode("overwrite").parquet(s"$path/n1c3")
-    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-  }
+  def saveKn3Model(model: Kn3Model, path: String): Unit =
+    // Six independent writes as CONCURRENT jobs (the [[saveKnModel]]
+    // argument at order 3).
+    OpsUtil.runConcurrently(Seq(
+      () => model.c3.write.mode("overwrite").parquet(s"$path/c3"),
+      () => model.p12.write.mode("overwrite").parquet(s"$path/p12"),
+      () => model.t23.write.mode("overwrite").parquet(s"$path/t23"),
+      () => model.mid.write.mode("overwrite").parquet(s"$path/mid"),
+      () => model.n1c3.write.mode("overwrite").parquet(s"$path/n1c3"),
+      () => model.stats.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/stats")))
 
   /** Load a persisted order-3 model (inverse of [[saveKn3Model]]). */
   def loadKn3Model(
@@ -746,15 +755,20 @@ object LanguageModel {
 
   /** Persist an order-5 model as ten parquet tables (the
     * [[saveKn3Model]] pattern; `c5` and `t4` are the big ones). */
-  def saveKn5Model(model: Kn5Model, path: String): Unit = {
-    Seq("c5" -> model.c5, "p4" -> model.p4, "t4" -> model.t4,
-      "d4" -> model.d4, "t3" -> model.t3, "d3" -> model.d3,
-      "t2" -> model.t2, "d2" -> model.d2, "t1" -> model.t1)
-      .foreach { case (n, df) =>
-        df.write.mode("overwrite").parquet(s"$path/$n")
-      }
-    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-  }
+  def saveKn5Model(model: Kn5Model, path: String): Unit =
+    // Ten independent writes as CONCURRENT jobs (the [[saveKnModel]]
+    // argument at order 5 — formerly ten serial job+commit
+    // latencies; derived tables share their parents' lazy-checkpoint
+    // blocks, each materialized once under concurrency).
+    OpsUtil.runConcurrently(
+      (Seq("c5" -> model.c5, "p4" -> model.p4, "t4" -> model.t4,
+        "d4" -> model.d4, "t3" -> model.t3, "d3" -> model.d3,
+        "t2" -> model.t2, "d2" -> model.d2, "t1" -> model.t1)
+        .map { case (n, df) =>
+          () => df.write.mode("overwrite").parquet(s"$path/$n")
+        }) :+
+        (() => model.stats.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/stats")))
 
   /** Load a persisted order-5 model (inverse of [[saveKn5Model]]). */
   def loadKn5Model(
@@ -810,22 +824,31 @@ object LanguageModel {
       "c5" -> model.c5, "p4" -> model.p4, "t4" -> model.t4,
       "d4" -> model.d4, "t3" -> model.t3, "d3" -> model.d3,
       "t2" -> model.t2, "d2" -> model.d2, "t1" -> model.t1)
-    Kn5Keyed.foreach { case (name, key) =>
-      frames(name)
-        .withColumn(Kn5KeyBucket, OpsUtil.hashBucket(nKeyBuckets, col(key)))
-        .repartition(nKeyBuckets, col(Kn5KeyBucket))
-        .write.mode("overwrite").partitionBy(Kn5KeyBucket)
-        .parquet(s"$path/$name")
-    }
-    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // Eleven independent writes as CONCURRENT jobs (guide §2.6 — the
+    // write phase of the partitioned save is job/commit latency and
+    // partition-directory metadata, measured flat in data size at
+    // sf0.1..0.2; overlapping collapses it toward the slowest table).
+    // The discount estimation above stays FIRST: it is the fail-fast
+    // gate, and its union-agg job materializes the c5/t4/t3/t2
+    // checkpoints the writes then share.
     val spark = model.stats.sparkSession
     import spark.implicits._
     val levels = Seq("order 5", "level 4", "level 3", "level 2")
-    levels.map { lvl =>
-      val (d1, d2, d3) = disc(lvl)
-      (lvl, nKeyBuckets, d1, d2, d3)
-    }.toDF("level", "key_buckets", "d1", "d2", "d3")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    OpsUtil.runConcurrently(
+      Kn5Keyed.map { case (name, key) =>
+        () => frames(name)
+          .withColumn(Kn5KeyBucket, OpsUtil.hashBucket(nKeyBuckets, col(key)))
+          .repartition(nKeyBuckets, col(Kn5KeyBucket))
+          .write.mode("overwrite").partitionBy(Kn5KeyBucket)
+          .parquet(s"$path/$name")
+      } ++ Seq(
+        () => model.stats.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/stats"),
+        () => levels.map { lvl =>
+          val (d1, d2, d3) = disc(lvl)
+          (lvl, nKeyBuckets, d1, d2, d3)
+        }.toDF("level", "key_buckets", "d1", "d2", "d3")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")))
   }
 
   /** Load a persisted [[Kn5PartModel]] (inverse of

@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions._
 
 private[graft] object OpsUtil {
 
+  /** Run several INDEPENDENT write actions as concurrent Spark jobs
+    * (guide §2.6, overlap independent jobs): the scheduler back-fills
+    * executors freed by one write's task tail with the next write's
+    * tasks, so k serial job+commit latencies collapse toward the
+    * slowest one — the fixed-cost lever for every save that persists
+    * a model as several small tables. Bounded pool (enough in flight
+    * to fill the tail, not so many they fight for memory); the first
+    * failure propagates after in-flight writes settle. Safe only for
+    * writes with no ordering dependency — disjoint output paths. */
+  def runConcurrently(actions: Seq[() => Unit], parallelism: Int = 4): Unit =
+    if (actions.size <= 1) actions.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, actions.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            actions.map(a => scala.concurrent.Future(a()))),
+          scala.concurrent.duration.Duration.Inf): Unit
+      finally pool.shutdown()
+    }
+
   /** The shared core of every two-phase distributed prefix computation
     * (budgetSelect's running cost, bucketize's rank, rocAuc's
     * midranks): coarse-bucket rows by the VALUE range of `orderAsc`

@@ -400,6 +400,80 @@ object Similarity {
     cents
   }
 
+  /** One fit of a FUSED multi-fit: which contiguous slice of the
+    * prepared `v` column it clusters (`None` = the full vector;
+    * `Some((start1, len))` is 1-based like Spark's `slice`) and its
+    * centroid count. */
+  private final case class LloydSpec(part: Option[(Int, Int)], k: Int)
+
+  /** ALL of an index's Lloyd fits driven together — the coarse
+    * quantizer (full vector) and the m per-subspace codebooks share
+    * ONE init collect and ONE assignment-stats job per iteration,
+    * instead of 1+m independent fit loops each running its own
+    * per-iteration job chain (measured at sf0.1: the 27-job fit wall
+    * dominated every IVF-PQ query; the fix is guide §1.2 step 1 —
+    * fewer jobs/passes — because the per-fit arithmetic was already
+    * one codegen'd kernel).
+    *
+    * Bit-identical to the per-fit loops by construction:
+    *   - init takes the SAME rows (one `orderBy(xxhash64(id), id)`
+    *     collect; each fit keeps its first k rows, sliced locally —
+    *     Scala's clamped `Array.slice` matches Spark's `slice`);
+    *   - each iteration evaluates each fit's own assignment
+    *     expression (same kernel, same centroids) and sums the same
+    *     exact-DECIMAL (fit, cid, pos) groups — fusing only changes
+    *     which JOB carries the groups, and decimal sums are
+    *     order-free;
+    *   - absent (fit, cid) groups keep the previous centroid, as
+    *     before. */
+  private def fitCentroidsFused(
+      sample: DataFrame, specs: Seq[LloydSpec],
+      iters: Int): IndexedSeq[Array[Array[Double]]] = {
+    val maxK = specs.map(_.k).max
+    val initRows = sample
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(maxK)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    def sliced(v: Array[Double], part: Option[(Int, Int)]): Array[Double] =
+      part match {
+        case Some((s1, len)) => v.slice(s1 - 1, s1 - 1 + len)
+        case None            => v.clone()
+      }
+    var cents: IndexedSeq[Array[Array[Double]]] =
+      specs.toIndexedSeq.map(sp =>
+        initRows.take(sp.k).map(sliced(_, sp.part)))
+    def vcOf(part: Option[(Int, Int)]): Column = part match {
+      case Some((s1, len)) => slice(col("v"), s1, len)
+      case None            => col("v")
+    }
+    var it = 0
+    while (it < iters) {
+      val fitStructs = specs.zipWithIndex.map { case (sp, f) =>
+        val vc = vcOf(sp.part)
+        struct(
+          argmaxIdx(centroidScores(vc, cents(f))).as("cid"),
+          vc.as("sv"))
+      }
+      val stats = sample
+        .select(posexplode(array(fitStructs: _*)).as(Seq("f", "x")))
+        .select(col("f"), col("x.cid").as("cid"), posexplode(col("x.sv")))
+        .groupBy(col("f"), col("cid"), col("pos"))
+        .agg(sum(col("col").cast("decimal(30,12)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      stats.foreach { r =>
+        val n = r.getLong(4)
+        if (n > 0)
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getDecimal(3).doubleValue() / n
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** score_c = 2·dot(v,c) − ‖c‖² per centroid — argmax of this equals
     * argmin of Euclidean distance (‖v‖² is constant per row). One
     * codegen'd expression carrying the matrix as a reference object:
@@ -524,13 +598,20 @@ object Similarity {
   private def fitIndexPrepared(
       base: DataFrame, nCentroids: Int, m: Int, kSub: Int,
       iters: Int): AnnIndex = {
+    require(m > 0 && kSub > 0)
     val sample = fitSample(base, FitSampleFactor * math.max(nCentroids, kSub))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val centsF = Future { fitCentroids(sample, nCentroids, iters) }
-    val books = pqCodebooksPrepared(sample, m, kSub, iters)
-    AnnIndex(Await.result(centsF, Duration.Inf), books)
+    val dim = sample.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // Coarse + m subspace fits FUSED into one job chain (one init
+    // collect, one stats job per iteration) — same results as the
+    // former 1+m concurrent fit loops, ~(1+m)× fewer jobs.
+    val all = fitCentroidsFused(
+      sample,
+      LloydSpec(None, nCentroids) +:
+        (0 until m).map(j => LloydSpec(Some((j * subDim + 1, subDim)), kSub)),
+      iters)
+    AnnIndex(all.head, all.tail.map(_.map(_.toSeq).toSeq))
   }
 
   /** Persist a fitted index as parquet (kind, i, j, vec) — readable by
@@ -592,23 +673,14 @@ object Similarity {
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    // The m subspace fits are independent — run them as concurrent
-    // Spark jobs (results are deterministic regardless of completion
-    // order). Sequentially, m×iters driver round-trips dominate the
-    // index build; concurrently the wall time is one fit.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fits = (0 until m).map { j =>
-      Future {
-        fitCentroids(
-          base.select(col("id"),
-            slice(col("v"), j * subDim + 1, subDim).as("v")),
-          kSub, iters)
-          .map(_.toSeq).toSeq
-      }
-    }
-    Await.result(Future.sequence(fits), Duration.Inf)
+    // The m subspace fits FUSED into one job chain (see
+    // [[fitCentroidsFused]]) — formerly m concurrent per-fit loops,
+    // whose m×iters jobs dominated the index build wall.
+    fitCentroidsFused(
+      base,
+      (0 until m).map(j => LloydSpec(Some((j * subDim + 1, subDim)), kSub)),
+      iters)
+      .map(_.map(_.toSeq).toSeq)
   }
 
   /** Attach `pq_codes` (array<int>, one codeword index per subspace):
