@@ -609,9 +609,14 @@ object LanguageModel {
       s"floor epsilon must be in (0, 1) (got $floorEps)")
     val pc = coalesce(col("n1c"), lit(0L)).cast("double") /
       col("n1pp").cast("double")
-    val pmid = knLevel(col("t23"), col("tmid"), col("nmid"), pc, discount)
-    val p3 = knLevel(col("c3"), col("c2"), col("n3"), pmid, discount)
-    val p = (lit(1.0) - lit(floorEps)) * p3 +
+    // Per-level projected columns, not one nested expression — the
+    // kn5 huge-method argument at order 3 (each level references its
+    // lower level in both CaseWhen branches; see kn5ScoreJoinKeyed).
+    val pmid = knLevel(col("t23"), col("tmid"), col("nmid"),
+      col("__graft_pl1"), discount)
+    val p3 = knLevel(col("c3"), col("c2"), col("n3"),
+      col("__graft_pl2"), discount)
+    val p = (lit(1.0) - lit(floorEps)) * col("__graft_pl3") +
       lit(floorEps) / (col("v").cast("double") + lit(1.0))
     val term = round(-log(p), 9).cast("decimal(24,9)")
     scoreTg
@@ -625,10 +630,14 @@ object LanguageModel {
       .join(model.mid, Seq("w2m"), "left")
       .join(model.n1c3, Seq("w3c"), "left")
       .crossJoin(broadcast(model.stats))
+      .withColumn("__graft_pl1", pc)
+      .withColumn("__graft_pl2", pmid)
+      .withColumn("__graft_pl3", p3)
+      .withColumn("__graft_term", term)
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_trigrams"),
-        (sum(term).cast("double") /
+        (sum(col("__graft_term")).cast("double") /
           count(lit(1)).cast("double")).as("kn3_cross_entropy"))
       .withColumnRenamed("id", idCol)
   }
@@ -1221,15 +1230,27 @@ object LanguageModel {
     val dl2 = disc("level 2")
     val p1 = coalesce(col("n1c"), lit(0L)).cast("double") /
       col("n1pp").cast("double")
+    // Each level lands in its OWN projected column instead of one
+    // nested expression: `lower` sits in both branches of every
+    // level's CaseWhen, so inlining doubles the tree per level (2^4
+    // copies of the continuation base at order 5) and the scoring
+    // stage's generated method blows past the JIT's huge-method
+    // bytecode limit — HotSpot then never compiles it and the stage
+    // runs in the bytecode interpreter (measured 295 task-CPU-seconds
+    // / ~310 µs per joined row at sf0.1). Catalyst cannot undo the
+    // split: CollapseProject keeps an alias its consumer references
+    // more than once unless the alias is cheap, and a CaseWhen is
+    // not. Same doubles in the same order with the same NULL
+    // behavior — each level is just computed once into a column.
     val p2 = mknLevel(col("t2"), col("tsum2"),
-      col("k1_2"), col("k2_2"), col("k3_2"), p1, dl2)
+      col("k1_2"), col("k2_2"), col("k3_2"), col("__graft_pl1"), dl2)
     val p3 = mknLevel(col("t3"), col("tsum3"),
-      col("k1_3"), col("k2_3"), col("k3_3"), p2, dl3)
+      col("k1_3"), col("k2_3"), col("k3_3"), col("__graft_pl2"), dl3)
     val p4 = mknLevel(col("t4"), col("tsum4"),
-      col("k1_4"), col("k2_4"), col("k3_4"), p3, dl4)
+      col("k1_4"), col("k2_4"), col("k3_4"), col("__graft_pl3"), dl4)
     val p5 = mknLevel(col("c5"), col("c4"),
-      col("k1_5"), col("k2_5"), col("k3_5"), p4, d5)
-    val term = knTermOf(p5, floorEps)
+      col("k1_5"), col("k2_5"), col("k3_5"), col("__graft_pl4"), d5)
+    val term = knTermOf(col("__graft_pl5"), floorEps)
     def tagged(df: DataFrame, suffix: String): DataFrame =
       Seq("k1", "k2", "k3").foldLeft(df)((d, k) =>
         d.withColumnRenamed(k, s"${k}_$suffix"))
@@ -1270,6 +1291,11 @@ object LanguageModel {
       (model.t1, Seq("w5c")))
       .foldLeft(keyed) { case (acc, (tbl, keys)) => lj(acc, tbl, keys) }
       .crossJoin(broadcast(model.stats))
+      .withColumn("__graft_pl1", p1)
+      .withColumn("__graft_pl2", p2)
+      .withColumn("__graft_pl3", p3)
+      .withColumn("__graft_pl4", p4)
+      .withColumn("__graft_pl5", p5)
       .withColumn("__graft_term", term)
       .groupBy(col("id"))
       .agg(
