@@ -487,10 +487,15 @@ object PipelineQueries {
         // have passed the exact regression class r14 caught by luck)
         // keeps ~0.1 honest headroom at every certified scale while
         // failing any silent recall collapse.
+        // Checkpointed: the subset gate reads `served` AND `exact`,
+        // the counts read them again — unstaged, the serve and the
+        // O(n²) exact baseline each ran once per consumer. Both
+        // outputs are threshold-surviving pairs (tiny).
         val served = Similarity.nearDupAgainst(
           arr, hist, Similarity.encodeCorpus(hist, "vec_id", "embedding", idx),
           "vec_id", "embedding", idx, threshold = 0.42, nProbe = 8,
           adcMargin = 0.3)
+          .localCheckpoint(false)
         val exact = Dedup.embeddingCosinePairs(
             emb, "vec_id", "embedding", threshold = 0.42)
           .filter((col("id_a") % 2 =!= 0 && col("id_b") % 2 === 0) ||
@@ -498,6 +503,7 @@ object PipelineQueries {
           .select(
             when(col("id_a") % 2 =!= 0, col("id_a")).otherwise(col("id_b")).as("new_id"),
             when(col("id_a") % 2 === 0, col("id_a")).otherwise(col("id_b")).as("base_id"))
+          .localCheckpoint(false)
         val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
         val bad = served.join(exact, Seq("new_id", "base_id"), "left_anti")
           .agg(count(lit(1)).as("__nbad"))
@@ -537,10 +543,13 @@ object PipelineQueries {
             storeVectors = true),
           s"$path/encoded")
         val idx = Similarity.loadIndex(s"$path/ann", s)
+        // Checkpointed (the dedup_semantic_incremental argument): two
+        // consumers each for the serve and the exact baseline.
         val served = Similarity.nearDupAgainst(
           arr, hist.limit(0), Similarity.loadEncodedCorpus(s, s"$path/encoded"),
           "vec_id", "embedding", idx, threshold = 0.42, nProbe = 8,
           adcMargin = 0.3) // settings measured at sf0.1 — see the twin above
+          .localCheckpoint(false)
         val exact = Dedup.embeddingCosinePairs(
             emb, "vec_id", "embedding", threshold = 0.42)
           .filter((col("id_a") % 2 =!= 0 && col("id_b") % 2 === 0) ||
@@ -548,6 +557,7 @@ object PipelineQueries {
           .select(
             when(col("id_a") % 2 =!= 0, col("id_a")).otherwise(col("id_b")).as("new_id"),
             when(col("id_a") % 2 === 0, col("id_a")).otherwise(col("id_b")).as("base_id"))
+          .localCheckpoint(false)
         val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
         val bad = served.join(exact, Seq("new_id", "base_id"), "left_anti")
           .agg(count(lit(1)).as("__nbad"))
@@ -568,10 +578,14 @@ object PipelineQueries {
       "dedup_semantic",
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
+        // Checkpointed: both pair sets feed the subset gate AND their
+        // own count — two consumers each (see dedup_semantic_serve).
         val sem = Dedup.semanticPairs(emb, "vec_id", "embedding",
           nCentroids = 16, threshold = 0.42)
+          .localCheckpoint(false)
         val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
           threshold = 0.42)
+          .localCheckpoint(false)
         val nEx = exact.agg(count(lit(1)).cast("long").as("n_exact"))
         val nSem = sem.agg(count(lit(1)).as("__nsem"))
         val bad = sem.join(exact.select("id_a", "id_b"),
@@ -1302,6 +1316,7 @@ object PipelineQueries {
         // sampled queries); the candidate corpus stays full.
         val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
           queryPred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10))
+          .localCheckpoint(false) // feeds the hit join AND the query count
         val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
         bf.select("query_id").distinct()
@@ -1328,6 +1343,7 @@ object PipelineQueries {
         // the portable 10% query sample, candidate corpus stays full.
         val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
           queryPred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10))
+          .localCheckpoint(false) // feeds the hit join AND the query count
         val hits = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
         bf.select("query_id").distinct()
@@ -1364,10 +1380,16 @@ object PipelineQueries {
           .unionAll(Similarity.encodeCorpus(
             emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx))
         val pred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 5)
+        // Checkpointed: rFull feeds the query count plus BOTH exceptAll
+        // directions (three consumers), rInc both directions — each
+        // search ran once per consumer before; the ranked outputs are
+        // k rows per sampled query.
         val rFull = Similarity.searchEncoded(emb, full, "vec_id", "embedding",
           idx, k = 5, nProbe = 24, refine = 256, queryPred = pred)
+          .localCheckpoint(false)
         val rInc = Similarity.searchEncoded(emb, merged, "vec_id", "embedding",
           idx, k = 5, nProbe = 24, refine = 256, queryPred = pred)
+          .localCheckpoint(false)
         val diff = rFull.exceptAll(rInc).unionAll(rInc.exceptAll(rFull))
         rFull.agg(countDistinct(col("query_id")).cast("long").as("n_queries"))
           .crossJoin(diff.agg(count(lit(1)).cast("long").as("n_diff")))

@@ -496,9 +496,14 @@ object ShapingQueries {
         // portable 10% sample (candidate corpus stays full), the
         // sim_topk_ivf_recall verification pattern.
         val qp = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 10)
+        // Checkpointed: the recall AND validity branches both read it,
+        // and the 8-table candidate join ran once per consumer
+        // (profiled as the query's two dominant stages at sf0.1); the
+        // ranked output is k rows per query — cheap to hold.
         val lsh = Similarity.hardNegativesLsh(
           emb, "vec_id", "embedding", "label", k = 5,
           dim = 64, nPlanes = 3, tables = 8, queryPred = qp)
+          .localCheckpoint(false)
         val exact = Similarity.hardNegatives(
           emb, "vec_id", "embedding", "label", k = 5, queryPred = qp)
         val marked = exact.join(
@@ -533,6 +538,7 @@ object ShapingQueries {
         val ivf = Similarity.hardNegativesIvf(
           emb, "vec_id", "embedding", "label", k = 5,
           nCentroids = 64, nProbe = 24, queryPred = qp)
+          .localCheckpoint(false) // read by BOTH the recall and validity branches
         val exact = Similarity.hardNegatives(
           emb, "vec_id", "embedding", "label", k = 5, queryPred = qp)
         val marked = exact.join(
