@@ -792,18 +792,26 @@ object QualityQueries {
       (s, dir) => {
         import graft.ops.{FeatureStats, TextOps}
         val docs = table(s, dir, "documents")
-        def toks(d: org.apache.spark.sql.DataFrame) = d
-          .select(explode(TextOps.tokens(TextOps.normalized(col("text"))))
-            .as("tk"))
+        // Tokenize ONCE (checkpointed) and carry the doc parity: the
+        // full-corpus sketch, both half-corpus sketches, and the exact
+        // top-20 all read the same exploded tokens — unstaged, the
+        // corpus re-tokenized once per consumer (profiled as six
+        // duplicate explode stages at sf0.1). Filtering parity after
+        // the explode keeps the same token multisets per half.
+        val tk = docs
+          .select(pmod(col("doc_id"), lit(2)).as("__graft_par"),
+            explode(TextOps.tokens(TextOps.normalized(col("text"))))
+              .as("tk"))
           .filter(col("tk") =!= "")
-        val all = toks(docs)
+          .localCheckpoint(false)
+        val all = tk.select("tk")
         val prof = FeatureStats.cmsProfile(all, "tk", width = 512, depth = 3)
         val merged = FeatureStats.mergeCmsProfiles(Seq(
           FeatureStats.cmsProfile(
-            toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)), "tk",
+            tk.filter(col("__graft_par") === 0).select("tk"), "tk",
             width = 512, depth = 3),
           FeatureStats.cmsProfile(
-            toks(docs.filter(pmod(col("doc_id"), lit(2)) === 1)), "tk",
+            tk.filter(col("__graft_par") === 1).select("tk"), "tk",
             width = 512, depth = 3)))
         val top = all.groupBy("tk").agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("tk").asc).limit(20)
