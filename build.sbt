@@ -36,4 +36,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // A 200-query sweep generates thousands of unique whole-stage-codegen
+  // classes in one JVM; at the JVM default (240m) the code cache fills
+  // mid-sweep and HotSpot starts flushing/declining compiles, leaving
+  // hot generated methods interpreted — measured as bimodal 4-13x
+  // slowdowns of expression-heavy stages late in long runs (same
+  // stage: 74 vs 999 task-CPU-seconds). Not a local-mode tweak: any
+  // long-lived driver/executor JVM running this many distinct plans
+  // needs code-cache headroom.
+  "-XX:ReservedCodeCacheSize=1g",
+  // Whole-stage codegen fuses a 9-table join cascade + scoring
+  // arithmetic into single generated methods that exceed HotSpot's
+  // huge-method bytecode limit (8000); by default such methods are
+  // NEVER JIT-compiled and run in the bytecode interpreter — measured
+  // at 310 µs/row (295 task-CPU-seconds) on the order-5 scoring
+  // stage. Standard JVM setting for wide Spark plans; pairs with the
+  // enlarged code cache above.
+  "-XX:-DontCompileHugeMethods",
 )

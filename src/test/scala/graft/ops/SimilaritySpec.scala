@@ -363,6 +363,42 @@ class SimilaritySpec extends SparkSpec with Matchers {
     enc("doc-1") shouldBe false
   }
 
+  test("fitIndex's fused multi-fit is bit-identical to the independent per-fit loops") {
+    // fitIndex drives the coarse quantizer and every PQ subspace
+    // codebook through ONE shared job chain (fitCentroidsFused); this
+    // pins that fusion against the UN-fused reference still used by
+    // ivfCentroids — the same Lloyd loop run independently per fit.
+    // Exact equality (doubles bit-compare): same init rows, same
+    // assignment kernel, same exact-DECIMAL stats groups.
+    import org.apache.spark.sql.functions.{col, slice}
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(5, 16)(rnd.nextGaussian() * 4)
+    val df = vecsDf((1L to 120L).map { i =>
+      i -> centers(rnd.nextInt(5)).map(_ + rnd.nextGaussian() * 0.6).toSeq
+    })
+    val m = 4
+    val kSub = 4
+    val idx = Similarity.fitIndex(df, "vec_id", "embedding",
+      nCentroids = 5, m = m, kSub = kSub)
+    // Coarse face: the per-fit reference over the full vector.
+    val coarseRef = Similarity.ivfCentroids(df, "vec_id", "embedding",
+      nCentroids = 5)
+    idx.centroids.map(_.toSeq).toSeq shouldBe coarseRef.map(_.toSeq).toSeq
+    // Every subspace codebook: the per-fit reference over the slice.
+    val subDim = 16 / m
+    (0 until m).foreach { j =>
+      val sliced = df.select(col("vec_id"),
+        slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
+      val bookRef = Similarity.ivfCentroids(sliced, "vec_id", "embedding",
+        nCentroids = kSub)
+      idx.books(j) shouldBe bookRef.map(_.toSeq).toSeq
+    }
+    // Fit-what-exists survives the fusion: fewer rows than centroids.
+    val tiny = vecsDf((1L to 3L).map(i => i -> Seq.fill(16)(i.toDouble)))
+    Similarity.fitIndex(tiny, "vec_id", "embedding",
+      nCentroids = 5, m = m, kSub = kSub).centroids.length shouldBe 3
+  }
+
   test("AnnIndex: parquet save/load round-trips; prebuilt index reproduces results") {
     val rnd = new scala.util.Random(73)
     val centers = Array.fill(6, 16)(rnd.nextGaussian() * 5)
