@@ -628,13 +628,37 @@ object FeatureStats {
       .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("string").as("v"))
       .agg(count(lit(1)).as("c"))
+    cmsCells(counts, width, depth)
+  }
+
+  /** [[cmsProfile]] over PRE-AGGREGATED (value, count) rows — the
+    * sketch a caller builds when it already holds per-value occurrence
+    * counts (one corpus aggregate feeding several sketches, the
+    * cms_heavy_hitters shape: cell_d,b = Σ counts of values hashing
+    * there, identical to re-counting raw occurrences by construction —
+    * spec-pinned against [[cmsProfile]]). Duplicate value rows are
+    * summed, NULL values ignored, exactly as the raw-row form. */
+  private[graft] def cmsProfileOfCounts(
+      counts: DataFrame, valueCol: String, countCol: String,
+      width: Int = 1024, depth: Int = 3): DataFrame = {
+    require(width > 0 && depth > 0, s"need width, depth > 0 ($width, $depth)")
+    cmsCells(
+      counts
+        .filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("string").as("v"))
+        .agg(sum(col(countCol)).as("c")),
+      width, depth)
+  }
+
+  /** The shared cell aggregate of both profile builders: (v, c) →
+    * one row per non-empty cell, (width, depth, d, b, cnt). */
+  private def cmsCells(counts: DataFrame, width: Int, depth: Int): DataFrame =
     counts
       .select(cmsHashes(col("v")) ++ Seq(col("c")): _*)
       .select(col("*"), explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
       .groupBy(lit(width).as("width"), lit(depth).as("depth"), col("d"),
         cmsBucket(col("d"), width).as("b"))
       .agg(sum(col("c")).as("cnt"))
-  }
 
   /** Merge [[cmsProfile]] frames (cell-wise sum — exact). All inputs
     * must share one geometry; a mixed merge is caught at estimate

@@ -657,7 +657,15 @@ object LanguageModel {
   case class Kn5Model(
       c5: DataFrame, p4: DataFrame, t4: DataFrame, d4: DataFrame,
       t3: DataFrame, d3: DataFrame, t2: DataFrame, d2: DataFrame,
-      t1: DataFrame, stats: DataFrame)
+      t1: DataFrame, stats: DataFrame,
+      // Per-level discounts when the model came from a layout that
+      // persisted them (the [[saveKn5Model]] `disc` sidecar — the
+      // partitioned layout's `meta` argument applied to the flat one):
+      // they derive deterministically from the count tables' own
+      // count-of-counts and doubles round-trip parquet exactly, so a
+      // sidecar read IS the re-estimation, minus one full scan of the
+      // four numerator tables per serve. None = estimate on first use.
+      disc: Option[Map[String, (Double, Double, Double)]] = None)
 
   /** Fit the order-5 count statistics over `textCol` of `train`. */
   def fitKn5(train: DataFrame, textCol: String): Kn5Model =
@@ -754,7 +762,7 @@ object LanguageModel {
           "truly has the headroom)")
     }
     kn5ScoreJoinWith(fg, model,
-      mknDiscountsAll(model), floorEps, idCol, broadcastScore)
+      model.disc.getOrElse(mknDiscountsAll(model)), floorEps, idCol, broadcastScore)
   }
 
   /** Default ceiling on the batch's DISTINCT 5-gram keys admitted to
@@ -763,31 +771,62 @@ object LanguageModel {
   val Kn5BroadcastMaxKeys: Long = 1000000L
 
   /** Persist an order-5 model as ten parquet tables (the
-    * [[saveKn3Model]] pattern; `c5` and `t4` are the big ones). */
-  def saveKn5Model(model: Kn5Model, path: String): Unit =
-    // Ten independent writes as CONCURRENT jobs (the [[saveKnModel]]
-    // argument at order 5 — formerly ten serial job+commit
-    // latencies; derived tables share their parents' lazy-checkpoint
-    // blocks, each materialized once under concurrency).
+    * [[saveKn3Model]] pattern; `c5` and `t4` are the big ones) plus a
+    * `disc` discount sidecar. The sidecar estimation runs FIRST (one
+    * union-agg job): it is the fail-fast gate a degenerate corpus hits
+    * at serve time anyway (the [[saveKn5ModelPartitioned]] contract,
+    * now shared by both layouts), and its job materializes the
+    * c5/t4/t3/t2 lazy checkpoints the concurrent writes then share —
+    * so no write stalls mid-flight on a sibling's checkpoint blocks.
+    * A serve against the loaded model then never re-scans the four
+    * numerator tables for count-of-counts. */
+  def saveKn5Model(model: Kn5Model, path: String): Unit = {
+    val disc = model.disc.getOrElse(mknDiscountsAll(model))
+    val spark = model.stats.sparkSession
+    import spark.implicits._
+    // Eleven independent writes as CONCURRENT jobs (the [[saveKnModel]]
+    // argument at order 5 — formerly ten serial job+commit latencies).
     OpsUtil.runConcurrently(
       (Seq("c5" -> model.c5, "p4" -> model.p4, "t4" -> model.t4,
         "d4" -> model.d4, "t3" -> model.t3, "d3" -> model.d3,
         "t2" -> model.t2, "d2" -> model.d2, "t1" -> model.t1)
         .map { case (n, df) =>
           () => df.write.mode("overwrite").parquet(s"$path/$n")
-        }) :+
-        (() => model.stats.coalesce(1).write.mode("overwrite")
-          .parquet(s"$path/stats")))
+        }) ++ Seq(
+        () => model.stats.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/stats"),
+        () => Kn5DiscLevels.map { lvl =>
+          val (d1, d2, d3) = disc(lvl); (lvl, d1, d2, d3)
+        }.toDF("level", "d1", "d2", "d3")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/disc")))
+  }
 
-  /** Load a persisted order-5 model (inverse of [[saveKn5Model]]). */
+  /** The four discounted levels, in estimation order (sidecar rows). */
+  private val Kn5DiscLevels =
+    Seq("order 5", "level 4", "level 3", "level 2")
+
+  /** Load a persisted order-5 model (inverse of [[saveKn5Model]]).
+    * Reads the `disc` sidecar when present; flat layouts saved before
+    * the sidecar existed load with `disc = None` and estimate on
+    * first use, exactly as before. */
   def loadKn5Model(
-      spark: org.apache.spark.sql.SparkSession, path: String): Kn5Model =
+      spark: org.apache.spark.sql.SparkSession, path: String): Kn5Model = {
+    val discPath = new org.apache.hadoop.fs.Path(path, "disc")
+    val fs = discPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val disc =
+      if (!fs.exists(discPath)) None
+      else Some(spark.read.parquet(discPath.toString).collect()
+        .map(r => r.getAs[String]("level") -> (
+          r.getAs[Double]("d1"), r.getAs[Double]("d2"),
+          r.getAs[Double]("d3"))).toMap)
     Kn5Model(
       spark.read.parquet(s"$path/c5"), spark.read.parquet(s"$path/p4"),
       spark.read.parquet(s"$path/t4"), spark.read.parquet(s"$path/d4"),
       spark.read.parquet(s"$path/t3"), spark.read.parquet(s"$path/d3"),
       spark.read.parquet(s"$path/t2"), spark.read.parquet(s"$path/d2"),
-      spark.read.parquet(s"$path/t1"), spark.read.parquet(s"$path/stats"))
+      spark.read.parquet(s"$path/t1"), spark.read.parquet(s"$path/stats"),
+      disc)
+  }
 
   /** Partition column of the key-bucketed order-5 serve layout. */
   private[graft] val Kn5KeyBucket = "__graft_kb"
@@ -828,7 +867,7 @@ object LanguageModel {
       model: Kn5Model, path: String, nKeyBuckets: Int = 64): Unit = {
     require(nKeyBuckets > 0,
       "saveKn5ModelPartitioned: nKeyBuckets must be > 0")
-    val disc = mknDiscountsAll(model)
+    val disc = model.disc.getOrElse(mknDiscountsAll(model))
     val frames = Map(
       "c5" -> model.c5, "p4" -> model.p4, "t4" -> model.t4,
       "d4" -> model.d4, "t3" -> model.t3, "d3" -> model.d3,
@@ -842,7 +881,7 @@ object LanguageModel {
     // checkpoints the writes then share.
     val spark = model.stats.sparkSession
     import spark.implicits._
-    val levels = Seq("order 5", "level 4", "level 3", "level 2")
+    val levels = Kn5DiscLevels
     OpsUtil.runConcurrently(
       Kn5Keyed.map { case (name, key) =>
         () => frames(name)
@@ -997,7 +1036,7 @@ object LanguageModel {
           loadKn5ModelPartitioned(spark, modelDir), floorEps), "pruned")
       else {
         val model = loadKn5Model(spark, modelDir)
-        (kn5ScoreJoinWith(fg, model, mknDiscountsAll(model), floorEps,
+        (kn5ScoreJoinWith(fg, model, model.disc.getOrElse(mknDiscountsAll(model)), floorEps,
           idCol, broadcastScore = true), "broadcast")
       }
     } else if (partitioned) {
@@ -1016,7 +1055,7 @@ object LanguageModel {
         model.disc, floorEps, idCol, broadcastScore = false), "cascade")
     } else {
       val model = loadKn5Model(spark, modelDir)
-      (kn5ScoreJoinWith(fg, model, mknDiscountsAll(model), floorEps,
+      (kn5ScoreJoinWith(fg, model, model.disc.getOrElse(mknDiscountsAll(model)), floorEps,
         idCol, broadcastScore = false), "cascade")
     }
   }
@@ -1133,7 +1172,7 @@ object LanguageModel {
     * trigger). */
   private[graft] def estimateKn5Discounts(
       model: Kn5Model): Map[String, (Double, Double, Double)] =
-    mknDiscountsAll(model)
+    model.disc.getOrElse(mknDiscountsAll(model))
 
   /** [[modifiedKn5Against]] with the discounts already estimated —
     * the streaming serve face's per-batch body. Serves with the
@@ -1183,7 +1222,7 @@ object LanguageModel {
   private def kn5ScoreJoin(
       scoreFg: DataFrame, model: Kn5Model,
       floorEps: Double, idCol: String): DataFrame =
-    kn5ScoreJoinWith(scoreFg, model, mknDiscountsAll(model),
+    kn5ScoreJoinWith(scoreFg, model, model.disc.getOrElse(mknDiscountsAll(model)),
       floorEps, idCol)
 
   private def kn5ScoreJoinWith(
@@ -1279,7 +1318,22 @@ object LanguageModel {
           broadcast(keyed.select(keys.map(col): _*)), keys, "left_semi")
         acc.join(broadcast(matched), keys, "left")
       } else acc.join(tbl, keys, "left")
-    Seq[(DataFrame, Seq[String])](
+    // The shuffle cascade probes DISTINCT 5-grams, never occurrences
+    // (guide §2.3 shuffle-fewer-bytes / §3.3): every lookup key and
+    // therefore the whole per-term loss derives from `fg` alone, so
+    // the nine model joins and the five smoothing-level projections
+    // need one row per 5-gram TYPE; occurrences re-attach by one
+    // fg-key join before the per-doc aggregate. At bench geometry
+    // types/occurrences ≈ 0.73; at real corpus Zipf ratios the probe
+    // side shrinks by orders of magnitude. Bit-identical per doc: the
+    // per-type terms are the same doubles, and the per-doc sum is
+    // DECIMAL (order-free). The broadcast-score plan keeps probing
+    // the staged batch projection directly — its keys are already
+    // batch-bounded and checkpointed, and the semi-join pattern never
+    // shuffles the accumulator at all.
+    val probe = if (broadcastScore) keyed
+      else kn5Keyed(keyed.select("fg").distinct())
+    val scoredProbe = Seq[(DataFrame, Seq[String])](
       (model.c5, Seq("fg")),
       (tagged(model.p4, "5"), Seq("p1234")),
       (model.t4, Seq("s2345")),
@@ -1289,7 +1343,7 @@ object LanguageModel {
       (model.t2, Seq("s45")),
       (tagged(model.d2, "2"), Seq("w4d")),
       (model.t1, Seq("w5c")))
-      .foldLeft(keyed) { case (acc, (tbl, keys)) => lj(acc, tbl, keys) }
+      .foldLeft(probe) { case (acc, (tbl, keys)) => lj(acc, tbl, keys) }
       .crossJoin(broadcast(model.stats))
       .withColumn("__graft_pl1", p1)
       .withColumn("__graft_pl2", p2)
@@ -1297,6 +1351,10 @@ object LanguageModel {
       .withColumn("__graft_pl4", p4)
       .withColumn("__graft_pl5", p5)
       .withColumn("__graft_term", term)
+    val terms = if (broadcastScore) scoredProbe
+      else keyed.select(col("id"), col("fg"))
+        .join(scoredProbe.select(col("fg"), col("__graft_term")), Seq("fg"))
+    terms
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_fivegrams"),

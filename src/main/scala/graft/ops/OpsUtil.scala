@@ -13,8 +13,13 @@ private[graft] object OpsUtil {
     * slowest one — the fixed-cost lever for every save that persists
     * a model as several small tables. Bounded pool (enough in flight
     * to fill the tail, not so many they fight for memory); the first
-    * failure propagates after in-flight writes settle. Safe only for
-    * writes with no ordering dependency — disjoint output paths. */
+    * failure (in submission order) propagates only after EVERY action
+    * has settled — each action runs under Try, so Future.sequence
+    * cannot fail fast while sibling writes are still running (r16
+    * ADVICE: a caller that cleaned up or retried the save path on
+    * failure would otherwise race two overwrite writers against the
+    * same directories). Safe only for writes with no ordering
+    * dependency — disjoint output paths. */
   def runConcurrently(actions: Seq[() => Unit], parallelism: Int = 4): Unit =
     if (actions.size <= 1) actions.foreach(_())
     else {
@@ -22,12 +27,14 @@ private[graft] object OpsUtil {
         math.min(parallelism, actions.size))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try
-        scala.concurrent.Await.result(
+      try {
+        val settled = scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(
-            actions.map(a => scala.concurrent.Future(a()))),
-          scala.concurrent.duration.Duration.Inf): Unit
-      finally pool.shutdown()
+            actions.map(a =>
+              scala.concurrent.Future(scala.util.Try(a())))),
+          scala.concurrent.duration.Duration.Inf)
+        settled.foreach(_.get)
+      } finally pool.shutdown()
     }
 
   /** The shared core of every two-phase distributed prefix computation

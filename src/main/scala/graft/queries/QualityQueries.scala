@@ -792,28 +792,32 @@ object QualityQueries {
       (s, dir) => {
         import graft.ops.{FeatureStats, TextOps}
         val docs = table(s, dir, "documents")
-        // Tokenize ONCE (checkpointed) and carry the doc parity: the
-        // full-corpus sketch, both half-corpus sketches, and the exact
-        // top-20 all read the same exploded tokens — unstaged, the
-        // corpus re-tokenized once per consumer (profiled as six
-        // duplicate explode stages at sf0.1). Filtering parity after
-        // the explode keeps the same token multisets per half.
-        val tk = docs
+        // ONE corpus pass: tokenize, explode, and aggregate to
+        // per-(parity, token) counts in a single map-side-combined
+        // shuffle. The checkpointed frame is VOCABULARY-bounded (≤ 2
+        // rows per distinct token — r16 staged the full exploded-token
+        // corpus, O(total tokens) block storage at scale); the full
+        // sketch, both half sketches, and the exact top-20 all derive
+        // from these counts by construction (cell_d,b = Σ counts of
+        // tokens hashing there; exact_cnt = Σ over parities).
+        val cnt = docs
           .select(pmod(col("doc_id"), lit(2)).as("__graft_par"),
             explode(TextOps.tokens(TextOps.normalized(col("text"))))
               .as("tk"))
           .filter(col("tk") =!= "")
+          .groupBy("__graft_par", "tk").agg(count(lit(1)).as("c"))
           .localCheckpoint(false)
-        val all = tk.select("tk")
-        val prof = FeatureStats.cmsProfile(all, "tk", width = 512, depth = 3)
+        val all = cnt.groupBy("tk").agg(sum(col("c")).as("c"))
+        val prof = FeatureStats.cmsProfileOfCounts(
+          all, "tk", "c", width = 512, depth = 3)
         val merged = FeatureStats.mergeCmsProfiles(Seq(
-          FeatureStats.cmsProfile(
-            tk.filter(col("__graft_par") === 0).select("tk"), "tk",
+          FeatureStats.cmsProfileOfCounts(
+            cnt.filter(col("__graft_par") === 0), "tk", "c",
             width = 512, depth = 3),
-          FeatureStats.cmsProfile(
-            tk.filter(col("__graft_par") === 1).select("tk"), "tk",
+          FeatureStats.cmsProfileOfCounts(
+            cnt.filter(col("__graft_par") === 1), "tk", "c",
             width = 512, depth = 3)))
-        val top = all.groupBy("tk").agg(count(lit(1)).as("exact_cnt"))
+        val top = all.select(col("tk"), col("c").as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("tk").asc).limit(20)
         val single = FeatureStats.cmsEstimate(prof, top, "tk")
         val m = FeatureStats.cmsEstimate(merged, top, "tk")

@@ -1274,6 +1274,25 @@ class FeatureStatsSpec extends SparkSpec with Matchers
     two shouldBe one // EXACT equality at a deliberately colliding width
   }
 
+  test("cmsProfileOfCounts is cell-identical to cmsProfile over raw rows") {
+    import spark.implicits._
+    val vals = (1 to 400).map(i => s"w${i % 53}")
+    val raw = FeatureStats.cmsProfile(
+      vals.toDF("v"), "v", width = 37, depth = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    // pre-aggregated counts, split across duplicate value rows (the
+    // per-parity shape cms_heavy_hitters feeds) — the cell sums must
+    // not care how the per-value count is sharded
+    val counts = vals.groupBy(identity).toSeq.flatMap { case (v, occ) =>
+      val n = occ.size.toLong
+      if (n > 1) Seq((v, 1L), (v, n - 1)) else Seq((v, n))
+    }.toDF("v", "c")
+    val ofCounts = FeatureStats.cmsProfileOfCounts(
+      counts, "v", "c", width = 37, depth = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    ofCounts shouldBe raw
+  }
+
   test("cmsEstimate preserves duplicate query rows (one output per input row)") {
     import spark.implicits._
     val prof = FeatureStats.cmsProfile(

@@ -745,6 +745,32 @@ class LanguageModelSpec extends SparkSpec with Matchers {
     oovCe should be > maxSeen
   }
 
+  test("flat kn5 layout: disc sidecar equals fresh estimation bit-for-bit") {
+    import spark.implicits._
+    val docs = kn5Corpus(40).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn5-disc").toString
+    val fit = LanguageModel.fitKn5(docs, "text")
+    LanguageModel.saveKn5Model(fit, dir)
+    val loaded = LanguageModel.loadKn5Model(spark, dir)
+    // The sidecar is present and IS the re-estimation: discounts are
+    // deterministic functions of integer counts that round-trip
+    // parquet exactly, so a serve that reads the sidecar serves the
+    // same doubles a count-of-counts re-scan would compute.
+    loaded.disc shouldBe defined
+    loaded.disc.get shouldBe LanguageModel.estimateKn5Discounts(
+      loaded.copy(disc = None))
+    // A pre-sidecar layout (disc/ absent) still loads and estimates.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "disc"), true)
+    val legacy = LanguageModel.loadKn5Model(spark, dir)
+    legacy.disc shouldBe None
+    LanguageModel.modifiedKn5Against(docs, "doc_id", "text", legacy)
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      LanguageModel.modifiedKn5Against(docs, "doc_id", "text", loaded)
+        .collect().map(_.toString).sorted.toSeq
+  }
+
   test("order-5 serve: the broadcast-score plan never shuffles the model") {
     import spark.implicits._
     val docs = kn5Corpus(40).toDF("doc_id", "text")
