@@ -1446,19 +1446,28 @@ object LanguageModel {
       langCol: String, n: Int = 3, k: Double = 1.0): DataFrame = {
     require(n > 0, s"charNgramLangId: non-positive gram size $n")
     require(k > 0, "add-k smoothing needs k > 0")
-    def grams(t: Column): Column = {
-      val norm = TextOps.normalized(t)
+    // The normalized text MUST stage as a column before the gram
+    // transform (the retrieval_rrf / shingles lesson): `norm` appears
+    // in the guard, the sequence bound, AND the per-element substr
+    // lambda, and a Column expression is copied structurally into
+    // every use — inlined, the whole lower+regexp+trim normalization
+    // re-ran per GRAM (measured: the two gram stages at sf0.1 spent
+    // 65 task-CPU-seconds, ~50 µs per gram, on what is a substr).
+    // Staged as an attribute it computes once per row.
+    def grams(norm: Column): Column =
       // Guard: Spark's sequence(1, m) DESCENDS when m < 1 — short docs
       // must yield an empty gram list, not [1, 0]-indexed garbage.
       when(length(norm) < n, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(1), length(norm) - lit(n - 1)),
           i => norm.substr(i, lit(n))))
-    }
+    def gramRows(df: DataFrame, key: Column, keyName: String): DataFrame =
+      df.select(key.as(keyName),
+        TextOps.normalized(col(textCol)).as("__graft_norm"))
+        .select(col(keyName), explode(grams(col("__graft_norm"))).as("g"))
     // Model: occurrence counts per (lang, gram) — one shuffle with
     // map-side partial aggregation over the exploded train grams.
-    val cL = OpsUtil.widen(train)
-      .select(col(langCol).as("lang"), explode(grams(col(textCol))).as("g"))
+    val cL = gramRows(OpsUtil.widen(train), col(langCol), "lang")
       .groupBy("lang", "g").agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
     val nL = cL.groupBy("lang").agg(sum(col("c")).as("n_l"))
@@ -1474,8 +1483,7 @@ object LanguageModel {
     // Per-doc gram counts × the language list, LEFT-joined to the
     // model so unseen grams score through the smoothing mass
     // k / (N_L + kV) instead of silently dropping out.
-    val docG = OpsUtil.widen(score)
-      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("g"))
+    val docG = gramRows(OpsUtil.widen(score), col(idCol), "id")
       .groupBy("id", "g").agg(count(lit(1)).as("cnt"))
     val langs = cL.select("lang").distinct()
     val term = round(log(

@@ -207,18 +207,81 @@ object Similarity {
       dim: Int, nPlanes: Int = 8): DataFrame =
     rankTopK(lshCandidates(df, idCol, vecCol, dim, nPlanes, tableIdx = 0), k)
 
+  /** Within-bucket candidate ID PAIRS for one table — the narrow form
+    * of [[lshCandidates]] for multi-table callers (guide §8: shuffle
+    * ids and decide, attach payloads once): the bucket join carries
+    * (bucket, id[, label]) only — never the vectors — so a candidate
+    * row costs ~2 longs instead of 2·dim doubles, and the multi-table
+    * union dedups BEFORE any cosine exists. Tables overlap heavily by
+    * design (that is the recall dial), so the same pair arrives from
+    * many tables — measured 358,698 candidate rows for 7,880 distinct
+    * pairs at sf0.1 (45×): scoring after the dedup does 45× less
+    * cosine work and the join stages copy no vector bytes per pair. */
+  private def lshCandidateIdPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, tableIdx: Int,
+      labelCol: Option[String] = None,
+      queryPred: Option[Column] = None): DataFrame = {
+    val src = OpsUtil.widen(df)
+    val prep = (frame: DataFrame) => frame
+      .select(col(idCol).as("id") +:
+        labelCol.toSeq.map(l => col(l).as("__graft_lbl")) :+
+        asDouble(col(vecCol)).as("v"): _*)
+      .withColumn("bucket", lshBucketSeeded(col("v"), dim, nPlanes, tableIdx))
+      .drop("v")
+    val v = prep(src)
+    val vq = queryPred.fold(v)(p => prep(src.filter(p)))
+    val a = vq.select(col("bucket") +: col("id").as("query_id") +:
+      labelCol.toSeq.map(_ => col("__graft_lbl").as("query_label")): _*)
+    val b = v.select(col("bucket") +: col("id").as("neighbor_id") +:
+      labelCol.toSeq.map(_ => col("__graft_lbl").as("__graft_nx")): _*)
+    a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(("query_id" +: "neighbor_id" +:
+        labelCol.toSeq.flatMap(_ => Seq("query_label", "__graft_nx"))).map(col): _*)
+  }
+
+  /** Re-attach both endpoints' vectors (and norms) to DISTINCT id
+    * pairs by unique id — the payload-moves-once step after the narrow
+    * candidate dedup. */
+  private def attachPairVectors(
+      df: DataFrame, idCol: String, vecCol: String,
+      pairs: DataFrame): DataFrame = {
+    val src = OpsUtil.widen(df)
+    val vq = src.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val vc = src.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    pairs.join(vq, Seq("query_id")).join(vc, Seq("neighbor_id"))
+  }
+
   /** Multi-table LSH top-k: union candidates from `tables` independent
     * plane sets before ranking — recall rises as 1-(1-p)^tables while
     * each table keeps the same bucket-join shuffle structure (the
-    * standard recall/compute dial for LSH ANN at scale). */
+    * standard recall/compute dial for LSH ANN at scale). Candidates
+    * travel as ID PAIRS and dedup before vectors attach and the cosine
+    * is computed once per distinct pair ([[lshCandidateIdPairs]]) —
+    * same pairs, same cosines, same ranks as scoring every duplicate. */
   def lshTopKMultiTable(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     require(tables >= 1)
-    val cand = (0 until tables)
-      .map(t => lshCandidates(df, idCol, vecCol, dim, nPlanes, t))
+    // coalesce before the dedup exchange: the union multiplies map
+    // tasks by `tables`, and each map task of the dedup shuffle writes
+    // one file per reducer (guide §2.2 — measured as the dominant cost
+    // of this stage: 256 map tasks × 32 reducers of bypass-merge file
+    // creations for 2-long rows). Slot-count partitions keep compute
+    // fully parallel, and the map-side partial dedup then collapses
+    // cross-table duplicates BEFORE they ship.
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val pairs = (0 until tables)
+      .map(t => lshCandidateIdPairs(df, idCol, vecCol, dim, nPlanes, t))
       .reduce(_ unionAll _)
-    rankTopK(cand, k, dedup = true)
+      .coalesce(slots)
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(attachPairVectors(df, idCol, vecCol, pairs), k)
   }
 
   /** Hard-negative mining at corpus scale — the bucketed sibling
@@ -238,12 +301,24 @@ object Similarity {
       k: Int, dim: Int, nPlanes: Int = 6, tables: Int = 3,
       queryPred: Option[Column] = None): DataFrame = {
     require(tables >= 1)
-    val cand = (0 until tables)
-      .map(t => lshCandidates(df, idCol, vecCol, dim, nPlanes, t,
+    // Narrow id-pair candidates, label-filtered per table, deduped
+    // BEFORE vectors attach (guide §8; see lshCandidateIdPairs) —
+    // query_label is functionally dependent on query_id, so the pair
+    // dedup keeps it consistent.
+    val pairs = (0 until tables)
+      .map(t => lshCandidateIdPairs(df, idCol, vecCol, dim, nPlanes, t,
         Some(labelCol), queryPred))
       .reduce(_ unionAll _)
       .filter(col("query_label") =!= col("__graft_nx"))
-    rankTopK(cand, k, carry = Seq("query_label"), dedup = true).drop("cos")
+      // coalesce before the dedup exchange — the lshTopKMultiTable
+      // argument: tables× fewer map tasks, tables× fewer shuffle
+      // files, cross-table duplicates collapse map-side.
+      .coalesce(df.sparkSession.sparkContext.defaultParallelism)
+      .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(
+      attachPairVectors(df, idCol, vecCol,
+        pairs.select("query_id", "query_label", "neighbor_id")),
+      k, carry = Seq("query_label")).drop("cos")
   }
 
   /** Hard-negative mining through the IVF centroid buckets — the
@@ -367,10 +442,24 @@ object Similarity {
     }
   }
 
+  /** Map-task cap for the Lloyd fits' per-iteration stats shuffles.
+    * The fit input is SAMPLE-BOUNDED by design ([[FitSampleFactor]] ×
+    * k rows, ≤ tens of thousands), so its per-iteration explode +
+    * groupBy shuffle is block-count-bound, not data-bound: M map tasks
+    * × R reducers shuffle blocks (guide §2.2) at ~62 rows per block
+    * cost the fit far more than the arithmetic (the per-query scaling
+    * block shows 8 cores beating 32 on exactly these queries). Eight
+    * tasks keep ≤ ~6.4k sample rows (~26M kernel flops) per task per
+    * iteration and cut the per-iteration block count 4× at local[32]
+    * — and a bounded sample means this is the right number at ANY
+    * corpus scale, not a local tune. */
+  private val FitStatsPartitions = 8
+
   /** Fit over a prepared (id, v) frame — callers materialize it once
     * (the fit re-reads it per Lloyd iteration). */
   private def fitCentroids(
-      v: DataFrame, nCentroids: Int, iters: Int): Array[Array[Double]] = {
+      v0: DataFrame, nCentroids: Int, iters: Int): Array[Array[Double]] = {
+    val v = v0.coalesce(FitStatsPartitions)
     // Fewer rows than requested centroids → fit what exists; callers
     // clamp nProbe to the fitted count.
     var cents: Array[Array[Double]] = v
@@ -427,8 +516,11 @@ object Similarity {
     *   - absent (fit, cid) groups keep the previous centroid, as
     *     before. */
   private def fitCentroidsFused(
-      sample: DataFrame, specs: Seq[LloydSpec],
+      sample0: DataFrame, specs: Seq[LloydSpec],
       iters: Int): IndexedSeq[Array[Array[Double]]] = {
+    // Sample-bounded input → bounded map-task count for the
+    // per-iteration stats shuffles (see [[FitStatsPartitions]]).
+    val sample = sample0.coalesce(FitStatsPartitions)
     val maxK = specs.map(_.k).max
     val initRows = sample
       .orderBy(xxhash64(col("id")), col("id"))

@@ -31,8 +31,12 @@ object StageProfile {
         val out = si.taskMetrics.shuffleWriteMetrics.recordsWritten
         val cpu = si.taskMetrics.executorRunTime / 1000.0
         val spill = si.taskMetrics.memoryBytesSpilled + si.taskMetrics.diskBytesSpilled
+        // si.name carries the action's callsite ("parquet at X.scala:N")
+        // — the only attribution a multi-job query offers (bench
+        // queries set no job descriptions).
         stages.add(f"stage=${si.stageId}%4d wall=${wall}%7.2fs taskSum=${cpu}%8.2fs " +
-          f"inRecs=$recs%10d shufOut=$out%10d spill=$spill%d tasks=${si.numTasks}")
+          f"inRecs=$recs%10d shufOut=$out%10d spill=$spill%d tasks=${si.numTasks} " +
+          f"name=${si.name.takeWhile(_ != '\n').take(70)}")
       }
     })
     def run(): Unit = graft.SparkEntry.queries(name)(spark, sfDir)
