@@ -1116,9 +1116,15 @@ object LanguageModel {
     val levels = Seq(
       ("order 5", model.c5, "c5"), ("level 4", model.t4, "t4"),
       ("level 3", model.t3, "t3"), ("level 2", model.t2, "t2"))
+    // coalesce the 4-table union to slot count before the 4-group
+    // aggregate: the union multiplies map tasks ×4 and every map task
+    // of the exchange writes one block per reducer (guide §2.2) for a
+    // 16-row result; slot-count partitions keep the scan fully
+    // parallel at any model size.
+    val slots = model.stats.sparkSession.sparkContext.defaultParallelism
     val unioned = levels.map { case (lvl, df, c) =>
       df.select(lit(lvl).as("__graft_lvl"), col(c).as("__graft_cnt"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).coalesce(slots)
     val ccCols = (1 to 4).map(j => coalesce(
       sum(when(col("__graft_cnt") === j, 1L).otherwise(0L)), lit(0L))
       .as(s"cc$j"))
@@ -1323,9 +1329,10 @@ object LanguageModel {
     // therefore the whole per-term loss derives from `fg` alone, so
     // the nine model joins and the five smoothing-level projections
     // need one row per 5-gram TYPE; occurrences re-attach by one
-    // fg-key join before the per-doc aggregate. At bench geometry
-    // types/occurrences ≈ 0.73; at real corpus Zipf ratios the probe
-    // side shrinks by orders of magnitude. Bit-identical per doc: the
+    // fg-key join before the per-doc aggregate. At bench geometry the
+    // enriched corpus is nearly all types (ratio ≈ 0.9 — a wash); at
+    // real corpus Zipf ratios the probe side shrinks by orders of
+    // magnitude. Bit-identical per doc: the
     // per-type terms are the same doubles, and the per-doc sum is
     // DECIMAL (order-free). The broadcast-score plan keeps probing
     // the staged batch projection directly — its keys are already

@@ -1375,10 +1375,15 @@ object PipelineQueries {
         val idx = Similarity.fitIndex(emb, "vec_id", "embedding",
           nCentroids = 64, m = 8, kSub = 16)
         val full = Similarity.encodeCorpus(emb, "vec_id", "embedding", idx)
+        // coalesce the two halves' union to slot count: the union
+        // doubles the map-task count of every downstream exchange
+        // (guide §2.2 — M×R shuffle blocks), and slot-count partitions
+        // keep the candidate join fully parallel at any corpus size.
         val merged = Similarity.encodeCorpus(
             emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx)
           .unionAll(Similarity.encodeCorpus(
             emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx))
+          .coalesce(s.sparkContext.defaultParallelism)
         val pred = Some(graft.ops.Sampling.hashBucket(col("vec_id")) < 5)
         // Checkpointed: rFull feeds the query count plus BOTH exceptAll
         // directions (three consumers), rInc both directions — each
@@ -2180,9 +2185,15 @@ object PipelineQueries {
 
     // Persisted order-5 model serving — ten count tables fitted once,
     // saved, loaded, scored with zero training passes; the per-level
-    // discounts re-estimate from the persisted tables themselves
-    // (integer counts round-trip parquet exactly, so the estimates
-    // cannot move). Oracle: lm_score_kn5's SQL VERBATIM.
+    // discounts ride the flat layout's save-time `disc` sidecar (r17
+    // — integer counts round-trip parquet exactly, so sidecar and
+    // re-estimation are the same bits). The serve keeps the DEFAULT
+    // shuffle cascade: self-scoring the corpus is exactly the
+    // geometry the cascade exists for, and this round MEASURED the
+    // broadcast-semi alternative at this batch size (~870k distinct
+    // keys, just under the 1M driver bound) at 4× worse warm — ten
+    // near-bound broadcasts thrash the JVM. Oracle: lm_score_kn5's
+    // SQL VERBATIM.
     QueryDef(
       "lm_score_kn5_serve",
       (s, dir) => {
