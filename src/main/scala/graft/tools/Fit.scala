@@ -166,8 +166,10 @@ object Fit {
           case Some(b) => validated(
             graft.ops.LanguageModel.saveKn5ModelPartitioned(model, outDir, b))
           case None =>
-            validated(graft.ops.LanguageModel.estimateKn5Discounts(model))
-            graft.ops.LanguageModel.saveKn5Model(model, outDir)
+            // saveKn5Model estimates the disc sidecar itself (r17) —
+            // it IS the fail-fast gate now; a separate pre-validation
+            // would run the count-of-counts job twice.
+            validated(graft.ops.LanguageModel.saveKn5Model(model, outDir))
         }
       case "exact_index" =>
         val idx = graft.ops.Dedup.exact(df, idCol, textCol)
